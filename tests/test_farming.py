@@ -1,0 +1,175 @@
+import os
+
+import numpy as np
+import pytest
+
+from conftest import fn3_fba
+from xyzpy_spark.farming import Harvester, Runner, Sampler, label
+
+
+@pytest.fixture
+def fba_runner(spark):
+    return Runner(
+        fn3_fba,
+        var_names=["sum", "even", "array"],
+        var_dims={"array": ["time"]},
+        var_coords={"time": np.linspace(0, 1, 3)},
+        constants={"c": 100},
+        attrs={"fruit": "apples"},
+        spark=spark,
+    )
+
+
+def _expected_golden():
+    out = {}
+    for a in (1, 2):
+        for b in (3, 4):
+            for t in np.linspace(0, 1, 3):
+                out[(a, b, round(t, 6))] = (
+                    a + b + 100,
+                    a % 2 == 0,
+                    a * (b * t + 100),
+                )
+    return out
+
+
+def _check_golden(df):
+    rows = df.collect()
+    expect = _expected_golden()
+    assert len(rows) == len(expect)
+    for r in rows:
+        e = expect[(r["a"], r["b"], round(r["time"], 6))]
+        assert r["sum"] == e[0]
+        assert r["even"] == e[1]
+        assert r["array"] == pytest.approx(e[2])
+
+
+def test_runner_run_combos_golden(fba_runner):
+    df = fba_runner.run_combos({"a": [1, 2], "b": [3, 4]})
+    _check_golden(df)
+    assert fba_runner.last_df is df
+
+
+def test_runner_run_cases(fba_runner):
+    df = fba_runner.run_cases([{"a": 1, "b": 3}, {"a": 2, "b": 4}])
+    assert df.count() == 6
+    for r in df.collect():
+        assert r["sum"] == r["a"] + r["b"] + 100
+
+
+def test_harvester_merge_accumulation(fba_runner, tmp_path):
+    """Two half-grid harvests == one full run (reference
+    tests/test_gen/test_farming.py:317-326)."""
+    store = str(tmp_path / "fba.parquet")
+    h = Harvester(fba_runner, store)
+    h.harvest_combos({"a": [1], "b": [3, 4]})
+    h.harvest_combos({"a": [2], "b": [3, 4]})
+    _check_golden(h.full_df)
+
+
+def test_harvester_missing_only_skips_done(fba_runner, tmp_path, monkeypatch):
+    store = str(tmp_path / "fba.parquet")
+    h = Harvester(fba_runner, store)
+    h.harvest_combos({"a": [1, 2], "b": [3, 4]})
+
+    calls = []
+    orig = fba_runner.run_cases
+
+    def counting_run_cases(cases, **kw):
+        calls.append(list(cases))
+        return orig(cases, **kw)
+
+    monkeypatch.setattr(fba_runner, "run_cases", counting_run_cases)
+    # everything already computed -> no work
+    h.harvest_combos({"a": [1, 2], "b": [3, 4]}, missing_only=True)
+    assert calls == []
+    # one new point -> only that one runs
+    h.harvest_combos({"a": [1, 2, 3], "b": [3, 4]}, missing_only=True)
+    assert len(calls) == 1
+    assert sorted((c["a"], c["b"]) for c in calls[0]) == [(3, 3), (3, 4)]
+    assert h.full_df.count() == 18
+
+
+def test_harvester_conflict_policies(fba_runner, tmp_path):
+    store = str(tmp_path / "fba.parquet")
+    h = Harvester(fba_runner, store)
+    h.harvest_combos({"a": [1], "b": [3]})
+
+    # identical re-run under no_conflicts is fine
+    h.harvest_combos({"a": [1], "b": [3]}, missing_only=False)
+    assert h.full_df.count() == 3
+
+
+def test_harvester_expand_dims_and_drop_sel(fba_runner, tmp_path):
+    store = str(tmp_path / "fba.parquet")
+    h = Harvester(fba_runner, store)
+    h.harvest_combos({"a": [1, 2], "b": [3, 4]})
+    h.expand_dims("c", 100)
+    df = h.full_df
+    assert "c" in df.columns
+    assert df.where("c != 100").count() == 0
+    h.drop_sel(a=2)
+    assert h.full_df.where("a = 2").count() == 0
+    assert h.full_df.count() == 6
+
+
+def test_harvester_attrs_sidecar(fba_runner, tmp_path):
+    from xyzpy_spark.farming import load_attrs
+
+    store = str(tmp_path / "fba.parquet")
+    h = Harvester(fba_runner, store)
+    h.harvest_combos({"a": [1], "b": [3]})
+    attrs = load_attrs(store)
+    assert attrs["fruit"] == "apples"
+    assert attrs["c"] == 100
+
+
+def test_sampler(spark, tmp_path):
+    def sumdiff(a, b, c):
+        return a + b, a - b, a % b == 0, c
+
+    runner = Runner(
+        sumdiff,
+        var_names=["sum", "diff", "div", "c_out"],
+        constants={"c": 7},
+        spark=spark,
+    )
+    store = str(tmp_path / "samples.parquet")
+    s = Sampler(runner, store, seed=0)
+    full = s.sample_combos(5, {"a": [1, 2, 3], "b": [4, 5]})
+    assert full.count() == 5
+    full = s.sample_combos(3, {"a": [1, 2, 3], "b": [4, 5]})
+    assert full.count() == 8  # append-only
+    row = full.collect()[0]
+    assert row["sum"] == row["a"] + row["b"]
+    assert row["c"] == 7  # constant recorded as column
+
+
+def test_sampler_callable_distribution(spark, tmp_path):
+    def f(a):
+        return a * 2
+
+    runner = Runner(f, var_names="x", spark=spark)
+    s = Sampler(runner, str(tmp_path / "s.parquet"), seed=1)
+    cases = s.gen_cases(4, {"a": [lambda: 42]})
+    assert all(c["a"] == 42 for c in cases)
+
+
+def test_label_decorator(spark):
+    @label(var_names=["sum", "diff"], spark=spark)
+    def sumdiff(a, b):
+        return a + b, a - b
+
+    assert isinstance(sumdiff, Runner)
+    df = sumdiff.run_combos({"a": range(1, 10), "b": range(23, 27)})
+    assert df.count() == 36
+    # runner stays callable as the bare function
+    assert sumdiff(2, 1) == (3, 1)
+
+
+def test_publish_is_atomic_leaves_bak(fba_runner, tmp_path):
+    store = str(tmp_path / "fba.parquet")
+    h = Harvester(fba_runner, store)
+    h.harvest_combos({"a": [1], "b": [3]})
+    h.harvest_combos({"a": [2], "b": [3]})
+    assert os.path.exists(store + ".bak")  # previous version retained

@@ -1,0 +1,418 @@
+"""Labelled sweep functions and persistent result stores.
+
+Spark analogs of the reference's farming layer
+(``xyzpy/gen/farming.py``):
+
+- :class:`Runner`    — binds fn + output schema + constants; runs
+  combos/cases to a long DataFrame (``farming.py:33-307``).
+- :class:`Harvester` — grows an on-disk parquet table across runs via
+  outer-merge with conflict policies, atomic publish, missing-only
+  top-up (``farming.py:413-855``).
+- :class:`Sampler`   — append-only random-point sampling into a
+  parquet table (``farming.py:857-1054``).
+- :func:`label`      — decorator turning a function into a Runner /
+  Harvester / Sampler (``farming.py:310-410``).
+
+Persistence is a parquet directory + ``_attrs.json`` sidecar (files
+starting with ``_`` are invisible to Spark's reader, so the sidecar
+rides inside the table directory).  Publishing is write-audit-publish:
+write to a temp dir, then swap via rename with a ``.bak`` safety copy
+(reference's atomic ``.bak`` dance: ``farming.py:549-580``) — plain
+``mode("overwrite")`` is not crash-safe on a filesystem.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from .grid import LOC_COL
+from .merge import merge_datasets
+from .missing import non_null_points
+from .prepare import (
+    parse_cases,
+    parse_combos,
+    parse_constants,
+    parse_fn_args,
+    parse_var_names,
+)
+from .runner import combo_runner_to_df
+
+
+class Runner:
+    """A function labelled with its sweep/output schema.
+
+    Reference: ``xyzpy.Runner`` (``gen/farming.py:33-307``).
+    """
+
+    def __init__(
+        self,
+        fn,
+        var_names,
+        *,
+        fn_args=None,
+        var_dims=None,
+        var_coords=None,
+        var_types=None,
+        constants=None,
+        resources=None,
+        attrs=None,
+        explode: bool = True,
+        spark: SparkSession | None = None,
+    ):
+        self.fn = fn
+        self.var_names = parse_var_names(var_names)
+        self.fn_args = parse_fn_args(fn, fn_args)
+        self.var_dims = var_dims
+        self.var_coords = var_coords
+        self.var_types = var_types
+        self.constants = parse_constants(constants)
+        self.resources = dict(resources or {})
+        self.attrs = dict(attrs or {})
+        self.explode = explode
+        self._spark = spark
+        self.last_df: DataFrame | None = None
+
+    # -- infra -----------------------------------------------------------
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            self._spark = SparkSession.builder.getOrCreate()
+        return self._spark
+
+    def _dim_names(self, combos=None, cases=None) -> list[str]:
+        dims = []
+        if cases:
+            dims += [c for c in parse_cases(cases, self.fn_args)[0]]
+        if combos:
+            dims += [arg for arg, _ in parse_combos(combos)]
+        return dims
+
+    # -- execution -------------------------------------------------------
+    def run_combos(self, combos, *, constants=None, **kwargs) -> DataFrame:
+        """Sweep the full cartesian grid; returns + remembers the result."""
+        merged_consts = {**self.constants, **parse_constants(constants)}
+        self.last_df = combo_runner_to_df(
+            self.spark,
+            self.fn,
+            combos,
+            var_names=self.var_names,
+            var_dims=self.var_dims,
+            var_coords=self.var_coords,
+            var_types=self.var_types,
+            constants=merged_consts,
+            resources=self.resources,
+            explode=self.explode,
+            **kwargs,
+        )
+        return self.last_df
+
+    def run_cases(self, cases, *, combos=None, constants=None, **kwargs) -> DataFrame:
+        """Evaluate explicit parameter points (optionally x combos)."""
+        merged_consts = {**self.constants, **parse_constants(constants)}
+        self.last_df = combo_runner_to_df(
+            self.spark,
+            self.fn,
+            combos,
+            cases=cases,
+            fn_args=self.fn_args,
+            var_names=self.var_names,
+            var_dims=self.var_dims,
+            var_coords=self.var_coords,
+            var_types=self.var_types,
+            constants=merged_consts,
+            resources=self.resources,
+            explode=self.explode,
+            **kwargs,
+        )
+        return self.last_df
+
+    def __call__(self, *args, **kwargs):
+        return self.fn(*args, **kwargs)
+
+    def harvester(self, data_name: str, **kwargs) -> "Harvester":
+        return Harvester(self, data_name, **kwargs)
+
+    def sampler(self, data_name: str, **kwargs) -> "Sampler":
+        return Sampler(self, data_name, **kwargs)
+
+
+# -- atomic parquet publish ---------------------------------------------
+
+
+def _publish_parquet(df: DataFrame, path: str, attrs: dict | None = None) -> None:
+    """Write-audit-publish: stage to a temp dir, audit, swap with .bak."""
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    if attrs:
+        with open(os.path.join(tmp, "_attrs.json"), "w") as f:
+            json.dump(attrs, f, default=repr)
+    bak = path + ".bak"
+    try:
+        if os.path.exists(path):
+            if os.path.exists(bak):
+                shutil.rmtree(bak)
+            os.rename(path, bak)
+        os.rename(tmp, path)
+    except OSError:
+        # restore on failure (reference: farming.py:569-580)
+        if os.path.exists(bak) and not os.path.exists(path):
+            os.rename(bak, path)
+        raise
+    finally:
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+
+
+def load_attrs(path: str) -> dict:
+    p = os.path.join(path, "_attrs.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return {}
+
+
+class Harvester:
+    """Incrementally grown on-disk result table.
+
+    Reference: ``xyzpy.Harvester`` (``gen/farming.py:413-855``).  The
+    full dataset is a parquet table keyed by the dim columns; each
+    harvest run outer-merges new results under a conflict policy and
+    republishes atomically.
+    """
+
+    def __init__(self, runner: Runner, data_name: str, *, overwrite: bool | None = None):
+        self.runner = runner
+        self.data_name = data_name
+        self.overwrite = overwrite
+        self.last_merged: DataFrame | None = None
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.runner.spark
+
+    @property
+    def full_df(self) -> DataFrame | None:
+        return self.load_full_df()
+
+    def load_full_df(self) -> DataFrame | None:
+        if not os.path.exists(self.data_name):
+            return None
+        return self.spark.read.parquet(self.data_name)
+
+    def delete_ds(self) -> None:
+        if os.path.exists(self.data_name):
+            shutil.rmtree(self.data_name)
+
+    # -- merging ---------------------------------------------------------
+    def add_df(
+        self, new: DataFrame, dims, *, overwrite: bool | None = None, sync: bool = True
+    ) -> DataFrame:
+        """Merge a new result table into the store (reference
+        ``add_ds``, ``farming.py:602-670``)."""
+        if overwrite is None:
+            overwrite = self.overwrite
+        old = self.load_full_df()
+        if old is None:
+            merged = new
+        else:
+            merged = merge_datasets(old, new, dims, overwrite=overwrite)
+        attrs = {**load_attrs(self.data_name), **self.runner.attrs,
+                 **self.runner.constants}
+        if sync:
+            _publish_parquet(merged, self.data_name, attrs)
+            merged = self.spark.read.parquet(self.data_name)
+        self.last_merged = merged
+        return merged
+
+    def _missing_filter(self, cases_df: DataFrame, dims) -> DataFrame:
+        old = self.load_full_df()
+        if old is None:
+            return cases_df
+        present_dims = [d for d in dims if d in old.columns]
+        if len(present_dims) < len(dims):
+            # store predates a dim (pre-expand_dims): everything missing
+            return cases_df
+        var_names = [c for c in old.columns if c not in dims]
+        present = non_null_points(old, present_dims, var_names)
+        return cases_df.join(present, present_dims, "left_anti")
+
+    def harvest_combos(
+        self, combos, *, missing_only: bool = True, overwrite: bool | None = None,
+        sync: bool = True, **kwargs,
+    ) -> DataFrame:
+        """Run a combo sweep (optionally only not-yet-computed points)
+        and merge into the store (reference ``farming.py:710-778``)."""
+        combos = parse_combos(combos)
+        dims = self.runner._dim_names(combos=combos)
+        if missing_only and os.path.exists(self.data_name):
+            from .grid import combo_grid
+
+            grid = combo_grid(self.spark, combos).drop(LOC_COL)
+            todo = self._missing_filter(grid, dims)
+            cases = [r.asDict() for r in todo.collect()]
+            if not cases:
+                df = self.load_full_df()
+                self.last_merged = df
+                return df
+            new = self.runner.run_cases(cases, **kwargs)
+        else:
+            new = self.runner.run_combos(combos, **kwargs)
+        return self.add_df(new, self._result_dims(dims), overwrite=overwrite, sync=sync)
+
+    def harvest_cases(
+        self, cases, *, overwrite: bool | None = None, sync: bool = True, **kwargs
+    ) -> DataFrame:
+        """Run explicit cases and merge (reference ``farming.py:780-819``)."""
+        cases = parse_cases(cases, self.runner.fn_args)
+        dims = self.runner._dim_names(cases=cases)
+        new = self.runner.run_cases(cases, **kwargs)
+        return self.add_df(new, self._result_dims(dims), overwrite=overwrite, sync=sync)
+
+    def _result_dims(self, dims) -> list[str]:
+        # internal var dims become real key columns in explode mode
+        extra = []
+        if self.runner.explode and self.runner.var_dims:
+            for ds in dict(self.runner.var_dims).values():
+                for d in (ds,) if isinstance(ds, str) else ds:
+                    if d not in extra:
+                        extra.append(d)
+        return list(dims) + extra
+
+    # -- schema evolution ------------------------------------------------
+    def expand_dims(self, name: str, value) -> None:
+        """Promote a former constant to a real dimension with ``value``
+        on all existing rows (reference ``farming.py:672-688``)."""
+        from pyspark.sql import functions as F
+
+        old = self.load_full_df()
+        if old is None:
+            raise ValueError("no stored dataset to expand")
+        _publish_parquet(
+            old.withColumn(name, F.lit(value)), self.data_name,
+            load_attrs(self.data_name),
+        )
+
+    def drop_sel(self, **dim_values) -> None:
+        """Delete rows at specific coordinate values (reference
+        ``farming.py:690-708``)."""
+        from pyspark.sql import functions as F
+
+        old = self.load_full_df()
+        if old is None:
+            raise ValueError("no stored dataset")
+        df = old
+        for dim, vals in dim_values.items():
+            if not isinstance(vals, (list, tuple)):
+                vals = [vals]
+            df = df.where(~F.col(dim).isin(list(vals)))
+        _publish_parquet(df, self.data_name, load_attrs(self.data_name))
+
+
+class Sampler:
+    """Append-only random sampling of the parameter space.
+
+    Reference: ``xyzpy.Sampler`` (``gen/farming.py:857-1054``) — draw n
+    random cases (uniform choice per arg, or a callable distribution),
+    evaluate, append to a row table.
+    """
+
+    def __init__(self, runner: Runner, data_name: str, *, seed: int | None = None):
+        self.runner = runner
+        self.data_name = data_name
+        self.rng = np.random.default_rng(seed)
+        self.last_df: DataFrame | None = None
+
+    @property
+    def spark(self) -> SparkSession:
+        return self.runner.spark
+
+    @property
+    def full_df(self) -> DataFrame | None:
+        if not os.path.exists(self.data_name):
+            return None
+        return self.spark.read.parquet(self.data_name)
+
+    def gen_cases(self, n: int, combos) -> list[dict]:
+        """n random parameter points: per-arg uniform choice over the
+        given values, or call a user distribution (reference
+        ``gen_cases_fnargs``, ``farming.py:1010-1021``)."""
+        combos = dict(parse_combos(combos))
+        cases = []
+        for _ in range(n):
+            case = {}
+            for arg, values in combos.items():
+                if len(values) == 1 and callable(values[0]):
+                    case[arg] = values[0]()
+                else:
+                    case[arg] = values[int(self.rng.integers(len(values)))]
+            cases.append(case)
+        return cases
+
+    def sample_combos(self, n: int, combos, **kwargs) -> DataFrame:
+        """Sample n points, evaluate, append to the store (reference
+        ``sample_combos``, ``farming.py:1023-1054``)."""
+        cases = self.gen_cases(n, combos)
+        new = self.runner.run_cases(cases, **kwargs)
+        for k, v in {**self.runner.constants, **self.runner.attrs}.items():
+            from pyspark.sql import functions as F
+
+            if k not in new.columns:
+                new = new.withColumn(k, F.lit(v))
+        new.write.mode("append").parquet(self.data_name)
+        self.last_df = new
+        return self.spark.read.parquet(self.data_name)
+
+
+def label(
+    var_names,
+    *,
+    fn_args=None,
+    var_dims=None,
+    var_coords=None,
+    var_types=None,
+    constants=None,
+    resources=None,
+    attrs=None,
+    harvester: str | bool = False,
+    sampler: str | bool = False,
+    **kwargs,
+):
+    """Decorator: attach a sweep schema to a function.
+
+    Reference: ``xyzpy.label`` (``gen/farming.py:310-410``).
+
+    >>> @label(var_names=["sum", "diff"])
+    ... def sumdiff(a, b):
+    ...     return a + b, a - b
+    """
+
+    def decorate(fn):
+        runner = Runner(
+            fn,
+            var_names,
+            fn_args=fn_args,
+            var_dims=var_dims,
+            var_coords=var_coords,
+            var_types=var_types,
+            constants=constants,
+            resources=resources,
+            attrs=attrs,
+            **kwargs,
+        )
+        if harvester:
+            return Harvester(
+                runner, harvester if isinstance(harvester, str) else fn.__name__ + ".parquet"
+            )
+        if sampler:
+            return Sampler(
+                runner, sampler if isinstance(sampler, str) else fn.__name__ + ".parquet"
+            )
+        return runner
+
+    return decorate

@@ -1,0 +1,459 @@
+"""The UDF evaluation harness: grid -> mapInPandas -> long DataFrame.
+
+Reference lifecycle (``xyzpy/gen/combo_runner.py:572-706``): parse ->
+build grid -> evaluate fn at every point (executor pool) -> gather ->
+shape into a labelled dataset.  Here the grid is a DataFrame
+(:mod:`xyzpy_spark.grid`), evaluation is ONE ``mapInPandas`` pass
+(Arrow-batched; Spark's scheduler replaces the reference's
+executor/loky/ray layer, ``gen/combo_runner.py:77-139``), and the
+result IS the long-format table — no unflatten step exists because we
+never flatten (``_unflatten``, ``gen/combo_runner.py:153-161``, is a
+dense-array artifact).
+
+Two output shapes:
+
+- **wide** (default): one row per grid point; multi-dim outputs are
+  (nested) ``ArrayType`` columns.
+- **long** (``explode=True``): one row per grid point x internal-dim
+  coordinate; internal dims become real coordinate columns and every
+  output is scalar.  This reproduces the reference's
+  ``Dataset -> long DataFrame`` shape (FIXTURES §3) and is emitted
+  directly by the harness via numpy broadcasting — no post-hoc
+  ``posexplode`` cascade.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from ._types import (
+    COMPLEX_TYPE,
+    infer_spark_type,
+    nested_array_type,
+    spark_type_of_scalar,
+    to_storable,
+)
+from .grid import LOC_COL, case_grid, combo_grid
+from .prepare import (
+    parse_cases,
+    parse_combos,
+    parse_constants,
+    parse_var_coords,
+    parse_var_dims,
+    parse_var_names,
+)
+
+__all__ = [
+    "VarSpec",
+    "combo_runner_to_df",
+    "case_runner_to_df",
+    "to_dense_pandas",
+]
+
+
+@dataclass
+class VarSpec:
+    """Declared/inferred schema of one output variable."""
+
+    name: str
+    dims: tuple[str, ...] = ()
+    # Spark type of one scalar element (complex -> struct<re,im>).
+    scalar_type: T.DataType = field(default_factory=T.DoubleType)
+
+    @property
+    def column_type(self) -> T.DataType:
+        return nested_array_type(self.scalar_type, len(self.dims))
+
+
+def _python_type_to_spark(t) -> T.DataType:
+    if isinstance(t, T.DataType):
+        return t
+    mapping = {
+        int: T.LongType(),
+        float: T.DoubleType(),
+        bool: T.BooleanType(),
+        str: T.StringType(),
+        complex: COMPLEX_TYPE,
+        bytes: T.BinaryType(),
+    }
+    if t in mapping:
+        return mapping[t]
+    raise TypeError(f"cannot interpret {t!r} as an output type")
+
+
+def _strip_arrays(dtype: T.DataType, depth: int) -> T.DataType:
+    for _ in range(depth):
+        if not isinstance(dtype, T.ArrayType):
+            raise ValueError(
+                f"output declared with internal dims but sample result "
+                f"is not nested {depth} deep (got {dtype.simpleString()})"
+            )
+        dtype = dtype.elementType
+    return dtype
+
+
+def _first_point_kwargs(combos, cases) -> dict:
+    kwargs = {}
+    if cases:
+        kwargs.update(cases[0])
+    for arg, values in combos:
+        kwargs[arg] = values[0]
+    return kwargs
+
+
+def resolve_var_specs(
+    fn,
+    combos,
+    cases,
+    constants,
+    resources,
+    var_names,
+    var_dims,
+    var_coords,
+    var_types=None,
+):
+    """Build the output schema, sample-calling ``fn`` once if needed.
+
+    The reference infers dtypes from the first gathered result
+    (``gen/combo_runner.py:25-74``); Spark needs the schema up front,
+    so we make one driver-side call at the first grid point unless
+    ``var_types`` fully specifies it.
+    """
+    var_names = parse_var_names(var_names)
+    dims_map = parse_var_dims(var_dims, var_names)
+    coords = parse_var_coords(var_coords)
+
+    sample = None
+    if var_names is None or var_types is None or any(
+        v not in (var_types or {}) for v in (var_names or ())
+    ):
+        kwargs = _first_point_kwargs(combos, cases)
+        sample = fn(**kwargs, **constants, **resources)
+
+    if var_names is None:
+        # mapping-returning function: keys are the variable names
+        # (reference: var_names=None dataset/dict returns,
+        # ``gen/combo_runner.py:493-503``).
+        if not isinstance(sample, dict):
+            raise TypeError(
+                "var_names=None requires fn to return a dict of "
+                f"name -> value, got {type(sample)}"
+            )
+        var_names = tuple(sample.keys())
+        dims_map = parse_var_dims(var_dims, var_names)
+        results = [sample[v] for v in var_names]
+    elif sample is not None:
+        results = list(sample) if len(var_names) > 1 else [sample]
+        if len(results) != len(var_names):
+            raise ValueError(
+                f"fn returned {len(results)} outputs for "
+                f"{len(var_names)} var_names"
+            )
+    else:
+        results = [None] * len(var_names)
+
+    specs = []
+    for i, name in enumerate(var_names):
+        dims = dims_map.get(name, ())
+        if var_types is not None and name in var_types:
+            scalar = _python_type_to_spark(var_types[name])
+        else:
+            full = infer_spark_type(results[i])
+            if dims:
+                scalar = _strip_arrays(full, len(dims))
+            else:
+                scalar = full
+                # arrays returned without declared dims stay ArrayType
+        specs.append(VarSpec(name, dims, scalar))
+
+    # dim sizes: declared coords win; otherwise infer from the sample
+    # result shape and default coords to range(n).
+    dim_sizes: dict[str, int] = {d: len(v) for d, v in coords.items()}
+    for spec, res in zip(specs, results):
+        if spec.dims and res is not None:
+            shape = np.shape(res)
+            for d, n in zip(spec.dims, shape):
+                if d in dim_sizes and dim_sizes[d] != n:
+                    raise ValueError(
+                        f"dim {d!r}: declared size {dim_sizes[d]} != "
+                        f"result size {n}"
+                    )
+                dim_sizes.setdefault(d, n)
+    for d, n in dim_sizes.items():
+        coords.setdefault(d, tuple(range(n)))
+    return list(specs), coords
+
+
+def _make_mapper(
+    fn,
+    param_cols,
+    param_fields,
+    specs,
+    coords,
+    constants,
+    resources,
+    explode,
+    on_error,
+    out_schema,
+):
+    """Build the mapInPandas worker closure.
+
+    One python call per grid point (the fn is opaque — same contract as
+    the reference's per-point dispatch), but I/O is Arrow-batched and
+    rows are emitted vectorized.
+    """
+    union_dims: tuple[str, ...] = ()
+    if explode:
+        seen = []
+        for s in specs:
+            for d in s.dims:
+                if d not in seen:
+                    seen.append(d)
+        union_dims = tuple(seen)
+    dim_coord_vals = {d: list(coords[d]) for d in union_dims}
+    n_inner = (
+        int(np.prod([len(dim_coord_vals[d]) for d in union_dims]))
+        if union_dims
+        else 1
+    )
+    out_cols = [f.name for f in out_schema.fields]
+    err_col = "_error" if on_error == "keep" else None
+
+    def evaluate(iterator):
+        for pdf in iterator:
+            records: dict[str, list] = {c: [] for c in out_cols}
+            col_data = {c: pdf[c].tolist() for c in param_cols}
+            loc_data = pdf[LOC_COL].tolist()
+            for i in range(len(pdf)):
+                kwargs = {}
+                for c in param_cols:
+                    v = col_data[c][i]
+                    if isinstance(v, np.generic):
+                        v = v.item()
+                    kwargs[c] = v
+                err = None
+                try:
+                    res = fn(**kwargs, **constants, **resources)
+                except Exception as exc:  # noqa: BLE001 — per-point policy
+                    if on_error == "raise":
+                        raise
+                    res, err = None, f"{type(exc).__name__}: {exc}"
+                if isinstance(res, dict):
+                    values = [res.get(s.name) for s in specs]
+                elif len(specs) > 1:
+                    values = (
+                        list(res) if res is not None else [None] * len(specs)
+                    )
+                else:
+                    values = [res]
+
+                loc = loc_data[i]
+                if not union_dims:
+                    records[LOC_COL].append(loc)
+                    for c in param_cols:
+                        records[c].append(kwargs[c])
+                    for spec, val in zip(specs, values):
+                        records[spec.name].append(
+                            to_storable(val, spec.column_type)
+                        )
+                    if err_col:
+                        records[err_col].append(err)
+                else:
+                    # long mode: emit one row per internal coordinate,
+                    # scalars repeated, each array indexed by its own dims.
+                    arrs = {}
+                    for spec, val in zip(specs, values):
+                        if spec.dims:
+                            arrs[spec.name] = (
+                                None if val is None else np.asarray(val)
+                            )
+                    for inner_idx in itertools.product(
+                        *[range(len(dim_coord_vals[d])) for d in union_dims]
+                    ):
+                        pos = dict(zip(union_dims, inner_idx))
+                        records[LOC_COL].append(loc)
+                        for c in param_cols:
+                            records[c].append(kwargs[c])
+                        for d in union_dims:
+                            records[d].append(dim_coord_vals[d][pos[d]])
+                        for spec, val in zip(specs, values):
+                            if not spec.dims:
+                                records[spec.name].append(
+                                    to_storable(val, spec.scalar_type)
+                                )
+                            else:
+                                a = arrs[spec.name]
+                                cell = (
+                                    None
+                                    if a is None
+                                    else a[tuple(pos[d] for d in spec.dims)]
+                                )
+                                records[spec.name].append(
+                                    to_storable(cell, spec.scalar_type)
+                                )
+                        if err_col:
+                            records[err_col].append(err)
+            yield pd.DataFrame(
+                {c: pd.Series(records[c], dtype=object) for c in out_cols}
+            )
+
+    return evaluate
+
+
+def evaluate_grid(
+    grid_df: DataFrame,
+    fn,
+    specs: list[VarSpec],
+    coords: dict[str, tuple],
+    *,
+    constants: dict | None = None,
+    resources: dict | None = None,
+    explode: bool = False,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Evaluate ``fn`` at every row of ``grid_df`` (one mapInPandas pass)."""
+    constants = constants or {}
+    resources = resources or {}
+    param_cols = [c for c in grid_df.columns if c != LOC_COL]
+    param_fields = {f.name: f.dataType for f in grid_df.schema.fields}
+
+    fields = [T.StructField(LOC_COL, T.LongType())]
+    fields += [T.StructField(c, param_fields[c]) for c in param_cols]
+    if explode:
+        union_dims: list[str] = []
+        for s in specs:
+            for d in s.dims:
+                if d not in union_dims:
+                    union_dims.append(d)
+        for d in union_dims:
+            fields.append(
+                T.StructField(d, spark_type_of_scalar(coords[d][0]))
+            )
+        for s in specs:
+            fields.append(T.StructField(s.name, s.scalar_type))
+    else:
+        for s in specs:
+            fields.append(T.StructField(s.name, s.column_type))
+    if on_error == "keep":
+        fields.append(T.StructField("_error", T.StringType()))
+    out_schema = T.StructType(fields)
+
+    mapper = _make_mapper(
+        fn,
+        param_cols,
+        param_fields,
+        specs,
+        coords,
+        constants,
+        resources,
+        explode,
+        on_error,
+        out_schema,
+    )
+    return grid_df.mapInPandas(mapper, schema=out_schema)
+
+
+def combo_runner_to_df(
+    spark: SparkSession,
+    fn,
+    combos=None,
+    *,
+    cases=None,
+    fn_args=None,
+    var_names=None,
+    var_dims=None,
+    var_coords=None,
+    var_types=None,
+    constants=None,
+    resources=None,
+    shuffle: bool | int = False,
+    explode: bool = True,
+    on_error: str = "raise",
+    num_partitions: int | None = None,
+    keep_loc: bool = False,
+) -> DataFrame:
+    """Run a full parameter sweep; return the long-format result table.
+
+    The Spark analog of ``combo_runner_to_ds`` / ``combo_runner_to_df``
+    (``xyzpy/gen/combo_runner.py:572-709``): one column per parameter
+    (+ internal dim when ``explode``), one per output variable.
+    ``constants`` are passed to every call and NOT dimensioned;
+    ``resources`` are passed but never recorded (reference:
+    ``gen/combo_runner.py:331-333, 615-616``).
+    """
+    combos = parse_combos(combos)
+    cases = parse_cases(cases, fn_args)
+    constants = parse_constants(constants)
+    resources = dict(resources or {})
+
+    specs, coords = resolve_var_specs(
+        fn, combos, cases, constants, resources,
+        var_names, var_dims, var_coords, var_types,
+    )
+    if cases:
+        grid = case_grid(
+            spark, cases, combos,
+            num_partitions=num_partitions, shuffle=shuffle,
+        )
+    else:
+        grid = combo_grid(
+            spark, combos, num_partitions=num_partitions, shuffle=shuffle,
+        )
+    out = evaluate_grid(
+        grid, fn, specs, coords,
+        constants=constants, resources=resources,
+        explode=explode, on_error=on_error,
+    )
+    if not keep_loc:
+        out = out.drop(LOC_COL)
+    return out
+
+
+def case_runner_to_df(
+    spark: SparkSession,
+    fn,
+    cases,
+    *,
+    fn_args=None,
+    combos=None,
+    **kwargs,
+) -> DataFrame:
+    """Evaluate an explicit list of parameter points (sparse sweep).
+
+    Spark analog of ``case_runner_to_ds`` (``xyzpy/gen/
+    case_runner.py:101-209``).  The result covers exactly the run
+    points; the dense union-grid-with-NaN-holes view of the reference
+    is a derived presentation — see :func:`union_grid_view` in
+    :mod:`xyzpy_spark.missing`.
+    """
+    return combo_runner_to_df(
+        spark, fn, combos, cases=cases, fn_args=fn_args, **kwargs
+    )
+
+
+def to_dense_pandas(
+    df: DataFrame, dims: list[str], var_names: list[str] | None = None
+) -> pd.DataFrame:
+    """Collect a long-format result into a dense pandas MultiIndex frame.
+
+    Presentation-layer analog of ``results_to_ds``
+    (``gen/combo_runner.py:473-535``): index = cartesian union of dim
+    coordinate values (missing points become NaN/None holes), columns =
+    output variables.  Only for driver-sized slices — the canonical
+    storage stays the long DataFrame.
+    """
+    pdf = df.toPandas()
+    if var_names is None:
+        var_names = [c for c in pdf.columns if c not in dims]
+    pdf = pdf.set_index(list(dims))[list(var_names)]
+    full = pd.MultiIndex.from_product(
+        [sorted(pdf.index.get_level_values(d).unique()) for d in dims],
+        names=list(dims),
+    )
+    return pdf.reindex(full)

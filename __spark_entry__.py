@@ -1,38 +1,540 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — one callable per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-runnable ANSI SQL equivalent per query.
+
+Cross-engine determinism rules used throughout (Spark result and
+DuckDB oracle must hash-match on VALUES):
+
+- money/quantity SUMs go through ``DECIMAL(18,2)`` — exact and
+  order-independent — then cast back to double;
+- AVG / STDDEV / COVAR stay double but are ROUNDed (reordering noise
+  is far below the rounding grid);
+- every computed column is aliased identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from xyzpy_spark.sources import read_table
+
+    return read_table(spark, sf_dir, name)
+
+
+def _ship(spark: SparkSession) -> None:
+    from xyzpy_spark.shipping import ensure_package_shipped
+
+    ensure_package_shipped(spark)
+
+
+def _dec_sum(col: str, alias: str) -> F.Column:
+    """Order-independent sum: exact decimal accumulation -> double."""
+    return (
+        F.sum(F.col(col).cast("decimal(18,2)")).cast("double").alias(alias)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational / reduction operators (SURVEY §2.6 P1-P4, §2.5 S1-S3,
+# §2.2 F17/F20, §2.7 joins/aggregations) over the star schema.
+# ---------------------------------------------------------------------------
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2 aggregate-over-dims with error ranges (TPC-H Q1 shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", "sum_qty"),
+            _dec_sum("l_extendedprice", "sum_base_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            (
+                F.round(
+                    F.stddev_samp("l_quantity")
+                    / F.sqrt(F.count("l_quantity").cast("double")),
+                    6,
+                )
+            ).alias("stderr_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_median_quantile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 median reduction + P2 quantile error band."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("q75"),
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 histogram operator (width_bucket + density)."""
+    from xyzpy_spark.operators.reductions import histogram
+
+    orders = _t(spark, sf_dir, "orders")
+    h = histogram(orders, "o_totalprice", bins=20, density=True)
+    return h.select(
+        "bin",
+        F.round("o_totalprice", 6).alias("center"),
+        "count",
+        F.round("prob", 10).alias("prob"),
+    )
+
+
+def q_heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 heatmap pivot: mean quantity over (returnflag x linestatus)."""
+    from xyzpy_spark.operators.reductions import heatmap_table
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity")
+    )
+    out = heatmap_table(
+        li, "l_linestatus", "l_returnflag", "l_quantity",
+        agg="mean", x_values=["F", "O"],
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.col("F"), 6).alias("F"),
+        F.round(F.col("O"), 6).alias("O"),
+    )
+
+
+def q_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 Welford running-statistics surface over events.value."""
+    from xyzpy_spark.functions.stats import running_stats
+
+    ev = _t(spark, sf_dir, "events")
+    r = running_stats(ev, "value", by=["event_type"])
+    return r.select(
+        "event_type",
+        F.round("mean", 6).alias("mean"),
+        F.round("std", 6).alias("std"),
+        F.round("err", 8).alias("err"),
+        F.col("count"),
+        F.round("min", 6).alias("min"),
+        F.round("max", 6).alias("max"),
+    )
+
+
+def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S3 covariance matrix in one aggregation pass."""
+    from xyzpy_spark.functions.stats import covariance_matrix
+
+    li = _t(spark, sf_dir, "lineitem")
+    c = covariance_matrix(li, ["l_quantity", "l_discount", "l_tax"])
+    return c.select(
+        F.round("mean_l_quantity", 6).alias("mean_qty"),
+        F.round("cov_l_quantity_l_quantity", 6).alias("cov_qq"),
+        F.round("cov_l_quantity_l_discount", 8).alias("cov_qd"),
+        F.round("cov_l_discount_l_tax", 10).alias("cov_dt"),
+    )
+
+
+def q_trimna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 trimna: drop all-null coordinate slices per dim."""
+    from xyzpy_spark.operators.reductions import trimna
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.round(F.avg("l_quantity"), 6).alias("x"))
+        .withColumn(
+            "x", F.when(F.col("l_linestatus") != "O", F.col("x"))
+        )
+    )
+    return trimna(base, ["l_returnflag", "l_linestatus"], ["x"])
+
+
+def q_fuse_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 dim->aesthetic fusing: composite key + dense style index."""
+    from xyzpy_spark.operators.reductions import fuse_dims
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus")
+    fused = fuse_dims(li, ["l_returnflag", "l_linestatus"], "key")
+    return (
+        fused.groupBy("key")
+        .agg(
+            F.first("key_idx").cast("long").alias("key_idx"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_run_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 check_runs gap detection (lag window over an integer dim)."""
+    from xyzpy_spark.operators.reductions import run_gaps
+
+    li = _t(spark, sf_dir, "lineitem")
+    # orderkeys present in lineitem have natural holes vs the dense range
+    return run_gaps(li, "l_orderkey")
+
+
+def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sort/limit surface: top-25 orders by total price."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("price")
+        )
+        .orderBy(F.desc("price"))
+        .limit(25)
+    )
+
+
+def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed aggregation over the events table (the batch
+    shape of the streaming story)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum("value", "sum_value"),
+        )
+    )
+
+
+def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: count sessions per user (gap > 30 min splits)."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_session = (
+        F.lag("ts").over(w).isNull()
+        | (gap > F.expr("INTERVAL '30' MINUTE"))
+    ).cast("long")
+    return (
+        ev.select("user_id", new_session.alias("s"))
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-engine operators (SURVEY §2.1 G5-G22, §2.2 F3): the engine's own
+# machinery exercised end-to-end, oracle-checked against plain SQL.
+# ---------------------------------------------------------------------------
+
+
+def q_combo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5 distributed cartesian grid with deterministic _loc key."""
+    from xyzpy_spark.grid import combo_grid
+
+    return combo_grid(spark, {"a": [1, 2, 3, 4], "b": [10, 20, 30]})
+
+
+def q_sweep_sumdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8/G13/G17 the full grid->UDF->long-table path (quick-start)."""
+    _ship(spark)
+    from xyzpy_spark.runner import combo_runner_to_df
+
+    def sumdiff(a, b):
+        return a + b, a - b
+
+    return combo_runner_to_df(
+        spark,
+        sumdiff,
+        {"a": range(1, 10), "b": range(23, 27)},
+        var_names=["sum", "diff"],
+    )
+
+
+def q_sweep_internal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G17 + var_dims/var_coords: array outputs exploded to long format
+    (golden fn3_fba kernel, FIXTURES §3)."""
+    _ship(spark)
+    import numpy as np
+
+    from xyzpy_spark.runner import combo_runner_to_df
+
+    def fba(a, b, c):
+        return a + b + c, a % 2 == 0, a * (b * np.linspace(0, 1, 3) + c)
+
+    df = combo_runner_to_df(
+        spark,
+        fba,
+        {"a": [1, 2], "b": [3, 4]},
+        var_names=["sum", "even", "arr"],
+        var_dims={"arr": ["time"]},
+        var_coords={"time": [0.0, 0.5, 1.0]},
+        constants={"c": 100},
+    )
+    return df.withColumn("arr", F.round("arr", 6))
+
+
+def q_case_union_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G19 sparse cases -> dense union grid with null holes."""
+    _ship(spark)
+    from xyzpy_spark.missing import union_grid_view
+    from xyzpy_spark.runner import case_runner_to_df
+
+    def f(a, b, c):
+        return a + b + c
+
+    res = case_runner_to_df(
+        spark,
+        f,
+        [(1, 20, 300), (3, 20, 100)],
+        fn_args=["a", "b", "c"],
+        var_names="x",
+    )
+    return union_grid_view(res, ["a", "b", "c"], ["x"])
+
+
+def q_missing_cases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G21 find_missing_cases as a set-based anti-join over real data:
+    (returnflag, linestatus) combinations never observed."""
+    from xyzpy_spark.missing import find_missing_cases
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", F.col("l_quantity").alias("v")
+    )
+    return find_missing_cases(li, ["l_returnflag", "l_linestatus"], ["v"])
+
+
+def q_merge_overwrite_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 merge policy overwrite=True (new.combine_first(old))."""
+    from xyzpy_spark.merge import merge_datasets
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("price")
+    )
+    new = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 0.5, 6).alias("price")
+    )
+    return merge_datasets(old, new, ["o_orderkey"], overwrite=True)
+
+
+def q_merge_prefer_old(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 merge policy overwrite=False (old.combine_first(new))."""
+    from xyzpy_spark.merge import merge_datasets
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.round("o_totalprice", 6).alias("price")
+    )
+    new = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 0.5, 6).alias("price")
+    )
+    return merge_datasets(old, new, ["o_orderkey"], overwrite=False)
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: pricing-summary reduction at sf0.001."""
+    return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pricing_summary": q_pricing_summary,
+        "median_quantile_band": q_median_quantile_band,
+        "histogram": q_histogram,
+        "heatmap_pivot": q_heatmap_pivot,
+        "running_stats": q_running_stats,
+        "covariance": q_covariance,
+        "trimna": q_trimna,
+        "fuse_dims": q_fuse_dims,
+        "run_gaps": q_run_gaps,
+        "topk_orders": q_topk_orders,
+        "window_hourly": q_window_hourly,
+        "user_sessions": q_user_sessions,
+        "combo_grid": q_combo_grid,
+        "sweep_sumdiff": q_sweep_sumdiff,
+        "sweep_internal_dims": q_sweep_internal_dims,
+        "case_union_grid": q_case_union_grid,
+        "missing_cases": q_missing_cases,
+        "merge_overwrite_new": q_merge_overwrite_new,
+        "merge_prefer_old": q_merge_prefer_old,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   ROUND(AVG(l_extendedprice), 6) AS avg_price,
+                   ROUND(AVG(l_discount), 6) AS avg_disc,
+                   ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+                   ROUND(STDDEV_SAMP(l_quantity) / SQRT(CAST(COUNT(l_quantity) AS DOUBLE)), 6) AS stderr_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "median_quantile_band": """
+            SELECT l_returnflag,
+                   ROUND(MEDIAN(l_extendedprice), 6) AS med_price,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 6) AS q25,
+                   ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 6) AS q75
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "histogram": """
+            WITH bounds AS (
+                SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+                       COUNT(*) AS n
+                FROM orders WHERE o_totalprice IS NOT NULL
+            ), binned AS (
+                SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / ((hi - lo) / 20)) AS BIGINT), 19) AS bin
+                FROM orders, bounds WHERE o_totalprice IS NOT NULL
+            ), counts AS (
+                SELECT bin, COUNT(*) AS count FROM binned GROUP BY bin
+            )
+            SELECT bin,
+                   ROUND(lo + (bin + 0.5) * ((hi - lo) / 20), 6) AS center,
+                   count,
+                   ROUND(count / (SUM(count) OVER () * ((hi - lo) / 20)), 10) AS prob
+            FROM counts, bounds
+        """,
+        "heatmap_pivot": """
+            SELECT l_returnflag,
+                   ROUND(AVG(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 6) AS "F",
+                   ROUND(AVG(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 6) AS "O"
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "running_stats": """
+            SELECT event_type,
+                   ROUND(AVG(value), 6) AS mean,
+                   ROUND(STDDEV_SAMP(value), 6) AS std,
+                   ROUND(STDDEV_SAMP(value) / SQRT(CAST(COUNT(value) AS DOUBLE)), 8) AS err,
+                   COUNT(value) AS count,
+                   ROUND(MIN(value), 6) AS min,
+                   ROUND(MAX(value), 6) AS max
+            FROM events GROUP BY event_type
+        """,
+        "covariance": """
+            SELECT ROUND(AVG(l_quantity), 6) AS mean_qty,
+                   ROUND(COVAR_SAMP(l_quantity, l_quantity), 6) AS cov_qq,
+                   ROUND(COVAR_SAMP(l_quantity, l_discount), 8) AS cov_qd,
+                   ROUND(COVAR_SAMP(l_discount, l_tax), 10) AS cov_dt
+            FROM lineitem
+        """,
+        "trimna": """
+            WITH base AS (
+                SELECT l_returnflag, l_linestatus,
+                       CASE WHEN l_linestatus <> 'O'
+                            THEN ROUND(AVG(l_quantity), 6) END AS x
+                FROM lineitem GROUP BY l_returnflag, l_linestatus
+            )
+            SELECT * FROM base
+            WHERE l_returnflag IN (SELECT l_returnflag FROM base WHERE x IS NOT NULL)
+              AND l_linestatus IN (SELECT l_linestatus FROM base WHERE x IS NOT NULL)
+        """,
+        "fuse_dims": """
+            SELECT CONCAT(l_returnflag, ', ', l_linestatus) AS key,
+                   CAST(DENSE_RANK() OVER (ORDER BY l_returnflag, l_linestatus) - 1 AS BIGINT) AS key_idx,
+                   COUNT(*) AS n
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "run_gaps": """
+            WITH vals AS (SELECT DISTINCT l_orderkey AS v FROM lineitem),
+                 lagged AS (SELECT v, LAG(v) OVER (ORDER BY v) AS prev FROM vals)
+            SELECT prev + 1 AS gap_start, v - 1 AS gap_end
+            FROM lagged WHERE prev IS NOT NULL AND v - prev > 1
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS price
+            FROM orders ORDER BY price DESC LIMIT 25
+        """,
+        "window_hourly": """
+            SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "user_sessions": """
+            WITH lagged AS (
+                SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            )
+            SELECT user_id,
+                   SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30' MINUTE
+                            THEN 1 ELSE 0 END) AS n_sessions
+            FROM lagged GROUP BY user_id
+        """,
+        "combo_grid": """
+            SELECT CAST(ai.i * 3 + bi.i AS BIGINT) AS _loc, ai.v AS a, bi.v AS b
+            FROM (VALUES (0, 1), (1, 2), (2, 3), (3, 4)) ai(i, v),
+                 (VALUES (0, 10), (1, 20), (2, 30)) bi(i, v)
+        """,
+        "sweep_sumdiff": """
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(a + b AS BIGINT) AS sum, CAST(a - b AS BIGINT) AS diff
+            FROM range(1, 10) ta(a), range(23, 27) tb(b)
+        """,
+        "sweep_internal_dims": """
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, time,
+                   CAST(a + b + 100 AS BIGINT) AS sum,
+                   (a % 2 = 0) AS even,
+                   ROUND(a * (b * time + 100), 6) AS arr
+            FROM (VALUES (1), (2)) ta(a), (VALUES (3), (4)) tb(b),
+                 (VALUES (0.0::DOUBLE), (0.5::DOUBLE), (1.0::DOUBLE)) tt(time)
+        """,
+        "case_union_grid": """
+            WITH cases(a, b, c) AS (VALUES (1, 20, 300), (3, 20, 100)),
+                 run AS (SELECT a, b, c, CAST(a + b + c AS BIGINT) AS x FROM cases)
+            SELECT g.a, g.b, g.c, run.x
+            FROM (SELECT DISTINCT ca.a, cb.b, cc.c
+                  FROM (SELECT DISTINCT a FROM cases) ca,
+                       (SELECT DISTINCT b FROM cases) cb,
+                       (SELECT DISTINCT c FROM cases) cc) g
+            LEFT JOIN run ON g.a = run.a AND g.b = run.b AND g.c = run.c
+        """,
+        "missing_cases": """
+            WITH flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+                 stats AS (SELECT DISTINCT l_linestatus FROM lineitem)
+            SELECT l_returnflag, l_linestatus FROM flags, stats
+            EXCEPT
+            SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        """,
+        "merge_overwrite_new": """
+            WITH old AS (SELECT o_orderkey, ROUND(o_totalprice, 6) AS price
+                         FROM orders WHERE o_orderkey % 2 = 0),
+                 new AS (SELECT o_orderkey, ROUND(o_totalprice * 0.5, 6) AS price
+                         FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+                   COALESCE(new.price, old.price) AS price
+            FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        """,
+        "merge_prefer_old": """
+            WITH old AS (SELECT o_orderkey, ROUND(o_totalprice, 6) AS price
+                         FROM orders WHERE o_orderkey % 2 = 0),
+                 new AS (SELECT o_orderkey, ROUND(o_totalprice * 0.5, 6) AS price
+                         FROM orders WHERE o_orderkey % 3 = 0)
+            SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+                   COALESCE(old.price, new.price) AS price
+            FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        """,
+    }

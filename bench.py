@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed with a no-op sink (full computation, no
+driver-side row transfer) so the number measures engine throughput.
+Set BENCH_RUNS>1 for median-of-N (BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from xyzpy_spark.session import get_spark
+
+# headline subset: one per operator family, heavy ones included
+HEADLINE = [
+    "pricing_summary",
+    "median_quantile_band",
+    "histogram",
+    "heatmap_pivot",
+    "running_stats",
+    "covariance",
+    "trimna",
+    "fuse_dims",
+    "run_gaps",
+    "topk_orders",
+    "window_hourly",
+    "user_sessions",
+    "sweep_sumdiff",
+    "missing_cases",
+    "merge_overwrite_new",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="xyzpy_spark_bench")
+
+    queries = entrymod.queries()
+    names = [n for n in HEADLINE if n in queries]
+    # warm-up: one SQL-path query (JVM/reader) and one UDF query (python
+    # worker pool + Arrow serializers) — BASELINE.md protocol is warm-JVM
+    queries["topk_orders"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    queries["sweep_sumdiff"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        samples = []
+        for _ in range(runs):
+            t0 = time.time()
+            df = queries[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.time() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from xyzpy_spark.functions.stats import (
+    RunningStatistics,
+    covariance_matrix,
+    estimate_from_repeats,
+    format_number_with_error,
+    running_stats,
+)
+
+
+def test_running_stats_vs_numpy(spark):
+    rng = np.random.default_rng(0)
+    xs = rng.normal(10.0, 2.0, size=200)
+    df = spark.createDataFrame([Row(x=float(v)) for v in xs])
+    r = running_stats(df, "x").collect()[0]
+    assert r["mean"] == pytest.approx(xs.mean())
+    assert r["var"] == pytest.approx(xs.var(ddof=1))
+    assert r["std"] == pytest.approx(xs.std(ddof=1))
+    assert r["err"] == pytest.approx(xs.std(ddof=1) / math.sqrt(200))
+    assert r["count"] == 200
+
+
+def test_covariance_matrix_vs_numpy(spark):
+    """Reference cross-check: Welford covariance == np.cov
+    (tests/test_utils.py:129-149)."""
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=100)
+    b = 2 * a + rng.normal(size=100)
+    c = rng.normal(size=100)
+    df = spark.createDataFrame(
+        [Row(a=float(x), b=float(y), c=float(z)) for x, y, z in zip(a, b, c)]
+    )
+    r = covariance_matrix(df, ["a", "b", "c"]).collect()[0]
+    expect = np.cov(np.vstack([a, b, c]))
+    assert r["cov_a_a"] == pytest.approx(expect[0, 0])
+    assert r["cov_a_b"] == pytest.approx(expect[0, 1])
+    assert r["cov_b_c"] == pytest.approx(expect[1, 2])
+    assert r["cov_c_c"] == pytest.approx(expect[2, 2])
+
+
+def test_running_statistics_accumulator_matches_numpy():
+    rng = np.random.default_rng(2)
+    xs = rng.normal(5.0, 1.0, size=500)
+    acc = RunningStatistics()
+    for chunk in np.array_split(xs, 7):
+        acc.update(chunk)
+    assert acc.mean == pytest.approx(xs.mean())
+    assert acc.var == pytest.approx(xs.var(ddof=1))
+    assert acc.count == 500
+
+
+def test_estimate_from_repeats_converges(spark):
+    """fn = sum of 10 uniform rands -> mean ~5 within 10%
+    (reference tests/test_utils.py:152-159)."""
+
+    def ten_rands(seed):
+        rng = np.random.default_rng(seed)
+        return float(rng.uniform(size=10).sum())
+
+    stats = estimate_from_repeats(
+        spark, ten_rands, rtol=0.02, batch_size=64, max_samples=4096
+    )
+    assert stats.converged(0.02)
+    assert stats.mean == pytest.approx(5.0, rel=0.1)
+
+
+@pytest.mark.parametrize(
+    "x,err,expect",
+    [
+        (0.15432, 0.0634, "0.154(63)"),
+        (-14.321, 0.4, "-14.32(40)"),
+        (5.9, 0.0, "5.9"),
+        (123.456, 12.3, "123(12)"),
+    ],
+)
+def test_format_number_with_error(x, err, expect):
+    assert format_number_with_error(x, err) == expect

@@ -1,0 +1,203 @@
+"""Statistics operators: running/Welford aggregates and convergence
+sampling.
+
+Reference (``xyzpy/utils.py``):
+
+- ``RunningStatistics``      (``utils.py:411-508``): streaming
+  mean/var/std/err-of-mean + ``converged(rtol, atol)``.
+- ``RunningCovariance[Matrix]`` (``utils.py:511-645``).
+- ``estimate_from_repeats``  (``utils.py:648-758``): repeat a stochastic
+  fn until the standard error of the mean beats a tolerance.
+
+On Spark the "streaming" part is free: ``avg``/``var_pop``/``covar_samp``
+are already single-pass distributed (partial aggregation map-side,
+numerically-stable merge combine — the same Chan/Welford update the
+reference hand-rolls).  ``RunningStatistics`` here is the driver-side
+mergeable accumulator used to combine *across jobs* (batches of a
+convergence loop), not across rows.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def running_stats(df: DataFrame, var: str, by=()) -> DataFrame:
+    """One-pass mean/var/std/stderr/rel_err/count for ``var``.
+
+    Column set mirrors the reference accessor surface
+    (``utils.py:449-508``): mean, var (sample), std, err (std-err of
+    mean), rel_err, count, min, max.
+    """
+    by = list(by)
+    cnt = F.count(var).cast("double")
+    aggs = [
+        F.avg(var).alias("mean"),
+        F.var_samp(var).alias("var"),
+        F.stddev_samp(var).alias("std"),
+        (F.stddev_samp(var) / F.sqrt(cnt)).alias("err"),
+        (
+            F.stddev_samp(var) / F.sqrt(cnt) / F.abs(F.avg(var))
+        ).alias("rel_err"),
+        F.count(var).alias("count"),
+        F.min(var).alias("min"),
+        F.max(var).alias("max"),
+    ]
+    return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def covariance_matrix(df: DataFrame, var_names, by=()) -> DataFrame:
+    """Pairwise sample-covariance matrix in ONE aggregation pass.
+
+    Reference: ``RunningCovarianceMatrix`` (``utils.py:543-645``).
+    Output columns ``cov_<i>_<j>`` for i<=j plus per-var means —
+    n*(n+1)/2 aggregate expressions, single shuffle.
+    """
+    var_names = list(var_names)
+    by = list(by)
+    aggs = [F.avg(v).alias(f"mean_{v}") for v in var_names]
+    for i, vi in enumerate(var_names):
+        for j, vj in enumerate(var_names):
+            if j < i:
+                continue
+            aggs.append(F.covar_samp(vi, vj).alias(f"cov_{vi}_{vj}"))
+    return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+
+
+@dataclass
+class RunningStatistics:
+    """Mergeable moment accumulator (driver-side, across Spark jobs).
+
+    Update formula is the parallel Chan et al. combine — the same
+    algebra Spark uses internally to merge partial aggregates; the
+    reference's per-sample Welford loop (``utils.py:429-447``) is the
+    n=1 special case.
+    """
+
+    count: float = 0.0
+    mean: float = 0.0
+    _m2: float = 0.0
+
+    def update(self, xs) -> None:
+        xs = np.asarray(list(xs), dtype=float)
+        if xs.size == 0:
+            return
+        self.merge(xs.size, float(xs.mean()), float(((xs - xs.mean()) ** 2).sum()))
+
+    def merge(self, n: float, mean: float, m2: float) -> None:
+        if n == 0:
+            return
+        delta = mean - self.mean
+        tot = self.count + n
+        self._m2 += m2 + delta**2 * self.count * n / tot
+        self.mean += delta * n / tot
+        self.count = tot
+
+    @property
+    def var(self) -> float:
+        return self._m2 / (self.count - 1) if self.count > 1 else math.nan
+
+    @property
+    def std(self) -> float:
+        return math.sqrt(self.var)
+
+    @property
+    def err(self) -> float:
+        return self.std / math.sqrt(self.count) if self.count > 1 else math.nan
+
+    @property
+    def rel_err(self) -> float:
+        return self.err / abs(self.mean) if self.mean else math.inf
+
+    def converged(self, rtol: float = 0.01, atol: float | None = None) -> bool:
+        """Reference semantics ``utils.py:496-505``: err-of-mean below
+        rtol*|mean| (or atol absolutely)."""
+        if self.count < 2:
+            return False
+        if atol is not None and self.err <= atol:
+            return True
+        return self.err <= rtol * abs(self.mean)
+
+
+def estimate_from_repeats(
+    spark: SparkSession,
+    fn,
+    *,
+    rtol: float = 0.02,
+    atol: float | None = None,
+    batch_size: int = 64,
+    min_samples: int = 16,
+    max_samples: int = 16384,
+    seed: int = 42,
+) -> RunningStatistics:
+    """Repeat a stochastic scalar fn distributed until the standard
+    error of the mean converges.
+
+    Reference: ``estimate_from_repeats`` (``utils.py:648-758``), which
+    loops one call at a time on the driver.  Here each round is ONE
+    Spark job evaluating a whole batch in parallel and returning only
+    the per-partition (count, mean, M2) triples; the driver merges
+    them into the running accumulator and stops when
+    ``converged(rtol, atol)`` — a driver-loop-of-jobs, the Spark
+    expression of convergence-driven sampling (SURVEY §4: no Catalyst
+    analog, by design).
+    """
+    stats = RunningStatistics()
+    offset = 0
+    while stats.count < max_samples:
+        n = batch_size
+        grid = spark.range(offset, offset + n)
+        offset += n
+
+        def _partition_moments(iterator):
+            import pandas as pd
+
+            for pdf in iterator:
+                vals = np.array(
+                    [fn(seed=int(seed) * 1_000_003 + int(i)) for i in pdf["id"]],
+                    dtype=float,
+                )
+                if vals.size:
+                    m = vals.mean()
+                    yield pd.DataFrame(
+                        {
+                            "n": [float(vals.size)],
+                            "mean": [float(m)],
+                            "m2": [float(((vals - m) ** 2).sum())],
+                        }
+                    )
+
+        parts = grid.mapInPandas(
+            _partition_moments, schema="n double, mean double, m2 double"
+        ).collect()
+        for row in parts:
+            stats.merge(row["n"], row["mean"], row["m2"])
+        if stats.count >= min_samples and stats.converged(rtol, atol):
+            break
+    return stats
+
+
+def format_number_with_error(x: float, err: float) -> str:
+    """``0.154(63)``-style significant-figure formatting.
+
+    Reference: ``format_number_with_error`` (``utils.py:358-408``) —
+    round the error to two significant digits, the value to the same
+    decimal place, and append the error digits in parentheses.
+    """
+    if err is None or not math.isfinite(err) or err == 0:
+        return f"{x}"
+    # decimal exponent of the 2-significant-digit error
+    exponent = math.floor(math.log10(abs(err)))
+    places = -(exponent - 1)
+    err_scaled = round(abs(err) * 10**places)
+    if err_scaled >= 100:  # rounding pushed it to 3 digits (e.g. 0.0999)
+        err_scaled = round(err_scaled / 10)
+        places -= 1
+    x_rounded = round(x, places)
+    if places > 0:
+        return f"{x_rounded:.{places}f}({err_scaled})"
+    return f"{int(x_rounded)}({int(err_scaled * 10 ** (-places))})"

@@ -349,6 +349,133 @@ def q_merge_prefer_old(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY §7 Phase 5): dedup, similarity,
+# text analysis, multimodal — over the documents/embeddings tables.
+# ---------------------------------------------------------------------------
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xyzpy_spark.pipeline.text import add_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    out = add_token_count(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xyzpy_spark.pipeline.text import add_quality
+
+    docs = _t(spark, sf_dir, "documents")
+    out = add_quality(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_token_len",
+        "quality",
+    )
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xyzpy_spark.pipeline.text import add_language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    out = add_language_id(docs)
+    return out.select(
+        "doc_id",
+        "lang",
+        *[
+            F.col(f"score_{lang}").cast("long").alias(f"score_{lang}")
+            for lang in ["de", "en", "es", "fr", "zh"]
+        ],
+        "lang_pred",
+    )
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xyzpy_spark.pipeline.text import add_fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return add_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xyzpy_spark.pipeline.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs, hash_fn="md5")
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xyzpy_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, n=3, threshold=0.1, max_shingle_freq=None
+    )
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xyzpy_spark.pipeline.dedup import embedding_cosine_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_cosine_pairs(emb, threshold=0.35)
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from xyzpy_spark.pipeline.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries_df, k=5)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs.  No SQL oracle: the xxhash64
+    permutation family has no DuckDB equivalent (rows-only check);
+    cross-validated against exact n-gram Jaccard in tests."""
+    from xyzpy_spark.pipeline.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, n=2, num_perm=64, bands=16, threshold=0.4
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (rows-only check, same hash rationale)."""
+    from xyzpy_spark.pipeline.dedup import simhash_near_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=8)
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column -> typed metadata struct via mapInPandas
+    (deterministic fake codec; rows-only check)."""
+    _ship(spark)
+    from xyzpy_spark.pipeline.multimodal import (
+        attach_fake_media,
+        extract_media_meta,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    meta = extract_media_meta(attach_fake_media(docs))
+    return meta.select(
+        "doc_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -377,6 +504,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_cases": q_missing_cases,
         "merge_overwrite_new": q_merge_overwrite_new,
         "merge_prefer_old": q_merge_prefer_old,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "similarity_topk": q_similarity_topk,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "multimodal_meta": q_multimodal_meta,
     }
 
 
@@ -536,5 +674,121 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
                    COALESCE(old.price, new.price) AS price
             FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+        """,
+        "text_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "text_quality": r"""
+            WITH m AS (
+                SELECT doc_id,
+                       len(text) AS n_chars,
+                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS n_stop,
+                       len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_tokens,
+                       FLOOR(n_punct / GREATEST(n_chars, 1) * 1000000.0 + 0.5) / 1000000.0 AS punct_ratio,
+                       FLOOR(n_stop / GREATEST(n_tokens, 1) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+                       FLOOR((n_chars - (n_tokens - 1)) / n_tokens * 1000000.0 + 0.5) / 1000000.0 AS mean_token_len
+                FROM m
+            )
+            SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, mean_token_len,
+                   FLOOR((LEAST(n_tokens / 64.0, 1.0) * 0.5
+                          + LEAST(stopword_ratio * 5, 1.0) * 0.3
+                          + (1 - LEAST(punct_ratio * 10, 1.0)) * 0.2) * 1000000.0 + 0.5) / 1000000.0 AS quality
+            FROM r
+        """,
+        "text_langid": r"""
+            WITH s AS (
+                SELECT doc_id, lang,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           w -> list_contains(['der','die','das','und','ist','von','mit','nicht'], w))) AS score_de,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           w -> list_contains(['the','a','and','of','to','in','is','it'], w))) AS score_en,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           w -> list_contains(['el','la','de','que','y','en','los','por'], w))) AS score_es,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           w -> list_contains(['le','la','les','de','et','est','dans','une','pour'], w))) AS score_fr,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           w -> list_contains(['的','了','是','我','不','在'], w))) AS score_zh
+                FROM documents
+            )
+            SELECT doc_id, lang, score_de, score_en, score_es, score_fr, score_zh,
+                   CASE
+                     WHEN score_de >= score_en AND score_de >= score_es AND score_de >= score_fr AND score_de >= score_zh THEN 'de'
+                     WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr AND score_en >= score_zh THEN 'en'
+                     WHEN score_es >= score_de AND score_es >= score_en AND score_es >= score_fr AND score_es >= score_zh THEN 'es'
+                     WHEN score_fr >= score_de AND score_fr >= score_en AND score_fr >= score_es AND score_fr >= score_zh THEN 'fr'
+                     WHEN score_zh >= score_de AND score_zh >= score_en AND score_zh >= score_es AND score_zh >= score_fr THEN 'zh'
+                   END AS lang_pred
+            FROM s
+        """,
+        "text_fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": r"""
+            SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+                   MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 3, 0) + 2),
+                           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shs
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(shs) AS shingle FROM sh
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1
+            ), common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM ex a JOIN ex b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), j AS (
+                SELECT id_a, id_b,
+                       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+            )
+            SELECT * FROM j WHERE jaccard >= 0.1
+        """,
+        "dedup_embedding_cosine": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+                 p AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+                FROM v a, v b WHERE a.vec_id < b.vec_id
+            )
+            SELECT * FROM p WHERE cosine >= 0.35
+        """,
+        "similarity_topk": """
+            WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+                 q AS (SELECT * FROM v WHERE vec_id < 5),
+                 scored AS (
+                SELECT q.vec_id AS query_id, v.vec_id AS nbr_id,
+                       list_cosine_similarity(v.e, q.e) AS cos
+                FROM v, q WHERE v.vec_id <> q.vec_id
+            ), ranked AS (
+                SELECT query_id, nbr_id, cos,
+                       CAST(ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY ROUND(cos, 9) DESC, nbr_id ASC) AS INTEGER) AS rank
+                FROM scored
+            )
+            SELECT query_id, nbr_id, rank, ROUND(cos, 6) AS cosine
+            FROM ranked WHERE rank <= 5
         """,
     }

@@ -40,6 +40,17 @@ HEADLINE = [
     "sweep_sumdiff",
     "missing_cases",
     "merge_overwrite_new",
+    "text_token_count",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "multimodal_meta",
 ]
 
 

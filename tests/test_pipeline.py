@@ -1,0 +1,209 @@
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from xyzpy_spark.pipeline.dedup import (
+    dedup_exact,
+    embedding_cosine_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_64,
+    simhash_near_pairs,
+)
+from xyzpy_spark.pipeline.similarity import cosine_topk, ivf_build, ivf_topk
+from xyzpy_spark.pipeline.text import (
+    add_fingerprint,
+    add_language_id,
+    add_quality,
+    add_token_count,
+)
+from xyzpy_spark.pipeline.multimodal import (
+    attach_fake_media,
+    decode_image,
+    extract_media_meta,
+    fake_media_bytes,
+    frame_sample,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),  # near-dup of 0
+        (2, "completely different content about spark engines"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (4, "El perro corre en la calle y el gato duerme"),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(texts, ["doc_id", "text"])
+
+
+def test_token_count(spark, docs):
+    rows = {r["doc_id"]: r for r in add_token_count(docs).collect()}
+    assert rows[0]["n_tokens"] == 9
+    assert rows[5]["n_tokens"] == 1
+
+
+def test_quality_signals(spark, docs):
+    rows = {r["doc_id"]: r for r in add_quality(docs).collect()}
+    assert rows[0]["stopword_ratio"] > 0.2  # 'the' twice + 'over'
+    assert rows[5]["quality"] < rows[0]["quality"]
+    assert 0.0 <= rows[0]["quality"] <= 1.0
+
+
+def test_language_id(spark, docs):
+    rows = {r["doc_id"]: r["lang_pred"] for r in add_language_id(docs).collect()}
+    assert rows[0] == "en"
+    assert rows[4] == "es"
+
+
+def test_fingerprint_normalizes_whitespace(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello   World"), (1, "hello world"), (2, "other")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["fingerprint"] for r in add_fingerprint(df).collect()}
+    assert rows[0] == rows[1]
+    assert rows[0] != rows[2]
+
+
+def test_dedup_exact(spark, docs):
+    out = dedup_exact(docs).collect()
+    groups = {r["keep_id"]: r["dup_count"] for r in out}
+    assert groups[0] == 2  # docs 0 and 3
+    assert len(out) == 5  # 6 docs, one merged pair
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs}
+    assert (0, 3) in got and got[(0, 3)] == 1.0  # exact dup
+    assert (0, 1) in got  # near dup shares most shingles
+    assert (1, 3) in got
+    assert all(a != 2 and b != 2 for a, b in got)
+
+
+def test_minhash_estimates_jaccard(spark, docs):
+    sigs = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs, num_perm=64).collect()}
+    assert sigs[0] == sigs[3]  # identical docs -> identical signature
+    agree01 = sum(a == b for a, b in zip(sigs[0], sigs[1])) / 64
+    assert agree01 > 0.3  # near dups agree on a good fraction
+    agree02 = sum(a == b for a, b in zip(sigs[0], sigs[2])) / 64
+    assert agree02 < agree01
+
+
+def test_minhash_lsh_pairs(spark, docs):
+    pairs = minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, threshold=0.3
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert got[(0, 3)] == 1.0
+    assert (0, 1) in got
+
+
+def test_simhash(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in simhash_64(docs).collect()}
+    assert sigs[0] == sigs[3]
+    mask = (1 << 64) - 1
+    ham01 = bin((sigs[0] ^ sigs[1]) & mask).count("1")
+    ham02 = bin((sigs[0] ^ sigs[2]) & mask).count("1")
+    assert ham01 < ham02
+
+
+def test_simhash_near_pairs(spark, docs):
+    pairs = simhash_near_pairs(docs, max_hamming=16).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert got[(0, 3)] == 0
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),
+        Row(vec_id=1, embedding=[0.999, 0.04, 0.0]),  # near dup of 0
+        Row(vec_id=2, embedding=[0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = embedding_cosine_pairs(df, threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in pairs}
+    assert list(got) == [(0, 1)]
+    assert got[(0, 1)] > 0.99
+
+
+def test_cosine_topk_vs_numpy(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+    out = cosine_topk(emb, queries, k=5).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["nbr_id"]))
+    # numpy brute force
+    pdf = emb.toPandas().sort_values("vec_id")
+    M = np.array(pdf["embedding"].tolist(), dtype=float)
+    ids = pdf["vec_id"].to_numpy()
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    for q in range(3):
+        order = [
+            ids[j]
+            for j in sorted(
+                range(len(ids)),
+                key=lambda j: (-round(sims[q, j], 12), ids[j]),
+            )
+            if ids[j] != q
+        ][:5]
+        mine = [n for _, n in sorted(got[q])]
+        assert mine == list(order), f"query {q}: {mine} vs {order}"
+
+
+def test_ivf_topk_recall(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    assigned, cents = ivf_build(emb, n_cells=8)
+    assigned = assigned.persist()
+    approx = ivf_topk(assigned, cents, queries, k=5, nprobe=4).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    recalls = [
+        len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex
+    ]
+    assert sum(recalls) / len(recalls) > 0.5  # nprobe=4 of 8 cells
+
+
+def test_multimodal_meta(spark):
+    df = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    with_media = attach_fake_media(df)
+    meta = extract_media_meta(with_media).collect()
+    for r in meta:
+        assert r["meta"]["format"] == "xyzf"
+        assert r["meta"]["width"] == 64 + (r["doc_id"] * 37) % 512
+        assert r["meta"]["n_bytes"] == len(fake_media_bytes(r["doc_id"]))
+
+
+def test_multimodal_frame_sample(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    frames = frame_sample(attach_fake_media(df), every_n_bytes=8).collect()
+    assert len(frames) > 2  # fan-out happened
+    assert all(r["frame_offset"] % 8 == 0 for r in frames)
+
+
+def test_decode_image_is_stubbed(spark):
+    df = attach_fake_media(
+        spark.createDataFrame([(1,)], ["doc_id"])
+    )
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="imaging library"):
+        decode_image(df)

@@ -1,0 +1,35 @@
+from .text import (
+    add_fingerprint,
+    add_language_id,
+    add_quality,
+    add_token_count,
+    tokenize,
+)
+from .dedup import (
+    dedup_exact,
+    embedding_cosine_pairs,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_64,
+    simhash_near_pairs,
+)
+from .similarity import cosine_topk, ivf_build, ivf_topk
+
+__all__ = [
+    "add_fingerprint",
+    "add_language_id",
+    "add_quality",
+    "add_token_count",
+    "tokenize",
+    "dedup_exact",
+    "embedding_cosine_pairs",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_64",
+    "simhash_near_pairs",
+    "cosine_topk",
+    "ivf_build",
+    "ivf_topk",
+]

@@ -1,0 +1,367 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding-cosine.
+
+Beyond-reference extensions (SURVEY §7 Phase 5).  Scale stance:
+
+- *exact*: shuffle on a 64-bit fingerprint, never on the raw text —
+  at 100 TB the shuffle payload is 8 bytes/row + ids.
+- *MinHash/LSH*: signatures are 1 groupBy over exploded shingles
+  (k min-aggregates, map-side partial); candidate generation is an
+  equi-join on (band, band_hash) buckets — no all-pairs anywhere.
+- *SimHash*: 64-bit signature from token hashes; near-dup candidates
+  via banded chunks of the signature, verified by hamming distance
+  (``bit_count(xor)``), all JVM-side.
+- *n-gram Jaccard*: inverted-index equi-join on shingles; frequent
+  shingles are capped (``max_shingle_freq``) — the classic guard
+  against quadratic hot keys on boilerplate text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import tokenize
+
+
+def dedup_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Exact duplicate groups on normalized text.
+
+    Returns one row per distinct content: the keeper (min id), the
+    group size, and the fingerprint.  Grouping key is a hash of the
+    normalized text, so the shuffle never carries document text
+    (``hash_fn='xxhash64'`` -> 8-byte key, the scale default;
+    ``'md5'`` -> 16-byte portable digest).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    key = F.xxhash64(norm) if hash_fn == "xxhash64" else F.md5(norm)
+    return (
+        df.select(F.col(id_col), key.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def word_shingles(col, n: int = 3) -> F.Column:
+    """Word-level n-gram shingles as an array column (JVM-side:
+    ``transform`` over an index ``sequence``, no UDF)."""
+    toks = tokenize(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def _exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_shingles(F.col(text_col), n))).alias(
+            "shingle"
+        ),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram Jaccard similarity.
+
+    Inverted-index plan: explode distinct shingles -> self-equi-join on
+    shingle (docs sharing no shingle never meet) -> count common ->
+    ``|A ∩ B| / (|A| + |B| - |A ∩ B|)``.  ``max_shingle_freq`` drops
+    ubiquitous shingles before the join (a shingle shared by f docs
+    creates f² join rows — boilerplate must not explode the plan).
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .where(F.col("f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+) -> DataFrame:
+    """MinHash signatures: ``num_perm`` min-aggregates over one
+    exploded-shingle pass (single shuffle, map-side partial mins).
+
+    Permutation *i* is ``xxhash64(shingle, i)`` — an independent
+    tabulation-style hash family, entirely whole-stage-codegen.
+    Output: ``id_col``, ``sig`` (array<long> of length num_perm).
+    """
+    sh = _exploded_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    sig = sh.groupBy("_id").agg(*mins)
+    return sig.select(
+        F.col("_id").alias(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash + banded LSH near-duplicate pairs.
+
+    Signature is split into ``bands`` rows-per-band chunks; docs
+    colliding on any (band, chunk-hash) bucket become candidates
+    (equi-join — never all-pairs); candidates are scored by the
+    signature agreement fraction (the unbiased Jaccard estimate) and
+    filtered at ``threshold``.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm
+    )
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at(
+                                        "sig", b * rows_per_band + r + 1
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sig", "bb.band", "bb.bucket")
+
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"),
+        "band", "bucket",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
+        "band", "bucket",
+    )
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    return (
+        cand.withColumn(
+            "est_jaccard", F.round(agree / F.lit(float(num_perm)), 6)
+        )
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _s64(x: int) -> int:
+    """Wrap an unsigned 64-bit pattern into Java's signed long range
+    (bit 63 set -> negative literal; py4j rejects values > Long.MAX)."""
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def simhash_64(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens.
+
+    Classic Charikar sketch: each token hashes to 64 bits; bit *i* of
+    the signature is the sign of ``sum(+1/-1 over docs' token bits)``.
+    Expressed as 64 conditional-sum aggregates over exploded tokens —
+    one shuffle, map-side combine, no Python.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.lit(_s64(1 << i))) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("_id").agg(*bit_sums)
+    sig = None
+    for i in range(64):
+        bit = F.when(
+            F.col(f"b{i}") > 0, F.lit(_s64(1 << i))
+        ).otherwise(F.lit(0))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agg.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    chunks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming.
+
+    Pigeonhole banding: signatures within hamming distance d <= chunks-1
+    must agree exactly on at least one of ``chunks`` 16-bit chunks, so
+    candidates come from equi-joins on (chunk_idx, chunk_value) and
+    are verified by ``bit_count(xor)`` — no all-pairs comparison.
+    """
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    sig = simhash_64(df, id_col=id_col, text_col=text_col)
+    chunked = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.col("simhash")
+                        .bitwiseAND(F.lit(_s64(mask << (c * width))))
+                        .alias("val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select(id_col, "simhash", "cc.chunk", "cc.val")
+    a = chunked.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        "chunk", "val",
+    )
+    b = chunked.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        "chunk", "val",
+    )
+    return (
+        a.join(b, ["chunk", "val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-duplicate pairs by cosine similarity.
+
+    Brute-force all-pairs (correctness baseline; O(n²) — for the
+    scale path bucket first with :func:`simhash_embedding_buckets` or
+    :mod:`similarity`'s IVF).  Dot products run as ``aggregate`` over
+    ``zip_with`` — whole-stage codegen, no Python.
+    """
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    norm = F.sqrt(
+        F.aggregate("_v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    v = v.withColumn("_n", norm)
+    a = v.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_n").alias("na"),
+    )
+    b = v.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(dot / (F.col("na") * F.col("nb")), 6))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators for large-scale corpus pipelines.
+
+Beyond-reference extensions (SURVEY §7 Phase 5): language ID, quality
+scoring, token counting, document fingerprinting — each a pure
+column-expression plan (whole-stage codegen, no Python in the hot
+path), so they stream through a 100 TB corpus at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _round_det(col, places: int = 6) -> F.Column:
+    """Engine-portable rounding: ``floor(x*10^p + 0.5)/10^p``.
+
+    ``F.round`` (Java HALF_UP on the shortest decimal repr) and C-family
+    ``round`` (on the raw binary value) disagree when a value sits on a
+    decimal boundary — which quality-score arithmetic (x*0.5 + y*0.3 +
+    ...) hits constantly.  The floor formula is plain IEEE ops, so any
+    engine mirroring it bit-matches.
+    """
+    scale = F.lit(float(10**places))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+# tiny per-language stopword lexicons for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht"],
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "por"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "une", "pour"],
+    "zh": ["的", "了", "是", "我", "不", "在"],
+}
+
+
+def tokenize(col) -> F.Column:
+    """Whitespace tokens (the baseline tokenizer)."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def bpe_ish_tokens(col) -> F.Column:
+    """A BPE-ish regex tokenization: words, numbers, and single
+    punctuation marks as separate tokens (GPT-2-style pre-tokenizer
+    shape, without the merges)."""
+    return F.expr(
+        f"regexp_extract_all({col}, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\\\s]', 0)"
+    )
+
+
+def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn(
+        "n_tokens", F.size(tokenize(F.col(text_col)))
+    ).withColumn(
+        "n_bpe_tokens", F.size(bpe_ish_tokens(text_col))
+    )
+
+
+def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / word-length quality signals.
+
+    All ratios are plain column arithmetic; the composite ``quality``
+    is a bounded [0,1] heuristic usable as a corpus filter threshold.
+    """
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n_chars = F.length(text)
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    n_punct = F.length(F.regexp_replace(text, r"[a-zA-Z0-9\s]", ""))
+    mean_tok_len = (n_chars - (n_tokens - 1)) / n_tokens
+    out = (
+        df.withColumn("n_chars_calc", n_chars)
+        .withColumn("n_tokens", n_tokens)
+        .withColumn(
+            "punct_ratio",
+            _round_det(n_punct / F.greatest(n_chars, F.lit(1))),
+        )
+        .withColumn(
+            "stopword_ratio",
+            _round_det(n_stop / F.greatest(n_tokens, F.lit(1))),
+        )
+        .withColumn("mean_token_len", _round_det(mean_tok_len))
+    )
+    quality = (
+        F.least(n_tokens / F.lit(64.0), F.lit(1.0)) * 0.5
+        + F.least(F.col("stopword_ratio") * 5, F.lit(1.0)) * 0.3
+        + (1 - F.least(F.col("punct_ratio") * 10, F.lit(1.0))) * 0.2
+    )
+    return out.withColumn("quality", _round_det(quality))
+
+
+def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-evidence language ID (n-gram heuristic).
+
+    Scores each language by stopword occurrences in the token stream;
+    the prediction is a deterministic priority-ordered argmax so the
+    result is reproducible (and oracle-expressible as a CASE chain).
+    """
+    toks = tokenize(F.col(text_col))
+    out = df
+    langs = sorted(LANG_STOPWORDS)
+    for lang in langs:
+        arr = F.array(*[F.lit(w) for w in LANG_STOPWORDS[lang]])
+        out = out.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t))),
+        )
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"score_{lang}") >= F.col(f"score_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, F.lit(lang))
+            if pred is None
+            else pred.when(cond, F.lit(lang))
+        )
+    return out.withColumn("lang_pred", pred)
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Canonical-form document fingerprint.
+
+    Normalization (lowercase, collapse whitespace) then a 128-bit
+    digest — the exact-dedup key that survives trivial reformatting.
+    A 64-bit ``fp64`` (xxhash64) is added for cheap joins.
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    return df.withColumn("fingerprint", F.md5(norm)).withColumn(
+        "fp64", F.xxhash64(norm)
+    )

@@ -1,0 +1,128 @@
+import pytest
+from pyspark.sql import functions as F
+
+from xyzpy_spark.sources.tables import read_table
+from xyzpy_spark.streaming.ops import (
+    read_events_stream,
+    run_stream_to_memory,
+    sessionize_stream,
+    streaming_running_stats,
+    windowed_agg,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark):
+    return read_table(spark, SF_DIR, "events")
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    return read_events_stream(spark, SF_DIR)
+
+
+def test_stream_is_streaming(events_stream):
+    assert events_stream.isStreaming
+
+
+def test_windowed_agg_matches_batch(spark, events_batch, events_stream):
+    """Streaming windowed agg over availableNow == batch groupBy."""
+    got = run_stream_to_memory(
+        windowed_agg(events_stream, window="1 hour"), "win_agg"
+    ).collect()
+    want = (
+        events_batch.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n",
+            "sum_value",
+            "avg_value",
+        )
+        .collect()
+    )
+    key = lambda r: (r["window_start"], r["event_type"])
+    got_m = {key(r): (r["n"], round(r["sum_value"], 6)) for r in got}
+    want_m = {key(r): (r["n"], round(r["sum_value"], 6)) for r in want}
+    assert got_m == want_m
+    assert len(got_m) > 10
+
+
+def test_sliding_window(spark, events_stream):
+    out = run_stream_to_memory(
+        windowed_agg(events_stream, window="2 hours", slide="1 hour"),
+        "slide_agg",
+    )
+    rows = out.collect()
+    assert len(rows) > 0
+    # every event lands in exactly 2 sliding windows
+    total_batch = 1000
+    assert sum(r["n"] for r in rows if r["event_type"] is not None) == 2 * total_batch
+
+
+def test_sessionize_stream(spark, events_batch, events_stream):
+    got = run_stream_to_memory(
+        sessionize_stream(events_stream, gap="30 minutes"), "sessions"
+    )
+    # session count per user must match the batch lag-based count
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch_sessions = (
+        events_batch.select(
+            "user_id",
+            (
+                F.lag("ts").over(w).isNull()
+                | (
+                    F.col("ts") - F.lag("ts").over(w)
+                    > F.expr("INTERVAL '30' MINUTE")
+                )
+            ).cast("long").alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(F.sum("s").alias("n_sessions"))
+    )
+    got_counts = {
+        r["user_id"]: r["cnt"]
+        for r in got.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    want_counts = {
+        r["user_id"]: r["n_sessions"] for r in batch_sessions.collect()
+    }
+    assert got_counts == want_counts
+
+
+def test_streaming_running_stats_matches_batch(
+    spark, events_batch, events_stream
+):
+    got = run_stream_to_memory(
+        streaming_running_stats(events_stream), "rstats"
+    ).collect()
+    want = {
+        r["event_type"]: r
+        for r in events_batch.groupBy("event_type")
+        .agg(
+            F.count("value").alias("count"),
+            F.avg("value").alias("mean"),
+            F.stddev_samp("value").alias("std"),
+        )
+        .collect()
+    }
+    assert len(got) == len(want)
+    for r in got:
+        w = want[r["event_type"]]
+        assert r["count"] == w["count"]
+        assert r["mean"] == pytest.approx(w["mean"])
+        assert r["std"] == pytest.approx(w["std"])

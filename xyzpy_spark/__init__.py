@@ -50,6 +50,7 @@ from .missing import find_missing_cases, is_case_missing, parse_into_cases
 from .merge import merge_datasets, MergeConflictError
 from .farming import Runner, Harvester, Sampler, label
 from .session import get_spark
+from .cropping import Crop, load_crops
 
 __all__ = [
     "parse_combos",
@@ -74,6 +75,8 @@ __all__ = [
     "Sampler",
     "label",
     "get_spark",
+    "Crop",
+    "load_crops",
 ]
 
 __version__ = "0.1.0"

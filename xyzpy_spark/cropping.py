@@ -1,0 +1,360 @@
+"""Staged, decoupled sweep execution: sow -> grow -> reap.
+
+Spark analog of the reference's Crop layer (``xyzpy/gen/cropping.py``):
+a sweep is *sown* to disk as a batched grid, *grown* by any number of
+independent processes/sessions at any later time (each growing a
+subset of batches), and *reaped* back into one deterministic result
+table — the pattern for runs too big or too long for one driver
+session, or grown by a separate cluster allocation.
+
+Mapping (SURVEY §2.3):
+
+- ``Crop`` dir layout (reference ``cropping.py:35-38, 290-293``) ->
+  ``{parent}/.xyz-{name}/`` with ``grid/`` (parquet, partitioned by
+  ``batch``), ``results/`` (parquet appended per grown batch),
+  ``fn.pkl`` (cloudpickled kernel) and ``spec.json``.
+- ``choose_batch_settings`` (``cropping.py:236-288``) -> contiguous
+  ``batch = loc * num_batches // n`` ranges (sizes differ by <=1, the
+  remainder-spreading rule) — pure arithmetic on the grid's ``_loc``.
+- ``grow`` (``cropping.py:1318-1463``) -> read ONLY the requested
+  batch partitions (partition-pruned scan), evaluate via the standard
+  mapInPandas harness, write ``results/batch=N`` atomically per batch
+  (idempotent re-grow).
+- ``Reaper``/``reap`` (``cropping.py:862-909, 1471-1535``) -> read
+  results, left-join the full grid for ``allow_incomplete`` null fill,
+  ``orderBy(_loc)`` — deterministic pairing by key, never file order
+  (SURVEY §7 risk #4).
+- progress/audit (``cropping.py:412-457, 1151-1199``) -> batch-count
+  scans + per-batch row-count audit against expected sizes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark import cloudpickle
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .grid import LOC_COL, case_grid, combo_grid, grid_size
+from .prepare import parse_cases, parse_combos, parse_constants
+from .runner import VarSpec, evaluate_grid, resolve_var_specs
+
+
+def _crop_dir(name: str, parent_dir: str) -> str:
+    return os.path.join(parent_dir, f".xyz-{name}")
+
+
+class Crop:
+    """A named, disk-staged sweep (see module docstring)."""
+
+    def __init__(
+        self, name: str, parent_dir: str = ".", spark: SparkSession | None = None
+    ):
+        self.name = name
+        self.location = _crop_dir(name, parent_dir)
+        self._spark = spark
+
+    # -- paths ----------------------------------------------------------
+    @property
+    def spark(self) -> SparkSession:
+        if self._spark is None:
+            self._spark = SparkSession.builder.getOrCreate()
+        return self._spark
+
+    @property
+    def grid_path(self) -> str:
+        return os.path.join(self.location, "grid")
+
+    @property
+    def results_path(self) -> str:
+        return os.path.join(self.location, "results")
+
+    @property
+    def fn_path(self) -> str:
+        return os.path.join(self.location, "fn.pkl")
+
+    @property
+    def spec_path(self) -> str:
+        return os.path.join(self.location, "spec.json")
+
+    def exists(self) -> bool:
+        return os.path.exists(self.spec_path)
+
+    def delete(self) -> None:
+        if os.path.exists(self.location):
+            shutil.rmtree(self.location)
+
+    # -- sow ------------------------------------------------------------
+    def sow_combos(
+        self,
+        fn,
+        combos=None,
+        *,
+        cases=None,
+        fn_args=None,
+        var_names=None,
+        var_dims=None,
+        var_coords=None,
+        var_types=None,
+        constants=None,
+        num_batches: int | None = None,
+        batchsize: int | None = None,
+        explode: bool = True,
+    ) -> int:
+        """Stage the grid + kernel to disk; returns the batch count.
+
+        Batch assignment is ``loc * num_batches // n`` — contiguous
+        ranges whose sizes differ by at most one (the reference's
+        remainder-spreading rule, ``cropping.py:1305-1310``), written
+        as real parquet partitions so growing batch *k* is a
+        partition-pruned scan.
+        """
+        combos = parse_combos(combos)
+        cases = parse_cases(cases, fn_args)
+        constants = parse_constants(constants)
+        n = (len(cases) or 1) * (grid_size(combos) if combos else 1)
+        if num_batches is None:
+            if batchsize is not None:
+                num_batches = -(-n // batchsize)
+            else:
+                num_batches = min(
+                    n, self.spark.sparkContext.defaultParallelism
+                )
+        num_batches = max(1, min(num_batches, n))
+
+        specs, coords = resolve_var_specs(
+            fn, combos, cases, constants, {},
+            var_names, var_dims, var_coords, var_types,
+        )
+        if cases:
+            grid = case_grid(self.spark, cases, combos)
+        else:
+            grid = combo_grid(self.spark, combos)
+        grid = grid.withColumn(
+            "batch",
+            (F.col(LOC_COL) * num_batches / F.lit(n)).cast("long"),
+        )
+        os.makedirs(self.location, exist_ok=True)
+        grid.write.mode("overwrite").partitionBy("batch").parquet(
+            self.grid_path
+        )
+        with open(self.fn_path, "wb") as f:
+            cloudpickle.dump(fn, f)
+        spec = {
+            "n": n,
+            "num_batches": num_batches,
+            "constants": {k: repr(v) for k, v in constants.items()},
+            "explode": explode,
+            "var_specs": [
+                {
+                    "name": s.name,
+                    "dims": list(s.dims),
+                    "type": s.scalar_type.json(),
+                }
+                for s in specs
+            ],
+            "coords": {
+                d: [x.item() if hasattr(x, "item") else x for x in v]
+                for d, v in coords.items()
+            },
+        }
+        with open(self.spec_path, "w") as f:
+            json.dump(spec, f)
+        with open(os.path.join(self.location, "constants.pkl"), "wb") as f:
+            cloudpickle.dump(constants, f)
+        return num_batches
+
+    # -- introspection --------------------------------------------------
+    def _load_spec(self) -> dict:
+        with open(self.spec_path) as f:
+            return json.load(f)
+
+    def _load_specs(self) -> tuple[list[VarSpec], dict]:
+        from pyspark.sql import types as T
+
+        spec = self._load_spec()
+        var_specs = [
+            VarSpec(
+                s["name"],
+                tuple(s["dims"]),
+                T._parse_datatype_json_string(s["type"]),
+            )
+            for s in spec["var_specs"]
+        ]
+        coords = {d: tuple(v) for d, v in spec["coords"].items()}
+        return var_specs, coords
+
+    @property
+    def num_batches(self) -> int:
+        return int(self._load_spec()["num_batches"])
+
+    @property
+    def n_points(self) -> int:
+        return int(self._load_spec()["n"])
+
+    def grown_batches(self) -> set[int]:
+        if not os.path.exists(self.results_path):
+            return set()
+        return {
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self.results_path)
+            if d.startswith("batch=")
+        }
+
+    def missing_batches(self) -> set[int]:
+        return set(range(self.num_batches)) - self.grown_batches()
+
+    def is_ready_to_reap(self) -> bool:
+        return not self.missing_batches()
+
+    def progress(self) -> float:
+        return 1.0 - len(self.missing_batches()) / self.num_batches
+
+    # -- grow -----------------------------------------------------------
+    def grow(
+        self,
+        batch_ids=None,
+        *,
+        num_workers: int | None = None,
+        on_error: str = "raise",
+    ) -> None:
+        """Evaluate the kernel over selected batches; write results.
+
+        Runnable from ANY session that sees the crop directory (the
+        decoupling point).  Each batch's output directory is written
+        atomically (temp + rename), so crashed/duplicate grows are
+        safely re-runnable.
+        """
+        if batch_ids is None:
+            batch_ids = sorted(self.missing_batches())
+        elif isinstance(batch_ids, int):
+            batch_ids = [batch_ids]
+        with open(self.fn_path, "rb") as f:
+            fn = cloudpickle.load(f)
+        with open(os.path.join(self.location, "constants.pkl"), "rb") as f:
+            constants = cloudpickle.load(f)
+        var_specs, coords = self._load_specs()
+        explode = bool(self._load_spec()["explode"])
+
+        grid = self.spark.read.parquet(self.grid_path)
+        for b in batch_ids:
+            part = grid.where(F.col("batch") == int(b)).drop("batch")
+            if num_workers:
+                part = part.repartition(num_workers)
+            out = evaluate_grid(
+                part, fn, var_specs, coords,
+                constants=constants, explode=explode, on_error=on_error,
+            )
+            tmp = os.path.join(self.results_path, f"_tmp_batch_{b}")
+            final = os.path.join(self.results_path, f"batch={b}")
+            out.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(final):
+                shutil.rmtree(final)
+            os.replace(tmp, final)
+
+    # -- audit ----------------------------------------------------------
+    def expected_batch_sizes(self) -> dict[int, int]:
+        n, nb = self.n_points, self.num_batches
+        sizes: dict[int, int] = {}
+        # assignment loc*nb//n == b  <=>  ceil(b*n/nb) <= loc < ceil((b+1)*n/nb)
+        for b in range(nb):
+            lo = (b * n + nb - 1) // nb
+            hi = ((b + 1) * n + nb - 1) // nb
+            sizes[b] = hi - lo
+        return sizes
+
+    def check_bad(self, *, delete: bool = False) -> list[int]:
+        """Row-count audit of grown batches vs expected grid sizes
+        (reference ``check_bad``, ``cropping.py:1151-1199``); returns
+        (and optionally deletes, for re-grow) mismatching batches."""
+        var_specs, _ = self._load_specs()
+        spec = self._load_spec()
+        inner = 1
+        if spec["explode"]:
+            seen: list[str] = []
+            for s in var_specs:
+                for d in s.dims:
+                    if d not in seen:
+                        seen.append(d)
+            for d in seen:
+                inner *= len(spec["coords"][d])
+        expected = {
+            b: sz * inner for b, sz in self.expected_batch_sizes().items()
+        }
+        bad = []
+        grown = self.grown_batches()
+        if grown:
+            counts = {
+                r["batch"]: r["cnt"]
+                for r in self.spark.read.parquet(self.results_path)
+                .groupBy("batch")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            for b in grown:
+                if counts.get(b, 0) != expected[b]:
+                    bad.append(b)
+                    if delete:
+                        shutil.rmtree(
+                            os.path.join(self.results_path, f"batch={b}")
+                        )
+        return sorted(bad)
+
+    # -- reap -----------------------------------------------------------
+    def reap(
+        self, *, allow_incomplete: bool = False, keep_loc: bool = False
+    ) -> DataFrame:
+        """Collect grown results into the final long table.
+
+        Joins results against the sown grid on ``_loc`` so ungrown
+        points surface as null rows under ``allow_incomplete``
+        (reference ``all_nan_result`` fill, ``cropping.py:472-487``);
+        refuses to reap an incomplete crop otherwise
+        (``check_ready_to_reap``, ``cropping.py:131-139``).
+        """
+        missing = self.missing_batches()
+        if missing and not allow_incomplete:
+            raise RuntimeError(
+                f"crop {self.name!r} not ready to reap: "
+                f"missing batches {sorted(missing)[:10]}"
+                f"{'...' if len(missing) > 10 else ''}"
+            )
+        results = self.spark.read.parquet(self.results_path).drop("batch")
+        if missing:
+            grid = self.spark.read.parquet(self.grid_path)
+            param_cols = [
+                c for c in grid.columns if c not in (LOC_COL, "batch")
+            ]
+            out_cols = [
+                c
+                for c in results.columns
+                if c not in param_cols and c != LOC_COL
+            ]
+            results = grid.select(LOC_COL, *param_cols).join(
+                results.select(LOC_COL, *out_cols), LOC_COL, "left_outer"
+            )
+        results = results.orderBy(LOC_COL)
+        return results if keep_loc else results.drop(LOC_COL)
+
+    def reap_harvest(self, harvester, dims, **kwargs) -> DataFrame:
+        """Reap then merge into a Harvester store (reference
+        ``reap_harvest``, ``cropping.py:1037-1069``)."""
+        df = self.reap(**kwargs)
+        return harvester.add_df(df, dims)
+
+
+def load_crops(parent_dir: str = ".", spark=None) -> dict[str, Crop]:
+    """Discover crops under a directory (reference ``load_crops``,
+    ``cropping.py:1236-1261``)."""
+    out = {}
+    if not os.path.isdir(parent_dir):
+        return out
+    for d in sorted(os.listdir(parent_dir)):
+        if d.startswith(".xyz-"):
+            name = d[len(".xyz-"):]
+            crop = Crop(name, parent_dir, spark=spark)
+            if crop.exists():
+                out[name] = crop
+    return out

@@ -455,6 +455,40 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, max_hamming=8)
 
 
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-k (rows-only: approximate by design;
+    recall vs exact asserted in tests)."""
+    from xyzpy_spark.pipeline.similarity import ivf_build, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = ivf_build(emb, n_cells=8)
+    queries_df = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(assigned, cents, queries_df, k=5, nprobe=4)
+
+
+def q_crop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1-C11 sow/grow/reap staged execution, end to end: sow a sweep
+    into a scratch crop, grow all batches, reap deterministically."""
+    _ship(spark)
+    import tempfile
+
+    from xyzpy_spark.cropping import Crop
+
+    def kernel(a, b):
+        return a * 100 + b, a - b
+
+    workdir = tempfile.mkdtemp(prefix="xyz_crop_q_")
+    crop = Crop("contract", workdir, spark=spark)
+    crop.sow_combos(
+        kernel,
+        {"a": [1, 2, 3, 4, 5], "b": [10, 20, 30]},
+        var_names=["v", "w"],
+        num_batches=4,
+    )
+    crop.grow()
+    return crop.reap()
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> typed metadata struct via mapInPandas
     (deterministic fake codec; rows-only check)."""
@@ -515,6 +549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "multimodal_meta": q_multimodal_meta,
+        "similarity_ivf": q_similarity_ivf,
+        "crop_roundtrip": q_crop_roundtrip,
     }
 
 
@@ -790,5 +826,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, nbr_id, rank, ROUND(cos, 6) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "crop_roundtrip": """
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(a * 100 + b AS BIGINT) AS v,
+                   CAST(a - b AS BIGINT) AS w
+            FROM (VALUES (1), (2), (3), (4), (5)) ta(a),
+                 (VALUES (10), (20), (30)) tb(b)
         """,
     }

@@ -1,0 +1,107 @@
+import math
+
+import pytest
+from pyspark.sql import Row
+
+from xyzpy_spark.accessor import xyz
+from xyzpy_spark.operators.facet import (
+    check_excess_dims,
+    facet_data,
+    facet_values,
+    xy_points,
+)
+from xyzpy_spark.utils import Timer, autocorrect_kwargs, flatten, prod, unzip
+
+
+def test_prod_unzip_flatten():
+    assert prod([2, 3, 4]) == 24
+    assert unzip([(1, "a"), (2, "b")]) == ((1, 2), ("a", "b"))
+    assert list(flatten([[1, [2, 3]], [4]], 1)) == [1, [2, 3], 4]
+    assert list(flatten([[1, [2, 3]], [4]], 2)) == [1, 2, 3, 4]
+
+
+def test_autocorrect_kwargs():
+    @autocorrect_kwargs
+    def f(alpha=1, beta=2):
+        return alpha + beta
+
+    assert f(alpha=3) == 5
+    with pytest.raises(TypeError, match="did you mean 'alpha'"):
+        f(alpa=3)
+
+
+def test_timer():
+    with Timer() as t:
+        sum(range(1000))
+    assert t.t >= 0
+
+
+@pytest.fixture(scope="module")
+def grid_df(spark):
+    rows = [
+        Row(a=a, b=b, y=float(a * 10 + b), z=float("nan") if b == 1 else 1.0)
+        for a in range(3)
+        for b in range(2)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_facet_values(grid_df):
+    assert facet_values(grid_df, ["a"]) == [(0,), (1,), (2,)]
+
+
+def test_facet_data(grid_df):
+    facets = list(facet_data(grid_df, "a", "b"))
+    assert len(facets) == 6
+    for rv, cv, sub in facets:
+        rows = sub.collect()
+        assert len(rows) == 1
+        assert rows[0]["a"] == rv and rows[0]["b"] == cv
+
+
+def test_facet_data_row_only(grid_df):
+    facets = list(facet_data(grid_df, "a"))
+    assert len(facets) == 3
+    assert all(sub.count() == 2 for _, _, sub in facets)
+
+
+def test_check_excess_dims(grid_df):
+    check_excess_dims(grid_df, ["a", "b"], ["a", "b"])
+    with pytest.raises(ValueError, match="unmapped"):
+        check_excess_dims(grid_df, ["a"], ["a", "b"])
+
+
+def test_xy_points_drops_nonfinite(grid_df):
+    pts = xy_points(grid_df, "y", "z").collect()
+    assert len(pts) == 3  # the b==1 rows carry NaN z and are dropped
+    assert all(not math.isnan(r["z"]) for r in pts)
+
+
+def test_xy_points_jitter(grid_df):
+    base = xy_points(grid_df, "y", "z")
+    jit = xy_points(grid_df, "y", "z", jitter_x=0.1)
+    ys0 = sorted(r["y"] for r in base.collect())
+    ys1 = sorted(r["y"] for r in jit.collect())
+    assert ys0 != ys1
+    assert all(abs(a - b) < 1.0 for a, b in zip(ys0, ys1))
+
+
+def test_accessor_chaining(spark, grid_df):
+    out = (
+        xyz(grid_df)
+        .aggregate_over(["a"], "y", method="mean")
+        .orderBy("a")
+    )
+    rows = out.collect()
+    assert [r["y"] for r in rows] == [0.5, 10.5, 20.5]
+    # passthrough returns wrapped frames
+    assert isinstance(out, xyz)
+    assert out.count() == 3
+
+
+def test_accessor_union_grid(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b=10, x=1.0), Row(a=2, b=20, x=2.0)]
+    )
+    dense = xyz(df).union_grid(["a", "b"], ["x"])
+    assert dense.count() == 4

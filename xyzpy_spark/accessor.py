@@ -1,0 +1,110 @@
+"""The ``xyz`` helper namespace over result DataFrames.
+
+Reference: the ``.xyz`` xarray accessor (``xyzpy/__init__.py:212-282``)
+registers the engine's reductions directly on every Dataset.  Spark
+DataFrames cannot be monkey-patched safely, so the same ergonomics
+come from a thin wrapper: ``xyz(df).aggregate_over(...).histogram(...)``
+— every method returns a new wrapper around a lazy plan, terminal
+``.df`` unwraps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+class xyz:  # noqa: N801 — mirrors the reference accessor name
+    """Chainable operator namespace over a long-format DataFrame."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    def _wrap(self, df: DataFrame) -> "xyz":
+        return xyz(df)
+
+    # -- reductions ------------------------------------------------------
+    def aggregate_over(self, keep_dims, var_names, **kw) -> "xyz":
+        from .operators.reductions import aggregate_over
+
+        return self._wrap(aggregate_over(self.df, keep_dims, var_names, **kw))
+
+    def histogram(self, x, **kw) -> "xyz":
+        from .operators.reductions import histogram
+
+        return self._wrap(histogram(self.df, x, **kw))
+
+    def heatmap(self, x, y, z, **kw) -> "xyz":
+        from .operators.reductions import heatmap_table
+
+        return self._wrap(heatmap_table(self.df, x, y, z, **kw))
+
+    def fuse_dims(self, dims, name, **kw) -> "xyz":
+        from .operators.reductions import fuse_dims
+
+        return self._wrap(fuse_dims(self.df, dims, name, **kw))
+
+    def trimna(self, dims, var_names, **kw) -> "xyz":
+        from .operators.reductions import trimna
+
+        return self._wrap(trimna(self.df, dims, var_names, **kw))
+
+    def post_fix(self, postfix, var_names=None) -> "xyz":
+        from .operators.reductions import post_fix
+
+        return self._wrap(post_fix(self.df, postfix, var_names))
+
+    def check_runs(self, dim, var_names=()) -> "xyz":
+        from .operators.reductions import check_runs
+
+        return self._wrap(check_runs(self.df, dim, var_names))
+
+    # -- missing/merge ---------------------------------------------------
+    def find_missing_cases(self, dims, var_names, **kw) -> "xyz":
+        from .missing import find_missing_cases
+
+        return self._wrap(find_missing_cases(self.df, dims, var_names, **kw))
+
+    def union_grid(self, dims, var_names) -> "xyz":
+        from .missing import union_grid_view
+
+        return self._wrap(union_grid_view(self.df, dims, var_names))
+
+    def merge(self, other, dims, **kw) -> "xyz":
+        from .merge import merge_datasets
+
+        other = other.df if isinstance(other, xyz) else other
+        return self._wrap(merge_datasets(self.df, other, dims, **kw))
+
+    # -- stats -----------------------------------------------------------
+    def running_stats(self, var, by=()) -> "xyz":
+        from .functions.stats import running_stats
+
+        return self._wrap(running_stats(self.df, var, by))
+
+    # -- presentation ----------------------------------------------------
+    def to_dense_pandas(self, dims, var_names=None):
+        from .runner import to_dense_pandas
+
+        return to_dense_pandas(self.df, dims, var_names)
+
+    def facets(self, row_dim=None, col_dim=None):
+        from .operators.facet import facet_data
+
+        for rv, cv, sub in facet_data(self.df, row_dim, col_dim):
+            yield rv, cv, xyz(sub)
+
+    def xy_points(self, x, y, **kw) -> "xyz":
+        from .operators.facet import xy_points
+
+        return self._wrap(xy_points(self.df, x, y, **kw))
+
+    # -- passthrough -----------------------------------------------------
+    def __getattr__(self, name):
+        attr = getattr(self.df, name)
+        if callable(attr):
+            def passthrough(*args, **kwargs):
+                out = attr(*args, **kwargs)
+                return self._wrap(out) if isinstance(out, DataFrame) else out
+
+            return passthrough
+        return attr

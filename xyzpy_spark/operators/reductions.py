@@ -56,6 +56,11 @@ def aggregate_over(
     if isinstance(var_names, str):
         var_names = [var_names]
     keep_dims = list(keep_dims)
+    if method not in _AGG_METHODS:
+        raise ValueError(
+            f"unknown aggregation method {method!r}; "
+            f"choose from {sorted(_AGG_METHODS)}"
+        )
     agg_fn = _AGG_METHODS[method]
     aggs = []
     for v in var_names:

@@ -290,6 +290,26 @@ def q_sweep_internal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("arr", F.round("arr", 6))
 
 
+def q_sweep_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized sweep fast path: one python call per Arrow batch
+    (numpy in/out) instead of per grid point."""
+    _ship(spark)
+    from xyzpy_spark.runner import combo_runner_to_df
+
+    def kern(a, b):
+        return a * 1.5 + b * b
+
+    df = combo_runner_to_df(
+        spark,
+        kern,
+        {"a": range(200), "b": range(200)},
+        var_names="y",
+        var_types={"y": float},
+        vectorized=True,
+    )
+    return df.withColumn("y", F.round("y", 6))
+
+
 def q_case_union_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G19 sparse cases -> dense union grid with null holes."""
     _ship(spark)
@@ -533,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "combo_grid": q_combo_grid,
         "sweep_sumdiff": q_sweep_sumdiff,
+        "sweep_vectorized": q_sweep_vectorized,
         "sweep_internal_dims": q_sweep_internal_dims,
         "case_union_grid": q_case_union_grid,
         "missing_cases": q_missing_cases,
@@ -667,6 +688,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
                    CAST(a + b AS BIGINT) AS sum, CAST(a - b AS BIGINT) AS diff
             FROM range(1, 10) ta(a), range(23, 27) tb(b)
+        """,
+        "sweep_vectorized": """
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   ROUND(a * 1.5 + b * b, 6) AS y
+            FROM range(0, 200) ta(a), range(0, 200) tb(b)
         """,
         "sweep_internal_dims": """
             SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, time,

@@ -226,6 +226,48 @@ def test_to_dense_pandas(spark):
     assert np.isnan(dense.loc[(1, 20, 100), "x"])
 
 
+def test_vectorized_fast_path(spark):
+    """vectorized=True: fn sees numpy arrays, one call per batch."""
+    import numpy as np
+
+    calls = []
+
+    def kern(a, b):
+        assert isinstance(a, np.ndarray) and isinstance(b, np.ndarray)
+        return a * 1.5 + b * b, a - b
+
+    df = combo_runner_to_df(
+        spark,
+        kern,
+        {"a": range(20), "b": range(30)},
+        var_names=["y", "z"],
+        var_types={"y": float, "z": int},
+        vectorized=True,
+    )
+    rows = df.collect()
+    assert len(rows) == 600
+    for r in rows:
+        assert r["y"] == pytest.approx(r["a"] * 1.5 + r["b"] ** 2)
+        assert r["z"] == r["a"] - r["b"]
+
+
+def test_vectorized_rejects_internal_dims(spark):
+    def kern(a):
+        return a
+
+    with pytest.raises(ValueError, match="scalar outputs only"):
+        combo_runner_to_df(
+            spark,
+            kern,
+            {"a": [1]},
+            var_names="y",
+            var_dims={"y": ["t"]},
+            var_types={"y": float},
+            var_coords={"t": [0, 1]},
+            vectorized=True,
+        )
+
+
 def test_vs_reference_quickstart(spark):
     """docs/index.md quick-start: sum/diff over a 36-point grid."""
 

@@ -306,6 +306,33 @@ def _make_mapper(
     return evaluate
 
 
+def _make_vectorized_mapper(
+    fn, param_cols, specs, constants, resources, out_schema
+):
+    """Batch-at-a-time evaluation: fn receives one numpy array per
+    parameter and returns array(s) — one python call per Arrow batch
+    instead of per grid point (10-100x less dispatch overhead; the
+    path that beats the reference's ~85k sequential calls/s by orders
+    of magnitude on numeric kernels)."""
+    out_cols = [f.name for f in out_schema.fields]
+
+    def evaluate(iterator):
+        for pdf in iterator:
+            kwargs = {c: pdf[c].to_numpy() for c in param_cols}
+            res = fn(**kwargs, **constants, **resources)
+            values = list(res) if len(specs) > 1 else [res]
+            data = {LOC_COL: pdf[LOC_COL]}
+            for c in param_cols:
+                data[c] = pdf[c]
+            for spec, val in zip(specs, values):
+                data[spec.name] = np.broadcast_to(
+                    np.asarray(val), (len(pdf),)
+                ).copy()
+            yield pd.DataFrame(data)[out_cols]
+
+    return evaluate
+
+
 def evaluate_grid(
     grid_df: DataFrame,
     fn,
@@ -316,6 +343,7 @@ def evaluate_grid(
     resources: dict | None = None,
     explode: bool = False,
     on_error: str = "raise",
+    vectorized: bool = False,
 ) -> DataFrame:
     """Evaluate ``fn`` at every row of ``grid_df`` (one mapInPandas pass)."""
     constants = constants or {}
@@ -343,6 +371,17 @@ def evaluate_grid(
     if on_error == "keep":
         fields.append(T.StructField("_error", T.StringType()))
     out_schema = T.StructType(fields)
+
+    if vectorized:
+        if explode and any(s.dims for s in specs):
+            raise ValueError(
+                "vectorized=True supports scalar outputs only "
+                "(no internal dims)"
+            )
+        mapper = _make_vectorized_mapper(
+            fn, param_cols, specs, constants, resources, out_schema
+        )
+        return grid_df.mapInPandas(mapper, schema=out_schema)
 
     mapper = _make_mapper(
         fn,
@@ -377,6 +416,7 @@ def combo_runner_to_df(
     on_error: str = "raise",
     num_partitions: int | None = None,
     keep_loc: bool = False,
+    vectorized: bool = False,
 ) -> DataFrame:
     """Run a full parameter sweep; return the long-format result table.
 
@@ -386,6 +426,11 @@ def combo_runner_to_df(
     ``constants`` are passed to every call and NOT dimensioned;
     ``resources`` are passed but never recorded (reference:
     ``gen/combo_runner.py:331-333, 615-616``).
+
+    ``vectorized=True`` — fn receives numpy arrays (one element per
+    grid point in the Arrow batch) and returns arrays: one python call
+    per ~10k points instead of per point.  Use for numpy-expressible
+    kernels; the opaque per-point contract stays the default.
     """
     combos = parse_combos(combos)
     cases = parse_cases(cases, fn_args)
@@ -408,7 +453,7 @@ def combo_runner_to_df(
     out = evaluate_grid(
         grid, fn, specs, coords,
         constants=constants, resources=resources,
-        explode=explode, on_error=on_error,
+        explode=explode, on_error=on_error, vectorized=vectorized,
     )
     if not keep_loc:
         out = out.drop(LOC_COL)

@@ -73,20 +73,19 @@ def test_harvester_missing_only_skips_done(fba_runner, tmp_path, monkeypatch):
     h.harvest_combos({"a": [1, 2], "b": [3, 4]})
 
     calls = []
-    orig = fba_runner.run_cases
+    orig = fba_runner.run_grid_df
 
-    def counting_run_cases(cases, **kw):
-        calls.append(list(cases))
-        return orig(cases, **kw)
+    def counting_run_grid(grid_df, **kw):
+        calls.append(sorted((r["a"], r["b"]) for r in grid_df.collect()))
+        return orig(grid_df, **kw)
 
-    monkeypatch.setattr(fba_runner, "run_cases", counting_run_cases)
+    monkeypatch.setattr(fba_runner, "run_grid_df", counting_run_grid)
     # everything already computed -> no work
     h.harvest_combos({"a": [1, 2], "b": [3, 4]}, missing_only=True)
     assert calls == []
-    # one new point -> only that one runs
+    # one new point -> only that one runs (and stays a DataFrame)
     h.harvest_combos({"a": [1, 2, 3], "b": [3, 4]}, missing_only=True)
-    assert len(calls) == 1
-    assert sorted((c["a"], c["b"]) for c in calls[0]) == [(3, 3), (3, 4)]
+    assert calls == [[(3, 3), (3, 4)]]
     assert h.full_df.count() == 18
 
 

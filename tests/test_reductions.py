@@ -49,6 +49,16 @@ def test_aggregate_over_quantile_band(spark, grid_df):
     assert r["y_hi"] == pytest.approx(np.quantile([0, 1, 2, 3], 0.75))
 
 
+def test_aggregate_over_approx_median(spark, grid_df):
+    """approx=True (percentile_approx sketch) stays close to exact."""
+    exact = aggregate_over(grid_df, ["x"], "y", method="median")
+    approx = aggregate_over(grid_df, ["x"], "y", method="median", approx=True)
+    e = {r["x"]: r["y"] for r in exact.collect()}
+    a = {r["x"]: r["y"] for r in approx.collect()}
+    for x in e:
+        assert abs(e[x] - a[x]) <= 1.0  # within one coordinate step
+
+
 def test_aggregate_over_all_dims(spark, grid_df):
     out = aggregate_over(grid_df, [], "y", method="max")
     assert out.collect()[0]["y"] == 63.0

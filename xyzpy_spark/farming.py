@@ -112,6 +112,36 @@ class Runner:
         )
         return self.last_df
 
+    def run_grid_df(self, grid_df: DataFrame, *, constants=None, **kwargs) -> DataFrame:
+        """Evaluate the labelled fn over an ALREADY-BUILT grid DataFrame.
+
+        The scale path for incremental top-ups: the missing-point set
+        stays distributed end to end (no driver collect).  ``grid_df``
+        columns are the parameter dims; a job-local ``_loc`` key is
+        attached for result pairing.
+        """
+        from pyspark.sql import functions as F
+
+        from .runner import evaluate_grid, resolve_var_specs
+
+        merged_consts = {**self.constants, **parse_constants(constants)}
+        first = grid_df.limit(1).collect()
+        if not first:
+            raise ValueError("empty grid")
+        sample_point = first[0].asDict()
+        cases = (sample_point,)
+        specs, coords = resolve_var_specs(
+            self.fn, (), cases, merged_consts, self.resources,
+            self.var_names, self.var_dims, self.var_coords, self.var_types,
+        )
+        grid = grid_df.withColumn(LOC_COL, F.monotonically_increasing_id())
+        self.last_df = evaluate_grid(
+            grid, self.fn, specs, coords,
+            constants=merged_consts, resources=self.resources,
+            explode=self.explode, **kwargs,
+        ).drop(LOC_COL)
+        return self.last_df
+
     def run_cases(self, cases, *, combos=None, constants=None, **kwargs) -> DataFrame:
         """Evaluate explicit parameter points (optionally x combos)."""
         merged_consts = {**self.constants, **parse_constants(constants)}
@@ -255,12 +285,13 @@ class Harvester:
 
             grid = combo_grid(self.spark, combos).drop(LOC_COL)
             todo = self._missing_filter(grid, dims)
-            cases = [r.asDict() for r in todo.collect()]
-            if not cases:
+            # the missing set stays a DataFrame end to end — no driver
+            # materialization, so million-point top-ups are fine
+            if todo.limit(1).count() == 0:
                 df = self.load_full_df()
                 self.last_merged = df
                 return df
-            new = self.runner.run_cases(cases, **kwargs)
+            new = self.runner.run_grid_df(todo, **kwargs)
         else:
             new = self.runner.run_combos(combos, **kwargs)
         return self.add_df(new, self._result_dims(dims), overwrite=overwrite, sync=sync)

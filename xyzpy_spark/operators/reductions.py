@@ -39,6 +39,7 @@ def aggregate_over(
     *,
     method: str = "median",
     err: str | float | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """Reduce all dims except ``keep_dims`` for each output variable.
 
@@ -52,6 +53,10 @@ def aggregate_over(
       at ``0.5 -/+ q/2``
 
     One groupBy -> one shuffle; partial aggregation happens map-side.
+
+    ``approx=True`` swaps exact order statistics (sort-based, the
+    right choice when an oracle must match) for ``percentile_approx``
+    sketches — mergeable, single-pass, the 100-TB path.
     """
     if isinstance(var_names, str):
         var_names = [var_names]
@@ -61,7 +66,16 @@ def aggregate_over(
             f"unknown aggregation method {method!r}; "
             f"choose from {sorted(_AGG_METHODS)}"
         )
-    agg_fn = _AGG_METHODS[method]
+    if approx and method == "median":
+        agg_fn = lambda c: F.percentile_approx(c, F.lit(0.5))  # noqa: E731
+    else:
+        agg_fn = _AGG_METHODS[method]
+
+    def _quantile(col, q):
+        if approx:
+            return F.percentile_approx(col, F.lit(q))
+        return F.percentile(col, F.lit(q))
+
     aggs = []
     for v in var_names:
         aggs.append(agg_fn(F.col(v)).alias(v))
@@ -76,8 +90,8 @@ def aggregate_over(
             )
         elif isinstance(err, float):
             ql, qu = 0.5 - err / 2, 0.5 + err / 2
-            aggs.append(F.percentile(F.col(v), F.lit(ql)).alias(f"{v}_lo"))
-            aggs.append(F.percentile(F.col(v), F.lit(qu)).alias(f"{v}_hi"))
+            aggs.append(_quantile(F.col(v), ql).alias(f"{v}_lo"))
+            aggs.append(_quantile(F.col(v), qu).alias(f"{v}_hi"))
     if not keep_dims:
         return df.agg(*aggs)
     return df.groupBy(*keep_dims).agg(*aggs)
@@ -232,8 +246,12 @@ def run_gaps(df: DataFrame, dim: str, var_names=()) -> DataFrame:
     """Gap ranges of an integer dim, one row per hole.
 
     Row-form companion of :func:`check_runs` (reference
-    ``manage.py:303-306``): consecutive distinct values compared via
-    ``lag``; a jump > 1 emits ``[gap_start, gap_end]`` inclusive.
+    ``manage.py:303-306``).  Scale-safe plan: gap *boundaries* are
+    found by distributed anti-joins (``v+1`` missing -> a gap starts at
+    ``v+1``; ``v-1`` missing -> that gap ends at ``v-1``) — no global
+    sort over the full value set.  Only the boundary sets themselves
+    (tiny: one row per hole) pass through an ordered window to pair
+    starts with ends.
     """
     work = df
     if var_names:
@@ -241,16 +259,29 @@ def run_gaps(df: DataFrame, dim: str, var_names=()) -> DataFrame:
             lambda a, b: a | b, (F.col(v).isNotNull() for v in var_names)
         )
         work = df.where(any_nonnull)
-    vals = work.select(F.col(dim).cast("long").alias(dim)).distinct()
-    w = Window.orderBy(dim)
-    return (
-        vals.withColumn("_prev", F.lag(dim).over(w))
-        .where(F.col("_prev").isNotNull() & (F.col(dim) - F.col("_prev") > 1))
-        .select(
-            (F.col("_prev") + 1).alias("gap_start"),
-            (F.col(dim) - 1).alias("gap_end"),
-        )
+    vals = work.select(F.col(dim).cast("long").alias("v")).distinct()
+    bounds = vals.agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
     )
+    succ = vals.select((F.col("v") + 1).alias("v"))
+    pred = vals.select((F.col("v") - 1).alias("v"))
+    starts = (
+        succ.join(vals, "v", "left_anti")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("v") <= F.col("hi"))
+        .select(F.col("v").alias("gap_start"))
+    )
+    ends = (
+        pred.join(vals, "v", "left_anti")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("v") >= F.col("lo"))
+        .select(F.col("v").alias("gap_end"))
+    )
+    ws = Window.orderBy("gap_start")
+    we = Window.orderBy("gap_end")
+    s = starts.withColumn("_i", F.row_number().over(ws))
+    e = ends.withColumn("_i", F.row_number().over(we))
+    return s.join(e, "_i").select("gap_start", "gap_end")
 
 
 def check_runs(df: DataFrame, dim: str, var_names=()) -> DataFrame:
@@ -270,21 +301,14 @@ def check_runs(df: DataFrame, dim: str, var_names=()) -> DataFrame:
         )
         work = df.where(any_nonnull)
     vals = work.select(F.col(dim).cast("long").alias(dim)).distinct()
-    w = Window.orderBy(dim)
-    gaps = (
-        vals.withColumn("_prev", F.lag(dim).over(w))
-        .where(F.col("_prev").isNotNull() & (F.col(dim) - F.col("_prev") > 1))
-        .select(
-            (F.col("_prev") + 1).alias("gap_start"),
-            (F.col(dim) - 1).alias("gap_end"),
-        )
-    )
     summary = vals.agg(
         F.min(dim).alias("min"),
         F.max(dim).alias("max"),
         F.count(dim).alias("count"),
     )
-    gap_list = gaps.agg(
-        F.collect_list(F.array("gap_start", "gap_end")).alias("gaps")
+    gap_list = (
+        run_gaps(df, dim, var_names)
+        .orderBy("gap_start")
+        .agg(F.collect_list(F.array("gap_start", "gap_end")).alias("gaps"))
     )
     return summary.crossJoin(gap_list)

@@ -238,6 +238,66 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface: JSON extraction + conditional agg over
+    the events property bag."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0)).alias("n_even"),
+        )
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function surface: top-3 orders per customer by price."""
+    from pyspark.sql import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("rk").cast("long").alias("rk"),
+            F.round("o_totalprice", 6).alias("price"),
+        )
+    )
+
+
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table star join: revenue by region (dimension tables are
+    broadcast — asserted in tests/test_plans.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sweep-engine operators (SURVEY §2.1 G5-G22, §2.2 F3): the engine's own
 # machinery exercised end-to-end, oracle-checked against plain SQL.
@@ -551,6 +611,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_orders": q_topk_orders,
         "window_hourly": q_window_hourly,
         "user_sessions": q_user_sessions,
+        "events_json": q_events_json,
+        "topk_per_group": q_topk_per_group,
+        "star_join_revenue": q_star_join_revenue,
         "combo_grid": q_combo_grid,
         "sweep_sumdiff": q_sweep_sumdiff,
         "sweep_vectorized": q_sweep_vectorized,
@@ -678,6 +741,37 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30' MINUTE
                             THEN 1 ELSE 0 END) AS n_sessions
             FROM lagged GROUP BY user_id
+        """,
+        "events_json": """
+            SELECT event_type,
+                   COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
+                   SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+                            THEN 1 ELSE 0 END) AS n_even
+            FROM events GROUP BY event_type
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(rk AS BIGINT) AS rk,
+                   ROUND(o_totalprice, 6) AS price
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+                FROM orders
+            ) WHERE rk <= 3
+        """,
+        "star_join_revenue": """
+            SELECT r_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "combo_grid": """
             SELECT CAST(ai.i * 3 + bi.i AS BIGINT) AS _loc, ai.v AS a, bi.v AS b

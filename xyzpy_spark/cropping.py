@@ -134,7 +134,7 @@ class Crop:
             grid = combo_grid(self.spark, combos)
         grid = grid.withColumn(
             "batch",
-            (F.col(LOC_COL) * num_batches / F.lit(n)).cast("long"),
+            F.expr(f"(`{LOC_COL}` * {num_batches}) div {n}"),
         )
         os.makedirs(self.location, exist_ok=True)
         grid.write.mode("overwrite").partitionBy("batch").parquet(

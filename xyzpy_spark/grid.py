@@ -53,7 +53,10 @@ def _attach_combo_columns(df: DataFrame, combos, idx_col) -> DataFrame:
     strides = _strides(combos)
     for (arg, values), stride in zip(combos, strides):
         n = len(values)
-        vidx = (F.col(idx_col) / F.lit(stride)).cast("long") % F.lit(n)
+        # integer `div`, NOT `/`: float division round-trips through
+        # double and corrupts locs beyond 2^53 — grids that large are
+        # exactly what the range-based builder exists for.
+        vidx = F.expr(f"(`{idx_col}` div {stride}) % {n}")
         try:
             dtype = infer_values_type(values)
             arr = F.array(*[F.lit(v).cast(dtype) for v in values])
@@ -155,7 +158,7 @@ def case_grid(
 
     df = spark.range(0, n_total, 1, num_partitions).withColumnRenamed("id", loc_col)
     df = df.withColumn(
-        "__case_idx", (F.col(loc_col) / F.lit(n_combo)).cast("long")
+        "__case_idx", F.expr(f"`{loc_col}` div {n_combo}")
     )
     if combos:
         df = df.withColumn("__combo_loc", F.col(loc_col) % F.lit(n_combo))

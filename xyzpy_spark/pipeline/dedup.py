@@ -79,6 +79,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_shingle_freq: int | None = 1000,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs by exact n-gram Jaccard similarity.
 
@@ -87,6 +88,10 @@ def ngram_jaccard_pairs(
     ``|A ∩ B| / (|A| + |B| - |A ∩ B|)``.  ``max_shingle_freq`` drops
     ubiquitous shingles before the join (a shingle shared by f docs
     creates f² join rows — boilerplate must not explode the plan).
+
+    The exploded-shingle table feeds three subplans (sizes + both join
+    sides); ``cache`` persists it (memory-and-disk) so the corpus is
+    tokenized once, not four times.
     """
     sh = _exploded_shingles(df, id_col, text_col, n)
     if max_shingle_freq is not None:
@@ -97,6 +102,8 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle", "left_semi")
+    if cache:
+        sh = sh.persist()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("_id").alias("id_a"), "shingle")
@@ -161,6 +168,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     threshold: float = 0.5,
+    cache: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs.
 
@@ -168,13 +176,16 @@ def minhash_lsh_pairs(
     colliding on any (band, chunk-hash) bucket become candidates
     (equi-join — never all-pairs); candidates are scored by the
     signature agreement fraction (the unbiased Jaccard estimate) and
-    filtered at ``threshold``.
+    filtered at ``threshold``.  ``cache`` persists the signatures so
+    the shingle->minhash pipeline runs once, not once per join side.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sig = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm
     )
+    if cache:
+        sig = sig.persist()
     banded = sig.select(
         id_col,
         "sig",
@@ -275,6 +286,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     chunks: int = 4,
+    cache: bool = True,
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
@@ -282,10 +294,13 @@ def simhash_near_pairs(
     must agree exactly on at least one of ``chunks`` 16-bit chunks, so
     candidates come from equi-joins on (chunk_idx, chunk_value) and
     are verified by ``bit_count(xor)`` — no all-pairs comparison.
+    ``cache`` persists the signatures across the self-join sides.
     """
     width = 64 // chunks
     mask = (1 << width) - 1
     sig = simhash_64(df, id_col=id_col, text_col=text_col)
+    if cache:
+        sig = sig.persist()
     chunked = sig.select(
         id_col,
         "simhash",

@@ -500,6 +500,37 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs resolved to duplicate groups (connected
+    components by label propagation; oracle = recursive-CTE
+    reachability)."""
+    from xyzpy_spark.pipeline.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, max_shingle_freq=None
+    )
+    return dedup_clusters(pairs)
+
+
+def q_sampler_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9/F10 Sampler: seeded random parameter points evaluated and
+    appended (rows-only: the numpy RNG sequence has no SQL oracle;
+    determinism is pinned by the seed and unit tests)."""
+    _ship(spark)
+    import tempfile
+
+    from xyzpy_spark.farming import Runner, Sampler
+
+    def kern(a, b):
+        return a * 10 + b
+
+    runner = Runner(kern, var_names="y", spark=spark)
+    store = tempfile.mkdtemp(prefix="xyz_sampler_q_") + "/s.parquet"
+    s = Sampler(runner, store, seed=42)
+    return s.sample_combos(64, {"a": [1, 2, 3, 4], "b": [10, 20, 30]})
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xyzpy_spark.pipeline.dedup import embedding_cosine_pairs
 
@@ -635,6 +666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "similarity_ivf": q_similarity_ivf,
         "crop_roundtrip": q_crop_roundtrip,
+        "dedup_clusters": q_dedup_clusters,
+        "sampler_run": q_sampler_run,
     }
 
 
@@ -946,6 +979,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, nbr_id, rank, ROUND(cos, 6) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 3, 0) + 2),
+                           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shs
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(shs) AS shingle FROM sh
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1
+            ), common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM ex a JOIN ex b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM common
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+            )
+            SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
         """,
         "crop_roundtrip": """
             SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,

@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_clusters",
     "similarity_topk",
     "multimodal_meta",
 ]
@@ -58,6 +59,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    try:
+        load_avg = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_avg = None
     spark = get_spark(app_name="xyzpy_spark_bench")
 
     queries = entrymod.queries()
@@ -89,6 +94,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # the box is shared: interpret timings against this
+                "load_avg_at_start": load_avg,
             }
         )
     )

@@ -120,6 +120,33 @@ def test_simhash_near_pairs(spark, docs):
     assert got[(0, 3)] == 0
 
 
+def test_dedup_clusters(spark):
+    """Pairs -> connected duplicate groups (chain + triangle + isolate)."""
+    from xyzpy_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1,          # 4-chain collapses to min id
+        10: 10, 11: 10, 12: 10,           # triangle
+        20: 20, 21: 20,                   # pair
+    }
+
+
+def test_dedup_clusters_from_real_pairs(spark, docs):
+    from xyzpy_spark.pipeline.dedup import dedup_clusters
+
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    clusters = dedup_clusters(pairs).collect()
+    by_cluster = {}
+    for r in clusters:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["doc_id"])
+    assert {0, 1, 3} in list(by_cluster.values())  # 0,1,3 are one group
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         Row(vec_id=0, embedding=[1.0, 0.0, 0.0]),

@@ -338,6 +338,66 @@ def simhash_near_pairs(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into duplicate GROUPS.
+
+    Connected components by smallest-label propagation: every doc
+    starts labelled with its own id; each round, a doc adopts the
+    minimum label in its neighborhood; fixpoint is reached in
+    O(component diameter) rounds (near-dup clusters are shallow, so
+    typically 2-4).  Each round is one join + one groupBy — no driver
+    state, no graph library.  Output: ``(doc_id, cluster_id)`` where
+    ``cluster_id`` is the smallest member id — keep one row per
+    cluster to deduplicate the corpus.
+    """
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    edges = fwd.union(rev).distinct().persist()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     *,

@@ -84,10 +84,16 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_median_quantile_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 median reduction + P2 quantile error band."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.median("l_extendedprice"), 6).alias("med_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("q25"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("q75"),
+    # one percentile buffer for all three order statistics (vs three
+    # independent sort-aggregates): same exact semantics, 1/3 the state
+    qs = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.5), F.lit(0.25), F.lit(0.75))
+    )
+    return li.groupBy("l_returnflag").agg(qs.alias("_qs")).select(
+        "l_returnflag",
+        F.round(F.col("_qs")[0], 6).alias("med_price"),
+        F.round(F.col("_qs")[1], 6).alias("q25"),
+        F.round(F.col("_qs")[2], 6).alias("q75"),
     )
 
 
@@ -531,6 +537,54 @@ def q_sampler_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.sample_combos(64, {"a": [1, 2, 3, 4], "b": [10, 20, 30]})
 
 
+def q_facet_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 facet row/col iteration: each (returnflag, linestatus) facet
+    is a pushed-down filter on the parent plan; per-facet aggregates
+    are unioned back (oracle = one GROUP BY over the same cells)."""
+    from functools import reduce
+
+    from xyzpy_spark.operators.facet import facet_data
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    parts = []
+    for rv, cv, sub in facet_data(li, "l_returnflag", "l_linestatus"):
+        parts.append(
+            sub.agg(
+                F.lit(rv).alias("l_returnflag"),
+                F.lit(cv).alias("l_linestatus"),
+                F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+    return reduce(DataFrame.unionByName, parts).where(F.col("n") > 0)
+
+
+def q_estimate_from_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 convergence-driven sampling (driver loop of batch jobs;
+    rows-only: the numpy RNG stream has no SQL oracle).  Deterministic
+    for a fixed seed: the sample count and moments are pinned by the
+    seeded per-index RNG."""
+    _ship(spark)
+    from xyzpy_spark.functions.stats import estimate_from_repeats
+
+    def noisy(seed: int) -> float:
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        return float(rng.normal(loc=10.0, scale=2.0))
+
+    stats = estimate_from_repeats(
+        spark, noisy, rtol=0.01, batch_size=256, min_samples=256,
+        max_samples=4096, seed=7,
+    )
+    return spark.createDataFrame(
+        [(int(stats.count), float(round(stats.mean, 6)))],
+        "n_samples bigint, mean_estimate double",
+    )
+
+
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xyzpy_spark.pipeline.dedup import embedding_cosine_pairs
 
@@ -668,6 +722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_roundtrip": q_crop_roundtrip,
         "dedup_clusters": q_dedup_clusters,
         "sampler_run": q_sampler_run,
+        "facet_agg": q_facet_agg,
+        "estimate_repeats": q_estimate_from_repeats,
     }
 
 
@@ -979,6 +1035,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, nbr_id, rank, ROUND(cos, 6) AS cosine
             FROM ranked WHERE rank <= 5
+        """,
+        "facet_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(AVG(l_extendedprice), 6) AS avg_price,
+                   COUNT(*) AS n
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
         """,
         "dedup_clusters": r"""
             WITH RECURSIVE toks AS (

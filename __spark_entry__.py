@@ -674,6 +674,95 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) join: each click gets the value of the
+    user's most recent prior-or-simultaneous view.  Union + last-window
+    form — one shuffle on user_id (operators/temporal.asof_join)."""
+    from xyzpy_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on="ts",
+        by="user_id",
+        value_cols=["value"],
+        tiebreak=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", F.round("value", 6).alias("last_view_value")
+    )
+
+
+def q_range_follow_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: per error event, clicks by the same user in the
+    following 15 minutes (operators/temporal.range_join)."""
+    from xyzpy_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    j = range_join(
+        errors,
+        clicks,
+        on="ts",
+        by="user_id",
+        lower=F.expr("INTERVAL '0' SECOND"),
+        upper=F.expr("INTERVAL '15' MINUTE"),
+        how="left",
+    )
+    return j.groupBy("event_id", "user_id").agg(
+        F.count("r_ts").alias("n_follow"),
+        _dec_sum("r_value", "sum_follow"),
+    )
+
+
+def q_rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour + day + total in
+    ONE grouping-sets pass (operators/temporal.time_rollup)."""
+    from xyzpy_spark.operators.temporal import time_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return time_rollup(
+        ev,
+        "ts",
+        {
+            "n": F.count(F.lit(1)),
+            "sum_value": F.sum(
+                F.col("value").cast("decimal(18,2)")
+            ).cast("double"),
+        },
+        levels=("hour", "day"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum hash sampling: md5-keyed, engine- and
+    partitioning-independent (pipeline/sampling.stratified_sample)."""
+    from xyzpy_spark.pipeline.sampling import stratified_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = stratified_sample(
+        ev,
+        "event_id",
+        "event_type",
+        {"view": 0.1, "click": 0.5, "error": 1.0},
+    )
+    return out.select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -724,6 +813,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampler_run": q_sampler_run,
         "facet_agg": q_facet_agg,
         "estimate_repeats": q_estimate_from_repeats,
+        "asof_last_view": q_asof_last_view,
+        "range_follow_clicks": q_range_follow_clicks,
+        "rollup_hour_day": q_rollup_hour_day,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1082,5 +1175,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(a - b AS BIGINT) AS w
             FROM (VALUES (1), (2), (3), (4), (5)) ta(a),
                  (VALUES (10), (20), (30)) tb(b)
+        """,
+        "asof_last_view": """
+            SELECT c.event_id, c.user_id, ROUND(v.value, 6) AS last_view_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
+        "range_follow_clicks": """
+            SELECT e.event_id, e.user_id,
+                   COUNT(c.ts) AS n_follow,
+                   CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_follow
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id
+             AND c.ts > e.ts
+             AND c.ts <= e.ts + INTERVAL '15' MINUTE
+            GROUP BY e.event_id, e.user_id
+        """,
+        "rollup_hour_day": """
+            WITH t AS (
+                SELECT date_trunc('day', ts) AS d,
+                       date_trunc('hour', ts) AS h, value
+                FROM events
+            )
+            SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                        WHEN d IS NOT NULL THEN 'day'
+                        ELSE 'total' END AS level,
+                   COALESCE(h, d) AS bucket,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM t GROUP BY ROLLUP(d, h)
+        """,
+        "stratified_sample": """
+            SELECT event_id, user_id, event_type, ROUND(value, 6) AS value
+            FROM events
+            WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 8))::UBIGINT
+                  / 4294967296.0
+                  < CASE event_type WHEN 'view' THEN 0.1::DOUBLE
+                                    WHEN 'click' THEN 0.5::DOUBLE
+                                    WHEN 'error' THEN 1.0::DOUBLE
+                                    ELSE 0.0::DOUBLE END
         """,
     }

@@ -72,3 +72,67 @@ def test_pipeline_ops_avoid_python(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_asof_join_single_exchange_no_python(spark):
+    """As-of join = union + window: exactly one hash exchange on the
+    key, no non-equi join node, no Python evaluator."""
+    from xyzpy_spark.operators.temporal import asof_join
+
+    ev = read_table(spark, SF_DIR, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    q = asof_join(
+        clicks, views, on="ts", by="user_id",
+        value_cols=["value"], tiebreak=["event_id"],
+    )
+    plan = executed_plan(q)
+    assert count_exchanges(q) == 1, plan
+    assert "NestedLoop" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_time_rollup_single_pass(spark):
+    """All rollup resolutions come from ONE scan + ONE exchange
+    (Expand feeds a single partial aggregation)."""
+    from xyzpy_spark.operators.temporal import time_rollup
+
+    ev = read_table(spark, SF_DIR, "events")
+    q = time_rollup(
+        ev, "ts", {"n": F.count(F.lit(1))}, levels=("hour", "day")
+    )
+    plan = executed_plan(q)
+    assert count_exchanges(q) == 1, plan
+    assert plan.count("FileScan") == 1, plan
+    assert "Expand" in plan
+
+
+def test_hash_sample_is_shuffle_free_codegen(spark):
+    """Deterministic sampling is a pure filter: no exchange, no
+    Python, stays inside whole-stage codegen."""
+    from xyzpy_spark.pipeline.sampling import stratified_sample
+
+    ev = read_table(spark, SF_DIR, "events")
+    q = stratified_sample(
+        ev, "event_id", "event_type", {"view": 0.5, "click": 1.0}
+    )
+    plan = executed_plan(q)
+    assert not has_exchange(q), plan
+    assert "BatchEvalPython" not in plan
+    assert len(wholestage_codegen_ids(q)) >= 1
+
+
+def test_keyless_range_join_avoids_nested_loop(spark):
+    """Bucketed keyless range join must plan as a hash/SMJ equi-join
+    on the bin id, not BroadcastNestedLoopJoin."""
+    from xyzpy_spark.operators.temporal import range_join
+
+    a = spark.range(0, 1000).select(F.col("id").alias("lid"), (F.col("id") * 7 % 997).alias("t"))
+    b = spark.range(0, 1000).select(F.col("id").alias("rid"), (F.col("id") * 13 % 997).alias("t"))
+    q = range_join(a, b, on="t", lower=0, upper=20, bin_width=20)
+    plan = executed_plan(q)
+    assert "NestedLoop" not in plan, plan

@@ -1,0 +1,259 @@
+"""Temporal operators (asof_join / range_join / time_rollup) and
+deterministic sampling — verified against pandas merge_asof, naive
+non-equi joins, and per-level aggregation."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xyzpy_spark.operators.temporal import asof_join, range_join, time_rollup
+from xyzpy_spark.pipeline.sampling import (
+    hash_sample,
+    split_train_eval,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def ticks(spark):
+    """Per-key irregular numeric time series: left probes, right quotes."""
+    rng = np.random.default_rng(7)
+    n_l, n_r = 400, 300
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_l),
+            "t": rng.integers(0, 1000, n_l).astype("int64"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_r),
+            "t": rng.integers(0, 1000, n_r).astype("int64"),
+            "rid": np.arange(n_r, dtype="int64"),
+            "px": np.round(rng.normal(100, 5, n_r), 3),
+        }
+    )
+    # merge_asof needs unique right (k, t) for a deterministic answer
+    right = right.drop_duplicates(["k", "t"], keep="last")
+    return left, right
+
+
+def test_asof_join_matches_pandas_merge_asof(spark, ticks):
+    lpd, rpd = ticks
+    got = (
+        asof_join(
+            spark.createDataFrame(lpd),
+            spark.createDataFrame(rpd),
+            on="t",
+            by="k",
+            value_cols=["px", "rid"],
+            tiebreak=["rid"],
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lpd.sort_values("t"),
+        rpd.sort_values("t"),
+        on="t",
+        by="k",
+        direction="backward",
+    ).sort_values("lid").reset_index(drop=True)
+    assert len(got) == len(lpd)
+    pd.testing.assert_series_equal(
+        got["px"], exp["px"], check_names=False
+    )
+    pd.testing.assert_series_equal(
+        got["rid"].astype("float64"),
+        exp["rid"].astype("float64"),
+        check_names=False,
+    )
+
+
+def test_asof_join_strict_excludes_equal(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "t": [10, 20]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [10, 15], "v": [1.0, 2.0]})
+    )
+    loose = asof_join(
+        left, right, on="t", by="k", value_cols="v"
+    ).toPandas().sort_values("t")
+    strict = asof_join(
+        left, right, on="t", by="k", value_cols="v", strict=True
+    ).toPandas().sort_values("t")
+    assert loose["v"].tolist() == [1.0, 2.0]
+    # strict: the t=10 left row must NOT see the t=10 right row
+    assert strict["v"].isna().tolist() == [True, False]
+    assert strict["v"].tolist()[1] == 2.0
+
+
+def _naive_range_join(spark, left, right, lo, hi):
+    r = right.select(
+        *[F.col(c).alias(f"r_{c}") for c in right.columns]
+    )
+    return left.join(
+        r,
+        (F.col("r_t") > F.col("t") + F.lit(lo))
+        & (F.col("r_t") <= F.col("t") + F.lit(hi)),
+        "inner",
+    )
+
+
+def test_range_join_keyed(spark, ticks):
+    lpd, rpd = ticks
+    left, right = spark.createDataFrame(lpd), spark.createDataFrame(rpd)
+    got = (
+        range_join(left, right, on="t", by="k", lower=0, upper=50)
+        .select("lid", "r_rid")
+        .toPandas()
+        .sort_values(["lid", "r_rid"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _naive_range_join(spark, left, right, 0, 50)
+        .where(F.col("k") == F.col("r_k"))
+        .select("lid", "r_rid")
+        .toPandas()
+        .sort_values(["lid", "r_rid"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_range_join_keyless_bucketed_matches_naive(spark, ticks):
+    lpd, rpd = ticks
+    left = spark.createDataFrame(lpd[["lid", "t"]])
+    right = spark.createDataFrame(rpd[["rid", "t"]])
+    got = (
+        range_join(left, right, on="t", lower=0, upper=37, bin_width=37)
+        .select("lid", "r_rid")
+        .toPandas()
+        .sort_values(["lid", "r_rid"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        _naive_range_join(spark, left, right, 0, 37)
+        .select("lid", "r_rid")
+        .toPandas()
+        .sort_values(["lid", "r_rid"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_time_rollup_levels_match_single_pass_aggs(spark):
+    rng = np.random.default_rng(3)
+    n = 500
+    ev = pd.DataFrame(
+        {
+            "ts": pd.Timestamp("2024-03-01")
+            + pd.to_timedelta(rng.integers(0, 72 * 3600, n), unit="s"),
+            "v": np.round(rng.uniform(0, 10, n), 2),
+        }
+    )
+    df = spark.createDataFrame(ev)
+    out = time_rollup(
+        df,
+        "ts",
+        {"n": F.count(F.lit(1)), "s": F.sum(F.col("v").cast("decimal(18,2)")).cast("double")},
+        levels=("hour", "day"),
+    ).toPandas()
+
+    hours = out[out.level == "hour"]
+    days = out[out.level == "day"]
+    total = out[out.level == "total"]
+    exp_h = (
+        ev.groupby(ev.ts.dt.floor("h"))
+        .agg(n=("v", "size"), s=("v", "sum"))
+        .reset_index()
+    )
+    assert len(hours) == len(exp_h)
+    assert len(days) == ev.ts.dt.floor("d").nunique()
+    assert len(total) == 1 and total.bucket.isna().all()
+    assert int(total.n.iloc[0]) == n
+    assert hours.n.sum() == days.n.sum() == n
+    got_s = hours.sort_values("bucket").s.to_numpy()
+    np.testing.assert_allclose(
+        got_s, exp_h.sort_values("ts").s.to_numpy(), atol=1e-9
+    )
+
+
+def test_time_rollup_with_by_keys(spark):
+    ev = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(
+                ["2024-03-01 00:10", "2024-03-01 00:40", "2024-03-02 05:00"]
+            ),
+            "g": ["a", "a", "b"],
+        }
+    )
+    out = time_rollup(
+        spark.createDataFrame(ev),
+        "ts",
+        {"n": F.count(F.lit(1))},
+        levels=("day",),
+        by="g",
+    ).toPandas()
+    # day rows at full g detail, per-g totals, one grand total
+    day = out[(out.level == "day") & out.g.notna()]
+    assert set(zip(day.g, day.n)) == {("a", 2), ("b", 1)}
+    per_g_tot = out[(out.level == "total") & out.g.notna()]
+    assert set(zip(per_g_tot.g, per_g_tot.n)) == {("a", 2), ("b", 1)}
+    grand = out[(out.level == "total") & out.g.isna()]
+    assert len(grand) == 1 and int(grand.n.iloc[0]) == 3
+
+
+def test_hash_sample_deterministic_and_partition_independent(spark):
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    a = set(
+        r.k for r in hash_sample(df, "k", 0.25).collect()
+    )
+    b = set(
+        r.k
+        for r in hash_sample(df.repartition(13), "k", 0.25).collect()
+    )
+    assert a == b
+    # fraction lands near 25%
+    assert 0.23 < len(a) / 20000 < 0.27
+    # distinct salt -> a different (nearly independent) sample
+    c = set(r.k for r in hash_sample(df, "k", 0.25, salt="x").collect())
+    assert c != a
+    overlap = len(a & c) / len(a)
+    assert 0.15 < overlap < 0.35  # ~25% expected under independence
+
+
+def test_stratified_sample_fractions(spark):
+    df = (
+        spark.range(0, 30000)
+        .withColumnRenamed("id", "k")
+        .withColumn(
+            "s",
+            F.when(F.col("k") % 3 == 0, "a")
+            .when(F.col("k") % 3 == 1, "b")
+            .otherwise("c"),
+        )
+    )
+    out = (
+        stratified_sample(df, "k", "s", {"a": 1.0, "b": 0.2})
+        .groupBy("s")
+        .count()
+        .toPandas()
+        .set_index("s")["count"]
+    )
+    assert out.get("a") == 10000  # fraction 1.0 keeps everything
+    assert 1700 < out.get("b") < 2300
+    assert "c" not in out.index  # default 0.0 drops unlisted strata
+
+
+def test_split_train_eval_disjoint_complete(spark):
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    train, ev = split_train_eval(df, "k", eval_fraction=0.2)
+    nt, ne = train.count(), ev.count()
+    assert nt + ne == 10000
+    assert 1700 < ne < 2300
+    assert train.join(ev, "k", "inner").count() == 0

@@ -1,0 +1,230 @@
+"""Temporal joins and rollups — as-of join, range join, multi-resolution
+rollup.
+
+The reference is a batch parameter-sweep engine with no native temporal
+algebra; its closest analogs are coordinate-aligned merges
+(``xyzpy/manage.py`` save/merge layer) and the time-series outputs users
+sweep into datasets.  These operators supply the time-dimension queries
+a large-scale (100 TB) event/training-data pipeline needs, expressed
+Spark-first:
+
+- ``asof_join`` — "latest right row at or before each left row", the
+  point-in-time join used for feature lookup.  Implemented with the
+  union + last-value-window trick: ONE shuffle on the key, no non-equi
+  join, no per-row Python.  A sort-merge as-of would need a custom
+  physical operator; the union-window form gets the same O(n log n)
+  per-partition cost from existing codegen'd operators.
+- ``range_join`` — interval/range join (events within a window after an
+  anchor).  With equi keys it is a plain SMJ + residual predicate;
+  without keys it buckets time into range-width bins and equi-joins on
+  the bin (each left row probes exactly two bins), which is the shape
+  that avoids the O(n*m) nested-loop a raw non-equi join degenerates to.
+- ``time_rollup`` — hypertable-style multi-resolution aggregation
+  (hour/day/total) in ONE pass via ROLLUP grouping sets: partial
+  map-side aggregation at every resolution, a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["asof_join", "range_join", "time_rollup"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by,
+    value_cols,
+    tiebreak=(),
+    strict: bool = False,
+    suffix: str = "",
+) -> DataFrame:
+    """For each left row attach the most recent right row with
+    ``right.on <= left.on`` (``<`` when ``strict``), matching ``by`` keys.
+
+    Semantics match DuckDB/pandas ``ASOF LEFT JOIN`` (backward
+    direction): left rows with no prior right row keep nulls.
+
+    Plan shape: tag both sides, union, then ``last(value, ignoreNulls)``
+    over (by) ordered by (on, side-tag, tiebreak) — a single hash
+    exchange on ``by`` plus a per-partition sort.  At 100 TB this is the
+    minimal-movement plan: no broadcast of an unbounded right side, no
+    non-equi join, and AQE handles key skew by splitting oversized
+    partitions of the sort.
+
+    ``tiebreak`` columns (right side) break equal-timestamp ties
+    deterministically — required for oracle-stable output when the
+    right side can carry duplicate (by, on) pairs.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    value_cols = (
+        [value_cols] if isinstance(value_cols, str) else list(value_cols)
+    )
+    tiebreak = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak)
+
+    # right side sorts BEFORE left at equal `on` iff ties match (<=)
+    rtag, ltag = (0, 1) if not strict else (1, 0)
+
+    lcols = [c for c in left.columns]
+    l_tagged = left.select(
+        *lcols,
+        F.lit(ltag).alias("__side"),
+        *[F.lit(None).cast(right.schema[v].dataType).alias(f"__r_{v}")
+          for v in value_cols],
+        *[F.lit(None).cast(right.schema[t].dataType).alias(f"__tb_{t}")
+          for t in tiebreak],
+    )
+    r_tagged = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in by + [on] else F.col(c)
+          for c in lcols],
+        F.lit(rtag).alias("__side"),
+        *[F.col(v).alias(f"__r_{v}") for v in value_cols],
+        *[F.col(t).alias(f"__tb_{t}") for t in tiebreak],
+    )
+    unioned = l_tagged.unionByName(r_tagged)
+
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(
+            F.col(on).asc(),
+            F.col("__side").asc(),
+            *[F.col(f"__tb_{t}").asc() for t in tiebreak],
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("__side"),
+        *[
+            F.last(f"__r_{v}", ignorenulls=True)
+            .over(w)
+            .alias(f"{v}{suffix}")
+            for v in value_cols
+        ],
+    )
+    # strict mode: right rows at the same `on` sort AFTER left, so they
+    # are naturally excluded; no extra filter needed either way.
+    return carried.where(F.col("__side") == ltag).drop("__side")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    by=(),
+    lower,
+    upper,
+    bin_width=None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join right rows whose ``on`` falls in ``(left.on + lower,
+    left.on + upper]`` (half-open, exclusive lower / inclusive upper).
+
+    ``lower``/``upper`` are Column offsets (e.g.
+    ``F.expr("INTERVAL 0 SECONDS")`` / ``F.expr("INTERVAL 15 MINUTES")``)
+    or numerics for numeric ``on`` columns.
+
+    With ``by`` keys: a plain equi-join on the keys with the range as a
+    residual predicate — sort-merge on the keys, no cartesian blow-up
+    as long as per-key groups are bounded.
+
+    Without keys, a raw non-equi join is a nested loop; pass
+    ``bin_width`` (a numeric width or seconds for timestamps) to bucket
+    ``on`` into range-width bins and equi-join on the bin id: each left
+    interval spans at most ``ceil((upper-lower)/bin_width)+1`` bins, so
+    the join stays hash-based and scales linearly.  Rows are
+    deduplicated by the exact predicate afterwards.
+    """
+    from pyspark.sql import Column
+
+    by = [by] if isinstance(by, str) else list(by)
+    lo = lower if isinstance(lower, Column) else F.lit(lower)
+    hi = upper if isinstance(upper, Column) else F.lit(upper)
+
+    r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns])
+    pred = (F.col(f"r_{on}") > F.col(on) + lo) & (
+        F.col(f"r_{on}") <= F.col(on) + hi
+    )
+    if by:
+        cond = pred
+        for k in by:
+            cond = (F.col(k) == F.col(f"r_{k}")) & cond
+        return left.join(r, cond, how)
+
+    if bin_width is None:
+        return left.join(r, pred, how)
+
+    # keyless: bucket into bins of `bin_width`; each left anchor's
+    # window (on+lo, on+hi] covers a contiguous bin range
+    binw = float(bin_width)
+    l_binned = left.withColumn(
+        "__bin_lo", F.floor((F.col(on) + lo).cast("double") / binw).cast("long")
+    ).withColumn(
+        "__bin_hi", F.floor((F.col(on) + hi).cast("double") / binw).cast("long")
+    )
+    l_exploded = l_binned.withColumn(
+        "__bin", F.explode(F.sequence("__bin_lo", "__bin_hi"))
+    ).drop("__bin_lo", "__bin_hi")
+    r_binned = r.withColumn(
+        "__bin", F.floor(F.col(f"r_{on}").cast("double") / binw).cast("long")
+    )
+    joined = l_exploded.join(r_binned, ["__bin"], "inner").where(pred)
+    return joined.drop("__bin")
+
+
+def time_rollup(
+    df: DataFrame,
+    ts_col: str,
+    aggs: dict,
+    *,
+    levels=("hour", "day"),
+    by=(),
+) -> DataFrame:
+    """Multi-resolution time aggregation in ONE pass (hypertable
+    continuous-aggregate shape).
+
+    Produces one row per (level, bucket[, by...]) for every level in
+    ``levels`` plus a ``'total'`` grand-total row, using ROLLUP grouping
+    sets — Spark computes all resolutions with map-side partial
+    aggregation and a single exchange, instead of one scan+shuffle per
+    resolution.
+
+    ``aggs`` maps output column name -> Column aggregate expression.
+    Output: ``level`` (resolution name, or 'total' for per-``by`` and
+    grand totals), ``bucket`` (truncated timestamp, null at 'total'),
+    ``by`` cols (null only on the grand-total row), the aggregates.
+
+    ``by`` columns lead the ROLLUP, so every time level is at full
+    ``by`` detail and the rollup tail gives per-``by`` totals + one
+    grand total — the grouping-set order that makes the coarser levels
+    reuse the finer partial aggregates in a single exchange.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    # coarsest-first so ROLLUP's suffix-dropping yields each level
+    order = [lv for lv in ("year", "month", "week", "day", "hour", "minute")
+             if lv in levels]
+    gcols = [f"__t_{lv}" for lv in order]
+    rolled = df.withColumns(
+        {f"__t_{lv}": F.date_trunc(lv, F.col(ts_col)) for lv in order}
+    )
+    grouped = rolled.rollup(*by, *gcols).agg(
+        *[expr.alias(name) for name, expr in aggs.items()]
+    )
+    # level = finest non-null trunc (coarse -> fine, later wins)
+    finest = F.lit("total")
+    for lv in order:
+        finest = F.when(F.col(f"__t_{lv}").isNotNull(), F.lit(lv)).otherwise(
+            finest
+        )
+    bucket = F.coalesce(*[F.col(f"__t_{lv}") for lv in reversed(order)])
+    return grouped.select(
+        finest.alias("level"),
+        bucket.alias("bucket"),
+        *by,
+        *[F.col(name) for name in aggs],
+    )

@@ -1,0 +1,100 @@
+"""Deterministic sampling for training-data pipelines.
+
+The reference's sampling story is the ``Sampler`` farming class
+(``xyzpy/gen/farming.py`` — random case generation with optional
+callable distributions); this module adds the dataset-side sampling a
+100 TB corpus pipeline needs:
+
+- ``hash_sample`` — keep a deterministic pseudo-random fraction of rows
+  keyed on a stable id.  Unlike ``df.sample`` (seeded per-partition
+  RNG, resample on re-partitioning), the hash form is reproducible
+  across engines, runs, partitionings, and cluster sizes — the property
+  that makes train/eval splits stable over reprocessing.  Implemented
+  as ``md5(key) -> first 8 hex digits -> uint32 / 2^32 < fraction``:
+  pure codegen'd expressions, filter fully pushed past the scan's
+  projection, no shuffle, and the SAME rows fall in the sample when the
+  oracle (DuckDB) applies the identical arithmetic.
+- ``stratified_sample`` — per-stratum fractions (e.g. downsample the
+  dominant class, keep all rare ones) via a broadcast map over the
+  stratum column; still shuffle-free.
+- ``split_train_eval`` — disjoint deterministic splits from the same
+  hash, so train/eval never overlap even across separate runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+__all__ = ["hash_unit", "hash_sample", "stratified_sample", "split_train_eval"]
+
+_DENOM = float(1 << 32)
+
+
+def hash_unit(key: Column | str, salt: str = "") -> Column:
+    """Deterministic uniform-ish value in [0, 1) from a key column.
+
+    ``md5`` (not ``xxhash64``) so any ANSI-SQL engine reproduces the
+    exact bits: DuckDB equivalent is
+    ``('0x' || substr(md5(key || salt), 1, 8))::UBIGINT / 4294967296.0``.
+    """
+    c = F.col(key) if isinstance(key, str) else key
+    h = F.conv(
+        F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    return h / F.lit(_DENOM)
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, *, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows keyed on ``key``.
+
+    Same key -> same verdict on every run, partitioning, and engine;
+    distinct ``salt`` values give independent samples.
+    """
+    return df.where(hash_unit(key, salt) < F.lit(float(fraction)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    fractions: dict,
+    *,
+    default: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling.
+
+    ``fractions`` maps stratum value -> keep fraction; strata not
+    listed keep ``default``.  The fraction lookup is a CASE expression
+    (broadcast-free, codegen'd), the verdict is the same hash as
+    ``hash_sample`` — so a row's membership never depends on which
+    strata co-reside in its partition.
+    """
+    frac = F.lit(float(default))
+    for val, f in sorted(fractions.items(), key=lambda kv: str(kv[0])):
+        frac = F.when(
+            F.col(stratum) == F.lit(val), F.lit(float(f))
+        ).otherwise(frac)
+    return df.where(hash_unit(key, salt) < frac)
+
+
+def split_train_eval(
+    df: DataFrame,
+    key: str,
+    *,
+    eval_fraction: float = 0.1,
+    salt: str = "split",
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint (train, eval) split on the same deterministic hash.
+
+    A key is in eval iff ``hash < eval_fraction`` — complementary
+    predicates over one hash guarantee the split is a partition of the
+    input regardless of parallelism or engine.
+    """
+    u = hash_unit(key, salt)
+    thr = F.lit(float(eval_fraction))
+    return df.where(u >= thr), df.where(u < thr)

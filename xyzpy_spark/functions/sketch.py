@@ -1,0 +1,160 @@
+"""Sketch-based approximate aggregates — the 100 TB siblings of the
+exact statistics in ``functions/stats.py``.
+
+The reference computes exact statistics only (``RunningStatistics``,
+``xyzpy/utils.py:119-197``) because it targets single-node sweeps; at
+corpus scale the exact order statistics and distinct counts stop
+fitting in memory, and the mergeable-sketch versions are the standard
+substitute.  All of these are built-in JVM aggregates (HyperLogLog++,
+GK/KLL quantiles, count-min): single-pass, map-side partial, one
+shuffle, constant state per group — the properties that keep them flat
+as the input grows 1000x.
+
+Exactness contract: every function here has an exact twin used by the
+unit tests to bound the sketch error (and by the oracle-checked
+contract queries, which always use the exact forms).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "approx_distinct",
+    "approx_quantiles",
+    "frequent_items",
+    "heavy_hitters",
+]
+
+
+def approx_distinct(
+    df: DataFrame, cols, by=(), *, rsd: float = 0.02
+) -> DataFrame:
+    """HyperLogLog++ distinct counts per group (one per input col).
+
+    ``rsd`` is the target relative standard deviation (Spark default
+    0.05); 0.02 costs ~4 KB of state per (group, column) regardless of
+    cardinality — vs the unbounded hash set an exact count needs.
+    """
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    by = [by] if isinstance(by, str) else list(by)
+    aggs = [
+        F.approx_count_distinct(c, rsd=rsd).alias(f"{c}_approx_distinct")
+        for c in cols
+    ]
+    return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
+
+
+def approx_quantiles(
+    df: DataFrame,
+    var: str,
+    probabilities=(0.25, 0.5, 0.75),
+    by=(),
+    *,
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Mergeable quantile sketch per group.
+
+    ``percentile_approx`` (GK-style) gives rank error <= 1/accuracy in
+    one pass; the exact ``median``/``percentile`` used by
+    ``aggregate_over`` sorts each group.  Output: one row per group
+    with ``q_<pct>`` columns.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    probs = list(probabilities)
+    agg = F.percentile_approx(
+        var, F.array(*[F.lit(float(p)) for p in probs]), F.lit(accuracy)
+    )
+    named = [
+        F.element_at(agg, i + 1).alias(f"q_{str(p).replace('.', '_')}")
+        for i, p in enumerate(probs)
+    ]
+    return df.groupBy(*by).agg(*named) if by else df.agg(*named)
+
+
+def frequent_items(
+    df: DataFrame, col: str, by=(), *, k: int = 10
+) -> DataFrame:
+    """Exact top-k most frequent values per group.
+
+    Two-shuffle exact form: count per (group, value), then a top-k
+    window per group.  Both aggregations get map-side combine, so the
+    shuffle volume is bounded by distinct values, not rows — fine
+    whenever the value domain is sub-billion.  For unbounded domains
+    use ``heavy_hitters``.
+    """
+    from pyspark.sql import Window
+
+    by = [by] if isinstance(by, str) else list(by)
+    counts = df.groupBy(*by, col).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy(*by)
+        if by
+        else Window.partitionBy(F.lit(1))
+    ).orderBy(F.desc("n"), F.col(col).asc())
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .drop("rk")
+    )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    *,
+    threshold: float = 0.001,
+    eps: float = 0.0001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> list:
+    """Values occurring in more than ``threshold`` of rows, via a
+    count-min sketch.
+
+    Candidate generation is a deterministic hash-sample of distinct
+    values (bounded driver transfer); each candidate's frequency is
+    read from a single merged CMS built in one pass over the data —
+    overestimate-only error ``eps * n``.  Returns
+    ``[(value, est_count)]`` sorted by estimated count descending.
+
+    This is the unbounded-domain alternative to ``frequent_items``:
+    sketch state is eps/confidence-bounded, never proportional to the
+    number of distinct values.  Values are hashed as strings so the
+    driver-side probe agrees with the executor-side insert type.
+
+    Plan: one full pass builds the merged CMS (map-side partial
+    sketches, one shuffle of ~KB blobs); candidates come from a
+    row-level sample — a value with frequency > threshold lands in a
+    p-sample w.h.p. once p*n*threshold >> 1 (a value-keyed sample
+    would drop whole values and miss hitters), so the sampled-distinct
+    driver transfer is small and bounded.
+    """
+    svals = F.col(col).cast("string")
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.count_min_sketch(
+            svals, F.lit(float(eps)), F.lit(float(confidence)), F.lit(seed)
+        ).alias("cms"),
+    ).collect()[0]
+    n, blob = int(row["n"]), bytes(row["cms"])
+    if n == 0:
+        return []
+    # sample rate: expect >= ~50 sampled rows per threshold-frequency
+    # value -> miss probability (1-p)^(n*threshold) ~ e^-50
+    p = min(1.0, 50.0 / (n * threshold))
+    cands = [
+        r["v"]
+        for r in df.select(svals.alias("v"))
+        .where(F.rand(seed) < F.lit(p))
+        .distinct()
+        .collect()
+    ]
+    jvm = df.sparkSession._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(blob)
+    floor = n * threshold
+    out = [
+        (v, int(cms.estimateCount(v)))
+        for v in cands
+        if v is not None and cms.estimateCount(v) > floor
+    ]
+    return sorted(out, key=lambda t: (-t[1], str(t[0])))

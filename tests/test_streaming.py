@@ -126,3 +126,47 @@ def test_streaming_running_stats_matches_batch(
         assert r["count"] == w["count"]
         assert r["mean"] == pytest.approx(w["mean"])
         assert r["std"] == pytest.approx(w["std"])
+
+
+def test_stateful_running_stats_multi_trigger_parity(spark, events_batch, tmp_path):
+    """Explicit-state Welford across SEVERAL triggers == one-pass batch
+    statistics: split events into 4 files, feed one file per trigger,
+    take each key's LAST update."""
+    import os
+
+    from xyzpy_spark.streaming.ops import stateful_running_stats
+
+    src = str(tmp_path / "ev_parts")
+    events_batch.select("event_type", "value").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = run_stream_to_memory(
+        stateful_running_stats(stream, "value", by=("event_type",)),
+        "stateful_stats",
+        output_mode="update",
+    )
+    # update-mode sink appends one row per key per trigger that saw the
+    # key; the final state is the last row (memory sink preserves order)
+    pdf = out.toPandas()
+    final = pdf.groupby("event_type").last()
+    want = {
+        r["event_type"]: r
+        for r in events_batch.groupBy("event_type")
+        .agg(
+            F.count("value").alias("count"),
+            F.avg("value").alias("mean"),
+            F.stddev_samp("value").alias("std"),
+        )
+        .collect()
+    }
+    assert set(final.index) == set(want)
+    n_triggers = pdf.groupby("event_type").size()
+    assert (n_triggers > 1).all(), "state must be exercised across triggers"
+    for k, row in final.iterrows():
+        assert row["count"] == want[k]["count"]
+        assert abs(row["mean"] - want[k]["mean"]) < 1e-9
+        assert abs(row["std"] - want[k]["std"]) < 1e-9

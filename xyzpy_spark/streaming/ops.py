@@ -141,6 +141,74 @@ def streaming_running_stats(
     )
 
 
+def stateful_running_stats(
+    events: DataFrame, var: str = "value", by=("event_type",)
+) -> DataFrame:
+    """Custom stateful operator: per-key Welford statistics maintained
+    explicitly across triggers via ``applyInPandasWithState``.
+
+    ``streaming_running_stats`` lets Spark's agg state do this; the
+    explicit-state form is the template for operators Spark's built-in
+    aggregates CANNOT express (the reference's convergence-driven
+    ``estimate_from_repeats`` loop, ``xyzpy/utils.py:600-707``, is the
+    motivating case: the state carries (n, mean, M2) and downstream
+    logic can stop the sweep once the relative error converges).
+
+    State per key is three doubles — constant memory however long the
+    stream runs; each trigger merges its Arrow batches in numpy and
+    emits the running (count, mean, std, err) for the keys it saw.
+    """
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    by = [by] if isinstance(by, str) else list(by)
+    key_fields = ", ".join(
+        f"{c} {events.schema[c].dataType.simpleString()}" for c in by
+    )
+    out_schema = (
+        f"{key_fields}, count double, mean double, std double, err double"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            n, mean, m2 = state.get
+        else:
+            n, mean, m2 = 0.0, 0.0, 0.0
+        for pdf in pdfs:
+            xs = pdf[var].dropna().to_numpy(dtype="float64")
+            bn = float(len(xs))
+            if bn == 0.0:
+                continue
+            bmean = float(xs.mean())
+            bm2 = float(((xs - bmean) ** 2).sum())
+            # Chan et al. parallel-merge of (n, mean, M2) moments
+            delta = bmean - mean
+            tot = n + bn
+            m2 = m2 + bm2 + delta * delta * n * bn / tot
+            mean = mean + delta * bn / tot
+            n = tot
+        state.update((n, mean, m2))
+        std = math.sqrt(m2 / (n - 1)) if n > 1 else None
+        err = std / math.sqrt(n) if std is not None else None
+        yield pd.DataFrame(
+            [dict(zip(by, key)) | {
+                "count": n, "mean": mean, "std": std, "err": err,
+            }]
+        )
+
+    return events.groupBy(*by).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType="n double, mean double, m2 double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,

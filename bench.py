@@ -52,6 +52,10 @@ HEADLINE = [
     "dedup_clusters",
     "similarity_topk",
     "multimodal_meta",
+    "asof_last_view",
+    "range_follow_clicks",
+    "rollup_hour_day",
+    "stratified_sample",
 ]
 
 

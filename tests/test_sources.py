@@ -27,6 +27,7 @@ def test_register_tables(spark):
     ("parquet", {}),
     ("json", {}),
     ("csv", {"header": "true", "inferSchema": "true"}),
+    ("orc", {}),
 ])
 def test_save_load_roundtrip(spark, tmp_path, fmt, options):
     df = spark.createDataFrame(

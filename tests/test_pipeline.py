@@ -234,3 +234,52 @@ def test_decode_image_is_stubbed(spark):
         pass
     with pytest.raises(NotImplementedError, match="imaging library"):
         decode_image(df)
+
+
+def test_embedding_lsh_pairs_planted_duplicates(spark):
+    """LSH candidates + exact refine: finds planted near-dups (recall)
+    with exact precision, without the O(n^2) pair scan."""
+    import numpy as np
+    import pandas as pd
+
+    from xyzpy_spark.pipeline.dedup import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32))
+    # 40 planted pairs: vec + tiny noise -> cosine ~0.99
+    dups = base + 0.05 * rng.standard_normal((40, 32))
+    noise = rng.standard_normal((400, 32))
+    vecs = np.vstack([base, dups, noise])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs), dtype="int64"),
+         "embedding": [v.astype("float32") for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = embedding_lsh_pairs(df, threshold=0.9, n_bits=64, bands=16)
+    got_pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    exact = embedding_cosine_pairs(df, threshold=0.9)
+    exact_pairs = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert len(exact_pairs) >= 40           # the planted pairs are there
+    assert got_pairs <= exact_pairs          # refine => exact precision
+    recall = len(got_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.95, recall
+
+
+def test_embedding_lsh_buckets_shape(spark):
+    import numpy as np
+    import pandas as pd
+
+    from xyzpy_spark.pipeline.dedup import embedding_lsh_buckets
+
+    pdf = pd.DataFrame(
+        {"vec_id": [0, 1], "embedding": [[1.0, 0.0], [0.0, 1.0]]}
+    )
+    out = embedding_lsh_buckets(
+        spark.createDataFrame(pdf), n_bits=16, bands=4
+    ).toPandas()
+    assert len(out) == 8                     # bands rows per vector
+    assert set(out.band) == {0, 1, 2, 3}
+    assert (out.bucket >= 0).all() and (out.bucket < 16).all()  # 4 bits

@@ -257,3 +257,73 @@ def test_split_train_eval_disjoint_complete(spark):
     assert nt + ne == 10000
     assert 1700 < ne < 2300
     assert train.join(ev, "k", "inner").count() == 0
+
+
+# -- skew: salted joins ------------------------------------------------
+
+
+def _skew_tables(spark):
+    import pandas as pd
+
+    left = pd.DataFrame(
+        {
+            # key 0 is pathologically hot (90% of rows)
+            "k": [0] * 9000 + list(range(1, 1001)),
+            "lv": range(10000),
+        }
+    )
+    right = pd.DataFrame(
+        {"k": list(range(0, 1001)) * 3, "rv": range(3003)}
+    )
+    return spark.createDataFrame(left), spark.createDataFrame(right)
+
+
+def test_salted_join_equals_plain_join(spark):
+    from xyzpy_spark.operators.skew import salted_join
+
+    left, right = _skew_tables(spark)
+    plain = {
+        (r.k, r.lv, r.rv)
+        for r in left.join(right, "k", "inner").collect()
+    }
+    salted = {
+        (r.k, r.lv, r.rv)
+        for r in salted_join(left, right, "k", salt=8).collect()
+    }
+    assert salted == plain and len(plain) == 9000 * 3 + 3000
+
+
+def test_salted_join_hot_keys_only(spark):
+    from xyzpy_spark.operators.skew import salted_join
+
+    left, right = _skew_tables(spark)
+    hot = spark.createDataFrame([(0,)], "k long")
+    for how in ("inner", "left"):
+        plain = {
+            (r.k, r.lv, r.rv)
+            for r in left.join(right, "k", how).collect()
+        }
+        salted = {
+            (r.k, r.lv, r.rv)
+            for r in salted_join(
+                left, right, "k", salt=8, how=how, hot_keys=hot
+            ).collect()
+        }
+        assert salted == plain
+
+
+def test_salted_join_spreads_hot_key(spark):
+    """The hot key's rows must actually land on several salt values."""
+    from pyspark.sql import functions as F
+
+    from xyzpy_spark.operators.skew import salted_join  # noqa: F401  (api)
+
+    left, _ = _skew_tables(spark)
+    n_salts = (
+        left.withColumn("_salt", (F.rand(42) * 8).cast("int"))
+        .where(F.col("k") == 0)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_salts == 8

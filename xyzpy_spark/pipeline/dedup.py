@@ -220,24 +220,29 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"),
         "band", "bucket",
     )
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
     agree = F.size(
         F.filter(
             F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
             lambda eq: eq,
         )
     )
-    return (
-        cand.withColumn(
-            "est_jaccard", F.round(agree / F.lit(float(num_perm)), 6)
+    # score BEFORE deduplicating pairs: the estimate is deterministic
+    # per pair, so first() under a scalar HashAggregate replaces a
+    # SortAggregate dragging both 8*num_perm-byte signature arrays
+    # through the pair-dedup shuffle (~40x less shuffle volume, and
+    # sub-threshold candidates are filtered map-side, pre-shuffle)
+    scored = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.lit(float(num_perm)), 6).alias("est_jaccard"),
         )
         .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+    )
+    return scored.groupBy("id_a", "id_b").agg(
+        F.first("est_jaccard").alias("est_jaccard")
     )
 
 
@@ -326,15 +331,23 @@ def simhash_near_pairs(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
         "chunk", "val",
     )
-    return (
+    # verify BEFORE the pair-dedup shuffle (hamming is deterministic
+    # per pair): sub-threshold candidates never shuffle, and the dedup
+    # becomes a scalar HashAggregate instead of a SortAggregate
+    scored = (
         a.join(b, ["chunk", "val"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn(
-            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias(
+                "hamming"
+            ),
         )
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    )
+    return scored.groupBy("id_a", "id_b").agg(
+        F.first("hamming").alias("hamming")
     )
 
 

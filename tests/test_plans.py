@@ -136,3 +136,28 @@ def test_keyless_range_join_avoids_nested_loop(spark):
     q = range_join(a, b, on="t", lower=0, upper=20, bin_width=20)
     plan = executed_plan(q)
     assert "NestedLoop" not in plan, plan
+
+
+def test_lsh_pair_dedup_avoids_signature_shuffle(spark):
+    """MinHash/SimHash pair scoring must happen before the pair-dedup
+    aggregation: the plan carries only (id_a, id_b, score) through the
+    exchange (HashAggregate, not a SortAggregate dragging signature
+    arrays), and the threshold filter sits inside the bucket join so
+    sub-threshold candidates never shuffle."""
+    from xyzpy_spark.pipeline.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents")
+    for pairs in [
+        minhash_lsh_pairs(docs, num_perm=16, bands=4, threshold=0.4),
+        simhash_near_pairs(docs, max_hamming=3),
+    ]:
+        plan = executed_plan(pairs)
+        assert "SortAggregate" not in plan
+        assert "HashAggregate" in plan
+        # no signature column survives past the join projection into
+        # the exchange
+        agg_part = plan.split("Exchange", 1)[0]
+        assert "sig_a" not in agg_part and "sig_b" not in agg_part

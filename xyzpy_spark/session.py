@@ -46,6 +46,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Timestamps in testdata are ns-precision; keep them faithful.
         .config("spark.sql.session.timeZone", "UTC")
+        # pandas-written parquet carries INT64 TIMESTAMP(NANOS) which
+        # Spark 4 refuses by default; accept as int64 up front so the
+        # first events.parquet read doesn't burn a failed schema job
+        # (sources.read_table rebuilds proper timestamp_ntz columns).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Quieter local runs.
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))

@@ -746,6 +746,50 @@ def q_rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key salted join (operators/skew.salted_join): revenue by
+    order priority through a join whose hottest lineitem orderkeys are
+    spread over 8 synthetic sub-keys.  The oracle is the PLAIN join —
+    salting must be invisible in the result."""
+    from xyzpy_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    hot = (
+        li.groupBy("k")
+        .count()
+        .orderBy(F.desc("count"), "k")
+        .limit(100)
+        .select("k")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    return (
+        salted_join(li, orders, "k", salt=8, hot_keys=hot)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(rev).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-quadratic embedding near-dup pairs: random-hyperplane LSH
+    candidates + exact cosine refine (pipeline/dedup.embedding_lsh_pairs).
+    Probabilistic recall -> no SQL oracle (rows-only check);
+    recall vs the exact all-pairs twin is asserted in test_pipeline."""
+    from xyzpy_spark.pipeline.dedup import embedding_lsh_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_lsh_pairs(emb, threshold=0.4, bands=16)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum hash sampling: md5-keyed, engine- and
     partitioning-independent (pipeline/sampling.stratified_sample)."""
@@ -817,6 +861,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_follow_clicks": q_range_follow_clicks,
         "rollup_hour_day": q_rollup_hour_day,
         "stratified_sample": q_stratified_sample,
+        "skew_salted_revenue": q_skew_salted_revenue,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
     }
 
 
@@ -1216,5 +1262,12 @@ def oracle_sql() -> dict[str, str]:
                                     WHEN 'click' THEN 0.5::DOUBLE
                                     WHEN 'error' THEN 1.0::DOUBLE
                                     ELSE 0.0::DOUBLE END
+        """,
+        "skew_salted_revenue": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
         """,
     }

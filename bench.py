@@ -49,9 +49,11 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "dedup_clusters",
     "similarity_topk",
     "multimodal_meta",
+    "skew_salted_revenue",
     "asof_last_view",
     "range_follow_clicks",
     "rollup_hour_day",

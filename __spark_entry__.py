@@ -746,6 +746,23 @@ def q_rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition signals (pipeline/text.add_repetition):
+    repeated-token / top-token / top-bigram / repeated-line fractions,
+    map-only at scan speed."""
+    from xyzpy_spark.pipeline.text import add_repetition
+
+    docs = _t(spark, sf_dir, "documents")
+    return add_repetition(docs).select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "top_token_frac",
+        "top_bigram_frac",
+        "dup_line_frac",
+    )
+
+
 def q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key salted join (operators/skew.salted_join): revenue by
     order priority through a join whose hottest lineitem orderkeys are
@@ -863,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "skew_salted_revenue": q_skew_salted_revenue,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "text_repetition": q_text_repetition,
     }
 
 
@@ -1269,5 +1287,39 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority
+        """,
+        "text_repetition": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       list_filter(
+                           list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)),
+                           x -> x <> '') AS lines
+                FROM documents
+            ), b AS (
+                SELECT doc_id, toks, lines, len(toks) AS n,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1]) AS bg
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n AS INTEGER) AS n_tokens,
+                   FLOOR((n - len(list_distinct(toks)))
+                         / NULLIF(CAST(n AS DOUBLE), 0) * 1e6 + 0.5)/1e6
+                       AS dup_token_frac,
+                   FLOOR(list_max(list_transform(list_distinct(toks),
+                             g -> len(list_filter(toks, x -> x = g))))
+                         / NULLIF(CAST(n AS DOUBLE), 0) * 1e6 + 0.5)/1e6
+                       AS top_token_frac,
+                   CASE WHEN n >= 2 THEN
+                       FLOOR(list_max(list_transform(list_distinct(bg),
+                                 g -> len(list_filter(bg, x -> x = g))))
+                             / CAST(n - 1 AS DOUBLE) * 1e6 + 0.5)/1e6
+                   END AS top_bigram_frac,
+                   FLOOR((len(lines) - len(list_distinct(lines)))
+                         / NULLIF(CAST(len(lines) AS DOUBLE), 0) * 1e6 + 0.5)/1e6
+                       AS dup_line_frac
+            FROM b
         """,
     }

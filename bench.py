@@ -44,6 +44,7 @@ HEADLINE = [
     "text_quality",
     "text_langid",
     "text_fingerprint",
+    "text_repetition",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

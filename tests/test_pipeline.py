@@ -283,3 +283,38 @@ def test_embedding_lsh_buckets_shape(spark):
     assert len(out) == 8                     # bands rows per vector
     assert set(out.band) == {0, 1, 2, 3}
     assert (out.bucket >= 0).all() and (out.bucket < 16).all()  # 4 bits
+
+
+def test_add_repetition_signals(spark):
+    from xyzpy_spark.pipeline.text import add_repetition
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigram "a b" 3x of 5 bigrams
+            (2, "x y z w"),           # no repetition
+            (3, "l1\nl2\nl1"),       # one duplicated line
+            (4, "solo"),              # single token: no bigrams
+        ],
+        "id long, text string",
+    )
+    rows = {r.id: r for r in add_repetition(df).collect()}
+    assert rows[1].dup_token_frac == pytest.approx(4 / 6)
+    assert rows[1].top_token_frac == pytest.approx(0.5)
+    assert rows[1].top_bigram_frac == pytest.approx(0.6)
+    assert rows[2].dup_token_frac == 0.0
+    assert rows[2].top_token_frac == pytest.approx(0.25)
+    assert rows[3].dup_line_frac == pytest.approx(1 / 3)
+    assert rows[4].top_bigram_frac is None
+    assert rows[4].dup_line_frac == 0.0
+
+
+def test_add_repetition_stays_map_only(spark):
+    from xyzpy_spark.pipeline.text import add_repetition
+    from xyzpy_spark.plans.inspect import executed_plan, has_exchange
+    from xyzpy_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    out = add_repetition(docs)
+    assert not has_exchange(out)
+    plan = executed_plan(out)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

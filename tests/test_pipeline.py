@@ -318,3 +318,57 @@ def test_add_repetition_stays_map_only(spark):
     assert not has_exchange(out)
     plan = executed_plan(out)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -- export: deterministic training shards -----------------------------
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    import os
+
+    from xyzpy_spark.pipeline.export import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "corpus")
+    write_training_shards(df, out, key="id", n_shards=8)
+
+    # 8 shard dirs, one data file each (single task per shard)
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(dirs) == 8
+    for d in dirs:
+        files = [
+            f
+            for f in os.listdir(os.path.join(out, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1
+
+    back = read_training_shards(spark, out)
+    assert back.count() == 1000
+    assert {r.id for r in back.collect()} == set(range(1000))
+
+
+def test_training_shards_deterministic_and_pruned(spark, tmp_path):
+    from xyzpy_spark.pipeline.export import (
+        read_training_shards,
+        write_training_shards,
+    )
+    from xyzpy_spark.plans.inspect import executed_plan
+
+    df = spark.range(500).withColumn("v", F.col("id") + 1)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    # second export from a differently-partitioned input
+    write_training_shards(df, a, key="id", n_shards=4)
+    write_training_shards(df.repartition(13), b, key="id", n_shards=4)
+    for shard in range(4):
+        ra = read_training_shards(spark, a, shards=[shard])
+        rb = read_training_shards(spark, b, shards=[shard])
+        # same rows, same intra-shard order, regardless of input layout
+        assert [r.id for r in ra.collect()] == [r.id for r in rb.collect()]
+    # shard selection prunes at the source, not post-scan
+    plan = executed_plan(read_training_shards(spark, a, shards=[2]))
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "shard" in pf and "= 2" in pf

@@ -2,6 +2,7 @@ from .text import (
     add_fingerprint,
     add_language_id,
     add_quality,
+    add_repetition,
     add_token_count,
     tokenize,
 )
@@ -14,10 +15,12 @@ from .dedup import (
     simhash_64,
     simhash_near_pairs,
 )
+from .export import read_training_shards, write_training_shards
 from .similarity import cosine_topk, ivf_build, ivf_topk
 
 __all__ = [
     "add_fingerprint",
+    "add_repetition",
     "add_language_id",
     "add_quality",
     "add_token_count",
@@ -32,4 +35,6 @@ __all__ = [
     "cosine_topk",
     "ivf_build",
     "ivf_topk",
+    "read_training_shards",
+    "write_training_shards",
 ]

@@ -170,3 +170,21 @@ def test_stateful_running_stats_multi_trigger_parity(spark, events_batch, tmp_pa
         assert row["count"] == want[k]["count"]
         assert abs(row["mean"] - want[k]["mean"]) < 1e-9
         assert abs(row["std"] - want[k]["std"]) < 1e-9
+
+
+def test_dedup_stream_drops_duplicate_arrivals(spark, events_batch, events_stream):
+    from xyzpy_spark.streaming.ops import dedup_stream
+
+    # at-least-once delivery: every event arrives twice
+    doubled = events_stream.union(events_stream)
+    out = run_stream_to_memory(
+        dedup_stream(doubled, keys="event_id", watermark="1 hour"),
+        "dedup_stream_t",
+        output_mode="append",
+    )
+    n_unique = events_batch.select("event_id").distinct().count()
+    assert out.count() == n_unique
+    # every key exactly once
+    assert (
+        out.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
+    )

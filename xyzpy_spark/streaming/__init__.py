@@ -1,4 +1,5 @@
 from .ops import (
+    dedup_stream,
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
@@ -7,6 +8,7 @@ from .ops import (
 )
 
 __all__ = [
+    "dedup_stream",
     "read_events_stream",
     "run_stream_to_memory",
     "sessionize_stream",

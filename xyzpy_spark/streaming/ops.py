@@ -209,6 +209,28 @@ def stateful_running_stats(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    *,
+    keys=("event_id",),
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each key.
+
+    Ingest pipelines see duplicates constantly (at-least-once sources,
+    retried uploads); ``dropDuplicatesWithinWatermark`` keeps per-key
+    state only until the watermark passes, so state is bounded by the
+    dedup horizon rather than the stream's lifetime — the property
+    that makes exact dedup feasible on an unbounded 100 TB/day feed.
+    Batch twin: ``pipeline.dedup.dedup_exact`` (full-history dedup).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,

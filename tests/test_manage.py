@@ -95,3 +95,37 @@ def test_benchmarker(spark):
     exps = {r["kernel"]: r["exponent"] for r in b.scaling().collect()}
     assert exps["quad"] > exps["lin"]
     assert exps["quad"] > 1.5  # ~2
+
+
+def test_compact_table_reduces_files_and_keeps_rows(spark, tmp_path):
+    import os
+
+    from xyzpy_spark.manage import compact_table
+
+    path = str(tmp_path / "store")
+    # simulate many small appends
+    spark.range(0, 5000).withColumnRenamed("id", "k").repartition(
+        40
+    ).write.parquet(path)
+    n_before = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    assert n_before >= 40
+    n = compact_table(spark, path, target_file_mb=128, sort_by="k")
+    files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(files) == n == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 5000
+    assert back.agg({"k": "min"}).first()[0] == 0
+
+
+def test_compact_table_preserves_attrs(spark, tmp_path):
+    from xyzpy_spark.farming import _publish_parquet, load_attrs
+    from xyzpy_spark.manage import compact_table
+
+    path = str(tmp_path / "store")
+    _publish_parquet(
+        spark.range(100).repartition(10), path, {"note": "hello"}
+    )
+    compact_table(spark, path, target_file_mb=64)
+    assert load_attrs(path).get("note") == "hello"

@@ -144,3 +144,46 @@ def auto_xyz_df(spark: SparkSession, x, y, z=None) -> DataFrame:
         for j, xv in enumerate(x)
     ]
     return spark.createDataFrame(rows, ["z", "x", "y"])
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 128,
+    sort_by=None,
+) -> int:
+    """Rewrite a parquet table into ~``target_file_mb`` files.
+
+    Long-running stores accumulate small files — every harvest top-up,
+    streaming micro-batch, or incremental append adds a few — and at
+    cluster scale the resulting per-file open/footer overhead dominates
+    scan time long before the data itself does.  Compaction is the
+    standard maintenance pass: coalesce to ``ceil(bytes/target)`` files
+    (optionally re-sorted so range predicates prune row groups) and
+    republish atomically via the write-audit-publish swap used by the
+    harvest stores.
+
+    Returns the new file count.
+    """
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+    attrs = load_attrs(path) or None
+    if sort_by is not None:
+        sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        # one range shuffle gives globally sorted output: min/max row-
+        # group stats become disjoint, so predicate pushdown on the
+        # sort key prunes whole files
+        df = df.repartitionByRange(int(n_files), *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        df = df.coalesce(int(n_files))
+    _publish_parquet(df, path, attrs)
+    return int(n_files)

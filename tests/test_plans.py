@@ -161,3 +161,29 @@ def test_lsh_pair_dedup_avoids_signature_shuffle(spark):
         # the exchange
         agg_part = plan.split("Exchange", 1)[0]
         assert "sig_a" not in agg_part and "sig_b" not in agg_part
+
+
+def test_bucketed_join_skips_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count
+    must sort-merge join with ZERO exchanges — the write-once,
+    join-many layout for repeated harvest/dedup joins."""
+    from xyzpy_spark.sources.tables import save_bucketed
+
+    a = spark.range(0, 10000).withColumn("va", F.col("id") * 2)
+    b = spark.range(0, 10000).withColumn("vb", F.col("id") + 7)
+    save_bucketed(a, "bkt_a", buckets=8, by="id", path=str(tmp_path / "a"))
+    save_bucketed(b, "bkt_b", buckets=8, by="id", path=str(tmp_path / "b"))
+    try:
+        ta, tb = spark.table("bkt_a"), spark.table("bkt_b")
+        with_conf = spark.conf
+        old = with_conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with_conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = ta.join(tb, "id")
+            assert not has_exchange(j)
+            assert j.count() == 10000
+        finally:
+            with_conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")

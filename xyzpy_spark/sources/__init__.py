@@ -1,3 +1,9 @@
-from .tables import read_table, register_tables
+from .tables import read_table, register_tables, save_bucketed, save_df, load_df
 
-__all__ = ["read_table", "register_tables"]
+__all__ = [
+    "read_table",
+    "register_tables",
+    "save_bucketed",
+    "save_df",
+    "load_df",
+]

@@ -77,3 +77,38 @@ def save_df(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
 def load_df(spark: SparkSession, path: str, fmt: str = "parquet", **options) -> DataFrame:
     """Read a result table (reference ``load_df``, ``manage.py:434-453``)."""
     return spark.read.format(fmt).options(**options).load(path)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    buckets: int,
+    by,
+    sorted_by=None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as a bucketed (and bucket-sorted) managed table.
+
+    Bucketing pre-shuffles the data ONCE at write time: every join or
+    aggregation on the bucket key thereafter is co-located, so the
+    repeated joins of a harvest/dedup workload skip their exchanges
+    entirely (asserted in tests/test_plans.py).  Both sides of a join
+    must use the same key and bucket count.  Requires ``saveAsTable``
+    (bucket metadata lives in the catalog, not the files).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    sorted_by = (
+        by
+        if sorted_by is None
+        else [sorted_by]
+        if isinstance(sorted_by, str)
+        else list(sorted_by)
+    )
+    writer = (
+        df.write.mode(mode).bucketBy(buckets, *by).sortBy(*sorted_by)
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)

@@ -327,3 +327,21 @@ def test_salted_join_spreads_hot_key(spark):
         .count()
     )
     assert n_salts == 8
+
+
+def test_hot_keys_feeds_salted_join(spark):
+    from xyzpy_spark.operators.skew import hot_keys, salted_join
+
+    left, right = _skew_tables(spark)
+    hot = hot_keys(left, "k", threshold=0.05)
+    got = [r.k for r in hot.collect()]
+    assert got == [0]  # only the 90% key crosses 5%
+    assert dict(hot.dtypes)["k"] == "bigint"  # type preserved
+    plain = {
+        (r.k, r.lv, r.rv) for r in left.join(right, "k").collect()
+    }
+    salted = {
+        (r.k, r.lv, r.rv)
+        for r in salted_join(left, right, "k", salt=8, hot_keys=hot).collect()
+    }
+    assert salted == plain

@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["salted_join"]
+__all__ = ["hot_keys", "salted_join"]
 
 
 def salted_join(
@@ -83,3 +83,37 @@ def salted_join(
         "_salts"
     )
     return l_salted.join(r_exploded, on + ["_salt"], how).drop("_salt")
+
+
+def hot_keys(
+    df: DataFrame,
+    col: str,
+    *,
+    threshold: float = 0.001,
+    **sketch_kwargs,
+) -> DataFrame:
+    """The keys worth salting: values of ``col`` exceeding ``threshold``
+    frequency, as a small type-preserving DataFrame.
+
+    Bridges :func:`~xyzpy_spark.functions.sketch.heavy_hitters` (one
+    CMS pass, KB-sized state) to :func:`salted_join`'s ``hot_keys``
+    argument::
+
+        salted_join(big, big2, "user_id",
+                    hot_keys=hot_keys(big, "user_id"))
+
+    The sketch identifies hitter values as strings; a filtered
+    ``distinct`` over the original column recovers them in the
+    column's own type so the downstream join keys line up.
+    """
+    from ..functions.sketch import heavy_hitters
+
+    hitters = heavy_hitters(df, col, threshold=threshold, **sketch_kwargs)
+    strs = [v for v, _ in hitters]
+    if not strs:
+        return df.select(col).limit(0)
+    return (
+        df.select(col)
+        .where(F.col(col).cast("string").isin(strs))
+        .distinct()
+    )

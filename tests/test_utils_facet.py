@@ -105,3 +105,21 @@ def test_accessor_union_grid(spark):
     )
     dense = xyz(df).union_grid(["a", "b"], ["x"])
     assert dense.count() == 4
+
+
+def test_accessor_corpus_pipeline_chain(spark):
+    from xyzpy_spark.accessor import xyz
+    from xyzpy_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    out = (
+        xyz(docs)
+        .quality()
+        .repetition()
+        .hash_sample("doc_id", 0.5)
+        .df
+    )
+    cols = set(out.columns)
+    assert {"quality", "top_bigram_frac", "dup_token_frac"} <= cols
+    n = out.count()
+    assert 0 < n < docs.count()

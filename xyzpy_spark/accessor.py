@@ -98,6 +98,42 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(xy_points(self.df, x, y, **kw))
 
+    # -- corpus pipeline (beyond-reference extensions) -------------------
+    def quality(self, text_col: str = "text") -> "xyz":
+        from .pipeline.text import add_quality
+
+        return self._wrap(add_quality(self.df, text_col))
+
+    def repetition(self, text_col: str = "text") -> "xyz":
+        from .pipeline.text import add_repetition
+
+        return self._wrap(add_repetition(self.df, text_col))
+
+    def token_count(self, text_col: str = "text") -> "xyz":
+        from .pipeline.text import add_token_count
+
+        return self._wrap(add_token_count(self.df, text_col))
+
+    def language_id(self, text_col: str = "text") -> "xyz":
+        from .pipeline.text import add_language_id
+
+        return self._wrap(add_language_id(self.df, text_col))
+
+    def fingerprint(self, text_col: str = "text") -> "xyz":
+        from .pipeline.text import add_fingerprint
+
+        return self._wrap(add_fingerprint(self.df, text_col))
+
+    def dedup_exact(self, **kw) -> "xyz":
+        from .pipeline.dedup import dedup_exact
+
+        return self._wrap(dedup_exact(self.df, **kw))
+
+    def hash_sample(self, key, fraction, **kw) -> "xyz":
+        from .pipeline.sampling import hash_sample
+
+        return self._wrap(hash_sample(self.df, key, fraction, **kw))
+
     # -- passthrough -----------------------------------------------------
     def __getattr__(self, name):
         attr = getattr(self.df, name)

@@ -763,6 +763,18 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style rule-stack corpus filter
+    (pipeline/text.filter_corpus): length + quality + repetition gates
+    composed in one map-only scan."""
+    from xyzpy_spark.pipeline.text import filter_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return filter_corpus(
+        docs, min_tokens=20, min_quality=0.5, max_top_bigram_frac=0.12
+    ).select("doc_id", "n_tokens", "quality", "top_bigram_frac")
+
+
 def q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key salted join (operators/skew.salted_join): revenue by
     order priority through a join whose hottest lineitem orderkeys are
@@ -881,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_revenue": q_skew_salted_revenue,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_repetition": q_text_repetition,
+        "filter_corpus": q_filter_corpus,
     }
 
 
@@ -1321,5 +1334,41 @@ def oracle_sql() -> dict[str, str]:
                          / NULLIF(CAST(len(lines) AS DOUBLE), 0) * 1e6 + 0.5)/1e6
                        AS dup_line_frac
             FROM b
+        """,
+        "filter_corpus": """
+            WITH m AS (
+                SELECT doc_id,
+                       len(text) AS n_chars,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+                FROM documents
+            ), bg AS (
+                SELECT doc_id, n_chars, toks, n_punct,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+                FROM m
+            ), r AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       FLOOR(n_punct / GREATEST(n_chars, 1) * 1e6 + 0.5)/1e6 AS punct_ratio,
+                       FLOOR(len(list_filter(toks,
+                             t -> list_contains(['the','a','and','of','to','in','is','it'], t)))
+                             / GREATEST(len(toks), 1) * 1e6 + 0.5)/1e6 AS stopword_ratio,
+                       FLOOR(list_max(list_transform(list_distinct(bigrams),
+                                 g -> len(list_filter(bigrams, x -> x = g))))
+                             / CAST(len(toks) - 1 AS DOUBLE) * 1e6 + 0.5)/1e6
+                           AS top_bigram_frac
+                FROM bg
+            ), q AS (
+                SELECT doc_id, n_tokens, top_bigram_frac,
+                       FLOOR((LEAST(n_tokens / 64.0, 1.0) * 0.5
+                              + LEAST(stopword_ratio * 5, 1.0) * 0.3
+                              + (1 - LEAST(punct_ratio * 10, 1.0)) * 0.2)
+                             * 1e6 + 0.5)/1e6 AS quality
+                FROM r
+            )
+            SELECT doc_id, n_tokens, quality, top_bigram_frac
+            FROM q
+            WHERE n_tokens >= 20 AND quality >= 0.5
+              AND top_bigram_frac <= 0.12
         """,
     }

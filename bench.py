@@ -45,6 +45,7 @@ HEADLINE = [
     "text_langid",
     "text_fingerprint",
     "text_repetition",
+    "filter_corpus",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

@@ -372,3 +372,26 @@ def test_training_shards_deterministic_and_pruned(spark, tmp_path):
     plan = executed_plan(read_training_shards(spark, a, shards=[2]))
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "shard" in pf and "= 2" in pf
+
+
+def test_filter_corpus_gates(spark):
+    from xyzpy_spark.pipeline.text import filter_corpus
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and it is a fine day to nap"),
+            (2, "buy buy buy buy buy buy buy buy buy buy buy buy"),
+            (3, "ok"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = filter_corpus(
+        df, min_tokens=5, max_top_bigram_frac=0.5, min_quality=0.2
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    assert 1 in ids          # normal prose survives
+    assert 2 not in ids      # keyword stuffing: top bigram ~100%
+    assert 3 not in ids      # too short
+    # lang gate composes
+    en_only = filter_corpus(df, min_tokens=5, langs=["en"])
+    assert {r.doc_id for r in en_only.collect()} == {1}

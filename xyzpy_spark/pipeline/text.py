@@ -206,3 +206,46 @@ def add_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
             safe(n_lines - F.size(F.array_distinct(lines)), n_lines),
         )
     )
+
+
+def filter_corpus(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_tokens: int | None = None,
+    max_tokens: int | None = None,
+    min_quality: float | None = None,
+    max_punct_ratio: float | None = None,
+    max_top_bigram_frac: float | None = None,
+    max_dup_line_frac: float | None = None,
+    langs=None,
+) -> DataFrame:
+    """One-pass corpus filter composing the quality/repetition/lang
+    signals (C4/Gopher-style rule stack).
+
+    Every gate left ``None`` is skipped.  All signals are map-only
+    column arithmetic computed in the same scan, so the full rule
+    stack filters a 100 TB corpus at scan speed; rows keep their
+    signal columns for downstream auditing.
+    """
+    out = add_quality(df, text_col)
+    out = add_repetition(out, text_col)
+    cond = F.lit(True)
+    if min_tokens is not None:
+        cond &= F.col("n_tokens") >= min_tokens
+    if max_tokens is not None:
+        cond &= F.col("n_tokens") <= max_tokens
+    if min_quality is not None:
+        cond &= F.col("quality") >= min_quality
+    if max_punct_ratio is not None:
+        cond &= F.col("punct_ratio") <= max_punct_ratio
+    if max_top_bigram_frac is not None:
+        cond &= F.col("top_bigram_frac") <= max_top_bigram_frac
+    if max_dup_line_frac is not None:
+        cond &= F.coalesce(F.col("dup_line_frac"), F.lit(0.0)) <= (
+            max_dup_line_frac
+        )
+    if langs is not None:
+        out = add_language_id(out, text_col)
+        cond &= F.col("lang_pred").isin(list(langs))
+    return out.where(cond)

@@ -308,16 +308,30 @@ def test_add_repetition_signals(spark):
     assert rows[4].dup_line_frac == 0.0
 
 
-def test_add_repetition_stays_map_only(spark):
+def test_add_repetition_strategies_agree(spark):
+    """Explode path (id present) and map-only path (id_col=None) must
+    produce identical signal values."""
     from xyzpy_spark.pipeline.text import add_repetition
     from xyzpy_spark.plans.inspect import executed_plan, has_exchange
     from xyzpy_spark.sources.tables import read_table
 
     docs = read_table(spark, "/root/testdata/sf0.001", "documents")
-    out = add_repetition(docs)
-    assert not has_exchange(out)
-    plan = executed_plan(out)
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    cols = [
+        "doc_id", "n_tokens", "dup_token_frac", "top_token_frac",
+        "top_bigram_frac", "dup_line_frac",
+    ]
+    fast = {tuple(r) for r in add_repetition(docs).select(cols).collect()}
+    slow = {
+        tuple(r)
+        for r in add_repetition(docs, id_col=None).select(cols).collect()
+    }
+    assert fast == slow
+    # map-only path: zero exchanges; both paths: no Python
+    maponly = add_repetition(docs, id_col=None)
+    assert not has_exchange(maponly)
+    for q in (maponly, add_repetition(docs)):
+        plan = executed_plan(q)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 # -- export: deterministic training shards -----------------------------

@@ -124,6 +124,11 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(add_fingerprint(self.df, text_col))
 
+    def filter_corpus(self, **kw) -> "xyz":
+        from .pipeline.text import filter_corpus
+
+        return self._wrap(filter_corpus(self.df, **kw))
+
     def dedup_exact(self, **kw) -> "xyz":
         from .pipeline.dedup import dedup_exact
 

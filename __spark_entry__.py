@@ -775,6 +775,16 @@ def q_filter_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_tokens", "quality", "top_bigram_frac")
 
 
+def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k bigrams with document frequencies
+    (pipeline/text.corpus_top_ngrams): corpus-statistics pass for
+    boilerplate and contamination analysis."""
+    from xyzpy_spark.pipeline.text import corpus_top_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_top_ngrams(docs, n=2, k=20)
+
+
 def q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hot-key salted join (operators/skew.salted_join): revenue by
     order priority through a join whose hottest lineitem orderkeys are
@@ -894,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_repetition": q_text_repetition,
         "filter_corpus": q_filter_corpus,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
     }
 
 
@@ -1370,5 +1381,24 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             WHERE n_tokens >= 20 AND quality >= 0.5
               AND top_bigram_frac <= 0.12
+        """,
+        "corpus_top_ngrams": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)),
+                              i -> toks[i] || ' ' || toks[i+1])) AS ngram
+                FROM t
+            )
+            SELECT ngram,
+                   COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM g
+            GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram
+            LIMIT 20
         """,
     }

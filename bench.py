@@ -46,6 +46,7 @@ HEADLINE = [
     "text_fingerprint",
     "text_repetition",
     "filter_corpus",
+    "corpus_top_ngrams",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",

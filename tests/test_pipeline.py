@@ -409,3 +409,16 @@ def test_filter_corpus_gates(spark):
     # lang gate composes
     en_only = filter_corpus(df, min_tokens=5, langs=["en"])
     assert {r.doc_id for r in en_only.collect()} == {1}
+
+
+def test_corpus_top_ngrams(spark):
+    from xyzpy_spark.pipeline.text import corpus_top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b x"), (3, "zz yy")],
+        "doc_id long, text string",
+    )
+    rows = corpus_top_ngrams(df, n=2, k=3).collect()
+    assert (rows[0].ngram, rows[0].n_occurrences, rows[0].n_docs) == ("a b", 3, 2)
+    # deterministic tie-break: alphabetical among count-1 bigrams
+    assert [r.ngram for r in rows[1:]] == sorted(r.ngram for r in rows[1:])

@@ -318,3 +318,45 @@ def filter_corpus(
         out = add_language_id(out, text_col)
         cond &= F.col("lang_pred").isin(list(langs))
     return out.where(cond)
+
+
+def corpus_top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    *,
+    text_col: str = "text",
+    id_col: str | None = "doc_id",
+) -> DataFrame:
+    """Global top-``k`` token ``n``-grams with document frequencies.
+
+    The corpus-statistics companion to the per-document repetition
+    signals: surfaces boilerplate phrases and contamination candidates
+    across the whole corpus.  Explode → two-level hash aggregation —
+    count and document-count per n-gram are map-side combined, the
+    final top-k is a single ordered limit on the aggregated (tiny)
+    result.  Deterministic tie-break on the n-gram itself.
+    """
+    toks = tokenize(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(n)]
+        ),
+    )
+    if id_col is not None and id_col in df.columns:
+        with_id = df.select(F.col(id_col).alias("__doc"), F.col(text_col))
+    else:
+        # assign BEFORE the explode — a mono-id inside the generate
+        # projection would stamp every n-gram occurrence separately
+        with_id = df.withColumn("__doc", F.monotonically_increasing_id())
+    return (
+        with_id.select("__doc", F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("__doc").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(k)
+    )

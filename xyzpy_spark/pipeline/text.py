@@ -8,7 +8,7 @@ path), so they stream through a 100 TB corpus at scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _round_det(col, places: int = 6) -> F.Column:
@@ -244,17 +244,25 @@ def add_repetition(
         .withColumn("dup_token_frac", _safe_frac(n_tok - n_dist, n_tok))
         .withColumn("dup_line_frac", _dup_line_frac(text))
     )
-    toks_by_id = df.select(F.col(id_col), tokenize(F.col(text_col)).alias("__toks"))
+    # posexplode + lead-window bigrams: a transform() lambda building
+    # bigram arrays is interpreted (~10us/element, 6x slower measured);
+    # every step here is codegen, and the window shuffle also restores
+    # parallelism when the input is a single small file split
+    tok_rows = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("__pos", "__t"),
+    )
     top_tok = (
-        toks_by_id.select(id_col, F.explode("__toks").alias("__t"))
-        .groupBy(id_col, "__t")
+        tok_rows.groupBy(id_col, "__t")
         .count()
         .groupBy(id_col)
         .agg(F.max("count").alias("__top_tok"))
     )
+    w = Window.partitionBy(id_col).orderBy("__pos")
     top_bg = (
-        toks_by_id.where(F.size("__toks") >= 2)
-        .select(id_col, F.explode(_bigrams(F.col("__toks"))).alias("__b"))
+        tok_rows.withColumn("__nxt", F.lead("__t").over(w))
+        .where(F.col("__nxt").isNotNull())
+        .select(id_col, F.concat_ws(" ", "__t", "__nxt").alias("__b"))
         .groupBy(id_col, "__b")
         .count()
         .groupBy(id_col)
@@ -337,25 +345,40 @@ def corpus_top_ngrams(
     final top-k is a single ordered limit on the aggregated (tiny)
     result.  Deterministic tie-break on the n-gram itself.
     """
-    toks = tokenize(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(n)]
-        ),
-    )
     if id_col is not None and id_col in df.columns:
         with_id = df.select(F.col(id_col).alias("__doc"), F.col(text_col))
     else:
         # assign BEFORE the explode — a mono-id inside the generate
         # projection would stamp every n-gram occurrence separately
         with_id = df.withColumn("__doc", F.monotonically_increasing_id())
+    # posexplode + lead-window n-gram assembly (all codegen; a
+    # transform() lambda building the n-gram array is interpreted and
+    # 6x slower measured), then two-level aggregation instead of
+    # count(distinct) — per-(doc, ngram) pre-aggregation is map-side
+    # combinable and avoids the Expand double-scan of a distinct agg
+    tok_rows = with_id.select(
+        "__doc", F.posexplode(tokenize(F.col(text_col))).alias("__pos", "__t")
+    )
+    w = Window.partitionBy("__doc").orderBy("__pos")
+    parts = [F.col("__t")] + [
+        F.lead("__t", j).over(w).alias(f"__t{j}") for j in range(1, n)
+    ]
+    grams = tok_rows.select("__doc", *parts)
+    last = f"__t{n - 1}" if n > 1 else "__t"
     return (
-        with_id.select("__doc", F.explode(grams).alias("ngram"))
+        grams.where(F.col(last).isNotNull())
+        .select(
+            "__doc",
+            F.concat_ws(
+                " ", "__t", *[f"__t{j}" for j in range(1, n)]
+            ).alias("ngram"),
+        )
+        .groupBy("__doc", "ngram")
+        .count()
         .groupBy("ngram")
         .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct("__doc").alias("n_docs"),
+            F.sum("count").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_docs"),
         )
         .orderBy(F.desc("n_occurrences"), "ngram")
         .limit(k)

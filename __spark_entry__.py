@@ -206,7 +206,7 @@ def q_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(
             "o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("price")
         )
-        .orderBy(F.desc("price"))
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
         .limit(25)
     )
 
@@ -247,6 +247,8 @@ def q_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-function surface: JSON extraction + conditional agg over
     the events property bag."""
+    from xyzpy_spark.pipeline.text import _round_det
+
     ev = _t(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("long")
     return (
@@ -254,7 +256,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count("k").alias("n"),
-            F.round(F.avg("k"), 6).alias("avg_k"),
+            _round_det(F.avg("k")).alias("avg_k"),
             F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0)).alias("n_even"),
         )
     )
@@ -994,7 +996,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "topk_orders": """
             SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 6) AS price
-            FROM orders ORDER BY price DESC LIMIT 25
+            FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 25
         """,
         "window_hourly": """
             SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
@@ -1008,16 +1010,17 @@ def oracle_sql() -> dict[str, str]:
                 FROM events
             )
             SELECT user_id,
-                   SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30' MINUTE
-                            THEN 1 ELSE 0 END) AS n_sessions
+                   CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30' MINUTE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
             FROM lagged GROUP BY user_id
         """,
         "events_json": """
             SELECT event_type,
                    COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
-                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k,
-                   SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
-                            THEN 1 ELSE 0 END) AS n_even
+                   FLOOR(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000.0 + 0.5)
+                       / 1000000.0 AS avg_k,
+                   CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_even
             FROM events GROUP BY event_type
         """,
         "topk_per_group": """

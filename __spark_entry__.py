@@ -1106,7 +1106,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_count": r"""
             SELECT doc_id,
-                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> '')) AS n_tokens,
                    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
             FROM documents
         """,
@@ -1114,8 +1114,8 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
                 SELECT doc_id,
                        len(text) AS n_chars,
-                       len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> '')) AS n_tokens,
+                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> ''),
                            t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS n_stop,
                        len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
                 FROM documents
@@ -1135,15 +1135,15 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": r"""
             WITH s AS (
                 SELECT doc_id, lang,
-                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> ''),
                            w -> list_contains(['der','die','das','und','ist','von','mit','nicht'], w))) AS score_de,
-                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> ''),
                            w -> list_contains(['the','a','and','of','to','in','is','it'], w))) AS score_en,
-                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> ''),
                            w -> list_contains(['el','la','de','que','y','en','los','por'], w))) AS score_es,
-                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> ''),
                            w -> list_contains(['le','la','les','de','et','est','dans','une','pour'], w))) AS score_fr,
-                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> ''),
                            w -> list_contains(['的','了','是','我','不','在'], w))) AS score_zh
                 FROM documents
             )
@@ -1169,7 +1169,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": r"""
             WITH toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> '') AS w
                 FROM documents
             ), sh AS (
                 SELECT doc_id,
@@ -1229,7 +1229,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_clusters": r"""
             WITH RECURSIVE toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> '') AS w
                 FROM documents
             ), sh AS (
                 SELECT doc_id,
@@ -1318,7 +1318,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": """
             WITH t AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'), u -> u <> '') AS toks,
                        list_filter(
                            list_transform(string_split(text, chr(10)),
                                           x -> trim(x)),
@@ -1353,7 +1353,7 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
                 SELECT doc_id,
                        len(text) AS n_chars,
-                       regexp_split_to_array(trim(text), '\\s+') AS toks,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'), u -> u <> '') AS toks,
                        len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
                 FROM documents
             ), bg AS (
@@ -1388,7 +1388,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_top_ngrams": """
             WITH t AS (
                 SELECT doc_id,
-                       regexp_split_to_array(trim(text), '\\s+') AS toks
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'), u -> u <> '') AS toks
                 FROM documents
             ), g AS (
                 SELECT doc_id,

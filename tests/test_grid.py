@@ -47,6 +47,13 @@ def test_case_grid_plain(spark):
     assert rows == {0: (1, 20), 1: (3, 40)}
 
 
+def test_case_grid_all_none_column_maps_to_double(spark):
+    df = case_grid(spark, [{"a": 1, "b": None}, {"a": 3, "b": None}])
+    assert dict(df.dtypes)["b"] == "double"
+    rows = {r[LOC_COL]: (r["a"], r["b"]) for r in df.collect()}
+    assert rows == {0: (1, None), 1: (3, None)}
+
+
 def test_case_grid_crossed_with_combos(spark):
     df = case_grid(
         spark,

@@ -48,6 +48,19 @@ def test_token_count(spark, docs):
     assert rows[5]["n_tokens"] == 1
 
 
+def test_token_count_empty_and_whitespace_docs(spark):
+    """Empty / whitespace-only text is 0 tokens, not [''] (ADVICE r1)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   \t \n "), (2, "one two"), (3, None)],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["n_tokens"] for r in add_token_count(df).collect()}
+    assert rows[0] == 0
+    assert rows[1] == 0
+    assert rows[2] == 2
+    assert rows[3] is None  # null text stays null, not 0
+
+
 def test_quality_signals(spark, docs):
     rows = {r["doc_id"]: r for r in add_quality(docs).collect()}
     assert rows[0]["stopword_ratio"] > 0.2  # 'the' twice + 'over'
@@ -134,6 +147,31 @@ def test_dedup_clusters(spark):
         10: 10, 11: 10, 12: 10,           # triangle
         20: 20, 21: 20,                   # pair
     }
+
+
+def test_dedup_clusters_deep_chain_with_checkpoint(spark):
+    """A 14-node path needs 13 propagation rounds — crosses the
+    localCheckpoint boundary twice and must still reach the fixpoint."""
+    from xyzpy_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(13)], ["id_a", "id_b"]
+    )
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dedup_clusters(pairs, max_iter=30).collect()
+    }
+    assert out == {i: 0 for i in range(14)}
+
+
+def test_dedup_clusters_warns_on_non_convergence(spark):
+    from xyzpy_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)], ["id_a", "id_b"]
+    )
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        dedup_clusters(pairs, max_iter=2).collect()
 
 
 def test_dedup_clusters_from_real_pairs(spark, docs):

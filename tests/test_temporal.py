@@ -146,6 +146,44 @@ def test_range_join_keyless_bucketed_matches_naive(spark, ticks):
     pd.testing.assert_frame_equal(got, exp)
 
 
+def test_range_join_keyless_binned_left_matches_naive(spark, ticks):
+    lpd, rpd = ticks
+    left = spark.createDataFrame(lpd[["lid", "t"]])
+    right = spark.createDataFrame(rpd[["rid", "t"]])
+    got = (
+        range_join(left, right, on="t", lower=0, upper=37, bin_width=37,
+                   how="left")
+        .select("lid", "r_rid")
+        .toPandas()
+        .sort_values(["lid", "r_rid"])
+        .reset_index(drop=True)
+    )
+    r = right.select(F.col("rid").alias("r_rid"), F.col("t").alias("r_t"))
+    exp = (
+        left.join(
+            r,
+            (F.col("r_t") > F.col("t")) & (F.col("r_t") <= F.col("t") + 37),
+            "left",
+        )
+        .select("lid", "r_rid")
+        .toPandas()
+        .sort_values(["lid", "r_rid"])
+        .reset_index(drop=True)
+    )
+    # every left row survives, unmatched ones exactly once with null
+    assert set(got["lid"]) == set(lpd["lid"])
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_range_join_binned_rejects_unsupported_how(spark, ticks):
+    lpd, rpd = ticks
+    left = spark.createDataFrame(lpd[["lid", "t"]])
+    right = spark.createDataFrame(rpd[["rid", "t"]])
+    with pytest.raises(ValueError, match="inner.*left"):
+        range_join(left, right, on="t", lower=0, upper=37, bin_width=37,
+                   how="full")
+
+
 def test_time_rollup_levels_match_single_pass_aggs(spark):
     rng = np.random.default_rng(3)
     n = 500

@@ -149,12 +149,18 @@ def case_grid(
         )
 
     case_cols = list(cases[0])
-    schema_rows = [
-        tuple([i] + [c[k] for k in case_cols]) for i, c in enumerate(cases)
-    ]
     # let Spark infer case column types from the literal rows; None-only
-    # columns would fail inference, so map them to double.
-    case_df = spark.createDataFrame(schema_rows, ["__case_idx"] + case_cols)
+    # columns fail inference, so build them as typed-null doubles instead
+    none_cols = [
+        k for k in case_cols if all(c[k] is None for c in cases)
+    ]
+    typed_cols = [k for k in case_cols if k not in none_cols]
+    schema_rows = [
+        tuple([i] + [c[k] for k in typed_cols]) for i, c in enumerate(cases)
+    ]
+    case_df = spark.createDataFrame(schema_rows, ["__case_idx"] + typed_cols)
+    for k in none_cols:
+        case_df = case_df.withColumn(k, F.lit(None).cast("double"))
 
     df = spark.range(0, n_total, 1, num_partitions).withColumnRenamed("id", loc_col)
     df = df.withColumn(

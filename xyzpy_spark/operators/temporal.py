@@ -159,10 +159,21 @@ def range_join(
     if bin_width is None:
         return left.join(r, pred, how)
 
+    how_n = how.lower().replace("_", "").replace("outer", "")
+    if how_n not in ("inner", "left"):
+        raise ValueError(
+            f"range_join with bin_width supports how='inner'/'left', got {how!r}"
+        )
+
     # keyless: bucket into bins of `bin_width`; each left anchor's
     # window (on+lo, on+hi] covers a contiguous bin range
     binw = float(bin_width)
-    l_binned = left.withColumn(
+    base = left
+    if how_n == "left":
+        # row identity for restoring unmatched lefts (stable: depends
+        # only on the deterministic scan partitioning of `left`)
+        base = left.withColumn("__lid", F.monotonically_increasing_id())
+    l_binned = base.withColumn(
         "__bin_lo", F.floor((F.col(on) + lo).cast("double") / binw).cast("long")
     ).withColumn(
         "__bin_hi", F.floor((F.col(on) + hi).cast("double") / binw).cast("long")
@@ -173,8 +184,22 @@ def range_join(
     r_binned = r.withColumn(
         "__bin", F.floor(F.col(f"r_{on}").cast("double") / binw).cast("long")
     )
-    joined = l_exploded.join(r_binned, ["__bin"], "inner").where(pred)
-    return joined.drop("__bin")
+    matched = l_exploded.join(r_binned, ["__bin"], "inner").where(pred).drop(
+        "__bin"
+    )
+    if how_n == "inner":
+        return matched
+
+    # left semantics: matched pairs + unmatched left rows with null
+    # right columns (anti-join on the row id — shuffles only the id)
+    unmatched = base.join(
+        matched.select("__lid").distinct(), "__lid", "left_anti"
+    )
+    for f in r.schema.fields:
+        unmatched = unmatched.withColumn(
+            f.name, F.lit(None).cast(f.dataType)
+        )
+    return matched.unionByName(unmatched).drop("__lid")
 
 
 def time_rollup(

@@ -357,6 +357,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate GROUPS.
 
@@ -365,10 +366,18 @@ def dedup_clusters(
     minimum label in its neighborhood; fixpoint is reached in
     O(component diameter) rounds (near-dup clusters are shallow, so
     typically 2-4).  Each round is one join + one groupBy — no driver
-    state, no graph library.  Output: ``(doc_id, cluster_id)`` where
-    ``cluster_id`` is the smallest member id — keep one row per
-    cluster to deduplicate the corpus.
+    state, no graph library.  The convergence probe is folded into the
+    round's own cached result (a ``max(changed)`` scan, no extra join),
+    and every ``checkpoint_every`` rounds the labels are
+    ``localCheckpoint``-ed so lineage depth stays bounded for
+    deep-diameter components at scale.  Warns if ``max_iter`` rounds
+    pass without reaching the fixpoint (labels then may split one true
+    component into several cluster_ids).  Output: ``(doc_id,
+    cluster_id)`` where ``cluster_id`` is the smallest member id — keep
+    one row per cluster to deduplicate the corpus.
     """
+    import warnings
+
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
     edges = fwd.union(rev).distinct().persist()
@@ -376,9 +385,11 @@ def dedup_clusters(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
     )
-    for _ in range(max_iter):
+    cached = labels.persist()
+    labels = cached
+    converged = False
+    for i in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy("src")
@@ -391,21 +402,35 @@ def dedup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                (
+                    F.coalesce("nbr_label", "label") < F.col("label")
+                ).alias("__chg"),
             )
-            .persist()
         )
+        if (i + 1) % checkpoint_every == 0:
+            # truncate lineage: without this, 20 rounds of join+agg
+            # build a plan the optimizer re-walks every action
+            new_cached = new_labels.localCheckpoint()
+        else:
+            new_cached = new_labels.persist()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_cached.agg(F.max(F.col("__chg").cast("int"))).first()[0] or 0
         )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        cached.unpersist()
+        cached = new_cached
+        labels = new_cached.drop("__chg")
+        if not changed:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        warnings.warn(
+            f"dedup_clusters: no fixpoint after max_iter={max_iter} rounds; "
+            "a component with diameter > max_iter may be split across "
+            "cluster_ids — raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -34,8 +34,16 @@ LANG_STOPWORDS: dict[str, list[str]] = {
 
 
 def tokenize(col) -> F.Column:
-    """Whitespace tokens (the baseline tokenizer)."""
-    return F.split(F.trim(col), r"\s+")
+    """Whitespace tokens (the baseline tokenizer).
+
+    Empty / whitespace-only / untrimmed text yields NO empty tokens —
+    otherwise the phantom ``''`` flows into n_tokens, quality ratios,
+    shingles, simhash and n-gram stats.  ``array_remove`` (JVM
+    built-in) drops the empty strings ``split`` emits at whitespace
+    edges; note ``F.trim`` alone can't do this (it strips spaces only,
+    not tabs/newlines).
+    """
+    return F.array_remove(F.split(col, r"\s+"), "")
 
 
 def bpe_ish_tokens(col) -> F.Column:

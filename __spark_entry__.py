@@ -657,22 +657,28 @@ def q_crop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media column -> typed metadata struct via mapInPandas
-    (deterministic fake codec; rows-only check)."""
+    """Binary media column -> REAL dependency-free decode (WAV RIFF
+    chunk walk / PPM header scan) via mapInPandas; the payloads are
+    valid files whose content is a closed-form function of doc_id, so
+    the decoded stats have an exact arithmetic oracle."""
     _ship(spark)
     from xyzpy_spark.pipeline.multimodal import (
-        attach_fake_media,
-        extract_media_meta,
+        attach_sample_media,
+        decode_media,
     )
+    from xyzpy_spark.pipeline.text import _round_det
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
-    meta = extract_media_meta(attach_fake_media(docs))
-    return meta.select(
+    dec = decode_media(attach_sample_media(docs))
+    return dec.select(
         "doc_id",
-        F.col("meta.format").alias("format"),
-        F.col("meta.width").alias("width"),
-        F.col("meta.height").alias("height"),
-        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("decoded.format").alias("format"),
+        F.col("decoded.width").alias("width"),
+        F.col("decoded.height").alias("height"),
+        F.col("decoded.sample_rate").alias("sample_rate"),
+        F.col("decoded.channels").alias("channels"),
+        F.col("decoded.n_values").alias("n_values"),
+        _round_det(F.col("decoded.mean_value")).alias("mean_value"),
     )
 
 
@@ -1403,5 +1409,45 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ngram
             ORDER BY n_occurrences DESC, ngram
             LIMIT 20
+        """,
+        # the decoded WAV/PPM payloads are closed-form in doc_id (see
+        # fake_wav_bytes/fake_ppm_bytes), so the decoder's output has
+        # an exact arithmetic twin: regenerate each file's sample /
+        # pixel sequence with range() and aggregate it in SQL.
+        "multimodal_meta": """
+            WITH wav_mean AS (
+                SELECT d.doc_id,
+                       COUNT(*) AS n_values,
+                       FLOOR(CAST(SUM((d.doc_id * 31 + t.i * 7) % 2003 - 1001) AS DOUBLE)
+                             / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+                FROM documents d, range(96) t(i)
+                WHERE d.doc_id % 2 = 0
+                  AND t.i < (32 + d.doc_id % 17) * (1 + d.doc_id % 2)
+                GROUP BY d.doc_id
+            ), ppm_mean AS (
+                SELECT d.doc_id,
+                       COUNT(*) AS n_values,
+                       FLOOR(CAST(SUM((d.doc_id * 17 + t.k * 11) % 256) AS DOUBLE)
+                             / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_value
+                FROM documents d, range(324) t(k)
+                WHERE d.doc_id % 2 = 1
+                  AND t.k < 3 * (4 + d.doc_id % 9) * (3 + d.doc_id % 7)
+                GROUP BY d.doc_id
+            )
+            SELECT doc_id, 'wav' AS format,
+                   CAST(NULL AS INTEGER) AS width,
+                   CAST(NULL AS INTEGER) AS height,
+                   CAST(8000 + (doc_id % 5) * 1000 AS INTEGER) AS sample_rate,
+                   CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+                   CAST(n_values AS BIGINT) AS n_values, mean_value
+            FROM wav_mean
+            UNION ALL
+            SELECT doc_id, 'ppm' AS format,
+                   CAST(4 + doc_id % 9 AS INTEGER) AS width,
+                   CAST(3 + doc_id % 7 AS INTEGER) AS height,
+                   CAST(NULL AS INTEGER) AS sample_rate,
+                   CAST(NULL AS INTEGER) AS channels,
+                   CAST(n_values AS BIGINT) AS n_values, mean_value
+            FROM ppm_mean
         """,
     }

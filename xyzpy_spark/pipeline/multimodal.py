@@ -2,11 +2,21 @@
 
 Images/audio/video ride as ``binary`` columns with a metadata struct;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-``mapInPandas`` stages.  The actual codec work needs image/audio libs
-not present in this container, so the decode kernels are STUBS: a
-clearly-marked ``NotImplementedError`` path plus a deterministic fake
-used by tests — the Spark-side plumbing (schema, batch shape, UDF
-signatures, partitioning) is real.
+``mapInPandas`` stages.  Two decode tiers:
+
+- ``decode_media``: a REAL, dependency-free decoder for WAV
+  (RIFF/PCM16 chunk walk) and PPM (P6 header + raw pixels) — parses
+  actual bytes and computes stats from the decoded samples/pixels.
+  The reference's analog is arbitrary per-record python over any
+  value (reference gen/combo_runner.py:77-139); this is its
+  binary-column counterpart.
+- ``decode_image``: JPEG/PNG and friends need an imaging library not
+  present in this container, so that kernel stays a clearly-marked
+  ``NotImplementedError`` stub with real mapInPandas plumbing.
+
+``fake_wav_bytes`` / ``fake_ppm_bytes`` emit VALID files whose content
+is a closed-form function of the seed, so decoded stats have an exact
+SQL oracle while the decoder still does real byte-level parsing.
 """
 
 from __future__ import annotations
@@ -98,6 +108,188 @@ def extract_media_meta(
         df.schema.fields + [T.StructField(out_col, MEDIA_META_TYPE)]
     )
     return df.mapInPandas(parse, schema=schema)
+
+
+MEDIA_DECODED_TYPE = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_values", T.LongType()),
+        T.StructField("mean_value", T.DoubleType()),
+    ]
+)
+
+_NULL_DECODED = {
+    "format": None,
+    "width": None,
+    "height": None,
+    "sample_rate": None,
+    "channels": None,
+    "n_values": None,
+    "mean_value": None,
+}
+
+
+def fake_wav_bytes(seed: int) -> bytes:
+    """A VALID RIFF/WAVE PCM16 file derived from ``seed``.
+
+    Real enough for any WAV parser (RIFF header, ``fmt `` and ``data``
+    chunks, little-endian int16 frames); closed-form enough for a SQL
+    oracle: ``sample[i] = (seed*31 + i*7) % 2003 - 1001``.
+    """
+    seed = int(seed)
+    sr = 8000 + (seed % 5) * 1000
+    ch = 1 + seed % 2
+    n_vals = (32 + seed % 17) * ch
+    data = b"".join(
+        _struct.pack("<h", (seed * 31 + i * 7) % 2003 - 1001)
+        for i in range(n_vals)
+    )
+    block_align = ch * 2
+    fmt = _struct.pack("<HHIIHH", 1, ch, sr, sr * block_align, block_align, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", len(chunks)) + chunks
+
+
+def fake_ppm_bytes(seed: int) -> bytes:
+    """A VALID binary PPM (P6) image derived from ``seed``:
+    ``pixel[k] = (seed*17 + k*11) % 256``."""
+    seed = int(seed)
+    w = 4 + seed % 9
+    h = 3 + seed % 7
+    body = bytes((seed * 17 + k * 11) % 256 for k in range(3 * w * h))
+    return f"P6\n{w} {h}\n255\n".encode() + body
+
+
+def attach_sample_media(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "media"
+) -> DataFrame:
+    """Attach deterministic REAL media files (even ids → WAV, odd →
+    PPM) keyed off the id column — the decode-pipeline test harness."""
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                fake_wav_bytes(int(i)) if int(i) % 2 == 0
+                else fake_ppm_bytes(int(i))
+                for i in pdf[id_col]
+            ]
+            yield pdf
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    )
+    return df.mapInPandas(gen, schema=schema)
+
+
+def _parse_wav(b: bytes) -> dict | None:
+    """Walk RIFF chunks; decode PCM16 frames; stats from the samples."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt_body, data_body = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos: pos + 4]
+        size = _struct.unpack("<I", b[pos + 4: pos + 8])[0]
+        body = b[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_body is None or data_body is None or len(fmt_body) < 16:
+        return None
+    audio_fmt, ch, sr, _, _, bits = _struct.unpack("<HHIIHH", fmt_body[:16])
+    if audio_fmt != 1 or bits != 16:
+        return None  # only uncompressed PCM16 here
+    samples = np.frombuffer(data_body[: len(data_body) // 2 * 2], dtype="<i2")
+    n = samples.size
+    return {
+        "format": "wav",
+        "width": None,
+        "height": None,
+        "sample_rate": int(sr),
+        "channels": int(ch),
+        "n_values": n,
+        "mean_value": int(samples.sum(dtype="int64")) / n if n else None,
+    }
+
+
+def _parse_ppm(b: bytes) -> dict | None:
+    """Parse the P6 ASCII header (whitespace/comment tolerant) + raw
+    RGB bytes; stats from the pixels."""
+    import numpy as np
+
+    if b[:2] != b"P6":
+        return None
+    idx, vals = 2, []
+    while len(vals) < 3 and idx < len(b):
+        if b[idx: idx + 1].isspace():
+            idx += 1
+        elif b[idx: idx + 1] == b"#":
+            while idx < len(b) and b[idx] != 0x0A:
+                idx += 1
+        else:
+            start = idx
+            while idx < len(b) and not b[idx: idx + 1].isspace():
+                idx += 1
+            try:
+                vals.append(int(b[start:idx]))
+            except ValueError:
+                return None
+    if len(vals) < 3:
+        return None
+    idx += 1  # the single whitespace byte after maxval
+    w, h, _maxval = vals
+    pixels = np.frombuffer(b[idx: idx + 3 * w * h], dtype=np.uint8)
+    n = pixels.size
+    return {
+        "format": "ppm",
+        "width": int(w),
+        "height": int(h),
+        "sample_rate": None,
+        "channels": None,
+        "n_values": n,
+        "mean_value": int(pixels.sum(dtype="int64")) / n if n else None,
+    }
+
+
+def decode_media(
+    df: DataFrame, media_col: str = "media", out_col: str = "decoded"
+) -> DataFrame:
+    """REAL dependency-free decode of WAV (RIFF/PCM16) and PPM (P6)
+    payloads via Arrow-batched ``mapInPandas``.
+
+    Every record's bytes are actually parsed (chunk walk / header
+    scan) and the stats computed from the decoded samples or pixels —
+    unknown formats yield a null struct, never an error, so one bad
+    file can't kill a 100-TB scan.
+    """
+
+    def decode(batches):
+        for pdf in batches:
+            out_rows = []
+            for payload in pdf[media_col]:
+                b = bytes(payload) if payload is not None else b""
+                parsed = _parse_wav(b) or _parse_ppm(b)
+                out_rows.append(parsed if parsed else dict(_NULL_DECODED))
+            out = pdf.copy()
+            out[out_col] = out_rows
+            yield out
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, MEDIA_DECODED_TYPE)]
+    )
+    return df.mapInPandas(decode, schema=schema)
 
 
 def decode_image(df: DataFrame, media_col: str = "media") -> DataFrame:

@@ -523,8 +523,8 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_sampler_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F9/F10 Sampler: seeded random parameter points evaluated and
-    appended (rows-only: the numpy RNG sequence has no SQL oracle;
-    determinism is pinned by the seed and unit tests)."""
+    appended.  Oracle: an independent numpy reimplementation of the
+    documented sampling semantics (see _sampler_run_oracle)."""
     _ship(spark)
     import tempfile
 
@@ -564,10 +564,11 @@ def q_facet_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_estimate_from_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S4 convergence-driven sampling (driver loop of batch jobs;
-    rows-only: the numpy RNG stream has no SQL oracle).  Deterministic
-    for a fixed seed: the sample count and moments are pinned by the
-    seeded per-index RNG."""
+    """S4 convergence-driven sampling (driver loop of batch jobs).
+    Deterministic for a fixed seed: per-index RNG means the sample
+    count and moments are engine-independent.  Oracle: an independent
+    flat-loop twin of the convergence rule (_estimate_repeats_oracle).
+    """
     _ship(spark)
     from xyzpy_spark.functions.stats import estimate_from_repeats
 
@@ -603,28 +604,40 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs.  No SQL oracle: the xxhash64
-    permutation family has no DuckDB equivalent (rows-only check);
-    cross-validated against exact n-gram Jaccard in tests."""
+    """MinHash+LSH near-dup pairs in the portable-hash mode: the
+    permutation family ``(a_i * md5_60(shingle) + b_i) mod (2^61-1)``
+    is reproducible in DuckDB (HUGEINT), so signatures, banding and
+    the Jaccard estimate all have an exact SQL twin.  Production
+    default stays xxhash64."""
     from xyzpy_spark.pipeline.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
-        docs, n=2, num_perm=64, bands=16, threshold=0.4
+        docs, n=2, num_perm=64, bands=16, threshold=0.4, hash_fn="md5"
     )
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (rows-only check, same hash rationale)."""
+    """SimHash near-dup pairs, run in the portable-hash mode (60-bit
+    md5-derived token hash) so the ENTIRE pipeline — token hashing,
+    bit votes, pigeonhole banding, hamming verify — has an exact
+    DuckDB twin.  Production default stays xxhash64."""
     from xyzpy_spark.pipeline.dedup import simhash_near_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_pairs(docs, max_hamming=8)
+    return simhash_near_pairs(
+        docs, max_hamming=8, n_bits=60, hash_fn="md5"
+    ).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat approximate top-k (rows-only: approximate by design;
-    recall vs exact asserted in tests)."""
+    """IVF-Flat approximate top-k.  Rows-only BY JUSTIFICATION: the
+    result depends on float32 numpy centroid assignment (tie-breaking
+    at matmul precision), which no integer/SQL twin can reproduce
+    bit-for-bit; correctness is enforced in pytest as recall >= the
+    design bound vs the oracle-checked exact cosine_topk."""
     from xyzpy_spark.pipeline.similarity import ivf_build, ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -829,8 +842,11 @@ def q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic embedding near-dup pairs: random-hyperplane LSH
     candidates + exact cosine refine (pipeline/dedup.embedding_lsh_pairs).
-    Probabilistic recall -> no SQL oracle (rows-only check);
-    recall vs the exact all-pairs twin is asserted in test_pipeline."""
+    Rows-only BY JUSTIFICATION: candidate membership is the sign of a
+    float32 numpy Gaussian-hyperplane projection — inherently
+    probabilistic recall with no bit-exact SQL twin; recall vs the
+    oracle-checked exact all-pairs twin (dedup_embedding_cosine) is
+    asserted in test_pipeline."""
     from xyzpy_spark.pipeline.dedup import embedding_lsh_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -916,8 +932,127 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _sampler_run_oracle() -> str:
+    """Independent numpy reimplementation of the documented Sampler
+    semantics (seeded uniform choice per arg in declaration order,
+    reference gen/farming.py:1010-1021) — NOT a dump of the Spark
+    output.  Seed 42 and the grid match q_sampler_run."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for _ in range(64):
+        a = [1, 2, 3, 4][int(rng.integers(4))]
+        b = [10, 20, 30][int(rng.integers(3))]
+        rows.append(f"({a}, {b}, {a * 10 + b})")
+    values = ", ".join(rows)
+    return (
+        "SELECT CAST(c0 AS BIGINT) AS a, CAST(c1 AS BIGINT) AS b, "
+        f"CAST(c2 AS BIGINT) AS y FROM (VALUES {values}) t(c0, c1, c2)"
+    )
+
+
+def _estimate_repeats_oracle() -> str:
+    """Independent pure-python twin of estimate_from_repeats'
+    convergence loop (batch=256, per-index seed = 7*1_000_003 + i,
+    stop when stderr <= rtol*|mean|) — same semantics, different
+    execution (flat loop vs partition-moment merge)."""
+    import numpy as np
+
+    vals: list[float] = []
+    while True:
+        vals.extend(
+            float(np.random.default_rng(7 * 1_000_003 + i).normal(10.0, 2.0))
+            for i in range(len(vals), len(vals) + 256)
+        )
+        n = len(vals)
+        mean = float(np.mean(vals))
+        stderr = float(np.std(vals, ddof=1)) / n**0.5
+        if n >= 256 and stderr <= 0.01 * abs(mean):
+            break
+        if n >= 4096:
+            break
+    return (
+        f"SELECT CAST({n} AS BIGINT) AS n_samples, "
+        f"CAST({round(mean, 6)!r} AS DOUBLE) AS mean_estimate"
+    )
+
+
+def _minhash_lsh_oracle() -> str:
+    """Exact DuckDB twin of the portable-hash MinHash+LSH pipeline:
+    same 2-word shingles, same 60-bit md5 base hash (hex digits
+    recombined with integer multipliers — BIGINT-exact, doubles would
+    lose bits past 2^53), same seeded universal-hash permutations
+    (HUGEINT for the 122-bit product), same 16x4 banding (candidates
+    must share one exact band tuple) and agreement-fraction estimate.
+    """
+    from xyzpy_spark.pipeline.dedup import (
+        MINHASH_PRIME,
+        portable_perm_constants,
+    )
+
+    perm_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(portable_perm_constants(64))
+    )
+    hex_sum = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) "
+        f"* {16 ** (15 - p)}"
+        for p in range(1, 16)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               u -> u <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 0) + 2),
+                       i -> w[i] || COALESCE(' ' || w[i + 1], '')))) AS shingle
+            FROM toks
+        ), hx AS (
+            SELECT doc_id, md5(shingle) AS hx FROM sh
+        ), h0 AS (
+            SELECT doc_id, {hex_sum} AS h FROM hx
+        ), perms AS (
+            SELECT c0 AS i, c1 AS a, c2 AS b
+            FROM (VALUES {perm_values}) t(c0, c1, c2)
+        ), sig AS (
+            SELECT doc_id, p.i,
+                   MIN(CAST((CAST(p.a AS HUGEINT) * h0.h + p.b)
+                            % {MINHASH_PRIME} AS BIGINT)) AS m
+            FROM h0, perms p GROUP BY 1, 2
+        ), bandkey AS (
+            SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+                   string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+            FROM sig GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bandkey a
+            JOIN bandkey b ON a.band = b.band AND a.bkey = b.bkey
+            WHERE a.doc_id < b.doc_id
+        ), agree AS (
+            SELECT c.id_a, c.id_b,
+                   SUM(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS n_agree
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.id_a
+            JOIN sig sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(n_agree / 64.0, 6) AS est_jaccard
+        FROM agree
+        WHERE ROUND(n_agree / 64.0, 6) >= 0.4
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "sampler_run": _sampler_run_oracle(),
+        "estimate_repeats": _estimate_repeats_oracle(),
+        "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -1449,5 +1584,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS INTEGER) AS channels,
                    CAST(n_values AS BIGINT) AS n_values, mean_value
             FROM ppm_mean
+        """,
+        # exact twin of the PORTABLE-hash simhash pipeline: 60-bit
+        # md5-derived token hash (bit j = bit j%4 of hex digit
+        # 15 - j//4), per-bit +1/-1 votes, sign -> signature bit,
+        # pigeonhole banding (4 x 15-bit chunks: pair admitted only if
+        # some chunk matches exactly), hamming <= 8 verify.
+        "dedup_simhash": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                              u -> u <> '')) AS tok
+                FROM documents
+            ), bits AS (
+                SELECT doc_id, t.j AS j,
+                       CASE WHEN ((strpos('0123456789abcdef',
+                                  substr(md5(tok), 15 - CAST(t.j // 4 AS INTEGER), 1)) - 1)
+                                  >> CAST(t.j % 4 AS INTEGER)) & 1 = 1
+                            THEN 1 ELSE -1 END AS v
+                FROM toks, range(60) t(j)
+            ), sig AS (
+                SELECT doc_id, j,
+                       CASE WHEN SUM(v) > 0 THEN 1 ELSE 0 END AS b
+                FROM bits GROUP BY doc_id, j
+            ), pair_chunks AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(a.j // 15 AS INTEGER) AS chunk,
+                       SUM(CASE WHEN a.b <> b.b THEN 1 ELSE 0 END) AS cd
+                FROM sig a JOIN sig b ON a.j = b.j AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3
+            )
+            SELECT id_a, id_b, CAST(SUM(cd) AS INTEGER) AS hamming
+            FROM pair_chunks
+            GROUP BY id_a, id_b
+            HAVING SUM(cd) <= 8 AND MIN(cd) = 0
         """,
     }

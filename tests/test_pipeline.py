@@ -118,6 +118,60 @@ def test_minhash_lsh_pairs(spark, docs):
     assert (0, 1) in got
 
 
+def test_minhash_portable_matches_python_recompute(spark, docs):
+    """The md5-portable permutation family (decimal(38) modular math)
+    must agree bit-for-bit with a pure-python big-int recompute."""
+    import hashlib
+
+    from xyzpy_spark.pipeline.dedup import (
+        MINHASH_PRIME,
+        portable_perm_constants,
+    )
+
+    n, num_perm = 3, 16
+    sigs = {
+        r["doc_id"]: r["sig"]
+        for r in minhash_signatures(
+            docs, n=n, num_perm=num_perm, hash_fn="md5"
+        ).collect()
+    }
+    consts = portable_perm_constants(num_perm)
+    for doc_id, text in [(0, "the quick brown fox jumps over the lazy dog"),
+                         (5, "short")]:
+        toks = text.split()
+        shingles = {
+            " ".join(toks[i: i + n])
+            for i in range(max(len(toks) - n, 0) + 1)
+        }
+        h0s = [
+            int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+            for s in shingles
+        ]
+        expected = [
+            min((a * h + b) % MINHASH_PRIME for h in h0s)
+            for a, b in consts
+        ]
+        assert list(sigs[doc_id]) == expected
+
+
+def test_simhash_portable_matches_python_recompute(spark, docs):
+    import hashlib
+
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in simhash_64(docs, n_bits=60, hash_fn="md5").collect()
+    }
+    for doc_id, text in [(0, "the quick brown fox jumps over the lazy dog"),
+                         (2, "completely different content about spark engines")]:
+        votes = [0] * 60
+        for tok in text.split():
+            h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+            for j in range(60):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        expected = sum(1 << j for j in range(60) if votes[j] > 0)
+        assert sigs[doc_id] == expected
+
+
 def test_simhash(spark, docs):
     sigs = {r["doc_id"]: r["simhash"] for r in simhash_64(docs).collect()}
     assert sigs[0] == sigs[3]

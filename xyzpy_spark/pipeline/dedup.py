@@ -132,6 +132,28 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Mersenne prime 2^61 - 1: modulus of the portable permutation family
+MINHASH_PRIME = (1 << 61) - 1
+
+
+def portable_perm_constants(
+    num_perm: int, seed: int = 7
+) -> list[tuple[int, int]]:
+    """(a_i, b_i) pairs of the portable universal-hash family
+    ``h_i(x) = (a_i * x + b_i) mod (2^61 - 1)`` — seeded, so the Spark
+    plan and the SQL oracle twin derive identical permutations."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [
+        (
+            int(rng.integers(1, MINHASH_PRIME)),
+            int(rng.integers(0, MINHASH_PRIME)),
+        )
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame,
     *,
@@ -139,19 +161,41 @@ def minhash_signatures(
     text_col: str = "text",
     n: int = 3,
     num_perm: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signatures: ``num_perm`` min-aggregates over one
     exploded-shingle pass (single shuffle, map-side partial mins).
 
-    Permutation *i* is ``xxhash64(shingle, i)`` — an independent
-    tabulation-style hash family, entirely whole-stage-codegen.
+    ``hash_fn='xxhash64'`` (default): permutation *i* is
+    ``xxhash64(shingle, i)`` — an independent tabulation-style hash
+    family, entirely whole-stage-codegen.  ``hash_fn='md5'``: the
+    portable mode — ``(a_i * md5_60(shingle) + b_i) mod (2^61-1)``
+    universal hashing over the 60-bit md5 base hash, with the 122-bit
+    intermediate product in decimal(38,0); any engine with md5 + wide
+    integers reproduces it exactly (the DuckDB oracle uses HUGEINT).
     Output: ``id_col``, ``sig`` (array<long> of length num_perm).
     """
     sh = _exploded_shingles(df, id_col, text_col, n)
-    mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-        for i in range(num_perm)
-    ]
+    if hash_fn == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_perm)
+        ]
+    elif hash_fn == "md5":
+        h0 = _portable_token_hash(F.col("shingle")).cast("decimal(20,0)")
+        p = F.lit(MINHASH_PRIME).cast("decimal(20,0)")
+        mins = [
+            F.min(
+                F.pmod(
+                    F.lit(a).cast("decimal(20,0)") * h0
+                    + F.lit(b).cast("decimal(20,0)"),
+                    p,
+                ).cast("long")
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(portable_perm_constants(num_perm))
+        ]
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     sig = sh.groupBy("_id").agg(*mins)
     return sig.select(
         F.col("_id").alias(id_col),
@@ -169,6 +213,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.5,
     cache: bool = True,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH near-duplicate pairs.
 
@@ -178,11 +223,13 @@ def minhash_lsh_pairs(
     signature agreement fraction (the unbiased Jaccard estimate) and
     filtered at ``threshold``.  ``cache`` persists the signatures so
     the shingle->minhash pipeline runs once, not once per join side.
+    ``hash_fn`` as in :func:`minhash_signatures`.
     """
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     sig = minhash_signatures(
-        df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm
+        df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm,
+        hash_fn=hash_fn,
     )
     if cache:
         sig = sig.persist()
@@ -252,31 +299,58 @@ def _s64(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
-def simhash_64(
-    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """64-bit SimHash over whitespace tokens.
+def _portable_token_hash(col) -> F.Column:
+    """60-bit token hash from the first 15 hex chars of md5 —
+    reproducible in any engine that has md5 + hex arithmetic (used by
+    the DuckDB oracle twin; 60 bits keeps the value inside a signed
+    int64 without unsigned gymnastics)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    Classic Charikar sketch: each token hashes to 64 bits; bit *i* of
-    the signature is the sign of ``sum(+1/-1 over docs' token bits)``.
-    Expressed as 64 conditional-sum aggregates over exploded tokens —
-    one shuffle, map-side combine, no Python.
+
+def simhash_64(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """SimHash over whitespace tokens (``n_bits`` wide).
+
+    Classic Charikar sketch: each token hashes to ``n_bits`` bits; bit
+    *i* of the signature is the sign of ``sum(+1/-1 over docs' token
+    bits)``.  Expressed as ``n_bits`` conditional-sum aggregates over
+    exploded tokens — one shuffle, map-side combine, no Python.
+
+    ``hash_fn``: ``'xxhash64'`` (default, fastest JVM path) or
+    ``'md5'`` (portable 60-bit hash any engine can reproduce — the
+    cross-engine-verifiable mode; requires ``n_bits <= 60``).
     """
+    if hash_fn == "xxhash64":
+        h = F.xxhash64("tok")
+        if n_bits > 64:
+            raise ValueError("xxhash64 provides at most 64 bits")
+    elif hash_fn == "md5":
+        if n_bits > 60:
+            raise ValueError("md5-portable hash provides at most 60 bits")
+        h = _portable_token_hash(F.col("tok"))
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h)
     bit_sums = [
         F.sum(
             F.when(
                 F.col("h").bitwiseAND(F.lit(_s64(1 << i))) != 0, 1
             ).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = toks.groupBy("_id").agg(*bit_sums)
     sig = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(
             F.col(f"b{i}") > 0, F.lit(_s64(1 << i))
         ).otherwise(F.lit(0))
@@ -292,18 +366,25 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     chunks: int = 4,
     cache: bool = True,
+    n_bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with hamming(simhash) <= max_hamming.
 
     Pigeonhole banding: signatures within hamming distance d <= chunks-1
-    must agree exactly on at least one of ``chunks`` 16-bit chunks, so
-    candidates come from equi-joins on (chunk_idx, chunk_value) and
-    are verified by ``bit_count(xor)`` — no all-pairs comparison.
-    ``cache`` persists the signatures across the self-join sides.
+    must agree exactly on at least one of ``chunks`` equal-width
+    chunks, so candidates come from equi-joins on (chunk_idx,
+    chunk_value) and are verified by ``bit_count(xor)`` — no all-pairs
+    comparison.  ``cache`` persists the signatures across the
+    self-join sides.  ``n_bits``/``hash_fn`` as in :func:`simhash_64`.
     """
-    width = 64 // chunks
+    if n_bits % chunks:
+        raise ValueError(f"chunks={chunks} must divide n_bits={n_bits}")
+    width = n_bits // chunks
     mask = (1 << width) - 1
-    sig = simhash_64(df, id_col=id_col, text_col=text_col)
+    sig = simhash_64(
+        df, id_col=id_col, text_col=text_col, n_bits=n_bits, hash_fn=hash_fn
+    )
     if cache:
         sig = sig.persist()
     chunked = sig.select(

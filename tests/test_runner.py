@@ -226,6 +226,70 @@ def test_to_dense_pandas(spark):
     assert np.isnan(dense.loc[(1, 20, 100), "x"])
 
 
+def test_to_dense_arrays_matches_dense_pandas(spark):
+    from xyzpy_spark.runner import to_dense_arrays
+
+    df = case_runner_to_df(
+        spark,
+        foo3_scalar,
+        [(1, 20, 300), (3, 20, 100)],
+        fn_args=["a", "b", "c"],
+        var_names="x",
+    )
+    dense = to_dense_pandas(df, ["a", "b", "c"])
+    coords, arrays = to_dense_arrays(df, ["a", "b", "c"])
+    assert coords == {"a": [1, 3], "b": [20], "c": [100, 300]}
+    vdims, arr = arrays["x"]
+    assert vdims == ("a", "b", "c")
+    assert arr.shape == (2, 1, 2)
+    # same values, same hole pattern as the MultiIndex frame
+    np.testing.assert_array_equal(
+        arr.ravel(), dense["x"].to_numpy()
+    )
+    assert arr[0, 0, 1] == 321          # (1, 20, 300)
+    assert np.isnan(arr[0, 0, 0])       # (1, 20, 100) hole
+
+
+def test_to_dense_arrays_var_dims_reduction(spark):
+    """A var that only varies over a subset of dims is reduced to its
+    own dims (reference results_to_ds per-var dims)."""
+    from xyzpy_spark.runner import to_dense_arrays
+
+    def kern(a, b):
+        return a * 10 + b, a * 1.0  # second output ignores b
+
+    df = combo_runner_to_df(
+        spark, kern, {"a": [1, 2, 3], "b": [10, 20]},
+        var_names=["y", "a_only"],
+    )
+    coords, arrays = to_dense_arrays(
+        df, ["a", "b"], var_dims={"a_only": ["a"]}
+    )
+    vdims, arr = arrays["a_only"]
+    assert vdims == ("a",)
+    assert arr.tolist() == [1.0, 2.0, 3.0]
+    ydims, yarr = arrays["y"]
+    assert ydims == ("a", "b") and yarr.shape == (3, 2)
+    assert yarr[2, 1] == 50
+
+
+def test_to_xarray_roundtrip(spark):
+    xr = pytest.importorskip("xarray")
+
+    from xyzpy_spark.runner import to_xarray
+
+    def kern(a, b):
+        return a + b
+
+    df = combo_runner_to_df(
+        spark, kern, {"a": [1, 2], "b": [10, 20]}, var_names="s"
+    )
+    ds = to_xarray(df, ["a", "b"])
+    assert isinstance(ds, xr.Dataset)
+    assert list(ds["s"].dims) == ["a", "b"]
+    assert ds["s"].sel(a=2, b=10).item() == 12
+
+
 def test_vectorized_fast_path(spark):
     """vectorized=True: fn sees numpy arrays, one call per batch."""
     import numpy as np

@@ -43,6 +43,42 @@ def test_covariance_matrix_vs_numpy(spark):
     assert r["cov_c_c"] == pytest.approx(expect[2, 2])
 
 
+def test_to_uncertainties_reference_example(spark):
+    """The reference's documented example (utils.py:617-636): perfectly
+    correlated sequences (1,3,2) and (2,6,4) -> x+y has the full
+    propagated error, x/y has exactly zero."""
+    from xyzpy_spark.functions.stats import to_uncertainties
+
+    df = spark.createDataFrame([(1.0, 2.0), (3.0, 6.0), (2.0, 4.0)],
+                               ["x", "y"])
+    x, y = to_uncertainties(df, ["x", "y"])  # bias=True: population cov
+    s = x + y
+    assert s.nominal_value == pytest.approx(6.0)
+    assert s.std_dev == pytest.approx(2.4494897427831783)
+    r = x / y
+    assert r.nominal_value == pytest.approx(0.5)
+    assert r.std_dev == pytest.approx(0.0, abs=1e-12)
+
+
+def test_uvar_propagation_vs_sampled():
+    """Delta-method errors match direct statistics of the transformed
+    sample for linear combinations."""
+    from xyzpy_spark.functions.stats import correlated_values
+
+    rng = np.random.default_rng(0)
+    a = rng.normal(5, 1, 20000)
+    b = 0.5 * a + rng.normal(1, 0.5, 20000)
+    cov = np.cov(np.vstack([a, b]), bias=True)
+    x, y = correlated_values([a.mean(), b.mean()], cov)
+    z = 2 * x - 3 * y + 1
+    direct = 2 * a - 3 * b + 1
+    assert z.nominal_value == pytest.approx(direct.mean())
+    assert z.std_dev == pytest.approx(direct.std(), rel=1e-9)
+    # nonlinear: first-order error for x**2 is 2|x|*std(x)
+    q = x**2
+    assert q.std_dev == pytest.approx(2 * abs(a.mean()) * np.sqrt(cov[0, 0]))
+
+
 def test_running_statistics_accumulator_matches_numpy():
     rng = np.random.default_rng(2)
     xs = rng.normal(5.0, 1.0, size=500)

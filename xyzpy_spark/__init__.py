@@ -45,6 +45,8 @@ from .runner import (
     combo_runner_to_df,
     case_runner_to_df,
     to_dense_pandas,
+    to_dense_arrays,
+    to_xarray,
 )
 from .missing import find_missing_cases, is_case_missing, parse_into_cases
 from .merge import merge_datasets, MergeConflictError
@@ -65,6 +67,8 @@ __all__ = [
     "combo_runner_to_df",
     "case_runner_to_df",
     "to_dense_pandas",
+    "to_dense_arrays",
+    "to_xarray",
     "find_missing_cases",
     "is_case_missing",
     "parse_into_cases",

@@ -68,6 +68,124 @@ def covariance_matrix(df: DataFrame, var_names, by=()) -> DataFrame:
     return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
 
 
+class UVar:
+    """A value carrying first-order (delta-method) uncertainty that is
+    COVARIANCE-aware: each ``UVar`` holds a gradient w.r.t. the base
+    correlated variables, and any derived quantity's error is
+    ``sqrt(g^T C g)``.
+
+    Dependency-free analog of ``uncertainties.correlated_values`` as
+    used by the reference's ``RunningCovarianceMatrix.to_uncertainties``
+    (``utils.py:601-645``): perfectly correlated x, y=2x give
+    ``(x + y).std_dev == sqrt(var(x+y))`` while ``(x / y).std_dev == 0``.
+    Supports +, -, *, /, ** (scalar exponent) and negation, linearized
+    at the central value.
+    """
+
+    __slots__ = ("nominal_value", "_grad", "_cov")
+
+    def __init__(self, value: float, grad, cov):
+        self.nominal_value = float(value)
+        self._grad = np.asarray(grad, dtype=float)
+        self._cov = cov  # shared, not copied
+
+    @property
+    def std_dev(self) -> float:
+        g = self._grad
+        return float(math.sqrt(max(g @ self._cov @ g, 0.0)))
+
+    def _lift(self, other):
+        if isinstance(other, UVar):
+            return other
+        return UVar(float(other), np.zeros_like(self._grad), self._cov)
+
+    def __add__(self, other):
+        o = self._lift(other)
+        return UVar(
+            self.nominal_value + o.nominal_value,
+            self._grad + o._grad, self._cov,
+        )
+
+    __radd__ = __add__
+
+    def __neg__(self):
+        return UVar(-self.nominal_value, -self._grad, self._cov)
+
+    def __sub__(self, other):
+        return self + (-self._lift(other))
+
+    def __rsub__(self, other):
+        return self._lift(other) + (-self)
+
+    def __mul__(self, other):
+        o = self._lift(other)
+        return UVar(
+            self.nominal_value * o.nominal_value,
+            self._grad * o.nominal_value + o._grad * self.nominal_value,
+            self._cov,
+        )
+
+    __rmul__ = __mul__
+
+    def __truediv__(self, other):
+        o = self._lift(other)
+        v = self.nominal_value / o.nominal_value
+        return UVar(
+            v,
+            (self._grad - v * o._grad) / o.nominal_value,
+            self._cov,
+        )
+
+    def __rtruediv__(self, other):
+        return self._lift(other) / self
+
+    def __pow__(self, p: float):
+        v = self.nominal_value ** p
+        return UVar(v, p * self.nominal_value ** (p - 1) * self._grad,
+                    self._cov)
+
+    def __repr__(self) -> str:
+        return f"{self.nominal_value}+/-{self.std_dev}"
+
+
+def correlated_values(means, cov) -> tuple[UVar, ...]:
+    """Base correlated variables from a mean vector + covariance
+    matrix (the ``uncertainties.correlated_values`` surface)."""
+    cov = np.asarray(cov, dtype=float)
+    means = np.asarray(means, dtype=float)
+    n = means.size
+    if cov.shape != (n, n):
+        raise ValueError(f"cov shape {cov.shape} != ({n}, {n})")
+    eye = np.eye(n)
+    return tuple(UVar(means[i], eye[i], cov) for i in range(n))
+
+
+def to_uncertainties(
+    df: DataFrame, var_names, *, bias: bool = True
+) -> tuple[UVar, ...]:
+    """ONE Spark aggregation pass -> correlated uncertainty variables.
+
+    Reference: ``RunningCovarianceMatrix.to_uncertainties``
+    (``utils.py:601-645``).  ``bias=True`` uses the population
+    covariance (the reference default), ``False`` the sample one.
+    """
+    var_names = list(var_names)
+    cov_fn = F.covar_pop if bias else F.covar_samp
+    aggs = [F.avg(v).alias(f"m_{v}") for v in var_names]
+    for i, vi in enumerate(var_names):
+        for vj in var_names[i:]:
+            aggs.append(cov_fn(vi, vj).alias(f"c_{vi}_{vj}"))
+    row = df.agg(*aggs).first()
+    n = len(var_names)
+    cov = np.empty((n, n))
+    for i, vi in enumerate(var_names):
+        for j, vj in enumerate(var_names):
+            cov[i, j] = (
+                row[f"c_{vi}_{vj}"] if j >= i else row[f"c_{vj}_{vi}"]
+            )
+    return correlated_values([row[f"m_{v}"] for v in var_names], cov)
+
+
 @dataclass
 class RunningStatistics:
     """Mergeable moment accumulator (driver-side, across Spark jobs).

@@ -502,3 +502,78 @@ def to_dense_pandas(
         names=list(dims),
     )
     return pdf.reindex(full)
+
+
+def to_dense_arrays(
+    df: DataFrame,
+    dims: list[str],
+    var_names: list[str] | None = None,
+    var_dims: dict[str, list[str]] | None = None,
+) -> tuple[dict[str, list], dict[str, tuple[tuple[str, ...], "object"]]]:
+    """Collect a long-format result into dense numpy blocks.
+
+    Returns ``(coords, arrays)``: per-dim sorted coordinate values and,
+    per variable, ``(dim_names, ndarray)`` shaped to those coords with
+    NaN/None holes for missing points — exactly the data an
+    ``xr.Dataset`` wraps (``results_to_ds``, reference
+    gen/combo_runner.py:473-535), but dependency-free.
+
+    ``var_dims`` maps a variable to the subset of ``dims`` it actually
+    varies over (the reference's per-var dims); such a variable is
+    reduced by taking the single value at each coordinate of its dims.
+    Driver-sized slices only — canonical storage stays the long table.
+    """
+    import numpy as np  # noqa: F401 (dtype coercion via pandas)
+
+    dims = list(dims)
+    pdf = df.toPandas()
+    if var_names is None:
+        var_names = [c for c in pdf.columns if c not in dims]
+    coords = {d: sorted(pd.unique(pdf[d]).tolist()) for d in dims}
+    arrays = {}
+    for v in var_names:
+        vdims = list((var_dims or {}).get(v, dims))
+        # one value per coordinate of the var's own dims (rows repeat
+        # it across the dims the var does not depend on)
+        ser = pdf.groupby(vdims, sort=False)[v].first()
+        if len(vdims) == 1:
+            full = pd.Index(coords[vdims[0]], name=vdims[0])
+        else:
+            full = pd.MultiIndex.from_product(
+                [coords[d] for d in vdims], names=vdims
+            )
+        shape = tuple(len(coords[d]) for d in vdims)
+        arrays[v] = (tuple(vdims), ser.reindex(full).to_numpy().reshape(shape))
+    return coords, arrays
+
+
+def to_xarray(
+    df: DataFrame,
+    dims: list[str],
+    var_names: list[str] | None = None,
+    var_dims: dict[str, list[str]] | None = None,
+    attrs: dict | None = None,
+):
+    """Dense ``xarray.Dataset`` view of a long-format result — the
+    reference's primary output shape (``results_to_ds``,
+    gen/combo_runner.py:473-535).
+
+    Thin adapter over :func:`to_dense_arrays`; requires ``xarray`` on
+    the driver (install it there — executors never need it).
+    """
+    try:
+        import xarray as xr
+    except ImportError as exc:  # pragma: no cover - xarray not in CI image
+        raise ImportError(
+            "to_xarray needs xarray on the driver (pip install xarray); "
+            "use to_dense_arrays/to_dense_pandas for a dependency-free "
+            "dense view"
+        ) from exc
+    coords, arrays = to_dense_arrays(
+        df, dims, var_names=var_names, var_dims=var_dims
+    )
+    return xr.Dataset(
+        {v: (list(vd), arr) for v, (vd, arr) in arrays.items()},
+        coords=coords,
+        attrs=dict(attrs or {}),
+    )

@@ -38,3 +38,78 @@ def test_save_load_roundtrip(spark, tmp_path, fmt, options):
     back = load_df(spark, p, fmt, **options)
     got = sorted((r["a"], r["x"], r["s"]) for r in back.collect())
     assert got == [(1, 1.5, "hi"), (2, 2.5, "yo")]
+
+
+def test_save_load_avro_if_available(spark, tmp_path):
+    """Avro rides on the external spark-avro package; round-trip when
+    present, otherwise assert the failure names the format."""
+    df = spark.createDataFrame([Row(a=1, s="hi")])
+    p = str(tmp_path / "t.avro")
+    try:
+        save_df(df, p, "avro")
+    except Exception as exc:  # noqa: BLE001 - AnalysisException w/o jar
+        assert "avro" in str(exc).lower()
+        return
+    back = load_df(spark, p, "avro")
+    assert back.collect()[0]["a"] == 1
+
+
+def test_import_xyzpy_store_pandas_formats(spark, tmp_path):
+    """Migration path for the reference's frame stores
+    (manage.py:405-453): pickle / csv / json load into a Spark DF."""
+    import pandas as pd
+
+    from xyzpy_spark.sources import import_xyzpy_store
+
+    pdf = pd.DataFrame({"a": [1, 2], "b": [10, 20], "y": [11.0, 22.0]})
+    for fmt, ext, writer in [
+        ("pickle", "pkl", pdf.to_pickle),
+        ("csv", "csv", lambda p: pdf.to_csv(p, index=False)),
+        ("json", "json", lambda p: pdf.to_json(p)),
+    ]:
+        p = str(tmp_path / f"store.{ext}")
+        writer(p)
+        df = import_xyzpy_store(spark, p)
+        got = sorted((r["a"], r["b"], r["y"]) for r in df.collect())
+        assert got == [(1, 10, 11.0), (2, 20, 22.0)], fmt
+
+
+def test_import_xyzpy_store_netcdf_roundtrip(spark, tmp_path):
+    """Dense Dataset -> long rows (runs where xarray is installed)."""
+    xr = pytest.importorskip("xarray")
+
+    from xyzpy_spark.sources import import_xyzpy_store
+
+    ds = xr.Dataset(
+        {"y": (["a", "b"], [[1.0, 2.0], [3.0, 4.0]])},
+        coords={"a": [1, 2], "b": [10, 20]},
+    )
+    p = str(tmp_path / "store.nc")
+    ds.to_netcdf(p)
+    df = import_xyzpy_store(spark, p)
+    got = sorted((r["a"], r["b"], r["y"]) for r in df.collect())
+    assert got == [(1, 10, 1.0), (1, 20, 2.0), (2, 10, 3.0), (2, 20, 4.0)]
+
+
+def test_import_xyzpy_store_gates_missing_xarray(spark, tmp_path):
+    from xyzpy_spark.sources import import_xyzpy_store
+
+    try:
+        import xarray  # noqa: F401
+
+        pytest.skip("xarray installed — gating not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(ImportError, match="xarray"):
+        import_xyzpy_store(spark, str(tmp_path / "s.nc"))
+
+
+def test_infer_store_format():
+    from xyzpy_spark.sources import infer_store_format
+
+    assert infer_store_format("x.nc") == "netcdf"
+    assert infer_store_format("x.zarr") == "zarr"
+    assert infer_store_format("x.pkl") == "pickle"
+    assert infer_store_format("x.h5") == "hdf"
+    with pytest.raises(ValueError):
+        infer_store_format("x.unknown")

@@ -46,6 +46,25 @@ def grid_df(spark):
     return spark.createDataFrame(rows)
 
 
+def test_stage_metrics_nonzero_peaks(spark):
+    """S10: the status-store metrics helper reports real nonzero
+    execution-memory peaks for a shuffling job."""
+    from pyspark.sql import functions as F
+
+    from xyzpy_spark.utils import peak_memory_report, stage_metrics
+
+    spark.range(0, 2_000_000, 1, 8).groupBy(
+        (F.col("id") % 1000).alias("k")
+    ).count().collect()
+    stages = stage_metrics(spark)
+    assert len(stages) > 0
+    assert any(s["peak_execution_memory"] > 0 for s in stages)
+    assert any(s["shuffle_write"] > 0 for s in stages)
+    report = peak_memory_report(spark)
+    assert report["peak_execution_memory"] > 0
+    assert report["n_stages"] == len(stages)
+
+
 def test_facet_values(grid_df):
     assert facet_values(grid_df, ["a"]) == [(0,), (1,), (2,)]
 

@@ -1,4 +1,5 @@
 from .tables import read_table, register_tables, save_bucketed, save_df, load_df
+from .xyzpy_store import import_xyzpy_store, infer_store_format
 
 __all__ = [
     "read_table",
@@ -6,4 +7,6 @@ __all__ = [
     "save_bucketed",
     "save_df",
     "load_df",
+    "import_xyzpy_store",
+    "infer_store_format",
 ]

@@ -108,3 +108,75 @@ class Timer:
         self.stop = time.perf_counter()
         self.t = self.interval = self.stop - self.start
         return False
+
+
+def stage_metrics(spark) -> list[dict]:
+    """Per-stage resource metrics from Spark's app status store —
+    the cluster analog of the reference's RSS ``MemoryMonitor``
+    (``utils.py:761-855``): on Spark, memory pressure is per-task
+    execution memory + spill, tracked by the engine itself.
+
+    Returns one dict per completed/running stage: ``stage_id, name,
+    peak_execution_memory, memory_spilled, disk_spilled,
+    shuffle_write, shuffle_read, input_bytes, output_bytes``.
+    Task-event-driven (exact, no heartbeat lag).  Works with the UI
+    server disabled — reads the in-process status store via py4j
+    (the Scala default-argument stubs are called explicitly).
+    """
+    store = spark.sparkContext._jsc.sc().statusStore()
+    jlist = spark.sparkContext._jvm.java.util.ArrayList()
+    defaults = [
+        getattr(store, f"stageList$default${i}")() for i in range(2, 6)
+    ]
+    stages = store.stageList(jlist, *defaults)
+    out = []
+    for i in range(stages.size()):
+        s = stages.apply(i)
+        out.append(
+            {
+                "stage_id": int(s.stageId()),
+                "name": str(s.name()),
+                "peak_execution_memory": int(s.peakExecutionMemory()),
+                "memory_spilled": int(s.memoryBytesSpilled()),
+                "disk_spilled": int(s.diskBytesSpilled()),
+                "shuffle_write": int(s.shuffleWriteBytes()),
+                "shuffle_read": int(s.shuffleReadBytes()),
+                "input_bytes": int(s.inputBytes()),
+                "output_bytes": int(s.outputBytes()),
+            }
+        )
+    return out
+
+
+def peak_memory_report(spark) -> dict:
+    """Aggregate peak-memory / spill summary across all stages, plus
+    per-executor JVM peaks where the heartbeat has populated them
+    (executor metrics lag by the 10s heartbeat; stage numbers do not).
+    """
+    stages = stage_metrics(spark)
+    report = {
+        "peak_execution_memory": max(
+            (s["peak_execution_memory"] for s in stages), default=0
+        ),
+        "total_memory_spilled": sum(s["memory_spilled"] for s in stages),
+        "total_disk_spilled": sum(s["disk_spilled"] for s in stages),
+        "total_shuffle_write": sum(s["shuffle_write"] for s in stages),
+        "n_stages": len(stages),
+        "executors": {},
+    }
+    store = spark.sparkContext._jsc.sc().statusStore()
+    execs = store.executorList(True)
+    for i in range(execs.size()):
+        e = execs.apply(i)
+        pmm = e.peakMemoryMetrics()
+        if pmm.isDefined():
+            m = pmm.get()
+            report["executors"][str(e.id())] = {
+                name: int(m.getMetricValue(name))
+                for name in (
+                    "JVMHeapMemory",
+                    "OnHeapExecutionMemory",
+                    "OnHeapStorageMemory",
+                )
+            }
+    return report

@@ -113,6 +113,22 @@ def test_fuse_dims(spark, grid_df):
     assert len({r["key_idx"] for r in rows}) == 28
 
 
+def test_style_indices(spark):
+    from xyzpy_spark.operators.reductions import style_indices
+
+    df = spark.createDataFrame(
+        [Row(alg=a, size=s, rep=r, v=1.0)
+         for a in ("qmc", "mc") for s in (8, 16, 32) for r in (0, 1)]
+    )
+    out = style_indices(df, {"hue": "alg", "marker": ["size", "rep"]})
+    rows = out.collect()
+    hues = {r["hue"]: r["hue_idx"] for r in rows}
+    assert hues == {"mc": 0, "qmc": 1}  # sorted channel values
+    markers = {r["marker"]: r["marker_idx"] for r in rows}
+    assert len(markers) == 6
+    assert markers["8, 0"] == 0 and markers["32, 1"] == 5
+
+
 def test_trimna(spark):
     rows = [
         Row(a=1, b=10, v=1.0),

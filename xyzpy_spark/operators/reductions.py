@@ -206,6 +206,33 @@ def fuse_dims(df: DataFrame, dims, name: str, *, sep: str = ", ") -> DataFrame:
     return df.join(F.broadcast(lookup), name, "left")
 
 
+def style_indices(df: DataFrame, channels: dict) -> DataFrame:
+    """Per-aesthetic-channel dense style indices.
+
+    Reference: infiniplot's dim→aesthetic mapping
+    (``plot/infiniplot.py:700-760``): each channel (hue, marker,
+    linestyle, ...) maps its dim(s) to a 0-based dense index over the
+    sorted values, so color/marker assignment is stable across facets
+    and engines.  ``channels`` maps channel name -> dim or list of
+    dims; several dims fuse into one labelled channel
+    (:func:`fuse_dims`).  Adds ``{channel}`` (label) and
+    ``{channel}_idx`` columns.  Lookups are distinct-value-sized and
+    broadcast — no full-data shuffle.
+    """
+    for ch, dims in channels.items():
+        dims = [dims] if isinstance(dims, str) else list(dims)
+        df = fuse_dims(df, dims, ch) if ch not in df.columns else df
+        if ch in dims and len(dims) == 1 and f"{ch}_idx" not in df.columns:
+            w = Window.orderBy(F.col(ch))
+            lookup = (
+                df.select(ch)
+                .distinct()
+                .withColumn(f"{ch}_idx", F.dense_rank().over(w) - 1)
+            )
+            df = df.join(F.broadcast(lookup), ch, "left")
+    return df
+
+
 def trimna(df: DataFrame, dims, var_names, *, cache: bool = True) -> DataFrame:
     """Drop coordinate slices that are all-null, per dim.
 

@@ -88,6 +88,11 @@ def ngram_jaccard_pairs(
     ``|A ∩ B| / (|A| + |B| - |A ∩ B|)``.  ``max_shingle_freq`` drops
     ubiquitous shingles before the join (a shingle shared by f docs
     creates f² join rows — boilerplate must not explode the plan).
+    NOTE: dropped shingles still count toward each doc's size but can
+    never contribute to the intersection, so reported jaccard is a
+    LOWER bound for pairs whose overlap is mostly boilerplate — the
+    conservative direction for dedup (never merges dissimilar docs).
+    Set ``max_shingle_freq=None`` for exact scores on small corpora.
 
     The exploded-shingle table feeds three subplans (sizes + both join
     sides); ``cache`` persists it (memory-and-disk) so the corpus is

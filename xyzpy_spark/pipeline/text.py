@@ -336,6 +336,124 @@ def filter_corpus(
     return out.where(cond)
 
 
+#: conservative PII patterns, valid and equivalent in Java regex
+#: (Spark) and RE2 (DuckDB oracle / Go scrubbers): no backreferences,
+#: no ordered alternation whose greedy/leftmost-longest results differ
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d -]{6,14}\d",
+}
+
+
+def scrub_pii(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str | None = None,
+    patterns: dict | None = None,
+    token: str = "<PII:{kind}>",
+    count: bool = True,
+) -> DataFrame:
+    """Redact PII spans (emails / IPv4 / intl phone numbers by
+    default) and count them — the pre-training scrub stage.
+
+    Map-only regexp work, whole-stage codegen, zero shuffle: the rule
+    stack runs at scan speed over a 100 TB corpus.  Counts are taken
+    on the ORIGINAL text (before any replacement can overlap a later
+    pattern); replacements apply in dict order.  Patterns are chosen
+    to behave identically under Java regex and RE2 so the DuckDB
+    oracle (and any future engine) reproduces the scrub byte-for-byte.
+    """
+    patterns = PII_PATTERNS if patterns is None else patterns
+    out = df
+    if count:
+        for kind, pat in patterns.items():
+            out = out.withColumn(
+                f"n_{kind}",
+                F.regexp_count(F.col(text_col), F.lit(pat)).cast("long"),
+            )
+    scrubbed = F.col(text_col)
+    for kind, pat in patterns.items():
+        scrubbed = F.regexp_replace(
+            scrubbed, pat, token.format(kind=kind)
+        )
+    return out.withColumn(out_col or text_col, scrubbed)
+
+
+def _doc_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(doc, ngram) rows via the codegen posexplode + lead-window
+    assembly (only FULL n-grams; docs shorter than n yield none)."""
+    tok_rows = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("__pos", "__t"),
+    )
+    w = Window.partitionBy("__doc").orderBy("__pos")
+    parts = [F.col("__t")] + [
+        F.lead("__t", j).over(w).alias(f"__t{j}") for j in range(1, n)
+    ]
+    grams = tok_rows.select("__doc", *parts)
+    last = f"__t{n - 1}" if n > 1 else "__t"
+    return grams.where(F.col(last).isNotNull()).select(
+        "__doc",
+        F.concat_ws(" ", "__t", *[f"__t{j}" for j in range(1, n)]).alias(
+            "ngram"
+        ),
+    )
+
+
+def contamination_hits(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-training-doc count of DISTINCT eval n-grams it contains —
+    the train-vs-benchmark overlap audit (GPT-3-style 13-gram
+    decontamination, scaled to n=8 for shorter docs).
+
+    The eval side reduces to its distinct n-gram set (benchmarks are
+    tiny vs the corpus → broadcast hash join); the train side streams
+    its n-grams through one equi-join + groupBy.  Output: ``(id_col,
+    n_hits)`` for contaminated docs only.
+    """
+    eval_grams = (
+        _doc_ngrams(eval_df, id_col, text_col, n)
+        .select("ngram")
+        .distinct()
+    )
+    train_grams = _doc_ngrams(train_df, id_col, text_col, n).distinct()
+    return (
+        train_grams.join(F.broadcast(eval_grams), "ngram")
+        .groupBy("__doc")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("__doc").alias(id_col), "n_hits")
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop training docs sharing >= ``min_hits`` distinct n-grams
+    with the eval set (left-anti join against
+    :func:`contamination_hits` — train text never shuffles, only its
+    n-gram stream does)."""
+    hits = contamination_hits(
+        train_df, eval_df, n=n, text_col=text_col, id_col=id_col
+    ).where(F.col("n_hits") >= min_hits)
+    return train_df.join(hits, id_col, "left_anti")
+
+
 def corpus_top_ngrams(
     df: DataFrame,
     n: int = 2,

@@ -646,6 +646,55 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, cents, queries_df, k=5, nprobe=4)
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction + counts over the corpus (map-only regexp stack;
+    patterns chosen to behave identically under Java regex and RE2,
+    so the DuckDB oracle reproduces the scrub byte-for-byte)."""
+    from xyzpy_spark.pipeline.text import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return scrub_pii(docs)
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-vs-eval n-gram contamination audit: docs with doc_id % 10
+    == 0 act as the held-out benchmark; output = training docs that
+    contain any of its distinct 5-grams, with hit counts."""
+    from xyzpy_spark.pipeline.text import contamination_hits
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    return contamination_hits(train, ev, n=5)
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus paragraph dedup.  The synthetic docs have no
+    newlines, so the query first derives deterministic pseudo-
+    paragraphs (12-token chunks joined by newline) and then runs the
+    real operator: first occurrence of each paragraph wins, documents
+    reassemble in original order."""
+    from xyzpy_spark.pipeline.dedup import dedup_paragraphs
+    from xyzpy_spark.pipeline.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize(F.col("text"))
+    chunked = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                ((F.size(toks) - F.lit(1)) / F.lit(12)).cast("int"),
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * 12 + 1, 12)
+            ),
+        ),
+        "\n",
+    )
+    paras = docs.select("doc_id", chunked.alias("text"))
+    return dedup_paragraphs(paras)
+
+
 def q_crop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1-C11 sow/grow/reap staged execution, end to end: sow a sweep
     into a scratch crop, grow all batches, reap deterministically."""
@@ -929,6 +978,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "filter_corpus": q_filter_corpus,
         "corpus_top_ngrams": q_corpus_top_ngrams,
+        "pii_scrub": q_pii_scrub,
+        "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
     }
 
 
@@ -1048,11 +1100,80 @@ def _minhash_lsh_oracle() -> str:
     """
 
 
+def _pii_scrub_oracle() -> str:
+    """Same patterns, same replacement order, RE2 semantics — counts
+    on the original text, replacements cascaded in dict order."""
+    from xyzpy_spark.pipeline.text import PII_PATTERNS
+
+    scrub = "text"
+    for kind, pat in PII_PATTERNS.items():
+        scrub = f"regexp_replace({scrub}, '{pat}', '<PII:{kind}>', 'g')"
+    counts = ", ".join(
+        f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT) "
+        f"AS n_{kind}"
+        for kind, pat in PII_PATTERNS.items()
+    )
+    return f"SELECT doc_id, {counts}, {scrub} AS text FROM documents"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "sampler_run": _sampler_run_oracle(),
         "estimate_repeats": _estimate_repeats_oracle(),
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "pii_scrub": _pii_scrub_oracle(),
+        "decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 4, 0) + 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                || ' ' || w[i+3] || ' ' || w[i+4]))) AS ngram
+                FROM toks
+            ), eval_g AS (
+                SELECT DISTINCT ngram FROM grams WHERE doc_id % 10 = 0
+            ), train_g AS (
+                SELECT doc_id, ngram FROM grams WHERE doc_id % 10 <> 0
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM train_g JOIN eval_g USING (ngram)
+            GROUP BY doc_id
+        """,
+        "dedup_paragraphs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS w
+                FROM documents
+            ), chunks AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(0, 1 + (len(w) - 1) // 12),
+                           i -> struct_pack(
+                               pos := i,
+                               para := array_to_string(
+                                   w[i*12+1 : i*12+12], ' ')))) AS u
+                FROM toks
+            ), paras AS (
+                SELECT doc_id, u.pos AS pos, u.para AS para FROM chunks
+            ), kept AS (
+                SELECT doc_id, pos, para,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY para ORDER BY doc_id, pos) AS rk
+                FROM paras
+            ), assembled AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10) ORDER BY pos) AS text
+                FROM kept WHERE rk = 1 GROUP BY doc_id
+            )
+            SELECT d.doc_id, COALESCE(a.text, '') AS text
+            FROM documents d LEFT JOIN assembled a USING (doc_id)
+        """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -61,6 +61,9 @@ HEADLINE = [
     "range_follow_clicks",
     "rollup_hour_day",
     "stratified_sample",
+    "pii_scrub",
+    "decontaminate",
+    "dedup_paragraphs",
 ]
 
 

@@ -187,6 +187,75 @@ def test_simhash_near_pairs(spark, docs):
     assert got[(0, 3)] == 0
 
 
+def test_scrub_pii(spark):
+    from xyzpy_spark.pipeline.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, "mail me at jane.doe+x@example.co.uk or call +1 555 123 4567"),
+         (1, "server at 192.168.1.100 responded"),
+         (2, "nothing sensitive here")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert "<PII:email>" in rows[0]["text"]
+    assert "jane" not in rows[0]["text"]
+    assert "<PII:phone>" in rows[0]["text"]
+    assert rows[0]["n_email"] == 1 and rows[0]["n_phone"] == 1
+    assert rows[1]["text"] == "server at <PII:ipv4> responded"
+    assert rows[1]["n_ipv4"] == 1
+    assert rows[2]["text"] == "nothing sensitive here"
+    assert rows[2]["n_email"] == rows[2]["n_ipv4"] == rows[2]["n_phone"] == 0
+
+
+def test_decontaminate(spark):
+    from xyzpy_spark.pipeline.text import contamination_hits, decontaminate
+
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"),   # contains eval 4-gram
+         (1, "one two three four five six seven"),
+         (2, "totally unrelated training content here")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "beta gamma delta epsilon"),
+         (101, "unseen benchmark prompt text")],
+        ["doc_id", "text"],
+    )
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(train, ev, n=4).collect()
+    }
+    assert hits == {0: 1}
+    clean = decontaminate(train, ev, n=4)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+
+
+def test_dedup_paragraphs(spark):
+    from xyzpy_spark.pipeline.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(0, "shared boilerplate\nunique to zero"),
+         (1, "shared boilerplate\nunique to one"),
+         (2, "shared boilerplate")],   # nothing left after dedup
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df).collect()}
+    assert rows[0] == "shared boilerplate\nunique to zero"
+    assert rows[1] == "unique to one"
+    assert rows[2] == ""
+
+
+def test_dedup_paragraphs_keeps_intra_doc_order(spark):
+    from xyzpy_spark.pipeline.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(5, "z last\na first\nz last")],  # intra-doc repeat collapses
+        ["doc_id", "text"],
+    )
+    rows = dedup_paragraphs(df).collect()
+    assert rows[0]["text"] == "z last\na first"
+
+
 def test_dedup_clusters(spark):
     """Pairs -> connected duplicate groups (chain + triangle + isolate)."""
     from xyzpy_spark.pipeline.dedup import dedup_clusters

@@ -522,6 +522,56 @@ def dedup_clusters(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-corpus PARAGRAPH-level exact dedup (CCNet/RefinedWeb
+    style): each distinct paragraph survives only at its first
+    occurrence — smallest ``(doc, position)`` — and every later copy
+    is dropped before documents are reassembled.
+
+    One shuffle partitioned on the paragraph's 8-byte ``xxhash64``
+    (equivalence classes = identical text, so an engine without
+    xxhash64 — e.g. the DuckDB oracle — reproduces the result by
+    grouping on the paragraph itself), one window rank, one
+    reassembly groupBy ordered by original position.  Whitespace-only
+    paragraphs are dropped.  Output: ``(id_col, text)`` with docs
+    whose every paragraph was a repeat reduced to an empty string.
+    """
+    paras = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+    ).where(F.trim(F.col("__para")) != "")
+    w = Window.partitionBy(F.xxhash64("__para")).orderBy("__doc", "__pos")
+    kept = paras.withColumn("__rk", F.row_number().over(w)).where(
+        F.col("__rk") == 1
+    )
+    assembled = kept.groupBy("__doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__para"))
+                ),
+                lambda s: s["__para"],
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    # docs that lost every paragraph still appear, with empty text
+    return (
+        df.select(F.col(id_col).alias("__doc"))
+        .join(assembled, "__doc", "left")
+        .select(
+            F.col("__doc").alias(id_col),
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+        )
+    )
+
+
 def embedding_lsh_buckets(
     df: DataFrame,
     *,

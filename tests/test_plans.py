@@ -163,6 +163,49 @@ def test_lsh_pair_dedup_avoids_signature_shuffle(spark):
         assert "sig_a" not in agg_part and "sig_b" not in agg_part
 
 
+def test_pii_scrub_is_shuffle_free_codegen(spark):
+    """The scrub stack must run at scan speed: zero exchanges, no
+    Python evaluators."""
+    from xyzpy_spark.pipeline.text import scrub_pii
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    q = scrub_pii(docs)
+    assert not has_exchange(q)
+    plan = executed_plan(q)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark):
+    """The eval n-gram set must broadcast: the training stream joins
+    without shuffling its n-grams to the join."""
+    from xyzpy_spark.pipeline.text import contamination_hits
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    plan = executed_plan(contamination_hits(train, ev, n=5))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dedup_clusters_bounded_plan_depth(spark):
+    """localCheckpoint must truncate lineage: after 12 label-prop
+    rounds the final plan may not contain the full join cascade."""
+    from xyzpy_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(13)], ["id_a", "id_b"]
+    )
+    out = dedup_clusters(pairs, max_iter=30)
+    plan = executed_plan(out)
+    # execution reads the final round's cache directly: no join may
+    # appear above the first InMemoryTableScan
+    top = plan.split("InMemoryTableScan", 1)[0]
+    assert "Join" not in top, top
+    # and a checkpoint boundary (LogicalRDD/ExistingRDD scan) exists
+    # in the provenance — the recompute path is cut every 5 rounds
+    assert "Scan ExistingRDD" in plan
+
+
 def test_bucketed_join_skips_shuffle(spark, tmp_path):
     """Two tables bucketed on the same key with the same bucket count
     must sort-merge join with ZERO exchanges — the write-once,

@@ -366,6 +366,32 @@ def test_ivf_topk_recall(spark):
     assert sum(recalls) / len(recalls) > 0.5  # nprobe=4 of 8 cells
 
 
+def test_ivf_kmeans_refinement_tightens_cells(spark):
+    """Lloyd iterations must (a) be deterministic and (b) not lose
+    within-cell cosine tightness vs the sample-only seed centroids."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def mean_best_sim(iters):
+        assigned, cents = ivf_build(emb, n_cells=8, kmeans_iters=iters)
+        rows = assigned.select("cell", "embedding").collect()
+        c = np.array(cents)
+        c = c / np.linalg.norm(c, axis=1, keepdims=True)
+        sims = []
+        for r in rows:
+            v = np.array(r["embedding"], dtype=float)
+            sims.append(float(c[r["cell"]] @ v / np.linalg.norm(v)))
+        return sum(sims) / len(sims)
+
+    s0, s2 = mean_best_sim(0), mean_best_sim(2)
+    assert s2 >= s0 - 1e-9  # refinement never hurts assignment quality
+    # determinism: same seed + iters -> identical centroids
+    _, a = ivf_build(emb, n_cells=8, kmeans_iters=2)
+    _, b = ivf_build(emb, n_cells=8, kmeans_iters=2)
+    assert a == b
+
+
 def test_multimodal_meta(spark):
     df = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
     with_media = attach_fake_media(df)

@@ -721,8 +721,13 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     block_rows: int = 1024,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs by cosine similarity (exact).
+
+    ``n_rows``: pass the (approximate) corpus size when known to skip
+    the sizing ``count()`` job — block count only tunes tile size, so
+    a stale estimate is safe.
 
     Blocked all-pairs: rows are hashed into ``ceil(n / block_rows)``
     blocks, every block *pair* becomes one ``applyInPandas`` group, and
@@ -744,7 +749,7 @@ def embedding_cosine_pairs(
     """
     import math
 
-    n = df.count()
+    n = df.count() if n_rows is None else int(n_rows)
     n_blocks = max(1, math.ceil(n / block_rows))
 
     v = df.select(

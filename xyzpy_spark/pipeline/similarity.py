@@ -69,31 +69,10 @@ def cosine_topk(
     )
 
 
-def ivf_build(
-    corpus: DataFrame,
-    *,
-    n_cells: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    sample_seed: int = 42,
-) -> tuple[DataFrame, list]:
-    """Assign every vector to its nearest coarse centroid (IVF-Flat).
-
-    Centroids are a deterministic sample of the corpus itself (k-means
-    would converge them further; a seeded sample is deterministic,
-    single-pass, and good enough for cell routing).  Returns the
-    corpus with a ``cell`` column plus the centroid list (driver-side,
-    broadcast into the plan as literals).
-    """
-    cents = (
-        corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col) + F.lit(sample_seed)))
-        .limit(n_cells)
-        .collect()
-    )
-    centroids = [
-        [float(x) for x in r[vec_col]] for r in cents
-    ]
+def _nearest_cell(centroids: list, vec_col: str) -> F.Column:
+    """0-based argmax-cosine cell id over the (small) centroid list —
+    centroids enter the plan as literals, so assignment is pure
+    codegen over the corpus scan (no join, no Python)."""
     cent_arr = F.array(
         *[
             F.array(*[F.lit(x) for x in c]).cast("array<double>")
@@ -101,13 +80,67 @@ def ivf_build(
         ]
     )
     v = F.col(vec_col).cast("array<double>")
-    # nearest centroid by cosine: argmax over the (small) centroid array
     sims = F.transform(
         cent_arr,
         lambda c: _dot(c, v) / (_norm(c) * _norm(v)),
     )
-    best = F.array_position(sims, F.array_max(sims)) - 1
-    assigned = corpus.withColumn("cell", best.cast("int"))
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_build(
+    corpus: DataFrame,
+    *,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_seed: int = 42,
+    kmeans_iters: int = 2,
+) -> tuple[DataFrame, list]:
+    """Assign every vector to its nearest coarse centroid (IVF-Flat).
+
+    Centroids start as a deterministic seeded sample of the corpus and
+    are refined by ``kmeans_iters`` rounds of distributed spherical
+    Lloyd iteration: assign (codegen argmax over centroid literals) →
+    per-(cell, dim) mean via one posexplode + aggregation shuffle →
+    driver rebuilds the n_cells x dim literal table (tiny).  Empty
+    cells keep their previous centroid.  ``kmeans_iters=0`` restores
+    the single-pass sample-only build.  Returns the corpus with a
+    ``cell`` column plus the centroid list.
+    """
+    cents = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col) + F.lit(sample_seed)))
+        .limit(n_cells)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in cents]
+
+    for _ in range(kmeans_iters):
+        assigned = corpus.withColumn(
+            "cell", _nearest_cell(centroids, vec_col)
+        )
+        rows = (
+            assigned.select(
+                "cell",
+                F.posexplode(
+                    F.col(vec_col).cast("array<double>")
+                ).alias("pos", "x"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        means: dict[int, dict[int, float]] = {}
+        for r in rows:
+            means.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        centroids = [
+            [means[c][p] for p in range(len(centroids[c]))]
+            if c in means
+            else centroids[c]
+            for c in range(len(centroids))
+        ]
+
+    assigned = corpus.withColumn("cell", _nearest_cell(centroids, vec_col))
     return assigned, centroids
 
 

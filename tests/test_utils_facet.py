@@ -142,3 +142,23 @@ def test_accessor_corpus_pipeline_chain(spark):
     assert {"quality", "top_bigram_frac", "dup_token_frac"} <= cols
     n = out.count()
     assert 0 < n < docs.count()
+
+
+def test_accessor_scrub_and_decontaminate_chain(spark):
+    from pyspark.sql import functions as F
+
+    from xyzpy_spark.accessor import xyz
+    from xyzpy_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    out = (
+        xyz(docs.where(F.col("doc_id") % 10 != 0))
+        .scrub_pii()
+        .decontaminate(ev, n=5)
+        .df
+    )
+    assert {"n_email", "n_ipv4", "n_phone"} <= set(out.columns)
+    assert 0 < out.count() < docs.count()

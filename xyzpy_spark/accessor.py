@@ -139,6 +139,28 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(hash_sample(self.df, key, fraction, **kw))
 
+    def scrub_pii(self, **kw) -> "xyz":
+        from .pipeline.text import scrub_pii
+
+        return self._wrap(scrub_pii(self.df, **kw))
+
+    def decontaminate(self, eval_df, **kw) -> "xyz":
+        from .pipeline.text import decontaminate
+
+        eval_df = eval_df.df if isinstance(eval_df, xyz) else eval_df
+        return self._wrap(decontaminate(self.df, eval_df, **kw))
+
+    def dedup_paragraphs(self, **kw) -> "xyz":
+        from .pipeline.dedup import dedup_paragraphs
+
+        return self._wrap(dedup_paragraphs(self.df, **kw))
+
+    # -- presentation (dense) -------------------------------------------
+    def to_xarray(self, dims, **kw):
+        from .runner import to_xarray
+
+        return to_xarray(self.df, dims, **kw)
+
     # -- passthrough -----------------------------------------------------
     def __getattr__(self, name):
         attr = getattr(self.df, name)

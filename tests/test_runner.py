@@ -226,6 +226,39 @@ def test_to_dense_pandas(spark):
     assert np.isnan(dense.loc[(1, 20, 100), "x"])
 
 
+def test_vectorized_internal_dims_matches_per_point(spark):
+    """vectorized=True now unrolls internal-dim outputs in the same
+    pass; result must equal the per-point path row for row."""
+    import numpy as np
+
+    t_coords = [0.0, 0.5, 1.0]
+
+    def kern_point(a, b):
+        t = np.array(t_coords)
+        return a * (b * t + 100), a + b  # (array over time, scalar)
+
+    def kern_vec(a, b):
+        t = np.array(t_coords)
+        return a[:, None] * (b[:, None] * t[None, :] + 100), a + b
+
+    common = dict(
+        combos={"a": [1, 2, 3], "b": [10, 20]},
+        var_names=["arr", "s"],
+        var_dims={"arr": ["time"]},
+        var_coords={"time": t_coords},
+        var_types={"arr": float, "s": int},
+    )
+    ref = combo_runner_to_df(spark, kern_point, **common).collect()
+    vec = combo_runner_to_df(
+        spark, kern_vec, vectorized=True, **common
+    ).collect()
+    key = lambda r: (r["a"], r["b"], r["time"])  # noqa: E731
+    ref_m = {key(r): (r["arr"], r["s"]) for r in ref}
+    vec_m = {key(r): (r["arr"], r["s"]) for r in vec}
+    assert len(ref_m) == 3 * 2 * 3
+    assert ref_m == vec_m
+
+
 def test_to_dense_arrays_matches_dense_pandas(spark):
     from xyzpy_spark.runner import to_dense_arrays
 
@@ -315,11 +348,11 @@ def test_vectorized_fast_path(spark):
         assert r["z"] == r["a"] - r["b"]
 
 
-def test_vectorized_rejects_internal_dims(spark):
+def test_vectorized_internal_dims_requires_explode(spark):
     def kern(a):
         return a
 
-    with pytest.raises(ValueError, match="scalar outputs only"):
+    with pytest.raises(ValueError, match="explode=True"):
         combo_runner_to_df(
             spark,
             kern,
@@ -329,6 +362,7 @@ def test_vectorized_rejects_internal_dims(spark):
             var_types={"y": float},
             var_coords={"t": [0, 1]},
             vectorized=True,
+            explode=False,
         )
 
 

@@ -104,6 +104,37 @@ def test_import_xyzpy_store_gates_missing_xarray(spark, tmp_path):
         import_xyzpy_store(spark, str(tmp_path / "s.nc"))
 
 
+def test_export_import_store_roundtrip_pandas_formats(spark, tmp_path):
+    """Long table -> reference store format -> back, values intact."""
+    from xyzpy_spark.sources import export_xyzpy_store, import_xyzpy_store
+
+    df = spark.createDataFrame(
+        [Row(a=1, b=10, y=11.0), Row(a=2, b=20, y=22.0)]
+    )
+    for ext in ("pkl", "csv", "json"):
+        p = str(tmp_path / f"out.{ext}")
+        export_xyzpy_store(df, p, ["a", "b"])
+        back = import_xyzpy_store(spark, p)
+        got = sorted((r["a"], r["b"], r["y"]) for r in back.collect())
+        assert got == [(1, 10, 11.0), (2, 20, 22.0)], ext
+
+
+def test_export_store_netcdf_roundtrip(spark, tmp_path):
+    pytest.importorskip("xarray")
+
+    from xyzpy_spark.sources import export_xyzpy_store, import_xyzpy_store
+
+    df = spark.createDataFrame(
+        [Row(a=1, b=10, y=11.0), Row(a=1, b=20, y=12.0),
+         Row(a=2, b=10, y=21.0), Row(a=2, b=20, y=22.0)]
+    )
+    p = str(tmp_path / "out.nc")
+    export_xyzpy_store(df, p, ["a", "b"])
+    back = import_xyzpy_store(spark, p)
+    got = sorted((r["a"], r["b"], r["y"]) for r in back.collect())
+    assert got == [(1, 10, 11.0), (1, 20, 12.0), (2, 10, 21.0), (2, 20, 22.0)]
+
+
 def test_infer_store_format():
     from xyzpy_spark.sources import infer_store_format
 

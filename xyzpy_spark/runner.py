@@ -307,27 +307,86 @@ def _make_mapper(
 
 
 def _make_vectorized_mapper(
-    fn, param_cols, specs, constants, resources, out_schema
+    fn, param_cols, specs, coords, constants, resources, out_schema
 ):
     """Batch-at-a-time evaluation: fn receives one numpy array per
     parameter and returns array(s) — one python call per Arrow batch
     instead of per grid point (10-100x less dispatch overhead; the
     path that beats the reference's ~85k sequential calls/s by orders
-    of magnitude on numeric kernels)."""
+    of magnitude on numeric kernels).
+
+    Internal dims are supported: a var with dims returns an array of
+    shape ``(batch, *dim_sizes)`` and is unrolled to long format
+    inside the same pass — scalars ``np.repeat``-ed, arrays gathered
+    through a precomputed flat index per var (handles vars that use a
+    subset or permutation of the union dims)."""
     out_cols = [f.name for f in out_schema.fields]
+    union_dims: list[str] = []
+    for s in specs:
+        for d in s.dims:
+            if d not in union_dims:
+                union_dims.append(d)
+
+    if union_dims:
+        inner_positions = np.array(
+            list(
+                itertools.product(
+                    *[range(len(coords[d])) for d in union_dims]
+                )
+            )
+        )  # (n_inner, k)
+        n_inner = len(inner_positions)
+        inner_vals = {
+            d: np.array(
+                [coords[d][p] for p in inner_positions[:, i]], dtype=object
+            )
+            for i, d in enumerate(union_dims)
+        }
+        var_flat_idx = {}
+        for s in specs:
+            if s.dims:
+                sizes = [len(coords[d]) for d in s.dims]
+                var_flat_idx[s.name] = np.ravel_multi_index(
+                    tuple(
+                        inner_positions[:, union_dims.index(d)]
+                        for d in s.dims
+                    ),
+                    sizes,
+                )
 
     def evaluate(iterator):
         for pdf in iterator:
             kwargs = {c: pdf[c].to_numpy() for c in param_cols}
             res = fn(**kwargs, **constants, **resources)
             values = list(res) if len(specs) > 1 else [res]
-            data = {LOC_COL: pdf[LOC_COL]}
+            b = len(pdf)
+            if not union_dims:
+                data = {LOC_COL: pdf[LOC_COL]}
+                for c in param_cols:
+                    data[c] = pdf[c]
+                for spec, val in zip(specs, values):
+                    data[spec.name] = np.broadcast_to(
+                        np.asarray(val), (b,)
+                    ).copy()
+                yield pd.DataFrame(data)[out_cols]
+                continue
+            data = {
+                LOC_COL: np.repeat(pdf[LOC_COL].to_numpy(), n_inner)
+            }
             for c in param_cols:
-                data[c] = pdf[c]
+                data[c] = np.repeat(pdf[c].to_numpy(), n_inner)
+            for d in union_dims:
+                data[d] = np.tile(inner_vals[d], b)
             for spec, val in zip(specs, values):
-                data[spec.name] = np.broadcast_to(
-                    np.asarray(val), (len(pdf),)
-                ).copy()
+                if not spec.dims:
+                    data[spec.name] = np.repeat(
+                        np.broadcast_to(np.asarray(val), (b,)), n_inner
+                    )
+                else:
+                    a = np.asarray(val).reshape(b, -1)
+                    data[spec.name] = a[:, var_flat_idx[spec.name]].reshape(
+                        b * n_inner
+                    )
             yield pd.DataFrame(data)[out_cols]
 
     return evaluate
@@ -373,13 +432,12 @@ def evaluate_grid(
     out_schema = T.StructType(fields)
 
     if vectorized:
-        if explode and any(s.dims for s in specs):
+        if not explode and any(s.dims for s in specs):
             raise ValueError(
-                "vectorized=True supports scalar outputs only "
-                "(no internal dims)"
+                "vectorized=True with internal dims requires explode=True"
             )
         mapper = _make_vectorized_mapper(
-            fn, param_cols, specs, constants, resources, out_schema
+            fn, param_cols, specs, coords, constants, resources, out_schema
         )
         return grid_df.mapInPandas(mapper, schema=out_schema)
 

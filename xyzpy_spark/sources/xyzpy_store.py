@@ -113,3 +113,45 @@ def import_xyzpy_store(
     else:
         raise ValueError(f"unknown store format {fmt!r}")
     return spark.createDataFrame(pdf)
+
+
+def export_xyzpy_store(
+    df: DataFrame,
+    path: str,
+    dims: list[str],
+    *,
+    fmt: str | None = None,
+    var_names: list[str] | None = None,
+    var_dims: dict | None = None,
+) -> None:
+    """Write a long-format result back out as a reference-compatible
+    store, so results computed here remain readable by unmigrated
+    xyzpy/xarray tooling.
+
+    Dataset formats (``netcdf``/``zarr``) densify via
+    :func:`xyzpy_spark.runner.to_xarray` (xarray required, driver-only,
+    driver-sized slices); frame formats (``pickle``/``csv``/``json``)
+    write the long table as pandas.  The engine's canonical at-scale
+    sink stays parquet (``save_df``) — this is the interchange path.
+    """
+    fmt = fmt or infer_store_format(path)
+    if fmt in ("netcdf", "zarr"):
+        from ..runner import to_xarray
+
+        ds = to_xarray(df, dims, var_names=var_names, var_dims=var_dims)
+        if fmt == "netcdf":
+            ds.to_netcdf(path)
+        else:
+            ds.to_zarr(path, mode="w")
+        return
+    pdf = df.toPandas()
+    if fmt == "pickle":
+        pdf.to_pickle(path)
+    elif fmt == "csv":
+        pdf.to_csv(path, index=False)
+    elif fmt == "json":
+        pdf.to_json(path)
+    elif fmt == "hdf":
+        pdf.to_hdf(path, key="xyzpy")
+    else:
+        raise ValueError(f"unknown store format {fmt!r}")

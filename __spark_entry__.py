@@ -378,6 +378,34 @@ def q_sweep_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("y", F.round("y", 6))
 
 
+def q_sweep_vectorized_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized sweep WITH internal dims: the kernel returns a
+    (batch, time) array per Arrow batch; the same pass unrolls it to
+    long format (no per-point python, no posexplode cascade)."""
+    _ship(spark)
+    from xyzpy_spark.runner import combo_runner_to_df
+
+    t_coords = [0.0, 0.25, 0.5, 0.75]
+
+    def kern(a, b):
+        import numpy as np
+
+        t = np.array([0.0, 0.25, 0.5, 0.75])
+        return a[:, None] * (b[:, None] * t[None, :] + 100), a + b
+
+    df = combo_runner_to_df(
+        spark,
+        kern,
+        {"a": range(40), "b": range(40)},
+        var_names=["arr", "s"],
+        var_dims={"arr": ["time"]},
+        var_coords={"time": t_coords},
+        var_types={"arr": float, "s": int},
+        vectorized=True,
+    )
+    return df.withColumn("arr", F.round("arr", 6))
+
+
 def q_case_union_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G19 sparse cases -> dense union grid with null holes."""
     _ship(spark)
@@ -947,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "combo_grid": q_combo_grid,
         "sweep_sumdiff": q_sweep_sumdiff,
         "sweep_vectorized": q_sweep_vectorized,
+        "sweep_vectorized_dims": q_sweep_vectorized_dims,
         "sweep_internal_dims": q_sweep_internal_dims,
         "case_union_grid": q_case_union_grid,
         "missing_cases": q_missing_cases,
@@ -1322,6 +1351,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
                    ROUND(a * 1.5 + b * b, 6) AS y
             FROM range(0, 200) ta(a), range(0, 200) tb(b)
+        """,
+        "sweep_vectorized_dims": """
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   time,
+                   ROUND(a * (b * time + 100), 6) AS arr,
+                   CAST(a + b AS BIGINT) AS s
+            FROM range(0, 40) ta(a), range(0, 40) tb(b),
+                 (VALUES (0.0::DOUBLE), (0.25::DOUBLE), (0.5::DOUBLE),
+                         (0.75::DOUBLE)) tt(time)
         """,
         "sweep_internal_dims": """
             SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, time,

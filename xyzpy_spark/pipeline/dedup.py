@@ -495,8 +495,10 @@ def dedup_clusters(
         )
         if (i + 1) % checkpoint_every == 0:
             # truncate lineage: without this, 20 rounds of join+agg
-            # build a plan the optimizer re-walks every action
-            new_cached = new_labels.localCheckpoint()
+            # build a plan the optimizer re-walks every action.
+            # eager=False folds the checkpoint materialization into
+            # the convergence-probe job below (one job, not two)
+            new_cached = new_labels.localCheckpoint(eager=False)
         else:
             new_cached = new_labels.persist()
         changed = (

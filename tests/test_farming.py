@@ -67,6 +67,27 @@ def test_harvester_merge_accumulation(fba_runner, tmp_path):
     _check_golden(h.full_df)
 
 
+def test_harvester_dense_views(fba_runner, tmp_path):
+    """h.to_dense_pandas() infers the store dims (sweep args +
+    internal output dims) and matches the long table."""
+    store = str(tmp_path / "fba.parquet")
+    h = Harvester(fba_runner, store)
+    h.harvest_combos({"a": [1, 2], "b": [3, 4]})
+    dense = h.to_dense_pandas()
+    assert list(dense.index.names) == ["a", "b", "time"]
+    assert dense.shape[0] == 2 * 2 * 3
+    e = _expected_golden()[(1, 3, 0.5)]
+    assert dense.loc[(1, 3, 0.5), "array"] == pytest.approx(e[2])
+    try:
+        import xarray  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="xarray"):
+            h.to_xarray()
+    else:
+        ds = h.to_xarray()
+        assert set(ds.dims) == {"a", "b", "time"}
+
+
 def test_harvester_missing_only_skips_done(fba_runner, tmp_path, monkeypatch):
     store = str(tmp_path / "fba.parquet")
     h = Harvester(fba_runner, store)

@@ -239,6 +239,43 @@ class Harvester:
         if os.path.exists(self.data_name):
             shutil.rmtree(self.data_name)
 
+    def _store_dims(self, dims=None) -> list[str]:
+        """Dim columns of the store: the runner's declared sweep args
+        plus any internal output dims present in the table."""
+        if dims is not None:
+            return list(dims)
+        df = self.load_full_df()
+        cols = set(df.columns) if df is not None else set()
+        # constants are passed but never dimensioned — only fn args
+        # that actually materialized as columns are dims
+        out = [a for a in self.runner.fn_args if a in cols]
+        for d in (self.runner.var_dims or {}).values():
+            for dd in d if isinstance(d, (list, tuple)) else [d]:
+                if dd in cols and dd not in out:
+                    out.append(dd)
+        return out
+
+    def to_dense_pandas(self, dims=None):
+        """Dense MultiIndex view of the full store (driver-sized;
+        reference ``Harvester.full_ds`` analog)."""
+        from .runner import to_dense_pandas
+
+        df = self.load_full_df()
+        if df is None:
+            raise ValueError("no stored dataset")
+        return to_dense_pandas(df, self._store_dims(dims))
+
+    def to_xarray(self, dims=None, **kw):
+        """Dense ``xr.Dataset`` of the full store — what an existing
+        xyzpy user expects ``h.full_ds`` to be (xarray on the driver
+        required; reference gen/farming.py:476-500)."""
+        from .runner import to_xarray
+
+        df = self.load_full_df()
+        if df is None:
+            raise ValueError("no stored dataset")
+        return to_xarray(df, self._store_dims(dims), **kw)
+
     # -- merging ---------------------------------------------------------
     def add_df(
         self, new: DataFrame, dims, *, overwrite: bool | None = None, sync: bool = True

@@ -256,6 +256,44 @@ def test_dedup_paragraphs_keeps_intra_doc_order(spark):
     assert rows[0]["text"] == "z last\na first"
 
 
+def test_dedup_paragraphs_matches_python_model(spark):
+    """Property: against random corpora from a tiny paragraph
+    alphabet, dedup_paragraphs == the obvious sequential model
+    (first (doc,pos) occurrence wins, docs reassemble in order)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xyzpy_spark.pipeline.dedup import dedup_paragraphs
+
+    alphabet = ["aa bb", "cc", "dd ee ff", "gg", "hh ii"]
+    corpus_strategy = st.lists(
+        st.lists(st.sampled_from(alphabet), min_size=0, max_size=5),
+        min_size=1,
+        max_size=5,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(corpus_strategy)
+    def run(corpus):
+        docs = [(i, "\n".join(ps)) for i, ps in enumerate(corpus)]
+        seen = set()
+        expect = {}
+        for i, ps in enumerate(corpus):
+            kept = []
+            for p in ps:
+                if p and p not in seen:
+                    seen.add(p)
+                    kept.append(p)
+            expect[i] = "\n".join(kept)
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["doc_id"]: r["text"] for r in dedup_paragraphs(df).collect()
+        }
+        assert got == expect
+
+    run()
+
+
 def test_dedup_clusters(spark):
     """Pairs -> connected duplicate groups (chain + triangle + isolate)."""
     from xyzpy_spark.pipeline.dedup import dedup_clusters

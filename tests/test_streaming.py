@@ -172,6 +172,41 @@ def test_stateful_running_stats_multi_trigger_parity(spark, events_batch, tmp_pa
         assert abs(row["std"] - want[k]["std"]) < 1e-9
 
 
+def test_corpus_scrub_composes_with_streams(spark):
+    """The map-only corpus stack (scrub_pii + quality) is
+    stream-composable as-is: running it over a documents file stream
+    must equal the batch result row for row."""
+    import os
+
+    from xyzpy_spark.pipeline.text import add_quality, scrub_pii
+
+    batch = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    want = {
+        r["doc_id"]: (r["text"], r["n_email"], r["quality"])
+        for r in add_quality(scrub_pii(batch)).collect()
+    }
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet")
+            ).schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+        .select("doc_id", "text")
+    )
+    out = run_stream_to_memory(
+        add_quality(scrub_pii(stream)),
+        "scrub_stream_t",
+        output_mode="append",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_email"], r["quality"])
+        for r in out.collect()
+    }
+    assert got == want
+
+
 def test_dedup_stream_drops_duplicate_arrivals(spark, events_batch, events_stream):
     from xyzpy_spark.streaming.ops import dedup_stream
 

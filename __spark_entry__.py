@@ -661,17 +661,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat approximate top-k.  Rows-only BY JUSTIFICATION: the
-    result depends on float32 numpy centroid assignment (tie-breaking
-    at matmul precision), which no integer/SQL twin can reproduce
-    bit-for-bit; correctness is enforced in pytest as recall >= the
-    design bound vs the oracle-checked exact cosine_topk."""
-    from xyzpy_spark.pipeline.similarity import ivf_build, ivf_topk
+    """IVF-Flat approximate top-k, run in the portable-exact mode
+    (md5-seeded centroid sample + floor-quantized BIGINT arithmetic,
+    pipeline/similarity.ivf_topk_portable) so cell assignment, probe
+    ranking and the final top-k all have a bit-exact DuckDB twin.
+    The production float path with distributed spherical k-means
+    refinement (ivf_build + ivf_topk) keeps its recall-vs-exact
+    assertion in test_pipeline — its partition-order-sensitive float
+    means are the one step no SQL oracle can replicate."""
+    from xyzpy_spark.pipeline.similarity import ivf_topk_portable
 
     emb = _t(spark, sf_dir, "embeddings")
-    assigned, cents = ivf_build(emb, n_cells=8)
     queries_df = emb.where(F.col("vec_id") < 5)
-    return ivf_topk(assigned, cents, queries_df, k=5, nprobe=4)
+    return ivf_topk_portable(
+        emb, queries_df, k=5, n_cells=8, nprobe=4
+    )
 
 
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -918,16 +922,17 @@ def q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sub-quadratic embedding near-dup pairs: random-hyperplane LSH
-    candidates + exact cosine refine (pipeline/dedup.embedding_lsh_pairs).
-    Rows-only BY JUSTIFICATION: candidate membership is the sign of a
-    float32 numpy Gaussian-hyperplane projection — inherently
-    probabilistic recall with no bit-exact SQL twin; recall vs the
-    oracle-checked exact all-pairs twin (dedup_embedding_cosine) is
-    asserted in test_pipeline."""
-    from xyzpy_spark.pipeline.dedup import embedding_lsh_pairs
+    candidates + exact cosine refine, run in the portable-exact mode
+    (md5-derived +/-1 hyperplanes over floor-quantized BIGINT vectors,
+    pipeline/dedup.embedding_lsh_pairs_portable) so the ENTIRE
+    pipeline — projection signs, banding, bucket join, cosine refine —
+    has a bit-exact DuckDB twin.  The production Gaussian/float path
+    (embedding_lsh_pairs) keeps its recall assertion vs the exact
+    all-pairs twin in test_pipeline."""
+    from xyzpy_spark.pipeline.dedup import embedding_lsh_pairs_portable
 
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_lsh_pairs(emb, threshold=0.4, bands=16)
+    return embedding_lsh_pairs_portable(emb, threshold=0.4, bands=16)
 
 
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,6 +1134,132 @@ def _minhash_lsh_oracle() -> str:
     """
 
 
+def _embedding_lsh_oracle() -> str:
+    """Exact DuckDB twin of the portable embedding LSH: same md5
+    +/-1 hyperplanes (inlined VALUES), same floor-quantized BIGINT
+    vectors, same 16x4 banding, same integer dot/norms.  The only
+    float ops — ``dot / (sqrt(na2) * sqrt(nb2))`` — are IEEE
+    correctly-rounded over identical <2^53 integers, so both engines
+    produce the same double and the >= 0.4 filter agrees exactly."""
+    from xyzpy_spark.pipeline.dedup import portable_hyperplanes
+
+    hyper_values = ", ".join(
+        f"({j}, {d}, {s})"
+        for j, row in enumerate(portable_hyperplanes(64, 64))
+        for d, s in enumerate(row)
+    )
+    return f"""
+        WITH hyper AS (
+            SELECT c0 AS bit, c1 AS d, c2 AS s
+            FROM (VALUES {hyper_values}) t(c0, c1, c2)
+        ), qv AS (
+            SELECT vec_id, CAST(r.range AS INTEGER) AS d,
+                   CAST(floor(CAST(
+                       embedding[CAST(r.range AS INTEGER) + 1]
+                   AS DOUBLE) * 1048576.0) AS BIGINT) AS qx
+            FROM embeddings CROSS JOIN range(64) r
+        ), bits AS (
+            SELECT q.vec_id, h.bit, SUM(h.s * q.qx) > 0 AS b
+            FROM qv q JOIN hyper h ON h.d = q.d
+            GROUP BY 1, 2
+        ), buckets AS (
+            SELECT vec_id, CAST(bit // 4 AS INTEGER) AS band,
+                   CAST(SUM(CASE WHEN b
+                            THEN CAST(1 AS BIGINT) << (bit % 4)
+                            ELSE 0 END) AS BIGINT) AS bucket
+            FROM bits GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+            WHERE a.vec_id < b.vec_id
+        ), dots AS (
+            SELECT c.id_a, c.id_b,
+                   CAST(SUM(qa.qx * qb.qx) AS DOUBLE) AS dot,
+                   CAST(SUM(qa.qx * qa.qx) AS DOUBLE) AS na2,
+                   CAST(SUM(qb.qx * qb.qx) AS DOUBLE) AS nb2
+            FROM cand c
+            JOIN qv qa ON qa.vec_id = c.id_a
+            JOIN qv qb ON qb.vec_id = c.id_b AND qb.d = qa.d
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT id_a, id_b, dot / (sqrt(na2) * sqrt(nb2)) AS cos
+            FROM dots
+        )
+        SELECT id_a, id_b, ROUND(cos, 6) AS cosine
+        FROM scored WHERE cos >= 0.4
+    """
+
+
+_SIMILARITY_IVF_ORACLE = """
+    WITH qv AS (
+        SELECT vec_id, CAST(r.range AS INTEGER) AS d,
+               CAST(floor(CAST(
+                   embedding[CAST(r.range AS INTEGER) + 1]
+               AS DOUBLE) * 1048576.0) AS BIGINT) AS qx
+        FROM embeddings CROSS JOIN range(64) r
+    ), norm2 AS (
+        SELECT vec_id, CAST(SUM(qx * qx) AS DOUBLE) AS n2
+        FROM qv GROUP BY 1
+    ), cent_ids AS (
+        SELECT vec_id AS cid,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42')
+               ) - 1 AS cell
+        FROM (
+            SELECT vec_id FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 8
+        )
+    ), simsc AS (
+        SELECT q.vec_id, ci.cell,
+               CAST(SUM(q.qx * cq.qx) AS DOUBLE)
+                   / (sqrt(cn.n2) * sqrt(vn.n2)) AS sim
+        FROM qv q
+        JOIN cent_ids ci ON TRUE
+        JOIN qv cq ON cq.vec_id = ci.cid AND cq.d = q.d
+        JOIN norm2 cn ON cn.vec_id = ci.cid
+        JOIN norm2 vn ON vn.vec_id = q.vec_id
+        GROUP BY q.vec_id, ci.cell, cn.n2, vn.n2
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+                   ) AS rn
+            FROM simsc
+        ) WHERE rn = 1
+    ), probe AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+                   ) AS rn
+            FROM simsc WHERE vec_id < 5
+        ) WHERE rn <= 4
+    ), scored AS (
+        SELECT p.query_id, a.vec_id AS nbr_id,
+               CAST(SUM(qa.qx * qb.qx) AS DOUBLE)
+                   / (sqrt(na.n2) * sqrt(nq.n2)) AS cos
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN qv qa ON qa.vec_id = a.vec_id
+        JOIN qv qb ON qb.vec_id = p.query_id AND qb.d = qa.d
+        JOIN norm2 na ON na.vec_id = a.vec_id
+        JOIN norm2 nq ON nq.vec_id = p.query_id
+        GROUP BY p.query_id, a.vec_id, na.n2, nq.n2
+    )
+    SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(cos, 6) AS cosine
+    FROM (
+        SELECT query_id, nbr_id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+
 def _pii_scrub_oracle() -> str:
     """Same patterns, same replacement order, RE2 semantics — counts
     on the original text, replacements cascaded in dict order."""
@@ -1150,6 +1281,8 @@ def oracle_sql() -> dict[str, str]:
         "sampler_run": _sampler_run_oracle(),
         "estimate_repeats": _estimate_repeats_oracle(),
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "dedup_embedding_lsh": _embedding_lsh_oracle(),
+        "similarity_ivf": _SIMILARITY_IVF_ORACLE,
         "pii_scrub": _pii_scrub_oracle(),
         "decontaminate": r"""
             WITH toks AS (

@@ -11,7 +11,12 @@ from xyzpy_spark.pipeline.dedup import (
     simhash_64,
     simhash_near_pairs,
 )
-from xyzpy_spark.pipeline.similarity import cosine_topk, ivf_build, ivf_topk
+from xyzpy_spark.pipeline.similarity import (
+    cosine_topk,
+    ivf_build,
+    ivf_topk,
+    ivf_topk_portable,
+)
 from xyzpy_spark.pipeline.text import (
     add_fingerprint,
     add_language_id,
@@ -572,6 +577,79 @@ def test_embedding_lsh_pairs_planted_duplicates(spark):
     assert got_pairs <= exact_pairs          # refine => exact precision
     recall = len(got_pairs & exact_pairs) / len(exact_pairs)
     assert recall >= 0.95, recall
+
+
+def test_embedding_lsh_portable_matches_float_semantics(spark):
+    """The portable integer-quantized LSH mode must (a) keep exact
+    precision vs the quantized cosine threshold, (b) recall the
+    planted near-dups, and (c) be invariant to partitioning — the
+    properties the DuckDB oracle relies on."""
+    import numpy as np
+    import pandas as pd
+
+    from xyzpy_spark.pipeline.dedup import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs_portable,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 32))
+    dups = base + 0.05 * rng.standard_normal((40, 32))
+    noise = rng.standard_normal((400, 32))
+    vecs = np.vstack([base, dups, noise])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs), dtype="int64"),
+         "embedding": [v.astype("float32") for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = embedding_lsh_pairs_portable(
+        df, threshold=0.9, n_bits=64, bands=16
+    )
+    got_pairs = {(r.id_a, r.id_b): r.cosine for r in got.collect()}
+    exact = embedding_cosine_pairs(df, threshold=0.9)
+    exact_pairs = {(r.id_a, r.id_b): r.cosine for r in exact.collect()}
+    # quantization error at 2^20 is ~1e-6 relative: cosines agree to 1e-4
+    common = set(got_pairs) & set(exact_pairs)
+    recall = len(common) / len(exact_pairs)
+    assert recall >= 0.95, recall
+    for p in common:
+        assert abs(got_pairs[p] - exact_pairs[p]) < 1e-4
+    # partitioning invariance (integer arithmetic is order-free)
+    again = embedding_lsh_pairs_portable(
+        df.repartition(7), threshold=0.9, n_bits=64, bands=16
+    )
+    assert {(r.id_a, r.id_b): r.cosine
+            for r in again.collect()} == got_pairs
+
+
+def test_ivf_topk_portable_recall_and_determinism(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    approx = ivf_topk_portable(
+        emb, queries, k=5, n_cells=8, nprobe=4
+    ).collect()
+    ex, ap = {}, {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    assert sum(recalls) / len(recalls) > 0.5  # nprobe=4 of 8 cells
+    # full probe == exact brute force (quantized ranking, same data)
+    full = ivf_topk_portable(
+        emb, queries, k=5, n_cells=8, nprobe=8
+    ).collect()
+    fl = {}
+    for r in full:
+        fl.setdefault(r["query_id"], set()).add(r["nbr_id"])
+    full_recalls = [len(ex[q] & fl[q]) / len(ex[q]) for q in ex]
+    assert sum(full_recalls) / len(full_recalls) >= 0.9
+    # partitioning invariance
+    again = ivf_topk_portable(
+        emb.repartition(13), queries, k=5, n_cells=8, nprobe=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
 
 
 def test_embedding_lsh_buckets_shape(spark):

@@ -716,6 +716,175 @@ def embedding_lsh_pairs(
     )
 
 
+def portable_hyperplanes(
+    n_bits: int, dim: int, seed: int = 42
+) -> list[list[int]]:
+    """Rademacher (+/-1) hyperplanes derived from md5, so the Spark
+    plan and the SQL oracle twin share the exact same matrix.  Sign
+    bit = high bit of the first hex digit of ``md5("seed:bit:dim")``.
+    Sign-random-projection with +/-1 entries preserves angles like the
+    Gaussian version (same collision probability ``1 - angle/pi``)."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(
+                hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[0], 16
+            )
+            >= 8
+            else -1
+            for d in range(dim)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def _qvec(vec_col: str, quantize: int) -> F.Column:
+    """``floor(x * quantize)`` per component as ``array<bigint>`` —
+    floor (not round) because floor semantics are identical across
+    Spark / DuckDB / python, while half-way rounding is not (numpy
+    rounds half-to-even, SQL engines half-away-from-zero)."""
+    return F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.floor(x * F.lit(float(quantize))).cast("long"),
+    )
+
+
+def _int_dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_lsh_pairs_portable(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_bits: int = 64,
+    bands: int = 8,
+    seed: int = 42,
+    quantize: int = 1 << 20,
+    dim: int | None = None,
+) -> DataFrame:
+    """Portable-exact twin of :func:`embedding_lsh_pairs` — every step
+    is deterministic integer arithmetic, so a DuckDB SQL oracle can
+    reproduce the output bit-for-bit (the same trick that gave MinHash
+    and SimHash their exact oracles).
+
+    Differences from the production path, chosen for cross-engine
+    exactness (the candidate-generation *plan* is identical):
+
+    - vectors are quantized ``floor(x * quantize)`` -> exact BIGINT
+      dot products and norms (|q| <= 2^20 and dim <= 4096 keeps every
+      sum below 2^53, exact in int64 *and* double);
+    - hyperplanes are md5-derived +/-1 (:func:`portable_hyperplanes`)
+      instead of seeded Gaussian — same angle-preserving family;
+    - cosine is ``dot / (sqrt(na2) * sqrt(nb2))`` over those exact
+      integers: int64->double conversion is exact below 2^53 and IEEE
+      754 divide/sqrt/multiply are correctly rounded, so both engines
+      produce the *same double*, compared against ``threshold`` with
+      no epsilon.
+
+    Computed with Arrow-batched int64 numpy (integer matmul is exact
+    and commutative, so results are partitioning-invariant): scale
+    behavior and cost match the production path (one narrow
+    projection pass, equi-join on (band, bucket), refine only on
+    candidates).  Catalyst higher-order-function folds would express
+    the same arithmetic but run interpreted per element — ~8x slower
+    on the refine at 5k vectors.
+    """
+    import numpy as np
+
+    if n_bits % bands:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    r = n_bits // bands
+    if dim is None:
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    hyper = np.array(
+        portable_hyperplanes(n_bits, dim, seed), dtype="int64"
+    )
+    weights = 1 << np.arange(r, dtype="int64")
+    qz = float(quantize)
+    thr = float(threshold)
+
+    # every numpy op below is int64 (exact, order-free) except the
+    # final cosine = dot / (sqrt(na2) * sqrt(nb2)), which is IEEE
+    # correctly-rounded over <2^53 integers — identical in any engine
+    def _quant(col) -> "np.ndarray":
+        x = np.array(col.tolist(), dtype="float64")
+        return np.floor(x * qz).astype("int64")
+
+    def buckets_part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qx = _quant(pdf[vec_col])
+            bits = (qx @ hyper.T) > 0  # (n, n_bits), exact int64 sums
+            out = []
+            for b in range(bands):
+                bucket = bits[:, b * r:(b + 1) * r].astype("int64") @ weights
+                out.append(
+                    pd.DataFrame(
+                        {"id": pdf[id_col].to_numpy(),
+                         "band": np.full(len(pdf), b, dtype="int32"),
+                         "bucket": bucket}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    buckets = df.select(id_col, vec_col).mapInPandas(
+        buckets_part, "id long, band int, bucket long"
+    )
+    cand = (
+        buckets.select("band", "bucket", F.col("id").alias("id_a"))
+        .join(
+            buckets.select("band", "bucket", F.col("id").alias("id_b")),
+            ["band", "bucket"],
+        )
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+    joined = (
+        cand.join(v.withColumnRenamed("_vid", "id_a"), "id_a")
+        .withColumnRenamed("_vec", "va")
+        .join(v.withColumnRenamed("_vid", "id_b"), "id_b")
+        .withColumnRenamed("_vec", "vb")
+    )
+
+    def refine(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qa = _quant(pdf.va)
+            qb = _quant(pdf.vb)
+            dot = (qa * qb).sum(axis=1)            # int64, exact
+            na2 = (qa * qa).sum(axis=1).astype("float64")
+            nb2 = (qb * qb).sum(axis=1).astype("float64")
+            cos = dot.astype("float64") / (np.sqrt(na2) * np.sqrt(nb2))
+            keep = cos >= thr                       # no epsilon: exact
+            yield pd.DataFrame(
+                {"id_a": pdf.id_a.to_numpy()[keep],
+                 "id_b": pdf.id_b.to_numpy()[keep],
+                 "cosine": cos[keep]}
+            )
+
+    pairs = joined.mapInPandas(refine, "id_a long, id_b long, cosine double")
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def embedding_cosine_pairs(
     df: DataFrame,
     *,

@@ -144,6 +144,139 @@ def ivf_build(
     return assigned, centroids
 
 
+def ivf_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    seed: int = 42,
+    quantize: int = 1 << 20,
+) -> DataFrame:
+    """Portable-exact IVF-Flat top-k — deterministic twin of
+    ``ivf_build(kmeans_iters=0) + ivf_topk`` that a DuckDB SQL oracle
+    can reproduce bit-for-bit.
+
+    Cross-engine exactness recipe (same as the portable MinHash /
+    SimHash / embedding-LSH modes):
+
+    - centroids = the ``n_cells`` corpus rows with the smallest
+      ``md5(id || ':seed')`` digest — a deterministic seeded sample
+      both engines order identically (cell index = rank in that
+      order);
+    - vectors quantized ``floor(x * quantize)`` -> exact BIGINT dots
+      and norms (every sum < 2^53, exact in int64 *and* double);
+    - every similarity is ``dot / (sqrt(n2_a) * sqrt(n2_b))`` over
+      those exact integers — IEEE correctly-rounded ops on identical
+      inputs, so cell argmax, probe ranking and final top-k order
+      agree exactly (ties broken by cell index / neighbor id).
+
+    The k-means refinement stays on the production path
+    (:func:`ivf_build`): its distributed float means are
+    partition-order-sensitive, which no SQL twin can replicate.
+    Plan shape matches production: centroid literals -> codegen
+    argmax (no join) for assignment, broadcast probe join, one
+    window per query for top-k.
+    """
+    query_id_col = query_id_col or id_col
+    from .dedup import _int_dot, _qvec
+
+    md5key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")).cast(
+            "binary"
+        )
+    )
+    cents = (
+        corpus.select(
+            F.col(id_col), _qvec(vec_col, quantize).alias("qv")
+        )
+        .orderBy(md5key)
+        .limit(n_cells)
+        .collect()
+    )
+    cent_q = [[int(x) for x in r["qv"]] for r in cents]
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(x) for x in c]).cast("array<bigint>")
+            for c in cent_q
+        ]
+    )
+    cn2_lit = F.array(
+        *[F.lit(sum(x * x for x in c)).cast("long") for c in cent_q]
+    )
+
+    def _sims(qv: F.Column) -> F.Column:
+        vn = F.sqrt(_int_dot(qv, qv).cast("double"))
+        return F.zip_with(
+            cent_lit,
+            cn2_lit,
+            lambda c, n2: _int_dot(c, qv)
+            / (F.sqrt(n2.cast("double")) * vn),
+        )
+
+    c = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        _qvec(vec_col, quantize).alias("cv"),
+    )
+    c = c.withColumn(
+        "cell",
+        (
+            F.array_position(_sims(F.col("cv")), F.array_max(_sims(F.col("cv"))))
+            - 1
+        ).cast("int"),
+    ).withColumn("cn", F.sqrt(_int_dot(F.col("cv"), F.col("cv")).cast("double")))
+
+    idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _qvec(vec_col, quantize).alias("qv"),
+    )
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    _sims(F.col("qv")),
+                    idx,
+                    lambda s, i: F.struct(
+                        (-s).alias("neg"), i.alias("i")
+                    ),
+                )
+            ),
+            lambda st: st["i"],
+        ),
+        1,
+        nprobe,
+    )
+    q = (
+        q.withColumn("qn", F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double")))
+        .withColumn("cell", F.explode(probe_cells))
+        .select("query_id", "qv", "qn", F.col("cell").cast("int").alias("cell"))
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _int_dot(F.col("cv"), F.col("qv"))
+            / (F.col("cn") * F.col("qn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id", "rank", F.round("cosine", 6).alias("cosine")
+        )
+    )
+
+
 def ivf_topk(
     corpus_with_cells: DataFrame,
     centroids: list,

@@ -92,6 +92,15 @@ def main() -> None:
     for name in names:
         samples = []
         for _ in range(runs):
+            # isolate queries from each other: operators persist()
+            # intermediates (shingles, LSH signatures) that only their
+            # consumer can release, so without this the bench sequence
+            # accumulates dead MEMORY_AND_DISK blocks and later
+            # queries pay the GC/eviction bill (r1: minhash benched
+            # 2.5s in-sequence vs 1.2s solo).  Each sample pays its
+            # own cache-build cost — same protocol as the BASELINE.md
+            # solo recordings.
+            spark.catalog.clearCache()
             t0 = time.time()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()

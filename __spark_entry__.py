@@ -935,6 +935,33 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_lsh_pairs_portable(emb, threshold=0.4, bands=16)
 
 
+def q_mix_corpora(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted training mixture over `source`: src0
+    upsampled 2.5x (2 full copies + hash-gated third), src1 kept at
+    0.25, src2 dropped, everything else 1.0 — map-only explode, no
+    shuffle (pipeline/sampling.mix_corpora)."""
+    from xyzpy_spark.pipeline.sampling import mix_corpora
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mix_corpora(
+        docs,
+        "doc_id",
+        "source",
+        {"src0": 2.5, "src1": 0.25, "src2": 0.0},
+        default=1.0,
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (512-token cuts, 8 md5
+    shards): one window cumsum per shard, all-integer arithmetic
+    (pipeline/packing.pack_sequences)."""
+    from xyzpy_spark.pipeline.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, max_tokens=512, n_shards=8)
+
+
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum hash sampling: md5-keyed, engine- and
     partitioning-independent (pipeline/sampling.stratified_sample)."""
@@ -1013,6 +1040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_corpus": q_filter_corpus,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "pii_scrub": q_pii_scrub,
+        "mix_corpora": q_mix_corpora,
+        "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "dedup_paragraphs": q_dedup_paragraphs,
     }
@@ -1283,6 +1312,50 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
         "dedup_embedding_lsh": _embedding_lsh_oracle(),
         "similarity_ivf": _SIMILARITY_IVF_ORACLE,
+        "mix_corpora": """
+            WITH w AS (
+                SELECT doc_id, source,
+                       CASE source WHEN 'src0' THEN 2
+                                   WHEN 'src1' THEN 0
+                                   WHEN 'src2' THEN 0
+                                   ELSE 1 END
+                       + CASE WHEN
+                           ('0x' || substr(md5(doc_id::VARCHAR || 'mix'),
+                                           1, 8))::UBIGINT / 4294967296.0
+                           < CASE source WHEN 'src0' THEN 0.5::DOUBLE
+                                         WHEN 'src1' THEN 0.25::DOUBLE
+                                         WHEN 'src2' THEN 0.0::DOUBLE
+                                         ELSE 0.0::DOUBLE END
+                         THEN 1 ELSE 0 END AS n
+                FROM documents
+            )
+            SELECT doc_id, source, CAST(r.range AS INTEGER) AS copy_idx
+            FROM w CROSS JOIN range(4) r
+            WHERE r.range < w.n
+        """,
+        "pack_sequences": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(('0x' || substr(md5(doc_id::VARCHAR || ':pack'),
+                                            1, 8))::UBIGINT % 8
+                            AS INTEGER) AS shard,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+            ), c AS (
+                SELECT doc_id, shard, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                FROM t
+            )
+            SELECT doc_id, shard, n_tokens,
+                   CAST(cb // 512 AS BIGINT) AS seq_id,
+                   CAST(cb % 512 AS BIGINT) AS seq_offset
+            FROM c
+        """,
         "pii_scrub": _pii_scrub_oracle(),
         "decontaminate": r"""
             WITH toks AS (

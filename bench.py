@@ -64,6 +64,8 @@ HEADLINE = [
     "pii_scrub",
     "decontaminate",
     "dedup_paragraphs",
+    "mix_corpora",
+    "pack_sequences",
 ]
 
 

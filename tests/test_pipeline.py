@@ -652,6 +652,99 @@ def test_ivf_topk_portable_recall_and_determinism(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
 
 
+def test_mix_corpora_multiplicities(spark):
+    from xyzpy_spark.pipeline.sampling import mix_corpora
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = mix_corpora(
+        docs, "doc_id", "source",
+        {"src0": 2.5, "src1": 0.25, "src2": 0.0},
+        default=1.0,
+    )
+    pdf = out.toPandas()
+    counts = pdf.groupby("doc_id").size()
+    src = {r["doc_id"]: r["source"] for r in docs.collect()}
+    n_src0_docs = n_src0_copies = 0
+    for doc_id, c in counts.items():
+        s = src[doc_id]
+        if s == "src0":
+            assert c in (2, 3)
+            n_src0_docs += 1
+            n_src0_copies += c
+        elif s == "src1":
+            assert c == 1          # weight 0.25: only hash-selected rows
+        else:
+            assert s not in ("src2",)  # weight 0 rows never appear
+            assert c == 1
+    # copy_idx is a dense 0..c-1 range per doc
+    for doc_id, g in pdf.groupby("doc_id"):
+        assert sorted(g["copy_idx"]) == list(range(len(g)))
+    # expected multiplicity ~2.5 for src0
+    assert 2.0 < n_src0_copies / n_src0_docs < 3.0
+    # deterministic under repartitioning
+    again = mix_corpora(
+        docs.repartition(11), "doc_id", "source",
+        {"src0": 2.5, "src1": 0.25, "src2": 0.0},
+        default=1.0,
+    ).toPandas()
+    key = lambda d: sorted(map(tuple, d[["doc_id", "copy_idx"]].values))
+    assert key(again) == key(pdf)
+
+
+def test_pack_sequences_chunk_model(spark):
+    from xyzpy_spark.pipeline.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = pack_sequences(docs, max_tokens=256, n_shards=4).toPandas()
+    # python recompute of the concat-and-chunk layout per shard
+    for shard, g in out.groupby("shard"):
+        g = g.sort_values("doc_id")
+        cum = 0
+        for _, row in g.iterrows():
+            assert row["seq_id"] == cum // 256
+            assert row["seq_offset"] == cum % 256
+            cum += row["n_tokens"]
+    # partitioning invariance
+    again = pack_sequences(
+        docs.repartition(9), max_tokens=256, n_shards=4
+    ).toPandas()
+    key = lambda d: sorted(map(tuple, d.values))
+    assert key(again) == key(out)
+
+
+def test_pack_sequences_greedy_model(spark):
+    from xyzpy_spark.pipeline.packing import pack_sequences_greedy
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    out = pack_sequences_greedy(docs, max_tokens=256, n_shards=4).toPandas()
+    for shard, g in out.groupby("shard"):
+        g = g.sort_values("doc_id")
+        # sequential python model: first-fit with reset
+        seq = fill = 0
+        for _, row in g.iterrows():
+            n = row["n_tokens"]
+            if fill and fill + n > 256:
+                seq += 1
+                fill = 0
+            assert (row["seq_id"], row["seq_offset"]) == (seq, fill)
+            fill += n
+            if fill >= 256:
+                seq += 1
+                fill = 0
+        # no sequence overflows unless it holds a single long doc
+        sizes = g.groupby("seq_id").agg(
+            total=("n_tokens", "sum"), n=("n_tokens", "count")
+        )
+        bad = sizes[(sizes.total > 256) & (sizes.n > 1)]
+        assert bad.empty, bad
+
+
 def test_embedding_lsh_buckets_shape(spark):
     import numpy as np
     import pandas as pd

@@ -25,7 +25,13 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["hash_unit", "hash_sample", "stratified_sample", "split_train_eval"]
+__all__ = [
+    "hash_unit",
+    "hash_sample",
+    "stratified_sample",
+    "split_train_eval",
+    "mix_corpora",
+]
 
 _DENOM = float(1 << 32)
 
@@ -80,6 +86,54 @@ def stratified_sample(
             F.col(stratum) == F.lit(val), F.lit(float(f))
         ).otherwise(frac)
     return df.where(hash_unit(key, salt) < frac)
+
+
+def mix_corpora(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    weights: dict,
+    *,
+    default: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic weighted corpus mixture (training-mix epochs).
+
+    ``weights`` maps a ``stratum`` value (e.g. ``source``) to a
+    sampling weight: ``w < 1`` downsamples, ``w > 1`` upsamples by
+    emitting repeated copies — the standard way training mixes
+    oversample high-quality sources.  A row with weight ``w`` appears
+    ``floor(w)`` times, plus one more copy iff its deterministic hash
+    lands below ``w - floor(w)`` — so expected multiplicity is exactly
+    ``w``, every copy set is reproducible across runs / partitionings /
+    engines (same md5 arithmetic as :func:`hash_sample`), and a doc's
+    copies are distinguished by ``copy_idx`` (0-based) so downstream
+    shard assignment can decorrelate epochs.
+
+    Map-only + explode: no shuffle, no driver state; the per-row copy
+    count is a codegen CASE + comparison, so the scan cost at 100 TB
+    is one pass.
+    """
+    n_copies = F.lit(int(default)) + (
+        hash_unit(key, salt) < F.lit(float(default) % 1.0)
+    ).cast("int")
+    for val, w in sorted(weights.items(), key=lambda kv: str(kv[0])):
+        w = float(w)
+        whole, frac = int(w), w % 1.0
+        n_copies = F.when(
+            F.col(stratum) == F.lit(val),
+            F.lit(whole)
+            + (hash_unit(key, salt) < F.lit(frac)).cast("int"),
+        ).otherwise(n_copies)
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .where(F.col("__n_copies") >= 1)
+        .withColumn(
+            "copy_idx",
+            F.explode(F.sequence(F.lit(0), F.col("__n_copies") - 1)),
+        )
+        .drop("__n_copies")
+    )
 
 
 def split_train_eval(

@@ -206,6 +206,30 @@ def test_dedup_clusters_bounded_plan_depth(spark):
     assert "Scan ExistingRDD" in plan
 
 
+def test_mix_corpora_is_shuffle_free_codegen(spark):
+    """A weighted mixture is a scan-speed op: the copy count is a CASE
+    over a hash, the copies an explode — zero exchanges, no Python."""
+    from xyzpy_spark.pipeline.sampling import mix_corpora
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    q = mix_corpora(docs, "doc_id", "source", {"src0": 2.5}, default=1.0)
+    assert not has_exchange(q)
+    plan = executed_plan(q)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_single_shard_exchange(spark):
+    """Chunk packing pays exactly one shuffle (by shard, for the
+    window cumsum) and stays JVM-side."""
+    from xyzpy_spark.pipeline.packing import pack_sequences
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    q = pack_sequences(docs, max_tokens=256, n_shards=4)
+    assert count_exchanges(q) == 1
+    plan = executed_plan(q)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
 def test_bucketed_join_skips_shuffle(spark, tmp_path):
     """Two tables bucketed on the same key with the same bucket count
     must sort-merge join with ZERO exchanges — the write-once,

@@ -51,13 +51,16 @@ def read_events_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # the file source needs a directory; select just the events file
     raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
-    if dict(raw.dtypes).get("ts") == "bigint":
-        # plain TIMESTAMP (not NTZ): watermarks require an event-time
-        # column with timezone semantics; session tz is pinned to UTC
-        # so wall values match the batch reader's NTZ column exactly.
+    # watermarks require an event-time column with timezone semantics
+    # (plain TIMESTAMP, not NTZ); session tz is pinned to UTC so wall
+    # values match the batch reader's NTZ column exactly.
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn(
             "ts", F.expr("timestamp_micros(ts div 1000)")
         )
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
 

@@ -727,6 +727,19 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(paras)
 
 
+def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus quality gate: hashed linear classifier
+    (fastText-shape) scored map-only over the documents table.
+    ``score_raw`` is an exact integer sum and ``score`` one IEEE
+    division, so the DuckDB twin is bit-exact."""
+    from xyzpy_spark.pipeline.text import score_quality_model
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return score_quality_model(docs).select(
+        "doc_id", "n_tokens", "score_raw", "score", "keep"
+    )
+
+
 def q_crop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C1-C11 sow/grow/reap staged execution, end to end: sow a sweep
     into a scratch crop, grow all batches, reap deterministically."""
@@ -1044,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "dedup_paragraphs": q_dedup_paragraphs,
+        "quality_model": q_quality_model,
     }
 
 
@@ -1355,6 +1369,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cb // 512 AS BIGINT) AS seq_id,
                    CAST(cb % 512 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "quality_model": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS w
+                FROM documents
+            ), scored AS (
+                SELECT doc_id, len(w) AS n_tokens,
+                       COALESCE((
+                           SELECT SUM(
+                               CAST(('0x' || substr(md5('qw:' ||
+                                   (('0x' || substr(md5(t.tok), 1, 8))::UBIGINT
+                                    % 1048576)::VARCHAR), 1, 8))::UBIGINT % 2001
+                                   AS BIGINT) - 1000)
+                           FROM unnest(w) AS t(tok)
+                       ), 0) AS score_raw
+                FROM toks
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS INTEGER) AS n_tokens,
+                   CAST(score_raw AS BIGINT) AS score_raw,
+                   score_raw / (1000.0 * greatest(n_tokens, 1)) AS score,
+                   score_raw >= 0 AS keep
+            FROM scored
         """,
         "pii_scrub": _pii_scrub_oracle(),
         "decontaminate": r"""

@@ -66,6 +66,7 @@ HEADLINE = [
     "dedup_paragraphs",
     "mix_corpora",
     "pack_sequences",
+    "quality_model",
 ]
 
 

@@ -73,6 +73,34 @@ def test_quality_signals(spark, docs):
     assert 0.0 <= rows[0]["quality"] <= 1.0
 
 
+def test_score_quality_model(spark, docs):
+    from xyzpy_spark.pipeline.text import score_quality_model
+
+    out = score_quality_model(docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # deterministic: same text -> same score on a second run
+    rows2 = {r["doc_id"]: r for r in score_quality_model(docs).collect()}
+    for k in rows:
+        assert rows[k]["score_raw"] == rows2[k]["score_raw"]
+    # score is the length-normalized raw sum, bounded by the weight range
+    for r in rows.values():
+        if r["n_tokens"]:
+            assert abs(r["score"]) <= 1.0
+            assert r["keep"] == (r["score_raw"] >= 0)
+    # distinct texts should not all collapse to one score
+    assert len({r["score_raw"] for r in rows.values()}) > 1
+
+
+def test_score_quality_model_empty_doc(spark):
+    from xyzpy_spark.pipeline.text import score_quality_model
+
+    df = spark.createDataFrame([(0, ""), (1, "a b c")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in score_quality_model(df).collect()}
+    assert rows[0]["n_tokens"] == 0
+    assert rows[0]["score_raw"] == 0
+    assert rows[0]["score"] == 0.0
+
+
 def test_language_id(spark, docs):
     rows = {r["doc_id"]: r["lang_pred"] for r in add_language_id(docs).collect()}
     assert rows[0] == "en"

@@ -98,6 +98,69 @@ def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality", _round_det(quality))
 
 
+def score_quality_model(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    n_buckets: int = 1 << 20,
+    seed: str = "qw",
+) -> DataFrame:
+    """fastText-style hashed linear quality classifier, map-only.
+
+    The model is a bag-of-tokens linear scorer over a hashed feature
+    space: each token hashes to one of ``n_buckets`` buckets, each
+    bucket carries an integer weight in [-1000, 1000] derived
+    deterministically from the bucket id (a stand-in for trained
+    weights — swap the weight expression for a broadcast lookup join
+    against a real weight table to serve a trained model; the plan
+    shape is identical).  This is the model-based corpus-quality
+    gate real pipelines run after the heuristic filters
+    (``add_quality``): a linear text classifier distilled from an
+    LLM judge, scored at scan speed.
+
+    Engine-portability: ``score_raw`` is an exact integer sum
+    (order-free), and ``score`` is a single IEEE division of two
+    exactly-representable integers — both bit-identical on any
+    IEEE-754 engine, so the DuckDB oracle reproduces them exactly
+    (no transcendental in sight; the logistic link is monotone, so
+    thresholding on ``score`` IS thresholding on the probability).
+
+    At 100 TB: one scan, no shuffle, no Python — the per-token md5s
+    run inside the JVM; with a trained weight table the extra
+    broadcast join stays map-side.
+    """
+    toks = tokenize(F.col(text_col))
+
+    def _h32(col) -> F.Column:
+        # first 8 md5 hex chars as an unsigned 32-bit int; the DuckDB
+        # twin is ('0x' || substr(md5(x), 1, 8))::UBIGINT
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+    def _weight(tok) -> F.Column:
+        bucket = _h32(tok) % F.lit(n_buckets)
+        wh = _h32(
+            F.concat(F.lit(seed + ":"), bucket.cast("string"))
+        )
+        return wh % F.lit(2001) - F.lit(1000)
+
+    raw = F.aggregate(
+        F.transform(toks, _weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_tokens = F.size(toks)
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("score_raw", raw)
+        .withColumn(
+            "score",
+            F.col("score_raw")
+            / (F.lit(1000.0) * F.greatest(n_tokens, F.lit(1))),
+        )
+        .withColumn("keep", (F.col("score_raw") >= 0))
+    )
+
+
 def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-evidence language ID (n-gram heuristic).
 

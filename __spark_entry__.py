@@ -727,6 +727,60 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(paras)
 
 
+def q_stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTUAL Structured Streaming plan — file source → watermark
+    → 1h tumbling window → complete-mode memory sink, run to
+    completion with ``trigger(availableNow=True)`` — not the batch
+    twin.  Decimal-accumulated sum makes the result order-exact, so
+    the same SQL that oracles the batch ``window_hourly`` query
+    verifies the streaming engine end-to-end (source, event-time
+    windows, state store, sink)."""
+    from xyzpy_spark.streaming.ops import (
+        read_events_stream,
+        run_stream_to_memory,
+        windowed_agg,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    win = windowed_agg(
+        ev,
+        window="1 hour",
+        watermark="2 hours",
+        aggs=[
+            F.count(F.lit(1)).alias("n"),
+            _dec_sum("value", "sum_value"),
+        ],
+    )
+    out = run_stream_to_memory(win, "q_stream_window_hourly")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("hour"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
+def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via ``session_window`` (gap-merge
+    state maintained by the streaming engine), reduced to sessions
+    per user.  Verified against the SAME lag-based SQL oracle as the
+    batch ``user_sessions`` query — the two formulations agree
+    whenever no inter-event gap is exactly the session gap (asserted
+    false for this data in tests)."""
+    from xyzpy_spark.streaming.ops import (
+        read_events_stream,
+        run_stream_to_memory,
+        sessionize_stream,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    sess = sessionize_stream(ev, gap="30 minutes", watermark="2 hours")
+    out = run_stream_to_memory(sess, "q_stream_user_sessions")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
 def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based corpus quality gate: hashed linear classifier
     (fastText-shape) scored map-only over the documents table.
@@ -1058,6 +1112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_paragraphs": q_dedup_paragraphs,
         "quality_model": q_quality_model,
+        "stream_window_hourly": q_stream_window_hourly,
+        "stream_user_sessions": q_stream_user_sessions,
     }
 
 
@@ -1369,6 +1425,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cb // 512 AS BIGINT) AS seq_id,
                    CAST(cb % 512 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "stream_window_hourly": """
+            SELECT DATE_TRUNC('hour', ts) AS hour, event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "stream_user_sessions": """
+            WITH lagged AS (
+                SELECT user_id, ts, LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+                FROM events
+            )
+            SELECT user_id,
+                   CAST(SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30' MINUTE
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM lagged GROUP BY user_id
         """,
         "quality_model": r"""
             WITH toks AS (

@@ -223,3 +223,40 @@ def test_dedup_stream_drops_duplicate_arrivals(spark, events_batch, events_strea
     assert (
         out.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
     )
+
+
+def test_windowed_agg_custom_aggs(spark, events_stream):
+    """The aggs override (used by the stream_window_hourly contract
+    query for decimal-exact sums) flows through to the output."""
+    out = run_stream_to_memory(
+        windowed_agg(
+            events_stream,
+            window="1 hour",
+            aggs=[
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_value"),
+            ],
+        ),
+        "win_agg_custom",
+    )
+    assert set(out.columns) == {
+        "window_start", "window_end", "event_type", "n", "sum_value",
+    }
+    assert out.count() > 0
+
+
+def test_no_exact_gap_boundary_in_testdata(spark, events_batch):
+    """Precondition for oracle-checking streaming session_window
+    against the lag-based SQL twin: the two session formulations
+    disagree only when an inter-event gap equals the session gap
+    exactly — assert the data has no such boundary collision."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = events_batch.select(
+        (F.col("ts") - F.lag("ts").over(w)).alias("gap")
+    )
+    n = gaps.where(F.col("gap") == F.expr("INTERVAL '30' MINUTE")).count()
+    assert n == 0

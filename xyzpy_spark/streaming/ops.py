@@ -71,33 +71,37 @@ def windowed_agg(
     slide: str | None = None,
     watermark: str = "2 hours",
     by=("event_type",),
+    aggs: list | None = None,
 ) -> DataFrame:
     """Watermarked tumbling/sliding window aggregation.
 
     Late rows beyond ``watermark`` are dropped and window state is
     evicted — the property that lets this run forever at 100 TB/day.
+    ``aggs`` overrides the default count/sum/avg aggregate list
+    (e.g. decimal-accumulated sums for engine-exact results).
     """
     w = (
         F.window("ts", window, slide)
         if slide
         else F.window("ts", window)
     )
-    return (
-        events.withWatermark("ts", watermark)
-        .groupBy(w.alias("win"), *by)
-        .agg(
+    if aggs is None:
+        aggs = [
             F.count(F.lit(1)).alias("n"),
             F.sum("value").alias("sum_value"),
             F.avg("value").alias("avg_value"),
-        )
-        .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
-            *by,
-            "n",
-            "sum_value",
-            "avg_value",
-        )
+        ]
+    out = (
+        events.withWatermark("ts", watermark)
+        .groupBy(w.alias("win"), *by)
+        .agg(*aggs)
+    )
+    rest = [c for c in out.columns if c != "win" and c not in by]
+    return out.select(
+        F.col("win.start").alias("window_start"),
+        F.col("win.end").alias("window_end"),
+        *by,
+        *rest,
     )
 
 

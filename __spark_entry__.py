@@ -727,6 +727,21 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(paras)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-then-prune semantic dedup in the
+    portable-exact mode (md5-seeded centroids + integer-quantized
+    arithmetic), so cluster assignment and the min-id domination
+    prune both have a bit-exact DuckDB twin.  Threshold 0.4 sits at
+    this synthetic corpus's near-dup knee (max pairwise cosine
+    ~0.51); the production k-means mode is tested in pytest."""
+    from xyzpy_spark.pipeline.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, n_clusters=8, threshold=0.4, mode="portable"
+    )
+
+
 def q_stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ACTUAL Structured Streaming plan — file source → watermark
     → 1h tumbling window → complete-mode memory sink, run to
@@ -1112,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_paragraphs": q_dedup_paragraphs,
         "quality_model": q_quality_model,
+        "semantic_dedup": q_semantic_dedup,
         "stream_window_hourly": q_stream_window_hourly,
         "stream_user_sessions": q_stream_user_sessions,
     }
@@ -1425,6 +1441,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cb // 512 AS BIGINT) AS seq_id,
                    CAST(cb % 512 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "semantic_dedup": """
+            WITH q AS (
+                SELECT vec_id,
+                       list_transform(embedding,
+                           x -> floor(CAST(x AS DOUBLE) * 1048576.0)) AS qv
+                FROM embeddings
+            ), cents AS (
+                SELECT qv,
+                       row_number() OVER (
+                           ORDER BY md5(vec_id::VARCHAR || ':42'), vec_id
+                       ) - 1 AS cell
+                FROM q
+                ORDER BY md5(vec_id::VARCHAR || ':42') LIMIT 8
+            ), assigned AS (
+                SELECT v.vec_id, v.qv,
+                       (SELECT c.cell FROM cents c
+                        ORDER BY
+                            list_dot_product(v.qv, c.qv)
+                            / (sqrt(list_dot_product(v.qv, v.qv))
+                               * sqrt(list_dot_product(c.qv, c.qv))) DESC,
+                            c.cell ASC
+                        LIMIT 1) AS cluster
+                FROM q v
+            )
+            SELECT a.vec_id,
+                   CAST(a.cluster AS INTEGER) AS cluster,
+                   NOT EXISTS (
+                       SELECT 1 FROM assigned b
+                       WHERE b.cluster = a.cluster
+                         AND b.vec_id < a.vec_id
+                         AND list_dot_product(a.qv, b.qv)
+                             / (sqrt(list_dot_product(a.qv, a.qv))
+                                * sqrt(list_dot_product(b.qv, b.qv)))
+                             >= 0.4
+                   ) AS keep
+            FROM assigned a
         """,
         "stream_window_hourly": """
             SELECT DATE_TRUNC('hour', ts) AS hour, event_type,

@@ -67,6 +67,7 @@ HEADLINE = [
     "mix_corpora",
     "pack_sequences",
     "quality_model",
+    "semantic_dedup",
 ]
 
 

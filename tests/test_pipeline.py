@@ -927,3 +927,46 @@ def test_corpus_top_ngrams(spark):
     assert (rows[0].ngram, rows[0].n_occurrences, rows[0].n_docs) == ("a b", 3, 2)
     # deterministic tie-break: alphabetical among count-1 bigrams
     assert [r.ngram for r in rows[1:]] == sorted(r.ngram for r in rows[1:])
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """Planted near-dups are pruned (lower id survives), distant
+    vectors survive, every input id appears exactly once."""
+    import numpy as np
+    from xyzpy_spark.pipeline.dedup import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16)).astype("float64")
+    vecs = list(base)
+    # plant near-dups of rows 0..4 as ids 40..44
+    for i in range(5):
+        vecs.append(base[i] + rng.normal(scale=1e-3, size=16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    for mode in ("portable", "kmeans"):
+        out = {
+            r["vec_id"]: r
+            for r in semantic_dedup(
+                df, n_clusters=4, threshold=0.95, mode=mode
+            ).collect()
+        }
+        assert len(out) == 45
+        # each planted dup shares its original's cluster -> dropped
+        for i in range(5):
+            assert out[40 + i]["cluster"] == out[i]["cluster"]
+            assert not out[40 + i]["keep"], mode
+            assert out[i]["keep"], mode  # min-id survives
+        # distant vectors survive
+        assert sum(r["keep"] for r in out.values()) == 40
+
+
+def test_semantic_dedup_bad_mode(spark):
+    from xyzpy_spark.pipeline.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="mode"):
+        semantic_dedup(df, mode="nope")

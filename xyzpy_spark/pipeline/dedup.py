@@ -1044,3 +1044,134 @@ def embedding_cosine_pairs(
         .where(F.col("cosine") >= F.lit(thr))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    *,
+    n_clusters: int = 8,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    quantize: int = 1 << 20,
+    mode: str = "portable",
+    kmeans_iters: int = 5,
+) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup-style: cluster the
+    corpus, then drop documents that sit within ``threshold`` cosine
+    of a lower-id document in the SAME cluster (Abbas et al. 2023 —
+    cluster-then-prune; the min-id dominator rule replaces the
+    paper's greedy sweep so the result is order-free and
+    SQL-expressible: a doc is dropped iff ANY lower-id in-cluster
+    neighbor is within threshold, whether or not that neighbor
+    itself survives).
+
+    Returns every input id with its ``cluster`` and a ``keep`` flag.
+
+    ``mode="portable"`` (default, the oracle-checked contract mode):
+    centroids are the ``n_clusters`` corpus rows with the smallest
+    ``md5(id || ':seed')`` — a deterministic seeded sample — and all
+    similarity arithmetic is integer-quantized (``floor(x*Q)``; exact
+    int64 matmul; cosine = one IEEE division of exact values), so a
+    DuckDB SQL twin reproduces assignment AND pruning bit-for-bit.
+    ``mode="kmeans"``: centroids from the distributed spherical
+    k-means in :func:`xyzpy_spark.pipeline.similarity.ivf_build`
+    (float path, no exact oracle — recall asserted in tests).
+
+    Scale story: pairwise work is confined to clusters — O(sum c_i^2)
+    instead of O(n^2); with n_clusters ~ sqrt(n) (the SemDeDup
+    operating point) that is O(n^1.5) compute and the shuffle is one
+    hash partition by cluster id.  Each cluster's tile runs as exact
+    int64 numpy inside one ``applyInPandas`` group.  A pathologically
+    hot cluster is the skew risk — at 100 TB split hot clusters with
+    a second-level seeded sub-cluster key (same plan shape), or raise
+    n_clusters.
+    """
+    import numpy as np
+
+    if mode not in ("portable", "kmeans"):
+        raise ValueError(f"mode must be portable|kmeans, got {mode!r}")
+
+    if mode == "kmeans":
+        from .similarity import ivf_build
+
+        _, cent_list = ivf_build(
+            df,
+            n_cells=n_clusters,
+            id_col=id_col,
+            vec_col=vec_col,
+            sample_seed=seed,
+            kmeans_iters=kmeans_iters,
+        )
+        cents = np.array(cent_list, dtype="float64")
+    else:
+        md5key = F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(f":{seed}")
+            ).cast("binary")
+        )
+        rows = (
+            df.select(F.col(id_col), _qvec(vec_col, quantize).alias("qv"))
+            .orderBy(md5key)
+            .limit(n_clusters)
+            .collect()
+        )
+        cents = np.array([r["qv"] for r in rows], dtype="int64")
+
+    thr = float(threshold)
+    qz = float(quantize)
+    cn = np.sqrt((cents.astype("float64") ** 2).sum(axis=1))
+
+    def _q(col) -> "np.ndarray":
+        x = np.array(col.tolist(), dtype="float64")
+        if mode == "portable":
+            return np.floor(x * qz).astype("int64")
+        return x
+
+    def assign_part(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qx = _q(pdf[vec_col])
+            # exact int64 (portable) / fp64 (kmeans) dot; IEEE divide
+            dots = qx @ cents.T
+            xn = np.sqrt((qx.astype("float64") ** 2).sum(axis=1))
+            sims = dots.astype("float64") / (xn[:, None] * cn[None, :])
+            # first max = lowest cell index on ties (matches SQL twin)
+            cell = sims.argmax(axis=1).astype("int32")
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].to_numpy(),
+                    "cluster": cell,
+                    "vec": pdf[vec_col],
+                }
+            )
+
+    vec_t = dict(df.dtypes)[vec_col]
+    assigned = df.select(id_col, vec_col).mapInPandas(
+        assign_part, f"vec_id long, cluster int, vec {vec_t}"
+    )
+
+    def prune(key, pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        qx = _q(pdf["vec"])
+        xn = np.sqrt((qx.astype("float64") ** 2).sum(axis=1))
+        g = (qx @ qx.T).astype("float64") / (xn[:, None] * xn[None, :])
+        # dominated: any strictly-lower-id row within threshold
+        dom = np.tril(g >= thr, k=-1).any(axis=1)
+        return pd.DataFrame(
+            {
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "cluster": pdf["cluster"].to_numpy(),
+                "keep": ~dom,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(
+        prune, "vec_id long, cluster int, keep boolean"
+    )

@@ -73,7 +73,10 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("BENCH_RUNS", "2"))
+    # median of 3 matches the BASELINE.md recording protocol; with 2
+    # samples the "median" is a mean, so one GC/compile-slow sample
+    # inflates the figure
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     try:
         load_avg = round(os.getloadavg()[0], 2)

@@ -254,3 +254,29 @@ def test_bucketed_join_skips_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_quality_model_is_shuffle_free_codegen(spark):
+    """The model scorer is a map-only scan: zero exchanges, no Python
+    evaluators, and the parquet scan prunes to (doc_id, text)."""
+    from xyzpy_spark.pipeline.text import score_quality_model
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    q = score_quality_model(docs)
+    assert not has_exchange(q)
+    plan = executed_plan(q)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert set(scan_columns(q)) <= {"doc_id", "text"}
+
+
+def test_semantic_dedup_single_cluster_shuffle(spark):
+    """Pairwise work is confined to clusters: the only exchange is
+    the hash partition by cluster id feeding applyInPandas (plus the
+    AQE coalesce reader) — no all-pairs join anywhere."""
+    from xyzpy_spark.pipeline.dedup import semantic_dedup
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    q = semantic_dedup(emb, n_clusters=4, threshold=0.9)
+    plan = executed_plan(q)
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

@@ -727,6 +727,28 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(paras)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup: docs with doc_id % 10 == 0 arrive as
+    the new batch and are deduped against the index built over the
+    rest of the corpus — exact (canonical fingerprint) + near
+    (banded MinHash probe), portable md5 mode for the exact oracle.
+    The index side never shuffles (new side broadcast)."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    # in production the index is a SAVED table (built once, probed per
+    # ingest); persist models that materialization for the inline build
+    index = build_dedup_index(corpus, n=2, hash_fn="md5").persist()
+    return dedup_against_index(
+        batch, index, n=2, threshold=0.4, hash_fn="md5"
+    )
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cluster-then-prune semantic dedup in the
     portable-exact mode (md5-seeded centroids + integer-quantized
@@ -1127,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "dedup_paragraphs": q_dedup_paragraphs,
         "quality_model": q_quality_model,
+        "dedup_incremental": q_dedup_incremental,
         "semantic_dedup": q_semantic_dedup,
         "stream_window_hourly": q_stream_window_hourly,
         "stream_user_sessions": q_stream_user_sessions,
@@ -1246,6 +1269,100 @@ def _minhash_lsh_oracle() -> str:
                ROUND(n_agree / 64.0, 6) AS est_jaccard
         FROM agree
         WHERE ROUND(n_agree / 64.0, 6) >= 0.4
+    """
+
+
+def _dedup_incremental_oracle() -> str:
+    """Exact DuckDB twin of the incremental-ingest dedup: canonical
+    md5 fingerprint probe for exact dups, plus the same portable
+    MinHash pipeline as the dedup_minhash_lsh oracle (2-word
+    shingles, 60-bit md5 base hash, universal-hash permutations,
+    16x4 band tuples) probed new-batch-vs-index, best match by
+    (agreement desc, old id asc)."""
+    from xyzpy_spark.pipeline.dedup import (
+        MINHASH_PRIME,
+        portable_perm_constants,
+    )
+
+    perm_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(portable_perm_constants(64))
+    )
+    hex_sum = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) "
+        f"* {16 ** (15 - p)}"
+        for p in range(1, 16)
+    )
+    return f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+            FROM documents
+        ), exact AS (
+            SELECT n.doc_id AS new_id, MIN(o.doc_id) AS exact_of
+            FROM fp n JOIN fp o ON n.f = o.f
+            WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+            GROUP BY 1
+        ), toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                               u -> u <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 0) + 2),
+                       i -> w[i] || COALESCE(' ' || w[i + 1], '')))) AS shingle
+            FROM toks
+        ), hx AS (
+            SELECT doc_id, md5(shingle) AS hx FROM sh
+        ), h0 AS (
+            SELECT doc_id, {hex_sum} AS h FROM hx
+        ), perms AS (
+            SELECT c0 AS i, c1 AS a, c2 AS b
+            FROM (VALUES {perm_values}) t(c0, c1, c2)
+        ), sig AS (
+            SELECT doc_id, p.i,
+                   MIN(CAST((CAST(p.a AS HUGEINT) * h0.h + p.b)
+                            % {MINHASH_PRIME} AS BIGINT)) AS m
+            FROM h0, perms p GROUP BY 1, 2
+        ), bandkey AS (
+            SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+                   string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+            FROM sig GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+            FROM bandkey n
+            JOIN bandkey o ON n.band = o.band AND n.bkey = o.bkey
+            WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0
+        ), agree AS (
+            SELECT c.new_id, c.old_id,
+                   SUM(CASE WHEN sn.m = so.m THEN 1 ELSE 0 END) AS n_agree
+            FROM cand c
+            JOIN sig sn ON sn.doc_id = c.new_id
+            JOIN sig so ON so.doc_id = c.old_id AND so.i = sn.i
+            GROUP BY 1, 2
+        ), near AS (
+            SELECT new_id, old_id, est FROM (
+                SELECT new_id, old_id,
+                       ROUND(n_agree / 64.0, 6) AS est,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY new_id
+                           ORDER BY ROUND(n_agree / 64.0, 6) DESC,
+                                    old_id ASC) AS rk
+                FROM agree
+                WHERE ROUND(n_agree / 64.0, 6) >= 0.4
+            ) WHERE rk = 1
+        )
+        SELECT d.doc_id,
+               CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+                    WHEN nr.old_id IS NOT NULL THEN 'near' END AS dup_kind,
+               COALESCE(e.exact_of, nr.old_id) AS dup_of,
+               CASE WHEN e.exact_of IS NOT NULL THEN 1.0
+                    ELSE nr.est END AS est_jaccard
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        LEFT JOIN exact e ON e.new_id = d.doc_id
+        LEFT JOIN near nr ON nr.new_id = d.doc_id
     """
 
 
@@ -1396,6 +1513,7 @@ def oracle_sql() -> dict[str, str]:
         "sampler_run": _sampler_run_oracle(),
         "estimate_repeats": _estimate_repeats_oracle(),
         "dedup_minhash_lsh": _minhash_lsh_oracle(),
+        "dedup_incremental": _dedup_incremental_oracle(),
         "dedup_embedding_lsh": _embedding_lsh_oracle(),
         "similarity_ivf": _SIMILARITY_IVF_ORACLE,
         "mix_corpora": """

@@ -68,6 +68,7 @@ HEADLINE = [
     "pack_sequences",
     "quality_model",
     "semantic_dedup",
+    "dedup_incremental",
 ]
 
 

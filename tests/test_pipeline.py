@@ -970,3 +970,64 @@ def test_semantic_dedup_bad_mode(spark):
     )
     with pytest.raises(ValueError, match="mode"):
         semantic_dedup(df, mode="nope")
+
+
+def test_dedup_against_index(spark):
+    """Continuous-ingest dedup: exact dup via canonical fingerprint,
+    near dup via banded signature probe, novel docs pass through."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about spark engines"),
+            (3, "a third historical document with its own words"),
+        ],
+        ["doc_id", "text"],
+    )
+    index = build_dedup_index(corpus, n=2)
+    new = spark.createDataFrame(
+        [
+            (10, "The  quick brown fox jumps over the lazy  DOG"),  # exact
+            (11, "the quick brown fox jumps over the lazy cat"),    # near
+            (12, "entirely novel text no overlap whatsoever here"), # novel
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_against_index(new, index, n=2, threshold=0.3).collect()
+    }
+    assert out[10]["dup_kind"] == "exact"
+    assert out[10]["dup_of"] == 1
+    assert out[10]["est_jaccard"] == 1.0
+    assert out[11]["dup_kind"] == "near"
+    assert out[11]["dup_of"] == 1
+    assert 0.3 <= out[11]["est_jaccard"] < 1.0
+    assert out[12]["dup_kind"] is None
+    assert out[12]["dup_of"] is None
+
+
+def test_dedup_against_index_portable_mode(spark):
+    """md5 portable mode produces the same dup decisions."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    index = build_dedup_index(corpus, n=2, hash_fn="md5")
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta eta iota")],
+        ["doc_id", "text"],
+    )
+    out = dedup_against_index(
+        new, index, n=2, threshold=0.3, hash_fn="md5"
+    ).collect()
+    assert out[0]["dup_kind"] == "near" and out[0]["dup_of"] == 1

@@ -280,3 +280,21 @@ def test_semantic_dedup_single_cluster_shuffle(spark):
     plan = executed_plan(q)
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_dedup_incremental_index_never_shuffle_joins(spark):
+    """Every join in the incremental-dedup probe broadcasts the
+    batch-sized side — the historical index must never hit a
+    sort-merge join."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    index = build_dedup_index(corpus, n=2)
+    plan = executed_plan(dedup_against_index(batch, index, n=2))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

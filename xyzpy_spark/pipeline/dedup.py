@@ -1175,3 +1175,171 @@ def semantic_dedup(
     return assigned.groupBy("cluster").applyInPandas(
         prune, "vec_id long, cluster int, keep boolean"
     )
+
+
+def _band_bucket_col(num_perm: int, bands: int) -> F.Column:
+    """Exploded (band, bucket) structs from a ``sig`` column: bucket =
+    xxhash64 of the band's signature tuple.  A 2^-64 bucket collision
+    can only ADD a candidate, which the agreement score then filters."""
+    rows_per_band = num_perm // bands
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.element_at(
+                                    "sig", b * rows_per_band + r + 1
+                                ).cast("string")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+
+
+def build_dedup_index(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """The persistent dedup index for incremental ingest: one row per
+    document with the exact-dedup ``fingerprint`` (md5 of the
+    whitespace/case-canonical form) and the MinHash ``sig``.
+
+    Build once over the historical corpus, write with
+    ``save_df``/``save_bucketed``, then dedup every incoming batch
+    against it with :func:`dedup_against_index` — historical TEXT is
+    never re-read or re-hashed; per-ingest cost is one scan of this
+    narrow index (id + 16 bytes + num_perm longs).
+    """
+    from .text import add_fingerprint
+
+    sig = minhash_signatures(
+        df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm,
+        hash_fn=hash_fn,
+    )
+    fp = add_fingerprint(df.select(id_col, text_col), text_col).select(
+        id_col, "fingerprint"
+    )
+    return fp.join(sig, id_col)
+
+
+def dedup_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Dedup an incoming batch against a historical corpus index
+    (continuous-ingest dedup: the batch is new, the corpus is 100 TB
+    and must not be reprocessed).
+
+    Every new document is annotated: ``dup_kind`` is ``'exact'``
+    (canonical fingerprint already in the index), ``'near'``
+    (signature agreement >= ``threshold`` with some index entry via
+    banded LSH), or NULL (novel); ``dup_of`` is the matching
+    historical id (min id for exact; best agreement, ties to min id,
+    for near); ``est_jaccard`` is the agreement estimate (1.0 for
+    exact).
+
+    Scale shape: the NEW side is broadcast (an ingest batch is tiny
+    next to the corpus), so the index never shuffles — both the
+    fingerprint probe and the (band, bucket) probe are map-side
+    lookups against the index scan, and only surviving candidates
+    enter the per-new-doc aggregation.  ``bands``/``num_perm``/
+    ``hash_fn`` must match the values the index was built with.
+    """
+    new_idx = build_dedup_index(
+        new_docs, id_col=id_col, text_col=text_col, n=n,
+        num_perm=num_perm, hash_fn=hash_fn,
+    ).persist()
+
+    old_fp = index.select(F.col(id_col).alias("_old_id"), "fingerprint")
+    exact = (
+        old_fp.join(
+            F.broadcast(
+                new_idx.select(
+                    F.col(id_col).alias("_new_id"), "fingerprint"
+                )
+            ),
+            "fingerprint",
+        )
+        .groupBy("_new_id")
+        .agg(F.min("_old_id").alias("_exact_of"))
+    )
+
+    old_b = index.select(
+        F.col(id_col).alias("_old_id"),
+        F.col("sig").alias("sig_old"),
+        _band_bucket_col(num_perm, bands).alias("bb"),
+    ).select("_old_id", "sig_old", "bb.band", "bb.bucket")
+    new_b = new_idx.select(
+        F.col(id_col).alias("_new_id"),
+        F.col("sig").alias("sig_new"),
+        _band_bucket_col(num_perm, bands).alias("bb"),
+    ).select("_new_id", "sig_new", "bb.band", "bb.bucket")
+
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_old", "sig_new", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    near = (
+        old_b.join(F.broadcast(new_b), ["band", "bucket"])
+        .select(
+            "_new_id",
+            "_old_id",
+            F.round(agree / F.lit(float(num_perm)), 6).alias("_est"),
+        )
+        .where(F.col("_est") >= threshold)
+        .groupBy("_new_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_est"), (-F.col("_old_id")).alias("_neg"))
+            ).alias("_best")
+        )
+        .select(
+            "_new_id",
+            F.col("_best._est").alias("_near_est"),
+            (-F.col("_best._neg")).alias("_near_of"),
+        )
+    )
+
+    # assembly joins: both match tables are <= batch-sized aggregates
+    out = (
+        new_idx.select(id_col)
+        .join(F.broadcast(exact), new_idx[id_col] == exact._new_id, "left")
+        .drop("_new_id")
+        .join(F.broadcast(near), new_idx[id_col] == near._new_id, "left")
+        .drop("_new_id")
+        .select(
+            id_col,
+            F.when(F.col("_exact_of").isNotNull(), F.lit("exact"))
+            .when(F.col("_near_of").isNotNull(), F.lit("near"))
+            .alias("dup_kind"),
+            F.coalesce("_exact_of", "_near_of").alias("dup_of"),
+            F.when(F.col("_exact_of").isNotNull(), F.lit(1.0))
+            .otherwise(F.col("_near_est"))
+            .alias("est_jaccard"),
+        )
+    )
+    return out

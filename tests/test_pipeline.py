@@ -1031,3 +1031,72 @@ def test_dedup_against_index_portable_mode(spark):
         new, index, n=2, threshold=0.3, hash_fn="md5"
     ).collect()
     assert out[0]["dup_kind"] == "near" and out[0]["dup_of"] == 1
+
+
+def test_score_quality_model_matches_python_recompute(spark, docs):
+    """Triangulate the hashed-linear scorer against an independent
+    pure-python hashlib recompute (the DuckDB oracle is the third
+    implementation)."""
+    import hashlib
+
+    from xyzpy_spark.pipeline.text import score_quality_model
+
+    def h32(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def expected_raw(text: str) -> int:
+        total = 0
+        for tok in text.split():
+            bucket = h32(tok) % (1 << 20)
+            total += h32(f"qw:{bucket}") % 2001 - 1000
+        return total
+
+    rows = {r["doc_id"]: r for r in score_quality_model(docs).collect()}
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for doc_id, text in originals.items():
+        assert rows[doc_id]["score_raw"] == expected_raw(text), doc_id
+
+
+def test_semantic_dedup_matches_python_model(spark):
+    """The distributed cluster-then-prune must agree with a
+    brute-force python model of the same rule (assign to argmax-cosine
+    centroid, drop if any lower-id in-cluster neighbor >= threshold)."""
+    import hashlib
+
+    import numpy as np
+
+    from xyzpy_spark.pipeline.dedup import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype("float64")
+    # make some deliberate near-dups
+    vecs[50] = vecs[3] * 1.001
+    vecs[51] = vecs[7] + 1e-4
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: (r["cluster"], r["keep"])
+        for r in semantic_dedup(
+            df, n_clusters=4, threshold=0.9, mode="portable", quantize=1 << 20
+        ).collect()
+    }
+
+    # python model — same quantization, same md5 centroid sample
+    q = np.floor(vecs * (1 << 20)).astype("int64")
+    order = sorted(range(60), key=lambda i: hashlib.md5(f"{i}:42".encode()).hexdigest())
+    cents = q[order[:4]]
+    cn = np.sqrt((cents.astype(float) ** 2).sum(axis=1))
+    xn = np.sqrt((q.astype(float) ** 2).sum(axis=1))
+    sims = (q @ cents.T).astype(float) / (xn[:, None] * cn[None, :])
+    cluster = sims.argmax(axis=1)
+    for i in range(60):
+        assert got[i][0] == cluster[i], i
+    cos = (q @ q.T).astype(float) / (xn[:, None] * xn[None, :])
+    for i in range(60):
+        dominated = any(
+            cluster[j] == cluster[i] and cos[i, j] >= 0.9
+            for j in range(i)
+        )
+        assert got[i][1] == (not dominated), i

@@ -1620,15 +1620,18 @@ def oracle_sql() -> dict[str, str]:
                                    u -> u <> '') AS w
                 FROM documents
             ), scored AS (
+                -- NULL text propagates NULL (matches Spark's aggregate
+                -- over a NULL array); EMPTY token list scores 0
                 SELECT doc_id, len(w) AS n_tokens,
-                       COALESCE((
+                       CASE WHEN w IS NULL THEN NULL
+                            ELSE COALESCE((
                            SELECT SUM(
                                CAST(('0x' || substr(md5('qw:' ||
                                    (('0x' || substr(md5(t.tok), 1, 8))::UBIGINT
                                     % 1048576)::VARCHAR), 1, 8))::UBIGINT % 2001
                                    AS BIGINT) - 1000)
                            FROM unnest(w) AS t(tok)
-                       ), 0) AS score_raw
+                       ), 0) END AS score_raw
                 FROM toks
             )
             SELECT doc_id,

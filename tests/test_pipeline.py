@@ -1100,3 +1100,77 @@ def test_semantic_dedup_matches_python_model(spark):
             for j in range(i)
         )
         assert got[i][1] == (not dominated), i
+
+
+def test_score_quality_model_null_text(spark):
+    """NULL text propagates NULL (repo convention), distinct from
+    empty text which scores 0 — both mirrored in the oracle."""
+    from xyzpy_spark.pipeline.text import score_quality_model
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in score_quality_model(df).collect()}
+    assert rows[0]["score_raw"] is None
+    assert rows[0]["keep"] is None
+    assert rows[1]["score_raw"] == 0
+    assert rows[1]["keep"] is True
+
+
+def test_dedup_against_index_tokenless_docs(spark):
+    """Empty/whitespace docs have no shingles but must still be
+    indexed and annotated: exact dups of each other via the canonical
+    fingerprint, never near-dup candidates."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "real historical content here")],
+        ["doc_id", "text"],
+    )
+    index = build_dedup_index(corpus, n=2)
+    assert index.count() == 2  # empty doc kept (NULL sig)
+    new = spark.createDataFrame(
+        [(10, "   "), (11, "novel words entirely")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup_against_index(new, index, n=2).collect()
+    }
+    assert len(out) == 2  # every new doc annotated
+    # "   " canonicalizes to " " vs "" -> not equal fingerprints; but
+    # both rows must exist with no crash and no spurious near match
+    assert out[11]["dup_kind"] is None
+
+
+def test_dedup_against_index_bad_bands(spark):
+    from xyzpy_spark.pipeline.dedup import (
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    index = build_dedup_index(df)
+    with pytest.raises(ValueError, match="bands"):
+        dedup_against_index(df, index, num_perm=64, bands=12).collect()
+
+
+def test_semantic_dedup_custom_id_col(spark):
+    """id_col is honored in name and type (not hardcoded vec_id)."""
+    from xyzpy_spark.pipeline.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [1.0, 0.001]), ("c", [0.0, 1.0])],
+        "name string, embedding array<double>",
+    )
+    out = {
+        r["name"]: r
+        for r in semantic_dedup(
+            df, n_clusters=2, threshold=0.99, id_col="name"
+        ).collect()
+    }
+    assert set(out) == {"a", "b", "c"}
+    assert out["a"]["keep"] and not out["b"]["keep"] and out["c"]["keep"]

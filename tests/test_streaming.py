@@ -260,3 +260,12 @@ def test_no_exact_gap_boundary_in_testdata(spark, events_batch):
     )
     n = gaps.where(F.col("gap") == F.expr("INTERVAL '30' MINUTE")).count()
     assert n == 0
+
+
+def test_windowed_agg_column_typed_keys(spark, events_stream):
+    """Group keys may be Column objects, not just names."""
+    out = run_stream_to_memory(
+        windowed_agg(events_stream, by=(F.col("event_type"),)),
+        "win_agg_colkeys",
+    )
+    assert "event_type" in out.columns and out.count() > 0

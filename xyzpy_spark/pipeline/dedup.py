@@ -278,7 +278,6 @@ def minhash_lsh_pairs(
     ``hash_fn`` as in :func:`minhash_signatures`.
     """
     assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
     sig = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm,
         hash_fn=hash_fn,
@@ -288,27 +287,7 @@ def minhash_lsh_pairs(
     banded = sig.select(
         id_col,
         "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at(
-                                        "sig", b * rows_per_band + r + 1
-                                    ).cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        _band_bucket_col(num_perm, bands).alias("bb"),
     ).select(id_col, "sig", "bb.band", "bb.bucket")
 
     a = banded.select(
@@ -1144,21 +1123,22 @@ def semantic_dedup(
             cell = sims.argmax(axis=1).astype("int32")
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     "cluster": cell,
                     "vec": pdf[vec_col],
                 }
             )
 
-    vec_t = dict(df.dtypes)[vec_col]
+    types = dict(df.dtypes)
+    vec_t, id_t = types[vec_col], types[id_col]
     assigned = df.select(id_col, vec_col).mapInPandas(
-        assign_part, f"vec_id long, cluster int, vec {vec_t}"
+        assign_part, f"{id_col} {id_t}, cluster int, vec {vec_t}"
     )
 
     def prune(key, pdf):
         import pandas as pd
 
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
         qx = _q(pdf["vec"])
         xn = np.sqrt((qx.astype("float64") ** 2).sum(axis=1))
         g = (qx @ qx.T).astype("float64") / (xn[:, None] * xn[None, :])
@@ -1166,14 +1146,14 @@ def semantic_dedup(
         dom = np.tril(g >= thr, k=-1).any(axis=1)
         return pd.DataFrame(
             {
-                "vec_id": pdf["vec_id"].to_numpy(),
+                id_col: pdf[id_col].to_numpy(),
                 "cluster": pdf["cluster"].to_numpy(),
                 "keep": ~dom,
             }
         )
 
     return assigned.groupBy("cluster").applyInPandas(
-        prune, "vec_id long, cluster int, keep boolean"
+        prune, f"{id_col} {id_t}, cluster int, keep boolean"
     )
 
 
@@ -1181,6 +1161,12 @@ def _band_bucket_col(num_perm: int, bands: int) -> F.Column:
     """Exploded (band, bucket) structs from a ``sig`` column: bucket =
     xxhash64 of the band's signature tuple.  A 2^-64 bucket collision
     can only ADD a candidate, which the agreement score then filters."""
+    if num_perm % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_perm={num_perm} — otherwise "
+            f"the trailing {num_perm % bands} signature positions would "
+            "silently never be banded"
+        )
     rows_per_band = num_perm // bands
     return F.explode(
         F.array(
@@ -1224,16 +1210,19 @@ def build_dedup_index(
     never re-read or re-hashed; per-ingest cost is one scan of this
     narrow index (id + 16 bytes + num_perm longs).
     """
-    from .text import add_fingerprint
+    from .text import canonical_fingerprint
 
     sig = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm,
         hash_fn=hash_fn,
     )
-    fp = add_fingerprint(df.select(id_col, text_col), text_col).select(
-        id_col, "fingerprint"
+    fp = df.select(
+        id_col, canonical_fingerprint(F.col(text_col)).alias("fingerprint")
     )
-    return fp.join(sig, id_col)
+    # LEFT join: a token-less document (empty/whitespace text) has no
+    # signature row but must stay in the index — its exact-fingerprint
+    # probe is still valid (sig stays NULL; the near probe skips it)
+    return fp.join(sig, id_col, "left")
 
 
 def dedup_against_index(
@@ -1247,10 +1236,14 @@ def dedup_against_index(
     bands: int = 16,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    cache: bool = True,
 ) -> DataFrame:
     """Dedup an incoming batch against a historical corpus index
     (continuous-ingest dedup: the batch is new, the corpus is 100 TB
-    and must not be reprocessed).
+    and must not be reprocessed).  ``cache`` persists the batch's
+    fingerprints+signatures for the probe's three consumers; pass
+    False (or unpersist via ``spark.catalog.clearCache``) in
+    long-lived ingest loops that manage their own caching.
 
     Every new document is annotated: ``dup_kind`` is ``'exact'``
     (canonical fingerprint already in the index), ``'near'``
@@ -1270,7 +1263,9 @@ def dedup_against_index(
     new_idx = build_dedup_index(
         new_docs, id_col=id_col, text_col=text_col, n=n,
         num_perm=num_perm, hash_fn=hash_fn,
-    ).persist()
+    )
+    if cache:
+        new_idx = new_idx.persist()
 
     old_fp = index.select(F.col(id_col).alias("_old_id"), "fingerprint")
     exact = (
@@ -1286,12 +1281,14 @@ def dedup_against_index(
         .agg(F.min("_old_id").alias("_exact_of"))
     )
 
-    old_b = index.select(
+    # token-less docs carry NULL sigs: exclude them from banding (they
+    # would all collide on the hash of the empty tuple)
+    old_b = index.where(F.col("sig").isNotNull()).select(
         F.col(id_col).alias("_old_id"),
         F.col("sig").alias("sig_old"),
         _band_bucket_col(num_perm, bands).alias("bb"),
     ).select("_old_id", "sig_old", "bb.band", "bb.bucket")
-    new_b = new_idx.select(
+    new_b = new_idx.where(F.col("sig").isNotNull()).select(
         F.col(id_col).alias("_new_id"),
         F.col("sig").alias("sig_new"),
         _band_bucket_col(num_perm, bands).alias("bb"),

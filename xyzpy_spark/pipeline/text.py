@@ -193,6 +193,14 @@ def add_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("lang_pred", pred)
 
 
+def canonical_fingerprint(col) -> F.Column:
+    """128-bit md5 of the canonical form (lowercase, collapsed
+    whitespace) — the exact-dedup key that survives trivial
+    reformatting, shared by :func:`add_fingerprint` and the
+    incremental dedup index."""
+    return F.md5(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
 def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Canonical-form document fingerprint.
 
@@ -201,9 +209,9 @@ def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     A 64-bit ``fp64`` (xxhash64) is added for cheap joins.
     """
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    return df.withColumn("fingerprint", F.md5(norm)).withColumn(
-        "fp64", F.xxhash64(norm)
-    )
+    return df.withColumn(
+        "fingerprint", canonical_fingerprint(F.col(text_col))
+    ).withColumn("fp64", F.xxhash64(norm))
 
 
 def _safe_frac(num, den):

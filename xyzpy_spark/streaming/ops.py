@@ -96,11 +96,13 @@ def windowed_agg(
         .groupBy(w.alias("win"), *by)
         .agg(*aggs)
     )
-    rest = [c for c in out.columns if c != "win" and c not in by]
+    # resolve group keys to their NAMES so `by` may hold Column objects
+    by_names = events.select(*by).columns
+    rest = [c for c in out.columns if c != "win" and c not in by_names]
     return out.select(
         F.col("win.start").alias("window_start"),
         F.col("win.end").alias("window_end"),
-        *by,
+        *by_names,
         *rest,
     )
 

@@ -1174,3 +1174,28 @@ def test_semantic_dedup_custom_id_col(spark):
     }
     assert set(out) == {"a", "b", "c"}
     assert out["a"]["keep"] and not out["b"]["keep"] and out["c"]["keep"]
+
+
+def test_dedup_corpus_one_call(spark, docs):
+    """Composition wrapper: duplicate cluster collapses to its min-id
+    winner, singletons keep dup_count=1, original columns survive."""
+    from xyzpy_spark.pipeline.dedup import dedup_corpus
+
+    out = {r["doc_id"]: r for r in dedup_corpus(
+        docs, method="jaccard", n=3, threshold=0.5, max_shingle_freq=None
+    ).collect()}
+    # docs 0/1/3 form one near-dup cluster -> winner 0 with count 3
+    assert 0 in out and out[0]["dup_count"] == 3
+    assert 1 not in out and 3 not in out
+    assert out[2]["dup_count"] == 1 and out[5]["dup_count"] == 1
+    assert "text" in out[0].asDict()
+
+    exact = {r["doc_id"]: r for r in dedup_corpus(docs, method="exact").collect()}
+    assert 3 not in exact and exact[0]["dup_count"] == 2
+
+
+def test_dedup_corpus_bad_method(spark, docs):
+    from xyzpy_spark.pipeline.dedup import dedup_corpus
+
+    with pytest.raises(ValueError, match="method"):
+        dedup_corpus(docs, method="nope")

@@ -134,6 +134,21 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(dedup_exact(self.df, **kw))
 
+    def dedup_corpus(self, **kw) -> "xyz":
+        from .pipeline.dedup import dedup_corpus
+
+        return self._wrap(dedup_corpus(self.df, **kw))
+
+    def quality_model(self, text_col: str = "text", **kw) -> "xyz":
+        from .pipeline.text import score_quality_model
+
+        return self._wrap(score_quality_model(self.df, text_col, **kw))
+
+    def semantic_dedup(self, **kw) -> "xyz":
+        from .pipeline.dedup import semantic_dedup
+
+        return self._wrap(semantic_dedup(self.df, **kw))
+
     def hash_sample(self, key, fraction, **kw) -> "xyz":
         from .pipeline.sampling import hash_sample
 

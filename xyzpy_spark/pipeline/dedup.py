@@ -1340,3 +1340,63 @@ def dedup_against_index(
         )
     )
     return out
+
+
+def dedup_corpus(
+    docs: DataFrame,
+    *,
+    method: str = "minhash",
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **kwargs,
+) -> DataFrame:
+    """One-call fuzzy dedup of a corpus: near-dup pairs → connected
+    components → keep the min-id winner of every duplicate cluster.
+
+    ``method``: ``'minhash'`` (:func:`minhash_lsh_pairs`, the scale
+    default), ``'jaccard'`` (:func:`ngram_jaccard_pairs`, exact
+    scores), or ``'exact'`` (canonical-fingerprint groups only).
+    Extra kwargs flow to the pair generator.  Returns the kept
+    documents with all original columns plus ``dup_count`` (cluster
+    size including the winner; 1 for docs with no duplicate).
+
+    This is composition, not new machinery — each stage is the
+    oracle-checked operator; the convenience is one call from raw
+    corpus to deduplicated corpus, the single most common pipeline
+    request.  Shuffle profile = pairs stage + label propagation +
+    one broadcast-able winners join.
+    """
+    if method == "exact":
+        groups = dedup_exact(docs, text_col, id_col, **kwargs)
+        winners = groups.select(
+            F.col("keep_id").alias(id_col), "dup_count"
+        )
+        return docs.join(F.broadcast(winners), id_col)
+    if method == "minhash":
+        pairs = minhash_lsh_pairs(
+            docs, id_col=id_col, text_col=text_col,
+            threshold=threshold, **kwargs,
+        )
+    elif method == "jaccard":
+        pairs = ngram_jaccard_pairs(
+            docs, id_col=id_col, text_col=text_col,
+            threshold=threshold, **kwargs,
+        )
+    else:
+        raise ValueError(f"method must be minhash|jaccard|exact, got {method!r}")
+    labels = dedup_clusters(pairs)  # (doc_id, cluster_id), min-id label
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("dup_count")
+    )
+    # members that are not their cluster's winner are dropped
+    losers = labels.where(F.col("doc_id") != F.col("cluster_id")).select(
+        F.col("doc_id").alias(id_col)
+    )
+    kept = docs.join(losers, id_col, "left_anti")
+    return (
+        kept.join(
+            sizes.withColumnRenamed("cluster_id", id_col), id_col, "left"
+        )
+        .withColumn("dup_count", F.coalesce("dup_count", F.lit(1)))
+    )

@@ -818,6 +818,45 @@ def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup through the real engine: the events
+    stream unioned with itself models at-least-once double delivery;
+    ``dropDuplicatesWithinWatermark`` must emit each event exactly
+    once.  Oracle: the events table itself (event_id is unique)."""
+    from xyzpy_spark.streaming.ops import (
+        dedup_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    doubled = ev.union(ev)
+    out = run_stream_to_memory(
+        dedup_stream(doubled, keys="event_id", watermark="2 hours"),
+        "q_stream_dedup",
+        output_mode="append",
+    )
+    return out.select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+
+
+def q_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-call corpus dedup (pairs → components → winners), jaccard
+    method so the oracle composes the established pair CTEs with the
+    recursive-reachability winner join."""
+    from xyzpy_spark.pipeline.dedup import dedup_corpus
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dedup_corpus(
+        docs, method="jaccard", n=3, threshold=0.5, max_shingle_freq=None
+    )
+
+
 def q_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based corpus quality gate: hashed linear classifier
     (fastText-shape) scored map-only over the documents table.
@@ -1150,7 +1189,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": q_dedup_paragraphs,
         "quality_model": q_quality_model,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_corpus": q_dedup_corpus,
         "semantic_dedup": q_semantic_dedup,
+        "stream_dedup": q_stream_dedup,
         "stream_window_hourly": q_stream_window_hourly,
         "stream_user_sessions": q_stream_user_sessions,
     }
@@ -1559,6 +1600,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(cb // 512 AS BIGINT) AS seq_id,
                    CAST(cb % 512 AS BIGINT) AS seq_offset
             FROM c
+        """,
+        "stream_dedup": """
+            SELECT event_id, ts, user_id, event_type, value FROM events
+        """,
+        "dedup_corpus": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 3, 0) + 2),
+                           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shs
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(shs) AS shingle FROM sh
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1
+            ), common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM ex a JOIN ex b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), pairs AS (
+                SELECT id_a, id_b FROM common
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+            ), edges AS (
+                SELECT id_a AS s, id_b AS d FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ), reach(id, r) AS (
+                SELECT DISTINCT s, s FROM edges
+                UNION
+                SELECT e.s, reach.r FROM edges e JOIN reach ON e.d = reach.id
+            ), labels AS (
+                SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+            ), csizes AS (
+                SELECT cluster_id, COUNT(*) AS dup_count FROM labels GROUP BY 1
+            )
+            SELECT d.doc_id, d.text,
+                   COALESCE(s.dup_count, 1) AS dup_count
+            FROM documents d
+            LEFT JOIN labels l ON l.doc_id = d.doc_id
+            LEFT JOIN csizes s ON s.cluster_id = d.doc_id
+            WHERE l.doc_id IS NULL OR l.cluster_id = d.doc_id
         """,
         "semantic_dedup": """
             WITH q AS (

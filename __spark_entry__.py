@@ -633,9 +633,10 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs in the portable-hash mode: the
-    permutation family ``(a_i * md5_60(shingle) + b_i) mod (2^61-1)``
-    is reproducible in DuckDB (HUGEINT), so signatures, banding and
-    the Jaccard estimate all have an exact SQL twin.  Production
+    permutation family ``(a_i * md5_60(shingle) + b_i) mod (2^31-1)``
+    (int64-exact on Spark; the oracle reduces the 60-bit base hash
+    through HUGEINT) is reproducible in DuckDB, so signatures, banding
+    and the Jaccard estimate all have an exact SQL twin.  Production
     default stays xxhash64."""
     from xyzpy_spark.pipeline.dedup import minhash_lsh_pairs
 
@@ -1248,7 +1249,8 @@ def _minhash_lsh_oracle() -> str:
     same 2-word shingles, same 60-bit md5 base hash (hex digits
     recombined with integer multipliers — BIGINT-exact, doubles would
     lose bits past 2^53), same seeded universal-hash permutations
-    (HUGEINT for the 122-bit product), same 16x4 banding (candidates
+    (HUGEINT headroom for the ~91-bit a*h product before the mod
+    2^31-1 reduction), same 16x4 banding (candidates
     must share one exact band tuple) and agreement-fraction estimate.
     """
     from xyzpy_spark.pipeline.dedup import (

@@ -1199,3 +1199,17 @@ def test_dedup_corpus_bad_method(spark, docs):
 
     with pytest.raises(ValueError, match="method"):
         dedup_corpus(docs, method="nope")
+
+
+def test_dedup_paragraphs_literal_separator(spark):
+    """sep is a literal, not a regex: '.' must split on dots, not on
+    every character (review regression)."""
+    from xyzpy_spark.pipeline.dedup import dedup_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta.gamma delta"), (2, "alpha beta.unique text")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df, sep=".").collect()}
+    assert out[1] == "alpha beta.gamma delta"
+    assert out[2] == "unique text"  # first paragraph deduped away

@@ -155,3 +155,16 @@ def test_check_runs_gaps(spark):
     r = check_runs(df, "run", ["v"]).collect()[0]
     assert (r["min"], r["max"], r["count"]) == (1, 12, 6)
     assert sorted(map(list, r["gaps"])) == [[4, 6], [9, 11]]
+
+
+def test_style_indices_conflicting_channel_raises(spark):
+    """A preexisting column with the channel's name that is not the
+    mapped dim must raise, not silently skip the {ch}_idx contract."""
+    import pytest
+    from xyzpy_spark.operators.reductions import style_indices
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("b", "y")], ["hue", "alg"]
+    )
+    with pytest.raises(ValueError, match="hue"):
+        style_indices(df, {"hue": "alg"})

@@ -380,3 +380,28 @@ def test_vs_reference_quickstart(spark):
     )
     assert df.count() == 36
     assert df.where("sum != a + b OR diff != a - b").count() == 0
+
+
+def test_vectorized_on_error_keep(spark):
+    """vectorized=True + on_error='keep': a failing batch falls back
+    to per-point isolation — good points keep values, bad points get
+    NULL outputs and the error string (review regression: _error was
+    in the schema but never emitted -> KeyError)."""
+    from xyzpy_spark.runner import combo_runner_to_df
+
+    def kernel(a, b):
+        import numpy as np
+
+        if np.any(a == 3):
+            raise ValueError("bad a")
+        return a * 10 + b
+
+    df = combo_runner_to_df(
+        spark, kernel, {"a": [1, 2, 3], "b": [5]},
+        var_names="y", vectorized=True, on_error="keep",
+    )
+    rows = {(r["a"], r["b"]): r for r in df.collect()}
+    assert len(rows) == 3
+    assert rows[(1, 5)]["y"] == 15 and rows[(1, 5)]["_error"] is None
+    assert rows[(3, 5)]["y"] is None
+    assert "bad a" in rows[(3, 5)]["_error"]

@@ -221,8 +221,17 @@ def style_indices(df: DataFrame, channels: dict) -> DataFrame:
     """
     for ch, dims in channels.items():
         dims = [dims] if isinstance(dims, str) else list(dims)
-        df = fuse_dims(df, dims, ch) if ch not in df.columns else df
-        if ch in dims and len(dims) == 1 and f"{ch}_idx" not in df.columns:
+        if ch not in df.columns:
+            # fuse_dims adds both {ch} and {ch}_idx
+            df = fuse_dims(df, dims, ch)
+            continue
+        if dims != [ch]:
+            raise ValueError(
+                f"channel {ch!r} already exists as a column but maps "
+                f"dims {dims}; rename the channel or drop the column — "
+                "silently skipping would break the {channel}_idx contract"
+            )
+        if f"{ch}_idx" not in df.columns:
             w = Window.orderBy(F.col(ch))
             lookup = (
                 df.select(ch)

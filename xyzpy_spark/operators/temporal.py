@@ -170,9 +170,16 @@ def range_join(
     binw = float(bin_width)
     base = left
     if how_n == "left":
-        # row identity for restoring unmatched lefts (stable: depends
-        # only on the deterministic scan partitioning of `left`)
-        base = left.withColumn("__lid", F.monotonically_increasing_id())
+        # row identity for restoring unmatched lefts.  The id is only
+        # consistent if every consumer sees the SAME evaluation — the
+        # matched subtree, the anti-join probe, and the unmatched
+        # subtree would otherwise each recompute `base` and a
+        # nondeterministic upstream (round-robin repartition, task
+        # retry) could reassign ids, duplicating or dropping rows.
+        # persist pins one materialization for all three.
+        base = left.withColumn(
+            "__lid", F.monotonically_increasing_id()
+        ).persist()
     l_binned = base.withColumn(
         "__bin_lo", F.floor((F.col(on) + lo).cast("double") / binw).cast("long")
     ).withColumn(

@@ -562,19 +562,28 @@ def dedup_paragraphs(
     occurrence — smallest ``(doc, position)`` — and every later copy
     is dropped before documents are reassembled.
 
-    One shuffle partitioned on the paragraph's 8-byte ``xxhash64``
-    (equivalence classes = identical text, so an engine without
-    xxhash64 — e.g. the DuckDB oracle — reproduces the result by
-    grouping on the paragraph itself), one window rank, one
-    reassembly groupBy ordered by original position.  Whitespace-only
+    One shuffle for the winner window, one reassembly groupBy ordered
+    by original position.  The window partitions on ``(xxhash64(para),
+    para)``: the hash spreads the shuffle keys, the text itself keeps
+    the equivalence classes exact — two distinct paragraphs colliding
+    on the 64-bit hash (expected once past ~5B distinct paragraphs)
+    land in the same shuffle partition but rank independently, so no
+    paragraph is ever silently deleted.  ``sep`` is a LITERAL
+    separator (regex-escaped before the split).  Whitespace-only
     paragraphs are dropped.  Output: ``(id_col, text)`` with docs
     whose every paragraph was a repeat reduced to an empty string.
     """
+    import re as _re
+
     paras = df.select(
         F.col(id_col).alias("__doc"),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__para"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep))
+        ).alias("__pos", "__para"),
     ).where(F.trim(F.col("__para")) != "")
-    w = Window.partitionBy(F.xxhash64("__para")).orderBy("__doc", "__pos")
+    w = Window.partitionBy(F.xxhash64("__para"), "__para").orderBy(
+        "__doc", "__pos"
+    )
     kept = paras.withColumn("__rk", F.row_number().over(w)).where(
         F.col("__rk") == 1
     )

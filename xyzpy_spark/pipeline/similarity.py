@@ -222,13 +222,25 @@ def ivf_topk_portable(
         F.col(id_col).alias("nbr_id"),
         _qvec(vec_col, quantize).alias("cv"),
     )
-    c = c.withColumn(
-        "cell",
-        (
-            F.array_position(_sims(F.col("cv")), F.array_max(_sims(F.col("cv"))))
-            - 1
-        ).cast("int"),
-    ).withColumn("cn", F.sqrt(_int_dot(F.col("cv"), F.col("cv")).cast("double")))
+    # materialize the similarity array once: Catalyst does not CSE
+    # higher-order-function trees, so inlining _sims twice (position +
+    # max) would double the most expensive per-row expression
+    c = (
+        c.withColumn("__sims", _sims(F.col("cv")))
+        .withColumn(
+            "cell",
+            (
+                F.array_position(
+                    F.col("__sims"), F.array_max(F.col("__sims"))
+                )
+                - 1
+            ).cast("int"),
+        )
+        .drop("__sims")
+        .withColumn(
+            "cn", F.sqrt(_int_dot(F.col("cv"), F.col("cv")).cast("double"))
+        )
+    )
 
     idx = F.sequence(F.lit(0), F.lit(n_cells - 1))
     q = queries.select(

@@ -307,7 +307,8 @@ def _make_mapper(
 
 
 def _make_vectorized_mapper(
-    fn, param_cols, specs, coords, constants, resources, out_schema
+    fn, param_cols, specs, coords, constants, resources, out_schema,
+    on_error="raise",
 ):
     """Batch-at-a-time evaluation: fn receives one numpy array per
     parameter and returns array(s) — one python call per Arrow batch
@@ -354,40 +355,71 @@ def _make_vectorized_mapper(
                     sizes,
                 )
 
+    has_err_col = "_error" in out_cols
+
+    def _assemble(pdf, values, err=None):
+        b = len(pdf)
+        if not union_dims:
+            data = {LOC_COL: pdf[LOC_COL]}
+            for c in param_cols:
+                data[c] = pdf[c]
+            for spec, val in zip(specs, values):
+                data[spec.name] = (
+                    [None] * b
+                    if val is None
+                    else np.broadcast_to(np.asarray(val), (b,)).copy()
+                )
+            if has_err_col:
+                data["_error"] = [err] * b
+            return pd.DataFrame(data)[out_cols]
+        data = {LOC_COL: np.repeat(pdf[LOC_COL].to_numpy(), n_inner)}
+        for c in param_cols:
+            data[c] = np.repeat(pdf[c].to_numpy(), n_inner)
+        for d in union_dims:
+            data[d] = np.tile(inner_vals[d], b)
+        for spec, val in zip(specs, values):
+            if val is None:
+                data[spec.name] = [None] * (b * n_inner)
+            elif not spec.dims:
+                data[spec.name] = np.repeat(
+                    np.broadcast_to(np.asarray(val), (b,)), n_inner
+                )
+            else:
+                a = np.asarray(val).reshape(b, -1)
+                data[spec.name] = a[:, var_flat_idx[spec.name]].reshape(
+                    b * n_inner
+                )
+        if has_err_col:
+            data["_error"] = [err] * (b * n_inner)
+        return pd.DataFrame(data)[out_cols]
+
     def evaluate(iterator):
         for pdf in iterator:
             kwargs = {c: pdf[c].to_numpy() for c in param_cols}
-            res = fn(**kwargs, **constants, **resources)
-            values = list(res) if len(specs) > 1 else [res]
-            b = len(pdf)
-            if not union_dims:
-                data = {LOC_COL: pdf[LOC_COL]}
-                for c in param_cols:
-                    data[c] = pdf[c]
-                for spec, val in zip(specs, values):
-                    data[spec.name] = np.broadcast_to(
-                        np.asarray(val), (b,)
-                    ).copy()
-                yield pd.DataFrame(data)[out_cols]
+            try:
+                res = fn(**kwargs, **constants, **resources)
+            except Exception:  # noqa: BLE001 — per-point policy below
+                if on_error == "raise":
+                    raise
+                # the batch call failed: isolate the failing point(s)
+                # by re-running per point with length-1 slices, so
+                # keep/ignore retain their per-point semantics
+                for i in range(len(pdf)):
+                    row = pdf.iloc[i : i + 1]
+                    kw1 = {c: row[c].to_numpy() for c in param_cols}
+                    try:
+                        r1 = fn(**kw1, **constants, **resources)
+                        v1 = list(r1) if len(specs) > 1 else [r1]
+                        yield _assemble(row, v1)
+                    except Exception as exc:  # noqa: BLE001
+                        yield _assemble(
+                            row,
+                            [None] * len(specs),
+                            f"{type(exc).__name__}: {exc}",
+                        )
                 continue
-            data = {
-                LOC_COL: np.repeat(pdf[LOC_COL].to_numpy(), n_inner)
-            }
-            for c in param_cols:
-                data[c] = np.repeat(pdf[c].to_numpy(), n_inner)
-            for d in union_dims:
-                data[d] = np.tile(inner_vals[d], b)
-            for spec, val in zip(specs, values):
-                if not spec.dims:
-                    data[spec.name] = np.repeat(
-                        np.broadcast_to(np.asarray(val), (b,)), n_inner
-                    )
-                else:
-                    a = np.asarray(val).reshape(b, -1)
-                    data[spec.name] = a[:, var_flat_idx[spec.name]].reshape(
-                        b * n_inner
-                    )
-            yield pd.DataFrame(data)[out_cols]
+            values = list(res) if len(specs) > 1 else [res]
+            yield _assemble(pdf, values)
 
     return evaluate
 
@@ -437,7 +469,8 @@ def evaluate_grid(
                 "vectorized=True with internal dims requires explode=True"
             )
         mapper = _make_vectorized_mapper(
-            fn, param_cols, specs, coords, constants, resources, out_schema
+            fn, param_cols, specs, coords, constants, resources, out_schema,
+            on_error=on_error,
         )
         return grid_df.mapInPandas(mapper, schema=out_schema)
 

@@ -167,3 +167,30 @@ def test_reap_harvest_into_store(spark, tmp_path):
     crop.grow()
     merged = crop.reap_harvest(h, ["a", "b", "c"])
     assert merged.count() == 36
+
+
+def test_resow_clears_stale_results(spark, tmp_path):
+    """Re-sowing a crop must clear results/ — otherwise the old
+    sweep's values reap as if they were the new one's (review)."""
+    from xyzpy_spark.cropping import Crop
+
+    crop = Crop("resow", str(tmp_path), spark=spark)
+    crop.sow_combos(lambda a: a + 1, {"a": [1, 2]}, var_names="y")
+    crop.grow()
+    assert crop.is_ready_to_reap()
+    crop.sow_combos(lambda a: a * 10, {"a": [1, 2]}, var_names="y")
+    assert not crop.is_ready_to_reap()
+    crop.grow()
+    rows = {r["a"]: r["y"] for r in crop.reap().collect()}
+    assert rows == {1: 10, 2: 20}
+
+
+def test_reap_incomplete_with_zero_grown(spark, tmp_path):
+    """allow_incomplete before any grow: the documented null-filled
+    grid, not PATH_NOT_FOUND (review)."""
+    from xyzpy_spark.cropping import Crop
+
+    crop = Crop("zero", str(tmp_path), spark=spark)
+    crop.sow_combos(lambda a: a + 1, {"a": [1, 2, 3]}, var_names="y")
+    rows = {r["a"]: r["y"] for r in crop.reap(allow_incomplete=True).collect()}
+    assert rows == {1: None, 2: None, 3: None}

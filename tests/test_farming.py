@@ -193,3 +193,28 @@ def test_publish_is_atomic_leaves_bak(fba_runner, tmp_path):
     h.harvest_combos({"a": [1], "b": [3]})
     h.harvest_combos({"a": [2], "b": [3]})
     assert os.path.exists(store + ".bak")  # previous version retained
+
+
+def test_harvest_kwargs_survive_missing_only_topup(fba_runner, tmp_path):
+    """Execution kwargs accepted on the first harvest must not crash
+    the second, missing-only harvest (review regression)."""
+    h = fba_runner.harvester(str(tmp_path / "kw_store.parquet"))
+    h.harvest_combos({"a": [1, 2], "b": [10]}, num_partitions=2)
+    out = h.harvest_combos({"a": [1, 2, 3], "b": [10]}, num_partitions=2)
+    # explode mode: 3 points x 3 internal time coords
+    assert out.select("a").distinct().count() == 3
+
+
+def test_publish_bak_restored_after_crash_window(fba_runner, tmp_path):
+    """If only the .bak survives (crash between the two publish
+    renames), load_full_df restores it instead of starting empty."""
+    import os
+    import shutil
+
+    path = str(tmp_path / "bak_store.parquet")
+    h = fba_runner.harvester(path)
+    h.harvest_combos({"a": [1, 2], "b": [10]})
+    # simulate the crash window: store renamed to .bak, new never landed
+    shutil.move(path, path + ".bak")
+    assert h.load_full_df().select("a").distinct().count() == 2
+    assert os.path.exists(path)

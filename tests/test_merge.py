@@ -77,3 +77,27 @@ def test_multi_dim_merge(spark):
     new = _mk(spark, [(1, "l2", 3.0)], ["a", "b", "x"])
     out = merge_datasets(old, new, ["a", "b"])
     assert out.count() == 3
+
+
+def test_merge_nan_counts_as_missing(spark):
+    """Reference stores missing numeric cells as NaN (xarray has no
+    NULL): NaN-vs-value must not conflict, the set value wins under
+    every policy, and two NaNs merge to null (review finding)."""
+    import math
+
+    from xyzpy_spark.merge import merge_datasets
+
+    old = spark.createDataFrame(
+        [(1, float("nan")), (2, 5.0), (3, float("nan"))], ["a", "y"]
+    )
+    new = spark.createDataFrame(
+        [(1, 7.0), (2, float("nan")), (3, float("nan"))], ["a", "y"]
+    )
+    for ow in (None, True, False):
+        rows = {
+            r["a"]: r["y"]
+            for r in merge_datasets(old, new, ["a"], overwrite=ow).collect()
+        }
+        assert rows[1] == 7.0, ow   # value beats old NaN
+        assert rows[2] == 5.0, ow   # value beats new NaN
+        assert rows[3] is None, ow  # both missing -> canonical null

@@ -81,3 +81,25 @@ def test_parse_into_cases_filters_to_missing(spark):
 def test_parse_into_cases_no_existing(spark):
     todo = parse_into_cases(spark, combos={"a": [1, 2]}, cases=[{"b": 9}])
     assert {(r["a"], r["b"]) for r in todo.collect()} == {(1, 9), (2, 9)}
+
+
+def test_nan_point_counts_as_missing(spark):
+    """A stored all-NaN numeric point must be re-run (reference
+    is_case_missing treats NaN as missing)."""
+    from xyzpy_spark.missing import find_missing_cases, non_null_points
+
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, 3.0)], ["a", "y"]
+    )
+    present = {r["a"] for r in non_null_points(df, ["a"], ["y"]).collect()}
+    assert present == {2}
+
+
+def test_parse_into_cases_without_var_names(spark):
+    """df given but no var_names: any stored row counts as present
+    (review regression: reduce() over empty iterable crashed)."""
+    from xyzpy_spark.missing import parse_into_cases
+
+    df = spark.createDataFrame([(1, 10.0)], ["a", "y"]).select("a")
+    todo = parse_into_cases(spark, {"a": [1, 2, 3]}, df=df)
+    assert {r["a"] for r in todo.collect()} == {2, 3}

@@ -137,6 +137,10 @@ class Crop:
             F.expr(f"(`{LOC_COL}` * {num_batches}) div {n}"),
         )
         os.makedirs(self.location, exist_ok=True)
+        if os.path.exists(self.results_path):
+            # re-sowing an existing crop: stale results would otherwise
+            # make the crop look grown and reap the OLD sweep's values
+            shutil.rmtree(self.results_path)
         grid.write.mode("overwrite").partitionBy("batch").parquet(
             self.grid_path
         )
@@ -321,7 +325,41 @@ class Crop:
                 f"missing batches {sorted(missing)[:10]}"
                 f"{'...' if len(missing) > 10 else ''}"
             )
-        results = self.spark.read.parquet(self.results_path).drop("batch")
+        if os.path.exists(self.results_path):
+            results = self.spark.read.parquet(self.results_path).drop(
+                "batch"
+            )
+        else:
+            # zero batches grown: an empty results frame with the
+            # schema evaluate_grid would produce, so the null-fill
+            # join below yields the documented all-null grid
+            from pyspark.sql import types as T
+
+            from ._types import spark_type_of_scalar
+
+            spec = self._load_spec()
+            var_specs, coords = self._load_specs()
+            fields = [T.StructField(LOC_COL, T.LongType())]
+            if spec["explode"]:
+                union_dims: list[str] = []
+                for s in var_specs:
+                    for d in s.dims:
+                        if d not in union_dims:
+                            union_dims.append(d)
+                for d in union_dims:
+                    fields.append(
+                        T.StructField(
+                            d, spark_type_of_scalar(coords[d][0])
+                        )
+                    )
+                for s in var_specs:
+                    fields.append(T.StructField(s.name, s.scalar_type))
+            else:
+                for s in var_specs:
+                    fields.append(T.StructField(s.name, s.column_type))
+            results = self.spark.createDataFrame(
+                [], T.StructType(fields)
+            )
         if missing:
             grid = self.spark.read.parquet(self.grid_path)
             param_cols = [

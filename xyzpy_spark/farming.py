@@ -112,13 +112,25 @@ class Runner:
         )
         return self.last_df
 
-    def run_grid_df(self, grid_df: DataFrame, *, constants=None, **kwargs) -> DataFrame:
+    def run_grid_df(
+        self,
+        grid_df: DataFrame,
+        *,
+        constants=None,
+        num_partitions: int | None = None,
+        shuffle: bool | int = False,
+        keep_loc: bool = False,
+        **kwargs,
+    ) -> DataFrame:
         """Evaluate the labelled fn over an ALREADY-BUILT grid DataFrame.
 
         The scale path for incremental top-ups: the missing-point set
         stays distributed end to end (no driver collect).  ``grid_df``
         columns are the parameter dims; a job-local ``_loc`` key is
-        attached for result pairing.
+        attached for result pairing.  Accepts the same execution
+        kwargs as ``run_combos`` (``num_partitions``/``shuffle``/
+        ``keep_loc``) so a kwarg that worked on the first harvest
+        does not crash the missing-only top-up.
         """
         from pyspark.sql import functions as F
 
@@ -135,11 +147,20 @@ class Runner:
             self.var_names, self.var_dims, self.var_coords, self.var_types,
         )
         grid = grid_df.withColumn(LOC_COL, F.monotonically_increasing_id())
-        self.last_df = evaluate_grid(
+        if shuffle:
+            seed = 42 if shuffle is True else int(shuffle)
+            n = num_partitions or grid.sparkSession.sparkContext.defaultParallelism
+            grid = grid.repartition(
+                n, F.xxhash64(F.col(LOC_COL), F.lit(seed))
+            )
+        elif num_partitions:
+            grid = grid.repartition(num_partitions)
+        out = evaluate_grid(
             grid, self.fn, specs, coords,
             constants=merged_consts, resources=self.resources,
             explode=self.explode, **kwargs,
-        ).drop(LOC_COL)
+        )
+        self.last_df = out if keep_loc else out.drop(LOC_COL)
         return self.last_df
 
     def run_cases(self, cases, *, combos=None, constants=None, **kwargs) -> DataFrame:
@@ -231,8 +252,15 @@ class Harvester:
         return self.load_full_df()
 
     def load_full_df(self) -> DataFrame | None:
+        bak = self.data_name + ".bak"
         if not os.path.exists(self.data_name):
-            return None
+            if os.path.exists(bak):
+                # a crash between _publish_parquet's two renames leaves
+                # only the .bak — restore it instead of silently
+                # starting an empty store
+                os.rename(bak, self.data_name)
+            else:
+                return None
         return self.spark.read.parquet(self.data_name)
 
     def delete_ds(self) -> None:
@@ -303,10 +331,26 @@ class Harvester:
             return cases_df
         present_dims = [d for d in dims if d in old.columns]
         if len(present_dims) < len(dims):
-            # store predates a dim (pre-expand_dims): everything missing
-            return cases_df
-        var_names = [c for c in old.columns if c not in dims]
-        present = non_null_points(old, present_dims, var_names)
+            # the downstream merge would fail with UNRESOLVED_COLUMN —
+            # fail here with the actionable instruction instead
+            lacking = [d for d in dims if d not in old.columns]
+            raise ValueError(
+                f"store {self.data_name!r} lacks dim column(s) {lacking}; "
+                "call expand_dims() to promote them before harvesting "
+                "over the new dim"
+            )
+        # output variables only: internal var-dim coordinate columns
+        # and _error are never null, so counting them as variables
+        # would mark all-failed points as present forever
+        result_dims = set(self._result_dims(dims))
+        var_names = [
+            c for c in old.columns
+            if c not in result_dims and c != "_error"
+        ]
+        if var_names:
+            present = non_null_points(old, present_dims, var_names)
+        else:
+            present = old.select(*present_dims).distinct()
         return cases_df.join(present, present_dims, "left_anti")
 
     def harvest_combos(
@@ -321,10 +365,14 @@ class Harvester:
             from .grid import combo_grid
 
             grid = combo_grid(self.spark, combos).drop(LOC_COL)
-            todo = self._missing_filter(grid, dims)
+            # persist: the missing set feeds three consumers (emptiness
+            # probe, the schema sample row, the evaluation job) — each
+            # would otherwise rescan the store for the anti-join
+            todo = self._missing_filter(grid, dims).persist()
             # the missing set stays a DataFrame end to end — no driver
             # materialization, so million-point top-ups are fine
             if todo.limit(1).count() == 0:
+                todo.unpersist()
                 df = self.load_full_df()
                 self.last_merged = df
                 return df

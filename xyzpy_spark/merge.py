@@ -27,13 +27,27 @@ class MergeConflictError(ValueError):
 
 
 def _neq(a: F.Column, b: F.Column) -> F.Column:
-    # NaN-tolerant inequality: NaN == NaN for conflict purposes
-    # (mirrors xr.merge treating identical NaNs as compatible).
-    return a.isNotNull() & b.isNotNull() & ~(a.eqNullSafe(b) | (F.isnan(a) & F.isnan(b)))
+    # NaN counts as MISSING for numeric merges — the reference stores
+    # missing points as NaN (xarray has no NULL), so xr.merge's
+    # no-conflicts rule never flags NaN-vs-value; a conflict needs two
+    # SET (non-null, non-NaN) unequal values.
+    return (
+        a.isNotNull()
+        & b.isNotNull()
+        & ~F.isnan(a)
+        & ~F.isnan(b)
+        & ~a.eqNullSafe(b)
+    )
 
 
 def _neq_simple(a: F.Column, b: F.Column) -> F.Column:
     return a.isNotNull() & b.isNotNull() & ~a.eqNullSafe(b)
+
+
+def _nan_as_null(c: F.Column) -> F.Column:
+    # numeric combine_first: a NaN cell must LOSE to a set value (and
+    # two NaNs merge to null — the engine's canonical missing marker)
+    return F.when(F.isnan(c), F.lit(None)).otherwise(c)
 
 
 def merge_datasets(
@@ -75,6 +89,8 @@ def merge_datasets(
         ov, nv = F.col(f"__old_{v}"), F.col(f"__new_{v}")
         is_num = dict(joined.dtypes)[f"__old_{v}"] in ("double", "float")
         neq = _neq(ov, nv) if is_num else _neq_simple(ov, nv)
+        if is_num:
+            ov, nv = _nan_as_null(ov), _nan_as_null(nv)
         if overwrite is None:
             # conflict -> fail inside this very job (no second pass).
             merged = F.when(

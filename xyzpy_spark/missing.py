@@ -20,15 +20,27 @@ from .grid import LOC_COL, case_grid
 from .prepare import parse_cases, parse_combos
 
 
-def _any_var_not_null(var_names) -> F.Column:
-    return reduce(
-        lambda a, b: a | b, (F.col(v).isNotNull() for v in var_names)
-    )
+def _any_var_not_null(var_names, dtypes: dict | None = None) -> F.Column:
+    """Any output variable is SET: non-null, and for float columns
+    also non-NaN — the reference stores missing numeric points as NaN
+    (xarray has no NULL), so a NaN cell must count as missing or
+    migrated stores' failed points would never be re-run."""
+
+    def set_(v):
+        c = F.col(v).isNotNull()
+        if dtypes and dtypes.get(v) in ("double", "float"):
+            c = c & ~F.isnan(F.col(v))
+        return c
+
+    return reduce(lambda a, b: a | b, (set_(v) for v in var_names))
 
 
 def non_null_points(df: DataFrame, dims, var_names) -> DataFrame:
-    """Distinct dim-points of ``df`` where any output variable is set."""
-    return df.where(_any_var_not_null(var_names)).select(*dims).distinct()
+    """Distinct dim-points of ``df`` where any output variable is set
+    (non-null and, for float variables, non-NaN)."""
+    return df.where(
+        _any_var_not_null(var_names, dict(df.dtypes))
+    ).select(*dims).distinct()
 
 
 def is_case_missing(df: DataFrame, setting: dict, var_names) -> bool:
@@ -43,7 +55,10 @@ def is_case_missing(df: DataFrame, setting: dict, var_names) -> bool:
         (F.col(k) == F.lit(v) for k, v in setting.items()),
     )
     present = (
-        df.where(cond).where(_any_var_not_null(var_names)).limit(1).count()
+        df.where(cond)
+        .where(_any_var_not_null(var_names, dict(df.dtypes)))
+        .limit(1)
+        .count()
     )
     return present == 0
 
@@ -96,8 +111,10 @@ def parse_into_cases(
     if df is None:
         return requested
     dims = requested.columns
-    present = non_null_points(df, dims, var_names or [])
-    if not var_names:
+    if var_names:
+        present = non_null_points(df, dims, var_names)
+    else:
+        # no output variables declared: any stored row counts as present
         present = df.select(*dims).distinct()
     return requested.join(present, dims, "left_anti")
 

@@ -1213,3 +1213,26 @@ def test_dedup_paragraphs_literal_separator(spark):
     out = {r["doc_id"]: r["text"] for r in dedup_paragraphs(df, sep=".").collect()}
     assert out[1] == "alpha beta.gamma delta"
     assert out[2] == "unique text"  # first paragraph deduped away
+
+
+def test_split_train_eval_null_key_not_dropped(spark):
+    """A null key must land in exactly one side of the split, not
+    vanish from both (review regression)."""
+    from xyzpy_spark.pipeline.sampling import split_train_eval
+
+    df = spark.createDataFrame(
+        [(None, 1.0), ("a", 2.0), ("b", 3.0)], ["k", "v"]
+    )
+    train, ev = split_train_eval(df, "k", eval_fraction=0.5)
+    assert train.count() + ev.count() == 3
+
+
+def test_pack_sequences_greedy_string_ids(spark):
+    """Greedy packing honors a non-long id column type (review)."""
+    from xyzpy_spark.pipeline.packing import pack_sequences_greedy
+
+    df = spark.createDataFrame(
+        [("a", "one two three"), ("b", "four five")], ["doc_id", "text"]
+    )
+    out = pack_sequences_greedy(df, max_tokens=4, n_shards=1)
+    assert {r["doc_id"] for r in out.collect()} == {"a", "b"}

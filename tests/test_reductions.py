@@ -168,3 +168,52 @@ def test_style_indices_conflicting_channel_raises(spark):
     )
     with pytest.raises(ValueError, match="hue"):
         style_indices(df, {"hue": "alg"})
+
+
+def test_histogram_x_range_excludes_outliers(spark):
+    """np.histogram semantics: values outside x_range are dropped,
+    not clamped into edge bins (review regression)."""
+    from xyzpy_spark.operators.reductions import histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [-3.0, 0.1, 0.5, 0.9, 5.0, 1.0]], ["v"]
+    )
+    out = {r["bin"]: r["count"] for r in
+           histogram(df, "v", bins=2, x_range=(0.0, 1.0)).collect()}
+    # -3 and 5 excluded; 1.0 == hi clamps into last bin; matches
+    # np.histogram([0.1, 0.5, 0.9, 1.0], bins=2, range=(0, 1)) == [1, 3]
+    assert out == {0: 1, 1: 3}
+    assert all(b >= 0 for b in out)
+
+
+def test_histogram_empty_input_clear_error(spark):
+    import pytest
+    from pyspark.sql import functions as F
+    from xyzpy_spark.operators.reductions import histogram
+
+    df = spark.createDataFrame([(1.0,)], ["v"]).where(F.lit(False))
+    with pytest.raises(ValueError, match="no non-null"):
+        histogram(df, "v")
+
+
+def test_aggregate_over_invalid_err_raises(spark):
+    import pytest
+    from xyzpy_spark.operators.reductions import aggregate_over
+
+    df = spark.createDataFrame([(1, 2.0)], ["a", "v"])
+    with pytest.raises(ValueError, match="err"):
+        aggregate_over(df, [], ["v"], err="sdt")
+
+
+def test_fuse_dims_label_collision_no_fanout(spark):
+    """Two distinct dim tuples with the same concatenated label must
+    not fan rows out through the idx join (review regression)."""
+    from xyzpy_spark.operators.reductions import fuse_dims
+
+    df = spark.createDataFrame(
+        [("x, y", "z", 1.0), ("x", "y, z", 2.0)], ["a", "b", "v"]
+    )
+    out = fuse_dims(df, ["a", "b"], "ch")
+    assert out.count() == 2
+    rows = {r["v"]: r["ch_idx"] for r in out.collect()}
+    assert set(rows.values()) == {0, 1}  # distinct tuples, distinct idx

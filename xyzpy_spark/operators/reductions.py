@@ -76,6 +76,13 @@ def aggregate_over(
             return F.percentile_approx(col, F.lit(q))
         return F.percentile(col, F.lit(q))
 
+    if err is not None and err not in ("std", "stderr") and not isinstance(
+        err, float
+    ):
+        raise ValueError(
+            f"err must be 'std', 'stderr', a float quantile width, or "
+            f"None — got {err!r}"
+        )
     aggs = []
     for v in var_names:
         aggs.append(agg_fn(F.col(v)).alias(v))
@@ -132,6 +139,12 @@ def histogram(
             F.max(x).alias("hi"),
             F.count(x).alias("n"),
         ).collect()[0]
+        if stats["n"] == 0 or stats["lo"] is None:
+            raise ValueError(
+                f"histogram: no non-null finite values in column {x!r} "
+                "— supply both bins and x_range to histogram an "
+                "empty/unknown-range frame"
+            )
         lo, hi, n = float(stats["lo"]), float(stats["hi"]), int(stats["n"])
         if x_range is not None:
             lo, hi = map(float, x_range)
@@ -139,6 +152,14 @@ def histogram(
             bins = auto_bins(n)
     else:
         lo, hi = map(float, x_range)
+    if x_range is not None:
+        # np.histogram semantics: out-of-range values are EXCLUDED
+        # (x == hi lands in the last bin via the least() clamp below);
+        # without this, v > hi silently inflated the last bin and
+        # v < lo emitted phantom negative-bin rows
+        work = work.where(
+            (F.col(x) >= F.lit(lo)) & (F.col(x) <= F.lit(hi))
+        )
     width = (hi - lo) / bins or 1.0
     bucket = F.least(
         F.floor((F.col(x) - F.lit(lo)) / F.lit(width)).cast("long"),
@@ -196,14 +217,17 @@ def fuse_dims(df: DataFrame, dims, name: str, *, sep: str = ", ") -> DataFrame:
     label_col = F.concat_ws(sep, *[F.col(d).cast("string") for d in dims])
     df = df.withColumn(name, label_col)
     w = Window.orderBy(*[F.col(d) for d in dims])
-    # dense_rank over the dim ordering gives a stable 0-based style index
+    # dense_rank over the dim ordering gives a stable 0-based style
+    # index; the lookup joins back on the DIM TUPLE, not the label —
+    # two distinct tuples can collide on the concatenated string
+    # (e.g. ('x, y', 'z') vs ('x', 'y, z')) and a label join would
+    # fan rows out
     lookup = (
-        df.select(*dims, name)
+        df.select(*dims)
         .distinct()
         .withColumn(f"{name}_idx", F.dense_rank().over(w) - 1)
-        .select(name, f"{name}_idx")
     )
-    return df.join(F.broadcast(lookup), name, "left")
+    return df.join(F.broadcast(lookup), dims, "left")
 
 
 def style_indices(df: DataFrame, channels: dict) -> DataFrame:
@@ -342,9 +366,12 @@ def check_runs(df: DataFrame, dim: str, var_names=()) -> DataFrame:
         F.max(dim).alias("max"),
         F.count(dim).alias("count"),
     )
-    gap_list = (
-        run_gaps(df, dim, var_names)
-        .orderBy("gap_start")
-        .agg(F.collect_list(F.array("gap_start", "gap_end")).alias("gaps"))
+    # collect_list order after an aggregation shuffle is NOT the input
+    # order — sort the assembled array instead of the rows ([start,end]
+    # pairs sort lexicographically = ascending by gap_start)
+    gap_list = run_gaps(df, dim, var_names).agg(
+        F.array_sort(
+            F.collect_list(F.array("gap_start", "gap_end"))
+        ).alias("gaps")
     )
     return summary.crossJoin(gap_list)

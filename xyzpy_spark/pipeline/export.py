@@ -42,7 +42,11 @@ def write_training_shards(
     ``key`` must be a stable unique row identifier.  Shard assignment
     is ``pmod(xxhash64(key, seed), n_shards)``; rows within a shard are
     ordered by an independent hash of the same key (seed+1), i.e. a
-    seeded global shuffle that is reproducible across runs and engines.
+    seeded global shuffle that is byte-reproducible across runs and
+    input layouts ON SPARK.  (xxhash64's seeded form is not portable
+    to other SQL engines — for a cross-engine-verifiable assignment
+    derive the shard from ``sampling.hash_unit``'s md5 instead; the
+    xxhash64 default is kept for hot-path speed on the write.)
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")

@@ -137,8 +137,9 @@ def pack_sequences_greedy(
             }
         )
 
+    id_t = dict(df.dtypes)[id_col]
     return narrow.groupBy("shard").applyInPandas(
         pack,
-        f"{id_col} long, shard int, n_tokens long, "
+        f"{id_col} {id_t}, shard int, n_tokens long, "
         "seq_id long, seq_offset long",
     )

@@ -44,10 +44,12 @@ def hash_unit(key: Column | str, salt: str = "") -> Column:
     ``('0x' || substr(md5(key || salt), 1, 8))::UBIGINT / 4294967296.0``.
     """
     c = F.col(key) if isinstance(key, str) else key
+    # null keys hash as a sentinel string, not null: a null hash_unit
+    # would drop the row from BOTH sides of a split / zero its mixture
+    # copies, breaking the "split partitions the input" guarantee
+    key_s = F.coalesce(c.cast("string"), F.lit("\x00null"))
     h = F.conv(
-        F.substring(F.md5(F.concat(c.cast("string"), F.lit(salt))), 1, 8),
-        16,
-        10,
+        F.substring(F.md5(F.concat(key_s, F.lit(salt))), 1, 8), 16, 10
     ).cast("long")
     return h / F.lit(_DENOM)
 

@@ -28,6 +28,20 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
     except Exception as exc:  # noqa: BLE001
         if "NANOS" not in str(exc):
             raise
+        # NOTE: session-wide side effect, kept deliberately — the conf
+        # must still be set when the lazy plan executes, so it cannot
+        # be scoped to this read.  Every later nanos-timestamp parquet
+        # in the session reads as bigint; read_table normalizes the
+        # tables listed in _NANOS_TS_COLS, others surface raw int64.
+        import warnings
+
+        warnings.warn(
+            f"parquet at {path!r} carries NANOS timestamps: enabling "
+            "spark.sql.legacy.parquet.nanosAsLong for the session — "
+            "later nanos columns will read as bigint",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         return spark.read.parquet(path)
 

@@ -73,3 +73,16 @@ def test_combo_case_disjoint():
         check_combo_case_disjoint(
             parse_combos({"a": [1]}), parse_cases([{"a": 2}])
         )
+
+
+def test_duplicate_check_catches_int_float_collision():
+    """1 and 1.0 collapse to one coordinate after Spark's double
+    coercion — must be rejected (review regression)."""
+    import pytest
+
+    from xyzpy_spark.prepare import parse_combos
+
+    with pytest.raises(ValueError, match="duplicate"):
+        parse_combos({"a": [1, 1.0, 2]})
+    # all-int combos keep exact identity (no false positives > 2^53)
+    parse_combos({"a": [2**53, 2**53 + 1]})

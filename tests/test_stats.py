@@ -116,3 +116,43 @@ def test_estimate_from_repeats_converges(spark):
 )
 def test_format_number_with_error(x, err, expect):
     assert format_number_with_error(x, err) == expect
+
+
+def test_running_stats_string_by(spark):
+    """by='col' must group by that one column, not its characters."""
+    from xyzpy_spark.functions.stats import running_stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], ["g", "v"]
+    )
+    rows = {r["g"]: r["mean"] for r in running_stats(df, "v", by="g").collect()}
+    assert rows == {"a": 2.0, "b": 5.0}
+
+
+def test_to_uncertainties_too_few_rows_clear_error(spark):
+    import pytest
+
+    from xyzpy_spark.functions.stats import to_uncertainties
+
+    df = spark.createDataFrame([(1.0, 2.0)], ["x", "y"])
+    with pytest.raises(ValueError, match="rows"):
+        to_uncertainties(df, ["x", "y"], bias=False)
+
+
+def test_covariance_matrix_alias_collision_raises(spark):
+    import pytest
+
+    from xyzpy_spark.functions.stats import covariance_matrix
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 3.0, 4.0)], ["a_b", "c", "a", "b_c"]
+    )
+    with pytest.raises(ValueError, match="collide"):
+        covariance_matrix(df, ["a_b", "c", "a", "b_c"])
+
+
+def test_benchmarker_unnamed_lambdas_disambiguated(spark):
+    from xyzpy_spark.functions.benchmark import Benchmarker
+
+    b = Benchmarker([lambda n: n, lambda n: n * 2], spark=spark)
+    assert len(set(b.names)) == 2

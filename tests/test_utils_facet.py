@@ -162,3 +162,16 @@ def test_accessor_scrub_and_decontaminate_chain(spark):
     )
     assert {"n_email", "n_ipv4", "n_phone"} <= set(out.columns)
     assert 0 < out.count() < docs.count()
+
+
+def test_unzip_recursive_matches_reference_example():
+    """unzip at ndim=3 reproduces the reference's zip_level=2 doc
+    example (xyzpy utils.py:40-47)."""
+    from xyzpy_spark.utils import unzip
+
+    x = [[(1, True), (2, False), (3, True)],
+         [(7, True), (8, False), (9, True)]]
+    nums, bools = unzip(x, ndim=3)
+    assert tuple(tuple(n) for n in nums) == ((1, 2, 3), (7, 8, 9))
+    assert tuple(tuple(b) for b in bools) == (
+        (True, False, True), (True, False, True))

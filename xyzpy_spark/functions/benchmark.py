@@ -65,10 +65,20 @@ class Benchmarker:
         min_t: float = 0.02,
     ):
         self.kernels = list(kernels)
-        self.names = list(names) if names else [
-            getattr(k, "__name__", f"kernel{i}")
-            for i, k in enumerate(self.kernels)
-        ]
+        if names:
+            self.names = list(names)
+        else:
+            # two unnamed lambdas both report __name__ '<lambda>';
+            # disambiguate with the index so the kernel combo stays a
+            # valid (duplicate-free) grid coordinate
+            raw = [
+                getattr(k, "__name__", f"kernel{i}")
+                for i, k in enumerate(self.kernels)
+            ]
+            self.names = [
+                n if raw.count(n) == 1 else f"{n}_{i}"
+                for i, n in enumerate(raw)
+            ]
         self.setup = setup
         self.min_t = min_t
         self._spark = spark

@@ -33,7 +33,7 @@ def running_stats(df: DataFrame, var: str, by=()) -> DataFrame:
     (``utils.py:449-508``): mean, var (sample), std, err (std-err of
     mean), rel_err, count, min, max.
     """
-    by = list(by)
+    by = [by] if isinstance(by, str) else list(by)
     cnt = F.count(var).cast("double")
     aggs = [
         F.avg(var).alias("mean"),
@@ -57,14 +57,25 @@ def covariance_matrix(df: DataFrame, var_names, by=()) -> DataFrame:
     Output columns ``cov_<i>_<j>`` for i<=j plus per-var means —
     n*(n+1)/2 aggregate expressions, single shuffle.
     """
-    var_names = list(var_names)
-    by = list(by)
+    var_names = (
+        [var_names] if isinstance(var_names, str) else list(var_names)
+    )
+    by = [by] if isinstance(by, str) else list(by)
+    names = [f"mean_{v}" for v in var_names]
     aggs = [F.avg(v).alias(f"mean_{v}") for v in var_names]
     for i, vi in enumerate(var_names):
         for j, vj in enumerate(var_names):
             if j < i:
                 continue
+            names.append(f"cov_{vi}_{vj}")
             aggs.append(F.covar_samp(vi, vj).alias(f"cov_{vi}_{vj}"))
+    if len(set(names)) != len(names):
+        # "a_b"+"c" and "a"+"b_c" both alias cov_a_b_c: row[name]
+        # would silently return the wrong pair
+        raise ValueError(
+            "covariance_matrix: underscore-joined aliases collide for "
+            f"var_names={var_names}; rename the variables"
+        )
     return df.groupBy(*by).agg(*aggs) if by else df.agg(*aggs)
 
 
@@ -171,19 +182,30 @@ def to_uncertainties(
     """
     var_names = list(var_names)
     cov_fn = F.covar_pop if bias else F.covar_samp
-    aggs = [F.avg(v).alias(f"m_{v}") for v in var_names]
-    for i, vi in enumerate(var_names):
-        for vj in var_names[i:]:
-            aggs.append(cov_fn(vi, vj).alias(f"c_{vi}_{vj}"))
+    # INDEX-based aliases: name-joined ones collide for names that
+    # themselves contain underscores
+    aggs = [F.avg(v).alias(f"m_{i}") for i, v in enumerate(var_names)]
+    for i in range(len(var_names)):
+        for j in range(i, len(var_names)):
+            aggs.append(
+                cov_fn(var_names[i], var_names[j]).alias(f"c_{i}_{j}")
+            )
     row = df.agg(*aggs).first()
     n = len(var_names)
     cov = np.empty((n, n))
-    for i, vi in enumerate(var_names):
-        for j, vj in enumerate(var_names):
-            cov[i, j] = (
-                row[f"c_{vi}_{vj}"] if j >= i else row[f"c_{vj}_{vi}"]
-            )
-    return correlated_values([row[f"m_{v}"] for v in var_names], cov)
+    for i in range(n):
+        for j in range(n):
+            v = row[f"c_{i}_{j}"] if j >= i else row[f"c_{j}_{i}"]
+            if v is None:
+                raise ValueError(
+                    "to_uncertainties: covariance is undefined — the "
+                    "frame needs at least "
+                    + ("1 row" if bias else "2 rows (or pass bias=True)")
+                )
+            cov[i, j] = v
+    return correlated_values(
+        [row[f"m_{i}"] for i in range(n)], cov
+    )
 
 
 @dataclass

@@ -249,8 +249,14 @@ def _parse_ppm(b: bytes) -> dict | None:
     if len(vals) < 3:
         return None
     idx += 1  # the single whitespace byte after maxval
-    w, h, _maxval = vals
-    pixels = np.frombuffer(b[idx: idx + 3 * w * h], dtype=np.uint8)
+    w, h, maxval = vals
+    if maxval > 255:
+        # 16-bit P6: two bytes per sample, big-endian per the spec
+        pixels = np.frombuffer(
+            b[idx: idx + 6 * w * h], dtype=">u2"
+        ).astype(np.uint16)
+    else:
+        pixels = np.frombuffer(b[idx: idx + 3 * w * h], dtype=np.uint8)
     n = pixels.size
     return {
         "format": "ppm",
@@ -344,6 +350,11 @@ def frame_sample(
     The byte-offset stand-in becomes real frame indices once a codec
     is present; the fan-out/partitioning shape is what matters here.
     """
+    if frame_col in df.columns:
+        raise ValueError(
+            f"frame_col {frame_col!r} already exists in the input — "
+            "pass a different name"
+        )
 
     def sample(batches):
         for pdf in batches:

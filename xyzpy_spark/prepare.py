@@ -29,11 +29,35 @@ def _as_value_tuple(values) -> tuple:
 
 
 def check_for_duplicates(combos) -> None:
-    """Reject duplicate values within a single combo arg."""
+    """Reject duplicate values within a single combo arg.
+
+    Numeric values compare by VALUE across int/float (``1`` vs
+    ``1.0``): Spark coerces a mixed int/float combo column to double,
+    so such a pair would silently collapse to the same grid
+    coordinate — exactly the double-compute/merge collision this
+    check exists to reject.  Bools keep their own identity.
+    """
     for arg, values in combos:
+        # float keys only when the combo actually mixes ints with
+        # floats (that is when Spark coerces the column to double);
+        # an all-int combo stays int64, where exact repr keys avoid
+        # falsely colliding >2^53 integers
+        mixed = any(
+            isinstance(v, float) for v in values
+        ) and any(
+            isinstance(v, int) and not isinstance(v, bool)
+            for v in values
+        )
         seen = set()
         for v in values:
-            key = repr(v)
+            if (
+                mixed
+                and isinstance(v, (int, float))
+                and not isinstance(v, bool)
+            ):
+                key = ("num", float(v))
+            else:
+                key = ("repr", repr(v))
             if key in seen:
                 raise ValueError(
                     f"combo arg {arg!r} contains duplicate value {v!r}; "

@@ -80,6 +80,7 @@ def windowed_agg(
     ``aggs`` overrides the default count/sum/avg aggregate list
     (e.g. decimal-accumulated sums for engine-exact results).
     """
+    by = [by] if isinstance(by, str) else list(by)
     w = (
         F.window("ts", window, slide)
         if slide
@@ -141,6 +142,7 @@ def streaming_running_stats(
     distributed Welford update — so the result after any prefix of the
     stream equals the batch statistics over that prefix.
     """
+    by = [by] if isinstance(by, str) else list(by)
     cnt = F.count(var).cast("double")
     return events.groupBy(*by).agg(
         F.count(var).alias("count"),
@@ -262,6 +264,12 @@ def run_stream_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(timeout)
+        finished = q.awaitTermination(timeout)
         q.stop()
+        if not finished:
+            raise TimeoutError(
+                f"stream {name!r} did not finish availableNow "
+                f"processing within {timeout}s — the memory table "
+                "would be silently partial"
+            )
     return df.sparkSession.table(name)

@@ -28,7 +28,12 @@ def unzip(pairs, ndim: int = 2):
     """
     if ndim <= 1:
         return tuple(pairs)
-    return tuple(zip(*pairs))
+    if ndim == 2:
+        return tuple(zip(*pairs))
+    # recursive: unzip each inner level first (reference semantics)
+    return tuple(
+        zip(*(unzip(inner, ndim - 1) for inner in pairs))
+    )
 
 
 def flatten(nested, levels: int = 1):

@@ -1132,31 +1132,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE on ordering: the driver's CORRECTNESS gate hashes exactly the
+    # first 50 entries.  Round 3 rotated the 12 round-2 ops (pipeline +
+    # streaming) into the window and moved 12 stable, twice-green queries
+    # (combo_grid, topk_per_group, events_json, star_join_revenue,
+    # sweep_vectorized, merge_prefer_old, case_union_grid, heatmap_pivot,
+    # topk_orders, histogram, trimna, covariance) to positions 51-62.
+    # The rotated-out queries remain covered by tools/check_correctness.py
+    # and the pytest suite.
     return {
         "pricing_summary": q_pricing_summary,
         "median_quantile_band": q_median_quantile_band,
-        "histogram": q_histogram,
-        "heatmap_pivot": q_heatmap_pivot,
         "running_stats": q_running_stats,
-        "covariance": q_covariance,
-        "trimna": q_trimna,
         "fuse_dims": q_fuse_dims,
         "run_gaps": q_run_gaps,
-        "topk_orders": q_topk_orders,
         "window_hourly": q_window_hourly,
         "user_sessions": q_user_sessions,
-        "events_json": q_events_json,
-        "topk_per_group": q_topk_per_group,
-        "star_join_revenue": q_star_join_revenue,
-        "combo_grid": q_combo_grid,
         "sweep_sumdiff": q_sweep_sumdiff,
-        "sweep_vectorized": q_sweep_vectorized,
         "sweep_vectorized_dims": q_sweep_vectorized_dims,
         "sweep_internal_dims": q_sweep_internal_dims,
-        "case_union_grid": q_case_union_grid,
         "missing_cases": q_missing_cases,
         "merge_overwrite_new": q_merge_overwrite_new,
-        "merge_prefer_old": q_merge_prefer_old,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1195,6 +1191,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup": q_stream_dedup,
         "stream_window_hourly": q_stream_window_hourly,
         "stream_user_sessions": q_stream_user_sessions,
+        "histogram": q_histogram,
+        "heatmap_pivot": q_heatmap_pivot,
+        "covariance": q_covariance,
+        "trimna": q_trimna,
+        "topk_orders": q_topk_orders,
+        "events_json": q_events_json,
+        "topk_per_group": q_topk_per_group,
+        "star_join_revenue": q_star_join_revenue,
+        "combo_grid": q_combo_grid,
+        "sweep_vectorized": q_sweep_vectorized,
+        "case_union_grid": q_case_union_grid,
+        "merge_prefer_old": q_merge_prefer_old,
     }
 
 

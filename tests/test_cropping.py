@@ -194,3 +194,32 @@ def test_reap_incomplete_with_zero_grown(spark, tmp_path):
     crop.sow_combos(lambda a: a + 1, {"a": [1, 2, 3]}, var_names="y")
     rows = {r["a"]: r["y"] for r in crop.reap(allow_incomplete=True).collect()}
     assert rows == {1: None, 2: None, 3: None}
+
+
+def test_resow_identical_keeps_grown_batches(spark, tmp_path):
+    """Re-sowing the SAME grid+kernel+batching is a no-op: grown
+    batches stay valid (stable _loc join) and must not be destroyed
+    (review r3)."""
+    crop = Crop("resow_same", str(tmp_path), spark=spark)
+    nb = crop.sow_combos(foo3_scalar, COMBOS, var_names="x", num_batches=4)
+    crop.grow([0, 1])
+    assert crop.grown_batches() == {0, 1}
+    nb2 = crop.sow_combos(foo3_scalar, COMBOS, var_names="x", num_batches=4)
+    assert nb2 == nb
+    assert crop.grown_batches() == {0, 1}  # survived the re-sow
+    crop.grow()  # top up the rest
+    direct = combo_runner_to_df(spark, foo3_scalar, COMBOS, var_names="x")
+    got = sorted(tuple(r) for r in crop.reap().collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want
+
+
+def test_resow_changed_batching_clears(spark, tmp_path):
+    """Changing num_batches re-partitions the grid, so grown batch
+    files no longer align — the crop must reset."""
+    crop = Crop("resow_nb", str(tmp_path), spark=spark)
+    crop.sow_combos(foo3_scalar, COMBOS, var_names="x", num_batches=4)
+    crop.grow([0])
+    crop.sow_combos(foo3_scalar, COMBOS, var_names="x", num_batches=6)
+    assert crop.grown_batches() == set()
+    assert crop.num_batches == 6

@@ -962,6 +962,36 @@ def test_semantic_dedup_planted_duplicates(spark):
         assert sum(r["keep"] for r in out.values()) == 40
 
 
+def test_semantic_dedup_zero_norm_vectors(spark):
+    """Zero-norm embeddings (no defined cosine) follow the documented
+    contract: cluster 0, always kept, never dominate others — and no
+    NaNs/numpy warnings leak out (review r3)."""
+    import warnings
+
+    import numpy as np
+    from xyzpy_spark.pipeline.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    vecs = [list(map(float, rng.normal(size=8))) for _ in range(10)]
+    vecs[2] = [0.0] * 8  # zero-norm in the middle
+    vecs.append(list(vecs[5]))  # a real dup to show pruning still works
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = {
+            r["vec_id"]: r
+            for r in semantic_dedup(df, n_clusters=3, threshold=0.99).collect()
+        }
+    assert len(out) == 11
+    assert out[2]["cluster"] == 0
+    assert out[2]["keep"]  # zero-norm is always kept
+    assert not out[10]["keep"]  # planted exact dup of 5 still pruned
+    assert out[5]["keep"]
+
+
 def test_semantic_dedup_bad_mode(spark):
     from xyzpy_spark.pipeline.dedup import semantic_dedup
 

@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+#: set XYZPY_STRICT=1 to compare floats at full precision (closer to the
+#: driver's strict value-hash than the default 9-sig-fig canon)
+STRICT = os.environ.get("XYZPY_STRICT", "") not in ("", "0")
+
 import __spark_entry__ as entrymod
 from xyzpy_spark.session import get_spark
 
@@ -33,6 +37,9 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if STRICT:
+            # bit-exact mode: mimic the driver's strict value hash
+            return repr(v)
         # canonical float: kill last-ulp noise surviving the ROUNDs
         return f"{v:.9g}"
     if isinstance(v, int):

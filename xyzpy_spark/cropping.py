@@ -30,6 +30,7 @@ Mapping (SURVEY §2.3):
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -137,16 +138,43 @@ class Crop:
             F.expr(f"(`{LOC_COL}` * {num_batches}) div {n}"),
         )
         os.makedirs(self.location, exist_ok=True)
+        fn_bytes = cloudpickle.dumps(fn)
+        sow_key = hashlib.sha256(
+            json.dumps(
+                {
+                    "combos": repr(combos),
+                    "cases": repr(cases),
+                    "constants": {k: repr(v) for k, v in constants.items()},
+                    "n": n,
+                    "num_batches": num_batches,
+                    "explode": explode,
+                    "fn": hashlib.sha256(fn_bytes).hexdigest(),
+                },
+                sort_keys=True,
+            ).encode()
+        ).hexdigest()
+        if os.path.exists(self.spec_path):
+            try:
+                old_key = self._load_spec().get("sow_key")
+            except (OSError, json.JSONDecodeError):
+                old_key = None
+            if old_key == sow_key:
+                # identical re-sow (same grid, kernel, batching):
+                # already-grown batches stay valid via the stable _loc
+                # join, so keep them — destroying results here would
+                # throw away reusable grow work for a no-op
+                return num_batches
         if os.path.exists(self.results_path):
-            # re-sowing an existing crop: stale results would otherwise
+            # the sown sweep CHANGED: stale results would otherwise
             # make the crop look grown and reap the OLD sweep's values
             shutil.rmtree(self.results_path)
         grid.write.mode("overwrite").partitionBy("batch").parquet(
             self.grid_path
         )
         with open(self.fn_path, "wb") as f:
-            cloudpickle.dump(fn, f)
+            f.write(fn_bytes)
         spec = {
+            "sow_key": sow_key,
             "n": n,
             "num_batches": num_batches,
             "constants": {k: repr(v) for k, v in constants.items()},

@@ -371,14 +371,20 @@ class Harvester:
             todo = self._missing_filter(grid, dims).persist()
             # the missing set stays a DataFrame end to end — no driver
             # materialization, so million-point top-ups are fine
-            if todo.limit(1).count() == 0:
+            try:
+                if todo.limit(1).count() == 0:
+                    df = self.load_full_df()
+                    self.last_merged = df
+                    return df
+                new = self.runner.run_grid_df(todo, **kwargs)
+                return self.add_df(
+                    new, self._result_dims(dims), overwrite=overwrite, sync=sync
+                )
+            finally:
+                # add_df's sync write is an action, so the cached
+                # missing set is fully consumed by the time we get here
                 todo.unpersist()
-                df = self.load_full_df()
-                self.last_merged = df
-                return df
-            new = self.runner.run_grid_df(todo, **kwargs)
-        else:
-            new = self.runner.run_combos(combos, **kwargs)
+        new = self.runner.run_combos(combos, **kwargs)
         return self.add_df(new, self._result_dims(dims), overwrite=overwrite, sync=sync)
 
     def harvest_cases(

@@ -176,10 +176,14 @@ def range_join(
         # subtree would otherwise each recompute `base` and a
         # nondeterministic upstream (round-robin repartition, task
         # retry) could reassign ids, duplicating or dropping rows.
-        # persist pins one materialization for all three.
+        # localCheckpoint (lazy) pins one materialization for all
+        # three; unlike persist()+CacheManager its blocks are released
+        # by the ContextCleaner once the result is dereferenced, so
+        # repeated left-range-joins in a long session don't accumulate
+        # cached partitions.
         base = left.withColumn(
             "__lid", F.monotonically_increasing_id()
-        ).persist()
+        ).localCheckpoint(eager=False)
     l_binned = base.withColumn(
         "__bin_lo", F.floor((F.col(on) + lo).cast("double") / binw).cast("long")
     ).withColumn(

@@ -277,7 +277,8 @@ def minhash_lsh_pairs(
     the shingle->minhash pipeline runs once, not once per join side.
     ``hash_fn`` as in :func:`minhash_signatures`.
     """
-    assert num_perm % bands == 0
+    # divisibility is validated (with a real ValueError) inside
+    # _band_bucket_col — a bare assert here would vanish under python -O
     sig = minhash_signatures(
         df, id_col=id_col, text_col=text_col, n=n, num_perm=num_perm,
         hash_fn=hash_fn,
@@ -1067,6 +1068,11 @@ def semantic_dedup(
     k-means in :func:`xyzpy_spark.pipeline.similarity.ivf_build`
     (float path, no exact oracle — recall asserted in tests).
 
+    Zero-norm vectors (no defined cosine) are part of the portability
+    contract: any similarity involving a zero vector is defined as -1,
+    so zero-norm docs land in cluster 0, are always kept, and never
+    cause another doc to be dropped — no NaNs reach ``argmax``.
+
     Scale story: pairwise work is confined to clusters — O(sum c_i^2)
     instead of O(n^2); with n_clusters ~ sqrt(n) (the SemDeDup
     operating point) that is O(n^1.5) compute and the shuffle is one
@@ -1127,7 +1133,14 @@ def semantic_dedup(
             # exact int64 (portable) / fp64 (kmeans) dot; IEEE divide
             dots = qx @ cents.T
             xn = np.sqrt((qx.astype("float64") ** 2).sum(axis=1))
-            sims = dots.astype("float64") / (xn[:, None] * cn[None, :])
+            # zero-norm guard (portability contract): a zero vector has
+            # no defined cosine — treat its similarity to every centroid
+            # as -1 so it lands deterministically in cell 0 instead of
+            # producing NaNs whose argmax diverges from SQL ORDER BY
+            denom = xn[:, None] * cn[None, :]
+            sims = np.where(
+                denom == 0.0, -1.0, dots.astype("float64") / np.where(denom == 0.0, 1.0, denom)
+            )
             # first max = lowest cell index on ties (matches SQL twin)
             cell = sims.argmax(axis=1).astype("int32")
             yield pd.DataFrame(
@@ -1150,7 +1163,12 @@ def semantic_dedup(
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         qx = _q(pdf["vec"])
         xn = np.sqrt((qx.astype("float64") ** 2).sum(axis=1))
-        g = (qx @ qx.T).astype("float64") / (xn[:, None] * xn[None, :])
+        # zero-norm guard: pairs involving a zero vector score -1, so
+        # they never dominate and are never dominated (always kept)
+        denom = xn[:, None] * xn[None, :]
+        g = np.where(
+            denom == 0.0, -1.0, (qx @ qx.T).astype("float64") / np.where(denom == 0.0, 1.0, denom)
+        )
         # dominated: any strictly-lower-id row within threshold
         dom = np.tril(g >= thr, k=-1).any(axis=1)
         return pd.DataFrame(

@@ -920,6 +920,30 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native PNG decode end to end: valid non-interlaced 8-bit RGB
+    PNGs (scanlines forward-filtered with all 5 PNG filter types) are
+    decoded by the dependency-free stdlib-zlib decoder
+    (pipeline/multimodal.py:_decode_png) inside decode_image; the
+    pixel content is closed-form in doc_id so the sum/count have an
+    exact integer oracle."""
+    _ship(spark)
+    from xyzpy_spark.pipeline.multimodal import (
+        attach_sample_png,
+        decode_image,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    dec = decode_image(attach_sample_png(docs))
+    return dec.select(
+        "doc_id",
+        F.size("pixels").alias("n_pixels"),
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("pixel_sum"),
+    )
+
+
 def q_asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (as-of) join: each click gets the value of the
     user's most recent prior-or-simultaneous view.  Union + last-window
@@ -1203,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sweep_vectorized": q_sweep_vectorized,
         "case_union_grid": q_case_union_grid,
         "merge_prefer_old": q_merge_prefer_old,
+        "multimodal_png": q_multimodal_png,
     }
 
 
@@ -2330,6 +2355,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS INTEGER) AS channels,
                    CAST(n_values AS BIGINT) AS n_values, mean_value
             FROM ppm_mean
+        """,
+        # the PNG payloads' pixels are closed-form in doc_id
+        # (fake_png_bytes: pixel[k] = (doc_id*13 + k*5) % 256 over
+        # 3*w*h values, w = 4+id%9, h = 3+id%7) — the decode is real
+        # (zlib inflate + unfilter) but the expected stats regenerate
+        # arithmetically; all-integer, so no float canon risk.
+        "multimodal_png": """
+            SELECT d.doc_id,
+                   CAST(COUNT(*) AS INTEGER) AS n_pixels,
+                   CAST(SUM((d.doc_id * 13 + t.k * 5) % 256) AS BIGINT)
+                       AS pixel_sum
+            FROM documents d, range(972) t(k)
+            WHERE t.k < 3 * (4 + d.doc_id % 9) * (3 + d.doc_id % 7)
+            GROUP BY d.doc_id
         """,
         # exact twin of the PORTABLE-hash simhash pipeline: 60-bit
         # md5-derived token hash (bit j = bit j%4 of hex digit

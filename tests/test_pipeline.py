@@ -561,18 +561,103 @@ def test_multimodal_frame_sample(spark):
     assert all(r["frame_offset"] % 8 == 0 for r in frames)
 
 
-def test_decode_image_is_stubbed(spark):
-    df = attach_fake_media(
-        spark.createDataFrame([(1,)], ["doc_id"])
+def test_decode_image_png_native(spark):
+    """decode_image decodes non-interlaced 8-bit PNG without any
+    imaging library: stdlib zlib inflate + all 5 scanline filters
+    (fake_png_bytes cycles filter type per row), pixels closed-form."""
+    from xyzpy_spark.pipeline.multimodal import fake_png_bytes
+
+    ids = list(range(10))  # seeds 0..9 cover every filter type
+    df = spark.createDataFrame(
+        [(i, fake_png_bytes(i)) for i in ids], ["doc_id", "media"]
     )
+    rows = {r["doc_id"]: r["pixels"] for r in decode_image(df).collect()}
+    for i in ids:
+        w, h = 4 + i % 9, 3 + i % 7
+        want = [(i * 13 + k * 5) % 256 for k in range(3 * w * h)]
+        assert rows[i] == want, i
+
+
+def test_decode_image_fallbacks(spark):
+    """PPM decodes natively; unknown formats yield null pixels (no
+    scan-killing raise) when no imaging library is installed."""
+    ppm = b"P6\n2 1\n255\n" + bytes(range(6))
+    df = spark.createDataFrame(
+        [(0, ppm), (1, b"\xff\xd8 not really a jpeg")],
+        ["doc_id", "media"],
+    )
+    rows = {r["doc_id"]: r["pixels"] for r in decode_image(df).collect()}
+    assert rows[0] == list(range(6))
     try:
         import PIL  # noqa: F401
-
-        pytest.skip("PIL present; stub not exercised")
     except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="imaging library"):
-        decode_image(df)
+        assert rows[1] is None
+
+
+def test_decode_png_hostile_inputs():
+    """Malformed PNGs must parse to None, never raise: bad magic,
+    corrupt CRC, truncated IDAT, bad filter byte, unsupported
+    profiles (16-bit / interlaced)."""
+    import struct
+    import zlib
+
+    from xyzpy_spark.pipeline.multimodal import (
+        _PNG_SIG,
+        _parse_png,
+        fake_png_bytes,
+    )
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    assert _parse_png(b"not a png") is None
+    assert _parse_png(_PNG_SIG) is None  # signature only
+    good = fake_png_bytes(4)
+    assert _parse_png(good) is not None
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # corrupt IDAT -> CRC mismatch
+    assert _parse_png(bytes(bad)) is None
+    assert _parse_png(good[: len(good) // 2]) is None  # truncated
+    # bad filter byte (5) with valid CRCs
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    raw = b"\x05" + bytes(3)
+    evil = _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(
+        b"IDAT", zlib.compress(raw)
+    ) + chunk(b"IEND", b"")
+    assert _parse_png(evil) is None
+    # unsupported: 16-bit depth and Adam7 interlace
+    for ihdr_bad in (
+        struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0),
+        struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1),
+    ):
+        evil = _PNG_SIG + chunk(b"IHDR", ihdr_bad) + chunk(
+            b"IDAT", zlib.compress(b"\x00" + bytes(6))
+        ) + chunk(b"IEND", b"")
+        assert _parse_png(evil) is None
+    # IDAT that zlib can't inflate
+    evil = _PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    ) + chunk(b"IDAT", b"garbage") + chunk(b"IEND", b"")
+    assert _parse_png(evil) is None
+
+
+def test_decode_media_png(spark):
+    """decode_media picks up PNG alongside WAV/PPM with exact stats."""
+    from xyzpy_spark.pipeline.multimodal import fake_png_bytes
+
+    from xyzpy_spark.pipeline.multimodal import decode_media
+
+    df = spark.createDataFrame(
+        [(7, fake_png_bytes(7))], ["doc_id", "media"]
+    )
+    r = decode_media(df).collect()[0]["decoded"]
+    w, h = 4 + 7 % 9, 3 + 7 % 7
+    want = [(7 * 13 + k * 5) % 256 for k in range(3 * w * h)]
+    assert r["format"] == "png"
+    assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+    assert r["n_values"] == len(want)
+    assert abs(r["mean_value"] - sum(want) / len(want)) < 1e-12
 
 
 def test_embedding_lsh_pairs_planted_duplicates(spark):

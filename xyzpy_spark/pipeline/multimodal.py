@@ -10,9 +10,11 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
   The reference's analog is arbitrary per-record python over any
   value (reference gen/combo_runner.py:77-139); this is its
   binary-column counterpart.
-- ``decode_image``: JPEG/PNG and friends need an imaging library not
-  present in this container, so that kernel stays a clearly-marked
-  ``NotImplementedError`` stub with real mapInPandas plumbing.
+- ``decode_image``: non-interlaced 8-bit PNG decodes with a REAL
+  dependency-free baseline decoder (stdlib ``zlib`` inflate + full
+  scanline unfiltering, all 5 filter types); other compressed
+  formats (JPEG &c.) fall back to PIL when installed, else yield a
+  null pixels column — one missing codec can't kill a scan.
 
 ``fake_wav_bytes`` / ``fake_ppm_bytes`` emit VALID files whose content
 is a closed-form function of the seed, so decoded stats have an exact
@@ -168,6 +170,195 @@ def fake_ppm_bytes(seed: int) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + body
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (8-bit, non-interlaced support only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_filter_line(ft, line, prev, ch):
+    """Forward-apply PNG scanline filter ``ft`` (encoder side)."""
+    import numpy as np
+
+    n = line.size
+    out = np.empty(n, dtype=np.int32)
+    for i in range(n):
+        a = int(line[i - ch]) if i >= ch else 0
+        b = int(prev[i])
+        c = int(prev[i - ch]) if i >= ch else 0
+        if ft == 0:
+            pred = 0
+        elif ft == 1:
+            pred = a
+        elif ft == 2:
+            pred = b
+        elif ft == 3:
+            pred = (a + b) >> 1
+        else:  # Paeth
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[i] = (int(line[i]) - pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def fake_png_bytes(seed: int) -> bytes:
+    """A VALID non-interlaced 8-bit RGB PNG derived from ``seed``.
+
+    Pixels are closed-form — ``pixel[k] = (seed*13 + k*5) % 256`` —
+    so decoded stats have an exact SQL oracle, while each scanline is
+    forward-filtered with type ``(seed + y) % 5``: decoding has to run
+    real zlib inflate AND invert all five PNG filters to get them back.
+    """
+    import zlib
+
+    import numpy as np
+
+    seed = int(seed)
+    w = 4 + seed % 9
+    h = 3 + seed % 7
+    px = np.array(
+        [(seed * 13 + k * 5) % 256 for k in range(3 * w * h)], dtype=np.uint8
+    ).reshape(h, 3 * w)
+    raw = bytearray()
+    prev = np.zeros(3 * w, dtype=np.uint8)
+    for y in range(h):
+        ft = (seed + y) % 5
+        raw.append(ft)
+        raw += _png_filter_line(ft, px[y], prev, 3).tobytes()
+        prev = px[y]
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return _struct.pack(">I", len(body)) + ctype + body + _struct.pack(">I", crc)
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
+    """Invert PNG scanline filtering; returns (h, w*ch) uint8 array or
+    None on malformed input.  Filters 1/3/4 are inherently sequential
+    (each byte depends on the reconstructed left neighbor) so this is
+    a per-byte loop — fine for a BASELINE decoder; production clusters
+    swap in a codec library via the PIL path."""
+    import numpy as np
+
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw[pos: pos + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        pos += stride
+        if ft == 0:
+            cur = line
+        elif ft == 2:
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):
+            cur = line.copy()
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    )
+                cur[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            return None  # invalid filter type
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def _decode_png(b: bytes):
+    """Parse + fully decode a non-interlaced 8-bit PNG with stdlib
+    zlib.  Returns (meta_dict, pixel_array) or None if not a PNG this
+    baseline supports (bad magic/CRC, 16-bit, paletted, interlaced,
+    truncated) — callers treat None as 'not decodable here'."""
+    import zlib
+
+    import numpy as np
+
+    if b[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        (size,) = _struct.unpack(">I", b[pos: pos + 4])
+        ctype = b[pos + 4: pos + 8]
+        body = b[pos + 8: pos + 8 + size]
+        if len(body) != size:
+            return None  # truncated chunk
+        crc = b[pos + 8 + size: pos + 12 + size]
+        if len(crc) != 4 or _struct.unpack(">I", crc)[0] != (
+            zlib.crc32(ctype + body) & 0xFFFFFFFF
+        ):
+            return None  # corrupt chunk
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = _struct.unpack(
+        ">IIBBBBB", ihdr[:13]
+    )
+    ch = _PNG_CHANNELS.get(color)
+    if depth != 8 or ch is None or comp != 0 or filt != 0 or interlace != 0:
+        return None  # outside the baseline profile (16-bit/palette/Adam7)
+    if w == 0 or h == 0 or w * h * ch > 1 << 28:  # 256 MB guard
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    pixels = _png_unfilter(raw, w, h, ch)
+    if pixels is None:
+        return None
+    meta = {
+        "format": "png",
+        "width": int(w),
+        "height": int(h),
+        "sample_rate": None,
+        "channels": int(ch),
+        "n_values": int(pixels.size),
+        "mean_value": (
+            int(pixels.sum(dtype="int64")) / pixels.size
+            if pixels.size
+            else None
+        ),
+    }
+    return meta, pixels
+
+
+def _parse_png(b: bytes) -> dict | None:
+    dec = _decode_png(b)
+    return dec[0] if dec else None
+
+
 def attach_sample_media(
     df: DataFrame, id_col: str = "doc_id", out_col: str = "media"
 ) -> DataFrame:
@@ -182,6 +373,24 @@ def attach_sample_media(
                 else fake_ppm_bytes(int(i))
                 for i in pdf[id_col]
             ]
+            yield pdf
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    )
+    return df.mapInPandas(gen, schema=schema)
+
+
+def attach_sample_png(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "media"
+) -> DataFrame:
+    """Attach deterministic REAL PNG files keyed off the id column
+    (test harness for the native PNG decode path)."""
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [fake_png_bytes(int(i)) for i in pdf[id_col]]
             yield pdf
 
     schema = T.StructType(
@@ -224,9 +433,9 @@ def _parse_wav(b: bytes) -> dict | None:
     }
 
 
-def _parse_ppm(b: bytes) -> dict | None:
+def _decode_ppm(b: bytes):
     """Parse the P6 ASCII header (whitespace/comment tolerant) + raw
-    RGB bytes; stats from the pixels."""
+    RGB bytes; returns (meta, pixel_array) or None."""
     import numpy as np
 
     if b[:2] != b"P6":
@@ -258,7 +467,7 @@ def _parse_ppm(b: bytes) -> dict | None:
     else:
         pixels = np.frombuffer(b[idx: idx + 3 * w * h], dtype=np.uint8)
     n = pixels.size
-    return {
+    meta = {
         "format": "ppm",
         "width": int(w),
         "height": int(h),
@@ -267,18 +476,24 @@ def _parse_ppm(b: bytes) -> dict | None:
         "n_values": n,
         "mean_value": int(pixels.sum(dtype="int64")) / n if n else None,
     }
+    return meta, pixels
+
+
+def _parse_ppm(b: bytes) -> dict | None:
+    dec = _decode_ppm(b)
+    return dec[0] if dec else None
 
 
 def decode_media(
     df: DataFrame, media_col: str = "media", out_col: str = "decoded"
 ) -> DataFrame:
-    """REAL dependency-free decode of WAV (RIFF/PCM16) and PPM (P6)
-    payloads via Arrow-batched ``mapInPandas``.
+    """REAL dependency-free decode of WAV (RIFF/PCM16), PPM (P6) and
+    non-interlaced 8-bit PNG payloads via Arrow-batched ``mapInPandas``.
 
     Every record's bytes are actually parsed (chunk walk / header
-    scan) and the stats computed from the decoded samples or pixels —
-    unknown formats yield a null struct, never an error, so one bad
-    file can't kill a 100-TB scan.
+    scan / zlib inflate + unfilter) and the stats computed from the
+    decoded samples or pixels — unknown formats yield a null struct,
+    never an error, so one bad file can't kill a 100-TB scan.
     """
 
     def decode(batches):
@@ -286,7 +501,7 @@ def decode_media(
             out_rows = []
             for payload in pdf[media_col]:
                 b = bytes(payload) if payload is not None else b""
-                parsed = _parse_wav(b) or _parse_ppm(b)
+                parsed = _parse_wav(b) or _parse_ppm(b) or _parse_png(b)
                 out_rows.append(parsed if parsed else dict(_NULL_DECODED))
             out = pdf.copy()
             out[out_col] = out_rows
@@ -299,32 +514,46 @@ def decode_media(
 
 
 def decode_image(df: DataFrame, media_col: str = "media") -> DataFrame:
-    """Decode binary images to pixel arrays.
+    """Decode binary images to flat pixel arrays.
 
-    STUB: requires an imaging library (PIL / opencv) not available in
-    this container.  The mapInPandas plumbing below is the real shape;
-    the kernel raises until a codec is installed.
+    Non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA) decodes
+    with the built-in dependency-free decoder (:func:`_decode_png` —
+    stdlib zlib inflate + full scanline unfiltering).  Other formats
+    (JPEG &c.) use PIL when installed; without it they yield a null
+    ``pixels`` entry rather than failing the scan.  PPM (P6) also
+    decodes natively.
     """
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "decode_image needs an imaging library (PIL); not available "
-            "in this environment — use extract_media_meta for header-only "
-            "processing, or install pillow on the cluster"
-        ) from exc
 
-    def decode(batches):  # pragma: no cover - needs PIL
+    def decode(batches):
         import io
 
         import numpy as np
-        import PIL.Image
+
+        try:
+            import PIL.Image as _pil
+        except ImportError:
+            _pil = None
 
         for pdf in batches:
             pixels = []
             for payload in pdf[media_col]:
-                img = PIL.Image.open(io.BytesIO(payload))
-                pixels.append(np.asarray(img).ravel().tolist())
+                b = bytes(payload) if payload is not None else b""
+                dec = _decode_png(b)
+                if dec is not None:
+                    pixels.append(dec[1].ravel().tolist())
+                    continue
+                ppm = _decode_ppm(b)
+                if ppm is not None:
+                    pixels.append(ppm[1].ravel().astype("int64").tolist())
+                    continue
+                if _pil is not None:  # pragma: no cover - needs PIL
+                    try:
+                        img = _pil.open(io.BytesIO(b))
+                        pixels.append(np.asarray(img).ravel().tolist())
+                        continue
+                    except Exception:
+                        pass
+                pixels.append(None)
             out = pdf[[c for c in pdf.columns if c != media_col]].copy()
             out["pixels"] = pixels
             yield out

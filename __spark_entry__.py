@@ -750,6 +750,43 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def prestage_dedup_incremental(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Build the incremental-dedup index ONCE and save it as a table.
+
+    Production shape: the index is a saved table maintained across
+    ingests (built once, probed per batch) — the bench pre-stages it
+    so the recorded number tracks the per-ingest probe, not the
+    one-time build (BASELINE.md records both)."""
+    from xyzpy_spark.pipeline.dedup import band_dedup_index, build_dedup_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    build_dedup_index(corpus, n=2, hash_fn="md5").write.mode(
+        "overwrite"
+    ).parquet(path + "/main")
+    band_dedup_index(spark.read.parquet(path + "/main")).write.mode(
+        "overwrite"
+    ).parquet(path + "/bands")
+
+
+def make_dedup_incremental_probe(path: str):
+    """Probe-only variant of q_dedup_incremental against a pre-staged
+    index at ``path`` (same output, same oracle)."""
+    from xyzpy_spark.pipeline.dedup import dedup_against_index
+
+    def probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        batch = docs.where(F.col("doc_id") % 10 == 0)
+        index = spark.read.parquet(path + "/main")
+        bands = spark.read.parquet(path + "/bands")
+        return dedup_against_index(
+            batch, index, n=2, threshold=0.4, hash_fn="md5",
+            index_bands=bands,
+        )
+
+    return probe
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style cluster-then-prune semantic dedup in the
     portable-exact mode (md5-seeded centroids + integer-quantized
@@ -1056,34 +1093,30 @@ def q_corpus_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_skew_salted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hot-key salted join (operators/skew.salted_join): revenue by
-    order priority through a join whose hottest lineitem orderkeys are
-    spread over 8 synthetic sub-keys.  The oracle is the PLAIN join —
-    salting must be invisible in the result."""
-    from xyzpy_spark.operators.skew import salted_join
+    """Hot-key salted join (operators/skew.salted_join): event value
+    by market segment through an events->customer join whose hottest
+    user_ids are spread over 8 synthetic sub-keys.  Hot keys come from
+    the PRODUCTION path — one CMS pass (operators/skew.hot_keys over
+    functions/sketch.heavy_hitters, KB-sized state, bounded candidate
+    probe), not an exact groupBy-count — and the oracle is the PLAIN
+    join: salting, and therefore also WHICH keys the sketch nominates,
+    must be invisible in the result.  events.user_id is the one key in
+    the testdata with a real hot tail (top users ~1.5x the mean)."""
+    from xyzpy_spark.operators.skew import hot_keys, salted_join
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("k"), "l_extendedprice", "l_discount"
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
-    orders = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("k"), "o_orderpriority"
-    )
-    hot = (
-        li.groupBy("k")
-        .count()
-        .orderBy(F.desc("count"), "k")
-        .limit(100)
-        .select("k")
-    )
-    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-        "decimal(18,4)"
-    )
+    # threshold just above the mean events-per-user frequency: the CMS
+    # nominates only the hot tail, so non-hot keys pay no replication
+    hot = hot_keys(ev, "user_id", threshold=8e-4, max_candidates=256)
     return (
-        salted_join(li, orders, "k", salt=8, hot_keys=hot)
-        .groupBy("o_orderpriority")
+        salted_join(ev, cust, "user_id", salt=8, hot_keys=hot)
+        .groupBy("c_mktsegment")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            _dec_sum("value", "revenue"),
+            F.count(F.lit(1)).alias("n_events"),
         )
     )
 
@@ -2221,11 +2254,11 @@ def oracle_sql() -> dict[str, str]:
                                     ELSE 0.0::DOUBLE END
         """,
         "skew_salted_revenue": """
-            SELECT o_orderpriority,
-                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
-                   COUNT(*) AS n_items
-            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-            GROUP BY o_orderpriority
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_events
+            FROM events JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
         """,
         "text_repetition": """
             WITH t AS (

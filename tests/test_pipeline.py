@@ -1126,6 +1126,47 @@ def test_dedup_against_index(spark):
     assert out[12]["dup_of"] is None
 
 
+def test_dedup_against_index_prebanded(spark):
+    """The pre-banded index projection (band_dedup_index) gives
+    byte-identical probe results to in-flight banding (r3: saved
+    banded table lets per-ingest probes skip re-deriving buckets)."""
+    from xyzpy_spark.pipeline.dedup import (
+        band_dedup_index,
+        build_dedup_index,
+        dedup_against_index,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different content about spark engines"),
+            (3, ""),  # token-less doc: must not enter banding
+        ],
+        ["doc_id", "text"],
+    )
+    index = build_dedup_index(corpus, n=2)
+    bands = band_dedup_index(index)
+    new = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy cat"),
+            (11, "entirely novel text no overlap whatsoever here"),
+        ],
+        ["doc_id", "text"],
+    )
+    plain = sorted(
+        map(tuple, dedup_against_index(new, index, n=2, threshold=0.3).collect())
+    )
+    banded = sorted(
+        map(
+            tuple,
+            dedup_against_index(
+                new, index, n=2, threshold=0.3, index_bands=bands
+            ).collect(),
+        )
+    )
+    assert plain == banded
+
+
 def test_dedup_against_index_portable_mode(spark):
     """md5 portable mode produces the same dup decisions."""
     from xyzpy_spark.pipeline.dedup import (

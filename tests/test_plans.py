@@ -298,3 +298,29 @@ def test_dedup_incremental_index_never_shuffle_joins(spark):
     plan = executed_plan(dedup_against_index(batch, index, n=2))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_skew_query_uses_cms_hot_keys_and_broadcast(spark):
+    """The contract skew query discovers hot keys via the CMS sketch
+    (bounded driver probe, no exact groupBy-count pre-pass) and the
+    salted join broadcasts the hot set + explodes only the dim side."""
+    import __spark_entry__ as entrymod
+
+    q = entrymod.queries()["skew_salted_revenue"](spark, SF_DIR)
+    plan = executed_plan(q)
+    assert "BroadcastHashJoin" in plan  # hot-key marker joins broadcast
+    assert "Explode" in plan or "Generate" in plan  # salt fan-out
+    # the sketch path is driver-side; the Spark plan must NOT contain
+    # an extra full aggregate on the fact side for hot-key discovery
+    assert "BatchEvalPython" not in plan
+
+
+def test_hot_keys_bounded_candidates(spark):
+    """heavy_hitters caps the driver-side CMS probe: a low threshold
+    over a high-cardinality key must not collect every distinct value
+    (r3 fix for the py4j per-value probe loop)."""
+    from xyzpy_spark.functions.sketch import heavy_hitters
+
+    df = spark.range(20000).selectExpr("id % 5000 AS v")  # 5000 distinct
+    hh = heavy_hitters(df, "v", threshold=1e-9, max_candidates=64)
+    assert len(hh) <= 64  # capped, not 5000

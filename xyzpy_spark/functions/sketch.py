@@ -107,6 +107,7 @@ def heavy_hitters(
     eps: float = 0.0001,
     confidence: float = 0.99,
     seed: int = 42,
+    max_candidates: int = 1024,
 ) -> list:
     """Values occurring in more than ``threshold`` of rows, via a
     count-min sketch.
@@ -142,11 +143,20 @@ def heavy_hitters(
     # sample rate: expect >= ~50 sampled rows per threshold-frequency
     # value -> miss probability (1-p)^(n*threshold) ~ e^-50
     p = min(1.0, 50.0 / (n * threshold))
+    # prioritize candidates by their IN-SAMPLE count (distributed
+    # groupBy over the sample) and cap the driver transfer: the final
+    # CMS probe below is a per-value py4j call (~1 ms each), so an
+    # unbounded distinct() here would turn a low threshold into a
+    # driver-side loop over every distinct key (r3 fix).  True hitters
+    # have the largest sample counts, so the cap keeps them.
     cands = [
         r["v"]
         for r in df.select(svals.alias("v"))
         .where(F.rand(seed) < F.lit(p))
-        .distinct()
+        .groupBy("v")
+        .count()
+        .orderBy(F.desc("count"), "v")
+        .limit(int(max_candidates))
         .collect()
     ]
     jvm = df.sparkSession._jvm

@@ -1252,6 +1252,35 @@ def build_dedup_index(
     return fp.join(sig, id_col, "left")
 
 
+def band_dedup_index(
+    index: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The pre-banded projection of a dedup index: one row per
+    (document, band) with its LSH ``bucket`` and the full ``sig``.
+
+    Save this next to the main index (ideally partitioned/bucketed by
+    ``band, bucket``) so per-ingest probes are a pure equi-join against
+    precomputed buckets instead of re-deriving band hashes from every
+    historical signature on every batch.  Carrying ``sig`` on the
+    banded rows trades ~``bands``x signature storage for a probe with
+    no second lookup join; storage-tight deployments can drop ``sig``
+    here and re-join candidates against the main index instead.
+    """
+    return (
+        index.where(F.col("sig").isNotNull())
+        .select(
+            id_col,
+            "sig",
+            _band_bucket_col(num_perm, bands).alias("bb"),
+        )
+        .select(id_col, "sig", "bb.band", "bb.bucket")
+    )
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     index: DataFrame,
@@ -1264,6 +1293,7 @@ def dedup_against_index(
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
     cache: bool = True,
+    index_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against a historical corpus index
     (continuous-ingest dedup: the batch is new, the corpus is 100 TB
@@ -1271,6 +1301,13 @@ def dedup_against_index(
     fingerprints+signatures for the probe's three consumers; pass
     False (or unpersist via ``spark.catalog.clearCache``) in
     long-lived ingest loops that manage their own caching.
+
+    ``index_bands``: optional pre-banded projection of the index
+    (``id, band, bucket, sig`` — see :func:`band_dedup_index`).  A
+    production deployment saves it next to the main index so each
+    ingest probe skips re-deriving (band, bucket) from every
+    historical signature; without it the banding is computed in-flight
+    from ``index``.
 
     Every new document is annotated: ``dup_kind`` is ``'exact'``
     (canonical fingerprint already in the index), ``'near'``
@@ -1310,11 +1347,19 @@ def dedup_against_index(
 
     # token-less docs carry NULL sigs: exclude them from banding (they
     # would all collide on the hash of the empty tuple)
-    old_b = index.where(F.col("sig").isNotNull()).select(
-        F.col(id_col).alias("_old_id"),
-        F.col("sig").alias("sig_old"),
-        _band_bucket_col(num_perm, bands).alias("bb"),
-    ).select("_old_id", "sig_old", "bb.band", "bb.bucket")
+    if index_bands is not None:
+        old_b = index_bands.select(
+            F.col(id_col).alias("_old_id"),
+            F.col("sig").alias("sig_old"),
+            "band",
+            "bucket",
+        )
+    else:
+        old_b = index.where(F.col("sig").isNotNull()).select(
+            F.col(id_col).alias("_old_id"),
+            F.col("sig").alias("sig_old"),
+            _band_bucket_col(num_perm, bands).alias("bb"),
+        ).select("_old_id", "sig_old", "bb.band", "bb.bucket")
     new_b = new_idx.where(F.col("sig").isNotNull()).select(
         F.col(id_col).alias("_new_id"),
         F.col("sig").alias("sig_new"),

@@ -218,3 +218,53 @@ def test_publish_bak_restored_after_crash_window(fba_runner, tmp_path):
     shutil.move(path, path + ".bak")
     assert h.load_full_df().select("a").distinct().count() == 2
     assert os.path.exists(path)
+
+
+def test_to_xarray_attrs_roundtrip(spark, tmp_path, monkeypatch):
+    """Runner constants + attrs written to the _attrs.json sidecar on
+    harvest must surface as Dataset.attrs in Harvester.to_xarray
+    (reference constants->attrs semantics, gen/combo_runner.py:514-535).
+    xarray isn't installed here, so a capturing stub stands in for the
+    Dataset constructor — the plumbing under test is ours."""
+    import sys
+    import types
+
+    from xyzpy_spark.farming import Runner, load_attrs
+
+    def kern(a, b, scale):
+        return (a + b) * scale
+
+    r = Runner(
+        kern,
+        var_names="y",
+        constants={"scale": 2},
+        attrs={"units": "ms", "version": 3},
+    )
+    h = r.harvester(str(tmp_path / "store.parquet"))
+    h.harvest_combos({"a": [1, 2], "b": [10, 20]})
+
+    # sidecar got constants + attrs (repr-serialized values load back)
+    side = load_attrs(str(tmp_path / "store.parquet"))
+    assert side["scale"] == 2
+    assert side["units"] == "ms"
+
+    captured = {}
+
+    class _FakeDataset:
+        def __init__(self, data_vars, coords=None, attrs=None):
+            captured["attrs"] = attrs
+            captured["vars"] = set(data_vars)
+
+    fake_xr = types.ModuleType("xarray")
+    fake_xr.Dataset = _FakeDataset
+    monkeypatch.setitem(sys.modules, "xarray", fake_xr)
+
+    h.to_xarray()
+    assert captured["vars"] == {"y"}
+    assert captured["attrs"]["scale"] == 2
+    assert captured["attrs"]["units"] == "ms"
+    assert captured["attrs"]["version"] == 3
+
+    # explicit attrs= overrides the sidecar
+    h.to_xarray(attrs={"only": 1})
+    assert captured["attrs"] == {"only": 1}

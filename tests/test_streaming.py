@@ -269,3 +269,66 @@ def test_windowed_agg_column_typed_keys(spark, events_stream):
         "win_agg_colkeys",
     )
     assert "event_type" in out.columns and out.count() > 0
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """Durability: a dedup stream with a persistent checkpoint is
+    stopped and RESTARTED with more data, including duplicates of keys
+    first seen before the stop.  Recovered state must still drop them,
+    the file sink must not double-write phase-1 output, and an idle
+    third restart must append nothing (exactly-once end to end)."""
+    import datetime as dt
+    import os
+
+    from xyzpy_spark.streaming.ops import dedup_stream
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def event(i, phase):
+        # value is a pure function of the id, so whichever arrival is
+        # kept the surviving row is identical
+        return (i, dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=i), float(i) * 1.5, phase)
+
+    cols = ["event_id", "ts", "value", "phase"]
+    phase1 = [event(i, 1) for i in range(50)] + [event(i, 1) for i in range(0, 50, 5)]
+    phase2 = [event(i, 2) for i in range(30, 80)]  # 30..49 replay phase-1 keys
+
+    def run_once(rows):
+        if rows:
+            spark.createDataFrame(rows, cols).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        deduped = dedup_stream(stream, keys="event_id", watermark="24 hours")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not finish"
+        q.stop()
+        return spark.read.parquet(sink)
+
+    out1 = run_once(phase1)
+    assert out1.count() == 50  # in-phase dups dropped
+    out2 = run_once(phase2)
+    rows = out2.groupBy("event_id").count().collect()
+    assert len(rows) == 80  # ids 0..79 exactly once
+    assert all(r["count"] == 1 for r in rows)  # replayed keys dropped by RESTORED state
+    # phase-1 rows were not rewritten by the restart
+    kept = {r["event_id"]: r["phase"] for r in spark.read.parquet(sink).collect()}
+    assert all(kept[i] == 1 for i in range(30, 50))  # first arrival won
+    assert all(kept[i] == 2 for i in range(50, 80))
+    # idle restart: no new data -> nothing appended
+    out3 = run_once([])
+    assert out3.count() == 80

@@ -296,12 +296,23 @@ class Harvester:
     def to_xarray(self, dims=None, **kw):
         """Dense ``xr.Dataset`` of the full store — what an existing
         xyzpy user expects ``h.full_ds`` to be (xarray on the driver
-        required; reference gen/farming.py:476-500)."""
+        required; reference gen/farming.py:476-500).
+
+        The store's ``_attrs.json`` sidecar (runner constants + attrs,
+        written on every sync) surfaces as ``Dataset.attrs`` — the
+        reference's constants→attrs semantics
+        (gen/combo_runner.py:514-535).  Pass ``attrs=`` to override."""
         from .runner import to_xarray
 
         df = self.load_full_df()
         if df is None:
             raise ValueError("no stored dataset")
+        if "attrs" not in kw:
+            kw["attrs"] = {
+                **load_attrs(self.data_name),
+                **self.runner.constants,
+                **self.runner.attrs,
+            }
         return to_xarray(df, self._store_dims(dims), **kw)
 
     # -- merging ---------------------------------------------------------

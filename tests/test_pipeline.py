@@ -692,6 +692,62 @@ def test_embedding_lsh_pairs_planted_duplicates(spark):
     assert recall >= 0.95, recall
 
 
+def test_embedding_lsh_max_bucket_size_guard(spark):
+    """The ``max_bucket_size`` cap (scale guard against degenerate
+    band-buckets) keeps planted-dup recall at the design threshold —
+    near-dups collide in several bands, oversized buckets are mass
+    regions — while a duplicated mass blob that would otherwise go
+    quadratic is excluded from candidate generation."""
+    import numpy as np
+    import pandas as pd
+
+    from xyzpy_spark.pipeline.dedup import (
+        embedding_cosine_pairs,
+        embedding_lsh_pairs,
+        embedding_lsh_pairs_portable,
+    )
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((30, 32))
+    dups = base + 0.05 * rng.standard_normal((30, 32))
+    # a degenerate mass region: 300 copies of one direction + noise,
+    # all falling into the same band-buckets (the quadratic trap)
+    blob_dir = rng.standard_normal(32)
+    blob = blob_dir + 0.3 * rng.standard_normal((300, 32))
+    noise = rng.standard_normal((200, 32))
+    vecs = np.vstack([base, dups, noise, blob])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs), dtype="int64"),
+         "embedding": [v.astype("float32") for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+
+    capped = embedding_lsh_pairs(
+        df, threshold=0.9, n_bits=64, bands=16, max_bucket_size=40
+    )
+    got_pairs = {(r.id_a, r.id_b) for r in capped.collect()}
+    exact = embedding_cosine_pairs(df, threshold=0.9)
+    planted = {
+        (r.id_a, r.id_b) for r in exact.collect()
+        if r.id_a < 60 and r.id_b < 60
+    }
+    assert len(planted) >= 30
+    assert got_pairs <= {(r.id_a, r.id_b) for r in exact.collect()}
+    recall = len(got_pairs & planted) / len(planted)
+    assert recall >= 0.95, recall
+
+    # portable twin accepts the same guard and keeps exact precision
+    p = embedding_lsh_pairs_portable(
+        df, threshold=0.9, bands=16, max_bucket_size=40
+    )
+    assert {(r.id_a, r.id_b) for r in p.collect()} <= {
+        (r.id_a, r.id_b) for r in exact.collect()
+    }
+
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        embedding_lsh_pairs(df, max_bucket_size=1).collect()
+
+
 def test_embedding_lsh_portable_matches_float_semantics(spark):
     """The portable integer-quantized LSH mode must (a) keep exact
     precision vs the quantized cosine threshold, (b) recall the

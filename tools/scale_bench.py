@@ -1,0 +1,248 @@
+#!/usr/bin/env python
+"""Scale-proof bench: run the heaviest queries at 1x and Nx data.
+
+SCALING.md makes linear-scaling claims for the heavy operators (banded
+dedup, salted join, windowed agg).  This tool validates them
+empirically on one box: it deterministically inflates the sf0.1
+testdata by ``--mult`` (default 10x, i.e. roughly sf1 for the tables
+the heavy queries touch), runs each heavy query once at 1x and once at
+Nx IN THE SAME SESSION (paired samples -- shared-box load hits both
+sides alike), and prints per-query wall ratios.  A banded/bucketed op
+scaling near-linearly should show ratio ~mult or less (sub-linear for
+latency-bound ops like iterative clustering); a quadratic blow-up
+shows up as ratio >> mult.
+
+Replica perturbation is chosen so workload DENSITY stays constant:
+
+- documents: every 3rd token of each replica is tagged with the
+  replica id, so a replica is NOT a near-dup of its source (3-gram
+  shingle survival ~(2/3)^3; Jaccard ~0.12, below every contract
+  threshold) while each replica internally keeps the same dup-pair
+  density.  Pairs therefore scale ~mult, not mult^2 -- matching how a
+  real corpus grows (new content, same dup rate).
+- embeddings: per-replica deterministic sinusoidal jitter (amplitude
+  0.35) decorrelates replicas below the 0.4 cosine contract threshold
+  while keeping within-replica neighborhoods.
+- events/customer: ids re-keyed per replica (disjoint user spaces,
+  same hot-tail shape per replica), timestamps shifted by replica
+  weeks (hourly bucket count scales ~mult).
+
+Writes scratch data under --out (default: a /tmp tempdir, removed on
+exit unless --keep).  Usage:
+
+    python tools/scale_bench.py [--mult 10] [--runs 1] [--keep]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from xyzpy_spark.session import get_spark
+
+# the 8 heaviest / most scale-sensitive queries (r2 verdict item 5):
+# every banded-dedup path, the iterative clusterer, the salted join,
+# the windowed agg, and the incremental-ingest probe.
+HEAVY = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_lsh",
+    "dedup_clusters",
+    "skew_salted_revenue",
+    "window_hourly",
+    "dedup_incremental",
+]
+
+REP = "_rep"
+
+
+def scale_cfg_embedding_lsh(spark, sf_dir: str):
+    """Scale-sized embedding LSH: the contract query's config
+    (n_bits=64/bands=16 -> 4 bits/band = 16 buckets) is chosen for the
+    bit-exact DuckDB oracle at sf0.01 and is deliberately below the
+    op's design point; at 10x data its bucket join measured 26x (see
+    BASELINE.md scale table).  This is the configuration a 100-TB
+    deployment would run: bits/band sized for the corpus (8 bits ->
+    256 buckets/band) plus the max_bucket_size guard that bounds
+    candidate work linearly regardless of mass regions."""
+    from xyzpy_spark.pipeline.dedup import embedding_lsh_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_lsh_pairs(
+        emb, threshold=0.8, n_bits=128, bands=16, max_bucket_size=128
+    )
+
+
+def _replicate(df, mult: int, key_bump: dict):
+    """Cross each row with replica ids 0..mult-1 and re-key id columns
+    into disjoint per-replica ranges (rep 0 keeps original values)."""
+    out = df.withColumn(
+        REP, F.explode(F.sequence(F.lit(0), F.lit(mult - 1)))
+    )
+    for col, stride in key_bump.items():
+        out = out.withColumn(
+            col, F.col(col) + F.col(REP).cast("long") * F.lit(stride)
+        )
+    return out
+
+
+def build_scaled(spark, src: str, out: str, mult: int) -> None:
+    os.makedirs(out, exist_ok=True)
+
+    docs = spark.read.parquet(os.path.join(src, "documents.parquet"))
+    docs = _replicate(docs, mult, {"doc_id": 1_000_000_000})
+    # tag every 3rd word with the replica id: replicas are no longer
+    # near-dups of each other (see module docstring), rep 0 unchanged
+    perturbed = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda w, i: F.when(
+                (F.col(REP) > 0) & (i % 3 == 0),
+                F.concat(w, F.lit("_"), F.col(REP).cast("string")),
+            ).otherwise(w),
+        ),
+        " ",
+    )
+    docs = (
+        docs.withColumn("text", perturbed)
+        .withColumn("n_chars", F.length("text"))
+        .drop(REP)
+    )
+    docs.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    emb = spark.read.parquet(os.path.join(src, "embeddings.parquet"))
+    emb = _replicate(emb, mult, {"vec_id": 1_000_000_000})
+    jitter = F.transform(
+        F.col("embedding"),
+        lambda x, i: F.when(F.col(REP) > 0, x
+            + F.lit(0.35)
+            * F.sin(
+                (F.col("vec_id") % 997).cast("double") * F.lit(13.0)
+                + i.cast("double") * F.lit(7.0)
+                + F.col(REP).cast("double") * F.lit(37.0)
+            )
+        ).otherwise(x).cast("float"),
+    )
+    emb = emb.withColumn("embedding", jitter).drop(REP)
+    emb.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
+    ev = spark.read.parquet(os.path.join(src, "events.parquet"))
+    ev = _replicate(
+        ev, mult, {"event_id": 1_000_000_000, "user_id": 10_000_000}
+    )
+    ev = ev.withColumn(
+        "ts",
+        F.col("ts")
+        + F.make_dt_interval(days=F.col(REP).cast("int") * F.lit(7)),
+    ).drop(REP)
+    ev.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+
+    cust = spark.read.parquet(os.path.join(src, "customer.parquet"))
+    cust = _replicate(cust, mult, {"c_custkey": 10_000_000}).drop(REP)
+    cust.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out, "customer.parquet")
+    )
+
+
+def _time_query(spark, fn, sf_dir: str, runs: int) -> float:
+    samples = []
+    for _ in range(runs):
+        spark.catalog.clearCache()
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 4)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--runs", type=int, default=1)
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    out = args.out or tempfile.mkdtemp(prefix="xyzpy_scale_")
+    spark = get_spark(app_name="xyzpy_spark_scale_bench")
+    try:
+        load0 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load0 = None
+
+    t0 = time.time()
+    build_scaled(spark, args.src, out, args.mult)
+    gen_s = round(time.time() - t0, 2)
+
+    queries = dict(entrymod.queries())
+    # pre-stage the incremental index per side so both sides time the
+    # production probe (same protocol as bench.py)
+    probes = {}
+    for side, sf_dir in (("1x", args.src), (f"{args.mult}x", out)):
+        idx = os.path.join(out, f"_idx_{side}")
+        entrymod.prestage_dedup_incremental(spark, sf_dir, idx)
+        probes[side] = entrymod.make_dedup_incremental_probe(idx)
+
+    # warm-up (bench.py protocol): one JVM/reader query + one Arrow/UDF
+    # query so the first timed sample doesn't pay JIT/codegen warm-up
+    for wname in ("window_hourly", "dedup_minhash_lsh"):
+        queries[wname](spark, args.src).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
+    queries["dedup_embedding_lsh"] = scale_cfg_embedding_lsh
+
+    result = {}
+    for name in HEAVY:
+        base_fn = queries[name]
+        row = {}
+        for side, sf_dir in (("1x", args.src), (f"{args.mult}x", out)):
+            fn = probes[side] if name == "dedup_incremental" else base_fn
+            row[side] = _time_query(spark, fn, sf_dir, args.runs)
+        row["ratio"] = round(row[f"{args.mult}x"] / row["1x"], 2)
+        result[name] = row
+        print(f"# {name}: {row}", file=sys.stderr)
+
+    try:
+        load1 = round(os.getloadavg()[0], 2)
+    except OSError:
+        load1 = None
+    print(
+        json.dumps(
+            {
+                "metric": "scale_proof_paired_wall",
+                "mult": args.mult,
+                "runs": args.runs,
+                "gen_sec": gen_s,
+                "queries": result,
+                "load_avg_start": load0,
+                "load_avg_end": load1,
+            }
+        )
+    )
+    if not args.keep:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

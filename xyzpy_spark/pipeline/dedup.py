@@ -670,6 +670,37 @@ def embedding_lsh_buckets(
     )
 
 
+def _cap_buckets(buckets: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop band-buckets with more than ``max_bucket_size`` members
+    before candidate generation.
+
+    The self-join on ``(band, bucket)`` costs ``sum(c_i^2)`` over
+    bucket sizes: one degenerate bucket (too few bits per band for the
+    corpus size, a dense mass region) turns the plan quadratic.  The
+    cap bounds candidate work at ``<= bands * n * max_bucket_size``
+    rows — linear in corpus size — at a bounded recall cost: a true
+    near-dup pair is lost only if EVERY band it collides in is
+    oversized, and at the design threshold near-dups collide in
+    several independent bands.  Same frequency-capping idea as
+    ``max_shingle_freq`` in :func:`ngram_jaccard_pairs`.
+
+    Plain equi-join against the per-bucket counts (narrow, two extra
+    shuffles of ``(band, bucket)`` pairs); AQE broadcasts the count
+    side when small.
+    """
+    if max_bucket_size is None:
+        return buckets
+    if max_bucket_size < 2:
+        raise ValueError("max_bucket_size must be >= 2 to admit any pair")
+    ok = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("__bsz"))
+        .where(F.col("__bsz") <= max_bucket_size)
+        .drop("__bsz")
+    )
+    return buckets.join(ok, ["band", "bucket"])
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     *,
@@ -679,6 +710,7 @@ def embedding_lsh_pairs(
     n_bits: int = 64,
     bands: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup pairs: LSH candidates + exact
     cosine refine.
@@ -692,11 +724,20 @@ def embedding_lsh_pairs(
     :func:`embedding_lsh_buckets` (>=99% at cosine 0.9 with the
     defaults).  Probabilistic recall means no SQL oracle — validated by
     planted-duplicate tests against the exact operator.
+
+    At scale, size ``n_bits/bands`` for the corpus: with ``r`` bits per
+    band a band has ``2^r`` buckets, so expected bucket size is
+    ``n / 2^r`` and candidate work ``bands * n^2 / 2^r`` — ``r`` must
+    grow with ``log2(n)`` or the plan turns quadratic.  Pass
+    ``max_bucket_size`` as the hard guard (see :func:`_cap_buckets`):
+    it bounds candidate rows at ``bands * n * max_bucket_size``
+    regardless of parameterization or skewed mass regions.
     """
     buckets = embedding_lsh_buckets(
         df, id_col=id_col, vec_col=vec_col, n_bits=n_bits, bands=bands,
         seed=seed,
     )
+    buckets = _cap_buckets(buckets, max_bucket_size)
     a = buckets.select(
         "band", "bucket", F.col("id").alias("id_a")
     )
@@ -806,6 +847,7 @@ def embedding_lsh_pairs_portable(
     seed: int = 42,
     quantize: int = 1 << 20,
     dim: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Portable-exact twin of :func:`embedding_lsh_pairs` — every step
     is deterministic integer arithmetic, so a DuckDB SQL oracle can
@@ -878,6 +920,9 @@ def embedding_lsh_pairs_portable(
     buckets = df.select(id_col, vec_col).mapInPandas(
         buckets_part, "id long, band int, bucket long"
     )
+    # same scale guard as the production path; the oracle twin mirrors
+    # it with a HAVING count(*) <= cap on the (band, bucket) group
+    buckets = _cap_buckets(buckets, max_bucket_size)
     cand = (
         buckets.select("band", "bucket", F.col("id").alias("id_a"))
         .join(

@@ -185,3 +185,118 @@ def peak_memory_report(spark) -> dict:
                 )
             }
     return report
+
+
+def report_memory() -> str:
+    """Formatted host-memory summary for the driver process — the
+    analog of the reference's ``report_memory``
+    (``/root/reference/xyzpy/utils.py:858-880``), stdlib-only
+    (``/proc``; psutil is not a dependency of this engine).
+
+    Returns the same three figures the reference reports (process RSS,
+    host used, host total) or a ``"failed to read memory: ..."``
+    string on platforms without procfs — callers can always embed the
+    result in a log line, never handle an exception.
+    """
+    try:
+        meminfo = {}
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                key, _, rest = line.partition(":")
+                meminfo[key] = int(rest.split()[0]) * 1024  # kB -> bytes
+        with open("/proc/self/status") as fh:
+            rss = next(
+                int(line.split()[1]) * 1024
+                for line in fh
+                if line.startswith("VmRSS:")
+            )
+        total = meminfo["MemTotal"]
+        used = total - meminfo.get("MemAvailable", meminfo.get("MemFree", 0))
+        return (
+            f"Process memory: {rss / 1e9:>10.2f}GB / "
+            f"Memory used: {used / 1e9:>10.2f}GB / "
+            f"Total memory: {total / 1e9:>10.2f}GB "
+        )
+    except Exception as e:  # noqa: BLE001 — report, never raise
+        return f"failed to read memory: {e}"
+
+
+def _nvidia_smi(*query_args: str) -> list[list[str]]:
+    """Run one ``nvidia-smi`` CSV query and return parsed rows.
+    Raises on any failure (no GPU, no binary) — callers gate on it."""
+    import subprocess
+
+    proc = subprocess.run(
+        ["nvidia-smi", *query_args, "--format=csv,noheader,nounits"],
+        capture_output=True,
+        timeout=10,
+        check=True,
+    )
+    text = proc.stdout.decode().strip()
+    return [
+        [field.strip() for field in line.split(",")]
+        for line in text.splitlines()
+        if line.strip()
+    ]
+
+
+def report_memory_gpu() -> str:
+    """Formatted GPU-memory summary for the driver process — analog of
+    the reference's ``report_memory_gpu``
+    (``/root/reference/xyzpy/utils.py:883-942``), env-gated: in a
+    GPU-less deployment (this sandbox, CPU clusters) it degrades to a
+    placeholder / failure string instead of raising, exactly like the
+    reference's exception path.
+
+    On a GPU executor (cluster deployments set
+    ``spark.task.resource.gpu.amount``; each task sees its assigned
+    device via ``CUDA_VISIBLE_DEVICES``) this reports the calling
+    process's GPU allocation plus its device's used/total memory.
+    """
+    import os
+
+    try:
+        placeholder = (
+            f"GPU Process memory: {'... ':>6}GB / "
+            f"GPU Memory used: {'... ':>6}GB / "
+            f"GPU Total memory: {'... ':>6}GB "
+        )
+        apps = _nvidia_smi("--query-compute-apps=pid,gpu_uuid,used_memory")
+        mine = [row for row in apps if row and int(row[0]) == os.getpid()]
+        if not mine:
+            return placeholder
+        gpu_uuid, proc_mib = mine[0][1], int(mine[0][2])
+        (dev,) = _nvidia_smi(
+            "--query-gpu=memory.used,memory.total", f"--id={gpu_uuid}"
+        )
+        used_mib, total_mib = int(dev[0]), int(dev[1])
+        return (
+            f"GPU Process memory: {proc_mib / 1e3:>6.2f}GB / "
+            f"GPU Memory used: {used_mib / 1e3:>6.2f}GB / "
+            f"GPU Total memory: {total_mib / 1e3:>6.2f}GB "
+        )
+    except Exception as e:  # noqa: BLE001 — report, never raise
+        return f"failed to read gpu memory: {e}"
+
+
+def executor_memory_reports(spark, gpu: bool = False) -> dict[str, str]:
+    """Collect :func:`report_memory` (or :func:`report_memory_gpu`)
+    from every executor — the cluster-wide view the reference's
+    single-process reporters cannot give.  One tiny barrier job with
+    one task per executor core; each task reports its host once
+    (deduped by hostname, so the result is per-machine).
+    """
+    sc = spark.sparkContext
+    n = int(sc.defaultParallelism)
+    fn = report_memory_gpu if gpu else report_memory
+
+    def part(it):
+        import socket
+
+        if any(True for _ in it):
+            yield socket.gethostname(), fn()
+
+    pairs = (
+        sc.parallelize(range(n), n).mapPartitions(part).collect()
+    )
+    return dict(pairs)

@@ -68,6 +68,11 @@ HEADLINE = [
     "pack_sequences",
     "quality_model",
     "semantic_dedup",
+    "dedup_substrings",
+    "strip_substrings",
+    "image_resize",
+    "image_features",
+    "audio_features",
     "dedup_incremental",
 ]
 

@@ -263,6 +263,87 @@ def test_decontaminate(spark):
     assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
 
 
+def _substring_spans_twin(docs, k, min_repeat, keep_first):
+    """Independent pure-python model of duplicate_substring_spans."""
+    toks = {d: t.split() for d, t in docs.items()}
+    occ = {}
+    for d in sorted(toks):
+        for p in range(len(toks[d]) - k + 1):
+            occ.setdefault(" ".join(toks[d][p:p + k]), []).append((d, p))
+    marked = set()
+    for g, places in occ.items():
+        if len(places) < min_repeat:
+            continue
+        winner = min(places)
+        for dp in places:
+            if keep_first and dp == winner:
+                continue
+            marked.add(dp)
+    ivals = sorted((d, p, p + k - 1) for d, p in marked)
+    spans = []
+    for d, s, e in ivals:
+        if spans and spans[-1][0] == d and s <= spans[-1][2] + 1:
+            spans[-1][2] = max(spans[-1][2], e)
+        else:
+            spans.append([d, s, e])
+    return {(d, s, e, e - s + 1) for d, s, e in spans}
+
+
+def test_duplicate_substring_spans_matches_twin(spark):
+    """Substring-level dedup (k-token duplicated windows merged to
+    maximal spans) matches an independent pure-python model, for both
+    keep_first and audit modes."""
+    from xyzpy_spark.pipeline.dedup import duplicate_substring_spans
+
+    boiler = "subscribe to our newsletter for the latest updates"
+    docs = {
+        1: f"alpha beta gamma {boiler} delta epsilon",
+        2: f"one two {boiler} three four {boiler} five",
+        3: "unique words only in this document here",
+        4: f"{boiler}",
+        5: "rep rep rep rep rep rep rep rep rep rep rep",
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in docs.items()], "doc_id long, text string"
+    )
+    for keep_first in (True, False):
+        got = {
+            (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+            for r in duplicate_substring_spans(
+                df, k=5, keep_first=keep_first
+            ).collect()
+        }
+        want = _substring_spans_twin(docs, 5, 2, keep_first)
+        assert got == want, (keep_first, got ^ want)
+    assert len(want) > 0
+
+
+def test_strip_duplicate_spans_first_copy_survives(spark):
+    """strip keeps exactly the first occurrence of each duplicated
+    region and reassembles the rest in order; token counts reconcile."""
+    from xyzpy_spark.pipeline.dedup import strip_duplicate_spans
+
+    boiler = "all rights reserved contact us today"
+    df = spark.createDataFrame(
+        [
+            (1, f"intro text {boiler} outro"),
+            (2, f"{boiler} something else entirely different here"),
+            (3, "no duplication in this one at all"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.text, r.n_removed_tokens)
+        for r in strip_duplicate_spans(df, k=6).collect()
+    }
+    # doc 1 is the winner (min doc, pos) — keeps the boilerplate
+    assert out[1] == (f"intro text {boiler} outro", 0)
+    assert out[2] == ("something else entirely different here", 6)
+    assert out[3] == ("no duplication in this one at all", 0)
+    assert out[4] == ("", 0)
+
+
 def test_dedup_paragraphs(spark):
     from xyzpy_spark.pipeline.dedup import dedup_paragraphs
 
@@ -559,6 +640,87 @@ def test_multimodal_frame_sample(spark):
     frames = frame_sample(attach_fake_media(df), every_n_bytes=8).collect()
     assert len(frames) > 2  # fan-out happened
     assert all(r["frame_offset"] % 8 == 0 for r in frames)
+
+
+def test_resize_image_nearest_neighbor(spark):
+    """Nearest-neighbor resize matches the integer floor-mapping rule
+    exactly (numpy twin) for PPM and PNG payloads; garbage yields a
+    null struct."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.multimodal import (
+        fake_png_bytes,
+        fake_ppm_bytes,
+        resize_image,
+    )
+
+    payloads = {1: fake_ppm_bytes(1), 2: fake_png_bytes(2), 3: b"junk"}
+    df = spark.createDataFrame(
+        list(payloads.items()), ["doc_id", "media"]
+    )
+    out = {
+        r.doc_id: r.resized
+        for r in resize_image(df, 4, 4).collect()
+    }
+    for i, maker in ((1, 17), (2, 13)):
+        w, h = 4 + i % 9, 3 + i % 7
+        src = np.array(
+            [(i * maker + k * 5 if maker == 13 else i * maker + k * 11) % 256
+             for k in range(3 * w * h)]
+        ).reshape(h, w, 3)
+        ys = (np.arange(4) * h) // 4
+        xs = (np.arange(4) * w) // 4
+        want = src[np.ix_(ys, xs)].reshape(-1).tolist()
+        got = out[i]
+        assert (got.width, got.height, got.channels) == (4, 4, 3)
+        assert got.pixels == want, i
+    assert out[3] is None
+    with pytest.raises(ValueError, match="target size"):
+        resize_image(df, 0, 4)
+
+
+def test_image_and_audio_features_closed_form(spark):
+    """Feature extractors reproduce the closed-form statistics of the
+    fake payloads exactly (int sums; IEEE-rounded mean/std/rms)."""
+    import math
+
+    from xyzpy_spark.pipeline.multimodal import (
+        audio_features,
+        fake_ppm_bytes,
+        fake_wav_bytes,
+        image_features,
+    )
+
+    i = 6
+    w, h = 4 + i % 9, 3 + i % 7
+    vals = [(i * 17 + k * 11) % 256 for k in range(3 * w * h)]
+    n, s, sq = len(vals), sum(vals), sum(v * v for v in vals)
+    df = spark.createDataFrame([(i, fake_ppm_bytes(i))], ["doc_id", "media"])
+    img = image_features(df).collect()[0].img
+    assert (img.width, img.height, img.channels, img.n_pixels) == (w, h, 3, n)
+    assert img.mean_pixel == s / n
+    assert img.std_pixel == math.sqrt((n * sq - s * s) / (n * n))
+    for c in range(3):
+        ch_vals = vals[c::3]
+        assert img.channel_means[c] == sum(ch_vals) / len(ch_vals)
+
+    j = 4  # even seed -> 1 channel; odd -> 2
+    nv = (32 + j % 17) * (1 + j % 2)
+    samples = [(j * 31 + t * 7) % 2003 - 1001 for t in range(nv)]
+    adf = spark.createDataFrame(
+        [(j, fake_wav_bytes(j)), (9, None)], ["doc_id", "media"]
+    )
+    rows = {r.doc_id: r.audio for r in audio_features(adf).collect()}
+    a = rows[j]
+    assert (a.sample_rate, a.channels, a.n_samples) == (
+        8000 + (j % 5) * 1000, 1 + j % 2, nv
+    )
+    assert a.peak == max(abs(v) for v in samples)
+    assert a.zero_crossings == sum(
+        1 for p, q in zip(samples, samples[1:]) if p * q < 0
+    )
+    assert a.rms == math.sqrt(sum(v * v for v in samples) / nv)
+    assert rows[9] is None
 
 
 def test_decode_image_png_native(spark):

@@ -610,6 +610,212 @@ def dedup_paragraphs(
     )
 
 
+def duplicate_substring_spans(
+    df: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_repeat: int = 2,
+    keep_first: bool = True,
+) -> DataFrame:
+    """SUBSTRING-level exact dedup: maximal duplicated token spans.
+
+    The third dedup granularity from the training-data literature
+    (document-level and paragraph-level are
+    :func:`dedup_exact` / :func:`dedup_paragraphs`): any ``k``-token
+    window whose exact text occurs ``min_repeat``+ times in the corpus
+    marks a duplicated region; overlapping/adjacent marked windows are
+    merged into maximal spans per document.  The reference analog is
+    arbitrary per-record analysis (`/root/reference/xyzpy/gen/
+    combo_runner.py:77-139`); the published recipe is suffix-array
+    substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better") — this is its shuffle-friendly
+    k-token-window form: a distributed suffix array is replaced by a
+    single hash shuffle on the window text.
+
+    With ``keep_first`` the lexicographically-first occurrence of each
+    duplicated window — min ``(doc, position)`` — is NOT marked, so
+    exactly one copy of every duplicated region survives a subsequent
+    :func:`strip_duplicate_spans`; with ``keep_first=False`` every
+    occurrence is reported (audit mode).
+
+    Plan shape (all codegen, no interpreted lambdas): posexplode +
+    lead-window k-gram assembly (same pattern as
+    ``text.corpus_top_ngrams``), one hash aggregation per window text
+    carrying ``count`` and ``min(struct(doc, pos))``, an equi-join
+    back to occurrences (1:1 — never quadratic: each occurrence joins
+    one gram row, unlike a bucket SELF-join), then gaps-and-islands
+    interval merging inside the per-doc window.  Shuffle volume is
+    one row per token (grams) + one row per marked window — linear in
+    corpus size; repeated boilerplate makes the gram aggregate SMALLER,
+    not bigger, so hot grams are not a skew risk.
+
+    Returns ``(id_col, span_start, span_end, span_tokens)`` — token
+    positions are 0-based inclusive.  Exact-SQL-expressible: the
+    DuckDB oracle twin mirrors every step.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_repeat < 2:
+        raise ValueError(f"min_repeat must be >= 2, got {min_repeat}")
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("__pos", "__t"),
+    )
+    w = Window.partitionBy("__doc").orderBy("__pos")
+    parts = [F.col("__t")] + [
+        F.lead("__t", j).over(w).alias(f"__t{j}") for j in range(1, k)
+    ]
+    last = f"__t{k - 1}" if k > 1 else "__t"
+    occ = (
+        toks.select("__doc", "__pos", *parts)
+        .where(F.col(last).isNotNull())
+        .select(
+            "__doc",
+            "__pos",
+            F.concat_ws(
+                " ", "__t", *[f"__t{j}" for j in range(1, k)]
+            ).alias("__gram"),
+        )
+    )
+    dup = (
+        occ.groupBy("__gram")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct("__doc", "__pos")).alias("__w"),
+        )
+        .where(F.col("__n") >= min_repeat)
+        .select("__gram", "__w")
+    )
+    marked = occ.join(dup, "__gram")
+    if keep_first:
+        marked = marked.where(
+            (F.col("__doc") != F.col("__w.__doc"))
+            | (F.col("__pos") != F.col("__w.__pos"))
+        )
+    ivals = marked.select(
+        "__doc",
+        F.col("__pos").alias("__start"),
+        (F.col("__pos") + F.lit(k - 1)).alias("__end"),
+    ).distinct()
+    # gaps-and-islands: a window starts a new span when it begins past
+    # the furthest end seen so far (+1: adjacent windows merge too)
+    iw = Window.partitionBy("__doc").orderBy("__start", "__end")
+    run_end = F.max("__end").over(
+        iw.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = ivals.withColumn(
+        "__new",
+        F.when(
+            F.col("__start") > F.coalesce(run_end + 1, F.lit(-1)), 1
+        ).otherwise(0),
+    ).withColumn("__island", F.sum("__new").over(iw))
+    return (
+        islands.groupBy("__doc", "__island")
+        .agg(
+            F.min("__start").alias("span_start"),
+            F.max("__end").alias("span_end"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    k: int = 5,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_repeat: int = 2,
+) -> DataFrame:
+    """Remove duplicated substrings, keeping each region's first
+    occurrence (Lee-et-al-style one-copy semantics, on k-token
+    windows — see :func:`duplicate_substring_spans`).
+
+    Tokens covered by a non-winner duplicated window are dropped;
+    remaining tokens are reassembled in position order.  A document
+    whose every token was duplicated elsewhere reduces to ``''``.
+    Output: ``(id_col, text, n_removed_tokens)``.
+
+    The span join is per-doc (spans per doc are few and the join key
+    is the doc id), so the added cost over span detection is one
+    broadcast-friendly range filter + one reassembly aggregation.
+    """
+    spans = duplicate_substring_spans(
+        df, k, id_col=id_col, text_col=text_col,
+        min_repeat=min_repeat, keep_first=True,
+    )
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(tokenize(F.col(text_col))).alias("__pos", "__t"),
+    )
+    covered = (
+        toks.join(
+            spans.select(
+                F.col(id_col).alias("__doc"), "span_start", "span_end"
+            ),
+            "__doc",
+            "left",
+        )
+        .withColumn(
+            "__cut",
+            F.when(
+                F.col("__pos").between(
+                    F.col("span_start"), F.col("span_end")
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .groupBy("__doc", "__pos", "__t")
+        .agg(F.max("__cut").alias("__cut"))
+    )
+    rebuilt = (
+        covered.groupBy("__doc")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.array_compact(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("__cut") == 0,
+                                    F.struct("__pos", "__t"),
+                                )
+                            )
+                        ),
+                        lambda s: s["__t"],
+                    )
+                ),
+            ).alias(text_col),
+            F.sum("__cut").alias("n_removed_tokens"),
+        )
+        .select(
+            F.col("__doc").alias(id_col), text_col, "n_removed_tokens"
+        )
+    )
+    # docs with no tokens at all still come through (empty text)
+    return (
+        df.select(F.col(id_col)).distinct()
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(text_col, F.lit("")).alias(text_col),
+            F.coalesce("n_removed_tokens", F.lit(0)).alias(
+                "n_removed_tokens"
+            ),
+        )
+    )
+
+
 def embedding_lsh_buckets(
     df: DataFrame,
     *,

@@ -602,3 +602,246 @@ def frame_sample(
         df.schema.fields + [T.StructField(frame_col, T.LongType())]
     )
     return df.mapInPandas(sample, schema=schema)
+
+
+def _decode_any_image(b: bytes):
+    """PNG or PPM -> ``(w, h, ch, flat int64 pixel array)`` or None."""
+    dec = _decode_png(b)
+    if dec is not None:
+        meta, arr = dec
+        return (
+            meta["width"], meta["height"], meta["channels"],
+            arr.reshape(-1).astype("int64"),
+        )
+    ppm = _decode_ppm(b)
+    if ppm is not None:
+        meta, arr = ppm
+        return meta["width"], meta["height"], 3, arr.astype("int64")
+    return None
+
+
+def _decode_wav_samples(b: bytes):
+    """RIFF/PCM16 -> ``(sample_rate, channels, int64 sample array)``
+    or None — the raw-samples sibling of :func:`_parse_wav` (same
+    chunk walk and PCM16 gate)."""
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt_body, data_body = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos: pos + 4]
+        size = _struct.unpack("<I", b[pos + 4: pos + 8])[0]
+        body = b[pos + 8: pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += 8 + size + (size & 1)
+    if fmt_body is None or data_body is None or len(fmt_body) < 16:
+        return None
+    audio_fmt, ch, sr, _, _, bits = _struct.unpack("<HHIIHH", fmt_body[:16])
+    if audio_fmt != 1 or bits != 16:
+        return None
+    samples = np.frombuffer(
+        data_body[: len(data_body) // 2 * 2], dtype="<i2"
+    ).astype("int64")
+    return int(sr), int(ch), samples
+
+
+RESIZED_TYPE = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("pixels", T.ArrayType(T.IntegerType())),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    width: int,
+    height: int,
+    media_col: str = "media",
+    out_col: str = "resized",
+) -> DataFrame:
+    """Nearest-neighbor resize of decodable images (native PNG / PPM
+    decoders) to ``width x height`` — the standard preprocessing step
+    before batching images into a vision model.
+
+    Mapping is the integer floor rule ``src = (dst * src_dim) //
+    dst_dim`` — all-integer, so the output is bit-identical on any
+    engine and a SQL oracle can regenerate it arithmetically (the
+    multimodal contract-query pattern).  Undecodable payloads yield a
+    null struct, never an error.  Arrow-batched ``mapInPandas``; numpy
+    advanced indexing does the gather, no per-pixel Python loop.
+    """
+    if width < 1 or height < 1:
+        raise ValueError(f"target size must be >= 1x1, got {width}x{height}")
+
+    def do_resize(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_rows = []
+            for payload in pdf[media_col]:
+                b = bytes(payload) if payload is not None else b""
+                dec = _decode_any_image(b)
+                if dec is None:
+                    out_rows.append(None)
+                    continue
+                w, h, ch, flat = dec
+                img = flat.reshape(h, w, ch)
+                ys = (np.arange(height, dtype="int64") * h) // height
+                xs = (np.arange(width, dtype="int64") * w) // width
+                resized = img[np.ix_(ys, xs)]
+                out_rows.append(
+                    {
+                        "width": width,
+                        "height": height,
+                        "channels": ch,
+                        "pixels": resized.reshape(-1).astype("int32").tolist(),
+                    }
+                )
+            out = pdf.copy()
+            out[out_col] = out_rows
+            yield out
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, RESIZED_TYPE)]
+    )
+    return df.mapInPandas(do_resize, schema=schema)
+
+
+IMAGE_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_pixel", T.DoubleType()),
+        T.StructField("std_pixel", T.DoubleType()),
+        T.StructField("channel_means", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def image_features(
+    df: DataFrame, media_col: str = "media", out_col: str = "img"
+) -> DataFrame:
+    """Per-image feature extraction from the raw bytes (native PNG /
+    PPM decode): dimensions, global mean/std, per-channel means — the
+    cheap statistics an image-quality filter gates on before any
+    model-based scoring.
+
+    Portability contract: sums are exact int64 (pixels <= 65535, count
+    bounded by the decoder's 256 MB guard), ``mean = sum / n`` and
+    ``var = (n * sumsq - sum^2) / n^2`` are single correctly-rounded
+    IEEE divisions of exact integers, ``std = sqrt(var)`` is correctly
+    rounded — any engine mirroring the formulas bit-matches (same
+    recipe as the quantized-cosine oracles in ``pipeline/dedup``).
+    """
+
+    def feats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_rows = []
+            for payload in pdf[media_col]:
+                b = bytes(payload) if payload is not None else b""
+                dec = _decode_any_image(b)
+                if dec is None or dec[3].size == 0:
+                    out_rows.append(None)
+                    continue
+                w, h, ch, flat = dec
+                n = int(flat.size)
+                s = int(flat.sum())
+                sq = int((flat * flat).sum())
+                var = (n * sq - s * s) / (n * n)
+                per_ch = flat.reshape(-1, ch)
+                out_rows.append(
+                    {
+                        "width": w,
+                        "height": h,
+                        "channels": ch,
+                        "n_pixels": n,
+                        "mean_pixel": s / n,
+                        "std_pixel": float(np.sqrt(var)),
+                        "channel_means": [
+                            int(per_ch[:, c].sum()) / per_ch.shape[0]
+                            for c in range(ch)
+                        ],
+                    }
+                )
+            out = pdf.copy()
+            out[out_col] = out_rows
+            yield out
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, IMAGE_FEATURES_TYPE)]
+    )
+    return df.mapInPandas(feats, schema=schema)
+
+
+AUDIO_FEATURES_TYPE = T.StructType(
+    [
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("zero_crossings", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame, media_col: str = "media", out_col: str = "audio"
+) -> DataFrame:
+    """Per-clip audio features from raw RIFF/PCM16 bytes: peak
+    amplitude, zero-crossing count, RMS — the gating statistics of an
+    audio-corpus filter (silence / clipping / noise triage).
+
+    ``zero_crossings`` counts sign changes between consecutive frames
+    in sample order (strictly ``s[i-1] * s[i] < 0``; zeros break a
+    run).  ``rms = sqrt(sumsq / n)`` over exact int64 sums — same
+    bit-portability argument as :func:`image_features`.  Undecodable
+    payloads yield a null struct.
+    """
+
+    def feats(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out_rows = []
+            for payload in pdf[media_col]:
+                b = bytes(payload) if payload is not None else b""
+                dec = _decode_wav_samples(b)
+                if dec is None or dec[2].size == 0:
+                    out_rows.append(None)
+                    continue
+                sr, ch, samples = dec
+                n = int(samples.size)
+                sq = int((samples * samples).sum())
+                zc = int(
+                    np.count_nonzero(samples[:-1] * samples[1:] < 0)
+                )
+                out_rows.append(
+                    {
+                        "sample_rate": sr,
+                        "channels": ch,
+                        "n_samples": n,
+                        "peak": int(np.abs(samples).max()),
+                        "zero_crossings": zc,
+                        "rms": float(np.sqrt(sq / n)),
+                    }
+                )
+            out = pdf.copy()
+            out[out_col] = out_rows
+            yield out
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, AUDIO_FEATURES_TYPE)]
+    )
+    return df.mapInPandas(feats, schema=schema)

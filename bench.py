@@ -93,9 +93,20 @@ def main() -> None:
     queries = entrymod.queries()
     names = [n for n in HEADLINE if n in queries]
 
+    # warm-up: one SQL-path query (JVM/reader) and one UDF query (python
+    # worker pool + Arrow serializers) — BASELINE.md protocol is warm-JVM
+    queries["topk_orders"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    queries["sweep_sumdiff"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
     # pre-stage the incremental-dedup index (production: a saved table
     # built once, probed per ingest) so the timed number is the
-    # per-batch probe; the one-time build cost is recorded separately
+    # per-batch probe; the one-time build cost is recorded separately.
+    # Runs AFTER warm-up: a cold JVM adds ~8 s of codegen/JIT to the
+    # 64-perm expression tree, which is session noise, not build cost.
     build_timings: dict[str, float] = {}
     if "dedup_incremental" in names:
         import shutil
@@ -111,14 +122,6 @@ def main() -> None:
         queries["dedup_incremental"] = entrymod.make_dedup_incremental_probe(
             idx_path
         )
-    # warm-up: one SQL-path query (JVM/reader) and one UDF query (python
-    # worker pool + Arrow serializers) — BASELINE.md protocol is warm-JVM
-    queries["topk_orders"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    queries["sweep_sumdiff"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
 
     timings: dict[str, float] = {}
     for name in names:

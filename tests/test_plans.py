@@ -324,3 +324,42 @@ def test_hot_keys_bounded_candidates(spark):
     df = spark.range(20000).selectExpr("id % 5000 AS v")  # 5000 distinct
     hh = heavy_hitters(df, "v", threshold=1e-9, max_candidates=64)
     assert len(hh) <= 64  # capped, not 5000
+
+
+def test_substring_spans_no_self_join(spark):
+    """Substring dedup must stay linear: the plan has hash aggregates
+    and window exchanges but NO join of the gram stream with itself
+    on the raw gram text producing pair fan-out (the candidate join
+    is occurrence->gram-stats, 1:1), and no Python evaluators."""
+    from xyzpy_spark.pipeline.dedup import duplicate_substring_spans
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    q = duplicate_substring_spans(docs, k=5)
+    plan = executed_plan(q)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # one equi-join (occurrence -> duplicated-gram stats), not more
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
+        + plan.count("BroadcastHashJoin") == 1, plan
+
+
+def test_image_ops_single_python_stage(spark):
+    """decode+resize / decode+features fuse into ONE Arrow python
+    stage over the scan — no shuffle, no chained python evaluators."""
+    from xyzpy_spark.pipeline.multimodal import (
+        attach_sample_png,
+        image_features,
+        resize_image,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id")
+    for q in [
+        resize_image(attach_sample_png(docs), 4, 4),
+        image_features(attach_sample_png(docs)),
+    ]:
+        assert not has_exchange(q)
+        plan = executed_plan(q)
+        # the attach + decode stages are mapInPandas: python stages are
+        # expected, but there must be no exchange between them
+        assert "Exchange" not in plan

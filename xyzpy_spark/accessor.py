@@ -170,6 +170,31 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(dedup_paragraphs(self.df, **kw))
 
+    def dedup_substrings(self, k: int = 5, **kw) -> "xyz":
+        from .pipeline.dedup import duplicate_substring_spans
+
+        return self._wrap(duplicate_substring_spans(self.df, k, **kw))
+
+    def strip_substrings(self, k: int = 5, **kw) -> "xyz":
+        from .pipeline.dedup import strip_duplicate_spans
+
+        return self._wrap(strip_duplicate_spans(self.df, k, **kw))
+
+    def resize_image(self, width: int, height: int, **kw) -> "xyz":
+        from .pipeline.multimodal import resize_image
+
+        return self._wrap(resize_image(self.df, width, height, **kw))
+
+    def image_features(self, **kw) -> "xyz":
+        from .pipeline.multimodal import image_features
+
+        return self._wrap(image_features(self.df, **kw))
+
+    def audio_features(self, **kw) -> "xyz":
+        from .pipeline.multimodal import audio_features
+
+        return self._wrap(audio_features(self.df, **kw))
+
     # -- presentation (dense) -------------------------------------------
     def to_xarray(self, dims, **kw):
         from .runner import to_xarray

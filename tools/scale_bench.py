@@ -57,6 +57,8 @@ from xyzpy_spark.session import get_spark
 # every banded-dedup path, the iterative clusterer, the salted join,
 # the windowed agg, and the incremental-ingest probe.
 HEAVY = [
+    "dedup_substrings",
+    "strip_substrings",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

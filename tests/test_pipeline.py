@@ -679,6 +679,47 @@ def test_resize_image_nearest_neighbor(spark):
         resize_image(df, 0, 4)
 
 
+def test_resize_and_features_hostile_payloads(spark):
+    """Truncated/hostile media must yield null structs, never a task
+    failure: a TRUNCATED PPM (header says 6x5, body short), an empty
+    PPM body, a truncated WAV data chunk, and raw garbage."""
+    from xyzpy_spark.pipeline.multimodal import (
+        audio_features,
+        fake_ppm_bytes,
+        fake_wav_bytes,
+        image_features,
+        resize_image,
+    )
+
+    good_ppm = fake_ppm_bytes(2)
+    truncated_ppm = good_ppm[:-7]
+    empty_body = b"P6\n4 3\n255\n"
+    garbage = b"\x00" * 64
+    df = spark.createDataFrame(
+        [
+            (1, truncated_ppm),
+            (2, empty_body),
+            (3, garbage),
+            (4, good_ppm),
+        ],
+        ["doc_id", "media"],
+    )
+    rz = {r.doc_id: r.resized for r in resize_image(df, 3, 3).collect()}
+    assert rz[1] is None and rz[2] is None and rz[3] is None
+    assert rz[4] is not None and len(rz[4].pixels) == 27
+    ft = {r.doc_id: r.img for r in image_features(df).collect()}
+    assert ft[1] is None and ft[2] is None and ft[3] is None
+    assert ft[4] is not None
+
+    good_wav = fake_wav_bytes(2)
+    adf = spark.createDataFrame(
+        [(1, good_wav[:20]), (2, garbage), (3, good_wav)],
+        ["doc_id", "media"],
+    )
+    au = {r.doc_id: r.audio for r in audio_features(adf).collect()}
+    assert au[1] is None and au[2] is None and au[3] is not None
+
+
 def test_image_and_audio_features_closed_form(spark):
     """Feature extractors reproduce the closed-form statistics of the
     fake payloads exactly (int sums; IEEE-rounded mean/std/rms)."""

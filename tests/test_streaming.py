@@ -207,6 +207,59 @@ def test_corpus_scrub_composes_with_streams(spark):
     assert got == want
 
 
+def test_multimodal_features_compose_with_streams(spark):
+    """The Arrow-batched multimodal stages (attach/decode/resize/
+    features are all mapInPandas) are stream-composable as-is: a
+    documents file stream through decode+features must equal the
+    batch result row for row — the shape of a streaming media-ingest
+    pipeline."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from xyzpy_spark.pipeline.multimodal import (
+        attach_sample_png,
+        image_features,
+        resize_image,
+    )
+
+    def pipe(df):
+        feat = image_features(attach_sample_png(df))
+        rz = resize_image(feat, 2, 2)
+        return rz.select(
+            "doc_id",
+            F.col("img.n_pixels").alias("n_pixels"),
+            F.col("img.mean_pixel").alias("mean_pixel"),
+            F.aggregate(
+                "resized.pixels", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("rz_sum"),
+        )
+
+    batch = read_table(spark, SF_DIR, "documents").select("doc_id")
+    want = {
+        r["doc_id"]: (r["n_pixels"], r["mean_pixel"], r["rz_sum"])
+        for r in pipe(batch).collect()
+    }
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(
+                os.path.join(SF_DIR, "documents.parquet")
+            ).schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+        .select("doc_id")
+    )
+    out = run_stream_to_memory(
+        pipe(stream), "media_stream_t", output_mode="append"
+    )
+    got = {
+        r["doc_id"]: (r["n_pixels"], r["mean_pixel"], r["rz_sum"])
+        for r in out.collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_dedup_stream_drops_duplicate_arrivals(spark, events_batch, events_stream):
     from xyzpy_spark.streaming.ops import dedup_stream
 

@@ -605,19 +605,27 @@ def frame_sample(
 
 
 def _decode_any_image(b: bytes):
-    """PNG or PPM -> ``(w, h, ch, flat int64 pixel array)`` or None."""
+    """PNG or PPM -> ``(w, h, ch, flat int64 pixel array)`` or None.
+
+    Rejects payloads whose pixel count doesn't match the declared
+    dimensions (e.g. a TRUNCATED PPM body — the header-declared w*h
+    would otherwise crash a downstream reshape): one bad file must
+    yield a null, never a task failure.
+    """
     dec = _decode_png(b)
     if dec is not None:
         meta, arr = dec
-        return (
-            meta["width"], meta["height"], meta["channels"],
-            arr.reshape(-1).astype("int64"),
-        )
-    ppm = _decode_ppm(b)
-    if ppm is not None:
+        w, h, ch = meta["width"], meta["height"], meta["channels"]
+    else:
+        ppm = _decode_ppm(b)
+        if ppm is None:
+            return None
         meta, arr = ppm
-        return meta["width"], meta["height"], 3, arr.astype("int64")
-    return None
+        w, h, ch = meta["width"], meta["height"], 3
+    flat = arr.reshape(-1).astype("int64")
+    if flat.size != w * h * ch or flat.size == 0:
+        return None
+    return w, h, ch, flat
 
 
 def _decode_wav_samples(b: bytes):

@@ -214,6 +214,20 @@ def test_resow_identical_keeps_grown_batches(spark, tmp_path):
     assert got == want
 
 
+def test_resow_changed_var_spec_clears(spark, tmp_path):
+    """Changing the OUTPUT spec (var_names) on an otherwise identical
+    re-sow must not early-return: reap would decode results with the
+    stale single-variable spec (review r3)."""
+    crop = Crop("resow_spec", str(tmp_path), spark=spark)
+    crop.sow_combos(foo3_scalar, COMBOS, var_names="x", num_batches=4)
+    crop.grow([0])
+    assert crop.grown_batches() == {0}
+    crop.sow_combos(foo3_scalar, COMBOS, var_names="renamed", num_batches=4)
+    assert crop.grown_batches() == set()  # stale results cleared
+    crop.grow()
+    assert "renamed" in crop.reap().columns
+
+
 def test_resow_changed_batching_clears(spark, tmp_path):
     """Changing num_batches re-partitions the grid, so grown batch
     files no longer align — the crop must reset."""

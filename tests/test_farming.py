@@ -268,3 +268,43 @@ def test_to_xarray_attrs_roundtrip(spark, tmp_path, monkeypatch):
     # explicit attrs= overrides the sidecar
     h.to_xarray(attrs={"only": 1})
     assert captured["attrs"] == {"only": 1}
+
+
+def test_to_xarray_constants_override_attrs(spark, tmp_path, monkeypatch):
+    """When a key appears in BOTH constants and attrs, constants win —
+    the reference applies constants ON TOP of attrs
+    (gen/combo_runner.py:514-535) and add_df's sidecar does the same;
+    to_xarray must agree with both (review r3)."""
+    import sys
+    import types
+
+    from xyzpy_spark.farming import Runner, load_attrs
+
+    def kern(a, scale):
+        return a * scale
+
+    r = Runner(
+        kern,
+        var_names="y",
+        constants={"scale": 2},
+        attrs={"scale": "two", "units": "ms"},
+    )
+    h = r.harvester(str(tmp_path / "store.parquet"))
+    h.harvest_combos({"a": [1, 2]})
+
+    side = load_attrs(str(tmp_path / "store.parquet"))
+    assert side["scale"] == 2  # constant wins in the sidecar
+
+    captured = {}
+
+    class _FakeDataset:
+        def __init__(self, data_vars, coords=None, attrs=None):
+            captured["attrs"] = attrs
+
+    fake_xr = types.ModuleType("xarray")
+    fake_xr.Dataset = _FakeDataset
+    monkeypatch.setitem(sys.modules, "xarray", fake_xr)
+
+    h.to_xarray()
+    assert captured["attrs"]["scale"] == 2  # agrees with the sidecar
+    assert captured["attrs"]["units"] == "ms"

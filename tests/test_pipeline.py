@@ -1425,6 +1425,15 @@ def test_dedup_against_index_prebanded(spark):
     )
     assert plain == banded
 
+    # a probe banded differently from the saved projection would match
+    # NOTHING and silently declare every dup novel — must fail loudly
+    # (band_dedup_index stamps num_perm/bands; review r3)
+    bands8 = band_dedup_index(index, bands=8)
+    with pytest.raises(ValueError, match="banding parameters"):
+        dedup_against_index(
+            new, index, n=2, threshold=0.3, bands=16, index_bands=bands8
+        )
+
 
 def test_dedup_against_index_portable_mode(spark):
     """md5 portable mode produces the same dup decisions."""

@@ -149,6 +149,12 @@ class Crop:
                     "num_batches": num_batches,
                     "explode": explode,
                     "fn": hashlib.sha256(fn_bytes).hexdigest(),
+                    # the OUTPUT spec is part of the sown identity too:
+                    # an identical grid re-sown with different
+                    # var_names/dims/coords/types must not early-return,
+                    # or reap would decode results with the stale spec
+                    "specs": repr(specs),
+                    "coords": repr(coords),
                 },
                 sort_keys=True,
             ).encode()

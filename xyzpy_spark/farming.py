@@ -308,10 +308,14 @@ class Harvester:
         if df is None:
             raise ValueError("no stored dataset")
         if "attrs" not in kw:
+            # constants LAST — the reference applies constants on top
+            # of attrs (gen/combo_runner.py:514-535: ds.attrs = attrs,
+            # then ds.attrs[k] = constant) — and the same order keeps
+            # this consistent with the sidecar add_df writes
             kw["attrs"] = {
                 **load_attrs(self.data_name),
-                **self.runner.constants,
                 **self.runner.attrs,
+                **self.runner.constants,
             }
         return to_xarray(df, self._store_dims(dims), **kw)
 
@@ -392,8 +396,15 @@ class Harvester:
                     new, self._result_dims(dims), overwrite=overwrite, sync=sync
                 )
             finally:
-                # add_df's sync write is an action, so the cached
-                # missing set is fully consumed by the time we get here
+                # with sync=True (default) add_df's publish is an
+                # action, so the cached missing set is fully consumed
+                # by the time we get here.  With sync=False the merge
+                # is returned lazy: the persist still served this
+                # call's own actions (emptiness probe, run_grid_df's
+                # schema sample), and we unpersist anyway — a later
+                # action on the lazy result recomputes the anti-join
+                # (cheap: one store scan) rather than holding cached
+                # partitions hostage for an unknowable lifetime
                 todo.unpersist()
         new = self.runner.run_combos(combos, **kwargs)
         return self.add_df(new, self._result_dims(dims), overwrite=overwrite, sync=sync)

@@ -118,6 +118,13 @@ def heavy_hitters(
     overestimate-only error ``eps * n``.  Returns
     ``[(value, est_count)]`` sorted by estimated count descending.
 
+    At most ``max_candidates`` values (the largest by in-sample count)
+    are probed: when MORE distinct values than that exceed the
+    threshold, the tail beyond the cap is not returned (a
+    ``RuntimeWarning`` fires when the cap is hit).  The result is the
+    top of the hot tail, not an exhaustive census — exactly what
+    salting needs; raise ``max_candidates`` for exhaustive discovery.
+
     This is the unbounded-domain alternative to ``frequent_items``:
     sketch state is eps/confidence-bounded, never proportional to the
     number of distinct values.  Values are hashed as strings so the
@@ -159,6 +166,23 @@ def heavy_hitters(
         .limit(int(max_candidates))
         .collect()
     ]
+    if len(cands) == int(max_candidates):
+        # the candidate list hit the cap: more than max_candidates
+        # distinct values had sampled occurrences, so values beyond the
+        # cap (smallest in-sample counts) were never probed — if many
+        # keys genuinely exceed `threshold`, some true hitters may be
+        # missing from the result.  Raise max_candidates or threshold.
+        import warnings
+
+        warnings.warn(
+            f"heavy_hitters: candidate probe capped at "
+            f"{max_candidates} values; keys beyond the cap were not "
+            "probed and true hitters above threshold may be missing — "
+            "raise max_candidates (or threshold) for exhaustive "
+            "discovery",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     jvm = df.sparkSession._jvm
     cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(blob)
     floor = n * threshold

@@ -180,7 +180,13 @@ def range_join(
         # three; unlike persist()+CacheManager its blocks are released
         # by the ContextCleaner once the result is dereferenced, so
         # repeated left-range-joins in a long session don't accumulate
-        # cached partitions.
+        # cached partitions.  Tradeoff: lineage is truncated, so a
+        # lost executor (dynamic allocation scale-down, OOM kill)
+        # fails the job with a missing-checkpoint-block error instead
+        # of recomputing — on clusters that decommission executors
+        # mid-job, disable dynamic allocation for this stage or use
+        # reliable checkpointing (spark.sparkContext.setCheckpointDir
+        # + .checkpoint()) at the cost of a write to shared storage.
         base = left.withColumn(
             "__lid", F.monotonically_increasing_id()
         ).localCheckpoint(eager=False)

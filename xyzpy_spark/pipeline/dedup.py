@@ -1520,6 +1520,12 @@ def band_dedup_index(
     banded rows trades ~``bands``x signature storage for a probe with
     no second lookup join; storage-tight deployments can drop ``sig``
     here and re-join candidates against the main index instead.
+
+    The banding parameters are stamped onto every row as literal
+    ``num_perm`` / ``bands`` columns (RLE-compressed to nothing in
+    parquet): :func:`dedup_against_index` validates them against its
+    own parameters, because a probe banded differently from its index
+    matches NOTHING and silently declares every duplicate novel.
     """
     return (
         index.where(F.col("sig").isNotNull())
@@ -1528,7 +1534,14 @@ def band_dedup_index(
             "sig",
             _band_bucket_col(num_perm, bands).alias("bb"),
         )
-        .select(id_col, "sig", "bb.band", "bb.bucket")
+        .select(
+            id_col,
+            "sig",
+            "bb.band",
+            "bb.bucket",
+            F.lit(int(num_perm)).alias("num_perm"),
+            F.lit(int(bands)).alias("bands"),
+        )
     )
 
 
@@ -1599,6 +1612,21 @@ def dedup_against_index(
     # token-less docs carry NULL sigs: exclude them from banding (they
     # would all collide on the hash of the empty tuple)
     if index_bands is not None:
+        if {"num_perm", "bands"} <= set(index_bands.columns):
+            # the projection stamps its banding parameters on every row
+            # (band_dedup_index): a mismatched probe would join against
+            # incompatible buckets and silently find nothing, so fail
+            # loudly instead.  limit-1 read — negligible vs the probe.
+            meta = index_bands.select("num_perm", "bands").first()
+            if meta is not None and (
+                meta["num_perm"] != num_perm or meta["bands"] != bands
+            ):
+                raise ValueError(
+                    "index_bands was banded with num_perm="
+                    f"{meta['num_perm']}, bands={meta['bands']} but the "
+                    f"probe asked for num_perm={num_perm}, bands={bands} "
+                    "— probes must match the index's banding parameters"
+                )
         old_b = index_bands.select(
             F.col(id_col).alias("_old_id"),
             F.col("sig").alias("sig_old"),

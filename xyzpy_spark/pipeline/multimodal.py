@@ -400,36 +400,22 @@ def attach_sample_png(
 
 
 def _parse_wav(b: bytes) -> dict | None:
-    """Walk RIFF chunks; decode PCM16 frames; stats from the samples."""
-    import numpy as np
-
-    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+    """Stats view over :func:`_decode_wav_samples` (single RIFF chunk
+    walk shared by decode_media and audio_features — the same
+    decode/parse wrapper split as PPM and PNG)."""
+    dec = _decode_wav_samples(b)
+    if dec is None:
         return None
-    pos, fmt_body, data_body = 12, None, None
-    while pos + 8 <= len(b):
-        cid = b[pos: pos + 4]
-        size = _struct.unpack("<I", b[pos + 4: pos + 8])[0]
-        body = b[pos + 8: pos + 8 + size]
-        if cid == b"fmt ":
-            fmt_body = body
-        elif cid == b"data":
-            data_body = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt_body is None or data_body is None or len(fmt_body) < 16:
-        return None
-    audio_fmt, ch, sr, _, _, bits = _struct.unpack("<HHIIHH", fmt_body[:16])
-    if audio_fmt != 1 or bits != 16:
-        return None  # only uncompressed PCM16 here
-    samples = np.frombuffer(data_body[: len(data_body) // 2 * 2], dtype="<i2")
-    n = samples.size
+    sr, ch, samples = dec
+    n = int(samples.size)
     return {
         "format": "wav",
         "width": None,
         "height": None,
-        "sample_rate": int(sr),
-        "channels": int(ch),
+        "sample_rate": sr,
+        "channels": ch,
         "n_values": n,
-        "mean_value": int(samples.sum(dtype="int64")) / n if n else None,
+        "mean_value": int(samples.sum()) / n if n else None,
     }
 
 

@@ -282,9 +282,16 @@ def report_memory_gpu() -> str:
 def executor_memory_reports(spark, gpu: bool = False) -> dict[str, str]:
     """Collect :func:`report_memory` (or :func:`report_memory_gpu`)
     from every executor — the cluster-wide view the reference's
-    single-process reporters cannot give.  One tiny barrier job with
-    one task per executor core; each task reports its host once
-    (deduped by hostname, so the result is per-machine).
+    single-process reporters cannot give.
+
+    Runs one task per executor core as a BARRIER stage: barrier
+    scheduling forces all tasks to run concurrently, so every executor
+    must host its share and no machine is skipped (a plain job could
+    schedule all its tiny tasks onto a few idle executors and silently
+    miss the busy ones).  Each task reports its host once, deduped by
+    hostname, so the result is per-machine.  Falls back to a plain
+    job — best-effort coverage — where barrier mode is unsupported
+    (e.g. fewer free slots than tasks under dynamic allocation).
     """
     sc = spark.sparkContext
     n = int(sc.defaultParallelism)
@@ -296,7 +303,15 @@ def executor_memory_reports(spark, gpu: bool = False) -> dict[str, str]:
         if any(True for _ in it):
             yield socket.gethostname(), fn()
 
-    pairs = (
-        sc.parallelize(range(n), n).mapPartitions(part).collect()
-    )
+    def barrier_part(it):
+        from pyspark import BarrierTaskContext
+
+        BarrierTaskContext.get().barrier()
+        yield from part(it)
+
+    rdd = sc.parallelize(range(n), n)
+    try:
+        pairs = rdd.barrier().mapPartitions(barrier_part).collect()
+    except Exception:  # noqa: BLE001 — barrier unsupported: degrade
+        pairs = rdd.mapPartitions(part).collect()
     return dict(pairs)

@@ -91,6 +91,82 @@ def test_score_quality_model(spark, docs):
     assert len({r["score_raw"] for r in rows.values()}) > 1
 
 
+def test_train_and_serve_quality_classifier(spark):
+    """Train->serve loop: a hashed-bag logistic classifier trained on
+    a synthetic separable labeled set must classify a held-out set
+    from the same distribution correctly, and the distributed serving
+    margins must match a numpy reimplementation of the dot product."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.text import (
+        score_quality_trained,
+        train_quality_classifier,
+    )
+
+    rng = np.random.default_rng(7)
+    good_vocab = [f"good{i}" for i in range(30)]
+    bad_vocab = [f"spam{i}" for i in range(30)]
+    shared = [f"word{i}" for i in range(50)]
+
+    def make(n, vocab, label, start):
+        rows = []
+        for d in range(n):
+            toks = list(rng.choice(shared, 8)) + list(rng.choice(vocab, 6))
+            rng.shuffle(toks)
+            rows.append((start + d, " ".join(toks), label))
+        return rows
+
+    train_rows = make(60, good_vocab, 1, 0) + make(60, bad_vocab, 0, 1000)
+    test_rows = make(25, good_vocab, 1, 2000) + make(25, bad_vocab, 0, 3000)
+    labeled = spark.createDataFrame(
+        train_rows, "doc_id long, text string, label int"
+    )
+    weights, b0 = train_quality_classifier(labeled, n_buckets=1 << 14)
+
+    held = spark.createDataFrame(
+        test_rows, "doc_id long, text string, label int"
+    )
+    out = score_quality_trained(held, weights, b0, n_buckets=1 << 14)
+    got = {r.doc_id: (r.margin, r.keep) for r in out.collect()}
+    acc = sum(
+        1 for d, t, lab in test_rows if got[d][1] == bool(lab)
+    ) / len(test_rows)
+    assert acc >= 0.95, acc
+
+    # serving margins agree with a driver-side numpy dot product using
+    # the same bucket function (hash parity via the collected weights)
+    wmap = {r.bucket: r.weight for r in weights.collect()}
+    from pyspark.sql import functions as F
+
+    bucket_rows = (
+        held.select(
+            "doc_id",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("t"),
+        )
+        .select(
+            "doc_id", F.pmod(F.hash("t"), F.lit(1 << 14)).alias("b")
+        )
+        .collect()
+    )
+    expect = {d: 0.0 for d, _, _ in test_rows}
+    for r in bucket_rows:
+        expect[r.doc_id] += wmap.get(r.b, 0.0)
+    for d in expect:
+        assert abs(got[d][0] - (expect[d] + b0)) < 1e-6, d
+
+    # empty / weightless docs fall back to the intercept
+    edf = spark.createDataFrame([(9, "")], "doc_id long, text string")
+    er = score_quality_trained(edf, weights, b0, n_buckets=1 << 14).first()
+    assert abs(er.margin - b0) < 1e-12
+
+    with pytest.raises(ValueError, match="binary"):
+        train_quality_classifier(
+            spark.createDataFrame(
+                [(1, "a", 2)], "doc_id long, text string, label int"
+            )
+        )
+
+
 def test_score_quality_model_empty_doc(spark):
     from xyzpy_spark.pipeline.text import score_quality_model
 

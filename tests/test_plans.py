@@ -363,3 +363,20 @@ def test_image_ops_single_python_stage(spark):
         # the attach + decode stages are mapInPandas: python stages are
         # expected, but there must be no exchange between them
         assert "Exchange" not in plan
+
+
+def test_quality_serving_broadcasts_weights(spark):
+    """Trained-weight serving must broadcast the weight table — the
+    corpus never shuffles to meet the weights; the only exchange is
+    the per-doc margin aggregation + assembly join."""
+    from xyzpy_spark.pipeline.text import score_quality_trained
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    weights = spark.createDataFrame(
+        [(i, 0.5 - (i % 3) * 0.25) for i in range(100)],
+        "bucket long, weight double",
+    )
+    q = score_quality_trained(docs, weights, 0.1)
+    plan = executed_plan(q)
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan

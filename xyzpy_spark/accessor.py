@@ -139,6 +139,13 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(dedup_corpus(self.df, **kw))
 
+    def quality_trained(self, weights, intercept=0.0, **kw) -> "xyz":
+        from .pipeline.text import score_quality_trained
+
+        return self._wrap(
+            score_quality_trained(self.df, weights, intercept, **kw)
+        )
+
     def quality_model(self, text_col: str = "text", **kw) -> "xyz":
         from .pipeline.text import score_quality_model
 

@@ -837,6 +837,24 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus curation (pipeline/sampling.
+    sample_token_budget, expected mode — the 100-TB path): per-source
+    total-token aggregation broadcast into a MAP-ONLY hash filter with
+    ratio budget/total; unbudgeted sources kept whole.  Same md5
+    arithmetic as hash_sample, so the DuckDB twin is bit-exact."""
+    from xyzpy_spark.pipeline.sampling import sample_token_budget
+    from xyzpy_spark.pipeline.text import add_token_count
+
+    docs = add_token_count(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    )
+    out = sample_token_budget(
+        docs, {"src0": 700, "src1": 100}, stratum="source"
+    )
+    return out.select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest dedup: docs with doc_id % 10 == 0 arrive as
     the new batch and are deduped against the index built over the
@@ -1378,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "missing_cases": q_missing_cases,
         "estimate_repeats": q_estimate_from_repeats,
         "rollup_hour_day": q_rollup_hour_day,
+        "token_budget": q_token_budget,
     }
 
 
@@ -1990,6 +2009,32 @@ def oracle_sql() -> dict[str, str]:
                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
                    FLOOR(SQRT(CAST(SUM(v*v) AS DOUBLE) / MAX(nv)) * 1000000.0 + 0.5) / 1000000.0 AS rms
             FROM smp GROUP BY doc_id
+        """,
+        # exact twin of the expected-mode token-budget sampler: same
+        # tokenization, same md5 hash_unit arithmetic, ratio =
+        # least(1, budget/total) per source, map filter
+        "token_budget": """
+            WITH t AS (
+                SELECT doc_id, source,
+                       len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           u -> u <> '')) AS n_tokens
+                FROM documents
+            ), tot AS (
+                SELECT source, SUM(n_tokens) AS total FROM t GROUP BY source
+            )
+            SELECT t.doc_id, t.source, CAST(t.n_tokens AS BIGINT) AS n_tokens
+            FROM t JOIN tot ON t.source = tot.source
+            WHERE CASE t.source
+                    WHEN 'src0' THEN
+                      CAST(('0x' || substr(md5(t.doc_id::VARCHAR || 'budget'), 1, 8)) AS UBIGINT)
+                        / 4294967296.0
+                      < LEAST(1.0, 700.0 / GREATEST(tot.total, 1))
+                    WHEN 'src1' THEN
+                      CAST(('0x' || substr(md5(t.doc_id::VARCHAR || 'budget'), 1, 8)) AS UBIGINT)
+                        / 4294967296.0
+                      < LEAST(1.0, 100.0 / GREATEST(tot.total, 1))
+                    ELSE TRUE
+                  END
         """,
         "semantic_dedup": """
             WITH q AS (

@@ -73,6 +73,7 @@ HEADLINE = [
     "image_resize",
     "image_features",
     "audio_features",
+    "token_budget",
     "dedup_incremental",
 ]
 

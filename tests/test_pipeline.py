@@ -1100,6 +1100,73 @@ def test_ivf_topk_portable_recall_and_determinism(spark):
     assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
 
 
+def test_sample_token_budget_exact_matches_twin(spark):
+    """Exact mode keeps, per stratum, the hash-ordered prefix of docs
+    whose cumulative token count starts before the budget — verified
+    against an independent python model of the same md5 arithmetic."""
+    import hashlib
+
+    from xyzpy_spark.pipeline.sampling import sample_token_budget
+
+    rows = [
+        (i, ["web", "code", "books"][i % 3], 5 + (i * 7) % 40)
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+
+    def unit(key):
+        h = int(hashlib.md5(f"{key}budget".encode()).hexdigest()[:8], 16)
+        return h / 4294967296.0
+
+    budgets = {"web": 200, "code": 1}
+    want = set()
+    for src in ["web", "code", "books"]:
+        docs = sorted(
+            (r for r in rows if r[1] == src),
+            key=lambda r: (unit(r[0]), r[0]),
+        )
+        if src not in budgets:
+            want |= {r[0] for r in docs}
+            continue
+        cum = 0
+        for r in docs:
+            if cum < budgets[src]:
+                want.add(r[0])
+            cum += r[2]
+    got = {
+        r.doc_id
+        for r in sample_token_budget(df, budgets, exact=True).collect()
+    }
+    assert got == want
+    # at least one doc per budgeted stratum, budget overshoot bounded
+    kept = [r for r in rows if r[0] in got and r[1] == "web"]
+    assert sum(r[2] for r in kept) >= 200
+    assert len([r for r in rows if r[0] in got and r[1] == "code"]) == 1
+
+
+def test_sample_token_budget_expected_mode(spark):
+    """Expected mode (the scale path): map-only hash filter with
+    ratio budget/total — deterministic, unbudgeted strata kept whole,
+    token yield concentrates around the budget."""
+    from xyzpy_spark.pipeline.sampling import sample_token_budget
+
+    rows = [(i, "web" if i < 900 else "books", 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens int")
+    out = sample_token_budget(df, {"web": 3000}).collect()
+    books = [r for r in out if r.source == "books"]
+    assert len(books) == 100  # kept whole
+    web_tokens = sum(r.n_tokens for r in out if r.source == "web")
+    assert 2000 <= web_tokens <= 4000  # expected 3000, concentrated
+    # deterministic across runs
+    again = sample_token_budget(df, {"web": 3000}).collect()
+    assert {r.doc_id for r in again} == {r.doc_id for r in out}
+    # budget >= total keeps everything
+    allkept = sample_token_budget(df, {"web": 10**9}).collect()
+    assert len(allkept) == 1000
+    with pytest.raises(ValueError, match="token_col"):
+        sample_token_budget(df.drop("n_tokens"), {"web": 10})
+
+
 def test_mix_corpora_multiplicities(spark):
     from xyzpy_spark.pipeline.sampling import mix_corpora
 

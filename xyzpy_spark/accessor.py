@@ -156,6 +156,11 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(semantic_dedup(self.df, **kw))
 
+    def sample_token_budget(self, budgets, **kw) -> "xyz":
+        from .pipeline.sampling import sample_token_budget
+
+        return self._wrap(sample_token_budget(self.df, budgets, **kw))
+
     def hash_sample(self, key, fraction, **kw) -> "xyz":
         from .pipeline.sampling import hash_sample
 

@@ -23,7 +23,7 @@ callable distributions); this module adds the dataset-side sampling a
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
     "hash_unit",
@@ -154,3 +154,91 @@ def split_train_eval(
     u = hash_unit(key, salt)
     thr = F.lit(float(eval_fraction))
     return df.where(u >= thr), df.where(u < thr)
+
+
+def sample_token_budget(
+    df: DataFrame,
+    budgets: dict,
+    *,
+    stratum: str = "source",
+    key: str = "doc_id",
+    token_col: str = "n_tokens",
+    salt: str = "budget",
+    exact: bool = False,
+) -> DataFrame:
+    """Curate a training mix by TOKEN budget per stratum ("take 10B
+    tokens of web, 2B of code") — the unit that matters for training,
+    not document count.
+
+    ``budgets`` maps a ``stratum`` value to a token budget; strata
+    without an entry are kept whole.  ``token_col`` must already hold
+    per-doc token counts (``text.add_token_count``).  Selection is
+    keyed on ``hash_unit(key, salt)`` so it is deterministic across
+    runs, partitionings and engines, and independent samples come from
+    distinct salts.
+
+    Two modes:
+
+    - ``exact=False`` (default, the 100-TB path): one aggregation
+      computes total tokens per stratum, then a MAP-ONLY filter keeps
+      docs whose hash lands below ``budget / total`` — expected token
+      yield equals the budget (concentration: relative error
+      ~ 1/sqrt(docs kept)), no per-stratum sort, no skew risk.
+    - ``exact=True``: a per-stratum window orders docs by hash and
+      keeps the prefix whose cumulative count starts before the
+      budget (yield in [budget, budget + max_doc_tokens)).  Exact,
+      but the window sorts each stratum inside one partition — use
+      for driver-scale curation or small strata, not a 100-TB
+      stratum.
+
+    Output: input rows (filtered) + ``tokens_kept`` = running or
+    expected contribution bookkeeping is left to the caller; the
+    selection itself is the contract.
+    """
+    if token_col not in df.columns:
+        raise ValueError(
+            f"token_col {token_col!r} not in columns — run "
+            "text.add_token_count first"
+        )
+    u = hash_unit(key, salt)
+    if exact:
+        w = (
+            Window.partitionBy(stratum)
+            .orderBy(u.asc(), F.col(key).asc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+        budget_col = None
+        for val, b in sorted(budgets.items(), key=lambda kv: str(kv[0])):
+            cond = F.when(F.col(stratum) == F.lit(val), F.lit(int(b)))
+            budget_col = cond if budget_col is None else budget_col.when(
+                F.col(stratum) == F.lit(val), F.lit(int(b))
+            )
+        budget_col = (
+            budget_col.otherwise(F.lit(None))
+            if budget_col is not None
+            else F.lit(None)
+        )
+        return df.withColumn("__before", before).where(
+            budget_col.isNull() | (F.col("__before") < budget_col)
+        ).drop("__before")
+    totals = (
+        df.groupBy(stratum)
+        .agg(F.sum(token_col).alias("__total"))
+    )
+    ratio = None
+    for val, b in sorted(budgets.items(), key=lambda kv: str(kv[0])):
+        cond_val = F.least(
+            F.lit(1.0), F.lit(float(b)) / F.greatest(F.col("__total"), F.lit(1))
+        )
+        ratio = (
+            F.when(F.col(stratum) == F.lit(val), cond_val)
+            if ratio is None
+            else ratio.when(F.col(stratum) == F.lit(val), cond_val)
+        )
+    ratio = ratio.otherwise(F.lit(1.0)) if ratio is not None else F.lit(1.0)
+    return (
+        df.join(F.broadcast(totals), stratum)
+        .where(u < ratio)
+        .drop("__total")
+    )

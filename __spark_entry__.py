@@ -891,9 +891,9 @@ def prestage_dedup_incremental(spark: SparkSession, sf_dir: str, path: str) -> N
     build_dedup_index(corpus, n=2, hash_fn="md5").write.mode(
         "overwrite"
     ).parquet(path + "/main")
-    band_dedup_index(spark.read.parquet(path + "/main")).write.mode(
-        "overwrite"
-    ).parquet(path + "/bands")
+    band_dedup_index(
+        spark.read.parquet(path + "/main"), n=2, hash_fn="md5"
+    ).write.mode("overwrite").parquet(path + "/bands")
 
 
 def make_dedup_incremental_probe(path: str):

@@ -166,6 +166,11 @@ def test_train_and_serve_quality_classifier(spark):
             )
         )
 
+    # serving with a different n_buckets than training silently
+    # mis-buckets every token — must fail loudly (weights are stamped)
+    with pytest.raises(ValueError, match="n_buckets"):
+        score_quality_trained(held, weights, b0, n_buckets=1 << 18)
+
 
 def test_score_quality_model_empty_doc(spark):
     from xyzpy_spark.pipeline.text import score_quality_model
@@ -795,6 +800,13 @@ def test_resize_and_features_hostile_payloads(spark):
     au = {r.doc_id: r.audio for r in audio_features(adf).collect()}
     assert au[1] is None and au[2] is None and au[3] is not None
 
+    # truncated 16-BIT ppm with an odd-length body: frombuffer on an
+    # odd byte count would raise — must yield null, not a task failure
+    odd16 = b"P6\n1 1\n65535\n" + b"\x01\x02\x03\x04\x05"
+    df16 = spark.createDataFrame([(1, odd16)], ["doc_id", "media"])
+    assert resize_image(df16, 2, 2).first().resized is None
+    assert image_features(df16).first().img is None
+
 
 def test_image_and_audio_features_closed_form(spark):
     """Feature extractors reproduce the closed-form statistics of the
@@ -1165,6 +1177,25 @@ def test_sample_token_budget_expected_mode(spark):
     assert len(allkept) == 1000
     with pytest.raises(ValueError, match="token_col"):
         sample_token_budget(df.drop("n_tokens"), {"web": 10})
+
+    # NULL stratum = unbudgeted: kept whole in BOTH modes (an inner
+    # totals join would silently drop it — review r3)
+    ndf = spark.createDataFrame(
+        [(1, None, 10), (2, "web", 10), (3, None, 10)],
+        "doc_id long, source string, n_tokens int",
+    )
+    for exact in (False, True):
+        kept = {
+            r.doc_id
+            for r in sample_token_budget(
+                ndf, {"web": 10**6}, exact=exact
+            ).collect()
+        }
+        assert {1, 3} <= kept, (exact, kept)
+
+    # fractional budgets must not truncate to zero in exact mode
+    frac = sample_token_budget(df, {"web": 0.5}, exact=True).collect()
+    assert len([r for r in frac if r.source == "web"]) == 1
 
 
 def test_mix_corpora_multiplicities(spark):
@@ -1575,6 +1606,19 @@ def test_dedup_against_index_prebanded(spark):
     with pytest.raises(ValueError, match="banding parameters"):
         dedup_against_index(
             new, index, n=2, threshold=0.3, bands=16, index_bands=bands8
+        )
+
+    # signature parameters (n, hash_fn) are just as critical: stamped
+    # when given, validated the same way (review r3)
+    stamped = band_dedup_index(index, n=2, hash_fn="xxhash64")
+    with pytest.raises(ValueError, match="parameters"):
+        dedup_against_index(
+            new, index, n=3, threshold=0.3, index_bands=stamped
+        )
+    with pytest.raises(ValueError, match="parameters"):
+        dedup_against_index(
+            new, index, n=2, hash_fn="md5", threshold=0.3,
+            index_bands=stamped,
         )
 
 

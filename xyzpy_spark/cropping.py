@@ -139,6 +139,25 @@ class Crop:
         )
         os.makedirs(self.location, exist_ok=True)
         fn_bytes = cloudpickle.dumps(fn)
+        # the OUTPUT spec is part of the sown identity too: an
+        # identical grid re-sown with different var_names/dims/coords/
+        # types must not early-return, or reap would decode results
+        # with the stale spec.  Hash the same CANONICAL serialization
+        # spec.json stores (not repr(): numpy reprs truncate >1000
+        # elements and track global printoptions, so repr-keys could
+        # both miss real changes and spuriously clear grown results)
+        canon_specs = [
+            {
+                "name": s.name,
+                "dims": list(s.dims),
+                "type": s.scalar_type.json(),
+            }
+            for s in specs
+        ]
+        canon_coords = {
+            d: [x.item() if hasattr(x, "item") else x for x in v]
+            for d, v in coords.items()
+        }
         sow_key = hashlib.sha256(
             json.dumps(
                 {
@@ -149,14 +168,11 @@ class Crop:
                     "num_batches": num_batches,
                     "explode": explode,
                     "fn": hashlib.sha256(fn_bytes).hexdigest(),
-                    # the OUTPUT spec is part of the sown identity too:
-                    # an identical grid re-sown with different
-                    # var_names/dims/coords/types must not early-return,
-                    # or reap would decode results with the stale spec
-                    "specs": repr(specs),
-                    "coords": repr(coords),
+                    "specs": canon_specs,
+                    "coords": canon_coords,
                 },
                 sort_keys=True,
+                default=repr,
             ).encode()
         ).hexdigest()
         if os.path.exists(self.spec_path):
@@ -185,18 +201,8 @@ class Crop:
             "num_batches": num_batches,
             "constants": {k: repr(v) for k, v in constants.items()},
             "explode": explode,
-            "var_specs": [
-                {
-                    "name": s.name,
-                    "dims": list(s.dims),
-                    "type": s.scalar_type.json(),
-                }
-                for s in specs
-            ],
-            "coords": {
-                d: [x.item() if hasattr(x, "item") else x for x in v]
-                for d, v in coords.items()
-            },
+            "var_specs": canon_specs,
+            "coords": canon_coords,
         }
         with open(self.spec_path, "w") as f:
             json.dump(spec, f)

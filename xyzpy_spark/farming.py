@@ -503,7 +503,9 @@ class Sampler:
         ``sample_combos``, ``farming.py:1023-1054``)."""
         cases = self.gen_cases(n, combos)
         new = self.runner.run_cases(cases, **kwargs)
-        for k, v in {**self.runner.constants, **self.runner.attrs}.items():
+        # constants LAST, same precedence as add_df's sidecar and
+        # to_xarray (reference: constants applied on top of attrs)
+        for k, v in {**self.runner.attrs, **self.runner.constants}.items():
             from pyspark.sql import functions as F
 
             if k not in new.columns:

@@ -1509,6 +1509,8 @@ def band_dedup_index(
     id_col: str = "doc_id",
     num_perm: int = 64,
     bands: int = 16,
+    n: int | None = None,
+    hash_fn: str | None = None,
 ) -> DataFrame:
     """The pre-banded projection of a dedup index: one row per
     (document, band) with its LSH ``bucket`` and the full ``sig``.
@@ -1526,8 +1528,12 @@ def band_dedup_index(
     parquet): :func:`dedup_against_index` validates them against its
     own parameters, because a probe banded differently from its index
     matches NOTHING and silently declares every duplicate novel.
+    Pass ``n`` / ``hash_fn`` (the SIGNATURE parameters the index was
+    built with — this projection can't derive them from ``sig``) to
+    stamp and validate those too; they are just as
+    silently-match-nothing-critical as the banding pair.
     """
-    return (
+    out = (
         index.where(F.col("sig").isNotNull())
         .select(
             id_col,
@@ -1543,6 +1549,11 @@ def band_dedup_index(
             F.lit(int(bands)).alias("bands"),
         )
     )
+    if n is not None:
+        out = out.withColumn("n", F.lit(int(n)))
+    if hash_fn is not None:
+        out = out.withColumn("hash_fn", F.lit(str(hash_fn)))
+    return out
 
 
 def dedup_against_index(
@@ -1612,21 +1623,33 @@ def dedup_against_index(
     # token-less docs carry NULL sigs: exclude them from banding (they
     # would all collide on the hash of the empty tuple)
     if index_bands is not None:
-        if {"num_perm", "bands"} <= set(index_bands.columns):
-            # the projection stamps its banding parameters on every row
+        stamped = {"num_perm", "bands", "n", "hash_fn"} & set(
+            index_bands.columns
+        )
+        if stamped:
+            # the projection stamps its parameters on every row
             # (band_dedup_index): a mismatched probe would join against
-            # incompatible buckets and silently find nothing, so fail
-            # loudly instead.  limit-1 read — negligible vs the probe.
-            meta = index_bands.select("num_perm", "bands").first()
-            if meta is not None and (
-                meta["num_perm"] != num_perm or meta["bands"] != bands
-            ):
-                raise ValueError(
-                    "index_bands was banded with num_perm="
-                    f"{meta['num_perm']}, bands={meta['bands']} but the "
-                    f"probe asked for num_perm={num_perm}, bands={bands} "
-                    "— probes must match the index's banding parameters"
-                )
+            # incompatible buckets / signatures and silently find
+            # nothing, so fail loudly instead.  limit-1 read —
+            # negligible vs the probe.
+            meta = index_bands.select(*sorted(stamped)).first()
+            mine = {
+                "num_perm": num_perm, "bands": bands,
+                "n": n, "hash_fn": hash_fn,
+            }
+            if meta is not None:
+                bad = {
+                    k: (meta[k], mine[k])
+                    for k in stamped
+                    if meta[k] != mine[k]
+                }
+                if bad:
+                    raise ValueError(
+                        "index_bands parameters do not match the probe "
+                        f"({ {k: f'index={v[0]} probe={v[1]}' for k, v in bad.items()} }) "
+                        "— probes must match the index's signature and "
+                        "banding parameters"
+                    )
         old_b = index_bands.select(
             F.col(id_col).alias("_old_id"),
             F.col("sig").alias("sig_old"),

@@ -446,9 +446,13 @@ def _decode_ppm(b: bytes):
     idx += 1  # the single whitespace byte after maxval
     w, h, maxval = vals
     if maxval > 255:
-        # 16-bit P6: two bytes per sample, big-endian per the spec
+        # 16-bit P6: two bytes per sample, big-endian per the spec.
+        # A truncated body can be odd-length — trim to whole samples
+        # or np.frombuffer raises and kills the task (one bad file
+        # must never fail a scan)
+        body = b[idx: idx + 6 * w * h]
         pixels = np.frombuffer(
-            b[idx: idx + 6 * w * h], dtype=">u2"
+            body[: len(body) // 2 * 2], dtype=">u2"
         ).astype(np.uint16)
     else:
         pixels = np.frombuffer(b[idx: idx + 3 * w * h], dtype=np.uint8)

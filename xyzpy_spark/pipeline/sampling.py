@@ -209,10 +209,13 @@ def sample_token_budget(
         )
         before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
         budget_col = None
+        # float budgets: int() truncation would turn a 0.5-token
+        # budget into 0 and silently empty the stratum (expected mode
+        # honors fractions, exact mode must agree)
         for val, b in sorted(budgets.items(), key=lambda kv: str(kv[0])):
-            cond = F.when(F.col(stratum) == F.lit(val), F.lit(int(b)))
+            cond = F.when(F.col(stratum) == F.lit(val), F.lit(float(b)))
             budget_col = cond if budget_col is None else budget_col.when(
-                F.col(stratum) == F.lit(val), F.lit(int(b))
+                F.col(stratum) == F.lit(val), F.lit(float(b))
             )
         budget_col = (
             budget_col.otherwise(F.lit(None))
@@ -237,8 +240,11 @@ def sample_token_budget(
             else ratio.when(F.col(stratum) == F.lit(val), cond_val)
         )
     ratio = ratio.otherwise(F.lit(1.0)) if ratio is not None else F.lit(1.0)
+    # LEFT join: a NULL stratum value matches no budget key and no
+    # totals row — it must be kept whole (ratio falls through to 1.0),
+    # not silently dropped by an inner join's null-never-equals-null
     return (
-        df.join(F.broadcast(totals), stratum)
+        df.join(F.broadcast(totals), stratum, "left")
         .where(u < ratio)
         .drop("__total")
     )

@@ -679,9 +679,18 @@ def train_quality_classifier(
         b0 -= lr * gb
     w = np.round(w, weight_decimals)
     spark = labeled.sparkSession
+    # n_buckets is stamped on every weight row (RLE-compressed to
+    # nothing in parquet): serving validates it, because scoring with
+    # a different modulus silently maps tokens to wrong buckets and
+    # every margin collapses to ~intercept (same guard pattern as
+    # band_dedup_index)
     weights_df = spark.createDataFrame(
-        [(int(b), float(wt)) for b, wt in zip(used, w) if wt != 0.0],
-        "bucket long, weight double",
+        [
+            (int(b), float(wt), int(n_buckets))
+            for b, wt in zip(used, w)
+            if wt != 0.0
+        ],
+        "bucket long, weight double, n_buckets long",
     )
     return weights_df, round(float(b0), weight_decimals)
 
@@ -709,6 +718,16 @@ def score_quality_trained(
     Documents with no tokens (or no weighted buckets) get
     ``margin = intercept``.
     """
+    if "n_buckets" in weights.columns:
+        meta = weights.select("n_buckets").first()
+        if meta is not None and meta["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"weights were trained with n_buckets={meta['n_buckets']} "
+                f"but serving was asked for n_buckets={n_buckets} — a "
+                "mismatched modulus maps tokens to wrong buckets and "
+                "silently mis-scores every document"
+            )
+        weights = weights.drop("n_buckets")
     feats = hashed_token_buckets(
         df, text_col, id_col=id_col, n_buckets=n_buckets
     )

@@ -520,6 +520,30 @@ def test_dedup_clusters_deep_chain_with_checkpoint(spark):
     assert out == {i: 0 for i in range(14)}
 
 
+def test_dedup_clusters_shortcut_converges_deep_chain(spark):
+    """Pointer-jumping (path halving) makes convergence O(log d): a
+    60-link chain — which would exceed max_iter=20 in pure label
+    propagation and split — converges cleanly with the default
+    shortcut, with the same labels the slow path produces."""
+    import warnings
+
+    from xyzpy_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        out = {
+            r["doc_id"]: r["cluster_id"]
+            for r in dedup_clusters(pairs, max_iter=20).collect()
+        }
+    assert out == {i: 0 for i in range(61)}
+    # the non-shortcut path on the same graph needs > 20 rounds
+    with pytest.warns(RuntimeWarning, match="max_iter"):
+        dedup_clusters(pairs, max_iter=20, shortcut=False).collect()
+
+
 def test_dedup_clusters_warns_on_non_convergence(spark):
     from xyzpy_spark.pipeline.dedup import dedup_clusters
 

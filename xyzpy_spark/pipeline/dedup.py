@@ -471,6 +471,7 @@ def dedup_clusters(
     id_b: str = "id_b",
     max_iter: int = 20,
     checkpoint_every: int = 5,
+    shortcut: bool = True,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate GROUPS.
 
@@ -488,6 +489,14 @@ def dedup_clusters(
     component into several cluster_ids).  Output: ``(doc_id,
     cluster_id)`` where ``cluster_id`` is the smallest member id — keep
     one row per cluster to deduplicate the corpus.
+
+    ``shortcut`` adds pointer-jumping (each round a doc also adopts
+    its label's OWN label — the path-halving step of classic parallel
+    CC): convergence drops from O(diameter) to O(log diameter) rounds
+    at the cost of one extra label self-join per round.  A 60-link
+    chain converges in ~7 rounds instead of warning at 20 and
+    splitting.  The result set is identical; shallow dup clusters pay
+    one cheap extra join, deep ones stop being a failure mode.
     """
     import warnings
 
@@ -515,10 +524,31 @@ def dedup_clusters(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
-                (
-                    F.coalesce("nbr_label", "label") < F.col("label")
-                ).alias("__chg"),
+                F.col("label").alias("__old"),
             )
+        )
+        if shortcut:
+            # path halving: label := min(label, label-of-label).  The
+            # label is always a member id of the same component, so
+            # the self-join is total (left + coalesce for safety) and
+            # never crosses components.
+            lbl_of = labels.select(
+                F.col("id").alias("__lid"), F.col("label").alias("__llbl")
+            )
+            new_labels = (
+                new_labels.join(
+                    lbl_of, new_labels.label == lbl_of.__lid, "left"
+                )
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("__llbl", "label")
+                    ).alias("label"),
+                    "__old",
+                )
+            )
+        new_labels = new_labels.select(
+            "id", "label", (F.col("label") < F.col("__old")).alias("__chg")
         )
         if (i + 1) % checkpoint_every == 0:
             # truncate lineage: without this, 20 rounds of join+agg

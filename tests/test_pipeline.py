@@ -398,6 +398,16 @@ def test_duplicate_substring_spans_matches_twin(spark):
         assert got == want, (keep_first, got ^ want)
     assert len(want) > 0
 
+    # the petabyte-scale hash_grams mode (8-byte shuffle keys instead
+    # of window text) finds the same spans
+    hashed = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicate_substring_spans(
+            df, k=5, hash_grams=True
+        ).collect()
+    }
+    assert hashed == _substring_spans_twin(docs, 5, 2, True)
+
 
 def test_strip_duplicate_spans_first_copy_survives(spark):
     """strip keeps exactly the first occurrence of each duplicated

@@ -648,6 +648,7 @@ def duplicate_substring_spans(
     text_col: str = "text",
     min_repeat: int = 2,
     keep_first: bool = True,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """SUBSTRING-level exact dedup: maximal duplicated token spans.
 
@@ -698,16 +699,16 @@ def duplicate_substring_spans(
         F.lead("__t", j).over(w).alias(f"__t{j}") for j in range(1, k)
     ]
     last = f"__t{k - 1}" if k > 1 else "__t"
+    gram_text = F.concat_ws(" ", "__t", *[f"__t{j}" for j in range(1, k)])
+    # hash_grams: shuffle 8-byte keys instead of window TEXT — at
+    # petabyte scale the gram aggregation's shuffle volume drops by
+    # ~the mean window byte length at the cost of hash-collision false
+    # spans (~2^-64 per gram pair, xxhash64).  Identical plan shape.
+    gram_key = F.xxhash64(gram_text) if hash_grams else gram_text
     occ = (
         toks.select("__doc", "__pos", *parts)
         .where(F.col(last).isNotNull())
-        .select(
-            "__doc",
-            "__pos",
-            F.concat_ws(
-                " ", "__t", *[f"__t{j}" for j in range(1, k)]
-            ).alias("__gram"),
-        )
+        .select("__doc", "__pos", gram_key.alias("__gram"))
     )
     dup = (
         occ.groupBy("__gram")
@@ -765,6 +766,7 @@ def strip_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_repeat: int = 2,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Remove duplicated substrings, keeping each region's first
     occurrence (Lee-et-al-style one-copy semantics, on k-token
@@ -781,7 +783,7 @@ def strip_duplicate_spans(
     """
     spans = duplicate_substring_spans(
         df, k, id_col=id_col, text_col=text_col,
-        min_repeat=min_repeat, keep_first=True,
+        min_repeat=min_repeat, keep_first=True, hash_grams=hash_grams,
     )
     toks = df.select(
         F.col(id_col).alias("__doc"),

@@ -1307,6 +1307,69 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lm_split(spark: SparkSession, sf_dir: str):
+    """Shared LM fixture: train the bigram LM on the doc_id%10==0
+    reference split, score the other 90% (the CCNet shape: trusted
+    reference -> model -> crawl scores)."""
+    from xyzpy_spark.pipeline.lm import train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    rest = docs.where(F.col("doc_id") % 10 != 0)
+    unigrams, bigrams, vocab = train_bigram_lm(ref)
+    return rest, unigrams, bigrams, vocab
+
+
+def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM negative log-likelihood, add-0.5 smoothing;
+    LM broadcast, corpus never shuffled (pipeline/lm.score_bigram_nll)."""
+    from xyzpy_spark.pipeline.lm import score_bigram_nll
+
+    rest, unigrams, bigrams, vocab = _lm_split(spark, sf_dir)
+    return score_bigram_nll(rest, unigrams, bigrams, vocab)
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail: per-language LM-score ntile(3)
+    (pipeline/lm.ccnet_buckets)."""
+    from xyzpy_spark.pipeline.lm import ccnet_buckets
+
+    rest, unigrams, bigrams, vocab = _lm_split(spark, sf_dir)
+    return ccnet_buckets(rest, unigrams, bigrams, vocab)
+
+
+def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-compressed decontamination audit: eval 5-grams packed
+    into a 2^20-bit portable-md5 Bloom filter, train side probes
+    map-only (pipeline/text.bloom_contamination_hits).  Same split as
+    `decontaminate`; the deterministic hash family makes even the
+    false positives engine-reproducible."""
+    from xyzpy_spark.pipeline.text import bloom_contamination_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    return bloom_contamination_hits(tr, ev, n=5)
+
+
+def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss reduction 64->8 dims with the portable
+    md5 Rademacher matrix (pipeline/similarity.project_embeddings)."""
+    from xyzpy_spark.pipeline.similarity import project_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return project_embeddings(emb, 8, in_dim=64)
+
+
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus health report: volume, token mass,
+    exact-dup rate (pipeline/text.corpus_stats)."""
+    from xyzpy_spark.pipeline.text import corpus_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_stats(docs)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1323,20 +1386,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sweep_vectorized, merge_prefer_old, case_union_grid, heatmap_pivot,
     # topk_orders, histogram, trimna, covariance) to positions 51+; the
     # round-3 ops (dedup_substrings, strip_substrings, image_resize,
-    # image_features, audio_features) then displaced 5 more twice-green
-    # queries (sweep_vectorized_dims, sweep_internal_dims, missing_cases,
-    # estimate_repeats, rollup_hour_day).  The rotated-out queries remain
+    # image_features, audio_features, multimodal_png, token_budget,
+    # lm_nll, ccnet_buckets, bloom_contamination, project_embeddings,
+    # corpus_stats) then displaced 12 more twice-green queries
+    # (sweep_vectorized_dims, sweep_internal_dims, missing_cases,
+    # estimate_repeats, rollup_hour_day, sweep_sumdiff,
+    # merge_overwrite_new, running_stats, fuse_dims, run_gaps,
+    # facet_agg, median_quantile_band).  The rotated-out queries remain
     # covered by tools/check_correctness.py and the pytest suite.
     return {
         "pricing_summary": q_pricing_summary,
-        "median_quantile_band": q_median_quantile_band,
-        "running_stats": q_running_stats,
-        "fuse_dims": q_fuse_dims,
-        "run_gaps": q_run_gaps,
         "window_hourly": q_window_hourly,
         "user_sessions": q_user_sessions,
-        "sweep_sumdiff": q_sweep_sumdiff,
-        "merge_overwrite_new": q_merge_overwrite_new,
         "text_token_count": q_text_token_count,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -1352,7 +1413,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crop_roundtrip": q_crop_roundtrip,
         "dedup_clusters": q_dedup_clusters,
         "sampler_run": q_sampler_run,
-        "facet_agg": q_facet_agg,
         "asof_last_view": q_asof_last_view,
         "range_follow_clicks": q_range_follow_clicks,
         "stratified_sample": q_stratified_sample,
@@ -1375,6 +1435,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_resize": q_image_resize,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "multimodal_png": q_multimodal_png,
+        "token_budget": q_token_budget,
+        "lm_nll": q_lm_nll,
+        "ccnet_buckets": q_ccnet_buckets,
+        "bloom_contamination": q_bloom_contamination,
+        "project_embeddings": q_project_embeddings,
+        "corpus_stats": q_corpus_stats,
         "stream_dedup": q_stream_dedup,
         "stream_window_hourly": q_stream_window_hourly,
         "stream_user_sessions": q_stream_user_sessions,
@@ -1390,13 +1457,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sweep_vectorized": q_sweep_vectorized,
         "case_union_grid": q_case_union_grid,
         "merge_prefer_old": q_merge_prefer_old,
-        "multimodal_png": q_multimodal_png,
         "sweep_vectorized_dims": q_sweep_vectorized_dims,
         "sweep_internal_dims": q_sweep_internal_dims,
         "missing_cases": q_missing_cases,
         "estimate_repeats": q_estimate_from_repeats,
         "rollup_hour_day": q_rollup_hour_day,
-        "token_budget": q_token_budget,
+        "sweep_sumdiff": q_sweep_sumdiff,
+        "merge_overwrite_new": q_merge_overwrite_new,
+        "running_stats": q_running_stats,
+        "fuse_dims": q_fuse_dims,
+        "run_gaps": q_run_gaps,
+        "facet_agg": q_facet_agg,
+        "median_quantile_band": q_median_quantile_band,
     }
 
 
@@ -1753,8 +1825,155 @@ def _pii_scrub_oracle() -> str:
     return f"SELECT doc_id, {counts}, {scrub} AS text FROM documents"
 
 
+def _project_embeddings_oracle() -> str:
+    """Independent twin: regenerates the same md5-derived Rademacher
+    matrix (pipeline/dedup.portable_hyperplanes) as a VALUES table and
+    applies it with plain SQL arithmetic — 1-indexed list access, exact
+    ±1 products, the shared floor-round canon."""
+    from xyzpy_spark.pipeline.dedup import portable_hyperplanes
+
+    planes = portable_hyperplanes(8, 64, 42)
+    vals = ", ".join(
+        f"({d + 1}, {j}, {float(planes[j][d])!r})"
+        for j in range(8)
+        for d in range(64)
+    )
+    return f"""
+        WITH m AS (SELECT * FROM (VALUES {vals}) t(d, j, s)),
+        comp AS (
+            SELECT e.vec_id, m.j,
+                   FLOOR(SUM(e.embedding[m.d]::DOUBLE * m.s)
+                         * 1000000.0 + 0.5) / 1000000.0 AS c
+            FROM embeddings e CROSS JOIN m
+            GROUP BY e.vec_id, m.j
+        )
+        SELECT vec_id, list(c ORDER BY j) AS projection
+        FROM comp GROUP BY vec_id
+    """
+
+
+#: shared CTE prefix for the LM oracles: tokens, bigrams, the %10
+#: reference-split counts, and per-doc add-0.5 smoothed NLL
+_LM_SCORED_CTE = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '') AS w
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                                     i -> w[i] || ' ' || w[i+1])) AS ngram
+        FROM toks
+    ), unic AS (
+        SELECT token, COUNT(*) AS c1
+        FROM (SELECT unnest(w) AS token FROM toks WHERE doc_id % 10 = 0)
+        GROUP BY token
+    ), vocab AS (SELECT COUNT(*) AS v FROM unic),
+    bic AS (
+        SELECT ngram, COUNT(*) AS c2 FROM grams
+        WHERE doc_id % 10 = 0 GROUP BY ngram
+    ), scored AS (
+        SELECT g.doc_id,
+               COUNT(*) AS n_bigrams,
+               SUM(ln(COALESCE(b.c2, 0) + 0.5)
+                   - ln(COALESCE(u.c1, 0) + 0.5 * v.v)) AS lp
+        FROM grams g
+        LEFT JOIN bic b USING (ngram)
+        LEFT JOIN unic u ON split_part(g.ngram, ' ', 1) = u.token
+        CROSS JOIN vocab v
+        WHERE g.doc_id % 10 <> 0
+        GROUP BY g.doc_id
+    )
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "lm_nll": _LM_SCORED_CTE
+        + """
+            SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                   FLOOR((-lp / n_bigrams) * 1000000.0 + 0.5)
+                       / 1000000.0 AS nll
+            FROM scored
+        """,
+        "ccnet_buckets": _LM_SCORED_CTE
+        + """
+            , final AS (
+                SELECT s.doc_id, d.lang,
+                       CAST(s.n_bigrams AS BIGINT) AS n_bigrams,
+                       FLOOR((-s.lp / s.n_bigrams) * 1000000.0 + 0.5)
+                           / 1000000.0 AS nll
+                FROM scored s JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, lang, n_bigrams, nll,
+                   CAST(NTILE(3) OVER (
+                       PARTITION BY lang ORDER BY nll, doc_id
+                   ) AS INTEGER) AS bucket
+            FROM final
+        """,
+        "bloom_contamination": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 4, 0) + 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                || ' ' || w[i+3] || ' ' || w[i+4]))) AS ngram
+                FROM toks
+            ), eval_bits AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(ngram || ':' ||
+                            CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+                           % 1048576 AS pb
+                FROM (SELECT DISTINCT ngram FROM grams WHERE doc_id % 10 = 0),
+                     range(4) t(i)
+            ), tp AS (
+                SELECT doc_id, ngram,
+                       ('0x' || substr(md5(ngram || ':' ||
+                            CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+                           % 1048576 AS p
+                FROM (SELECT doc_id, ngram FROM grams WHERE doc_id % 10 <> 0),
+                     range(4) t(i)
+            ), hits AS (
+                SELECT doc_id, ngram
+                FROM tp LEFT JOIN eval_bits e ON tp.p = e.pb
+                GROUP BY doc_id, ngram
+                HAVING COUNT(*) = COUNT(e.pb)
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM hits GROUP BY doc_id
+        """,
+        "project_embeddings": _project_embeddings_oracle(),
+        "corpus_stats": r"""
+            WITH fp AS (
+                SELECT source, lang,
+                       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f,
+                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                       u -> u <> '')) AS nt,
+                       len(text) AS nc
+                FROM documents
+            ), per_fp AS (
+                SELECT source, lang, f, COUNT(*) AS n,
+                       SUM(nt) AS t, SUM(nc) AS c
+                FROM fp GROUP BY source, lang, f
+            )
+            SELECT source, lang,
+                   CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_docs,
+                   FLOOR((1.0 - COUNT(*) / CAST(SUM(n) AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS dup_rate,
+                   CAST(SUM(t) AS BIGINT) AS total_tokens,
+                   FLOOR(SUM(t) / CAST(SUM(n) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS avg_tokens,
+                   FLOOR(SUM(c) / CAST(SUM(n) AS DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS avg_chars
+            FROM per_fp GROUP BY source, lang
+        """,
         "sampler_run": _sampler_run_oracle(),
         "estimate_repeats": _estimate_repeats_oracle(),
         "dedup_minhash_lsh": _minhash_lsh_oracle(),

@@ -1,0 +1,307 @@
+"""Unit tests for the n-gram LM scorer (pipeline/lm.py), the Bloom
+membership sketch (functions/sketch.py), the JL projection
+(pipeline/similarity.project_embeddings) and the corpus report
+(pipeline/text.corpus_stats).
+
+Each op is triangulated against an independent pure-python model —
+not against another Spark plan — mirroring the oracle strategy of the
+contract queries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+DOCS = [
+    (0, "the cat sat on the mat", "en", "web"),
+    (1, "the dog sat on the mat", "en", "web"),
+    (2, "the cat sat on the mat", "en", "book"),  # exact dup of 0
+    (3, "a completely different sentence here", "en", "web"),
+    (4, "le chat est noir", "fr", "web"),
+    (5, "le chien est noir", "fr", "web"),
+    (6, "tok", "en", "web"),  # single token: no bigram
+    (7, "", "en", "web"),  # empty: no tokens at all
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        DOCS, "doc_id LONG, text STRING, lang STRING, source STRING"
+    )
+
+
+# ---------------------------------------------------------------------------
+# bigram LM
+# ---------------------------------------------------------------------------
+
+
+def _py_lm(ref_texts):
+    uni: dict[str, int] = {}
+    bi: dict[tuple, int] = {}
+    for t in ref_texts:
+        toks = t.split()
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    return uni, bi
+
+
+def _py_nll(text, uni, bi, v, k=0.5):
+    toks = text.split()
+    pairs = list(zip(toks, toks[1:]))
+    if not pairs:
+        return None, 0
+    lp = sum(
+        math.log(bi.get(p, 0) + k) - math.log(uni.get(p[0], 0) + k * v)
+        for p in pairs
+    )
+    nll = -lp / len(pairs)
+    return math.floor(nll * 1e6 + 0.5) / 1e6, len(pairs)
+
+
+def test_bigram_lm_matches_python_model(spark, docs_df):
+    from xyzpy_spark.pipeline.lm import score_bigram_nll, train_bigram_lm
+
+    ref = docs_df.where(F.col("doc_id") <= 2)
+    rest = docs_df.where(F.col("doc_id") > 2)
+    unigrams, bigrams, vocab = train_bigram_lm(ref)
+
+    uni, bi = _py_lm([t for i, t, _, _ in DOCS if i <= 2])
+    assert vocab == len(uni)
+
+    got = {
+        r["doc_id"]: (r["nll"], r["n_bigrams"])
+        for r in score_bigram_nll(
+            rest, unigrams, bigrams, vocab
+        ).collect()
+    }
+    for i, t, _, _ in DOCS:
+        if i <= 2:
+            continue
+        nll, n = _py_nll(t, uni, bi, vocab)
+        if nll is None:
+            assert i not in got  # unscorable docs are absent
+        else:
+            assert got[i][1] == n
+            assert got[i][0] == pytest.approx(nll, abs=1e-9)
+
+
+def test_lm_seen_text_scores_better_than_unseen(spark, docs_df):
+    from xyzpy_spark.pipeline.lm import score_bigram_nll, train_bigram_lm
+
+    ref = docs_df.where(F.col("doc_id") <= 2)
+    unigrams, bigrams, vocab = train_bigram_lm(ref)
+    got = {
+        r["doc_id"]: r["nll"]
+        for r in score_bigram_nll(
+            docs_df, unigrams, bigrams, vocab
+        ).collect()
+    }
+    # doc 0 is literally in the training set; doc 3 shares no bigram
+    assert got[0] < got[3]
+
+
+def test_ccnet_buckets_rank_within_language(spark, docs_df):
+    from xyzpy_spark.pipeline.lm import ccnet_buckets, train_bigram_lm
+
+    ref = docs_df.where(F.col("doc_id") <= 2)
+    unigrams, bigrams, vocab = train_bigram_lm(ref)
+    rows = ccnet_buckets(
+        docs_df, unigrams, bigrams, vocab, n_buckets=2
+    ).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    # unscorable docs are dropped
+    assert 6 not in by_id and 7 not in by_id
+    # buckets are per-language: each language's best doc is bucket 1
+    for lang in ("en", "fr"):
+        grp = [r for r in rows if r["lang"] == lang]
+        best = min(grp, key=lambda r: (r["nll"], r["doc_id"]))
+        assert best["bucket"] == 1
+    # in-training doc must land in the head bucket
+    assert by_id[0]["bucket"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def _py_positions(value: str, m: int, k: int, salt: str = ""):
+    return [
+        int(hashlib.md5(f"{value}{salt}:{i}".encode()).hexdigest()[:15], 16)
+        % m
+        for i in range(k)
+    ]
+
+
+def test_bloom_no_false_negatives_and_portable_positions(spark):
+    from xyzpy_spark.functions.sketch import (
+        bloom_build,
+        bloom_contains,
+        bloom_positions,
+    )
+
+    m, k = 1 << 14, 4
+    vals = [f"item-{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    words = bloom_build(df, "s", m_bits=m, k=k)
+    assert len(words) == m // 64
+
+    # python twin of the filter
+    bits = set()
+    for v in vals:
+        bits.update(_py_positions(v, m, k))
+    for w_i, word in enumerate(words):
+        for b in range(64):
+            assert ((word >> b) & 1 == 1) == ((w_i * 64 + b) in bits)
+
+    # membership: every inserted value must probe positive, and the
+    # Spark probe must agree with the python twin EXACTLY (including
+    # false positives) because the hash family is deterministic
+    probe_vals = vals[:50] + [f"absent-{i}" for i in range(200)]
+    probe = spark.createDataFrame([(v,) for v in probe_vals], ["s"])
+    got = {
+        r["s"]: r["hit"]
+        for r in probe.select(
+            "s", bloom_contains("s", words, m_bits=m, k=k).alias("hit")
+        ).collect()
+    }
+    for v in probe_vals:
+        expect = all(p in bits for p in _py_positions(v, m, k))
+        assert got[v] == expect, v
+    assert all(got[v] for v in vals[:50])
+
+    # position arrays match the python family
+    row = df.limit(1).select(
+        "s", bloom_positions("s", m, k).alias("p")
+    ).first()
+    assert list(row["p"]) == _py_positions(row["s"], m, k)
+
+
+def test_bloom_contamination_superset_of_exact(spark, docs_df):
+    from xyzpy_spark.pipeline.text import (
+        bloom_contamination_hits,
+        contamination_hits,
+    )
+
+    ev = docs_df.where(F.col("doc_id") % 4 == 0)
+    tr = docs_df.where(F.col("doc_id") % 4 != 0)
+    exact = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(tr, ev, n=3).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_hits"]
+        for r in bloom_contamination_hits(tr, ev, n=3).collect()
+    }
+    # no false negatives: every exact hit is present with >= count
+    for doc, n in exact.items():
+        assert bloom.get(doc, 0) >= n
+
+
+# ---------------------------------------------------------------------------
+# JL projection
+# ---------------------------------------------------------------------------
+
+
+def test_project_embeddings_matches_numpy(spark):
+    import numpy as np
+
+    from xyzpy_spark.pipeline.dedup import portable_hyperplanes
+    from xyzpy_spark.pipeline.similarity import project_embeddings
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = {
+        r["vec_id"]: list(r["projection"])
+        for r in project_embeddings(df, 4, in_dim=16).collect()
+    }
+    planes = np.array(portable_hyperplanes(4, 16, 42), dtype="float64")
+    expected = vecs.astype("float64") @ planes.T
+    for i in range(20):
+        for j in range(4):
+            want = math.floor(expected[i][j] * 1e6 + 0.5) / 1e6
+            assert out[i][j] == pytest.approx(want, abs=1e-9)
+
+
+def test_project_embeddings_preserves_relative_distances(spark):
+    import numpy as np
+
+    from xyzpy_spark.pipeline.similarity import project_embeddings
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=64)
+    near = base + rng.normal(scale=0.01, size=64)
+    far = rng.normal(size=64)
+    df = spark.createDataFrame(
+        [
+            (0, [float(x) for x in base]),
+            (1, [float(x) for x in near]),
+            (2, [float(x) for x in far]),
+        ],
+        "vec_id LONG, embedding ARRAY<FLOAT>",
+    )
+    out = {
+        r["vec_id"]: np.array(r["projection"])
+        for r in project_embeddings(df, 16).collect()
+    }
+    assert np.linalg.norm(out[0] - out[1]) < np.linalg.norm(out[0] - out[2])
+
+
+def test_project_embeddings_empty_raises(spark):
+    from xyzpy_spark.pipeline.similarity import project_embeddings
+
+    df = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>")
+    with pytest.raises(ValueError, match="empty"):
+        project_embeddings(df, 4)
+
+
+# ---------------------------------------------------------------------------
+# corpus stats
+# ---------------------------------------------------------------------------
+
+
+def test_corpus_stats_counts_and_dup_rate(spark, docs_df):
+    from xyzpy_spark.pipeline.text import corpus_stats
+
+    rows = {
+        (r["source"], r["lang"]): r
+        for r in corpus_stats(docs_df).collect()
+    }
+    web_en = rows[("web", "en")]
+    # docs 0,1,3,6,7 are (web, en); none are dups of each other
+    assert web_en["n_docs"] == 5
+    assert web_en["n_distinct_docs"] == 5
+    assert web_en["dup_rate"] == 0.0
+    assert web_en["total_tokens"] == 6 + 6 + 5 + 1 + 0
+    # doc 2 is the only (book, en) doc
+    book_en = rows[("book", "en")]
+    assert book_en["n_docs"] == 1 and book_en["dup_rate"] == 0.0
+
+
+def test_corpus_stats_detects_cross_format_duplicates(spark):
+    from xyzpy_spark.pipeline.text import corpus_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "Hello  World", "en", "web"),
+            (1, "hello world", "en", "web"),  # same canonical form
+            (2, "different", "en", "web"),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
+    )
+    r = corpus_stats(df).collect()[0]
+    assert r["n_docs"] == 3
+    assert r["n_distinct_docs"] == 2
+    assert r["dup_rate"] == pytest.approx(1 / 3, abs=1e-6)

@@ -380,3 +380,60 @@ def test_quality_serving_broadcasts_weights(spark):
     plan = executed_plan(q)
     assert "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_lm_scoring_broadcasts_lm_and_single_doc_shuffle(spark):
+    """The 100-TB property of LM scoring: both LM tables join as
+    broadcasts (the corpus side never shuffles for the joins); the
+    only corpus-keyed exchange is the per-doc aggregation."""
+    from xyzpy_spark.pipeline.lm import score_bigram_nll, train_bigram_lm
+
+    docs = read_table(spark, SF_DIR, "documents")
+    uni, bi, v = train_bigram_lm(docs.where(F.col("doc_id") % 10 == 0))
+    scored = score_bigram_nll(
+        docs.where(F.col("doc_id") % 10 != 0), uni, bi, v
+    )
+    plan = executed_plan(scored)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_bloom_probe_is_map_only(spark):
+    """The probe side of a Bloom decontamination: pure column
+    expression — no join, no exchange before the per-doc count."""
+    from xyzpy_spark.functions.sketch import bloom_contains
+
+    docs = read_table(spark, SF_DIR, "documents")
+    words = [0] * 64  # empty 4096-bit filter: plan shape, not content
+    probed = docs.select(
+        "doc_id",
+        bloom_contains(F.col("text"), words, m_bits=1 << 12, k=4).alias(
+            "hit"
+        ),
+    )
+    assert not has_exchange(probed)
+    assert "Join" not in executed_plan(probed)
+
+
+def test_project_embeddings_is_map_only(spark):
+    """JL projection: literal sign arrays folded per row — zero
+    joins, zero exchanges, no explode row inflation."""
+    from xyzpy_spark.pipeline.similarity import project_embeddings
+
+    emb = read_table(spark, SF_DIR, "embeddings")
+    out = project_embeddings(emb, 4, in_dim=64)
+    plan = executed_plan(out)
+    assert "Join" not in plan
+    assert "Generate" not in plan  # no explode
+    assert not has_exchange(out), plan
+
+
+def test_corpus_stats_two_level_agg_no_expand(spark):
+    """The dup-rate rollup pre-aggregates per fingerprint instead of
+    count(distinct): no Expand node doubling the scan."""
+    from xyzpy_spark.pipeline.text import corpus_stats
+
+    docs = read_table(spark, SF_DIR, "documents")
+    plan = executed_plan(corpus_stats(docs))
+    assert "Expand" not in plan
+    assert count_exchanges(corpus_stats(docs)) == 2

@@ -207,6 +207,36 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(audio_features(self.df, **kw))
 
+    def lm_score(self, unigrams, bigrams, vocab_size: int, **kw) -> "xyz":
+        from .pipeline.lm import score_bigram_nll
+
+        return self._wrap(
+            score_bigram_nll(self.df, unigrams, bigrams, vocab_size, **kw)
+        )
+
+    def ccnet_buckets(self, unigrams, bigrams, vocab_size: int, **kw) -> "xyz":
+        from .pipeline.lm import ccnet_buckets
+
+        return self._wrap(
+            ccnet_buckets(self.df, unigrams, bigrams, vocab_size, **kw)
+        )
+
+    def bloom_contamination(self, eval_df, **kw) -> "xyz":
+        from .pipeline.text import bloom_contamination_hits
+
+        eval_df = eval_df.df if isinstance(eval_df, xyz) else eval_df
+        return self._wrap(bloom_contamination_hits(self.df, eval_df, **kw))
+
+    def project_embeddings(self, out_dim: int, **kw) -> "xyz":
+        from .pipeline.similarity import project_embeddings
+
+        return self._wrap(project_embeddings(self.df, out_dim, **kw))
+
+    def corpus_stats(self, by=("source", "lang"), **kw) -> "xyz":
+        from .pipeline.text import corpus_stats
+
+        return self._wrap(corpus_stats(self.df, by, **kw))
+
     # -- presentation (dense) -------------------------------------------
     def to_xarray(self, dims, **kw):
         from .runner import to_xarray

@@ -24,6 +24,9 @@ __all__ = [
     "approx_quantiles",
     "frequent_items",
     "heavy_hitters",
+    "bloom_positions",
+    "bloom_build",
+    "bloom_contains",
 ]
 
 
@@ -192,3 +195,125 @@ def heavy_hitters(
         if v is not None and cms.estimateCount(v) > floor
     ]
     return sorted(out, key=lambda t: (-t[1], str(t[0])))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — portable, engine-reproducible membership sketch
+# ---------------------------------------------------------------------------
+
+def bloom_positions(col, m_bits: int, k: int, salt: str = "") -> F.Column:
+    """The ``k`` bit positions a value sets in an ``m_bits`` Bloom
+    filter, as ``array<bigint>``.
+
+    Hash family: ``pos_i = int64(md5(value || '{salt}:{i}')[:15 hex])
+    mod m_bits`` — plain md5 + hex arithmetic, so any engine can
+    reproduce the exact same positions (DuckDB:
+    ``('0x' || substr(md5(v || ':0'), 1, 15))::BIGINT % m``).  15 hex
+    digits < 2^60 keeps every intermediate non-negative in int64, so
+    ``%`` (remainder) and ``mod`` agree across engines.
+    """
+    v = F.col(col) if isinstance(col, str) else col
+    return F.array(
+        *[
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(v.cast("string"), F.lit(f"{salt}:{i}"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(int(m_bits))
+            )
+            for i in range(int(k))
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    col: str,
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    salt: str = "",
+) -> list[int]:
+    """Build a Bloom filter over ``df[col]`` as ``m_bits/64`` packed
+    int64 words (the driver-side handle you pass to
+    :func:`bloom_contains`).
+
+    Distributed build: explode each value's ``k`` positions, map to
+    ``(word_index, bit)``, one hash aggregation with map-side partial
+    ``bit_or`` — the shuffle carries at most ``m_bits/64`` rows of two
+    longs regardless of input size.  The collected words are
+    ``m_bits/8`` bytes on the driver (128 KiB at the default 2^20
+    bits) — constant, never input-sized.
+
+    Sizing: false-positive rate ≈ ``(1 - e^(-k·n/m))^k``; the default
+    (m=2^20, k=4) gives <1% up to n≈130k distinct values.  For a
+    100 TB corpus the filter is built over the *small* side (eval
+    benchmarks, blocklists) and probed by the big side map-only.
+    """
+    n_words = (int(m_bits) + 63) // 64
+    words_df = (
+        df.select(
+            F.explode(
+                bloom_positions(F.col(col), m_bits, k, salt)
+            ).alias("__p")
+        )
+        .select(
+            F.shiftright(F.col("__p"), 6).cast("int").alias("__w"),
+            F.call_function(
+                "shiftleft",
+                F.lit(1).cast("long"),
+                (F.col("__p") % 64).cast("int"),
+            ).alias("__m"),
+        )
+        .groupBy("__w")
+        .agg(F.bit_or("__m").alias("__bits"))
+    )
+    words = [0] * n_words
+    for r in words_df.collect():
+        words[r["__w"]] = r["__bits"]
+    return words
+
+
+def bloom_contains(
+    col,
+    words: list[int],
+    *,
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    salt: str = "",
+) -> F.Column:
+    """Boolean membership probe against a built Bloom filter — a pure
+    column expression (map-only, no join, no shuffle): AND over the
+    ``k`` per-position bit tests against a single array literal.
+
+    The words array rides the plan as one ArrayType literal (sent to
+    executors with the serialized task, same cost class as a broadcast
+    var at the default 128 KiB).  False positives only, never false
+    negatives; the rate is set by the build's ``m_bits``/``k``.
+    """
+    v = F.col(col) if isinstance(col, str) else col
+    arr = F.lit([int(w) for w in words])
+    cond = F.lit(True)
+    for i in range(int(k)):
+        p = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(v.cast("string"), F.lit(f"{salt}:{i}"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.lit(int(m_bits))
+        )
+        word = F.element_at(arr, F.shiftright(p, 6).cast("int") + F.lit(1))
+        bit = F.bit_get(word, (p % 64).cast("int"))
+        cond = cond & (bit == F.lit(1).cast("tinyint"))
+    return cond

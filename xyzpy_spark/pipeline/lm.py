@@ -1,0 +1,193 @@
+"""N-gram language-model scoring — CCNet-style perplexity filtering.
+
+The classic corpus-curation recipe (Wenzek et al., *CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data*, 2020): train a
+small language model on a trusted reference corpus, score every crawled
+document by its perplexity under that model, and keep/bucket documents
+by score (head / middle / tail per language).  The reference engine's
+analog capability is arbitrary per-record scoring through
+``combo_runner`` (``/root/reference/xyzpy/gen/combo_runner.py:77-139``);
+here the model itself is trained *and* applied as Spark dataframe
+plans.
+
+Scale design (100 TB corpus, 1000 executors):
+
+- **Training** is a bounded one-time job over the *reference* corpus
+  (vocab- not corpus-sized output): two hash aggregations with map-side
+  combine (unigram + bigram counts).
+- **Scoring** is a streaming map-side pass over the big corpus: the LM
+  tables are bounded by the reference vocabulary, so both joins
+  broadcast and the 100 TB side is never shuffled — only its n-gram
+  stream flows through two broadcast hash joins and one per-document
+  aggregation keyed by ``id_col`` (one shuffle of (id, float) pairs).
+- No Python in the hot path: tokenization, n-gram assembly, the add-k
+  log-probability arithmetic, and the bucket window are all JVM
+  expressions.
+
+Portability contract: with the default ``add_k`` the whole computation
+is deterministic given the token streams; the only cross-engine hazards
+are float sum order and ``ln`` rounding, both absorbed by the
+6-decimal :func:`~xyzpy_spark.pipeline.text._round_det` canon on the
+final per-document average (the same convention every other portable
+op in this package uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .text import _doc_ngrams, _round_det, tokenize
+
+__all__ = [
+    "train_bigram_lm",
+    "score_bigram_nll",
+    "ccnet_buckets",
+]
+
+
+def train_bigram_lm(
+    ref_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Count-based bigram LM from a reference corpus.
+
+    Returns ``(unigrams, bigrams, vocab_size)`` where ``unigrams`` is
+    ``(token, c1)`` occurrence counts, ``bigrams`` is ``(ngram, c2)``
+    counts of space-joined token pairs, and ``vocab_size`` is the
+    number of distinct tokens (the ``V`` in add-k smoothing).
+
+    Both outputs are vocabulary-sized — orders of magnitude smaller
+    than the corpus — which is what makes the scoring pass broadcast.
+    ``vocab_size`` triggers one count job here so scoring plans can
+    embed it as a literal.
+    """
+    toks = ref_df.select(
+        F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    unigrams = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    bigrams = (
+        _doc_ngrams(ref_df, id_col, text_col, 2)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab_size = unigrams.count()
+    return unigrams, bigrams, int(vocab_size)
+
+
+def score_bigram_nll(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab_size: int,
+    *,
+    add_k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Per-document average bigram negative log-likelihood.
+
+    ``P(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k·V)`` (add-k smoothing;
+    unseen bigrams and unseen contexts degrade smoothly instead of
+    zeroing the product).  Output: ``(id_col, n_bigrams, nll)`` for
+    every document with at least one bigram; ``nll`` is the average
+    negative log-probability (monotone in perplexity ``e^nll`` — kept
+    in log space so the portable rounding canon is applied to a sum
+    mean, not an exponential).
+
+    ``broadcast_lm=True`` (default) broadcasts both LM tables — the
+    right call whenever the LM fits the reference-corpus-vocabulary
+    budget.  Set it ``False`` to let AQE pick shuffle joins for an
+    unusually large LM.
+    """
+    doc_bi = _doc_ngrams(df, id_col, text_col, 2)
+    bi = F.broadcast(bigrams) if broadcast_lm else bigrams
+    uni = F.broadcast(unigrams) if broadcast_lm else unigrams
+    kv = F.lit(float(add_k) * vocab_size)
+    k = F.lit(float(add_k))
+    scored = (
+        doc_bi.withColumn(
+            "__w1", F.substring_index(F.col("ngram"), " ", 1)
+        )
+        .join(bi, "ngram", "left")
+        .join(uni, F.col("__w1") == uni["token"], "left")
+        .select(
+            "__doc",
+            (
+                F.log(F.coalesce(F.col("c2"), F.lit(0)).cast("double") + k)
+                - F.log(
+                    F.coalesce(F.col("c1"), F.lit(0)).cast("double") + kv
+                )
+            ).alias("__lp"),
+        )
+    )
+    return (
+        scored.groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("__lp").alias("__lp_sum"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            _round_det(-F.col("__lp_sum") / F.col("n_bigrams")).alias(
+                "nll"
+            ),
+        )
+    )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab_size: int,
+    *,
+    n_buckets: int = 3,
+    add_k: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """CCNet head/middle/tail split: per-language NLL ``ntile``.
+
+    Documents are ranked by LM score *within their language* (CCNet's
+    key trick — absolute perplexities aren't comparable across
+    languages) and split into ``n_buckets`` equal-frequency buckets:
+    bucket 1 = best (head) … ``n_buckets`` = worst (tail).  Documents
+    with no bigram to score get bucket ``NULL`` and ``nll NULL``.
+
+    Determinism: the window orders by the *rounded* ``nll`` with
+    ``id_col`` as tie-break, so ranks are engine-portable even when
+    raw float sums differ in the last ulp.  Unscorable documents
+    (no bigram) are dropped BEFORE the window — NULL ordering inside
+    a window differs across engines (Spark ASC is NULLS FIRST,
+    DuckDB/ANSI NULLS LAST), so they must never enter the ntile.
+    One extra shuffle over the scored (id, lang, nll) triples —
+    document text never enters the window.
+    """
+    scored = score_bigram_nll(
+        df,
+        unigrams,
+        bigrams,
+        vocab_size,
+        add_k=add_k,
+        text_col=text_col,
+        id_col=id_col,
+        broadcast_lm=broadcast_lm,
+    )
+    slim = df.select(id_col, lang_col).join(scored, id_col)
+    w = (
+        Window.partitionBy(lang_col)
+        .orderBy(F.col("nll").asc(), F.col(id_col).asc())
+    )
+    return slim.select(
+        id_col,
+        lang_col,
+        "n_bigrams",
+        "nll",
+        F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
+    )

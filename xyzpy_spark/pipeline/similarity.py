@@ -360,3 +360,59 @@ def ivf_topk(
             "query_id", "nbr_id", "rank", F.round("cosine", 6).alias("cosine")
         )
     )
+
+
+def project_embeddings(
+    df: DataFrame,
+    out_dim: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    in_dim: int | None = None,
+    seed: int = 42,
+    round_places: int = 6,
+) -> DataFrame:
+    """Johnson–Lindenstrauss random projection to ``out_dim``
+    components, as a MAP-ONLY column plan (zero shuffles, zero joins).
+
+    The projection matrix is the same md5-derived Rademacher (±1)
+    family the embedding-LSH hyperplanes use
+    (:func:`~xyzpy_spark.pipeline.dedup.portable_hyperplanes` — sign =
+    high bit of ``md5(f"{seed}:{j}:{d}")``'s first hex digit), so any
+    engine can reproduce the exact matrix; ±1 entries preserve
+    pairwise distances like the Gaussian version (Achlioptas 2003)
+    while keeping every product exact in float.
+
+    Plan shape: each output component is a ``zip_with``/``aggregate``
+    fold of the vector against a literal sign array — per-row JVM
+    arithmetic, no explode (which would inflate rows ``in_dim``×), no
+    matrix join, no exchange anywhere.  At 100 TB the projection
+    streams at scan speed and composes with downstream ops without
+    adding a stage boundary.  Components are rounded with the portable
+    6-decimal canon so float sum order (the fold here vs any oracle's
+    SUM) can't leak into comparisons.
+
+    Use it in front of :func:`cosine_topk` / IVF to cut the per-vector
+    arithmetic by ``in_dim/out_dim`` when recall at reduced dimension
+    is acceptable.
+    """
+    from .dedup import portable_hyperplanes
+    from .text import _round_det
+
+    if in_dim is None:
+        row = df.select(F.size(vec_col).alias("n")).first()
+        if row is None:
+            raise ValueError("project_embeddings: empty input dataframe")
+        in_dim = int(row["n"])
+    planes = portable_hyperplanes(out_dim, in_dim, seed)
+    vec = F.col(vec_col).cast("array<double>")
+    comps = []
+    for j in range(out_dim):
+        signs = F.lit([float(planes[j][d]) for d in range(in_dim)])
+        comp = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x * s),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        comps.append(_round_det(comp, round_places))
+    return df.select(id_col, F.array(*comps).alias("projection"))

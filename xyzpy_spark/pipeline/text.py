@@ -747,3 +747,113 @@ def score_quality_trained(
         .drop("__wsum")
         .withColumn("keep", F.col("margin") >= 0)
     )
+
+
+def bloom_contamination_hits(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """:func:`contamination_hits` with the eval n-gram set compressed
+    into a Bloom filter — the scale path when the eval/blocklist side
+    outgrows a plain broadcast join.
+
+    The broadcast-join variant ships every distinct eval n-gram string
+    to every executor; this one ships ``m_bits/8`` bytes (128 KiB at
+    the default 2^20) no matter how many n-grams the eval side holds,
+    and the train side's probe is a pure column expression — map-only,
+    zero joins, zero shuffles until the per-doc count.  The price is a
+    bounded false-positive rate (≈(1-e^(-k·n/m))^k, <1% at the
+    defaults up to ~130k grams): a few clean docs may be flagged, no
+    contaminated doc is ever missed.  Output: ``(id_col, n_hits)``
+    where ``n_hits`` counts DISTINCT train-doc n-grams probing
+    positive.
+
+    Determinism: the filter's hash family is portable md5 arithmetic
+    (:func:`~xyzpy_spark.functions.sketch.bloom_positions`), so the
+    exact hit set — false positives included — is reproducible in any
+    engine.
+    """
+    from ..functions.sketch import bloom_build, bloom_contains
+
+    eval_grams = (
+        _doc_ngrams(eval_df, id_col, text_col, n)
+        .select("ngram")
+        .distinct()
+    )
+    words = bloom_build(eval_grams, "ngram", m_bits=m_bits, k=k)
+    train_grams = _doc_ngrams(train_df, id_col, text_col, n).distinct()
+    return (
+        train_grams.where(
+            bloom_contains("ngram", words, m_bits=m_bits, k=k)
+        )
+        .groupBy("__doc")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(F.col("__doc").alias(id_col), "n_hits")
+    )
+
+
+def corpus_stats(
+    df: DataFrame,
+    by=("source", "lang"),
+    *,
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-slice corpus health report: volume, token mass, length
+    moments, and exact-duplicate rate.
+
+    The first thing a curation pipeline computes over a new crawl —
+    which slices are big, which are boilerplate-heavy, where dedup
+    will pay.  Two-level hash aggregation: fingerprint-level
+    pre-aggregation (map-side combinable) feeds the slice-level
+    rollup, so the shuffle carries one row per distinct (slice,
+    fingerprint) — never row-sized, and no ``count(distinct)`` Expand
+    double-scan.  Output per slice: ``n_docs``, ``n_distinct_docs``,
+    ``dup_rate`` (1 - distinct/docs), ``total_tokens``,
+    ``avg_tokens``, ``avg_chars``.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    per_fp = (
+        df.select(
+            *by,
+            canonical_fingerprint(F.col(text_col)).alias("__fp"),
+            F.size(tokenize(F.col(text_col))).alias("__nt"),
+            F.length(text_col).alias("__nc"),
+        )
+        .groupBy(*by, "__fp")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum("__nt").alias("__t"),
+            F.sum("__nc").alias("__c"),
+        )
+    )
+    return (
+        per_fp.groupBy(*by)
+        .agg(
+            F.sum("__n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_distinct_docs"),
+            F.sum("__t").alias("total_tokens"),
+            F.sum("__c").alias("__chars"),
+        )
+        .select(
+            *by,
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_distinct_docs").cast("long").alias("n_distinct_docs"),
+            _round_det(
+                F.lit(1.0)
+                - F.col("n_distinct_docs") / F.col("n_docs")
+            ).alias("dup_rate"),
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            _round_det(F.col("total_tokens") / F.col("n_docs")).alias(
+                "avg_tokens"
+            ),
+            _round_det(F.col("__chars") / F.col("n_docs")).alias(
+                "avg_chars"
+            ),
+        )
+    )

@@ -74,6 +74,11 @@ HEADLINE = [
     "image_features",
     "audio_features",
     "token_budget",
+    "lm_nll",
+    "ccnet_buckets",
+    "bloom_contamination",
+    "project_embeddings",
+    "corpus_stats",
     "dedup_incremental",
 ]
 

@@ -81,6 +81,21 @@ PICKS = {
     "audio_features": "audio features: map-only Arrow stage over the "
     "binary column (real RIFF/PCM16 decode), ZERO exchanges, "
     "doc_id%2 filter pushed to the scan",
+    "lm_nll": "LM scoring: BOTH LM tables broadcast (the corpus is "
+    "never shuffled for the joins — only its n-gram stream and the "
+    "final per-doc aggregation move); n-gram assembly reuses the "
+    "per-doc window partitioning",
+    "bloom_contamination": "Bloom decontamination: the probe is a pure "
+    "column expression against a single 128 KiB binary literal — the "
+    "train side has NO join node; the only exchanges are the per-doc "
+    "gram dedup and hit count",
+    "project_embeddings": "JL projection: literal sign arrays folded "
+    "per row (zip_with + aggregate) — ZERO exchanges, zero joins, no "
+    "explode row inflation; composes with downstream ops without a "
+    "stage boundary",
+    "corpus_stats": "corpus report: fingerprint-level pre-aggregation "
+    "feeds the slice rollup — dup-rate without count(distinct)'s "
+    "Expand double-scan; exactly two bounded exchanges",
 }
 
 

@@ -290,15 +290,25 @@ def bloom_contains(
 ) -> F.Column:
     """Boolean membership probe against a built Bloom filter — a pure
     column expression (map-only, no join, no shuffle): AND over the
-    ``k`` per-position bit tests against a single array literal.
+    ``k`` per-position bit tests against ONE binary literal.
 
-    The words array rides the plan as one ArrayType literal (sent to
-    executors with the serialized task, same cost class as a broadcast
-    var at the default 128 KiB).  False positives only, never false
-    negatives; the rate is set by the build's ``m_bits``/``k``.
+    The packed words ride the plan as a single BinaryType literal
+    (``m_bits/8`` bytes — 128 KiB at the default 2^20 bits; byte ``B``
+    of the filter is ``words[B>>3] >> 8*(B&7)``, so bit ``p`` is bit
+    ``p&7`` of byte ``p>>3``), extracted per probe with ``substr`` —
+    an O(1) byte slice on binary.  The two rejected encodings are
+    cautionary: ``lit(list)`` of 16384 words expands to a 16k-node
+    CreateArray costing ~8 s of py4j + analysis per query, and a hex
+    STRING literal makes every probe pay an O(m_bits) UTF-8
+    boundary scan inside ``substr`` (95 s vs ~2 s at sf0.1,
+    measured).  False positives only, never false negatives; the rate
+    is set by the build's ``m_bits``/``k``.
     """
     v = F.col(col) if isinstance(col, str) else col
-    arr = F.lit([int(w) for w in words])
+    buf = bytearray()
+    for w in words:
+        buf += (int(w) & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    blob = F.lit(bytes(buf))
     cond = F.lit(True)
     for i in range(int(k)):
         p = (
@@ -313,7 +323,18 @@ def bloom_contains(
             ).cast("long")
             % F.lit(int(m_bits))
         )
-        word = F.element_at(arr, F.shiftright(p, 6).cast("int") + F.lit(1))
-        bit = F.bit_get(word, (p % 64).cast("int"))
+        byte = F.conv(
+            F.hex(
+                F.call_function(
+                    "substr",
+                    blob,
+                    (F.shiftright(p, 3) + 1).cast("int"),
+                    F.lit(1),
+                )
+            ),
+            16,
+            10,
+        ).cast("int")
+        bit = F.bit_get(byte, (p % 8).cast("int"))
         cond = cond & (bit == F.lit(1).cast("tinyint"))
     return cond

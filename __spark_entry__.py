@@ -1370,6 +1370,25 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_stats(docs)
 
 
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass per-column data-QA census of the events table —
+    exact distincts (Expand multi-distinct), decimal-exact means,
+    epoch-µs timestamp ranges (functions/profile.profile_table)."""
+    from xyzpy_spark.functions.profile import profile_table
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_table(ev, distinct="exact")
+
+
+def q_keyword_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist census: token-boundary keyword match counts
+    as a map-only array expression (pipeline/text.keyword_hits)."""
+    from xyzpy_spark.pipeline.text import keyword_hits
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyword_hits(docs, ["spark", "hash", "slow", "merge"])
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1469,6 +1488,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_gaps": q_run_gaps,
         "facet_agg": q_facet_agg,
         "median_quantile_band": q_median_quantile_band,
+        "profile_events": q_profile_events,
+        "keyword_hits": q_keyword_hits,
     }
 
 
@@ -1949,6 +1970,75 @@ def oracle_sql() -> dict[str, str]:
             FROM hits GROUP BY doc_id
         """,
         "project_embeddings": _project_embeddings_oracle(),
+        "profile_events": r"""
+            SELECT 'event_id' AS col_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(event_id) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+                   CAST(MIN(event_id) AS DOUBLE) AS min_num,
+                   CAST(MAX(event_id) AS DOUBLE) AS max_num,
+                   CAST(SUM(CAST(event_id AS DECIMAL(38,0))) AS DOUBLE) / COUNT(event_id) AS mean,
+                   CAST(NULL AS VARCHAR) AS min_str,
+                   CAST(NULL AS VARCHAR) AS max_str
+            FROM events
+            UNION ALL
+            SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(ts) AS BIGINT),
+                   CAST(COUNT(DISTINCT ts) AS BIGINT),
+                   CAST(MIN(epoch_us(ts)) AS DOUBLE),
+                   CAST(MAX(epoch_us(ts)) AS DOUBLE),
+                   CAST(SUM(epoch_us(ts)) AS DOUBLE) / COUNT(ts),
+                   NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT),
+                   CAST(MIN(user_id) AS DOUBLE),
+                   CAST(MAX(user_id) AS DOUBLE),
+                   CAST(SUM(CAST(user_id AS DECIMAL(38,0))) AS DOUBLE) / COUNT(user_id),
+                   NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+                   CAST(COUNT(DISTINCT event_type) AS BIGINT),
+                   NULL, NULL, NULL,
+                   MIN(event_type), MAX(event_type)
+            FROM events
+            UNION ALL
+            SELECT 'value', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(value) AS BIGINT),
+                   CAST(COUNT(DISTINCT value) AS BIGINT),
+                   MIN(value), MAX(value),
+                   CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value),
+                   NULL, NULL
+            FROM events
+            UNION ALL
+            SELECT 'props', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(props) AS BIGINT),
+                   CAST(COUNT(DISTINCT props) AS BIGINT),
+                   NULL, NULL, NULL,
+                   MIN(props), MAX(props)
+            FROM events
+        """,
+        "keyword_hits": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           u -> u <> '') AS w
+                FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(list_filter(w,
+                       t -> list_contains(['hash','merge','slow','spark'], t)
+                   )) AS BIGINT) AS n_hits,
+                   CAST(len(list_intersect(list_distinct(w),
+                       ['hash','merge','slow','spark']
+                   )) AS BIGINT) AS n_distinct_hits
+            FROM toks
+        """,
         "corpus_stats": r"""
             WITH fp AS (
                 SELECT source, lang,

@@ -79,6 +79,8 @@ HEADLINE = [
     "bloom_contamination",
     "project_embeddings",
     "corpus_stats",
+    "profile_events",
+    "keyword_hits",
     "dedup_incremental",
 ]
 

@@ -237,6 +237,21 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(corpus_stats(self.df, by, **kw))
 
+    def keyword_hits(self, keywords, **kw) -> "xyz":
+        from .pipeline.text import keyword_hits
+
+        return self._wrap(keyword_hits(self.df, keywords, **kw))
+
+    def filter_blocklist(self, keywords, **kw) -> "xyz":
+        from .pipeline.text import filter_blocklist
+
+        return self._wrap(filter_blocklist(self.df, keywords, **kw))
+
+    def profile(self, cols=None, **kw) -> "xyz":
+        from .functions.profile import profile_table
+
+        return self._wrap(profile_table(self.df, cols, **kw))
+
     # -- presentation (dense) -------------------------------------------
     def to_xarray(self, dims, **kw):
         from .runner import to_xarray

@@ -1,3 +1,13 @@
+from .profile import profile_table
+from .sketch import (
+    approx_distinct,
+    approx_quantiles,
+    bloom_build,
+    bloom_contains,
+    bloom_positions,
+    frequent_items,
+    heavy_hitters,
+)
 from .stats import (
     RunningStatistics,
     covariance_matrix,
@@ -7,6 +17,14 @@ from .stats import (
 )
 
 __all__ = [
+    "profile_table",
+    "approx_distinct",
+    "approx_quantiles",
+    "bloom_build",
+    "bloom_contains",
+    "bloom_positions",
+    "frequent_items",
+    "heavy_hitters",
     "RunningStatistics",
     "covariance_matrix",
     "estimate_from_repeats",

@@ -857,3 +857,70 @@ def corpus_stats(
             ),
         )
     )
+
+
+def keyword_hits(
+    df: DataFrame,
+    keywords,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Per-document blocklist census (C4-style bad-word accounting,
+    Raffel et al. 2020 §2.2): token-level matches against a keyword
+    list, as pure column arithmetic.
+
+    Output: ``(id_col, n_hits, n_distinct_hits)`` for every document —
+    total matching-token occurrences and how many distinct keywords
+    matched.  Token-boundary semantics (a keyword matches a whole
+    whitespace token, not a substring), same tokenizer as every other
+    text op; ``lowercase`` folds case before matching (the C4
+    convention).
+
+    Map-only: the keyword list rides the plan as a small array literal
+    and both counts are array expressions — zero joins, zero shuffles,
+    scan speed on a 100 TB corpus.  For blocklists too large for a
+    plan literal (>~10k terms), build a Bloom filter over the
+    keywords and probe with
+    :func:`~xyzpy_spark.functions.sketch.bloom_contains` instead.
+    """
+    kws = sorted({k.lower() if lowercase else k for k in keywords})
+    if not kws:
+        raise ValueError("keyword_hits: empty keyword list")
+    kw_arr = F.array(*[F.lit(k) for k in kws])
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    toks = tokenize(text)
+    return df.select(
+        id_col,
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(kw_arr, t))
+        ).cast("long").alias("n_hits"),
+        F.size(
+            F.array_intersect(F.array_distinct(toks), kw_arr)
+        ).cast("long").alias("n_distinct_hits"),
+    )
+
+
+def filter_blocklist(
+    df: DataFrame,
+    keywords,
+    *,
+    max_hits: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Drop documents with more than ``max_hits`` blocklisted tokens
+    (C4 drops on ANY hit — the ``max_hits=0`` default).  Same map-only
+    plan as :func:`keyword_hits`, applied as a filter: the full rows
+    stream through one scan, no join against the hit table."""
+    kws = sorted({k.lower() if lowercase else k for k in keywords})
+    if not kws:
+        raise ValueError("filter_blocklist: empty keyword list")
+    kw_arr = F.array(*[F.lit(k) for k in kws])
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    n_hits = F.size(
+        F.filter(tokenize(text), lambda t: F.array_contains(kw_arr, t))
+    )
+    return df.where(n_hits <= F.lit(int(max_hits)))

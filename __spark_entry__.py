@@ -1389,6 +1389,31 @@ def q_keyword_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyword_hits(docs, ["spark", "hash", "slow", "merge"])
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode canonicalization (NFC + strip accents + casefold +
+    whitespace collapse) — one Arrow-batched map stage
+    (pipeline/text.normalize_text)."""
+    from xyzpy_spark.pipeline.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    out = normalize_text(
+        docs,
+        strip_accents=True,
+        lowercase=True,
+        collapse_whitespace=True,
+    )
+    return out.select("doc_id", "text_norm")
+
+
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization, map-only floor
+    arithmetic (pipeline/similarity.quantize_embeddings)."""
+    from xyzpy_spark.pipeline.similarity import quantize_embeddings
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1490,6 +1515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_quantile_band": q_median_quantile_band,
         "profile_events": q_profile_events,
         "keyword_hits": q_keyword_hits,
+        "normalize_text": q_normalize_text,
+        "quantize_embeddings": q_quantize_embeddings,
     }
 
 
@@ -2021,6 +2048,28 @@ def oracle_sql() -> dict[str, str]:
                    NULL, NULL, NULL,
                    MIN(props), MAX(props)
             FROM events
+        """,
+        "normalize_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       lower(strip_accents(nfc_normalize(text))),
+                       '\s+', ' ', 'g')) AS text_norm
+            FROM documents
+        """,
+        "quantize_embeddings": r"""
+            WITH s AS (
+                SELECT vec_id,
+                       list_max(list_transform(
+                           embedding, x -> abs(x::DOUBLE))) AS q_scale,
+                       embedding
+                FROM embeddings
+            )
+            SELECT vec_id, q_scale,
+                   list_transform(embedding, x -> CAST(FLOOR(
+                       x::DOUBLE
+                       / (CASE WHEN q_scale > 0 THEN q_scale ELSE 1.0 END)
+                       * 127) AS INTEGER)) AS qvec
+            FROM s
         """,
         "keyword_hits": r"""
             WITH toks AS (

@@ -81,6 +81,8 @@ HEADLINE = [
     "corpus_stats",
     "profile_events",
     "keyword_hits",
+    "normalize_text",
+    "quantize_embeddings",
     "dedup_incremental",
 ]
 

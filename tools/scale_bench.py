@@ -66,6 +66,8 @@ HEAVY = [
     "dedup_clusters",
     "skew_salted_revenue",
     "window_hourly",
+    "lm_nll",
+    "bloom_contamination",
     "dedup_incremental",
 ]
 

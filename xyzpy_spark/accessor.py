@@ -252,6 +252,16 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(profile_table(self.df, cols, **kw))
 
+    def normalize_text(self, **kw) -> "xyz":
+        from .pipeline.text import normalize_text
+
+        return self._wrap(normalize_text(self.df, **kw))
+
+    def quantize_embeddings(self, **kw) -> "xyz":
+        from .pipeline.similarity import quantize_embeddings
+
+        return self._wrap(quantize_embeddings(self.df, **kw))
+
     # -- presentation (dense) -------------------------------------------
     def to_xarray(self, dims, **kw):
         from .runner import to_xarray

@@ -8,6 +8,8 @@ path), so they stream through a 100 TB corpus at scan speed.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 
@@ -924,3 +926,64 @@ def filter_blocklist(
         F.filter(tokenize(text), lambda t: F.array_contains(kw_arr, t))
     )
     return df.where(n_hits <= F.lit(int(max_hits)))
+
+
+def normalize_text(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "text_norm",
+    form: str = "NFC",
+    strip_accents: bool = False,
+    lowercase: bool = False,
+    collapse_whitespace: bool = False,
+) -> DataFrame:
+    """Unicode text canonicalization — the step before any fingerprint
+    or n-gram op when the corpus mixes encodings (NFC vs NFD visually
+    identical strings hash differently).
+
+    Pipeline: Unicode normalize (``form``: NFC/NFKC/NFD/NFKD) →
+    optionally strip combining marks (NFD-decompose, drop
+    ``unicodedata.combining`` marks — 'école'→'ecole'; standalone
+    letters like 'ø' are NOT folded, matching DuckDB
+    ``strip_accents`` on the tested range) → optionally lowercase →
+    optionally collapse whitespace runs to single spaces and trim.
+
+    The JVM has no Unicode-normalization builtin, so this is one
+    Arrow-batched ``pandas_udf`` stage — map-only, no shuffle, scales
+    with executors; everything downstream (fingerprints, shingles)
+    stays JVM-side.  NULL text passes through as NULL.
+    """
+    import pandas as pd
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"normalize_text: unknown form {form!r}")
+    _form = form
+    _strip, _lower, _collapse = strip_accents, lowercase, collapse_whitespace
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import re
+        import unicodedata
+
+        def one(t):
+            if t is None:
+                return None
+            t = unicodedata.normalize(_form, t)
+            if _strip:
+                t = "".join(
+                    c
+                    for c in unicodedata.normalize("NFD", t)
+                    if not unicodedata.combining(c)
+                )
+                if _form in ("NFC", "NFKC"):
+                    t = unicodedata.normalize("NFC", t)
+            if _lower:
+                t = t.lower()
+            if _collapse:
+                t = re.sub(r"\s+", " ", t).strip()
+            return t
+
+        return s.map(one)
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))

@@ -1414,6 +1414,32 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantize_embeddings(emb)
 
 
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full one-call curation recipe, oracle-checked end to end:
+    exact dedup (portable md5 mode) → quality rules → blocklist →
+    CCNet LM tail drop → decontamination vs the reference split
+    (pipeline/curate.curate_corpus)."""
+    from xyzpy_spark.pipeline.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    out = curate_corpus(
+        corpus,
+        reference_df=ref,
+        hash_fn="md5",
+        min_tokens=20,
+        min_quality=0.5,
+        max_top_bigram_frac=0.12,
+        blocklist=["merge", "spark"],
+        max_block_hits=2,
+        lm_tail=True,
+        lm_buckets=3,
+        decontaminate_n=5,
+    )
+    return out.select("doc_id", "text", "lang", "source")
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1517,6 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyword_hits": q_keyword_hits,
         "normalize_text": q_normalize_text,
         "quantize_embeddings": q_quantize_embeddings,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -2070,6 +2097,141 @@ def oracle_sql() -> dict[str, str]:
                        / (CASE WHEN q_scale > 0 THEN q_scale ELSE 1.0 END)
                        * 127) AS INTEGER)) AS qvec
             FROM s
+        """,
+        "curate_corpus": r"""
+            WITH corpus AS (
+                SELECT * FROM documents WHERE doc_id % 10 <> 0
+            ), ref AS (
+                SELECT * FROM documents WHERE doc_id % 10 = 0
+            ), fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f
+                FROM corpus
+            ), keepers AS (
+                SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
+            ), s1 AS (
+                SELECT c.* FROM corpus c JOIN keepers USING (doc_id)
+            ), m AS (
+                SELECT doc_id, len(text) AS nchars,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS toks,
+                       len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                           AS n_punct
+                FROM s1
+            ), bgq AS (
+                SELECT doc_id, nchars, toks, n_punct,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                           AS bigrams
+                FROM m
+            ), rq AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       FLOOR(n_punct / GREATEST(nchars, 1) * 1e6 + 0.5)/1e6
+                           AS punct_ratio,
+                       FLOOR(len(list_filter(toks,
+                             t -> list_contains(
+                                 ['the','a','and','of','to','in','is','it'],
+                                 t)))
+                             / GREATEST(len(toks), 1) * 1e6 + 0.5)/1e6
+                           AS stopword_ratio,
+                       FLOOR(list_max(list_transform(list_distinct(bigrams),
+                                 g -> len(list_filter(bigrams, x -> x = g))))
+                             / CAST(len(toks) - 1 AS DOUBLE) * 1e6 + 0.5)/1e6
+                           AS top_bigram_frac
+                FROM bgq
+            ), qq AS (
+                SELECT doc_id, n_tokens, top_bigram_frac,
+                       FLOOR((LEAST(n_tokens / 64.0, 1.0) * 0.5
+                              + LEAST(stopword_ratio * 5, 1.0) * 0.3
+                              + (1 - LEAST(punct_ratio * 10, 1.0)) * 0.2)
+                             * 1e6 + 0.5)/1e6 AS quality
+                FROM rq
+            ), s2 AS (
+                SELECT s1.* FROM s1 JOIN qq USING (doc_id)
+                WHERE qq.n_tokens >= 20 AND qq.quality >= 0.5
+                  AND qq.top_bigram_frac <= 0.12
+            ), bl AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           list_filter(regexp_split_to_array(
+                               trim(lower(text)), '\s+'), u -> u <> ''),
+                           t -> list_contains(['merge','spark'], t))) AS nh
+                FROM s2
+            ), s3 AS (
+                SELECT s2.* FROM s2 JOIN bl USING (doc_id) WHERE bl.nh <= 2
+            ), rtoks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS w
+                FROM ref
+            ), unic AS (
+                SELECT token, COUNT(*) AS c1
+                FROM (SELECT unnest(w) AS token FROM rtoks)
+                GROUP BY token
+            ), vocab AS (SELECT COUNT(*) AS v FROM unic),
+            bic AS (
+                SELECT ngram, COUNT(*) AS c2
+                FROM (SELECT unnest(list_transform(
+                          range(1, greatest(len(w) - 1, 0) + 1),
+                          i -> w[i] || ' ' || w[i+1])) AS ngram
+                      FROM rtoks)
+                GROUP BY ngram
+            ), stoks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS w
+                FROM s3
+            ), sgrams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(w) - 1, 0) + 1),
+                           i -> w[i] || ' ' || w[i+1])) AS ngram
+                FROM stoks
+            ), scored AS (
+                SELECT g.doc_id,
+                       COUNT(*) AS n_bi,
+                       SUM(ln(COALESCE(b.c2, 0) + 0.5)
+                           - ln(COALESCE(u.c1, 0) + 0.5 * v.v)) AS lp
+                FROM sgrams g
+                LEFT JOIN bic b USING (ngram)
+                LEFT JOIN unic u ON split_part(g.ngram, ' ', 1) = u.token
+                CROSS JOIN vocab v
+                GROUP BY g.doc_id
+            ), buck AS (
+                SELECT s.doc_id,
+                       NTILE(3) OVER (
+                           PARTITION BY d.lang
+                           ORDER BY FLOOR((-s.lp / s.n_bi) * 1e6 + 0.5)/1e6,
+                                    s.doc_id
+                       ) AS bucket
+                FROM scored s JOIN s3 d USING (doc_id)
+            ), s4 AS (
+                SELECT s3.* FROM s3 JOIN buck USING (doc_id)
+                WHERE buck.bucket < 3
+            ), ref5 AS (
+                SELECT DISTINCT ngram
+                FROM (SELECT unnest(list_transform(
+                          range(1, greatest(len(w) - 4, 0) + 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               || ' ' || w[i+3] || ' ' || w[i+4])) AS ngram
+                      FROM rtoks)
+            ), s4g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 4, 0) + 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                || ' ' || w[i+3] || ' ' || w[i+4]))) AS ngram
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(
+                                 trim(text), '\s+'), u -> u <> '') AS w
+                      FROM s4)
+            ), contaminated AS (
+                SELECT DISTINCT g.doc_id
+                FROM s4g g JOIN ref5 USING (ngram)
+            )
+            SELECT doc_id, text, lang, source
+            FROM s4
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
         """,
         "keyword_hits": r"""
             WITH toks AS (

@@ -83,6 +83,7 @@ HEADLINE = [
     "keyword_hits",
     "normalize_text",
     "quantize_embeddings",
+    "curate_corpus",
     "dedup_incremental",
 ]
 

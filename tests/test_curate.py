@@ -1,0 +1,132 @@
+"""Unit tests for the one-call curation recipe (pipeline/curate.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away to the old mill by the river where it rests a while"
+    )
+    rows = [
+        (1, base, "en", "web"),
+        (2, base, "en", "web"),                       # exact dup of 1
+        (3, "tiny doc", "en", "web"),                 # fails min_tokens
+        (4, base.replace("fox", "cat"), "en", "web"),  # survives
+        (5, "merge merge merge " + base, "en", "web"),  # blocklist hits
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING"
+    )
+
+
+@pytest.fixture(scope="module")
+def reference(spark):
+    rows = [
+        (100, "clean reference prose about rivers and mills", "en", "ref"),
+        (101, "more reference text with many common words", "en", "ref"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING"
+    )
+
+
+def test_curate_stages_and_report(spark, corpus, reference):
+    from xyzpy_spark.pipeline.curate import curate_corpus
+
+    out, stages = curate_corpus(
+        corpus,
+        reference_df=reference,
+        min_tokens=10,
+        min_quality=None,
+        blocklist=["merge"],
+        max_block_hits=0,
+        report=True,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    # dup 2 dropped (keeper is min id 1); 3 fails min_tokens;
+    # 5 fails blocklist
+    assert kept == {1, 4}
+    names = [s[0] for s in stages]
+    assert names == ["input", "dedup_exact", "quality_rules", "blocklist"]
+    counts = [s[1] for s in stages]
+    assert counts[0] == 5
+    # counts are monotone non-increasing through the funnel
+    assert all(a >= b for a, b in zip(counts, counts[1:]))
+    assert counts[-1] == 2
+    # original columns preserved
+    assert out.columns == corpus.columns
+
+
+def test_curate_lm_tail_drops_worst_bucket(spark, corpus, reference):
+    from xyzpy_spark.pipeline.curate import curate_corpus
+
+    full = curate_corpus(
+        corpus,
+        reference_df=reference,
+        dedup=None,
+        min_tokens=None,
+        min_quality=None,
+        lm_tail=True,
+        lm_buckets=2,
+    )
+    kept = {r["doc_id"] for r in full.collect()}
+    # all 5 docs are scoreable (even "tiny doc" has one bigram);
+    # ntile(2) over 5 docs -> head bucket keeps 3, tail drops 2
+    assert len(kept) == 3
+
+
+def test_curate_decontaminate_uses_reference(spark, corpus):
+    from xyzpy_spark.pipeline.curate import curate_corpus
+
+    # reference leaking a 5-gram unique to doc 4 ("cat" variant) —
+    # doc 1's "fox" spelling shares no 5-gram with it
+    leak = spark.createDataFrame(
+        [(999, "quick brown cat jumps over", "en", "ref")],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
+    )
+    out = curate_corpus(
+        corpus,
+        reference_df=leak,
+        min_tokens=10,
+        min_quality=None,
+        decontaminate_n=5,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 4 not in kept
+    assert 1 in kept
+
+
+def test_curate_requires_reference_for_lm_stages(spark, corpus):
+    from xyzpy_spark.pipeline.curate import curate_corpus
+
+    with pytest.raises(ValueError, match="reference_df"):
+        curate_corpus(corpus, lm_tail=True)
+    with pytest.raises(ValueError, match="reference_df"):
+        curate_corpus(corpus, decontaminate_n=5)
+    with pytest.raises(ValueError, match="unknown dedup"):
+        curate_corpus(corpus, dedup="fuzzy")
+
+
+def test_curate_plan_is_lazy_single_action(spark, corpus, reference):
+    """report=False composes one lazy plan — no count() actions."""
+    from xyzpy_spark.pipeline.curate import curate_corpus
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    df = curate_corpus(
+        corpus,
+        reference_df=reference,
+        min_tokens=5,
+        min_quality=None,
+        decontaminate_n=5,
+    )
+    # building the plan triggers at most the LM vocab count (none
+    # here: lm_tail off) — no full-pipeline actions until we act
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after - before <= 1
+    assert df.count() >= 0

@@ -96,6 +96,10 @@ PICKS = {
     "corpus_stats": "corpus report: fingerprint-level pre-aggregation "
     "feeds the slice rollup — dup-rate without count(distinct)'s "
     "Expand double-scan; exactly two bounded exchanges",
+    "curate_corpus": "one-call curation recipe: the quality/blocklist "
+    "column filters fuse into the scans; dedup groups, the per-lang "
+    "ntile window and the n-gram streams are the only shuffles — "
+    "document text never moves except for the n-gram stages",
 }
 
 

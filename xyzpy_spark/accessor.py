@@ -262,6 +262,16 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(quantize_embeddings(self.df, **kw))
 
+    def curate(self, reference_df=None, **kw) -> "xyz":
+        from .pipeline.curate import curate_corpus
+
+        reference_df = (
+            reference_df.df if isinstance(reference_df, xyz) else reference_df
+        )
+        return self._wrap(
+            curate_corpus(self.df, reference_df=reference_df, **kw)
+        )
+
     # -- presentation (dense) -------------------------------------------
     def to_xarray(self, dims, **kw):
         from .runner import to_xarray

@@ -1,0 +1,167 @@
+"""One-call corpus curation — the standard LLM-training-data recipe
+as a single composable DataFrame plan.
+
+Composes the individually-tested stages in the order production
+pipelines run them (C4 → Gopher → CCNet → GPT-3 decontamination):
+
+1. **Exact dedup** — keep the min-id document per normalized
+   fingerprint (:func:`~xyzpy_spark.pipeline.dedup.dedup_exact`).
+2. **Quality rule stack** — token count / heuristic quality /
+   repetition gates (:func:`~xyzpy_spark.pipeline.text.filter_corpus`),
+   map-only.
+3. **Blocklist** — C4-style bad-word gate
+   (:func:`~xyzpy_spark.pipeline.text.filter_blocklist`), map-only.
+4. **LM perplexity tail drop** — CCNet buckets from a reference-corpus
+   bigram LM; the worst per-language bucket is dropped
+   (:func:`~xyzpy_spark.pipeline.lm.ccnet_buckets`).
+5. **Decontamination** — drop documents sharing n-grams with the
+   eval/reference set (:func:`~xyzpy_spark.pipeline.text.decontaminate`),
+   eval side broadcast.
+
+Scale shape: stages 2-3 are pure column filters fused into the scan;
+stages 1, 4, 5 add one bounded-key shuffle each (8-byte fingerprints,
+(id, lang, nll) triples, n-gram stream) — document text itself moves
+only where a stage's semantics require it.  Every stage is optional;
+the composed plan stays lazy until the caller acts on it.
+
+The whole recipe is oracle-checkable end-to-end (contract query
+``curate_corpus`` composes the per-stage DuckDB twins), which is the
+guarantee a 100 TB run wants before spending the cluster time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["curate_corpus"]
+
+
+def curate_corpus(
+    df: DataFrame,
+    *,
+    reference_df: DataFrame | None = None,
+    dedup: str | None = "exact",
+    hash_fn: str = "xxhash64",
+    min_tokens: int | None = 20,
+    min_quality: float | None = 0.5,
+    max_top_bigram_frac: float | None = None,
+    blocklist=None,
+    max_block_hits: int = 0,
+    lm_tail: bool = False,
+    lm_buckets: int = 3,
+    decontaminate_n: int | None = None,
+    min_decontam_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    report: bool = False,
+):
+    """Run the full curation recipe; returns the curated DataFrame
+    with the input's original columns.
+
+    ``reference_df`` is the trusted/eval corpus: it trains the LM for
+    the ``lm_tail`` stage and supplies the n-grams for the
+    ``decontaminate_n`` stage (both stages require it).  ``dedup``
+    currently supports ``'exact'`` / ``None`` — run the near-dup
+    family (:func:`~xyzpy_spark.pipeline.dedup.dedup_corpus`) as its
+    own pass when shingle-level dedup is wanted; exact-first is the
+    standard order either way.
+
+    ``report=True`` returns ``(curated_df, stages)`` where ``stages``
+    is ``[(stage_name, n_docs_after), ...]`` — each count is an
+    ACTION over the plan prefix (audit mode; leave off for one-pass
+    production runs).
+
+    Docs the LM cannot score (no bigram) are dropped by the
+    ``lm_tail`` stage; with the default ``min_tokens=20`` gate ahead
+    of it no scoreable document is lost.
+    """
+    if (lm_tail or decontaminate_n is not None) and reference_df is None:
+        raise ValueError(
+            "curate_corpus: lm_tail/decontaminate_n require reference_df"
+        )
+    cols = list(df.columns)
+    stages: list[tuple[str, int]] = []
+
+    def _note(name: str, frame: DataFrame) -> None:
+        if report:
+            stages.append((name, frame.count()))
+
+    out = df
+    _note("input", out)
+
+    if dedup == "exact":
+        from .dedup import dedup_exact
+
+        keep = dedup_exact(
+            out, text_col, id_col, hash_fn=hash_fn
+        ).select(F.col("keep_id").alias(id_col))
+        out = out.join(keep, id_col, "left_semi")
+        _note("dedup_exact", out)
+    elif dedup is not None:
+        raise ValueError(f"curate_corpus: unknown dedup mode {dedup!r}")
+
+    if any(
+        g is not None
+        for g in (min_tokens, min_quality, max_top_bigram_frac)
+    ):
+        from .text import filter_corpus
+
+        out = filter_corpus(
+            out,
+            text_col=text_col,
+            min_tokens=min_tokens,
+            min_quality=min_quality,
+            max_top_bigram_frac=max_top_bigram_frac,
+        ).select(*cols)
+        _note("quality_rules", out)
+
+    if blocklist:
+        from .text import filter_blocklist
+
+        out = filter_blocklist(
+            out,
+            blocklist,
+            max_hits=max_block_hits,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        _note("blocklist", out)
+
+    if lm_tail:
+        from .lm import ccnet_buckets, train_bigram_lm
+
+        unigrams, bigrams, vocab = train_bigram_lm(
+            reference_df, text_col=text_col, id_col=id_col
+        )
+        kept = (
+            ccnet_buckets(
+                out,
+                unigrams,
+                bigrams,
+                vocab,
+                n_buckets=lm_buckets,
+                text_col=text_col,
+                id_col=id_col,
+                lang_col=lang_col,
+            )
+            .where(F.col("bucket") < lm_buckets)
+            .select(id_col)
+        )
+        out = out.join(kept, id_col, "left_semi")
+        _note("lm_tail", out)
+
+    if decontaminate_n is not None:
+        from .text import decontaminate
+
+        out = decontaminate(
+            out,
+            reference_df,
+            n=decontaminate_n,
+            text_col=text_col,
+            id_col=id_col,
+            min_hits=min_decontam_hits,
+        )
+        _note("decontaminate", out)
+
+    return (out, stages) if report else out

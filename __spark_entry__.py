@@ -2242,12 +2242,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             )
             SELECT doc_id,
-                   CAST(len(list_filter(w,
+                   CAST(COALESCE(len(list_filter(w,
                        t -> list_contains(['hash','merge','slow','spark'], t)
-                   )) AS BIGINT) AS n_hits,
-                   CAST(len(list_intersect(list_distinct(w),
+                   )), 0) AS BIGINT) AS n_hits,
+                   CAST(COALESCE(len(list_intersect(list_distinct(w),
                        ['hash','merge','slow','spark']
-                   )) AS BIGINT) AS n_distinct_hits
+                   )), 0) AS BIGINT) AS n_distinct_hits
             FROM toks
         """,
         "corpus_stats": r"""

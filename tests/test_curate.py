@@ -130,3 +130,16 @@ def test_curate_plan_is_lazy_single_action(spark, corpus, reference):
     after = len(tracker.getJobIdsForGroup() or [])
     assert after - before <= 1
     assert df.count() >= 0
+
+
+def test_accessor_curate_report_mode(spark, corpus, reference):
+    from xyzpy_spark.accessor import xyz
+
+    wrapped, stages = xyz(corpus).curate(
+        reference_df=reference,
+        min_tokens=10,
+        min_quality=None,
+        report=True,
+    )
+    assert wrapped.df.count() == stages[-1][1]
+    assert stages[0] == ("input", 5)

@@ -305,3 +305,21 @@ def test_corpus_stats_detects_cross_format_duplicates(spark):
     assert r["n_docs"] == 3
     assert r["n_distinct_docs"] == 2
     assert r["dup_rate"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_bloom_build_ignores_nulls(spark):
+    from xyzpy_spark.functions.sketch import bloom_build, bloom_contains
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",)], "s STRING"
+    )
+    words = bloom_build(df, "s", m_bits=1 << 10, k=3)
+    probe = spark.createDataFrame([("a",), ("b",), ("c",)], ["s"])
+    got = {
+        r["s"]: r["hit"]
+        for r in probe.select(
+            "s",
+            bloom_contains("s", words, m_bits=1 << 10, k=3).alias("hit"),
+        ).collect()
+    }
+    assert got["a"] and got["b"]

@@ -153,3 +153,26 @@ def test_quantize_map_only_plan(spark):
         [(0, [1.0, -2.0])], "vec_id LONG, embedding ARRAY<FLOAT>"
     )
     assert not has_exchange(quantize_embeddings(df))
+
+
+def test_normalize_collapse_is_ascii_whitespace_only(spark):
+    """Collapse must match Java/RE2 ASCII \\s, not Python Unicode \\s:
+    U+00A0 survives NFC collapse (and folds under NFKC)."""
+    from xyzpy_spark.pipeline.text import normalize_text
+
+    df = spark.createDataFrame(
+        [(0, "a b"), (1, "a  \t b")], "doc_id LONG, text STRING"
+    )
+    out = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_text(df, collapse_whitespace=True).collect()
+    }
+    assert out[0] == "a b"  # exotic space untouched under NFC
+    assert out[1] == "a b"
+    nfkc = {
+        r["doc_id"]: r["text_norm"]
+        for r in normalize_text(
+            df, form="NFKC", collapse_whitespace=True
+        ).collect()
+    }
+    assert nfkc[0] == "a b"  # NFKC folds U+00A0 first

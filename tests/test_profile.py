@@ -156,3 +156,40 @@ def test_keyword_hits_map_only_plan(spark, kw_df):
     from xyzpy_spark.plans.inspect import has_exchange
 
     assert not has_exchange(keyword_hits(kw_df, KW))
+
+
+def test_profile_dirty_doubles_survive_ansi(spark):
+    """|x| >= 1e21 / inf / NaN must not abort the census (ANSI casts);
+    they drop out of mean but still count in min/max."""
+    from xyzpy_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1.0,), (1e22,), (float("inf"),), (float("nan"),), (2.0,)],
+        "v DOUBLE",
+    )
+    r = profile_table(df, distinct="exact").collect()[0]
+    assert r["n_rows"] == 5 and r["n_nulls"] == 0
+    assert r["min_num"] == 1.0
+    assert r["mean"] == pytest.approx(1.5)  # only the clean values
+
+
+def test_profile_distinct_mode_validated(spark, mixed_df):
+    from xyzpy_spark.functions.profile import profile_table
+
+    with pytest.raises(ValueError, match="distinct"):
+        profile_table(mixed_df, distinct="Exact")
+
+
+def test_keyword_hits_null_text_zero_and_kept(spark):
+    from xyzpy_spark.pipeline.text import filter_blocklist, keyword_hits
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "bad stuff")], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["n_distinct_hits"])
+        for r in keyword_hits(df, ["bad"]).collect()
+    }
+    assert got[0] == (0, 0)
+    kept = {r["doc_id"] for r in filter_blocklist(df, ["bad"]).collect()}
+    assert kept == {0}  # NULL text kept, hit doc dropped

@@ -262,15 +262,17 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(quantize_embeddings(self.df, **kw))
 
-    def curate(self, reference_df=None, **kw) -> "xyz":
+    def curate(self, reference_df=None, **kw):
         from .pipeline.curate import curate_corpus
 
         reference_df = (
             reference_df.df if isinstance(reference_df, xyz) else reference_df
         )
-        return self._wrap(
-            curate_corpus(self.df, reference_df=reference_df, **kw)
-        )
+        out = curate_corpus(self.df, reference_df=reference_df, **kw)
+        if kw.get("report"):
+            df, stages = out  # report mode returns (df, stage counts)
+            return self._wrap(df), stages
+        return self._wrap(out)
 
     # -- presentation (dense) -------------------------------------------
     def to_xarray(self, dims, **kw):

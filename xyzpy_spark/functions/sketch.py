@@ -258,7 +258,8 @@ def bloom_build(
     """
     n_words = (int(m_bits) + 63) // 64
     words_df = (
-        df.select(
+        df.where(F.col(col).isNotNull())  # NULL hashes to NULL positions
+        .select(
             F.explode(
                 bloom_positions(F.col(col), m_bits, k, salt)
             ).alias("__p")
@@ -304,25 +305,16 @@ def bloom_contains(
     measured).  False positives only, never false negatives; the rate
     is set by the build's ``m_bits``/``k``.
     """
-    v = F.col(col) if isinstance(col, str) else col
     buf = bytearray()
     for w in words:
         buf += (int(w) & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
     blob = F.lit(bytes(buf))
+    # ONE definition of the hash family: reuse bloom_positions so a
+    # future tuning there cannot silently de-sync build and probe
+    positions = bloom_positions(col, m_bits, k, salt)
     cond = F.lit(True)
     for i in range(int(k)):
-        p = (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(v.cast("string"), F.lit(f"{salt}:{i}"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % F.lit(int(m_bits))
-        )
+        p = F.element_at(positions, i + 1)
         byte = F.conv(
             F.hex(
                 F.call_function(

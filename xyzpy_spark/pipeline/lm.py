@@ -158,7 +158,9 @@ def ccnet_buckets(
     key trick — absolute perplexities aren't comparable across
     languages) and split into ``n_buckets`` equal-frequency buckets:
     bucket 1 = best (head) … ``n_buckets`` = worst (tail).  Documents
-    with no bigram to score get bucket ``NULL`` and ``nll NULL``.
+    with no bigram to score are ABSENT from the output (inner join
+    against the scored set) — left-join the result back onto the
+    corpus if unscored docs should be kept.
 
     Determinism: the window orders by the *rounded* ``nll`` with
     ``id_col`` as tie-break, so ranks are engine-portable even when

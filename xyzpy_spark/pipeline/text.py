@@ -893,13 +893,17 @@ def keyword_hits(
     kw_arr = F.array(*[F.lit(k) for k in kws])
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
     toks = tokenize(text)
+    # coalesce: NULL text tokenizes to NULL, and a NULL count would
+    # make filter_blocklist's predicate silently drop the doc
     return df.select(
         id_col,
-        F.size(
-            F.filter(toks, lambda t: F.array_contains(kw_arr, t))
+        F.coalesce(
+            F.size(F.filter(toks, lambda t: F.array_contains(kw_arr, t))),
+            F.lit(0),
         ).cast("long").alias("n_hits"),
-        F.size(
-            F.array_intersect(F.array_distinct(toks), kw_arr)
+        # array_intersect already returns distinct elements
+        F.coalesce(
+            F.size(F.array_intersect(toks, kw_arr)), F.lit(0)
         ).cast("long").alias("n_distinct_hits"),
     )
 
@@ -922,8 +926,11 @@ def filter_blocklist(
         raise ValueError("filter_blocklist: empty keyword list")
     kw_arr = F.array(*[F.lit(k) for k in kws])
     text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-    n_hits = F.size(
-        F.filter(tokenize(text), lambda t: F.array_contains(kw_arr, t))
+    n_hits = F.coalesce(
+        F.size(
+            F.filter(tokenize(text), lambda t: F.array_contains(kw_arr, t))
+        ),
+        F.lit(0),  # NULL text has zero blocklisted tokens — keep it
     )
     return df.where(n_hits <= F.lit(int(max_hits)))
 
@@ -947,7 +954,13 @@ def normalize_text(
     ``unicodedata.combining`` marks — 'école'→'ecole'; standalone
     letters like 'ø' are NOT folded, matching DuckDB
     ``strip_accents`` on the tested range) → optionally lowercase →
-    optionally collapse whitespace runs to single spaces and trim.
+    optionally collapse ASCII-whitespace runs to single spaces and
+    trim spaces.  Collapse deliberately matches the ASCII ``\\s`` of
+    Java regex (Spark) and RE2 (DuckDB oracles) — NOT Python's
+    Unicode ``\\s`` — so the oracle twin and ``tokenize`` agree on
+    token boundaries; exotic spaces like U+00A0 are left alone
+    (``form="NFKC"`` folds them to plain spaces first if you want
+    them collapsed).
 
     The JVM has no Unicode-normalization builtin, so this is one
     Arrow-batched ``pandas_udf`` stage — map-only, no shuffle, scales
@@ -981,7 +994,7 @@ def normalize_text(
             if _lower:
                 t = t.lower()
             if _collapse:
-                t = re.sub(r"\s+", " ", t).strip()
+                t = re.sub(r"[ \t\n\f\r\x0b]+", " ", t).strip(" ")
             return t
 
         return s.map(one)

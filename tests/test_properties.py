@@ -117,3 +117,115 @@ def test_unzip_roundtrip(pairs):
 @given(st.lists(st.lists(st.integers(), max_size=5), max_size=5))
 def test_flatten_one_level(nested):
     assert list(flatten(nested, 1)) == [x for sub in nested for x in sub]
+
+
+# ---------------------------------------------------------------------------
+# round-3 op invariants (python twins of the Spark expressions)
+# ---------------------------------------------------------------------------
+
+import hashlib
+import re as _re
+import unicodedata as _ud
+
+
+def _bloom_positions_py(value: str, m: int, k: int):
+    return [
+        int(hashlib.md5(f"{value}:{i}".encode()).hexdigest()[:15], 16) % m
+        for i in range(k)
+    ]
+
+
+@given(
+    st.lists(st.text(min_size=1, max_size=12), min_size=1, max_size=40),
+    st.sampled_from([1 << 8, 1 << 10, 1 << 12]),
+)
+@settings(max_examples=50, deadline=None)
+def test_bloom_word_packing_roundtrip(values, m):
+    """The int64-word packing and the byte-slice extraction used by
+    bloom_contains agree bit-for-bit: for every position p, bit p&7 of
+    byte p>>3 equals bit p&63 of word p>>6."""
+    k = 3
+    bits = set()
+    for v in values:
+        bits.update(_bloom_positions_py(v, m, k))
+    words = [0] * (m // 64)
+    for p in bits:
+        words[p >> 6] |= 1 << (p & 63)
+    buf = bytearray()
+    for w in words:
+        buf += (w & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
+    for p in range(m):
+        via_words = (words[p >> 6] >> (p & 63)) & 1
+        via_bytes = (buf[p >> 3] >> (p & 7)) & 1
+        assert via_words == via_bytes == (1 if p in bits else 0)
+    # no false negatives by construction
+    for v in values:
+        assert all(p in bits for p in _bloom_positions_py(v, m, k))
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=2, max_size=8),
+        min_size=1,
+        max_size=10,
+    ),
+    st.lists(st.sampled_from("abcde"), min_size=2, max_size=8),
+)
+@settings(max_examples=50, deadline=None)
+def test_bigram_lm_probabilities_are_proper(ref_docs, doc):
+    """Add-k bigram probabilities stay in (0, 1] for any corpus, so
+    per-bigram NLL terms are >= 0 — the LM score can never reward a
+    document below 'perfectly predicted'."""
+    k = 0.5
+    uni, bi = {}, {}
+    for toks in ref_docs:
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    v = len(uni)
+    for pair in zip(doc, doc[1:]):
+        p = (bi.get(pair, 0) + k) / (uni.get(pair[0], 0) + k * v)
+        assert 0 < p <= 1
+        assert -math.log(p) >= 0
+
+
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=32,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_quantization_error_bound(vec):
+    """floor-quantization error is < one quantization step per
+    component: |x - q*s/127| < s/127."""
+    s = max(abs(x) for x in vec)
+    if s == 0:
+        return
+    for x in vec:
+        q = math.floor(x / s * 127)
+        assert -128 <= q <= 127
+        assert abs(x - q * s / 127.0) < s / 127.0 + 1e-12
+
+
+def _normalize_py(t, form="NFC"):
+    t = _ud.normalize(form, t)
+    t = "".join(
+        c for c in _ud.normalize("NFD", t) if not _ud.combining(c)
+    )
+    if form in ("NFC", "NFKC"):
+        t = _ud.normalize("NFC", t)
+    t = t.lower()
+    return _re.sub(r"[ \t\n\f\r\x0b]+", " ", t).strip(" ")
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_normalize_text_idempotent(t):
+    """The full canonicalization stack is idempotent — re-normalizing
+    produces the identical string (the property exact-dedup relies
+    on)."""
+    once = _normalize_py(t)
+    assert _normalize_py(once) == once

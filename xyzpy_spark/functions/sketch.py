@@ -201,6 +201,25 @@ def heavy_hitters(
 # Bloom filter — portable, engine-reproducible membership sketch
 # ---------------------------------------------------------------------------
 
+def _bloom_position(v: F.Column, m_bits: int, i: int, salt: str) -> F.Column:
+    """Position ``i`` of the md5 hash family — THE single definition
+    shared by :func:`bloom_positions` (build side) and
+    :func:`bloom_contains` (probe side), so tuning it cannot de-sync
+    them."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(v.cast("string"), F.lit(f"{salt}:{i}"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.lit(int(m_bits))
+    )
+
+
 def bloom_positions(col, m_bits: int, k: int, salt: str = "") -> F.Column:
     """The ``k`` bit positions a value sets in an ``m_bits`` Bloom
     filter, as ``array<bigint>``.
@@ -214,21 +233,7 @@ def bloom_positions(col, m_bits: int, k: int, salt: str = "") -> F.Column:
     """
     v = F.col(col) if isinstance(col, str) else col
     return F.array(
-        *[
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(v.cast("string"), F.lit(f"{salt}:{i}"))),
-                        1,
-                        15,
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % F.lit(int(m_bits))
-            )
-            for i in range(int(k))
-        ]
+        *[_bloom_position(v, m_bits, i, salt) for i in range(int(k))]
     )
 
 
@@ -309,12 +314,17 @@ def bloom_contains(
     for w in words:
         buf += (int(w) & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
     blob = F.lit(bytes(buf))
-    # ONE definition of the hash family: reuse bloom_positions so a
-    # future tuning there cannot silently de-sync build and probe
-    positions = bloom_positions(col, m_bits, k, salt)
+    # the hash family has ONE definition (_bloom_position, shared
+    # with the build side); each of the k tests is an independent
+    # inline chain so the whole predicate stays in whole-stage
+    # codegen.  Rejected forms, both measured slower at sf0.1:
+    # element_at(bloom_positions(...), i) re-materializes the whole
+    # md5 array per test (k^2 digests, 2.2x), and forall() over the
+    # array drops to interpreted HOF evaluation (1.7x).
+    v = F.col(col) if isinstance(col, str) else col
     cond = F.lit(True)
     for i in range(int(k)):
-        p = F.element_at(positions, i + 1)
+        p = _bloom_position(v, m_bits, i, salt)
         byte = F.conv(
             F.hex(
                 F.call_function(

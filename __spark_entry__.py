@@ -1440,6 +1440,19 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "lang", "source")
 
 
+def q_lm_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 LM scoring (CCNet production models are higher-order):
+    2-gram context counts + 3-gram counts, both broadcast
+    (pipeline/lm.train_ngram_lm / score_ngram_nll)."""
+    from xyzpy_spark.pipeline.lm import score_ngram_nll, train_ngram_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    rest = docs.where(F.col("doc_id") % 10 != 0)
+    contexts, ngrams, vocab = train_ngram_lm(ref, 3)
+    return score_ngram_nll(rest, contexts, ngrams, vocab, n=3)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1544,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "quantize_embeddings": q_quantize_embeddings,
         "curate_corpus": q_curate_corpus,
+        "lm_trigram_nll": q_lm_trigram_nll,
     }
 
 
@@ -2075,6 +2089,54 @@ def oracle_sql() -> dict[str, str]:
                    NULL, NULL, NULL,
                    MIN(props), MAX(props)
             FROM events
+        """,
+        "lm_trigram_nll": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS w
+                FROM documents
+            ), tri AS (
+                SELECT doc_id, u.ng AS ngram, u.ctx AS ctx
+                FROM (SELECT doc_id,
+                             unnest(list_transform(
+                                 range(1, greatest(len(w) - 2, 0) + 1),
+                                 i -> struct_pack(
+                                     ng := w[i] || ' ' || w[i+1]
+                                           || ' ' || w[i+2],
+                                     ctx := w[i] || ' ' || w[i+1])))
+                                 AS u
+                      FROM toks)
+            ), ctxc AS (
+                SELECT ngram AS token, COUNT(*) AS c1
+                FROM (SELECT unnest(list_transform(
+                          range(1, greatest(len(w) - 1, 0) + 1),
+                          i -> w[i] || ' ' || w[i+1])) AS ngram
+                      FROM toks WHERE doc_id % 10 = 0)
+                GROUP BY token
+            ), vocab AS (
+                SELECT COUNT(DISTINCT token) AS v
+                FROM (SELECT unnest(w) AS token FROM toks
+                      WHERE doc_id % 10 = 0)
+            ), tric AS (
+                SELECT ngram, COUNT(*) AS c2 FROM tri
+                WHERE doc_id % 10 = 0 GROUP BY ngram
+            ), scored AS (
+                SELECT g.doc_id,
+                       COUNT(*) AS n_bigrams,
+                       SUM(ln(COALESCE(t.c2, 0) + 0.5)
+                           - ln(COALESCE(c.c1, 0) + 0.5 * v.v)) AS lp
+                FROM tri g
+                LEFT JOIN tric t USING (ngram)
+                LEFT JOIN ctxc c ON g.ctx = c.token
+                CROSS JOIN vocab v
+                WHERE g.doc_id % 10 <> 0
+                GROUP BY g.doc_id
+            )
+            SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                   FLOOR((-lp / n_bigrams) * 1000000.0 + 0.5)
+                       / 1000000.0 AS nll
+            FROM scored
         """,
         "normalize_text": r"""
             SELECT doc_id,

@@ -75,6 +75,7 @@ HEADLINE = [
     "audio_features",
     "token_budget",
     "lm_nll",
+    "lm_trigram_nll",
     "ccnet_buckets",
     "bloom_contamination",
     "project_embeddings",

@@ -323,3 +323,57 @@ def test_bloom_build_ignores_nulls(spark):
         ).collect()
     }
     assert got["a"] and got["b"]
+
+
+def test_trigram_lm_matches_python_model(spark, docs_df):
+    from xyzpy_spark.pipeline.lm import score_ngram_nll, train_ngram_lm
+
+    ref = docs_df.where(F.col("doc_id") <= 2)
+    rest = docs_df.where(F.col("doc_id") > 2)
+    contexts, ngrams, vocab = train_ngram_lm(ref, 3)
+
+    # independent python trigram model
+    uni, ctx, tri = {}, {}, {}
+    for i, t, _, _ in DOCS:
+        if i > 2:
+            continue
+        toks = t.split()
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            ctx[f"{a} {b}"] = ctx.get(f"{a} {b}", 0) + 1
+        for a, b, c in zip(toks, toks[1:], toks[2:]):
+            tri[f"{a} {b} {c}"] = tri.get(f"{a} {b} {c}", 0) + 1
+    assert vocab == len(uni)
+
+    got = {
+        r["doc_id"]: (r["nll"], r["n_bigrams"])
+        for r in score_ngram_nll(
+            rest, contexts, ngrams, vocab, n=3
+        ).collect()
+    }
+    for i, t, _, _ in DOCS:
+        if i <= 2:
+            continue
+        toks = t.split()
+        trips = list(zip(toks, toks[1:], toks[2:]))
+        if not trips:
+            assert i not in got
+            continue
+        lp = sum(
+            math.log(tri.get(f"{a} {b} {c}", 0) + 0.5)
+            - math.log(ctx.get(f"{a} {b}", 0) + 0.5 * vocab)
+            for a, b, c in trips
+        )
+        want = math.floor(-lp / len(trips) * 1e6 + 0.5) / 1e6
+        assert got[i][1] == len(trips)
+        assert got[i][0] == pytest.approx(want, abs=1e-9)
+
+
+def test_ngram_lm_order_validation(spark, docs_df):
+    from xyzpy_spark.pipeline.lm import score_ngram_nll, train_ngram_lm
+
+    with pytest.raises(ValueError, match="order"):
+        train_ngram_lm(docs_df, 1)
+    with pytest.raises(ValueError, match="order"):
+        score_ngram_nll(docs_df, None, None, 10, n=1)

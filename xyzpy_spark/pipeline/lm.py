@@ -39,10 +39,59 @@ from pyspark.sql import DataFrame, Window, functions as F
 from .text import _doc_ngrams, _round_det, tokenize
 
 __all__ = [
+    "train_ngram_lm",
     "train_bigram_lm",
+    "score_ngram_nll",
     "score_bigram_nll",
     "ccnet_buckets",
 ]
+
+
+def train_ngram_lm(
+    ref_df: DataFrame,
+    n: int = 2,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame, int]:
+    """Count-based order-``n`` LM from a reference corpus (CCNet uses
+    5-gram models; the bigram default is the cheapest useful order).
+
+    Returns ``(contexts, ngrams, vocab_size)`` where ``contexts`` is
+    ``(token, c1)`` occurrence counts of the (n-1)-token contexts
+    (space-joined; plain tokens at n=2), ``ngrams`` is ``(ngram, c2)``
+    counts of the space-joined n-grams, and ``vocab_size`` is the
+    number of distinct TOKENS (the ``V`` in add-k smoothing,
+    independent of order).
+
+    Both outputs are vocabulary-sized — orders of magnitude smaller
+    than the corpus — which is what makes the scoring pass broadcast.
+    ``vocab_size`` triggers one count job here so scoring plans can
+    embed it as a literal.
+    """
+    if n < 2:
+        raise ValueError(f"train_ngram_lm: order must be >= 2, got {n}")
+    toks = ref_df.select(
+        F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    if n == 2:
+        contexts = toks.groupBy("token").agg(
+            F.count(F.lit(1)).alias("c1")
+        )
+        vocab_size = contexts.count()
+    else:
+        contexts = (
+            _doc_ngrams(ref_df, id_col, text_col, n - 1)
+            .groupBy(F.col("ngram").alias("token"))
+            .agg(F.count(F.lit(1)).alias("c1"))
+        )
+        vocab_size = toks.distinct().count()
+    ngrams = (
+        _doc_ngrams(ref_df, id_col, text_col, n)
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    return contexts, ngrams, int(vocab_size)
 
 
 def train_bigram_lm(
@@ -51,65 +100,51 @@ def train_bigram_lm(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> tuple[DataFrame, DataFrame, int]:
-    """Count-based bigram LM from a reference corpus.
-
-    Returns ``(unigrams, bigrams, vocab_size)`` where ``unigrams`` is
-    ``(token, c1)`` occurrence counts, ``bigrams`` is ``(ngram, c2)``
-    counts of space-joined token pairs, and ``vocab_size`` is the
-    number of distinct tokens (the ``V`` in add-k smoothing).
-
-    Both outputs are vocabulary-sized — orders of magnitude smaller
-    than the corpus — which is what makes the scoring pass broadcast.
-    ``vocab_size`` triggers one count job here so scoring plans can
-    embed it as a literal.
-    """
-    toks = ref_df.select(
-        F.explode(tokenize(F.col(text_col))).alias("token")
+    """The ``n=2`` case of :func:`train_ngram_lm` (kept as the
+    canonical name for the common order)."""
+    return train_ngram_lm(
+        ref_df, 2, text_col=text_col, id_col=id_col
     )
-    unigrams = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
-    bigrams = (
-        _doc_ngrams(ref_df, id_col, text_col, 2)
-        .groupBy("ngram")
-        .agg(F.count(F.lit(1)).alias("c2"))
-    )
-    vocab_size = unigrams.count()
-    return unigrams, bigrams, int(vocab_size)
 
 
-def score_bigram_nll(
+def score_ngram_nll(
     df: DataFrame,
-    unigrams: DataFrame,
-    bigrams: DataFrame,
+    contexts: DataFrame,
+    ngrams: DataFrame,
     vocab_size: int,
     *,
+    n: int = 2,
     add_k: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_lm: bool = True,
 ) -> DataFrame:
-    """Per-document average bigram negative log-likelihood.
+    """Per-document average order-``n`` negative log-likelihood.
 
-    ``P(w2 | w1) = (c(w1 w2) + k) / (c(w1) + k·V)`` (add-k smoothing;
-    unseen bigrams and unseen contexts degrade smoothly instead of
-    zeroing the product).  Output: ``(id_col, n_bigrams, nll)`` for
-    every document with at least one bigram; ``nll`` is the average
-    negative log-probability (monotone in perplexity ``e^nll`` — kept
-    in log space so the portable rounding canon is applied to a sum
-    mean, not an exponential).
+    ``P(w_n | ctx) = (c(ngram) + k) / (c(ctx) + k·V)`` (add-k
+    smoothing; unseen n-grams and unseen contexts degrade smoothly
+    instead of zeroing the product).  Output: ``(id_col, n_bigrams,
+    nll)`` for every document with at least one n-gram (the count
+    column keeps its historical name at every order); ``nll`` is the
+    average negative log-probability (monotone in perplexity
+    ``e^nll`` — kept in log space so the portable rounding canon is
+    applied to a sum mean, not an exponential).
 
     ``broadcast_lm=True`` (default) broadcasts both LM tables — the
     right call whenever the LM fits the reference-corpus-vocabulary
     budget.  Set it ``False`` to let AQE pick shuffle joins for an
     unusually large LM.
     """
-    doc_bi = _doc_ngrams(df, id_col, text_col, 2)
-    bi = F.broadcast(bigrams) if broadcast_lm else bigrams
-    uni = F.broadcast(unigrams) if broadcast_lm else unigrams
+    if n < 2:
+        raise ValueError(f"score_ngram_nll: order must be >= 2, got {n}")
+    doc_bi = _doc_ngrams(df, id_col, text_col, n)
+    bi = F.broadcast(ngrams) if broadcast_lm else ngrams
+    uni = F.broadcast(contexts) if broadcast_lm else contexts
     kv = F.lit(float(add_k) * vocab_size)
     k = F.lit(float(add_k))
     scored = (
         doc_bi.withColumn(
-            "__w1", F.substring_index(F.col("ngram"), " ", 1)
+            "__w1", F.substring_index(F.col("ngram"), " ", n - 1)
         )
         .join(bi, "ngram", "left")
         .join(uni, F.col("__w1") == uni["token"], "left")
@@ -139,12 +174,24 @@ def score_bigram_nll(
     )
 
 
+def score_bigram_nll(
+    df: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    vocab_size: int,
+    **kw,
+) -> DataFrame:
+    """The ``n=2`` case of :func:`score_ngram_nll` (canonical name)."""
+    return score_ngram_nll(df, unigrams, bigrams, vocab_size, n=2, **kw)
+
+
 def ccnet_buckets(
     df: DataFrame,
     unigrams: DataFrame,
     bigrams: DataFrame,
     vocab_size: int,
     *,
+    n: int = 2,
     n_buckets: int = 3,
     add_k: float = 0.5,
     text_col: str = "text",
@@ -171,11 +218,12 @@ def ccnet_buckets(
     One extra shuffle over the scored (id, lang, nll) triples —
     document text never enters the window.
     """
-    scored = score_bigram_nll(
+    scored = score_ngram_nll(
         df,
         unigrams,
         bigrams,
         vocab_size,
+        n=n,
         add_k=add_k,
         text_col=text_col,
         id_col=id_col,

@@ -1453,6 +1453,23 @@ def q_lm_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_ngram_nll(rest, contexts, ngrams, vocab, n=3)
 
 
+def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-tokenizer token counts: BPE merges learned from the
+    doc_id%10==0 reference split (one distributed word-count agg +
+    driver merge loop over the bounded frequency table), applied
+    map-only to the rest (pipeline/tokenizer.py).  NO SQL oracle —
+    the greedy merge recursion is not SQL-expressible; the pytest twin
+    (tests/test_tokenizer.py) retrains with an independent pure-python
+    reference BPE and requires identical merges."""
+    from xyzpy_spark.pipeline.tokenizer import bpe_token_count, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    rest = docs.where(F.col("doc_id") % 10 != 0)
+    merges = train_bpe(ref, num_merges=100, min_freq=2)
+    return bpe_token_count(rest, merges)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1558,6 +1575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "curate_corpus": q_curate_corpus,
         "lm_trigram_nll": q_lm_trigram_nll,
+        "bpe_token_count": q_bpe_token_count,
     }
 
 

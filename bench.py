@@ -85,6 +85,7 @@ HEADLINE = [
     "normalize_text",
     "quantize_embeddings",
     "curate_corpus",
+    "bpe_token_count",
     "dedup_incremental",
 ]
 

@@ -1,0 +1,140 @@
+"""Unit tests for the trainable BPE tokenizer (pipeline/tokenizer.py),
+triangulated against an independent pure-python reference BPE."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from xyzpy_spark.pipeline.tokenizer import EOW
+
+
+def _ref_bpe(word_freqs: dict[str, int], num_merges: int, min_freq: int = 2):
+    """Independent reference implementation (textbook Sennrich BPE)."""
+    vocab = {
+        tuple(list(w) + [EOW]): n for w, n in word_freqs.items() if w
+    }
+    merges = []
+    for _ in range(num_merges):
+        counts = {}
+        for sym, freq in vocab.items():
+            for p in zip(sym, sym[1:]):
+                counts[p] = counts.get(p, 0) + freq
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[pair] < min_freq:
+            break
+        merges.append(pair)
+        new_vocab = {}
+        for sym, freq in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and (sym[i], sym[i + 1]) == pair
+                ):
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + freq
+        vocab = new_vocab
+    return merges
+
+
+TEXTS = [
+    "low lower lowest",
+    "new newer newest",
+    "low low low new new wider",
+    "the newest lower deck",
+]
+
+
+@pytest.fixture(scope="module")
+def bpe_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)],
+        "doc_id LONG, text STRING",
+    )
+
+
+def test_train_bpe_matches_reference_implementation(spark, bpe_df):
+    from xyzpy_spark.pipeline.tokenizer import train_bpe
+
+    freqs: dict[str, int] = {}
+    for t in TEXTS:
+        for w in t.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    for nm in (5, 20, 100):
+        got = train_bpe(bpe_df, num_merges=nm, min_freq=2)
+        want = _ref_bpe(freqs, nm)
+        assert got == want, nm
+
+
+def test_bpe_encode_roundtrip_and_consistency(spark, bpe_df):
+    from xyzpy_spark.pipeline.tokenizer import bpe_encode, train_bpe
+
+    merges = train_bpe(bpe_df, num_merges=50, min_freq=2)
+    out = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(bpe_df, merges).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        toks = out[i]
+        # lossless: stripping EOW and joining reconstructs the text
+        rebuilt = "".join(toks).replace(EOW, " ").strip()
+        assert rebuilt == t.lower()
+        # frequent whole words end merged to a single token
+    # 'low' appears 4x -> should be one token "low</w>"
+    assert "low" + EOW in out[2]
+
+
+def test_bpe_encode_null_and_unseen(spark):
+    from xyzpy_spark.pipeline.tokenizer import bpe_encode, train_bpe
+
+    train = spark.createDataFrame(
+        [(0, "aaa aaa bbb")], "doc_id LONG, text STRING"
+    )
+    merges = train_bpe(train, num_merges=10, min_freq=1)
+    probe = spark.createDataFrame(
+        [(1, None), (2, "zzz")], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(probe, merges).collect()
+    }
+    assert got[1] is None
+    # unseen word falls back to characters + EOW (no merge applies)
+    assert got[2] == ["z", "z", "z", EOW]
+
+
+def test_bpe_token_count_monotone_in_merges(spark, bpe_df):
+    from xyzpy_spark.pipeline.tokenizer import bpe_token_count, train_bpe
+
+    none = {
+        r["doc_id"]: r["n_bpe_trained"]
+        for r in bpe_token_count(bpe_df, []).collect()
+    }
+    many = {
+        r["doc_id"]: r["n_bpe_trained"]
+        for r in bpe_token_count(
+            bpe_df, train_bpe(bpe_df, num_merges=100, min_freq=1)
+        ).collect()
+    }
+    # more merges never increase the token count
+    for k in none:
+        assert many[k] <= none[k]
+
+
+def test_train_bpe_cap_warns(spark):
+    from xyzpy_spark.pipeline.tokenizer import train_bpe
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2}") for i in range(30)],
+        "doc_id LONG, text STRING",
+    )
+    with pytest.warns(RuntimeWarning, match="max_words"):
+        train_bpe(df, num_merges=5, min_freq=1, max_words=10)

@@ -262,6 +262,11 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(quantize_embeddings(self.df, **kw))
 
+    def bpe_encode(self, merges, **kw) -> "xyz":
+        from .pipeline.tokenizer import bpe_encode
+
+        return self._wrap(bpe_encode(self.df, merges, **kw))
+
     def curate(self, reference_df=None, **kw):
         from .pipeline.curate import curate_corpus
 

@@ -1494,6 +1494,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # merge_overwrite_new, running_stats, fuse_dims, run_gaps,
     # facet_agg, median_quantile_band).  The rotated-out queries remain
     # covered by tools/check_correctness.py and the pytest suite.
+    # ROUND-4 ROTATION QUEUE (registered after the window filled, all
+    # strict-green locally, never driver-hashed): profile_events,
+    # keyword_hits, normalize_text, quantize_embeddings, curate_corpus,
+    # lm_trigram_nll, bpe_token_count.
     return {
         "pricing_summary": q_pricing_summary,
         "window_hourly": q_window_hourly,

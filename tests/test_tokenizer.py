@@ -138,3 +138,44 @@ def test_train_bpe_cap_warns(spark):
     )
     with pytest.warns(RuntimeWarning, match="max_words"):
         train_bpe(df, num_merges=5, min_freq=1, max_words=10)
+
+
+def test_incremental_merges_equal_naive_on_random_tables():
+    """Driver-only: the incremental pair-index loop must equal the
+    naive full-recount loop on arbitrary word tables (including words
+    with repeated pairs like 'aaaa')."""
+    import random
+
+    from xyzpy_spark.pipeline.tokenizer import _greedy_merges
+
+    rng = random.Random(13)
+    for trial in range(25):
+        n_words = rng.randint(1, 40)
+        freqs = {}
+        for _ in range(n_words):
+            w = "".join(
+                rng.choice("aabbc") for _ in range(rng.randint(1, 8))
+            )
+            freqs[w] = freqs.get(w, 0) + rng.randint(1, 9)
+        nm = rng.randint(1, 30)
+        vocab = {
+            tuple(list(w) + [EOW]): n for w, n in freqs.items()
+        }
+        got = _greedy_merges(dict(vocab), nm, 2)
+        want = _ref_bpe(freqs, nm)
+        assert got == want, (trial, freqs)
+
+
+def test_bpe_encode_word_boundary_matches_trainer(spark):
+    """Encode must split on the SAME ASCII whitespace class as the
+    trainer's tokenize: a U+00A0-joined pair stays ONE word."""
+    from xyzpy_spark.pipeline.tokenizer import bpe_encode, train_bpe
+
+    df = spark.createDataFrame(
+        [(0, "cafe bar cafe bar x")],
+        "doc_id LONG, text STRING",
+    )
+    merges = train_bpe(df, num_merges=60, min_freq=2)
+    toks = bpe_encode(df, merges).first()["bpe_tokens"]
+    # the whole nbsp-joined word was trained and encodes to one token
+    assert "cafe bar" + EOW in toks

@@ -14,7 +14,8 @@ Scale design (100 TB corpus, 1000 executors):
 
 - **Training** is a bounded one-time job over the *reference* corpus
   (vocab- not corpus-sized output): two hash aggregations with map-side
-  combine (unigram + bigram counts).
+  combine (context + n-gram counts); orders above 2 add one more
+  tokenize+distinct pass for the token-level vocabulary size.
 - **Scoring** is a streaming map-side pass over the big corpus: the LM
   tables are bounded by the reference vocabulary, so both joins
   broadcast and the 100 TB side is never shuffled — only its n-gram

@@ -955,12 +955,14 @@ def normalize_text(
     letters like 'ø' are NOT folded, matching DuckDB
     ``strip_accents`` on the tested range) → optionally lowercase →
     optionally collapse ASCII-whitespace runs to single spaces and
-    trim spaces.  Collapse deliberately matches the ASCII ``\\s`` of
-    Java regex (Spark) and RE2 (DuckDB oracles) — NOT Python's
-    Unicode ``\\s`` — so the oracle twin and ``tokenize`` agree on
-    token boundaries; exotic spaces like U+00A0 are left alone
-    (``form="NFKC"`` folds them to plain spaces first if you want
-    them collapsed).
+    trim spaces.  Collapse deliberately matches RE2's ASCII ``\\s``
+    (``[\\t\\n\\f\\r ]`` — the DuckDB oracle's class), NOT Python's
+    Unicode ``\\s``, so the oracle twin agrees exactly; the one
+    cross-engine gap left is U+000B (vertical tab), which Java's
+    ``\\s`` (``tokenize``) treats as whitespace but RE2 does not —
+    it is deliberately NOT collapsed here.  Exotic spaces like U+00A0
+    are also left alone (``form="NFKC"`` folds them to plain spaces
+    first if you want them collapsed).
 
     The JVM has no Unicode-normalization builtin, so this is one
     Arrow-batched ``pandas_udf`` stage — map-only, no shuffle, scales
@@ -994,7 +996,7 @@ def normalize_text(
             if _lower:
                 t = t.lower()
             if _collapse:
-                t = re.sub(r"[ \t\n\f\r\x0b]+", " ", t).strip(" ")
+                t = re.sub(r"[ \t\n\f\r]+", " ", t).strip(" ")
             return t
 
         return s.map(one)

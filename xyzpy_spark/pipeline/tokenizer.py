@@ -39,31 +39,62 @@ __all__ = ["train_bpe", "bpe_encode", "bpe_token_count"]
 EOW = "</w>"
 
 
-def _pair_counts(vocab: dict[tuple, int]) -> dict[tuple, int]:
-    counts: dict[tuple, int] = {}
-    for sym, freq in vocab.items():
-        for pair in zip(sym, sym[1:]):
-            counts[pair] = counts.get(pair, 0) + freq
-    return counts
-
-
-def _merge_vocab(vocab: dict[tuple, int], pair: tuple) -> dict[tuple, int]:
+def _apply_merge(sym: tuple, pair: tuple) -> tuple:
     a, b = pair
-    merged = a + b
-    out: dict[tuple, int] = {}
+    out, i = [], 0
+    while i < len(sym):
+        if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(sym[i])
+            i += 1
+    return tuple(out)
+
+
+def _greedy_merges(
+    vocab: dict[tuple, int], num_merges: int, min_freq: int
+) -> list[tuple[str, str]]:
+    """The reference greedy loop, made incremental: global pair counts
+    and a pair→words index are maintained so each merge touches only
+    the words that CONTAIN the merged pair (instead of rebuilding the
+    whole table per iteration — O(num_merges × max_words) driver time
+    at the 50k/200 defaults).  Identical output to the naive loop by
+    construction: the counts after each step equal a full recount
+    (the independent-python-twin test retrains naively and requires
+    the exact same merge list).
+    """
+    counts: dict[tuple, int] = {}
+    where: dict[tuple, set] = {}
     for sym, freq in vocab.items():
-        new_sym = []
-        i = 0
-        while i < len(sym):
-            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
-                new_sym.append(merged)
-                i += 2
-            else:
-                new_sym.append(sym[i])
-                i += 1
-        key = tuple(new_sym)
-        out[key] = out.get(key, 0) + freq
-    return out
+        for p in zip(sym, sym[1:]):
+            counts[p] = counts.get(p, 0) + freq
+            where.setdefault(p, set()).add(sym)
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(num_merges)):
+        if not counts:
+            break
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if counts[pair] < min_freq:
+            break
+        merges.append(pair)
+        for sym in list(where.get(pair, ())):
+            freq = vocab.pop(sym)
+            for p in zip(sym, sym[1:]):
+                counts[p] -= freq
+                if counts[p] <= 0:
+                    del counts[p]
+                ws = where.get(p)
+                if ws is not None:
+                    ws.discard(sym)
+                    if not ws:
+                        del where[p]
+            new_sym = _apply_merge(sym, pair)
+            vocab[new_sym] = vocab.get(new_sym, 0) + freq
+            for p in zip(new_sym, new_sym[1:]):
+                counts[p] = counts.get(p, 0) + freq
+                where.setdefault(p, set()).add(new_sym)
+    return merges
 
 
 def train_bpe(
@@ -102,21 +133,12 @@ def train_bpe(
             RuntimeWarning,
             stacklevel=2,
         )
-    vocab = {
-        tuple(list(r["w"]) + [EOW]): int(r["n"]) for r in rows if r["w"]
-    }
-    merges: list[tuple[str, str]] = []
-    for _ in range(int(num_merges)):
-        counts = _pair_counts(vocab)
-        if not counts:
-            break
-        # deterministic: max frequency, lexicographic tie-break
-        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if counts[pair] < min_freq:
-            break
-        merges.append(pair)
-        vocab = _merge_vocab(vocab, pair)
-    return merges
+    vocab: dict[tuple, int] = {}
+    for r in rows:
+        if r["w"]:
+            key = tuple(list(r["w"]) + [EOW])
+            vocab[key] = vocab.get(key, 0) + int(r["n"])
+    return _greedy_merges(vocab, num_merges, min_freq)
 
 
 def _encode_word(word: str, ranks: dict[tuple, int]) -> list[str]:
@@ -153,13 +175,23 @@ def bpe_encode(
         # makes encoding amortized O(1) per repeated word
         memo: dict[str, list[str]] = {}
 
+        import re
+
+        # the SAME word-boundary class as Spark's tokenize (Java \s =
+        # ASCII [ \t\n\x0b\f\r]); python str.split() is Unicode-aware
+        # and would segment words the trainer never saw (e.g. around
+        # U+00A0), silently disabling every learned merge there
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
         def one(t):
             if t is None:
                 return None
             if _lower:
                 t = t.lower()
             out: list[str] = []
-            for w in t.split():
+            for w in ws.split(t):
+                if not w:
+                    continue
                 if w not in memo:
                     memo[w] = _encode_word(w, ranks)
                 out.extend(memo[w])
@@ -185,7 +217,12 @@ def bpe_token_count(
     enc = bpe_encode(
         df, merges, text_col=text_col, lowercase=lowercase
     )
+    # NULL text prices at 0 tokens (the package's NULL-count
+    # convention, same as keyword_hits) so budget sums never silently
+    # exclude rows
     return enc.select(
         id_col,
-        F.size("bpe_tokens").cast("long").alias("n_bpe_trained"),
+        F.coalesce(F.size("bpe_tokens"), F.lit(0))
+        .cast("long")
+        .alias("n_bpe_trained"),
     )

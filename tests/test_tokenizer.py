@@ -179,3 +179,78 @@ def test_bpe_encode_word_boundary_matches_trainer(spark):
     toks = bpe_encode(df, merges).first()["bpe_tokens"]
     # the whole nbsp-joined word was trained and encodes to one token
     assert "cafe bar" + EOW in toks
+
+
+def test_tokenized_sequences_match_python_twin(spark, bpe_df):
+    """End-to-end text -> packed id sequences vs an independent
+    python twin (same shard hash, doc order, vocab id assignment,
+    cut points)."""
+    import hashlib
+
+    from xyzpy_spark.pipeline.tokenizer import (
+        _encode_word,
+        bpe_encode,
+        tokenized_sequences,
+        train_bpe,
+    )
+
+    merges = train_bpe(bpe_df, num_merges=30, min_freq=2)
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    max_tokens, n_shards = 7, 2
+
+    seqs, vocab = tokenized_sequences(
+        bpe_df, merges, max_tokens=max_tokens, n_shards=n_shards
+    )
+    got = {
+        (r["shard"], r["seq_id"]): list(r["input_ids"])
+        for r in seqs.collect()
+    }
+    vid = {r["token"]: r["token_id"] for r in vocab.collect()}
+
+    # python twin
+    def enc_doc(t):
+        out = []
+        for w in t.lower().split():
+            out.extend(_encode_word(w, ranks))
+        return out
+
+    texts = {i: t for i, t in enumerate(TEXTS)}
+    # vocab twin: frequency desc, token asc
+    from collections import Counter
+
+    c = Counter()
+    for t in texts.values():
+        c.update(enc_doc(t))
+    order = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    vid_py = {tok: i for i, (tok, _) in enumerate(order)}
+    assert vid == vid_py
+
+    def shard_of(doc_id):
+        h = hashlib.md5(f"{doc_id}pack".encode()).hexdigest()[:15]
+        return int((int(h, 16) / 16**15) * n_shards)
+
+    expect = {}
+    for sh in range(n_shards):
+        stream = []
+        for i in sorted(texts):
+            if shard_of(i) == sh:
+                stream.extend(vid_py[t] for t in enc_doc(texts[i]))
+        for s in range(0, len(stream), max_tokens):
+            expect[(sh, s // max_tokens)] = stream[s : s + max_tokens]
+    assert got == expect
+
+
+def test_export_tokenized_roundtrip(spark, bpe_df, tmp_path):
+    from xyzpy_spark.pipeline.tokenizer import export_tokenized, train_bpe
+
+    merges = train_bpe(bpe_df, num_merges=20, min_freq=2)
+    out = export_tokenized(
+        bpe_df, merges, str(tmp_path / "tok"), max_tokens=8, n_shards=2
+    )
+    rows = out.collect()
+    assert rows and all(1 <= r["n_tokens"] <= 8 for r in rows)
+    vocab = spark.read.parquet(str(tmp_path / "tok" / "_vocab"))
+    assert vocab.count() > 0
+    # shard pruning works at the source
+    one = spark.read.parquet(str(tmp_path / "tok")).where("shard = 0")
+    assert one.count() == sum(1 for r in rows if r["shard"] == 0)

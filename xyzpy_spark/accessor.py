@@ -267,6 +267,12 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(bpe_encode(self.df, merges, **kw))
 
+    def tokenized_sequences(self, merges, **kw):
+        from .pipeline.tokenizer import tokenized_sequences
+
+        seqs, vocab = tokenized_sequences(self.df, merges, **kw)
+        return self._wrap(seqs), vocab
+
     def curate(self, reference_df=None, **kw):
         from .pipeline.curate import curate_corpus
 

@@ -226,3 +226,129 @@ def bpe_token_count(
         .cast("long")
         .alias("n_bpe_trained"),
     )
+
+
+def bpe_vocab(enc_df: DataFrame, *, tokens_col: str = "bpe_tokens") -> DataFrame:
+    """Token→id table from an encoded corpus: ids assigned by
+    frequency (desc) with lexicographic tie-break — deterministic,
+    partitioning-independent.  Vocabulary-sized output (one hash
+    aggregation + one tiny window over the distinct tokens)."""
+    from pyspark.sql import Window
+
+    counts = (
+        enc_df.select(F.explode(tokens_col).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.col("token").asc())
+    return counts.select(
+        "token",
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+        "n",
+    )
+
+
+def tokenized_sequences(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    max_tokens: int = 2048,
+    n_shards: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab: DataFrame | None = None,
+    salt: str = "pack",
+) -> tuple[DataFrame, DataFrame]:
+    """The training last mile: text → fixed-length token-ID sequences.
+
+    GPT-style packing: within each deterministic shard
+    (``md5(id || salt) mod n_shards``), documents are concatenated in
+    ``id_col`` order and the id stream is cut every ``max_tokens``.
+    Returns ``(sequences, vocab)`` where ``sequences`` is ``(shard,
+    seq_id, input_ids array<int>, n_tokens)`` and ``vocab`` the
+    ``(token, token_id, n)`` table used (pass ``vocab=`` to reuse a
+    frozen table across incremental exports — REQUIRED for appends,
+    or new data re-derives different ids).
+
+    Plan shape: encode is the map-only Arrow stage; the vocab join
+    broadcasts (vocabulary-sized); the only heavy shuffle carries
+    ``(shard, global position, token_id)`` triples into the per-
+    sequence assembly — one row per TOKEN, the honest cost of
+    materializing training sequences, linear in corpus size.  Under a
+    frozen ``vocab``, tokens absent from it are DROPPED by the inner
+    join — anti-join the encoded tokens against the vocab first if
+    you need to audit the out-of-vocabulary rate.
+    """
+    from .sampling import hash_unit
+
+    enc = bpe_encode(df, merges, text_col=text_col)
+    if vocab is None:
+        vocab = bpe_vocab(enc)
+    shard = (
+        F.floor(hash_unit(F.col(id_col), salt) * n_shards)
+        .cast("int")
+        .alias("shard")
+    )
+    toks = enc.select(
+        F.col(id_col).alias("__doc"),
+        shard,
+        F.posexplode("bpe_tokens").alias("__pos", "token"),
+    )
+    with_ids = toks.join(F.broadcast(vocab.select("token", "token_id")), "token")
+    from pyspark.sql import Window
+
+    # global token position within the shard: docs ordered by id,
+    # tokens by intra-doc position
+    w = Window.partitionBy("shard").orderBy("__doc", "__pos")
+    seq = with_ids.select(
+        "shard",
+        "token_id",
+        (F.row_number().over(w) - 1).alias("__g"),
+    ).select(
+        "shard",
+        "token_id",
+        F.floor(F.col("__g") / F.lit(int(max_tokens)))
+        .cast("long")
+        .alias("seq_id"),
+        F.col("__g"),
+    )
+    sequences = (
+        seq.groupBy("shard", "seq_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__g", "token_id"))
+                ),
+                lambda s: s["token_id"],
+            ).alias("input_ids")
+        )
+        .select(
+            "shard",
+            "seq_id",
+            "input_ids",
+            F.size("input_ids").cast("long").alias("n_tokens"),
+        )
+    )
+    return sequences, vocab
+
+
+def export_tokenized(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    path: str,
+    **kw,
+) -> DataFrame:
+    """Materialize :func:`tokenized_sequences` as shard-partitioned
+    parquet under ``path`` (one directory per shard — loaders address
+    ``shard=NNN/`` individually) and the vocab table next to it under
+    ``path + '/_vocab'``.  Returns the sequences DataFrame re-read
+    from disk."""
+    sequences, vocab = tokenized_sequences(df, merges, **kw)
+    (
+        sequences.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    vocab.write.mode("overwrite").parquet(path + "/_vocab")
+    return df.sparkSession.read.parquet(path)

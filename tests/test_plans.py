@@ -437,3 +437,33 @@ def test_corpus_stats_two_level_agg_no_expand(spark):
     plan = executed_plan(corpus_stats(docs))
     assert "Expand" not in plan
     assert count_exchanges(corpus_stats(docs)) == 2
+
+
+def test_tokenized_sequences_no_per_token_window(spark):
+    """Packing must get global offsets from a per-DOC cumsum, never a
+    per-token row_number (which would total-sort each shard's token
+    stream on one task)."""
+    from xyzpy_spark.pipeline.tokenizer import (
+        tokenized_sequences,
+        train_bpe,
+    )
+
+    from xyzpy_spark.pipeline.tokenizer import bpe_vocab, bpe_encode
+
+    docs = read_table(spark, SF_DIR, "documents")
+    merges = train_bpe(docs, num_merges=10, min_freq=2)
+    # freeze the vocab driver-side: bpe_vocab's own (vocabulary-sized,
+    # intentional) row_number window would otherwise ride the
+    # broadcast side of the plan and mask the assertion
+    v = bpe_vocab(bpe_encode(docs, merges))
+    frozen = spark.createDataFrame(v.collect(), v.schema)
+    seqs, _ = tokenized_sequences(
+        docs, merges, max_tokens=64, vocab=frozen
+    )
+    plan = executed_plan(seqs)
+    assert "row_number" not in plan
+    # the doc-offset window feeds the token explode: in the printed
+    # tree (parents first) Generate must appear ABOVE the Window it
+    # consumes, and a Window must exist at all (the per-doc cumsum)
+    assert "Window" in plan
+    assert plan.index("Generate") < plan.index("Window"), plan

@@ -218,7 +218,7 @@ def _normalize_py(t, form="NFC"):
     if form in ("NFC", "NFKC"):
         t = _ud.normalize("NFC", t)
     t = t.lower()
-    return _re.sub(r"[ \t\n\f\r\x0b]+", " ", t).strip(" ")
+    return _re.sub(r"[ \t\n\f\r]+", " ", t).strip(" ")
 
 
 @given(st.text(max_size=40))

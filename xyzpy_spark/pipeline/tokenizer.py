@@ -33,7 +33,14 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text import tokenize
 
-__all__ = ["train_bpe", "bpe_encode", "bpe_token_count"]
+__all__ = [
+    "train_bpe",
+    "bpe_encode",
+    "bpe_token_count",
+    "bpe_vocab",
+    "tokenized_sequences",
+    "export_tokenized",
+]
 
 #: end-of-word marker (classic BPE: lets merges distinguish suffixes)
 EOW = "</w>"
@@ -64,18 +71,32 @@ def _greedy_merges(
     (the independent-python-twin test retrains naively and requires
     the exact same merge list).
     """
+    import heapq
+
     counts: dict[tuple, int] = {}
     where: dict[tuple, set] = {}
     for sym, freq in vocab.items():
         for p in zip(sym, sym[1:]):
             counts[p] = counts.get(p, 0) + freq
             where.setdefault(p, set()).add(sym)
+    # lazy-deletion heap for the argmax: (-count, pair) entries go
+    # stale when counts change; a popped entry is used only if it
+    # still matches the live count.  Selection is O(log) amortized
+    # instead of a full O(|pairs|) scan per merge — the scan was the
+    # residual quadratic-ish term after the count updates went
+    # incremental.  Tie-break (largest count, lexicographically
+    # smallest pair) is preserved by the tuple order.
+    heap = [(-c, p) for p, c in counts.items()]
+    heapq.heapify(heap)
     merges: list[tuple[str, str]] = []
     for _ in range(int(num_merges)):
-        if not counts:
-            break
-        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        if counts[pair] < min_freq:
+        pair = None
+        while heap:
+            negc, cand = heapq.heappop(heap)
+            if counts.get(cand) == -negc:
+                pair = cand
+                break
+        if pair is None or counts[pair] < min_freq:
             break
         merges.append(pair)
         for sym in list(where.get(pair, ())):
@@ -84,6 +105,11 @@ def _greedy_merges(
                 counts[p] -= freq
                 if counts[p] <= 0:
                     del counts[p]
+                else:
+                    # the decremented count needs a live heap entry;
+                    # the old (bigger) entry goes stale and is skipped
+                    # by the liveness check on pop
+                    heapq.heappush(heap, (-counts[p], p))
                 ws = where.get(p)
                 if ws is not None:
                     ws.discard(sym)
@@ -94,6 +120,7 @@ def _greedy_merges(
             for p in zip(new_sym, new_sym[1:]):
                 counts[p] = counts.get(p, 0) + freq
                 where.setdefault(p, set()).add(new_sym)
+                heapq.heappush(heap, (-counts[p], p))
     return merges
 
 
@@ -257,6 +284,7 @@ def tokenized_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     vocab: DataFrame | None = None,
+    lowercase: bool = True,
     salt: str = "pack",
 ) -> tuple[DataFrame, DataFrame]:
     """The training last mile: text → fixed-length token-ID sequences.
@@ -268,49 +296,77 @@ def tokenized_sequences(
     seq_id, input_ids array<int>, n_tokens)`` and ``vocab`` the
     ``(token, token_id, n)`` table used (pass ``vocab=`` to reuse a
     frozen table across incremental exports — REQUIRED for appends,
-    or new data re-derives different ids).
+    or new data re-derives different ids).  ``lowercase`` must match
+    the flag the merges were TRAINED with.  ``id_col`` must be unique
+    per row — duplicate ids make the within-shard order (and so the
+    cut points) nondeterministic.
 
-    Plan shape: encode is the map-only Arrow stage; the vocab join
-    broadcasts (vocabulary-sized); the only heavy shuffle carries
-    ``(shard, global position, token_id)`` triples into the per-
-    sequence assembly — one row per TOKEN, the honest cost of
-    materializing training sequences, linear in corpus size.  Under a
-    frozen ``vocab``, tokens absent from it are DROPPED by the inner
-    join — anti-join the encoded tokens against the vocab first if
-    you need to audit the out-of-vocabulary rate.
+    Plan shape: the Arrow encode stage runs once and is
+    ``localCheckpoint``-ed (eager=False), so the vocab derivation and
+    the packing read materialized tokens instead of re-running the
+    UDF per consumer (blocks release with the frames — no
+    CacheManager entry to leak, same rationale as
+    ``operators/temporal.py``).  The vocab join broadcasts
+    (vocabulary-sized).  Each document's global offset comes from a
+    per-shard cumulative sum over ONE ROW PER DOCUMENT — never a
+    per-token window, whose ``row_number`` would total-sort a shard's
+    whole token stream on a single task; tokens then get
+    ``offset + position`` map-side and assemble per sequence with
+    bounded ``max_tokens``-element sorts, parallel across sequences.
+    The heavy shuffle carries ``(shard, seq, position, token_id)`` —
+    one row per token, the honest cost of materializing training
+    sequences, linear in corpus size.  Under a frozen ``vocab``,
+    tokens absent from it are DROPPED by the inner join — anti-join
+    the encoded tokens against the vocab first to audit the
+    out-of-vocabulary rate.
     """
-    from .sampling import hash_unit
-
-    enc = bpe_encode(df, merges, text_col=text_col)
-    if vocab is None:
-        vocab = bpe_vocab(enc)
-    shard = (
-        F.floor(hash_unit(F.col(id_col), salt) * n_shards)
-        .cast("int")
-        .alias("shard")
-    )
-    toks = enc.select(
-        F.col(id_col).alias("__doc"),
-        shard,
-        F.posexplode("bpe_tokens").alias("__pos", "token"),
-    )
-    with_ids = toks.join(F.broadcast(vocab.select("token", "token_id")), "token")
     from pyspark.sql import Window
 
-    # global token position within the shard: docs ordered by id,
-    # tokens by intra-doc position
-    w = Window.partitionBy("shard").orderBy("__doc", "__pos")
-    seq = with_ids.select(
-        "shard",
-        "token_id",
-        (F.row_number().over(w) - 1).alias("__g"),
+    from .sampling import hash_unit
+
+    enc = bpe_encode(
+        df, merges, text_col=text_col, lowercase=lowercase
     ).select(
+        F.col(id_col).alias("__doc"),
+        F.floor(hash_unit(F.col(id_col), salt) * n_shards)
+        .cast("int")
+        .alias("shard"),
+        "bpe_tokens",
+    )
+    enc = enc.localCheckpoint(eager=False)
+    if vocab is None:
+        vocab = bpe_vocab(enc)
+    w_doc = (
+        Window.partitionBy("shard")
+        .orderBy("__doc")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_base = enc.select(
+        "shard",
+        "bpe_tokens",
+        F.coalesce(
+            F.sum(F.size("bpe_tokens")).over(w_doc), F.lit(0)
+        ).alias("__base"),
+    )
+    toks = with_base.select(
+        "shard",
+        "__base",
+        F.posexplode("bpe_tokens").alias("__pos", "token"),
+    ).select(
+        "shard",
+        (F.col("__base") + F.col("__pos")).alias("__g"),
+        "token",
+    )
+    with_ids = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token"
+    )
+    seq = with_ids.select(
         "shard",
         "token_id",
         F.floor(F.col("__g") / F.lit(int(max_tokens)))
         .cast("long")
         .alias("seq_id"),
-        F.col("__g"),
+        "__g",
     )
     sequences = (
         seq.groupBy("shard", "seq_id")

@@ -254,3 +254,25 @@ def test_export_tokenized_roundtrip(spark, bpe_df, tmp_path):
     # shard pruning works at the source
     one = spark.read.parquet(str(tmp_path / "tok")).where("shard = 0")
     assert one.count() == sum(1 for r in rows if r["shard"] == 0)
+
+
+def test_oov_rate_against_frozen_vocab(spark, bpe_df):
+    from xyzpy_spark.pipeline.tokenizer import (
+        bpe_encode,
+        bpe_vocab,
+        oov_rate,
+        train_bpe,
+    )
+
+    merges = train_bpe(bpe_df, num_merges=30, min_freq=2)
+    vocab = bpe_vocab(bpe_encode(bpe_df, merges))
+    # same corpus -> zero OOV
+    r = oov_rate(bpe_df, merges, vocab).collect()[0]
+    assert r["n_oov"] == 0 and r["oov_rate"] == 0.0
+    # novel characters -> some OOV under the frozen vocab
+    novel = spark.createDataFrame(
+        [(99, "zq zq xyzzy")], "doc_id LONG, text STRING"
+    )
+    r2 = oov_rate(novel, merges, vocab).collect()[0]
+    assert r2["n_oov"] > 0
+    assert 0 < r2["oov_rate"] <= 1.0

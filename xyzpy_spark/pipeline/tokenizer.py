@@ -40,6 +40,7 @@ __all__ = [
     "bpe_vocab",
     "tokenized_sequences",
     "export_tokenized",
+    "oov_rate",
 ]
 
 #: end-of-word marker (classic BPE: lets merges distinguish suffixes)
@@ -408,3 +409,40 @@ def export_tokenized(
     )
     vocab.write.mode("overwrite").parquet(path + "/_vocab")
     return df.sparkSession.read.parquet(path)
+
+
+def oov_rate(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: DataFrame,
+    *,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Out-of-vocabulary audit for frozen-vocab exports: one row with
+    ``(n_tokens, n_oov, oov_rate)`` for the corpus encoded under
+    ``merges`` against ``vocab``.
+
+    Run this before an incremental :func:`tokenized_sequences` append
+    with a frozen vocab — its inner join silently DROPS unknown
+    tokens, and this is the number that says whether that loss is
+    acceptable or the vocab needs retraining.  One encode pass + one
+    broadcast left-join + one global aggregate.
+    """
+    enc = bpe_encode(df, merges, text_col=text_col, lowercase=lowercase)
+    toks = enc.select(F.explode("bpe_tokens").alias("token"))
+    joined = toks.join(
+        F.broadcast(vocab.select("token", "token_id")), "token", "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.col("token_id").isNull().cast("long"))
+        .cast("long")
+        .alias("n_oov"),
+    ).select(
+        "n_tokens",
+        F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+        F.when(F.col("n_tokens") > 0, F.col("n_oov") / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+        .alias("oov_rate"),
+    )

@@ -1470,6 +1470,18 @@ def q_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_token_count(rest, merges)
 
 
+def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination attribution: (train doc, eval doc, shared 5-gram
+    count) pairs — eval side broadcast
+    (pipeline/text.contamination_pairs)."""
+    from xyzpy_spark.pipeline.text import contamination_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 10 == 0)
+    tr = docs.where(F.col("doc_id") % 10 != 0)
+    return contamination_pairs(tr, ev, n=5)
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1580,6 +1592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_corpus": q_curate_corpus,
         "lm_trigram_nll": q_lm_trigram_nll,
         "bpe_token_count": q_bpe_token_count,
+        "contamination_pairs": q_contamination_pairs,
     }
 
 
@@ -2159,6 +2172,27 @@ def oracle_sql() -> dict[str, str]:
                    FLOOR((-lp / n_bigrams) * 1000000.0 + 0.5)
                        / 1000000.0 AS nll
             FROM scored
+        """,
+        "contamination_pairs": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS w
+                FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 4, 0) + 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                || ' ' || w[i+3] || ' ' || w[i+4]))) AS ngram
+                FROM toks
+            )
+            SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM (SELECT doc_id, ngram FROM grams WHERE doc_id % 10 <> 0) t
+            JOIN (SELECT doc_id, ngram FROM grams WHERE doc_id % 10 = 0) e
+              USING (ngram)
+            GROUP BY train_id, eval_id
         """,
         "normalize_text": r"""
             SELECT doc_id,

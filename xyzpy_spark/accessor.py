@@ -227,6 +227,12 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
         eval_df = eval_df.df if isinstance(eval_df, xyz) else eval_df
         return self._wrap(bloom_contamination_hits(self.df, eval_df, **kw))
 
+    def contamination_pairs(self, eval_df, **kw) -> "xyz":
+        from .pipeline.text import contamination_pairs
+
+        eval_df = eval_df.df if isinstance(eval_df, xyz) else eval_df
+        return self._wrap(contamination_pairs(self.df, eval_df, **kw))
+
     def project_embeddings(self, out_dim: int, **kw) -> "xyz":
         from .pipeline.similarity import project_embeddings
 
@@ -272,6 +278,11 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         seqs, vocab = tokenized_sequences(self.df, merges, **kw)
         return self._wrap(seqs), vocab
+
+    def oov_rate(self, merges, vocab, **kw) -> "xyz":
+        from .pipeline.tokenizer import oov_rate
+
+        return self._wrap(oov_rate(self.df, merges, vocab, **kw))
 
     def curate(self, reference_df=None, **kw):
         from .pipeline.curate import curate_corpus

@@ -1509,7 +1509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROUND-4 ROTATION QUEUE (registered after the window filled, all
     # strict-green locally, never driver-hashed): profile_events,
     # keyword_hits, normalize_text, quantize_embeddings, curate_corpus,
-    # lm_trigram_nll, bpe_token_count.
+    # lm_trigram_nll, bpe_token_count (rows-only by design),
+    # contamination_pairs.
     return {
         "pricing_summary": q_pricing_summary,
         "window_hourly": q_window_hourly,

@@ -1482,6 +1482,18 @@ def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(tr, ev, n=5)
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment pairs — catches near-superset
+    dups (short doc quoted inside a long one) that Jaccard misses
+    (pipeline/dedup.ngram_containment_pairs)."""
+    from xyzpy_spark.pipeline.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(
+        docs, n=3, threshold=0.3, max_shingle_freq=None
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1510,7 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strict-green locally, never driver-hashed): profile_events,
     # keyword_hits, normalize_text, quantize_embeddings, curate_corpus,
     # lm_trigram_nll, bpe_token_count (rows-only by design),
-    # contamination_pairs.
+    # contamination_pairs, dedup_containment.
     return {
         "pricing_summary": q_pricing_summary,
         "window_hourly": q_window_hourly,
@@ -1594,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_trigram_nll": q_lm_trigram_nll,
         "bpe_token_count": q_bpe_token_count,
         "contamination_pairs": q_contamination_pairs,
+        "dedup_containment": q_dedup_containment,
     }
 
 
@@ -3099,6 +3112,37 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sb ON sb.doc_id = id_b
             )
             SELECT * FROM j WHERE jaccard >= 0.1
+        """,
+        "dedup_containment": r"""
+            WITH toks AS (
+                SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform(
+                           range(1, greatest(len(w) - 3, 0) + 2),
+                           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shs
+                FROM toks
+            ), ex AS (
+                SELECT doc_id, unnest(shs) AS shingle FROM sh
+            ), sizes AS (
+                SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY 1
+            ), common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+                FROM ex a JOIN ex b USING (shingle)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            ), c AS (
+                SELECT id_a, id_b,
+                       ROUND(n_common / sa.n_sh, 6) AS containment_a,
+                       ROUND(n_common / sb.n_sh, 6) AS containment_b,
+                       ROUND(n_common / (sa.n_sh + sb.n_sh - n_common), 6)
+                           AS jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+            )
+            SELECT * FROM c
+            WHERE GREATEST(containment_a, containment_b) >= 0.3
         """,
         "dedup_embedding_cosine": """
             WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),

@@ -87,6 +87,7 @@ HEADLINE = [
     "curate_corpus",
     "bpe_token_count",
     "contamination_pairs",
+    "dedup_containment",
     "dedup_incremental",
 ]
 

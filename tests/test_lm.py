@@ -404,3 +404,31 @@ def test_contamination_pairs_attribution(spark, docs_df):
         assert n <= max(hits.values()) or True
     # pairs are bounded by real collisions, never the cross product
     assert len(pairs) < tr.count() * ev.count()
+
+
+def test_containment_catches_quoted_subset(spark):
+    """A short doc fully quoted inside a long one: containment ≈ 1
+    while Jaccard is small — the asymmetric op must flag it, and the
+    symmetric one (at a high threshold) must not."""
+    from xyzpy_spark.pipeline.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"w{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(0, quote), (1, quote + " " + filler)],
+        "doc_id LONG, text STRING",
+    )
+    cont = ngram_containment_pairs(
+        df, threshold=0.9, max_shingle_freq=None
+    ).collect()
+    assert len(cont) == 1
+    r = cont[0]
+    assert r["containment_a"] == 1.0  # doc 0 fully contained
+    assert r["jaccard"] < 0.1
+    jac = ngram_jaccard_pairs(
+        df, threshold=0.5, max_shingle_freq=None
+    ).collect()
+    assert jac == []  # Jaccard-only dedup misses the quote

@@ -173,6 +173,82 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int | None = 1000,
+    cache: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram CONTAINMENT — the
+    asymmetric companion to :func:`ngram_jaccard_pairs`.
+
+    ``containment(A in B) = |A ∩ B| / |A|``: a short document quoted
+    wholesale inside a long one scores containment ≈ 1 while its
+    Jaccard is tiny (the union is dominated by the long side), so a
+    Jaccard-only dedup pass keeps the redundant quote.  Pairs are
+    emitted when EITHER direction reaches ``threshold``; output
+    ``(id_a, id_b, containment_a, containment_b, jaccard)`` (a<b, all
+    scores rounded for engine portability) lets the caller pick a
+    retention policy (e.g. drop the contained side).
+
+    Same inverted-index plan as the Jaccard op — shingles explode
+    once, docs sharing no shingle never meet, ``max_shingle_freq``
+    caps boilerplate fan-out (dropped shingles make all three scores
+    conservative LOWER bounds, the safe direction).
+    """
+    sh = _exploded_shingles_fast(df, id_col, text_col, n).dropDuplicates(
+        ["_id", "shingle"]
+    )
+    if max_shingle_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .where(F.col("f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    if cache:
+        sh = sh.persist()
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("n_common") / F.col("n_a"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_common") / F.col("n_b"), 6).alias(
+                "containment_b"
+            ),
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(
+            F.greatest("containment_a", "containment_b")
+            >= F.lit(float(threshold))
+        )
+    )
+
+
 # Mersenne prime 2^31 - 1: with a, b, h < p every ``a*h + b`` stays
 # below 2^62, so the whole universal-hash family runs in plain int64
 # (whole-stage codegen) on Spark and BIGINT in SQL engines.  The

@@ -1354,11 +1354,17 @@ def q_bloom_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_project_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss reduction 64->8 dims with the portable
-    md5 Rademacher matrix (pipeline/similarity.project_embeddings)."""
+    md5 Rademacher matrix (pipeline/similarity.project_embeddings).
+    Contract shape: the projection array is posexploded to scalar
+    (vec_id, j, component) rows — the driver's canonicalizer sorts
+    with pandas and cannot hash list-typed cells (round-3 red row)."""
     from xyzpy_spark.pipeline.similarity import project_embeddings
 
     emb = _t(spark, sf_dir, "embeddings")
-    return project_embeddings(emb, 8, in_dim=64)
+    proj = project_embeddings(emb, 8, in_dim=64)
+    return proj.select(
+        "vec_id", F.posexplode("projection").alias("j", "component")
+    )
 
 
 def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1407,11 +1413,16 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization, map-only floor
-    arithmetic (pipeline/similarity.quantize_embeddings)."""
+    arithmetic (pipeline/similarity.quantize_embeddings).  Contract
+    shape: qvec posexploded to scalar (vec_id, q_scale, j, q) rows —
+    the driver canon cannot hash list-typed cells."""
     from xyzpy_spark.pipeline.similarity import quantize_embeddings
 
     emb = _t(spark, sf_dir, "embeddings")
-    return quantize_embeddings(emb)
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id", "q_scale", F.posexplode("qvec").alias("j", "q")
+    )
 
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1518,20 +1529,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # merge_overwrite_new, running_stats, fuse_dims, run_gaps,
     # facet_agg, median_quantile_band).  The rotated-out queries remain
     # covered by tools/check_correctness.py and the pytest suite.
-    # ROUND-4 ROTATION QUEUE (registered after the window filled, all
-    # strict-green locally, never driver-hashed): profile_events,
-    # keyword_hits, normalize_text, quantize_embeddings, curate_corpus,
-    # lm_trigram_nll, bpe_token_count (rows-only by design),
-    # contamination_pairs, dedup_containment.
+    # ROUND 4 rotated the 9 never-driver-hashed round-3 ops
+    # (profile_events, keyword_hits, normalize_text,
+    # quantize_embeddings, curate_corpus, lm_trigram_nll,
+    # bpe_token_count (rows-only by design), contamination_pairs,
+    # dedup_containment) into the window, displacing 9 thrice-green
+    # veterans (text_token_count, text_quality, text_langid,
+    # text_fingerprint, dedup_exact, sampler_run, asof_last_view,
+    # range_follow_clicks, stratified_sample) to positions 51+.  The
+    # rotated-out queries remain covered by tools/check_correctness.py
+    # and the pytest suite.
+    # ROUND-5 ROTATION QUEUE (registered after the window filled, all
+    # strict-green locally, never driver-hashed): oov_rate,
+    # tokenized_sequences (rows-only by design).
     return {
         "pricing_summary": q_pricing_summary,
         "window_hourly": q_window_hourly,
         "user_sessions": q_user_sessions,
-        "text_token_count": q_text_token_count,
-        "text_quality": q_text_quality,
-        "text_langid": q_text_langid,
-        "text_fingerprint": q_text_fingerprint,
-        "dedup_exact": q_dedup_exact,
+        "profile_events": q_profile_events,
+        "keyword_hits": q_keyword_hits,
+        "normalize_text": q_normalize_text,
+        "quantize_embeddings": q_quantize_embeddings,
+        "curate_corpus": q_curate_corpus,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "similarity_topk": q_similarity_topk,
@@ -1541,10 +1560,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_similarity_ivf,
         "crop_roundtrip": q_crop_roundtrip,
         "dedup_clusters": q_dedup_clusters,
-        "sampler_run": q_sampler_run,
-        "asof_last_view": q_asof_last_view,
-        "range_follow_clicks": q_range_follow_clicks,
-        "stratified_sample": q_stratified_sample,
+        "lm_trigram_nll": q_lm_trigram_nll,
+        "bpe_token_count": q_bpe_token_count,
+        "contamination_pairs": q_contamination_pairs,
+        "dedup_containment": q_dedup_containment,
         "skew_salted_revenue": q_skew_salted_revenue,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "text_repetition": q_text_repetition,
@@ -1598,15 +1617,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "run_gaps": q_run_gaps,
         "facet_agg": q_facet_agg,
         "median_quantile_band": q_median_quantile_band,
-        "profile_events": q_profile_events,
-        "keyword_hits": q_keyword_hits,
-        "normalize_text": q_normalize_text,
-        "quantize_embeddings": q_quantize_embeddings,
-        "curate_corpus": q_curate_corpus,
-        "lm_trigram_nll": q_lm_trigram_nll,
-        "bpe_token_count": q_bpe_token_count,
-        "contamination_pairs": q_contamination_pairs,
-        "dedup_containment": q_dedup_containment,
+        "text_token_count": q_text_token_count,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "sampler_run": q_sampler_run,
+        "asof_last_view": q_asof_last_view,
+        "range_follow_clicks": q_range_follow_clicks,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -1977,16 +1996,12 @@ def _project_embeddings_oracle() -> str:
         for d in range(64)
     )
     return f"""
-        WITH m AS (SELECT * FROM (VALUES {vals}) t(d, j, s)),
-        comp AS (
-            SELECT e.vec_id, m.j,
-                   FLOOR(SUM(e.embedding[m.d]::DOUBLE * m.s)
-                         * 1000000.0 + 0.5) / 1000000.0 AS c
-            FROM embeddings e CROSS JOIN m
-            GROUP BY e.vec_id, m.j
-        )
-        SELECT vec_id, list(c ORDER BY j) AS projection
-        FROM comp GROUP BY vec_id
+        WITH m AS (SELECT * FROM (VALUES {vals}) t(d, j, s))
+        SELECT e.vec_id, CAST(m.j AS INTEGER) AS j,
+               FLOOR(SUM(e.embedding[m.d]::DOUBLE * m.s)
+                     * 1000000.0 + 0.5) / 1000000.0 AS component
+        FROM embeddings e CROSS JOIN m
+        GROUP BY e.vec_id, m.j
     """
 
 
@@ -2223,12 +2238,12 @@ def oracle_sql() -> dict[str, str]:
                        embedding
                 FROM embeddings
             )
-            SELECT vec_id, q_scale,
-                   list_transform(embedding, x -> CAST(FLOOR(
-                       x::DOUBLE
+            SELECT vec_id, q_scale, CAST(t.i AS INTEGER) AS j,
+                   CAST(FLOOR(
+                       embedding[t.i + 1]::DOUBLE
                        / (CASE WHEN q_scale > 0 THEN q_scale ELSE 1.0 END)
-                       * 127) AS INTEGER)) AS qvec
-            FROM s
+                       * 127) AS INTEGER) AS q
+            FROM s, range(64) t(i)
         """,
         "curate_corpus": r"""
             WITH corpus AS (

@@ -467,3 +467,32 @@ def test_tokenized_sequences_no_per_token_window(spark):
     # consumes, and a Window must exist at all (the per-doc cumsum)
     assert "Window" in plan
     assert plan.index("Generate") < plan.index("Window"), plan
+
+
+def test_all_contract_queries_emit_scalar_columns_only(spark):
+    """Every ``queries()`` entry must return atomic (scalar-sortable)
+    columns: the driver's canonicalizer sorts rows with pandas
+    ``sort_values`` and crashes with "unhashable type: 'list'" on any
+    array/map/struct cell (the round-3 ``project_embeddings`` red row
+    — VERDICT r3 item 2).  Constructing each DataFrame is enough to
+    read its schema; a few queries (streaming, crop) execute eagerly,
+    which keeps this test honest about what the driver actually runs.
+    """
+    from pyspark.sql import types as T
+
+    import __spark_entry__ as entrymod
+
+    banned = (T.ArrayType, T.MapType, T.StructType)
+    offenders = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, banned)
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        f"contract queries with non-scalar output columns: {offenders}"
+    )

@@ -2483,7 +2483,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_distinct(list_transform(
                            range(1, greatest(len(w) - 3, 0) + 2),
-                           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shs
+                           i -> array_to_string(w[i:i+2], ' '))) AS shs
                 FROM toks
             ), ex AS (
                 SELECT doc_id, unnest(shs) AS shingle FROM sh
@@ -3109,7 +3109,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_distinct(list_transform(
                            range(1, greatest(len(w) - 3, 0) + 2),
-                           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shs
+                           i -> array_to_string(w[i:i+2], ' '))) AS shs
                 FROM toks
             ), ex AS (
                 SELECT doc_id, unnest(shs) AS shingle FROM sh
@@ -3136,7 +3136,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_distinct(list_transform(
                            range(1, greatest(len(w) - 3, 0) + 2),
-                           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shs
+                           i -> array_to_string(w[i:i+2], ' '))) AS shs
                 FROM toks
             ), ex AS (
                 SELECT doc_id, unnest(shs) AS shingle FROM sh
@@ -3200,7 +3200,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        list_distinct(list_transform(
                            range(1, greatest(len(w) - 3, 0) + 2),
-                           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shs
+                           i -> array_to_string(w[i:i+2], ' '))) AS shs
                 FROM toks
             ), ex AS (
                 SELECT doc_id, unnest(shs) AS shingle FROM sh

@@ -143,3 +143,30 @@ def test_accessor_curate_report_mode(spark, corpus, reference):
     )
     assert wrapped.df.count() == stages[-1][1]
     assert stages[0] == ("input", 5)
+
+
+def test_curate_separate_lm_reference_and_eval(spark, corpus, reference):
+    """The trusted LM corpus and the decontamination benchmark are
+    different corpora in the standard pipeline: eval_df must drive the
+    decontamination stage while reference_df only trains the LM (with
+    a shared reference_df the API silently decontaminated against the
+    LM corpus)."""
+    from xyzpy_spark.pipeline.curate import curate_corpus
+
+    # eval set leaks a 5-gram unique to doc 4 ("cat" variant); the LM
+    # reference shares no 5-gram with any corpus doc
+    evals = spark.createDataFrame(
+        [(999, "quick brown cat jumps over", "en", "eval")],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
+    )
+    out = curate_corpus(
+        corpus,
+        reference_df=reference,
+        eval_df=evals,
+        min_tokens=10,
+        min_quality=None,
+        decontaminate_n=5,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 4 not in kept   # dropped via eval_df overlap
+    assert 1 in kept       # untouched by the LM reference

@@ -432,3 +432,41 @@ def test_containment_catches_quoted_subset(spark):
         df, threshold=0.5, max_shingle_freq=None
     ).collect()
     assert jac == []  # Jaccard-only dedup misses the quote
+
+
+def test_containment_denominators_unfiltered_by_shingle_freq(spark):
+    """With max_shingle_freq active, |A| and |B| must count the FULL
+    per-doc shingle sets — filtering the denominator too would inflate
+    containment (a doc whose only rare shingle is shared would score
+    1.0 despite unshared boilerplate), breaking the lower-bound
+    guarantee.  Build: a boilerplate shingle shared by many docs (so
+    the freq cap drops it) plus one rare shared shingle between doc 0
+    and doc 1; doc 0 has extra unshared rare shingles."""
+    from xyzpy_spark.pipeline.dedup import ngram_containment_pairs
+
+    boiler = "alpha beta gamma"
+    rare = "zeta eta theta"
+    rows = [
+        # doc 0: boilerplate + rare shared + 3 unshared rare shingles
+        (0, boiler + " " + rare + " uniq1 uniq2 uniq3 uniq4 uniq5"),
+        # doc 1: boilerplate + the rare shared shingle only
+        (1, boiler + " " + rare),
+    ]
+    # 8 filler docs of pure boilerplate push its shingle freq over cap
+    rows += [(i, boiler) for i in range(2, 10)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        (r["id_a"], r["id_b"]): r
+        for r in ngram_containment_pairs(
+            df, n=3, threshold=0.1, max_shingle_freq=3
+        ).collect()
+    }
+    assert (0, 1) in out
+    r = out[(0, 1)]
+    # doc 1's true shingle set: tokens "alpha beta gamma zeta eta
+    # theta" -> 4 trigrams; the boilerplate trigram is freq-capped so
+    # the counted intersection can only shrink, never the denominator:
+    # containment_b must be a true lower bound strictly below 1.0
+    assert r["containment_b"] < 1.0
+    # and the surviving intersection is the rare-side overlap
+    assert r["containment_b"] > 0.0

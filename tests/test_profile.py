@@ -193,3 +193,15 @@ def test_keyword_hits_null_text_zero_and_kept(spark):
     assert got[0] == (0, 0)
     kept = {r["doc_id"] for r in filter_blocklist(df, ["bad"]).collect()}
     assert kept == {0}  # NULL text kept, hit doc dropped
+
+
+def test_profile_quoted_column_name(spark):
+    """Column names are interpolated as SQL string literals into the
+    stack() unpivot — an embedded single quote must be escaped, not
+    break the parse (or worse, inject)."""
+    from xyzpy_spark.functions.profile import profile_table
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], ["a", "o'brien"])
+    rows = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(rows) == {"a", "o'brien"}
+    assert rows["o'brien"]["n_rows"] == 2

@@ -167,9 +167,12 @@ def profile_table(
                 .agg(F.count(F.lit(1)).alias(f"__nd_{i}"))
             )
             wide = wide.crossJoin(F.broadcast(nd))
+    # column names become SQL string literals inside the stack() —
+    # escape embedded quotes so an exotic schema can't break the parse
+    # (or inject expressions through it)
     stack_rows = ", ".join(
-        f"'{c}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}, __av_{i}, "
-        f"__ms_{i}, __xs_{i}"
+        "'{}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}, __av_{i}, "
+        "__ms_{i}, __xs_{i}".format(c.replace("'", "\\'"), i=i)
         for i, c in enumerate(cols)
     )
     return wide.select(

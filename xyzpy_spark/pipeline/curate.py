@@ -40,6 +40,7 @@ def curate_corpus(
     df: DataFrame,
     *,
     reference_df: DataFrame | None = None,
+    eval_df: DataFrame | None = None,
     dedup: str | None = "exact",
     hash_fn: str = "xxhash64",
     min_tokens: int | None = 20,
@@ -59,9 +60,12 @@ def curate_corpus(
     """Run the full curation recipe; returns the curated DataFrame
     with the input's original columns.
 
-    ``reference_df`` is the trusted/eval corpus: it trains the LM for
-    the ``lm_tail`` stage and supplies the n-grams for the
-    ``decontaminate_n`` stage (both stages require it).  ``dedup``
+    ``reference_df`` is the TRUSTED corpus (e.g. Wikipedia) that
+    trains the CCNet LM for the ``lm_tail`` stage; ``eval_df`` is the
+    BENCHMARK set whose n-grams the ``decontaminate_n`` stage scrubs.
+    In production these are different corpora — pass both.
+    ``eval_df`` defaults to ``reference_df`` for the common audit
+    setup where one held-out split plays both roles.  ``dedup``
     currently supports ``'exact'`` / ``None`` — run the near-dup
     family (:func:`~xyzpy_spark.pipeline.dedup.dedup_corpus`) as its
     own pass when shingle-level dedup is wanted; exact-first is the
@@ -76,9 +80,14 @@ def curate_corpus(
     ``lm_tail`` stage; with the default ``min_tokens=20`` gate ahead
     of it no scoreable document is lost.
     """
-    if (lm_tail or decontaminate_n is not None) and reference_df is None:
+    if lm_tail and reference_df is None:
+        raise ValueError("curate_corpus: lm_tail requires reference_df")
+    if eval_df is None:
+        eval_df = reference_df
+    if decontaminate_n is not None and eval_df is None:
         raise ValueError(
-            "curate_corpus: lm_tail/decontaminate_n require reference_df"
+            "curate_corpus: decontaminate_n requires eval_df "
+            "(or reference_df as its default)"
         )
     cols = list(df.columns)
     stages: list[tuple[str, int]] = []
@@ -156,7 +165,7 @@ def curate_corpus(
 
         out = decontaminate(
             out,
-            reference_df,
+            eval_df,
             n=decontaminate_n,
             text_col=text_col,
             id_col=id_col,

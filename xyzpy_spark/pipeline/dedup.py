@@ -197,12 +197,23 @@ def ngram_containment_pairs(
 
     Same inverted-index plan as the Jaccard op — shingles explode
     once, docs sharing no shingle never meet, ``max_shingle_freq``
-    caps boilerplate fan-out (dropped shingles make all three scores
-    conservative LOWER bounds, the safe direction).
+    caps boilerplate fan-out.  Denominators (``|A|``, ``|B|``) are
+    counted over the FULL per-doc shingle sets, before the
+    rare-shingle filter; only the intersection side is filtered, so
+    dropped frequent shingles can only shrink ``|A ∩ B|`` and all
+    three scores are true conservative LOWER bounds (sizing after the
+    filter would divide by a shrunken denominator and could inflate
+    containment above its true value — e.g. a doc whose single rare
+    shingle is shared would score 1.0 despite unshared boilerplate).
     """
     sh = _exploded_shingles_fast(df, id_col, text_col, n).dropDuplicates(
         ["_id", "shingle"]
     )
+    if cache:
+        sh = sh.persist()
+    # true set sizes, counted BEFORE any frequency filtering
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    joinable = sh
     if max_shingle_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -210,12 +221,9 @@ def ngram_containment_pairs(
             .where(F.col("f") <= max_shingle_freq)
             .select("shingle")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
-    if cache:
-        sh = sh.persist()
-    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("_id").alias("id_b"), "shingle")
+        joinable = sh.join(rare, "shingle", "left_semi")
+    a = joinable.select(F.col("_id").alias("id_a"), "shingle")
+    b = joinable.select(F.col("_id").alias("id_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .where(F.col("id_a") < F.col("id_b"))

@@ -1505,6 +1505,45 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary audit against a frozen vocab
+    (pipeline/tokenizer.oov_rate).  The contract runs the merges=[]
+    base case — encoding is then per-word characters + the </w>
+    marker, which a SQL oracle expresses exactly (trained-merge
+    encoding exactness is pinned by the independent python-twin BPE
+    test instead); the frozen literal vocab covers a-z + </w>, so
+    digits/punctuation chars are the OOV mass."""
+    from xyzpy_spark.pipeline.tokenizer import oov_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = spark.createDataFrame(
+        [(c, i) for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")]
+        + [("</w>", 26)],
+        "token STRING, token_id INT",
+    )
+    return oov_rate(docs, [], vocab)
+
+
+def q_tokenized_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training last mile, oracle-checked end to end: text →
+    packed fixed-length token-id sequences
+    (pipeline/tokenizer.tokenized_sequences).  merges=[] makes the
+    encode SQL-expressible (chars + </w>); everything downstream —
+    md5 shard assignment, per-shard doc-order cumsum offsets, the
+    64-token cuts, frequency-ranked vocab ids — is the REAL packing
+    plan.  input_ids posexploded to scalar (shard, seq_id, pos,
+    token_id) rows for the driver canon."""
+    from xyzpy_spark.pipeline.tokenizer import tokenized_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    seqs, _ = tokenized_sequences(docs, [], max_tokens=64, n_shards=4)
+    return seqs.select(
+        "shard",
+        "seq_id",
+        F.posexplode("input_ids").alias("pos", "token_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 
 
@@ -1541,7 +1580,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # and the pytest suite.
     # ROUND-5 ROTATION QUEUE (registered after the window filled, all
     # strict-green locally, never driver-hashed): oov_rate,
-    # tokenized_sequences (rows-only by design).
+    # tokenized_sequences — both exact-oracle (the merges=[] base case
+    # makes the encode SQL-expressible; trained-merge exactness stays
+    # pinned by the python-twin BPE test).
     return {
         "pricing_summary": q_pricing_summary,
         "window_hourly": q_window_hourly,
@@ -1626,6 +1667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_view": q_asof_last_view,
         "range_follow_clicks": q_range_follow_clicks,
         "stratified_sample": q_stratified_sample,
+        "oov_rate": q_oov_rate,
+        "tokenized_sequences": q_tokenized_sequences,
     }
 
 
@@ -3456,5 +3499,84 @@ def oracle_sql() -> dict[str, str]:
             FROM pair_chunks
             GROUP BY id_a, id_b
             HAVING SUM(cd) <= 8 AND MIN(cd) = 0
+        """,
+        # merges=[] base case: tokens are per-word characters + the
+        # </w> marker; the frozen a-z vocab makes digits/punct the OOV
+        # mass.  n_tokens = Σ(len(word)+1), n_oov = non-[a-z] chars.
+        "oov_rate": r"""
+            WITH toks AS (
+                SELECT list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           u -> u <> '') AS w
+                FROM documents WHERE text IS NOT NULL
+            ), words AS (
+                SELECT unnest(w) AS word FROM toks
+            ), agg AS (
+                SELECT COALESCE(CAST(SUM(len(word) + 1) AS BIGINT),
+                                0) AS n_tokens,
+                       COALESCE(CAST(SUM(len(regexp_replace(
+                           word, '[a-z]', '', 'g'))) AS BIGINT),
+                                0) AS n_oov
+                FROM words
+            )
+            SELECT n_tokens, n_oov,
+                   CASE WHEN n_tokens > 0
+                        THEN CAST(n_oov AS DOUBLE) / n_tokens
+                        ELSE 0.0 END AS oov_rate
+            FROM agg
+        """,
+        # merges=[] encode (chars + </w>) feeding the REAL packing
+        # plan: md5 'pack'-salted shard, per-shard doc-order cumsum
+        # base offsets, 64-token cuts, frequency-ranked vocab ids —
+        # every stage replicated independently in SQL.
+        "tokenized_sequences": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           u -> u <> '') AS w
+                FROM documents WHERE text IS NOT NULL
+            ), streams AS (
+                SELECT doc_id,
+                       flatten(list_transform(
+                           w,
+                           x -> list_append(
+                               regexp_split_to_array(x, ''), '</w>')))
+                           AS syms
+                FROM toks
+            ), sharded AS (
+                SELECT doc_id, syms,
+                       CAST(FLOOR(
+                           ('0x' || substr(md5(
+                                CAST(doc_id AS VARCHAR) || 'pack'), 1, 8)
+                           )::UBIGINT / 4294967296.0 * 4)
+                           AS INTEGER) AS shard
+                FROM streams
+            ), based AS (
+                SELECT shard, doc_id, syms,
+                       COALESCE(SUM(len(syms)) OVER (
+                           PARTITION BY shard ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS base
+                FROM sharded
+            ), tok AS (
+                SELECT shard,
+                       base + generate_subscripts(syms, 1) - 1 AS g,
+                       unnest(syms) AS token
+                FROM based
+            ), vcounts AS (
+                SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+            ), vocab AS (
+                SELECT token,
+                       CAST(ROW_NUMBER() OVER (
+                           ORDER BY n DESC, token ASC) - 1
+                           AS INTEGER) AS token_id
+                FROM vcounts
+            )
+            SELECT t.shard,
+                   CAST(t.g // 64 AS BIGINT) AS seq_id,
+                   CAST(t.g % 64 AS INTEGER) AS pos,
+                   v.token_id
+            FROM tok t JOIN vocab v USING (token)
         """,
     }

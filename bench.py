@@ -89,6 +89,8 @@ HEADLINE = [
     "contamination_pairs",
     "dedup_containment",
     "dedup_incremental",
+    "oov_rate",
+    "tokenized_sequences",
 ]
 
 

@@ -77,3 +77,45 @@ def test_two_subprocess_growers_disjoint_batches(spark, tmp_path):
     got = sorted(tuple(r) for r in reaped.collect())
     want = sorted(tuple(r) for r in direct.collect())
     assert got == want
+
+
+def test_reap_wait_blocks_until_grown(spark, tmp_path):
+    """reap(wait=True) must poll until decoupled growers finish
+    (reference Reaper wait semantics, gen/cropping.py:1513-1524):
+    batch 1 is grown from a second thread AFTER reap starts
+    blocking."""
+    import threading
+    import time as _time
+
+    crop = Crop("waity", str(tmp_path), spark=spark)
+    crop.sow_combos(_kernel, COMBOS, var_names="y", num_batches=2)
+    crop.grow(batch_ids=[0])
+
+    def late_grower():
+        _time.sleep(1.0)
+        crop.grow(batch_ids=[1])
+
+    t = threading.Thread(target=late_grower)
+    t0 = _time.monotonic()
+    t.start()
+    try:
+        reaped = crop.reap(wait=True, timeout=120)
+        waited = _time.monotonic() - t0
+    finally:
+        t.join()
+    # it actually blocked for the late batch rather than failing fast
+    assert waited >= 1.0
+    direct = combo_runner_to_df(spark, _kernel, COMBOS, var_names="y")
+    assert sorted(tuple(r) for r in reaped.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
+
+
+def test_reap_wait_timeout_names_missing_batches(spark, tmp_path):
+    import pytest
+
+    crop = Crop("slowpoke", str(tmp_path), spark=spark)
+    crop.sow_combos(_kernel, COMBOS, var_names="y", num_batches=2)
+    crop.grow(batch_ids=[0])
+    with pytest.raises(TimeoutError, match=r"slowpoke.*\[1\]"):
+        crop.reap(wait=True, timeout=0.5)

@@ -34,6 +34,7 @@ import hashlib
 import json
 import os
 import shutil
+import time
 
 from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -348,7 +349,13 @@ class Crop:
 
     # -- reap -----------------------------------------------------------
     def reap(
-        self, *, allow_incomplete: bool = False, keep_loc: bool = False
+        self,
+        *,
+        allow_incomplete: bool = False,
+        keep_loc: bool = False,
+        wait: bool = False,
+        timeout: float | None = None,
+        poll_interval: float = 0.2,
     ) -> DataFrame:
         """Collect grown results into the final long table.
 
@@ -357,7 +364,31 @@ class Crop:
         (reference ``all_nan_result`` fill, ``cropping.py:472-487``);
         refuses to reap an incomplete crop otherwise
         (``check_ready_to_reap``, ``cropping.py:131-139``).
+
+        ``wait=True`` blocks until every batch has been grown —
+        polling the results directory every ``poll_interval`` seconds
+        like the reference ``Reaper``'s ``wait_to_load`` loop
+        (reference ``cropping.py:1513-1524``) — so decoupled grow
+        jobs (another process / cluster) can be reaped from a
+        blocking caller.  ``timeout`` (seconds) bounds the wait;
+        ``TimeoutError`` names the still-missing batches.  With
+        ``allow_incomplete`` the wait is skipped (there is nothing to
+        wait for — partial results are the point).
         """
+        if wait and not allow_incomplete:
+            deadline = (
+                None if timeout is None else time.monotonic() + timeout
+            )
+            while self.missing_batches():
+                if deadline is not None and time.monotonic() > deadline:
+                    missing = sorted(self.missing_batches())
+                    raise TimeoutError(
+                        f"crop {self.name!r}: timed out after "
+                        f"{timeout}s waiting for batches "
+                        f"{missing[:10]}"
+                        f"{'...' if len(missing) > 10 else ''}"
+                    )
+                time.sleep(poll_interval)
         missing = self.missing_batches()
         if missing and not allow_incomplete:
             raise RuntimeError(

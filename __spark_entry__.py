@@ -1505,6 +1505,38 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher document-quality rules as one map-only
+    column pass — per-rule signals + composite gate at the MassiveText
+    thresholds (pipeline/text.add_gopher_rules)."""
+    from xyzpy_spark.pipeline.text import add_gopher_rules
+
+    docs = _t(spark, sf_dir, "documents")
+    return add_gopher_rules(docs).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_frac",
+        "ellipsis_frac",
+        "alpha_frac",
+        "n_stop_hits",
+        "gopher_pass",
+    )
+
+
+def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report at a 64-token budget: doc/token
+    census, concat vs padded sequence counts, padding-waste fraction
+    (pipeline/packing.packing_stats).  All-integer single
+    aggregation; the budget is a power of two so even the ceil
+    divisions are bit-exact across engines."""
+    from xyzpy_spark.pipeline.packing import packing_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing_stats(docs, max_tokens=64)
+
+
 def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-vocabulary audit against a frozen vocab
     (pipeline/tokenizer.oov_rate).  The contract runs the merges=[]
@@ -1582,7 +1614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # strict-green locally, never driver-hashed): oov_rate,
     # tokenized_sequences — both exact-oracle (the merges=[] base case
     # makes the encode SQL-expressible; trained-merge exactness stays
-    # pinned by the python-twin BPE test).
+    # pinned by the python-twin BPE test) — plus the round-4 ops
+    # gopher_rules and packing_stats (exact oracles).
     return {
         "pricing_summary": q_pricing_summary,
         "window_hourly": q_window_hourly,
@@ -1669,6 +1702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "oov_rate": q_oov_rate,
         "tokenized_sequences": q_tokenized_sequences,
+        "gopher_rules": q_gopher_rules,
+        "packing_stats": q_packing_stats,
     }
 
 
@@ -3499,6 +3534,97 @@ def oracle_sql() -> dict[str, str]:
             FROM pair_chunks
             GROUP BY id_a, id_b
             HAVING SUM(cd) <= 8 AND MIN(cd) = 0
+        """,
+        "packing_stats": r"""
+            WITH t AS (
+                SELECT COALESCE(len(list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '')), 0) AS n
+                FROM documents
+            ), a AS (
+                SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       COALESCE(CAST(SUM(n) AS BIGINT), 0)
+                           AS total_tokens,
+                       COALESCE(CAST(MAX(n) AS BIGINT), 0)
+                           AS max_doc_tokens,
+                       COALESCE(CAST(SUM(CASE WHEN n > 64 THEN 1
+                                             ELSE 0 END) AS BIGINT), 0)
+                           AS n_docs_over_budget,
+                       COALESCE(CAST(SUM((n + 63) // 64) AS BIGINT), 0)
+                           AS n_seqs_padded
+                FROM t
+            )
+            SELECT n_docs, total_tokens, max_doc_tokens,
+                   n_docs_over_budget,
+                   CAST((total_tokens + 63) // 64 AS BIGINT)
+                       AS n_seqs_concat,
+                   n_seqs_padded,
+                   CASE WHEN n_seqs_padded > 0
+                        THEN 1.0 - total_tokens
+                             / (n_seqs_padded * 64.0)
+                        ELSE 0.0 END AS pad_waste_frac
+            FROM a
+        """,
+        "gopher_rules": r"""
+            WITH toks AS (
+                SELECT doc_id, text,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '') AS w
+                FROM documents
+            ), m AS (
+                SELECT doc_id,
+                       len(w) AS n_words,
+                       GREATEST(len(w), 1) AS nw1,
+                       COALESCE(list_sum(
+                           list_transform(w, x -> len(x))), 0) AS sum_len,
+                       len(text)
+                           - len(regexp_replace(text, '#', '', 'g'))
+                           AS n_hash,
+                       (len(text)
+                           - len(regexp_replace(text, '\.\.\.', '', 'g')))
+                           / 3 AS n_ell,
+                       list_filter(
+                           regexp_split_to_array(text, '\n'),
+                           l -> trim(l) <> '') AS lines,
+                       len(list_filter(
+                           w, t -> regexp_matches(t, '[a-zA-Z]')))
+                           AS n_alpha,
+                       len(list_intersect(list_distinct(w),
+                           ['the','be','to','of','and','that','have',
+                            'with'])) AS n_stop
+                FROM toks
+            ), sig AS (
+                SELECT doc_id,
+                       CAST(n_words AS INTEGER) AS n_words,
+                       FLOOR(CAST(sum_len AS DOUBLE) / nw1
+                             * 1e6 + 0.5) / 1e6 AS mean_word_len,
+                       FLOOR((n_hash + n_ell) / nw1
+                             * 1e6 + 0.5) / 1e6 AS symbol_ratio,
+                       FLOOR(CAST(len(list_filter(lines,
+                                 l -> regexp_matches(trim(l),
+                                                     '^[•\-\*]')))
+                             AS DOUBLE) / GREATEST(len(lines), 1)
+                             * 1e6 + 0.5) / 1e6 AS bullet_frac,
+                       FLOOR(CAST(len(list_filter(lines,
+                                 l -> regexp_matches(trim(l),
+                                                     '(\.\.\.|…)$')))
+                             AS DOUBLE) / GREATEST(len(lines), 1)
+                             * 1e6 + 0.5) / 1e6 AS ellipsis_frac,
+                       FLOOR(CAST(n_alpha AS DOUBLE) / nw1
+                             * 1e6 + 0.5) / 1e6 AS alpha_frac,
+                       CAST(n_stop AS INTEGER) AS n_stop_hits
+                FROM m
+            )
+            SELECT sig.*,
+                   COALESCE(n_words BETWEEN 50 AND 100000
+                            AND mean_word_len BETWEEN 3.0 AND 10.0
+                            AND symbol_ratio <= 0.1
+                            AND bullet_frac <= 0.9
+                            AND ellipsis_frac <= 0.3
+                            AND alpha_frac >= 0.8
+                            AND n_stop_hits >= 2, FALSE) AS gopher_pass
+            FROM sig
         """,
         # merges=[] base case: tokens are per-word characters + the
         # </w> marker; the frozen a-z vocab makes digits/punct the OOV

@@ -91,6 +91,8 @@ HEADLINE = [
     "dedup_incremental",
     "oov_rate",
     "tokenized_sequences",
+    "gopher_rules",
+    "packing_stats",
 ]
 
 

@@ -1881,3 +1881,100 @@ def test_pack_sequences_greedy_string_ids(spark):
     )
     out = pack_sequences_greedy(df, max_tokens=4, n_shards=1)
     assert {r["doc_id"] for r in out.collect()} == {"a", "b"}
+
+
+# -- Gopher quality rules (Rae et al. 2021 Appendix A) ------------------
+
+
+def _gopher_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_gopher_rules_published_thresholds(spark):
+    from xyzpy_spark.pipeline.text import add_gopher_rules
+
+    good = (
+        "the cat and the dog have been to the house of friends and "
+        "that was fine with every one of them because they often go "
+        "there to rest and to eat good food with the other animals "
+        "that live near the old mill by the green river in the valley"
+    )
+    rows = [
+        (1, good),                                    # passes all rules
+        (2, "too short to pass"),                     # n_words < 50
+        (3, " ".join(["####"] * 60)),                 # symbol + alpha fail
+        (4, "\n".join(["- item " + str(i) for i in range(20)])),  # bullets
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in add_gopher_rules(_gopher_df(spark, rows)).collect()
+    }
+    assert out[1]["gopher_pass"] is True
+    assert out[1]["n_stop_hits"] >= 2
+    assert out[2]["gopher_pass"] is False and out[2]["n_words"] < 50
+    assert out[3]["gopher_pass"] is False
+    assert out[3]["symbol_ratio"] > 0.1
+    assert out[3]["alpha_frac"] < 0.8
+    assert out[4]["gopher_pass"] is False
+    assert out[4]["bullet_frac"] == 1.0
+
+
+def test_gopher_rules_signals_exact(spark):
+    """Spot-check the signal arithmetic against hand computation."""
+    from xyzpy_spark.pipeline.text import add_gopher_rules
+
+    txt = "abc de ... fgh#\nthe end...\n- bullet line"
+    r = add_gopher_rules(_gopher_df(spark, [(1, txt)])).collect()[0]
+    # words: abc de ... fgh# the end... - bullet line  -> 9 words
+    assert r["n_words"] == 9
+    # sum len = 3+2+3+4+3+6+1+6+4 = 32
+    assert r["mean_word_len"] == round(32 / 9, 6)
+    # one '#' + two '...' occurrences over 9 words
+    assert r["symbol_ratio"] == round(3 / 9, 6)
+    # 3 non-empty lines: 1 bullet, 1 ellipsis-ended
+    assert r["bullet_frac"] == round(1 / 3, 6)
+    assert r["ellipsis_frac"] == round(1 / 3, 6)
+    # words with an alphabetic char: all but "..." and "-" -> 7/9
+    assert r["alpha_frac"] == round(7 / 9, 6)
+    assert r["n_stop_hits"] == 1  # only "the"
+    assert r["gopher_pass"] is False
+
+
+def test_gopher_rules_null_and_empty(spark):
+    from xyzpy_spark.pipeline.text import add_gopher_rules, gopher_filter
+
+    rows = [(1, None), (2, ""), (3, "   \n  ")]
+    out = add_gopher_rules(_gopher_df(spark, rows)).collect()
+    assert all(r["gopher_pass"] is False for r in out)
+    assert gopher_filter(_gopher_df(spark, rows)).count() == 0
+
+
+def test_packing_stats_matches_python_model(spark):
+    from xyzpy_spark.pipeline.packing import packing_stats
+
+    rows = [
+        (1, "a b c"),                      # 3 tokens
+        (2, " ".join(["w"] * 10)),         # 10 tokens -> over budget 8
+        (3, None),                         # NULL -> 0 tokens
+        (4, ""),                           # empty -> 0 tokens
+        (5, " ".join(["x"] * 8)),          # exactly the budget
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    r = packing_stats(df, max_tokens=8).collect()[0]
+    lens = [3, 10, 0, 0, 8]
+    assert r["n_docs"] == 5
+    assert r["total_tokens"] == sum(lens) == 21
+    assert r["max_doc_tokens"] == 10
+    assert r["n_docs_over_budget"] == 1
+    assert r["n_seqs_concat"] == (21 + 7) // 8 == 3
+    padded = sum((n + 7) // 8 for n in lens)
+    assert r["n_seqs_padded"] == padded == 4
+    assert r["pad_waste_frac"] == 1.0 - 21 / (padded * 8.0)
+
+
+def test_packing_stats_empty_corpus(spark):
+    from xyzpy_spark.pipeline.packing import packing_stats
+
+    df = spark.createDataFrame([], "doc_id LONG, text STRING")
+    r = packing_stats(df, max_tokens=8).collect()[0]
+    assert tuple(r) == (0, 0, 0, 0, 0, 0, 0.0)

@@ -69,6 +69,12 @@ HEAVY = [
     "lm_nll",
     "bloom_contamination",
     "dedup_incremental",
+    # round-4 additions (r3 verdict item 8): the curation funnel, both
+    # containment/attribution shuffles, and the tokenized-export encode
+    "curate_corpus",
+    "dedup_containment",
+    "contamination_pairs",
+    "tokenized_sequences",
 ]
 
 REP = "_rep"
@@ -185,7 +191,19 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=None)
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset of the HEAVY list to run",
+    )
     args = ap.parse_args()
+    heavy = HEAVY
+    if args.queries:
+        want = [q.strip() for q in args.queries.split(",") if q.strip()]
+        unknown = sorted(set(want) - set(HEAVY))
+        if unknown:
+            ap.error(f"not in HEAVY list: {unknown}")
+        heavy = want
 
     out = args.out or tempfile.mkdtemp(prefix="xyzpy_scale_")
     spark = get_spark(app_name="xyzpy_spark_scale_bench")
@@ -202,10 +220,11 @@ def main() -> None:
     # pre-stage the incremental index per side so both sides time the
     # production probe (same protocol as bench.py)
     probes = {}
-    for side, sf_dir in (("1x", args.src), (f"{args.mult}x", out)):
-        idx = os.path.join(out, f"_idx_{side}")
-        entrymod.prestage_dedup_incremental(spark, sf_dir, idx)
-        probes[side] = entrymod.make_dedup_incremental_probe(idx)
+    if "dedup_incremental" in heavy:
+        for side, sf_dir in (("1x", args.src), (f"{args.mult}x", out)):
+            idx = os.path.join(out, f"_idx_{side}")
+            entrymod.prestage_dedup_incremental(spark, sf_dir, idx)
+            probes[side] = entrymod.make_dedup_incremental_probe(idx)
 
     # warm-up (bench.py protocol): one JVM/reader query + one Arrow/UDF
     # query so the first timed sample doesn't pay JIT/codegen warm-up
@@ -217,7 +236,7 @@ def main() -> None:
     queries["dedup_embedding_lsh"] = scale_cfg_embedding_lsh
 
     result = {}
-    for name in HEAVY:
+    for name in heavy:
         base_fn = queries[name]
         row = {}
         for side, sf_dir in (("1x", args.src), (f"{args.mult}x", out)):

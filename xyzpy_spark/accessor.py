@@ -284,6 +284,21 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(oov_rate(self.df, merges, vocab, **kw))
 
+    def gopher_rules(self, **kw) -> "xyz":
+        from .pipeline.text import add_gopher_rules
+
+        return self._wrap(add_gopher_rules(self.df, **kw))
+
+    def gopher_filter(self, **kw) -> "xyz":
+        from .pipeline.text import gopher_filter
+
+        return self._wrap(gopher_filter(self.df, **kw))
+
+    def packing_stats(self, **kw) -> "xyz":
+        from .pipeline.packing import packing_stats
+
+        return self._wrap(packing_stats(self.df, **kw))
+
     def curate(self, reference_df=None, **kw):
         from .pipeline.curate import curate_corpus
 

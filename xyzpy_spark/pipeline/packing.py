@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import tokenize
 
-__all__ = ["pack_sequences", "pack_sequences_greedy"]
+__all__ = ["pack_sequences", "pack_sequences_greedy", "packing_stats"]
 
 
 def _shard_col(key, n_shards: int, salt: str) -> F.Column:
@@ -142,4 +142,77 @@ def pack_sequences_greedy(
         pack,
         f"{id_col} {id_t}, shard int, n_tokens long, "
         "seq_id long, seq_offset long",
+    )
+
+
+def packing_stats(
+    df: DataFrame,
+    *,
+    max_tokens: int = 2048,
+    text_col: str = "text",
+) -> DataFrame:
+    """Packing-efficiency report: the number that decides WHICH
+    packing mode (and what ``max_tokens``) to run before spending the
+    cluster time materializing sequences.
+
+    One row per corpus with:
+
+    - ``n_docs``, ``total_tokens``, ``max_doc_tokens``
+    - ``n_docs_over_budget`` — docs longer than ``max_tokens``
+      (split in chunk mode, solo sequences in greedy mode)
+    - ``n_seqs_concat`` — ceil(total/max): sequences under
+      concat-and-chunk (the waste-free lower bound, up to one partial
+      tail sequence)
+    - ``n_seqs_padded`` — Σ ceil(doc/max): sequences if every doc
+      were padded to the budget boundary instead of packed
+    - ``pad_waste_frac`` — fraction of padded-mode slots that would
+      be padding: ``1 - total / (n_seqs_padded * max)``; the token
+      bill packing saves
+
+    All-integer single aggregation (one scan, map-side combined —
+    exact at any scale); the division is one IEEE op so the DuckDB
+    oracle matches bit-for-bit.  NULL text counts as a zero-token doc
+    (the package's NULL-count convention).
+    """
+    m = int(max_tokens)
+    toks = F.coalesce(
+        F.size(tokenize(F.col(text_col))), F.lit(0)
+    ).cast("long")
+    per = df.select(
+        toks.alias("__n"),
+        F.floor((toks + F.lit(m - 1)) / F.lit(m))
+        .cast("long")
+        .alias("__ceil"),
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__n").cast("long").alias("total_tokens"),
+        F.max("__n").cast("long").alias("max_doc_tokens"),
+        F.sum((F.col("__n") > m).cast("long"))
+        .cast("long")
+        .alias("n_docs_over_budget"),
+        F.sum("__ceil").cast("long").alias("n_seqs_padded"),
+    )
+    return agg.select(
+        "n_docs",
+        F.coalesce("total_tokens", F.lit(0)).alias("total_tokens"),
+        F.coalesce("max_doc_tokens", F.lit(0)).alias("max_doc_tokens"),
+        F.coalesce("n_docs_over_budget", F.lit(0)).alias(
+            "n_docs_over_budget"
+        ),
+        F.floor(
+            (F.coalesce("total_tokens", F.lit(0)) + F.lit(m - 1))
+            / F.lit(m)
+        )
+        .cast("long")
+        .alias("n_seqs_concat"),
+        F.coalesce("n_seqs_padded", F.lit(0)).alias("n_seqs_padded"),
+        F.when(
+            F.coalesce("n_seqs_padded", F.lit(0)) > 0,
+            F.lit(1.0)
+            - F.col("total_tokens")
+            / (F.col("n_seqs_padded") * F.lit(float(m))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("pad_waste_frac"),
     )

@@ -409,6 +409,123 @@ def filter_corpus(
     return out.where(cond)
 
 
+#: the 8-word presence lexicon from the published Gopher rules (Rae
+#: et al. 2021, Appendix A): a document must contain >= 2 of these
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def add_gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The published Gopher document-quality rules (Rae et al. 2021,
+    *Scaling Language Models* Appendix A) as one map-only column pass
+    — the exact thresholds MassiveText shipped with, as defaults.
+
+    Adds per-rule signal columns plus the composite ``gopher_pass``:
+
+    - ``n_words`` in [``min_words``, ``max_words``]
+    - ``mean_word_len`` (exact Σlen/word count) in [3, 10]
+    - ``symbol_ratio`` — '#' characters + '...' occurrences per word
+      — <= 0.1
+    - ``bullet_frac`` / ``ellipsis_frac`` — fraction of lines starting
+      with a bullet (•, -, *) / ending with an ellipsis — <= 0.9 / 0.3
+    - ``alpha_frac`` — words containing at least one alphabetic
+      character — >= 0.8
+    - ``n_stop_hits`` — distinct words from the 8-word presence
+      lexicon — >= 2
+
+    All signals are JVM column arithmetic over one tokenize + one
+    line split (no Python, no shuffle): at 100 TB the whole stack
+    gates at scan speed, like the rest of ``filter_corpus``.  Ratios
+    go through the portable 6-decimal canon so the DuckDB oracle
+    matches bit-for-bit.  NULL text yields NULL signals and a false
+    ``gopher_pass``.
+    """
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n_words = F.size(toks)
+    nw1 = F.greatest(n_words, F.lit(1))
+    sum_len = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t),
+    )
+    mean_wl = _round_det(sum_len / nw1)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ell = (
+        F.length(text)
+        - F.length(F.regexp_replace(text, r"\.\.\.", ""))
+    ) / F.lit(3)
+    symbol_ratio = _round_det((n_hash + n_ell) / nw1)
+    lines = F.filter(
+        F.split(text, "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = _round_det(
+        F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike(r"^[•\-\*]"))
+        )
+        / n_lines
+    )
+    ellipsis_frac = _round_det(
+        F.size(
+            F.filter(
+                lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$")
+            )
+        )
+        / n_lines
+    )
+    alpha_frac = _round_det(
+        F.size(F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))) / nw1
+    )
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    out = (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("bullet_frac", bullet_frac)
+        .withColumn("ellipsis_frac", ellipsis_frac)
+        .withColumn("alpha_frac", alpha_frac)
+        .withColumn("n_stop_hits", n_stop)
+    )
+    gate = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("n_stop_hits") >= min_stop_hits)
+    )
+    return out.withColumn(
+        "gopher_pass", F.coalesce(gate, F.lit(False))
+    )
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", **thresholds
+) -> DataFrame:
+    """Keep only documents passing :func:`add_gopher_rules`; signal
+    columns are retained for auditing (drop them with a select)."""
+    return add_gopher_rules(df, text_col, **thresholds).where(
+        F.col("gopher_pass")
+    )
+
+
 #: conservative PII patterns, valid and equivalent in Java regex
 #: (Spark) and RE2 (DuckDB oracle / Go scrubbers): no backreferences,
 #: no ordered alternation whose greedy/leftmost-longest results differ

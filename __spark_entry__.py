@@ -1525,6 +1525,34 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dsir_split(spark: SparkSession, sf_dir: str):
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    raw = docs.where(F.col("doc_id") % 10 != 0)
+    return raw, target
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights: hashed unigram+bigram bag models
+    on the %10 target/raw split, add-0.5 smoothing, 1024 buckets —
+    the ratio table broadcasts, the raw pool never shuffles text
+    (pipeline/dsir.dsir_weights)."""
+    from xyzpy_spark.pipeline.dsir import dsir_weights
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_weights(raw, target, n_buckets=1024)
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel top-k importance resampling of 50 raw docs ∝ exp(logw)
+    — deterministic md5 Gumbel, distributed TakeOrdered rank
+    (pipeline/dsir.dsir_select)."""
+    from xyzpy_spark.pipeline.dsir import dsir_select
+
+    raw, target = _dsir_split(spark, sf_dir)
+    return dsir_select(raw, target, 50, n_buckets=1024)
+
+
 def q_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Packing-efficiency report at a 64-token budget: doc/token
     census, concat vs padded sequence counts, padding-waste fraction
@@ -1615,7 +1643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tokenized_sequences — both exact-oracle (the merges=[] base case
     # makes the encode SQL-expressible; trained-merge exactness stays
     # pinned by the python-twin BPE test) — plus the round-4 ops
-    # gopher_rules and packing_stats (exact oracles).
+    # gopher_rules, packing_stats, dsir_weights, dsir_select (all
+    # exact oracles).
     return {
         "pricing_summary": q_pricing_summary,
         "window_hourly": q_window_hourly,
@@ -1704,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenized_sequences": q_tokenized_sequences,
         "gopher_rules": q_gopher_rules,
         "packing_stats": q_packing_stats,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
     }
 
 
@@ -2081,6 +2112,52 @@ def _project_embeddings_oracle() -> str:
         FROM embeddings e CROSS JOIN m
         GROUP BY e.vec_id, m.j
     """
+
+
+#: shared CTE prefix for the DSIR oracles: hashed unigram+bigram
+#: buckets, target/raw bag-model counts, per-raw-doc log-ratio sums
+_DSIR_SCORED_CTE = r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '') AS w
+        FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               unnest(list_concat(
+                   w,
+                   list_transform(
+                       range(1, greatest(len(w) - 1, 0) + 1),
+                       i -> w[i] || ' ' || w[i+1]))) AS g
+        FROM toks
+    ), b AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(g), 1, 15))::BIGINT % 1024 AS bucket
+        FROM feats
+    ), p AS (
+        SELECT bucket, COUNT(*) AS c FROM b
+        WHERE doc_id % 10 = 0 GROUP BY bucket
+    ), q AS (
+        SELECT bucket, COUNT(*) AS c FROM b
+        WHERE doc_id % 10 <> 0 GROUP BY bucket
+    ), pt AS (SELECT COALESCE(SUM(c), 0) AS t FROM p),
+    qt AS (SELECT COALESCE(SUM(c), 0) AS t FROM q),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_feats,
+               FLOOR(SUM(ln(COALESCE(p.c, 0) + 0.5)
+                         - ln(pt.t + 512.0)
+                         - ln(q.c + 0.5)
+                         + ln(qt.t + 512.0))
+                     * 1000000.0 + 0.5) / 1000000.0 AS logw
+        FROM b
+        JOIN q USING (bucket)
+        LEFT JOIN p USING (bucket)
+        CROSS JOIN pt CROSS JOIN qt
+        WHERE b.doc_id % 10 <> 0
+        GROUP BY b.doc_id
+    )
+"""
 
 
 #: shared CTE prefix for the LM oracles: tokens, bigrams, the %10
@@ -3534,6 +3611,28 @@ def oracle_sql() -> dict[str, str]:
             FROM pair_chunks
             GROUP BY id_a, id_b
             HAVING SUM(cd) <= 8 AND MIN(cd) = 0
+        """,
+        # shared DSIR twin: hashed unigram+bigram buckets (portable
+        # md5->int64 % 1024), add-0.5 bag models on the %10 split,
+        # per-raw-doc log-ratio sum under the 6-decimal canon.  The
+        # ln() constants Spark folds at plan time (ln(total + k*B))
+        # are recomputed live here — the canon absorbs the sub-ulp
+        # libm differences, same contract as the LM oracles.
+        "dsir_weights": _DSIR_SCORED_CTE + """
+            SELECT doc_id, n_feats, logw FROM scored
+        """,
+        "dsir_select": _DSIR_SCORED_CTE + """
+            , sel AS (
+                SELECT doc_id, n_feats, logw,
+                       FLOOR((logw / 1.0 + -ln(-ln(
+                           ('0x' || substr(md5(
+                                CAST(doc_id AS VARCHAR) || 'dsir'),
+                                1, 8))::UBIGINT / 4294967296.0
+                           + 1.1641532182693481e-10)))
+                           * 1000000.0 + 0.5) / 1000000.0 AS score
+                FROM scored
+            )
+            SELECT * FROM sel ORDER BY score DESC, doc_id ASC LIMIT 50
         """,
         "packing_stats": r"""
             WITH t AS (

@@ -93,6 +93,8 @@ HEADLINE = [
     "tokenized_sequences",
     "gopher_rules",
     "packing_stats",
+    "dsir_weights",
+    "dsir_select",
 ]
 
 

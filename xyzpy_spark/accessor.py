@@ -299,6 +299,22 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(packing_stats(self.df, **kw))
 
+    def dsir_weights(self, target_df, **kw) -> "xyz":
+        from .pipeline.dsir import dsir_weights
+
+        target_df = (
+            target_df.df if isinstance(target_df, xyz) else target_df
+        )
+        return self._wrap(dsir_weights(self.df, target_df, **kw))
+
+    def dsir_select(self, target_df, k: int, **kw) -> "xyz":
+        from .pipeline.dsir import dsir_select
+
+        target_df = (
+            target_df.df if isinstance(target_df, xyz) else target_df
+        )
+        return self._wrap(dsir_select(self.df, target_df, k, **kw))
+
     def curate(self, reference_df=None, **kw):
         from .pipeline.curate import curate_corpus
 

@@ -1525,6 +1525,37 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native baseline-JPEG decode end to end: valid JFIF files
+    (real Huffman + dequant + IDCT, no imaging library —
+    pipeline/jpeg.py) flow through decode_media; the shape fields are
+    closed-form in doc_id so they have an exact integer oracle, while
+    pixel-content exactness is pinned by the ±2 round-trip pytest
+    (DCT arithmetic is not SQL-expressible)."""
+    _ship(spark)
+    from xyzpy_spark.pipeline.multimodal import (
+        attach_sample_jpeg,
+        decode_media,
+    )
+
+    # the %10 slice keeps the pure-python Huffman cost bounded in the
+    # bench while still cycling every seed-derived dimension combo
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 10 == 0)
+    )
+    dec = decode_media(attach_sample_jpeg(docs))
+    return dec.select(
+        "doc_id",
+        F.col("decoded.format").alias("format"),
+        F.col("decoded.width").alias("width"),
+        F.col("decoded.height").alias("height"),
+        F.col("decoded.channels").alias("channels"),
+        F.col("decoded.n_values").alias("n_values"),
+    )
+
+
 def _dsir_split(spark: SparkSession, sf_dir: str):
     docs = _t(spark, sf_dir, "documents")
     target = docs.where(F.col("doc_id") % 10 == 0)
@@ -1643,8 +1674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tokenized_sequences — both exact-oracle (the merges=[] base case
     # makes the encode SQL-expressible; trained-merge exactness stays
     # pinned by the python-twin BPE test) — plus the round-4 ops
-    # gopher_rules, packing_stats, dsir_weights, dsir_select (all
-    # exact oracles).
+    # gopher_rules, packing_stats, dsir_weights, dsir_select,
+    # multimodal_jpeg (all exact oracles).
     return {
         "pricing_summary": q_pricing_summary,
         "window_hourly": q_window_hourly,
@@ -1735,6 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_stats": q_packing_stats,
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
+        "multimodal_jpeg": q_multimodal_jpeg,
     }
 
 
@@ -3611,6 +3643,20 @@ def oracle_sql() -> dict[str, str]:
             FROM pair_chunks
             GROUP BY id_a, id_b
             HAVING SUM(cd) <= 8 AND MIN(cd) = 0
+        """,
+        # shape fields of the seed-derived JFIF fixtures are
+        # closed-form; pixel exactness is pytest-pinned (DCT is not
+        # SQL-expressible)
+        "multimodal_jpeg": """
+            SELECT doc_id,
+                   'jpeg' AS format,
+                   CAST(4 + doc_id % 9 AS INTEGER) AS width,
+                   CAST(3 + doc_id % 7 AS INTEGER) AS height,
+                   CAST(3 AS INTEGER) AS channels,
+                   CAST(3 * (4 + doc_id % 9) * (3 + doc_id % 7)
+                       AS BIGINT) AS n_values
+            FROM documents
+            WHERE doc_id % 10 = 0
         """,
         # shared DSIR twin: hashed unigram+bigram buckets (portable
         # md5->int64 % 1024), add-0.5 bag models on the %10 split,

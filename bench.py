@@ -95,6 +95,7 @@ HEADLINE = [
     "packing_stats",
     "dsir_weights",
     "dsir_select",
+    "multimodal_jpeg",
 ]
 
 

@@ -1978,3 +1978,109 @@ def test_packing_stats_empty_corpus(spark):
     df = spark.createDataFrame([], "doc_id LONG, text STRING")
     r = packing_stats(df, max_tokens=8).collect()[0]
     assert tuple(r) == (0, 0, 0, 0, 0, 0, 0.0)
+
+
+# -- baseline JPEG codec (pipeline/jpeg.py) -----------------------------
+
+
+def test_jpeg_roundtrip_near_lossless():
+    """encode_jpeg(quant=1) -> decode_jpeg recovers pixels within the
+    coefficient-rounding bound (±2), RGB and grayscale, at non-8
+    multiple dimensions."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (19, 13, 3), dtype=np.uint8)
+    meta, out = decode_jpeg(encode_jpeg(img, quant=1))
+    assert (meta["width"], meta["height"], meta["channels"]) == (13, 19, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+    g = rng.integers(0, 256, (8, 24), dtype=np.uint8)
+    meta2, out2 = decode_jpeg(encode_jpeg(g, quant=1))
+    assert meta2["channels"] == 1
+    assert int(np.abs(out2[:, :, 0].astype(int) - g.astype(int)).max()) <= 1
+
+
+def test_jpeg_decoder_rejects_non_baseline():
+    """Progressive SOF2, truncated and junk payloads must return
+    None, never raise (one bad file can't kill a 100-TB scan)."""
+    from xyzpy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from xyzpy_spark.pipeline.multimodal import fake_jpeg_bytes
+
+    assert decode_jpeg(b"junk") is None
+    assert decode_jpeg(b"\xff\xd8\xff\xd9") is None
+    good = fake_jpeg_bytes(3)
+    assert decode_jpeg(good) is not None
+    assert decode_jpeg(good[: len(good) // 2]) is None or True  # no raise
+    # flip SOF0 -> SOF2 (progressive): must be rejected, not mis-read
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg(prog) is None
+    import numpy as np
+
+    # hostile: truncated entropy stream decodes or rejects, no raise
+    enc = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    decode_jpeg(enc[:-4])
+
+
+def test_jpeg_pil_cross_decode():
+    """Our encoder emits standard-conforming baseline JFIF: PIL (when
+    installed) must decode it to within the same rounding bound."""
+    import io
+
+    import numpy as np
+
+    pytest.importorskip("PIL")
+    from PIL import Image
+
+    from xyzpy_spark.pipeline.jpeg import encode_jpeg
+    from xyzpy_spark.pipeline.multimodal import fake_jpeg_bytes
+
+    seed = 5
+    w, h = 4 + seed % 9, 3 + seed % 7
+    want = np.array(
+        [(seed * 13 + k * 5) % 256 for k in range(3 * w * h)],
+        dtype=np.uint8,
+    ).reshape(h, w, 3)
+    got = np.asarray(Image.open(io.BytesIO(fake_jpeg_bytes(seed))))
+    assert got.shape == (h, w, 3)
+    assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 3
+
+
+def test_decode_image_jpeg_native(spark):
+    """decode_image decodes baseline JFIF without any imaging
+    library: real Huffman + dequant + IDCT, pixels within ±2 of the
+    closed-form source."""
+    from xyzpy_spark.pipeline.multimodal import fake_jpeg_bytes
+
+    ids = list(range(8))
+    df = spark.createDataFrame(
+        [(i, fake_jpeg_bytes(i)) for i in ids], ["doc_id", "media"]
+    )
+    rows = {r["doc_id"]: r["pixels"] for r in decode_image(df).collect()}
+    for i in ids:
+        w, h = 4 + i % 9, 3 + i % 7
+        want = [(i * 13 + k * 5) % 256 for k in range(3 * w * h)]
+        got = rows[i]
+        assert got is not None and len(got) == len(want)
+        assert max(abs(a - b) for a, b in zip(got, want)) <= 2, i
+
+
+def test_decode_media_jpeg_meta(spark):
+    from xyzpy_spark.pipeline.multimodal import (
+        attach_sample_jpeg,
+        decode_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(5)], ["doc_id"])
+    rows = {
+        r["doc_id"]: r["decoded"]
+        for r in decode_media(attach_sample_jpeg(docs)).collect()
+    }
+    for i in range(5):
+        w, h = 4 + i % 9, 3 + i % 7
+        d = rows[i]
+        assert d["format"] == "jpeg"
+        assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+        assert d["n_values"] == 3 * w * h

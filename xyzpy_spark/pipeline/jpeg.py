@@ -1,0 +1,497 @@
+"""Dependency-free baseline JPEG (JFIF) codec — pure python + numpy.
+
+Closes the last PIL gate in the multimodal path (r3 verdict item 9):
+``decode_image``/``image_features``/``resize_image`` previously needed
+PIL for JPEG payloads; this module decodes baseline sequential JFIF
+natively, the same way ``_decode_png`` covers PNG with stdlib zlib.
+
+Scope (deliberate):
+
+- **Decoder** (:func:`decode_jpeg`): baseline sequential DCT (SOF0),
+  8-bit, gray or YCbCr, any Hi/Vi sampling (nearest-neighbor chroma
+  upsample), restart markers, byte unstuffing.  Progressive (SOF2),
+  arithmetic coding, and 12-bit precision return ``None`` so callers
+  fall through to PIL when present — one exotic file must yield a
+  null, never a task failure.
+- **Encoder** (:func:`encode_jpeg`): baseline 4:4:4 (no subsampling),
+  flat quantization table (default all-ones ≈ near-lossless), and
+  CUSTOM canonical Huffman tables written into DHT — fixed-length
+  code sets (12×4-bit DC, 162×8-bit AC) that satisfy the Kraft
+  inequality, so the file is fully standard-conforming (any decoder,
+  PIL included, reads it) without replicating the spec's Annex K
+  tables here.  Compression is poor; the encoder exists to make
+  synthetic fixtures and round-trip tests, not small files.
+
+Numerics: IDCT/DCT are exact float64 matrix products against the
+orthonormal DCT-II basis; with the all-ones quant table the round-trip
+error is bounded by coefficient rounding (pixel error ≤ 2 in
+practice, asserted in tests).  Color conversion uses the JFIF
+equations with half-up rounding.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["decode_jpeg", "encode_jpeg"]
+
+#: zig-zag order: index i of the scan -> (row, col) flat index
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_basis():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = (0.5 / (2**0.5)) if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = c * np.cos((2 * x + 1) * u * np.pi / 16)
+    return m
+
+
+# -- Huffman ------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], values: bytes):
+    """DHT (bits-per-length, symbol list) -> {(length, code): symbol}
+    per the canonical code construction of the spec."""
+    out = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with JPEG
+    byte unstuffing (FF 00 -> literal FF); RST markers are handled by
+    the caller via :meth:`align_past_rst`."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.p = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self):
+        while self.n <= 24 and self.p < len(self.d):
+            byte = self.d[self.p]
+            if byte == 0xFF:
+                nxt = (
+                    self.d[self.p + 1]
+                    if self.p + 1 < len(self.d)
+                    else 0xD9
+                )
+                if nxt != 0x00:
+                    return  # RST / EOI / next marker: stop filling
+                self.p += 2  # stuffed FF 00 -> literal FF
+            else:
+                self.p += 1
+            self.acc = (self.acc << 8) | byte
+            self.n += 8
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+            if self.n == 0:  # at a marker / EOI: pad with zeros
+                return 0
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_past_rst(self):
+        """Drop buffered bits and consume one RSTn marker."""
+        self.acc = 0
+        self.n = 0
+        while self.p + 1 < len(self.d):
+            if self.d[self.p] == 0xFF and 0xD0 <= self.d[self.p + 1] <= 0xD7:
+                self.p += 2
+                return
+            self.p += 1
+
+
+def _huff_decode(br: _BitReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    """DC/AC value extension: size-bit magnitude to signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# -- decoder ------------------------------------------------------------
+
+
+def decode_jpeg(b: bytes):
+    """Baseline JFIF bytes -> ``(meta, HxWxC uint8 ndarray)`` or
+    ``None`` for anything that isn't baseline-sequential 8-bit.
+
+    ``meta`` mirrors the PNG decoder: ``{"format": "jpeg", "width",
+    "height", "channels"}`` (channels 1 for grayscale, 3 for YCbCr).
+    """
+    import numpy as np
+
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        return None
+    try:
+        qt: dict[int, list[int]] = {}
+        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+        comps = None
+        w = h = 0
+        restart = 0
+        p = 2
+        scan_comps = None
+        scan_start = None
+        while p + 4 <= len(b):
+            if b[p] != 0xFF:
+                return None
+            marker = b[p + 1]
+            if marker == 0xD8:
+                p += 2
+                continue
+            if marker == 0xD9:
+                break
+            seg_len = struct.unpack(">H", b[p + 2 : p + 4])[0]
+            seg = b[p + 4 : p + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                q = 0
+                while q < len(seg):
+                    prec, tid = seg[q] >> 4, seg[q] & 0xF
+                    q += 1
+                    if prec == 0:
+                        qt[tid] = list(seg[q : q + 64])
+                        q += 64
+                    else:
+                        vals = struct.unpack(f">{64}H", seg[q : q + 128])
+                        qt[tid] = list(vals)
+                        q += 128
+            elif marker == 0xC0:  # SOF0 baseline
+                prec = seg[0]
+                if prec != 8:
+                    return None
+                h, w = struct.unpack(">HH", seg[1:5])
+                nc = seg[5]
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                    comps.append(
+                        {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                    )
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF
+            elif marker == 0xC4:  # DHT
+                q = 0
+                while q < len(seg):
+                    tc, th = seg[q] >> 4, seg[q] & 0xF
+                    bits = list(seg[q + 1 : q + 17])
+                    nv = sum(bits)
+                    vals = seg[q + 17 : q + 17 + nv]
+                    huff[(tc, th)] = _canonical_codes(bits, vals)
+                    q += 17 + nv
+            elif marker == 0xDD:  # DRI
+                restart = struct.unpack(">H", seg[:2])[0]
+            elif marker == 0xDA:  # SOS
+                ns = seg[0]
+                scan_comps = []
+                for i in range(ns):
+                    cid, tt = seg[1 + 2 * i : 3 + 2 * i]
+                    scan_comps.append(
+                        {"id": cid, "dc": tt >> 4, "ac": tt & 0xF}
+                    )
+                scan_start = p + 2 + seg_len
+                break
+            p += 2 + seg_len
+        if comps is None or scan_comps is None or w == 0 or h == 0:
+            return None
+
+        by_id = {c["id"]: c for c in comps}
+        order = [by_id[s["id"]] for s in scan_comps]
+        for c, s in zip(order, scan_comps):
+            c["dct"] = s["dc"]
+            c["act"] = s["ac"]
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        basis = _dct_basis()
+        planes = {}
+        for c in comps:
+            cw, ch_ = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+            planes[c["id"]] = np.zeros((ch_, cw), dtype=np.float64)
+
+        br = _BitReader(b, scan_start)
+        pred = {c["id"]: 0 for c in comps}
+        n_mcu = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart and n_mcu and n_mcu % restart == 0:
+                    br.align_past_rst()
+                    pred = {c["id"]: 0 for c in comps}
+                n_mcu += 1
+                for c in order:
+                    for vy in range(c["v"]):
+                        for vx in range(c["h"]):
+                            coeffs = np.zeros(64)
+                            sym = _huff_decode(br, huff[(0, c["dct"])])
+                            diff = _extend(br.read_bits(sym), sym)
+                            pred[c["id"]] += diff
+                            coeffs[0] = pred[c["id"]]
+                            k = 1
+                            while k < 64:
+                                rs = _huff_decode(br, huff[(1, c["act"])])
+                                r, size = rs >> 4, rs & 0xF
+                                if rs == 0x00:
+                                    break
+                                if rs == 0xF0:
+                                    k += 16
+                                    continue
+                                k += r
+                                if k > 63:
+                                    break
+                                coeffs[ZIGZAG[k]] = _extend(
+                                    br.read_bits(size), size
+                                )
+                                k += 1
+                            q = np.array(qt[c["tq"]], dtype=np.float64)
+                            deq = np.zeros(64)
+                            for i in range(64):
+                                deq[ZIGZAG[i]] = coeffs[ZIGZAG[i]] * q[i]
+                            block = basis.T @ deq.reshape(8, 8) @ basis
+                            y0 = (my * c["v"] + vy) * 8
+                            x0 = (mx * c["h"] + vx) * 8
+                            planes[c["id"]][
+                                y0 : y0 + 8, x0 : x0 + 8
+                            ] = block + 128.0
+        # upsample to full resolution (nearest), crop to (h, w)
+        full = []
+        for c in comps:
+            pl = planes[c["id"]]
+            ry, rx = vmax // c["v"], hmax // c["h"]
+            if ry > 1 or rx > 1:
+                pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+            full.append(pl[:h, :w])
+        if len(full) == 1:
+            out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            out = out[:, :, None]
+            chans = 1
+        elif len(full) == 3:
+            y, cb, cr = full
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            bl = y + 1.772 * (cb - 128.0)
+            out = np.stack(
+                [
+                    np.clip(np.floor(x + 0.5), 0, 255)
+                    for x in (r, g, bl)
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            chans = 3
+        else:
+            return None
+        meta = {
+            "format": "jpeg",
+            "width": int(w),
+            "height": int(h),
+            "channels": chans,
+        }
+        return meta, out
+    except Exception:
+        return None
+
+
+# -- encoder ------------------------------------------------------------
+
+#: fixed canonical DC table: 12 symbols (sizes 0..11), all 4-bit codes
+_ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC_VALS = bytes(range(12))
+#: fixed canonical AC table: EOB, ZRL and every (run 0-15, size 1-10)
+#: combo — 162 symbols, all 8-bit codes (162/256 satisfies Kraft)
+_ENC_AC_VALS = bytes(
+    [0x00, 0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALS), 0, 0, 0, 0, 0, 0,
+                0, 0]
+
+
+def _enc_table(bits, values):
+    """symbol -> (code, length) for the fixed encoder tables."""
+    inv = {}
+    for (length, code), sym in _canonical_codes(bits, values).items():
+        inv[sym] = (code, length)
+    return inv
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int):
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        if self.n:
+            self.acc <<= 8 - self.n
+            self.acc |= (1 << (8 - self.n)) - 1  # pad with 1s per spec
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.n = 0
+
+
+def _size_of(v: int) -> int:
+    s = 0
+    v = abs(v)
+    while v:
+        s += 1
+        v >>= 1
+    return s
+
+
+def encode_jpeg(arr, quant: int = 1) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) uint8 array -> baseline JFIF bytes.
+
+    4:4:4 sampling, one flat quantization table (``quant`` for every
+    coefficient; 1 ≈ near-lossless), fixed canonical Huffman tables
+    (see module docstring).  Standard-conforming output: PIL/libjpeg
+    decode it, and :func:`decode_jpeg` round-trips it within
+    coefficient-rounding error.
+    """
+    import numpy as np
+
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if nc == 3:
+        r, g, bl = (a[:, :, i].astype(np.float64) for i in range(3))
+        y = 0.299 * r + 0.587 * g + 0.114 * bl
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+        planes = [y, cb, cr]
+    elif nc == 1:
+        planes = [a[:, :, 0].astype(np.float64)]
+    else:
+        raise ValueError(f"encode_jpeg: unsupported channels {nc}")
+
+    basis = _dct_basis()
+    dc_tab = _enc_table(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_tab = _enc_table(_ENC_AC_BITS, _ENC_AC_VALS)
+    q = int(quant)
+
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    for by in range(bh):
+        for bx in range(bwid):
+            for ci, pl in enumerate(planes):
+                block = np.full((8, 8), pl[-1, -1])
+                ys, xs = by * 8, bx * 8
+                tile = pl[ys : ys + 8, xs : xs + 8]
+                block[: tile.shape[0], : tile.shape[1]] = tile
+                # edge replicate instead of the fill constant
+                if tile.shape[0] < 8:
+                    block[tile.shape[0] :, : tile.shape[1]] = tile[-1:, :]
+                if tile.shape[1] < 8:
+                    block[:, tile.shape[1] :] = block[
+                        :, tile.shape[1] - 1 : tile.shape[1]
+                    ]
+                coeffs = basis @ (block - 128.0) @ basis.T
+                zz = np.array(
+                    [
+                        int(np.floor(coeffs.reshape(-1)[ZIGZAG[i]] / q + 0.5))
+                        for i in range(64)
+                    ]
+                )
+                diff = zz[0] - preds[ci]
+                preds[ci] = zz[0]
+                s = _size_of(diff)
+                code, ln = dc_tab[s]
+                bw.write(code, ln)
+                if s:
+                    v = diff if diff >= 0 else diff + (1 << s) - 1
+                    bw.write(v & ((1 << s) - 1), s)
+                run = 0
+                last_nz = 0
+                for k in range(1, 64):
+                    if zz[k]:
+                        last_nz = k
+                for k in range(1, last_nz + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = ac_tab[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    s = _size_of(v)
+                    code, ln = ac_tab[(run << 4) | s]
+                    bw.write(code, ln)
+                    ev = v if v >= 0 else v + (1 << s) - 1
+                    bw.write(ev & ((1 << s) - 1), s)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_tab[0x00]
+                    bw.write(code, ln)
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+    out += bytes([0x00]) + bytes([q] * 64)
+    nf = len(planes)
+    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * nf)
+    out += bytes([8]) + struct.pack(">HH", h, w) + bytes([nf])
+    for i in range(nf):
+        out += bytes([i + 1, 0x11, 0])  # id, 1x1 sampling, qtable 0
+    for tc in (0, 1):
+        bits = _ENC_DC_BITS if tc == 0 else _ENC_AC_BITS
+        vals = _ENC_DC_VALS if tc == 0 else _ENC_AC_VALS
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(vals))
+        out += bytes([tc << 4]) + bytes(bits) + vals
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * nf) + bytes([nf])
+    for i in range(nf):
+        out += bytes([i + 1, 0x00])  # both tables id 0
+    out += b"\x00\x3f\x00"  # Ss, Se, Ah/Al
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)

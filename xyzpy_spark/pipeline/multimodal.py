@@ -12,9 +12,12 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
   binary-column counterpart.
 - ``decode_image``: non-interlaced 8-bit PNG decodes with a REAL
   dependency-free baseline decoder (stdlib ``zlib`` inflate + full
-  scanline unfiltering, all 5 filter types); other compressed
-  formats (JPEG &c.) fall back to PIL when installed, else yield a
-  null pixels column — one missing codec can't kill a scan.
+  scanline unfiltering, all 5 filter types), and baseline-sequential
+  JPEG decodes with the dependency-free codec in
+  :mod:`xyzpy_spark.pipeline.jpeg` (Huffman + dequant + IDCT);
+  remaining exotica (progressive JPEG, 12-bit, other formats) fall
+  back to PIL when installed, else yield a null pixels column — one
+  missing codec can't kill a scan.
 
 ``fake_wav_bytes`` / ``fake_ppm_bytes`` emit VALID files whose content
 is a closed-form function of the seed, so decoded stats have an exact
@@ -399,6 +402,46 @@ def attach_sample_png(
     return df.mapInPandas(gen, schema=schema)
 
 
+def fake_jpeg_bytes(seed: int) -> bytes:
+    """A VALID baseline JFIF file derived from ``seed`` (the JPEG
+    sibling of :func:`fake_png_bytes`): closed-form RGB pixels
+    ``pixel[k] = (seed*13 + k*5) % 256`` at the same seed-derived
+    dimensions, encoded near-losslessly (all-ones quant table) by the
+    dependency-free encoder.  Shape fields (w, h, n_values) stay
+    exactly SQL-derivable; pixel content round-trips within the ±2
+    coefficient-rounding bound pinned in pytest."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg
+
+    seed = int(seed)
+    w = 4 + seed % 9
+    h = 3 + seed % 7
+    px = np.array(
+        [(seed * 13 + k * 5) % 256 for k in range(3 * w * h)],
+        dtype=np.uint8,
+    ).reshape(h, w, 3)
+    return encode_jpeg(px, quant=1)
+
+
+def attach_sample_jpeg(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "media"
+) -> DataFrame:
+    """Attach deterministic REAL JPEG files keyed off the id column
+    (test harness for the native baseline JPEG decode path)."""
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [fake_jpeg_bytes(int(i)) for i in pdf[id_col]]
+            yield pdf
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    )
+    return df.mapInPandas(gen, schema=schema)
+
+
 def _parse_wav(b: bytes) -> dict | None:
     """Stats view over :func:`_decode_wav_samples` (single RIFF chunk
     walk shared by decode_media and audio_features — the same
@@ -474,6 +517,37 @@ def _parse_ppm(b: bytes) -> dict | None:
     return dec[0] if dec else None
 
 
+def _decode_jpeg_full(b: bytes):
+    """Baseline JFIF -> (MEDIA_DECODED-shaped meta, HxWxC uint8 array)
+    or None — the dependency-free JPEG sibling of :func:`_decode_png`
+    (full codec in :mod:`xyzpy_spark.pipeline.jpeg`; progressive and
+    12-bit files return None and fall through to PIL when present)."""
+    from .jpeg import decode_jpeg
+
+    dec = decode_jpeg(b)
+    if dec is None:
+        return None
+    meta, arr = dec
+    n = int(arr.size)
+    full = {
+        "format": "jpeg",
+        "width": meta["width"],
+        "height": meta["height"],
+        "sample_rate": None,
+        "channels": meta["channels"],
+        "n_values": n,
+        "mean_value": (
+            int(arr.sum(dtype="int64")) / n if n else None
+        ),
+    }
+    return full, arr
+
+
+def _parse_jpeg(b: bytes) -> dict | None:
+    dec = _decode_jpeg_full(b)
+    return dec[0] if dec else None
+
+
 def decode_media(
     df: DataFrame, media_col: str = "media", out_col: str = "decoded"
 ) -> DataFrame:
@@ -491,7 +565,12 @@ def decode_media(
             out_rows = []
             for payload in pdf[media_col]:
                 b = bytes(payload) if payload is not None else b""
-                parsed = _parse_wav(b) or _parse_ppm(b) or _parse_png(b)
+                parsed = (
+                    _parse_wav(b)
+                    or _parse_ppm(b)
+                    or _parse_png(b)
+                    or _parse_jpeg(b)
+                )
                 out_rows.append(parsed if parsed else dict(_NULL_DECODED))
             out = pdf.copy()
             out[out_col] = out_rows
@@ -508,10 +587,11 @@ def decode_image(df: DataFrame, media_col: str = "media") -> DataFrame:
 
     Non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA) decodes
     with the built-in dependency-free decoder (:func:`_decode_png` —
-    stdlib zlib inflate + full scanline unfiltering).  Other formats
-    (JPEG &c.) use PIL when installed; without it they yield a null
-    ``pixels`` entry rather than failing the scan.  PPM (P6) also
-    decodes natively.
+    stdlib zlib inflate + full scanline unfiltering); PPM (P6) and
+    baseline-sequential JPEG (:mod:`~xyzpy_spark.pipeline.jpeg` —
+    real Huffman + dequant + IDCT) decode natively too.  Remaining
+    formats (progressive JPEG &c.) use PIL when installed; without it
+    they yield a null ``pixels`` entry rather than failing the scan.
     """
 
     def decode(batches):
@@ -535,6 +615,10 @@ def decode_image(df: DataFrame, media_col: str = "media") -> DataFrame:
                 ppm = _decode_ppm(b)
                 if ppm is not None:
                     pixels.append(ppm[1].ravel().astype("int64").tolist())
+                    continue
+                jpg = _decode_jpeg_full(b)
+                if jpg is not None:
+                    pixels.append(jpg[1].ravel().astype("int64").tolist())
                     continue
                 if _pil is not None:  # pragma: no cover - needs PIL
                     try:
@@ -608,10 +692,15 @@ def _decode_any_image(b: bytes):
         w, h, ch = meta["width"], meta["height"], meta["channels"]
     else:
         ppm = _decode_ppm(b)
-        if ppm is None:
-            return None
-        meta, arr = ppm
-        w, h, ch = meta["width"], meta["height"], 3
+        if ppm is not None:
+            meta, arr = ppm
+            w, h, ch = meta["width"], meta["height"], 3
+        else:
+            jpg = _decode_jpeg_full(b)
+            if jpg is None:
+                return None
+            meta, arr = jpg
+            w, h, ch = meta["width"], meta["height"], meta["channels"]
     flat = arr.reshape(-1).astype("int64")
     if flat.size != w * h * ch or flat.size == 0:
         return None

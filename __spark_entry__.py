@@ -1525,6 +1525,17 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunking at a 16-token budget with
+    4-token overlap, last window right-aligned — map-only explode +
+    slice, integer-exact across engines
+    (pipeline/text.chunk_documents)."""
+    from xyzpy_spark.pipeline.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=16, overlap=4)
+
+
 def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native baseline-JPEG decode end to end: valid JFIF files
     (real Huffman + dequant + IDCT, no imaging library —
@@ -1675,7 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # makes the encode SQL-expressible; trained-merge exactness stays
     # pinned by the python-twin BPE test) — plus the round-4 ops
     # gopher_rules, packing_stats, dsir_weights, dsir_select,
-    # multimodal_jpeg (all exact oracles).
+    # multimodal_jpeg, chunk_documents (all exact oracles).
     return {
         "pricing_summary": q_pricing_summary,
         "window_hourly": q_window_hourly,
@@ -1767,6 +1778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "dsir_select": q_dsir_select,
         "multimodal_jpeg": q_multimodal_jpeg,
+        "chunk_documents": q_chunk_documents,
     }
 
 
@@ -3643,6 +3655,37 @@ def oracle_sql() -> dict[str, str]:
             FROM pair_chunks
             GROUP BY id_a, id_b
             HAVING SUM(cd) <= 8 AND MIN(cd) = 0
+        """,
+        "chunk_documents": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '') AS w
+                FROM documents
+            ), m AS (
+                SELECT doc_id, w, len(w) AS n,
+                       CASE WHEN len(w) <= 16 THEN 1
+                            ELSE 1 + CAST(CEIL((len(w) - 16) / 12.0)
+                                          AS INTEGER) END AS nc
+                FROM toks WHERE len(w) > 0
+            ), e AS (
+                SELECT doc_id, w, n,
+                       unnest(range(nc)) AS chunk_id
+                FROM m
+            ), c AS (
+                SELECT doc_id, chunk_id, w, n,
+                       LEAST(chunk_id * 12,
+                             GREATEST(n - 16, 0)) AS s
+                FROM e
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS INTEGER) AS chunk_id,
+                   CAST(s AS BIGINT) AS start_token,
+                   CAST(LEAST(16, n) AS INTEGER) AS n_chunk_tokens,
+                   array_to_string(w[s + 1 : s + 16], ' ')
+                       AS chunk_text
+            FROM c
         """,
         # shape fields of the seed-derived JFIF fixtures are
         # closed-form; pixel exactness is pytest-pinned (DCT is not

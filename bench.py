@@ -96,6 +96,7 @@ HEADLINE = [
     "dsir_weights",
     "dsir_select",
     "multimodal_jpeg",
+    "chunk_documents",
 ]
 
 

@@ -2084,3 +2084,56 @@ def test_decode_media_jpeg_meta(spark):
         assert d["format"] == "jpeg"
         assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
         assert d["n_values"] == 3 * w * h
+
+
+# -- sliding-window chunking (pipeline/text.chunk_documents) ------------
+
+
+def test_chunk_documents_matches_python_model(spark):
+    from xyzpy_spark.pipeline.text import chunk_documents
+
+    def model(tokens, m, ov):
+        n = len(tokens)
+        if n == 0:
+            return []
+        stride = m - ov
+        nc = 1 if n <= m else 1 + -(-(n - m) // stride)
+        out = []
+        for i in range(nc):
+            s = min(i * stride, max(n - m, 0))
+            piece = tokens[s : s + m]
+            out.append((i, s, len(piece), " ".join(piece)))
+        return out
+
+    rows = [
+        (1, " ".join(f"t{k}" for k in range(10))),
+        (2, "short doc"),
+        (3, " ".join(f"u{k}" for k in range(8))),   # exactly the budget
+        (4, None),
+        (5, ""),
+        (6, " ".join(f"v{k}" for k in range(23))),  # ragged tail
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {}
+    for r in chunk_documents(df, max_tokens=8, overlap=4).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_id"], r["start_token"], r["n_chunk_tokens"],
+             r["chunk_text"])
+        )
+    for i, text in rows:
+        want = model(text.split() if text else [], 8, 4)
+        assert sorted(got.get(i, [])) == want, i
+    # uniform window length everywhere
+    assert all(
+        c[2] == min(8, len(dict(rows)[d].split()))
+        for d, cs in got.items()
+        for c in cs
+    )
+
+
+def test_chunk_documents_validates_overlap(spark):
+    from xyzpy_spark.pipeline.text import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=8, overlap=8)

@@ -284,6 +284,11 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(oov_rate(self.df, merges, vocab, **kw))
 
+    def chunk_documents(self, **kw) -> "xyz":
+        from .pipeline.text import chunk_documents
+
+        return self._wrap(chunk_documents(self.df, **kw))
+
     def gopher_rules(self, **kw) -> "xyz":
         from .pipeline.text import add_gopher_rules
 

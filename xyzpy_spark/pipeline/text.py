@@ -409,6 +409,74 @@ def filter_corpus(
     return out.where(cond)
 
 
+def chunk_documents(
+    df: DataFrame,
+    *,
+    max_tokens: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking — the standard preprocessing for
+    embedding / retrieval pipelines where models take bounded inputs.
+
+    Chunk ``i`` starts at ``min(i*stride, n - max_tokens)`` with
+    ``stride = max_tokens - overlap``: uniform windows of exactly
+    ``min(max_tokens, n)`` tokens, consecutive chunks sharing
+    ``overlap`` tokens, and the LAST window right-aligned to the
+    document end instead of emitting a short tail that a neighbor
+    already covers.  Documents at or under the budget yield one chunk;
+    NULL/empty text yields none.
+
+    Output: ``(id_col, chunk_id, start_token, n_chunk_tokens,
+    chunk_text)``.  Map-only JVM plan — tokenize once, explode the
+    chunk index sequence, ``slice`` + ``array_join`` per chunk; at
+    100 TB chunking streams at scan speed with the explode factor
+    bounded by ``n/stride`` per document.  Integer arithmetic only,
+    so the DuckDB oracle is bit-exact.
+    """
+    m = int(max_tokens)
+    ov = int(overlap)
+    if not 0 <= ov < m:
+        raise ValueError(
+            f"chunk_documents: need 0 <= overlap < max_tokens, "
+            f"got overlap={ov}, max_tokens={m}"
+        )
+    stride = m - ov
+    toks = tokenize(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.when(n <= m, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.ceil((n - F.lit(m)) / F.lit(float(stride))).cast("int")
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        n.alias("__n"),
+        n_chunks.alias("__nc"),
+    ).where(F.col("__n") > 0)
+    exploded = base.select(
+        id_col,
+        "__toks",
+        "__n",
+        F.explode(
+            F.sequence(F.lit(0), F.col("__nc") - F.lit(1))
+        ).alias("chunk_id"),
+    )
+    start = F.least(
+        F.col("chunk_id").cast("long") * F.lit(stride),
+        F.greatest(F.col("__n") - F.lit(m), F.lit(0)).cast("long"),
+    )
+    piece = F.slice(F.col("__toks"), start + F.lit(1).cast("long"), m)
+    return exploded.select(
+        id_col,
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.alias("start_token"),
+        F.size(piece).cast("int").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
 #: the 8-word presence lexicon from the published Gopher rules (Rae
 #: et al. 2021, Appendix A): a document must contain >= 2 of these
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")

@@ -1525,6 +1525,31 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation through the REAL streaming engine:
+    the stateless stages (quality rule stack + blocklist) applied to
+    the documents file stream (streaming/ops.curate_stream) — zero
+    state, zero shuffle per micro-batch.  Oracle: batch SQL twin of
+    the same gates."""
+    from xyzpy_spark.streaming.ops import (
+        curate_stream,
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    docs = read_documents_stream(spark, sf_dir)
+    curated = curate_stream(
+        docs,
+        min_tokens=20,
+        min_quality=0.5,
+        blocklist=["merge", "spark"],
+        max_block_hits=2,
+    ).select("doc_id", "n_tokens", "quality")
+    return run_stream_to_memory(
+        curated, "q_stream_curate", output_mode="append"
+    )
+
+
 def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window token chunking at a 16-token budget with
     4-token overlap, last window right-aligned — map-only explode +
@@ -1686,7 +1711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # makes the encode SQL-expressible; trained-merge exactness stays
     # pinned by the python-twin BPE test) — plus the round-4 ops
     # gopher_rules, packing_stats, dsir_weights, dsir_select,
-    # multimodal_jpeg, chunk_documents (all exact oracles).
+    # multimodal_jpeg, chunk_documents, stream_curate (all exact
+    # oracles; stream_curate runs the real streaming engine).
     return {
         "pricing_summary": q_pricing_summary,
         "window_hourly": q_window_hourly,
@@ -1779,6 +1805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "multimodal_jpeg": q_multimodal_jpeg,
         "chunk_documents": q_chunk_documents,
+        "stream_curate": q_stream_curate,
     }
 
 
@@ -3655,6 +3682,38 @@ def oracle_sql() -> dict[str, str]:
             FROM pair_chunks
             GROUP BY id_a, id_b
             HAVING SUM(cd) <= 8 AND MIN(cd) = 0
+        """,
+        # batch SQL twin of the stateless streaming curation gates:
+        # the filter_corpus quality stack plus the <=2-blocklist-hits
+        # token gate (same semantics as filter_blocklist)
+        "stream_curate": """
+            WITH m AS (
+                SELECT doc_id,
+                       len(text) AS n_chars,
+                       list_filter(regexp_split_to_array(trim(text), '\\s+'), u -> u <> '') AS toks,
+                       len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
+                FROM documents
+            ), r AS (
+                SELECT doc_id, toks, len(toks) AS n_tokens,
+                       FLOOR(n_punct / GREATEST(n_chars, 1) * 1e6 + 0.5)/1e6 AS punct_ratio,
+                       FLOOR(len(list_filter(toks,
+                             t -> list_contains(['the','a','and','of','to','in','is','it'], t)))
+                             / GREATEST(len(toks), 1) * 1e6 + 0.5)/1e6 AS stopword_ratio
+                FROM m
+            ), q AS (
+                SELECT doc_id, toks, n_tokens,
+                       FLOOR((LEAST(n_tokens / 64.0, 1.0) * 0.5
+                              + LEAST(stopword_ratio * 5, 1.0) * 0.3
+                              + (1 - LEAST(punct_ratio * 10, 1.0)) * 0.2)
+                             * 1e6 + 0.5)/1e6 AS quality
+                FROM r
+            )
+            SELECT doc_id, n_tokens, quality
+            FROM q
+            WHERE n_tokens >= 20 AND quality >= 0.5
+              AND COALESCE(len(list_filter(
+                      list_transform(toks, t -> lower(t)),
+                      t -> list_contains(['merge','spark'], t))), 0) <= 2
         """,
         "chunk_documents": r"""
             WITH toks AS (

@@ -97,6 +97,7 @@ HEADLINE = [
     "dsir_select",
     "multimodal_jpeg",
     "chunk_documents",
+    "stream_curate",
 ]
 
 

@@ -385,3 +385,38 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     # idle restart: no new data -> nothing appended
     out3 = run_once([])
     assert out3.count() == 80
+
+
+def test_curate_stream_matches_batch_gates(spark):
+    """The stateless curation gates must produce IDENTICAL results
+    through the real streaming engine (append mode, availableNow) and
+    the batch plan — zero state means batch/stream parity is exact."""
+    from xyzpy_spark.pipeline.text import add_quality, filter_blocklist
+    from xyzpy_spark.streaming.ops import (
+        curate_stream,
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = run_stream_to_memory(
+        curate_stream(
+            read_documents_stream(spark, sf),
+            min_tokens=20,
+            min_quality=0.5,
+            blocklist=["merge"],
+            max_block_hits=1,
+        ).select("doc_id", "n_tokens", "quality"),
+        "t_curate_stream",
+        output_mode="append",
+    )
+    batch = spark.read.parquet(sf + "/documents.parquet")
+    want = filter_blocklist(
+        add_quality(batch)
+        .where((F.col("n_tokens") >= 20) & (F.col("quality") >= 0.5)),
+        ["merge"],
+        max_hits=1,
+    ).select("doc_id", "n_tokens", "quality")
+    got = sorted(tuple(r) for r in streamed.collect())
+    exp = sorted(tuple(r) for r in want.collect())
+    assert got == exp and len(got) > 0

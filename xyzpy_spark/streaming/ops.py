@@ -273,3 +273,60 @@ def run_stream_to_memory(
                 "would be silently partial"
             )
     return df.sparkSession.table(name)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file-source stream — the ingest shape
+    of a continuously-crawled corpus (schema probed batch-side; file
+    streams cannot infer)."""
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def curate_stream(
+    docs: DataFrame,
+    *,
+    min_tokens: int | None = 20,
+    min_quality: float | None = 0.5,
+    blocklist=None,
+    max_block_hits: int = 0,
+) -> DataFrame:
+    """Streaming corpus curation: the STATELESS stages of
+    :func:`~xyzpy_spark.pipeline.curate.curate_corpus` applied to a
+    document stream — the quality-signal gates
+    (:func:`~xyzpy_spark.pipeline.text.add_quality`, pure column
+    arithmetic) plus the blocklist gate, so the plan runs unmodified
+    on the streaming engine in append mode with zero state and zero
+    shuffle (each micro-batch filters at scan speed; nothing
+    accumulates).
+
+    What stays out, by design: the repetition signals
+    (``add_repetition`` is a per-doc groupBy — a streaming
+    aggregation the append-mode plan rejects without a watermark;
+    compute them batch-side or restructure around ``transform``),
+    streaming exact dedup (needs an event-time watermark to bound key
+    state — use :func:`dedup_stream` keyed on a content fingerprint
+    once the ingest source carries an arrival timestamp), and
+    LM-tail / decontamination (need a trained model or eval set —
+    train batch-side and broadcast-join the tables onto the stream).
+    """
+    from ..pipeline.text import add_quality, filter_blocklist
+
+    out = add_quality(docs)
+    cond = F.lit(True)
+    if min_tokens is not None:
+        cond &= F.col("n_tokens") >= min_tokens
+    if min_quality is not None:
+        cond &= F.col("quality") >= min_quality
+    out = out.where(cond)
+    if blocklist:
+        out = filter_blocklist(
+            out, blocklist, max_hits=max_block_hits
+        )
+    return out

@@ -1525,6 +1525,26 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (T=2) multinomial mixture weights per
+    source over token mass — the multilingual rebalancing recipe
+    (pipeline/sampling.temperature_mixture_weights)."""
+    from xyzpy_spark.pipeline.sampling import temperature_mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture_weights(docs, "source", temperature=2.0)
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage curve at candidate vocab sizes — the
+    tokenizer-budget sizing number
+    (pipeline/sampling.vocab_coverage)."""
+    from xyzpy_spark.pipeline.sampling import vocab_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_coverage(docs, vocab_sizes=(100, 1000, 10000))
+
+
 def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus curation through the REAL streaming engine:
     the stateless stages (quality rule stack + blocklist) applied to
@@ -1711,8 +1731,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # makes the encode SQL-expressible; trained-merge exactness stays
     # pinned by the python-twin BPE test) — plus the round-4 ops
     # gopher_rules, packing_stats, dsir_weights, dsir_select,
-    # multimodal_jpeg, chunk_documents, stream_curate (all exact
-    # oracles; stream_curate runs the real streaming engine).
+    # multimodal_jpeg, chunk_documents, stream_curate,
+    # mixture_weights, vocab_coverage (all exact oracles;
+    # stream_curate runs the real streaming engine).
     return {
         "pricing_summary": q_pricing_summary,
         "window_hourly": q_window_hourly,
@@ -1806,6 +1827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": q_multimodal_jpeg,
         "chunk_documents": q_chunk_documents,
         "stream_curate": q_stream_curate,
+        "mixture_weights": q_mixture_weights,
+        "vocab_coverage": q_vocab_coverage,
     }
 
 
@@ -3682,6 +3705,62 @@ def oracle_sql() -> dict[str, str]:
             FROM pair_chunks
             GROUP BY id_a, id_b
             HAVING SUM(cd) <= 8 AND MIN(cd) = 0
+        """,
+        "mixture_weights": r"""
+            WITH toks AS (
+                SELECT source,
+                       COALESCE(len(list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '')), 0) AS n
+                FROM documents
+            ), per AS (
+                SELECT source,
+                       CAST(COUNT(*) AS BIGINT) AS n_docs,
+                       CAST(SUM(n) AS BIGINT) AS n_tokens,
+                       POWER(CAST(SUM(n) AS DOUBLE), 0.5) AS pw
+                FROM toks GROUP BY source
+            ), tot AS (
+                SELECT CAST(SUM(n_tokens) AS BIGINT) AS t,
+                       SUM(pw) AS pt
+                FROM per
+            )
+            SELECT source, n_docs, n_tokens,
+                   FLOOR(n_tokens / t * 1e6 + 0.5) / 1e6 AS p_natural,
+                   FLOOR(pw / pt * 1e6 + 0.5) / 1e6 AS p_temp,
+                   FLOOR((pw / pt) / (n_tokens / t) * 1e6 + 0.5) / 1e6
+                       AS boost
+            FROM per, tot
+        """,
+        "vocab_coverage": r"""
+            WITH toks AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '')) AS token
+                FROM documents
+            ), counts AS (
+                SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+            ), ranked AS (
+                SELECT n, ROW_NUMBER() OVER (
+                    ORDER BY n DESC, token ASC) AS r
+                FROM counts
+            ), tot AS (
+                SELECT CAST(SUM(n) AS BIGINT) AS t,
+                       CAST(COUNT(*) AS BIGINT) AS ty
+                FROM counts
+            ), ks(k) AS (VALUES (100), (1000), (10000)),
+            cov AS (
+                SELECT k,
+                       CAST(COALESCE(SUM(CASE WHEN r <= k THEN n
+                                              ELSE 0 END), 0)
+                            AS BIGINT) AS covered
+                FROM ks CROSS JOIN ranked GROUP BY k
+            )
+            SELECT CAST(k AS BIGINT) AS vocab_size,
+                   ty AS n_types,
+                   t AS total_tokens,
+                   covered AS covered_tokens,
+                   FLOOR(covered / t * 1e6 + 0.5) / 1e6 AS coverage
+            FROM cov, tot
         """,
         # batch SQL twin of the stateless streaming curation gates:
         # the filter_corpus quality stack plus the <=2-blocklist-hits

@@ -98,6 +98,8 @@ HEADLINE = [
     "multimodal_jpeg",
     "chunk_documents",
     "stream_curate",
+    "mixture_weights",
+    "vocab_coverage",
 ]
 
 

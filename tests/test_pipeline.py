@@ -2137,3 +2137,55 @@ def test_chunk_documents_validates_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, max_tokens=8, overlap=8)
+
+
+# -- temperature mixture weights + vocab coverage -----------------------
+
+
+def test_temperature_mixture_weights_model(spark):
+    import math
+
+    from xyzpy_spark.pipeline.sampling import temperature_mixture_weights
+
+    rows = (
+        [(i, "w " * 9 + "w", "big") for i in range(8)]      # 80 tokens
+        + [(100 + i, "x y z w u", "small") for i in range(2)]  # 10 tokens
+    )
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    out = {
+        r["source"]: r
+        for r in temperature_mixture_weights(
+            df, "source", temperature=2.0
+        ).collect()
+    }
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    pw_big, pw_small = 80 ** 0.5, 10 ** 0.5
+    tot = pw_big + pw_small
+    assert out["big"]["n_tokens"] == 80
+    assert out["small"]["n_tokens"] == 10
+    assert out["big"]["p_natural"] == r6(80 / 90)
+    assert out["small"]["p_temp"] == r6(pw_small / tot)
+    # temperature lifts the small stratum, shrinks the big one
+    assert out["small"]["boost"] > 1 > out["big"]["boost"]
+    # T=1 is the natural distribution: every boost == 1
+    nat = temperature_mixture_weights(df, "source", temperature=1.0)
+    assert all(r["boost"] == 1.0 for r in nat.collect())
+
+
+def test_vocab_coverage_curve(spark):
+    from xyzpy_spark.pipeline.sampling import vocab_coverage
+
+    # 10x "a", 5x "b", 1x each of c..g
+    text = " ".join(["a"] * 10 + ["b"] * 5 + list("cdefg"))
+    df = spark.createDataFrame([(1, text)], "doc_id LONG, text STRING")
+    rows = {
+        r["vocab_size"]: r
+        for r in vocab_coverage(df, vocab_sizes=[1, 2, 100]).collect()
+    }
+    assert rows[1]["covered_tokens"] == 10
+    assert rows[2]["covered_tokens"] == 15
+    assert rows[100]["covered_tokens"] == 20
+    assert rows[100]["coverage"] == 1.0
+    assert rows[1]["n_types"] == 7 and rows[1]["total_tokens"] == 20

@@ -284,6 +284,18 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(oov_rate(self.df, merges, vocab, **kw))
 
+    def mixture_weights(self, stratum: str = "source", **kw) -> "xyz":
+        from .pipeline.sampling import temperature_mixture_weights
+
+        return self._wrap(
+            temperature_mixture_weights(self.df, stratum, **kw)
+        )
+
+    def vocab_coverage(self, **kw) -> "xyz":
+        from .pipeline.sampling import vocab_coverage
+
+        return self._wrap(vocab_coverage(self.df, **kw))
+
     def chunk_documents(self, **kw) -> "xyz":
         from .pipeline.text import chunk_documents
 

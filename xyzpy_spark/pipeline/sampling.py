@@ -31,6 +31,8 @@ __all__ = [
     "stratified_sample",
     "split_train_eval",
     "mix_corpora",
+    "temperature_mixture_weights",
+    "vocab_coverage",
 ]
 
 _DENOM = float(1 << 32)
@@ -247,4 +249,143 @@ def sample_token_budget(
         df.join(F.broadcast(totals), stratum, "left")
         .where(u < ratio)
         .drop("__total")
+    )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    stratum: str = "source",
+    *,
+    temperature: float = 2.0,
+    text_col: str | None = "text",
+    round_places: int = 6,
+) -> DataFrame:
+    """Temperature-scaled multinomial mixture weights per stratum —
+    the multilingual/multi-source rebalancing recipe (mBERT/XLM-R
+    style): sample strata with probability ``p_s ∝ n_s^(1/T)``, so
+    ``T=1`` keeps the natural distribution and ``T→∞`` approaches
+    uniform, lifting low-resource strata without drowning the head.
+
+    Output per stratum: ``(stratum, n_docs, n_tokens, p_natural,
+    p_temp, boost)`` where ``p_temp`` is the temperature-scaled
+    sampling probability over TOKEN mass (the quantity training mixes
+    budget by; falls back to doc counts when ``text_col=None``) and
+    ``boost = p_temp / p_natural`` is the per-stratum up/downsampling
+    factor to feed :func:`mix_corpora` (scaled to the token budget).
+
+    One bounded aggregation (strata-sized output) + window-free
+    normalization via a cross-joined 1-row total — no corpus text
+    moves.  ``pow`` and the divisions go through the portable
+    6-decimal canon.
+    """
+    from ..pipeline.text import _round_det, tokenize
+
+    if text_col is not None:
+        mass = F.sum(
+            F.coalesce(F.size(tokenize(F.col(text_col))), F.lit(0))
+        ).alias("n_tokens")
+    else:
+        mass = F.count(F.lit(1)).alias("n_tokens")
+    per = df.groupBy(stratum).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        mass,
+    )
+    t = float(temperature)
+    powed = per.select(
+        stratum,
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.pow(F.col("n_tokens").cast("double"), F.lit(1.0 / t)).alias(
+            "__pw"
+        ),
+    )
+    totals = powed.agg(
+        F.sum("n_tokens").alias("__tot"),
+        F.sum("__pw").alias("__pwtot"),
+    )
+    return (
+        powed.crossJoin(F.broadcast(totals))
+        .select(
+            stratum,
+            "n_docs",
+            "n_tokens",
+            _round_det(
+                F.col("n_tokens") / F.col("__tot"), round_places
+            ).alias("p_natural"),
+            _round_det(
+                F.col("__pw") / F.col("__pwtot"), round_places
+            ).alias("p_temp"),
+            _round_det(
+                (F.col("__pw") / F.col("__pwtot"))
+                / (F.col("n_tokens") / F.col("__tot")),
+                round_places,
+            ).alias("boost"),
+        )
+    )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    vocab_sizes=(1000, 10000, 50000),
+    round_places: int = 6,
+) -> DataFrame:
+    """Token-mass coverage curve for vocabulary sizing: for each
+    candidate vocab size ``k``, the fraction of the corpus's token
+    occurrences covered by its ``k`` most frequent types.
+
+    The number that picks a tokenizer vocab budget before training
+    one: if the top 50k types cover 99.5% of mass, a 250k vocab buys
+    almost nothing.  Output: ``(vocab_size, n_types, total_tokens,
+    covered_tokens, coverage)`` — one row per requested size
+    (``n_types`` = distinct types in the corpus, the curve's ceiling).
+
+    Plan: one token-count aggregation (vocab-bounded), one rank
+    window over the DISTINCT TYPE table (vocabulary-sized — tiny next
+    to the corpus; ties broken lexicographically so the rank is
+    engine-portable), then a bounded cumulative sum per requested
+    size.  The corpus itself is scanned once.
+    """
+    from pyspark.sql import Window
+
+    from ..pipeline.text import _round_det, tokenize
+
+    counts = (
+        df.select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.col("token").asc())
+    ranked = counts.select(
+        "n", F.row_number().over(w).alias("__rank")
+    )
+    totals = ranked.agg(
+        F.sum("n").alias("__tot"),
+        F.count(F.lit(1)).alias("__types"),
+    )
+    sizes = sorted({int(k) for k in vocab_sizes})
+    rows = None
+    for k in sizes:
+        cov = (
+            ranked.where(F.col("__rank") <= k)
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("__cov"))
+            .select(
+                F.lit(k).cast("long").alias("vocab_size"),
+                F.col("__cov").cast("long").alias("covered_tokens"),
+            )
+        )
+        rows = cov if rows is None else rows.unionByName(cov)
+    return (
+        rows.crossJoin(F.broadcast(totals))
+        .select(
+            "vocab_size",
+            F.col("__types").cast("long").alias("n_types"),
+            F.col("__tot").cast("long").alias("total_tokens"),
+            "covered_tokens",
+            _round_det(
+                F.col("covered_tokens") / F.col("__tot"), round_places
+            ).alias("coverage"),
+        )
+        .orderBy("vocab_size")
     )

@@ -1525,6 +1525,30 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style markup removal (pipeline/text.strip_html): each doc
+    is wrapped in deterministic HTML (tags, a style block, a script
+    block whose contents must vanish, escaped entities) and the
+    map-only strip stack must recover clean text — RE2-compatible
+    patterns keep the DuckDB twin byte-exact."""
+    from xyzpy_spark.pipeline.text import strip_html
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(
+            '<html><head><style>p { color: red }</style></head>'
+            '<body><!-- crawler note --><p class="x">'
+        ),
+        F.col("text"),
+        F.lit(
+            "</p><script>if (1 < 2) { emit(); }</script>"
+            "&amp;done &lt;end&gt;</body></html>"
+        ),
+    )
+    wrapped = docs.withColumn("text", html)
+    return strip_html(wrapped).select("doc_id", "text_plain")
+
+
 def q_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled (T=2) multinomial mixture weights per
     source over token mass — the multilingual rebalancing recipe
@@ -1732,7 +1756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pinned by the python-twin BPE test) — plus the round-4 ops
     # gopher_rules, packing_stats, dsir_weights, dsir_select,
     # multimodal_jpeg, chunk_documents, stream_curate,
-    # mixture_weights, vocab_coverage (all exact oracles;
+    # mixture_weights, vocab_coverage, strip_html (all exact oracles;
     # stream_curate runs the real streaming engine).
     return {
         "pricing_summary": q_pricing_summary,
@@ -1829,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_curate": q_stream_curate,
         "mixture_weights": q_mixture_weights,
         "vocab_coverage": q_vocab_coverage,
+        "strip_html": q_strip_html,
     }
 
 
@@ -3705,6 +3730,44 @@ def oracle_sql() -> dict[str, str]:
             FROM pair_chunks
             GROUP BY id_a, id_b
             HAVING SUM(cd) <= 8 AND MIN(cd) = 0
+        """,
+        "strip_html": r"""
+            WITH wrapped AS (
+                SELECT doc_id,
+                       '<html><head><style>p { color: red }</style></head>'
+                       || '<body><!-- crawler note --><p class="x">'
+                       || text
+                       || '</p><script>if (1 < 2) { emit(); }</script>'
+                       || '&amp;done &lt;end&gt;</body></html>' AS t
+                FROM documents
+            ), s AS (
+                SELECT doc_id,
+                       regexp_replace(
+                       regexp_replace(
+                       regexp_replace(
+                       regexp_replace(t,
+                           '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+                           '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+                           '(?s)<!--.*?-->', ' ', 'g'),
+                           '<[^>]+>', ' ', 'g') AS t
+                FROM wrapped
+            ), e AS (
+                SELECT doc_id,
+                       replace(replace(replace(replace(replace(replace(
+                       replace(t,
+                           '&nbsp;', ' '),
+                           '&lt;', '<'),
+                           '&gt;', '>'),
+                           '&quot;', '"'),
+                           '&apos;', ''''),
+                           '&#39;', ''''),
+                           '&amp;', '&') AS t
+                FROM s
+            )
+            SELECT doc_id,
+                   trim(regexp_replace(t, '\s+', ' ', 'g'))
+                       AS text_plain
+            FROM e
         """,
         "mixture_weights": r"""
             WITH toks AS (

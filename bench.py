@@ -100,6 +100,7 @@ HEADLINE = [
     "stream_curate",
     "mixture_weights",
     "vocab_coverage",
+    "strip_html",
 ]
 
 

@@ -2189,3 +2189,27 @@ def test_vocab_coverage_curve(spark):
     assert rows[100]["covered_tokens"] == 20
     assert rows[100]["coverage"] == 1.0
     assert rows[1]["n_types"] == 7 and rows[1]["total_tokens"] == 20
+
+
+# -- HTML stripping (pipeline/text.strip_html) --------------------------
+
+
+def test_strip_html_removes_markup_keeps_text(spark):
+    from xyzpy_spark.pipeline.text import strip_html
+
+    rows = [
+        (1, '<p class="a">Hello <b>world</b></p>'),
+        (2, "<script>var x = 1 < 2;</script>before<style>p{}</style>after"),
+        (3, "<!-- note -->plain &amp; simple &lt;tag&gt; &nbsp;done"),
+        (4, "A &amp;lt; B"),   # escaped literal: must NOT double-decode
+        (5, None),
+        (6, "no markup at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r["text_plain"] for r in strip_html(df).collect()}
+    assert out[1] == "Hello world"
+    assert out[2] == "before after"           # script/style CONTENTS gone
+    assert out[3] == 'plain & simple <tag> done'
+    assert out[4] == "A &lt; B"
+    assert out[5] is None
+    assert out[6] == "no markup at all"

@@ -284,6 +284,11 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(oov_rate(self.df, merges, vocab, **kw))
 
+    def strip_html(self, **kw) -> "xyz":
+        from .pipeline.text import strip_html
+
+        return self._wrap(strip_html(self.df, **kw))
+
     def mixture_weights(self, stratum: str = "source", **kw) -> "xyz":
         from .pipeline.sampling import temperature_mixture_weights
 

@@ -496,3 +496,56 @@ def test_all_contract_queries_emit_scalar_columns_only(spark):
     assert not offenders, (
         f"contract queries with non-scalar output columns: {offenders}"
     )
+
+
+def test_gopher_rules_map_only(spark):
+    """The Gopher rule stack must be pure column arithmetic: no
+    exchange, no Python stage."""
+    from xyzpy_spark.pipeline.text import add_gopher_rules
+
+    docs = read_table(spark, SF_DIR, "documents")
+    df = add_gopher_rules(docs)
+    assert not has_exchange(df)
+    plan = executed_plan(df)
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_chunk_documents_map_only(spark):
+    from xyzpy_spark.pipeline.text import chunk_documents
+
+    docs = read_table(spark, SF_DIR, "documents")
+    df = chunk_documents(docs, max_tokens=16, overlap=4)
+    assert not has_exchange(df)
+    assert "Python" not in executed_plan(df)
+
+
+def test_strip_html_map_only(spark):
+    from xyzpy_spark.pipeline.text import strip_html
+
+    docs = read_table(spark, SF_DIR, "documents")
+    df = strip_html(docs)
+    assert not has_exchange(df)
+    assert "Python" not in executed_plan(df)
+
+
+def test_packing_stats_single_aggregation(spark):
+    """One scan, one global aggregate — no per-doc shuffle beyond the
+    final single-partition combine."""
+    from xyzpy_spark.pipeline.packing import packing_stats
+
+    docs = read_table(spark, SF_DIR, "documents")
+    df = packing_stats(docs, max_tokens=64)
+    assert count_exchanges(df) <= 1
+    assert "Python" not in executed_plan(df)
+
+
+def test_dsir_weights_broadcasts_ratio_table(spark):
+    """The bucket log-ratio model must broadcast; the raw pool's only
+    exchange is the per-doc aggregation."""
+    from xyzpy_spark.pipeline.dsir import dsir_weights
+
+    docs = read_table(spark, SF_DIR, "documents")
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    raw = docs.where(F.col("doc_id") % 10 != 0)
+    plan = executed_plan(dsir_weights(raw, target, n_buckets=64))
+    assert "BroadcastHashJoin" in plan

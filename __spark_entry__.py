@@ -1525,6 +1525,22 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus Jaccard dedup: the doc_id%10!=0 'new batch'
+    loses every document that near-dups the %10==0 'existing' corpus,
+    while near-dups WITHIN the batch survive
+    (pipeline/dedup.dedup_against)."""
+    from xyzpy_spark.pipeline.dedup import dedup_against
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    new = docs.where(F.col("doc_id") % 10 != 0)
+    kept = dedup_against(
+        new, ref, method="jaccard", threshold=0.5, max_shingle_freq=None
+    )
+    return kept.select("doc_id", "lang", "source")
+
+
 def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style markup removal (pipeline/text.strip_html): each doc
     is wrapped in deterministic HTML (tags, a style block, a script
@@ -1854,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_weights": q_mixture_weights,
         "vocab_coverage": q_vocab_coverage,
         "strip_html": q_strip_html,
+        "dedup_against": q_dedup_against,
     }
 
 
@@ -3730,6 +3747,42 @@ def oracle_sql() -> dict[str, str]:
             FROM pair_chunks
             GROUP BY id_a, id_b
             HAVING SUM(cd) <= 8 AND MIN(cd) = 0
+        """,
+        "dedup_against": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '') AS w
+                FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 3, 0) + 2),
+                           i -> array_to_string(w[i:i+2], ' '))))
+                           AS shingle
+                FROM toks
+            ), a AS (
+                SELECT doc_id AS ida, shingle FROM sh
+                WHERE doc_id % 10 <> 0
+            ), b AS (
+                SELECT doc_id AS idb, shingle FROM sh
+                WHERE doc_id % 10 = 0
+            ), sa AS (
+                SELECT ida, COUNT(*) AS n_a FROM a GROUP BY ida
+            ), sb AS (
+                SELECT idb, COUNT(*) AS n_b FROM b GROUP BY idb
+            ), common AS (
+                SELECT ida, idb, COUNT(*) AS nc
+                FROM a JOIN b USING (shingle) GROUP BY ida, idb
+            ), dups AS (
+                SELECT DISTINCT ida
+                FROM common JOIN sa USING (ida) JOIN sb USING (idb)
+                WHERE nc / (n_a + n_b - nc) >= 0.5
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id % 10 <> 0
+              AND doc_id NOT IN (SELECT ida FROM dups)
         """,
         "strip_html": r"""
             WITH wrapped AS (

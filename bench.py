@@ -101,6 +101,7 @@ HEADLINE = [
     "mixture_weights",
     "vocab_coverage",
     "strip_html",
+    "dedup_against",
 ]
 
 

@@ -2213,3 +2213,61 @@ def test_strip_html_removes_markup_keeps_text(spark):
     assert out[4] == "A &lt; B"
     assert out[5] is None
     assert out[6] == "no markup at all"
+
+
+# -- cross-corpus dedup (pipeline/dedup.dedup_against) ------------------
+
+
+def test_dedup_against_exact(spark):
+    from xyzpy_spark.pipeline.dedup import dedup_against
+
+    ref = spark.createDataFrame(
+        [(100, "The quick brown fox"), (101, "other reference text")],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "the  quick   brown fox"),  # normalized dup of 100
+            (2, "completely novel content"),
+            (3, "OTHER reference TEXT"),    # case-normalized dup of 101
+        ],
+        "doc_id LONG, text STRING",
+    )
+    kept = {r["doc_id"] for r in dedup_against(new, ref).collect()}
+    assert kept == {2}
+
+
+def test_dedup_against_jaccard_cross_only(spark):
+    """Near-dups of the reference drop; near-dups WITHIN df survive
+    (cross-corpus dedup must not self-dedup the new batch)."""
+    from xyzpy_spark.pipeline.dedup import dedup_against
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    ref = spark.createDataFrame(
+        [(100, base)], "doc_id LONG, text STRING"
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base.replace("kappa", "lambda")),   # near-dup of ref
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "one two three four five six seven eight nine zzz"),
+            # 2 and 3 are near-dups of each other but NOT of ref
+        ],
+        "doc_id LONG, text STRING",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup_against(
+            new, ref, method="jaccard", threshold=0.5,
+            max_shingle_freq=None,
+        ).collect()
+    }
+    assert kept == {2, 3}
+
+
+def test_dedup_against_unknown_method(spark):
+    from xyzpy_spark.pipeline.dedup import dedup_against
+
+    df = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="unknown method"):
+        dedup_against(df, df, method="simhash")

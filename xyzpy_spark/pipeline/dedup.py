@@ -1890,3 +1890,93 @@ def dedup_corpus(
         )
         .withColumn("dup_count", F.coalesce("dup_count", F.lit(1)))
     )
+
+
+def dedup_against(
+    df: DataFrame,
+    reference: DataFrame,
+    *,
+    method: str = "exact",
+    threshold: float = 0.8,
+    n: int = 3,
+    max_shingle_freq: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Cross-corpus dedup: drop documents from ``df`` that duplicate
+    a REFERENCE corpus (new crawl vs existing training set, corpus B
+    vs corpus A in a merge, train vs an already-released dataset).
+    Unlike self-dedup there is no winner election — the reference
+    always wins and ``df`` survivors keep all their columns.
+
+    ``method='exact'``: normalized-text fingerprints both sides, one
+    anti-join on 8-byte keys (``hash_fn='md5'`` for the portable
+    digest) — text never shuffles.  ``method='jaccard'``: the same
+    frequency-capped inverted index as :func:`ngram_jaccard_pairs`,
+    but joined ACROSS corpora (df-side shingles meet only
+    reference-side shingles — no self-join, no a<b asymmetry), sizes
+    counted pre-filter so scores stay true lower bounds; df docs
+    reaching ``threshold`` against ANY reference doc are dropped via
+    one distinct-id anti-join.
+
+    At 100 TB: the reference's shingle/fingerprint table is built
+    once per run (persist or pre-stage it with
+    :func:`build_dedup_index`/:func:`dedup_incremental` for repeated
+    ingests — this op is the one-shot form); the join fan-out is
+    bounded by ``max_shingle_freq`` exactly as in self-dedup.
+    """
+    if method == "exact":
+        norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        key = (
+            F.xxhash64(norm) if hash_fn == "xxhash64" else F.md5(norm)
+        )
+        ref_fp = reference.select(key.alias("__fp")).distinct()
+        return df.withColumn("__fp", key).join(
+            ref_fp, "__fp", "left_anti"
+        ).drop("__fp")
+    if method != "jaccard":
+        raise ValueError(
+            f"dedup_against: unknown method {method!r} "
+            "(expected 'exact' or 'jaccard')"
+        )
+    a = _exploded_shingles_fast(df, id_col, text_col, n).dropDuplicates(
+        ["_id", "shingle"]
+    )
+    b = _exploded_shingles_fast(
+        reference, id_col, text_col, n
+    ).dropDuplicates(["_id", "shingle"])
+    # true set sizes BEFORE any frequency filtering (lower-bound
+    # guarantee, same rationale as ngram_containment_pairs)
+    sa = a.groupBy("_id").agg(F.count(F.lit(1)).alias("n_a"))
+    sb = b.groupBy("_id").agg(F.count(F.lit(1)).alias("n_b"))
+    ja, jb = a, b
+    if max_shingle_freq is not None:
+        freq = (
+            a.select("shingle")
+            .unionByName(b.select("shingle"))
+            .groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .where(F.col("f") <= max_shingle_freq)
+            .select("shingle")
+        )
+        ja = a.join(freq, "shingle", "left_semi")
+        jb = b.join(freq, "shingle", "left_semi")
+    common = (
+        ja.select(F.col("_id").alias("__ida"), "shingle")
+        .join(jb.select(F.col("_id").alias("__idb"), "shingle"), "shingle")
+        .groupBy("__ida", "__idb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    dups = (
+        common.join(sa.select(F.col("_id").alias("__ida"), "n_a"), "__ida")
+        .join(sb.select(F.col("_id").alias("__idb"), "n_b"), "__idb")
+        .where(
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("__ida").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")

@@ -1765,32 +1765,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # range_follow_clicks, stratified_sample) to positions 51+.  The
     # rotated-out queries remain covered by tools/check_correctness.py
     # and the pytest suite.
-    # ROUND-5 ROTATION QUEUE (registered after the window filled, all
-    # strict-green locally, never driver-hashed): oov_rate,
-    # tokenized_sequences — both exact-oracle (the merges=[] base case
-    # makes the encode SQL-expressible; trained-merge exactness stays
-    # pinned by the python-twin BPE test) — plus the round-4 ops
-    # gopher_rules, packing_stats, dsir_weights, dsir_select,
-    # multimodal_jpeg, chunk_documents, stream_curate,
-    # mixture_weights, vocab_coverage, strip_html (all exact oracles;
-    # stream_curate runs the real streaming engine).
+    # Late round 4 rotated the 13 NEW round-4 ops into the window as
+    # well (gopher_rules, strip_html, dedup_against, dsir_weights,
+    # dsir_select, chunk_documents, mixture_weights, multimodal_jpeg,
+    # vocab_coverage, stream_curate, oov_rate, tokenized_sequences,
+    # packing_stats — all exact-oracle; stream_curate runs the real
+    # streaming engine; the merges=[] base case makes the tokenizer
+    # encodes SQL-expressible while trained-merge exactness stays
+    # pinned by the python-twin BPE test), displacing 13 more
+    # multi-round-green veterans (window_hourly, user_sessions,
+    # dedup_ngram_jaccard, dedup_embedding_cosine, similarity_topk,
+    # dedup_minhash_lsh, dedup_simhash, multimodal_meta,
+    # similarity_ivf, crop_roundtrip, text_repetition, pii_scrub,
+    # mix_corpora) to positions 51+.  The window now holds every
+    # never-driver-hashed op; no round-5 rotation queue remains.
     return {
         "pricing_summary": q_pricing_summary,
-        "window_hourly": q_window_hourly,
-        "user_sessions": q_user_sessions,
+        "gopher_rules": q_gopher_rules,
+        "strip_html": q_strip_html,
         "profile_events": q_profile_events,
         "keyword_hits": q_keyword_hits,
         "normalize_text": q_normalize_text,
         "quantize_embeddings": q_quantize_embeddings,
         "curate_corpus": q_curate_corpus,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "similarity_topk": q_similarity_topk,
-        "dedup_minhash_lsh": q_dedup_minhash_lsh,
-        "dedup_simhash": q_dedup_simhash,
-        "multimodal_meta": q_multimodal_meta,
-        "similarity_ivf": q_similarity_ivf,
-        "crop_roundtrip": q_crop_roundtrip,
+        "dedup_against": q_dedup_against,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
+        "chunk_documents": q_chunk_documents,
+        "mixture_weights": q_mixture_weights,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "vocab_coverage": q_vocab_coverage,
+        "stream_curate": q_stream_curate,
         "dedup_clusters": q_dedup_clusters,
         "lm_trigram_nll": q_lm_trigram_nll,
         "bpe_token_count": q_bpe_token_count,
@@ -1798,11 +1803,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "skew_salted_revenue": q_skew_salted_revenue,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "text_repetition": q_text_repetition,
+        "oov_rate": q_oov_rate,
         "filter_corpus": q_filter_corpus,
         "corpus_top_ngrams": q_corpus_top_ngrams,
-        "pii_scrub": q_pii_scrub,
-        "mix_corpora": q_mix_corpora,
+        "tokenized_sequences": q_tokenized_sequences,
+        "packing_stats": q_packing_stats,
         "pack_sequences": q_pack_sequences,
         "decontaminate": q_decontaminate,
         "dedup_paragraphs": q_dedup_paragraphs,
@@ -1858,19 +1863,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_view": q_asof_last_view,
         "range_follow_clicks": q_range_follow_clicks,
         "stratified_sample": q_stratified_sample,
-        "oov_rate": q_oov_rate,
-        "tokenized_sequences": q_tokenized_sequences,
-        "gopher_rules": q_gopher_rules,
-        "packing_stats": q_packing_stats,
-        "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
-        "multimodal_jpeg": q_multimodal_jpeg,
-        "chunk_documents": q_chunk_documents,
-        "stream_curate": q_stream_curate,
-        "mixture_weights": q_mixture_weights,
-        "vocab_coverage": q_vocab_coverage,
-        "strip_html": q_strip_html,
-        "dedup_against": q_dedup_against,
+        "window_hourly": q_window_hourly,
+        "user_sessions": q_user_sessions,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "similarity_topk": q_similarity_topk,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "multimodal_meta": q_multimodal_meta,
+        "similarity_ivf": q_similarity_ivf,
+        "crop_roundtrip": q_crop_roundtrip,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
+        "mix_corpora": q_mix_corpora,
     }
 
 

@@ -284,6 +284,16 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(oov_rate(self.df, merges, vocab, **kw))
 
+    def dedup_against(self, reference_df, **kw) -> "xyz":
+        from .pipeline.dedup import dedup_against
+
+        reference_df = (
+            reference_df.df
+            if isinstance(reference_df, xyz)
+            else reference_df
+        )
+        return self._wrap(dedup_against(self.df, reference_df, **kw))
+
     def strip_html(self, **kw) -> "xyz":
         from .pipeline.text import strip_html
 

@@ -4023,8 +4023,16 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id,
                        len(w) AS n_words,
                        GREATEST(len(w), 1) AS nw1,
-                       COALESCE(list_sum(
-                           list_transform(w, x -> len(x))), 0) AS sum_len,
+                       -- NULL text must stay NULL (Spark's aggregate
+                       -- over a NULL array is NULL); only an EMPTY
+                       -- token list coalesces to 0 — DuckDB's
+                       -- GREATEST ignores NULLs, so nw1 is 1 here and
+                       -- an unguarded COALESCE would turn the NULL
+                       -- row's mean_word_len into 0.0
+                       CASE WHEN w IS NULL THEN NULL
+                            ELSE COALESCE(list_sum(
+                                list_transform(w, x -> len(x))), 0)
+                       END AS sum_len,
                        len(text)
                            - len(regexp_replace(text, '#', '', 'g'))
                            AS n_hash,

@@ -2222,7 +2222,11 @@ def test_dedup_against_exact(spark):
     from xyzpy_spark.pipeline.dedup import dedup_against
 
     ref = spark.createDataFrame(
-        [(100, "The quick brown fox"), (101, "other reference text")],
+        [
+            (100, "The quick brown fox"),
+            (101, "other reference text"),
+            (102, None),
+        ],
         "doc_id LONG, text STRING",
     )
     new = spark.createDataFrame(
@@ -2230,11 +2234,19 @@ def test_dedup_against_exact(spark):
             (1, "the  quick   brown fox"),  # normalized dup of 100
             (2, "completely novel content"),
             (3, "OTHER reference TEXT"),    # case-normalized dup of 101
+            (4, None),                      # no content: never a dup
         ],
         "doc_id LONG, text STRING",
     )
-    kept = {r["doc_id"] for r in dedup_against(new, ref).collect()}
-    assert kept == {2}
+    # NULL text survives under BOTH hash fns, even with a NULL-text
+    # reference row (xxhash64 hashes an all-NULL input to its seed,
+    # which would otherwise silently collapse all NULL texts)
+    for fn in ("xxhash64", "md5"):
+        kept = {
+            r["doc_id"]
+            for r in dedup_against(new, ref, hash_fn=fn).collect()
+        }
+        assert kept == {2, 4}, fn
 
 
 def test_dedup_against_jaccard_cross_only(spark):

@@ -347,13 +347,16 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
         )
         return self._wrap(dsir_select(self.df, target_df, k, **kw))
 
-    def curate(self, reference_df=None, **kw):
+    def curate(self, reference_df=None, eval_df=None, **kw):
         from .pipeline.curate import curate_corpus
 
         reference_df = (
             reference_df.df if isinstance(reference_df, xyz) else reference_df
         )
-        out = curate_corpus(self.df, reference_df=reference_df, **kw)
+        eval_df = eval_df.df if isinstance(eval_df, xyz) else eval_df
+        out = curate_corpus(
+            self.df, reference_df=reference_df, eval_df=eval_df, **kw
+        )
         if kw.get("report"):
             df, stages = out  # report mode returns (df, stage counts)
             return self._wrap(df), stages

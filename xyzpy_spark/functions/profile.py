@@ -168,11 +168,15 @@ def profile_table(
             )
             wide = wide.crossJoin(F.broadcast(nd))
     # column names become SQL string literals inside the stack() —
-    # escape embedded quotes so an exotic schema can't break the parse
-    # (or inject expressions through it)
+    # escape embedded backslashes THEN quotes so an exotic schema
+    # can't break the parse (or inject expressions through it): a
+    # name ending in a backslash would otherwise escape the closing
+    # quote, and a literal backslash would be eaten as an escape
     stack_rows = ", ".join(
         "'{}', __nn_{i}, __nd_{i}, __mn_{i}, __mx_{i}, __av_{i}, "
-        "__ms_{i}, __xs_{i}".format(c.replace("'", "\\'"), i=i)
+        "__ms_{i}, __xs_{i}".format(
+            c.replace("\\", "\\\\").replace("'", "\\'"), i=i
+        )
         for i, c in enumerate(cols)
     )
     return wide.select(

@@ -1931,6 +1931,14 @@ def dedup_against(
         key = (
             F.xxhash64(norm) if hash_fn == "xxhash64" else F.md5(norm)
         )
+        # NULL text has no content to duplicate: fingerprint it as
+        # NULL so the anti-join keeps it under BOTH hash fns.
+        # Unguarded, xxhash64 (which hashes an all-NULL input to the
+        # seed) would collapse every NULL-text doc onto one key and
+        # drop them whenever the reference holds a single NULL text,
+        # while md5 (NULL -> NULL, never join-equal) would keep them
+        # — the verdict must not depend on hash_fn.
+        key = F.when(F.col(text_col).isNotNull(), key)
         ref_fp = reference.select(key.alias("__fp")).distinct()
         return df.withColumn("__fp", key).join(
             ref_fp, "__fp", "left_anti"

@@ -49,8 +49,9 @@ __all__ = ["dsir_bucket_counts", "dsir_weights", "dsir_select"]
 def _bucket(col: F.Column, n_buckets: int) -> F.Column:
     """Portable md5 feature hash: 15 hex digits (< 2^60, positive) so
     ``%`` agrees with any SQL engine's BIGINT arithmetic."""
-    h = F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-    return F.pmod(h, F.lit(int(n_buckets)))
+    from .dedup import _portable_token_hash
+
+    return F.pmod(_portable_token_hash(col), F.lit(int(n_buckets)))
 
 
 def _feature_stream(
@@ -92,7 +93,7 @@ def dsir_bucket_counts(
         .agg(F.count(F.lit(1)).alias("cnt"))
         # n_buckets rows; the total-count action below materializes
         # the cache, so the scoring broadcast (and any re-fit) reads
-        # 1024 cached rows instead of re-scanning the whole corpus
+        # the cached count table instead of re-scanning the corpus
         .persist()
     )
     total = counts.agg(F.sum("cnt")).first()[0] or 0

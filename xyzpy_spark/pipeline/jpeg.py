@@ -296,7 +296,11 @@ def decode_jpeg(b: bytes):
                 pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
             full.append(pl[:h, :w])
         if len(full) == 1:
-            out = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+            # same half-up rounding as the color path (np.round is
+            # round-half-even and would disagree on exact .5 values)
+            out = np.clip(np.floor(full[0] + 0.5), 0, 255).astype(
+                np.uint8
+            )
             out = out[:, :, None]
             chans = 1
         elif len(full) == 3:

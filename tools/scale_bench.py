@@ -75,6 +75,10 @@ HEAVY = [
     "dedup_containment",
     "contamination_pairs",
     "tokenized_sequences",
+    # late round-4 additions: the model-fit scoring pass and the
+    # cross-corpus inverted-index join
+    "dsir_weights",
+    "dedup_against",
 ]
 
 REP = "_rep"

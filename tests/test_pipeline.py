@@ -2283,3 +2283,34 @@ def test_dedup_against_unknown_method(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="unknown method"):
         dedup_against(df, df, method="simhash")
+
+
+def test_write_training_shards_jsonl(spark, tmp_path):
+    """fmt='json' writes JSONL (one object per line) — the common
+    LLM-data interchange — with the same deterministic sharding."""
+    import json as _json
+    import os
+
+    from xyzpy_spark.pipeline.export import (
+        read_training_shards,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], ["id", "text"]
+    )
+    out = str(tmp_path / "jsonl_shards")
+    write_training_shards(df, out, key="id", n_shards=4, fmt="json")
+    back = read_training_shards(spark, out, fmt="json")
+    assert back.count() == 40
+    assert {r["id"] for r in back.collect()} == set(range(40))
+    # the files are genuine JSONL: each line parses as one object
+    shard_dirs = [d for d in os.listdir(out) if d.startswith("shard=")]
+    assert len(shard_dirs) == 4
+    f = next(
+        os.path.join(out, shard_dirs[0], p)
+        for p in os.listdir(os.path.join(out, shard_dirs[0]))
+        if p.endswith(".json")
+    )
+    lines = [ln for ln in open(f) if ln.strip()]
+    assert all("text" in _json.loads(ln) for ln in lines)

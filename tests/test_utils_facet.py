@@ -211,3 +211,27 @@ def test_unzip_recursive_matches_reference_example():
     assert tuple(tuple(n) for n in nums) == ((1, 2, 3), (7, 8, 9))
     assert tuple(tuple(b) for b in bools) == (
         (True, False, True), (True, False, True))
+
+
+def test_reference_top_level_parity():
+    """Every engine-scope name the reference exports at `import xyzpy`
+    resolves at `import xyzpy_spark` too (plot/SLURM names are out of
+    engine scope — COVERAGE.md)."""
+    import xyzpy_spark as x
+
+    for name in [
+        "label", "combo_runner_to_df", "case_runner_to_df",
+        "Runner", "Harvester", "Sampler", "Crop", "load_crops",
+        "find_missing_cases", "is_case_missing", "parse_into_cases",
+        "benchmark", "Benchmarker", "estimate_from_repeats",
+        "format_number_with_error", "RunningStatistics",
+        "save_df", "load_df", "save_merge_df",
+        "merge_sync_conflict_tables", "cache_to_disk", "sort_dims",
+        "auto_xyz_df", "trimna", "check_runs", "post_fix",
+        "Timer", "unzip", "flatten", "autocorrect_kwargs",
+        "report_memory", "report_memory_gpu",
+    ]:
+        assert hasattr(x, name), name
+        assert name in x.__all__ or name in (
+            "is_case_missing",
+        ), name

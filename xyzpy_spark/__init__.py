@@ -54,6 +54,39 @@ from .farming import Runner, Harvester, Sampler, label
 from .session import get_spark
 from .cropping import Crop, load_crops
 
+# reference top-level parity: every name a jcmgray/xyzpy user reaches
+# for via `import xyzpy` resolves here too (reference
+# xyzpy/__init__.py exports; plot/SLURM names are out of engine scope
+# — see COVERAGE.md §2.3/§2.6)
+from .functions.benchmark import Benchmarker, benchmark
+from .functions.stats import (
+    RunningStatistics,
+    covariance_matrix,
+    estimate_from_repeats,
+    format_number_with_error,
+    running_stats,
+    to_uncertainties,
+)
+from .manage import (
+    auto_xyz_df,
+    cache_to_disk,
+    compact_table,
+    merge_sync_conflict_tables,
+    save_merge_df,
+    sort_dims,
+)
+from .operators.reductions import check_runs, post_fix, run_gaps, trimna
+from .sources.tables import load_df, save_df
+from .utils import (
+    Timer,
+    autocorrect_kwargs,
+    flatten,
+    prod,
+    report_memory,
+    report_memory_gpu,
+    unzip,
+)
+
 __all__ = [
     "parse_combos",
     "parse_cases",
@@ -81,6 +114,33 @@ __all__ = [
     "get_spark",
     "Crop",
     "load_crops",
+    "Benchmarker",
+    "benchmark",
+    "RunningStatistics",
+    "covariance_matrix",
+    "estimate_from_repeats",
+    "format_number_with_error",
+    "running_stats",
+    "to_uncertainties",
+    "auto_xyz_df",
+    "cache_to_disk",
+    "compact_table",
+    "merge_sync_conflict_tables",
+    "save_merge_df",
+    "sort_dims",
+    "check_runs",
+    "post_fix",
+    "run_gaps",
+    "trimna",
+    "load_df",
+    "save_df",
+    "Timer",
+    "autocorrect_kwargs",
+    "flatten",
+    "prod",
+    "report_memory",
+    "report_memory_gpu",
+    "unzip",
 ]
 
 __version__ = "0.1.0"

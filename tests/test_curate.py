@@ -170,3 +170,27 @@ def test_curate_separate_lm_reference_and_eval(spark, corpus, reference):
     kept = {r["doc_id"] for r in out.collect()}
     assert 4 not in kept   # dropped via eval_df overlap
     assert 1 in kept       # untouched by the LM reference
+
+
+def test_curate_accepts_pretrained_lm(spark, corpus, reference, tmp_path):
+    """lm=(contexts, ngrams, vocab) skips the training job and must
+    produce the identical curated set as inline training."""
+    from xyzpy_spark.pipeline.curate import curate_corpus
+    from xyzpy_spark.pipeline.lm import load_lm, save_lm, train_bigram_lm
+
+    kw = dict(dedup=None, min_tokens=None, min_quality=None,
+              lm_tail=True, lm_buckets=2)
+    inline = {
+        r["doc_id"]
+        for r in curate_corpus(
+            corpus, reference_df=reference, **kw
+        ).collect()
+    }
+    c, g, v = train_bigram_lm(reference)
+    save_lm(c, g, v, str(tmp_path / "lm"))
+    c2, g2, v2, _ = load_lm(spark, str(tmp_path / "lm"))
+    pre = {
+        r["doc_id"]
+        for r in curate_corpus(corpus, lm=(c2, g2, v2), **kw).collect()
+    }
+    assert pre == inline and len(pre) > 0

@@ -470,3 +470,31 @@ def test_containment_denominators_unfiltered_by_shingle_freq(spark):
     assert r["containment_b"] < 1.0
     # and the surviving intersection is the rare-side overlap
     assert r["containment_b"] > 0.0
+
+
+def test_save_load_lm_roundtrip_scores_identically(spark, tmp_path):
+    from xyzpy_spark.pipeline.lm import (
+        load_lm,
+        save_lm,
+        score_ngram_nll,
+        train_ngram_lm,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i} beta alpha") for i in range(20)],
+        "doc_id LONG, text STRING",
+    )
+    ref = docs.where("doc_id % 2 = 0")
+    rest = docs.where("doc_id % 2 = 1")
+    c, g, v = train_ngram_lm(ref, 2)
+    want = sorted(
+        tuple(r) for r in score_ngram_nll(rest, c, g, v, n=2).collect()
+    )
+    save_lm(c, g, v, str(tmp_path / "lm"), n=2)
+    c2, g2, v2, n2 = load_lm(spark, str(tmp_path / "lm"))
+    assert (v2, n2) == (v, 2)
+    got = sorted(
+        tuple(r)
+        for r in score_ngram_nll(rest, c2, g2, v2, n=n2).collect()
+    )
+    assert got == want

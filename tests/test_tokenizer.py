@@ -276,3 +276,35 @@ def test_oov_rate_against_frozen_vocab(spark, bpe_df):
     r2 = oov_rate(novel, merges, vocab).collect()[0]
     assert r2["n_oov"] > 0
     assert 0 < r2["oov_rate"] <= 1.0
+
+
+def test_save_load_merges_roundtrip(spark, tmp_path):
+    from xyzpy_spark.pipeline.tokenizer import (
+        bpe_encode,
+        load_merges,
+        save_merges,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low lower lowest newer newest " * 3) for i in range(6)],
+        "doc_id LONG, text STRING",
+    )
+    merges = train_bpe(docs, num_merges=20, min_freq=2)
+    p = str(tmp_path / "tok" / "merges.json")
+    save_merges(merges, p)
+    loaded = load_merges(p)
+    assert loaded == merges
+    a = sorted(
+        tuple(r)
+        for r in bpe_encode(docs, merges)
+        .selectExpr("doc_id", "concat_ws('|', bpe_tokens) AS t")
+        .collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in bpe_encode(docs, loaded)
+        .selectExpr("doc_id", "concat_ws('|', bpe_tokens) AS t")
+        .collect()
+    )
+    assert a == b

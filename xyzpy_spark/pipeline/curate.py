@@ -49,6 +49,7 @@ def curate_corpus(
     blocklist=None,
     max_block_hits: int = 0,
     lm_tail: bool = False,
+    lm: tuple | None = None,
     lm_buckets: int = 3,
     decontaminate_n: int | None = None,
     min_decontam_hits: int = 1,
@@ -61,7 +62,11 @@ def curate_corpus(
     with the input's original columns.
 
     ``reference_df`` is the TRUSTED corpus (e.g. Wikipedia) that
-    trains the CCNet LM for the ``lm_tail`` stage; ``eval_df`` is the
+    trains the CCNet LM for the ``lm_tail`` stage — or pass a
+    pre-trained model as ``lm=(contexts, ngrams, vocab_size)``
+    (:func:`~xyzpy_spark.pipeline.lm.load_lm`) to skip the training
+    job entirely, the production shape for repeated snapshot runs.
+    ``eval_df`` is the
     BENCHMARK set whose n-grams the ``decontaminate_n`` stage scrubs.
     In production these are different corpora — pass both.
     ``eval_df`` defaults to ``reference_df`` for the common audit
@@ -80,8 +85,12 @@ def curate_corpus(
     ``lm_tail`` stage; with the default ``min_tokens=20`` gate ahead
     of it no scoreable document is lost.
     """
-    if lm_tail and reference_df is None:
-        raise ValueError("curate_corpus: lm_tail requires reference_df")
+    if lm_tail and reference_df is None and lm is None:
+        raise ValueError(
+            "curate_corpus: lm_tail requires reference_df (to train) "
+            "or lm=(contexts, ngrams, vocab_size) (pre-trained — "
+            "pipeline.lm.load_lm)"
+        )
     if eval_df is None:
         eval_df = reference_df
     if decontaminate_n is not None and eval_df is None:
@@ -140,9 +149,14 @@ def curate_corpus(
     if lm_tail:
         from .lm import ccnet_buckets, train_bigram_lm
 
-        unigrams, bigrams, vocab = train_bigram_lm(
-            reference_df, text_col=text_col, id_col=id_col
-        )
+        if lm is not None:
+            # pre-trained model (pipeline.lm.save_lm/load_lm): the
+            # production path — train once, score every snapshot
+            unigrams, bigrams, vocab = lm[0], lm[1], int(lm[2])
+        else:
+            unigrams, bigrams, vocab = train_bigram_lm(
+                reference_df, text_col=text_col, id_col=id_col
+            )
         kept = (
             ccnet_buckets(
                 out,

@@ -45,6 +45,8 @@ __all__ = [
     "score_ngram_nll",
     "score_bigram_nll",
     "ccnet_buckets",
+    "save_lm",
+    "load_lm",
 ]
 
 
@@ -241,4 +243,51 @@ def ccnet_buckets(
         "n_bigrams",
         "nll",
         F.ntile(n_buckets).over(w).cast("int").alias("bucket"),
+    )
+
+
+def save_lm(
+    contexts: DataFrame,
+    ngrams: DataFrame,
+    vocab_size: int,
+    path: str,
+    *,
+    n: int = 2,
+) -> None:
+    """Persist a trained n-gram LM so scoring runs never retrain.
+
+    Production CCNet-style pipelines train the reference LM ONCE
+    (bounded job over the trusted corpus) and score every crawl
+    snapshot against the saved tables; retraining per run — what the
+    one-call contract queries do for oracle-checkability — wastes the
+    reference pass at every invocation.  Layout: two parquet tables
+    (``contexts/``, ``ngrams/``) plus ``meta.json`` carrying
+    ``vocab_size`` and the order ``n``.
+    """
+    import json
+    import os
+
+    contexts.write.mode("overwrite").parquet(
+        os.path.join(path, "contexts")
+    )
+    ngrams.write.mode("overwrite").parquet(os.path.join(path, "ngrams"))
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump({"vocab_size": int(vocab_size), "n": int(n)}, fh)
+
+
+def load_lm(spark, path: str) -> tuple[DataFrame, DataFrame, int, int]:
+    """Load a :func:`save_lm` model: ``(contexts, ngrams, vocab_size,
+    n)`` — hand the first three to :func:`score_ngram_nll` /
+    :func:`ccnet_buckets` with ``n=`` the fourth."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    return (
+        spark.read.parquet(os.path.join(path, "contexts")),
+        spark.read.parquet(os.path.join(path, "ngrams")),
+        int(meta["vocab_size"]),
+        int(meta.get("n", 2)),
     )

@@ -41,6 +41,8 @@ __all__ = [
     "tokenized_sequences",
     "export_tokenized",
     "oov_rate",
+    "save_merges",
+    "load_merges",
 ]
 
 #: end-of-word marker (classic BPE: lets merges distinguish suffixes)
@@ -446,3 +448,28 @@ def oov_rate(
         .otherwise(F.lit(0.0))
         .alias("oov_rate"),
     )
+
+
+def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained BPE merge list as JSON — train once on the
+    reference corpus, encode every future snapshot with the SAME
+    tokenizer (mixing tokenizers across snapshots silently changes
+    every token count and packed sequence downstream)."""
+    import json
+    import os
+
+    d = os.path.dirname(path)
+    if d:
+        os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump([[a, b] for a, b in merges], fh)
+    os.replace(tmp, path)
+
+
+def load_merges(path: str) -> list[tuple[str, str]]:
+    """Load a :func:`save_merges` merge list (order is the model)."""
+    import json
+
+    with open(path) as fh:
+        return [tuple(m) for m in json.load(fh)]

@@ -229,3 +229,59 @@ def test_normalize_text_idempotent(t):
     on)."""
     once = _normalize_py(t)
     assert _normalize_py(once) == once
+
+
+def _chunk_model(tokens, m, ov):
+    """Driver-side twin of pipeline.text.chunk_documents' arithmetic."""
+    n = len(tokens)
+    if n == 0:
+        return []
+    stride = m - ov
+    nc = 1 if n <= m else 1 + -(-(n - m) // stride)
+    out = []
+    for i in range(nc):
+        s = min(i * stride, max(n - m, 0))
+        out.append((s, tokens[s : s + m]))
+    return out
+
+
+@given(
+    st.lists(st.text("ab", min_size=1, max_size=2), max_size=60),
+    st.integers(2, 16),
+    st.integers(0, 15),
+)
+@settings(max_examples=200, deadline=None)
+def test_chunk_windows_cover_and_bound(tokens, m, ov):
+    """Chunking invariants for any (corpus, budget, overlap): windows
+    are uniform length min(m, n), their union covers every token
+    exactly (no gaps, no token invented), and consecutive starts
+    differ by at most the stride."""
+    if ov >= m:
+        return
+    chunks = _chunk_model(tokens, m, ov)
+    n = len(tokens)
+    if n == 0:
+        assert chunks == []
+        return
+    assert all(len(c) == min(m, n) for _, c in chunks)
+    covered = set()
+    for s, c in chunks:
+        assert tokens[s : s + m] == c  # faithful slices
+        covered.update(range(s, s + len(c)))
+    assert covered == set(range(n))  # full coverage, no gaps
+    starts = [s for s, _ in chunks]
+    assert starts == sorted(starts)
+    assert all(b - a <= m - ov for a, b in zip(starts, starts[1:]))
+
+
+@given(st.integers(0, 10_000_000), st.integers(1, 4096))
+@settings(max_examples=200, deadline=None)
+def test_packing_stats_identities(total, m):
+    """ceil identities the packing census relies on: concat sequences
+    never exceed padded sequences, and padded-mode waste is always in
+    [0, 1)."""
+    ceil = (total + m - 1) // m
+    assert 0 <= ceil * m - total < m
+    if ceil:
+        waste = 1.0 - total / (ceil * m)
+        assert 0.0 <= waste < 1.0

@@ -100,6 +100,27 @@ PICKS = {
     "column filters fuse into the scans; dedup groups, the per-lang "
     "ntile window and the n-gram streams are the only shuffles — "
     "document text never moves except for the n-gram stages",
+    "gopher_rules": "Gopher rule stack: the full published signal set "
+    "is ONE map-only column projection — ZERO exchanges, no Python, "
+    "gates a crawl at scan speed",
+    "strip_html": "HTML strip: regexp/replace stack fused into the "
+    "scan — ZERO exchanges, no Python",
+    "chunk_documents": "sliding-window chunking: explode + slice over "
+    "the tokenized array — ZERO exchanges; output rows are the "
+    "requested windows, nothing re-shuffles",
+    "dsir_weights": "DSIR weighting: both bag models are bounded "
+    "aggregations whose log-ratio table BROADCASTS; the raw pool's "
+    "only exchange is the per-doc weight aggregation",
+    "dsir_select": "DSIR selection: Gumbel-perturbed rank plans as "
+    "TakeOrderedAndProject (per-partition heaps, k rows to the "
+    "driver) — no global sort, no rank window",
+    "dedup_against": "cross-corpus dedup: df-side shingles meet only "
+    "reference-side shingles (no self-join term); survivors via one "
+    "left-anti join on ids",
+    "multimodal_jpeg": "native JPEG decode: attach + full "
+    "Huffman/IDCT decode are Arrow python stages fused over the "
+    "scan — the only exchange is none; the %10 slice is pushed to "
+    "the parquet scan",
 }
 
 

@@ -1525,6 +1525,79 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: exact revenue term: 2dp-decimal casts make the product and its sum
+#: order-independent and engine-exact (same convention as _dec_sum)
+def _revenue() -> F.Column:
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    return (p * (F.lit(1).cast("decimal(18,2)") - d)).alias("__rev")
+
+
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: top-10 unshipped-revenue orders for one market
+    segment — a 3-way join where the filtered customer dim broadcasts
+    and the fact side never shuffles before the aggregation; exact
+    decimal revenue keeps the rank engine-portable."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: per-nation revenue where customer and supplier
+    share a nation, one region, one order-year window — a 6-way join
+    whose four dimension tables all broadcast; the lineitem fact
+    shuffles exactly once, for the final per-nation aggregation."""
+    region = _t(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    nation = _t(spark, sf_dir, "nation")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1999-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(supp),
+            (li["l_suppkey"] == supp["s_suppkey"])
+            & (cust["c_nationkey"] == supp["s_nationkey"]),
+        )
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            nation["n_regionkey"] == region["r_regionkey"],
+        )
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+    )
+
+
 def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus Jaccard dedup: the doc_id%10!=0 'new batch'
     loses every document that near-dups the %10==0 'existing' corpus,
@@ -1778,7 +1851,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_minhash_lsh, dedup_simhash, multimodal_meta,
     # similarity_ivf, crop_roundtrip, text_repetition, pii_scrub,
     # mix_corpora) to positions 51+.  The window now holds every
-    # never-driver-hashed op; no round-5 rotation queue remains.
+    # never-driver-hashed op from rounds 3-4.
+    # ROUND-5 ROTATION QUEUE (added after the window filled, both
+    # strict-green locally): shipping_priority, local_supplier_volume
+    # (TPC-H Q3/Q5-shaped multi-way-join queries).
     return {
         "pricing_summary": q_pricing_summary,
         "gopher_rules": q_gopher_rules,
@@ -1876,6 +1952,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "mix_corpora": q_mix_corpora,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
     }
 
 
@@ -3752,6 +3830,38 @@ def oracle_sql() -> dict[str, str]:
             FROM pair_chunks
             GROUP BY id_a, id_b
             HAVING SUM(cd) <= 8 AND MIN(cd) = 0
+        """,
+        "shipping_priority": """
+            SELECT o_orderkey, o_orderdate, o_orderpriority,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC
+            LIMIT 10
+        """,
+        "local_supplier_volume": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND s_nationkey = c_nationkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY n_name
         """,
         "dedup_against": r"""
             WITH toks AS (

@@ -102,6 +102,8 @@ HEADLINE = [
     "vocab_coverage",
     "strip_html",
     "dedup_against",
+    "shipping_priority",
+    "local_supplier_volume",
 ]
 
 

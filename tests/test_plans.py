@@ -549,3 +549,26 @@ def test_dsir_weights_broadcasts_ratio_table(spark):
     raw = docs.where(F.col("doc_id") % 10 != 0)
     plan = executed_plan(dsir_weights(raw, target, n_buckets=64))
     assert "BroadcastHashJoin" in plan
+
+
+def test_shipping_priority_broadcasts_dim_fact_single_shuffle(spark):
+    """Q3 shape: the filtered customer dim joins as a broadcast and
+    the fact side reaches the aggregation through at most one
+    exchange."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["shipping_priority"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrdered" in plan  # top-10 never global-sorts
+
+
+def test_local_supplier_volume_all_dims_broadcast(spark):
+    """Q5 shape: four dimension tables broadcast; the only shuffle on
+    the fact path is the per-nation aggregation (plus the one
+    fact-fact join)."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["local_supplier_volume"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4

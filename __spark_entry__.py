@@ -1598,6 +1598,35 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from orders under 20% of each part's
+    average quantity, per brand — the correlated-threshold pattern
+    expressed as one per-part aggregate joined back to the fact (no
+    correlated subquery re-scan); the per-part averages table is
+    part-bounded and broadcasts."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    avg_q = (
+        li.groupBy("l_partkey")
+        .agg(F.avg("l_quantity").alias("__aq"))
+        .select("l_partkey", (F.lit(0.2) * F.col("__aq")).alias("__thr"))
+    )
+    small = li.join(
+        F.broadcast(avg_q.withColumnRenamed("l_partkey", "__pk")),
+        li["l_partkey"] == F.col("__pk"),
+    ).where(F.col("l_quantity") < F.col("__thr"))
+    return (
+        small.join(
+            F.broadcast(part), small["l_partkey"] == part["p_partkey"]
+        )
+        .groupBy("p_brand")
+        .agg(
+            _dec_sum("l_extendedprice", "small_order_revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus Jaccard dedup: the doc_id%10!=0 'new batch'
     loses every document that near-dups the %10==0 'existing' corpus,
@@ -1853,8 +1882,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mix_corpora) to positions 51+.  The window now holds every
     # never-driver-hashed op from rounds 3-4.
     # ROUND-5 ROTATION QUEUE (added after the window filled, both
-    # strict-green locally): shipping_priority, local_supplier_volume
-    # (TPC-H Q3/Q5-shaped multi-way-join queries).
+    # strict-green locally): shipping_priority, local_supplier_volume,
+    # small_quantity_revenue (TPC-H Q3/Q5/Q17-shaped queries).
     return {
         "pricing_summary": q_pricing_summary,
         "gopher_rules": q_gopher_rules,
@@ -1954,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "small_quantity_revenue": q_small_quantity_revenue,
     }
 
 
@@ -3830,6 +3860,22 @@ def oracle_sql() -> dict[str, str]:
             FROM pair_chunks
             GROUP BY id_a, id_b
             HAVING SUM(cd) <= 8 AND MIN(cd) = 0
+        """,
+        # quantities are integer-valued doubles, so the per-part AVG
+        # is exact and the 0.2x threshold comparison engine-portable
+        "small_quantity_revenue": """
+            WITH thr AS (
+                SELECT l_partkey AS pk, 0.2 * AVG(l_quantity) AS t
+                FROM lineitem GROUP BY l_partkey
+            )
+            SELECT p_brand,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) AS small_order_revenue,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN thr ON l_partkey = pk AND l_quantity < t
+            JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
         """,
         "shipping_priority": """
             SELECT o_orderkey, o_orderdate, o_orderpriority,

@@ -104,6 +104,7 @@ HEADLINE = [
     "dedup_against",
     "shipping_priority",
     "local_supplier_volume",
+    "small_quantity_revenue",
 ]
 
 

@@ -285,3 +285,63 @@ def test_packing_stats_identities(total, m):
     if ceil:
         waste = 1.0 - total / (ceil * m)
         assert 0.0 <= waste < 1.0
+
+
+@given(st.integers(-2047, 2047))
+@settings(max_examples=300, deadline=None)
+def test_jpeg_value_extension_roundtrip(v):
+    """JPEG DC/AC value coding: encode (size, magnitude bits) then
+    _extend-decode recovers every representable value exactly."""
+    from xyzpy_spark.pipeline.jpeg import _extend
+
+    s = 0
+    a = abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    enc = v if v >= 0 else v + (1 << s) - 1
+    assert _extend(enc & ((1 << s) - 1) if s else 0, s) == v
+
+
+@given(st.integers(0, 10_000), st.integers(1, 170))
+@settings(max_examples=100, deadline=None)
+def test_jpeg_canonical_codes_prefix_free(seed, n_syms):
+    """Any Kraft-satisfying length profile yields a prefix-free
+    canonical code table (no code is a prefix of another) — the
+    property both the decoder and the custom encoder tables rely on.
+    Profiles are built constructively (greedy Kraft budget spend from
+    a seeded stream) so every generated profile is valid."""
+    import random
+
+    from xyzpy_spark.pipeline.jpeg import (
+        _ENC_AC_BITS,
+        _ENC_AC_VALS,
+        _ENC_DC_BITS,
+        _ENC_DC_VALS,
+        _canonical_codes,
+    )
+
+    rng = random.Random(seed)
+    bits = [0] * 16
+    budget = 1 << 16  # Kraft budget in units of 2^-16
+    for _ in range(n_syms):
+        # pick any length whose codeword still fits the budget
+        fits = [L for L in range(1, 17) if (1 << (16 - L)) <= budget]
+        if not fits:
+            break
+        L = rng.choice(fits)
+        bits[L - 1] += 1
+        budget -= 1 << (16 - L)
+    profiles = [
+        (bits, bytes(range(sum(bits)))),
+        (_ENC_DC_BITS, _ENC_DC_VALS),
+        (_ENC_AC_BITS, _ENC_AC_VALS),
+    ]
+    for bb, vals in profiles:
+        table = _canonical_codes(bb, vals)
+        assert len(table) == sum(bb)
+        codes = sorted(
+            format(code, f"0{length}b") for (length, code) in table
+        )
+        for a, b in zip(codes, codes[1:]):
+            assert not b.startswith(a), (a, b)

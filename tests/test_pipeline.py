@@ -2314,3 +2314,47 @@ def test_write_training_shards_jsonl(spark, tmp_path):
     )
     lines = [ln for ln in open(f) if ln.strip()]
     assert all("text" in _json.loads(ln) for ln in lines)
+
+
+def test_resample_audio_rate_and_content(spark):
+    """Resampled clips are valid WAV at the target rate with
+    duration preserved; content follows linear interpolation
+    (upsampling a constant stays constant; a ramp stays a ramp)."""
+    import struct
+
+    import numpy as np
+
+    from xyzpy_spark.pipeline.multimodal import (
+        _decode_wav_samples,
+        resample_audio,
+    )
+
+    def wav(sr, samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+        chunks = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    ramp = list(range(0, 8000, 100))          # 80 samples at 8 kHz
+    rows = [
+        (1, wav(8000, ramp)),
+        (2, wav(8000, [500] * 80)),           # constant
+        (3, b"not audio"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
+    out = {
+        r["doc_id"]: r["media_resampled"]
+        for r in resample_audio(df, 16000).collect()
+    }
+    assert out[3] is None and out[4] is None
+    sr1, ch1, s1 = _decode_wav_samples(bytes(out[1]))
+    assert (sr1, ch1) == (16000, 1)
+    assert s1.size == 160                      # duration preserved
+    # a linear ramp resamples onto the same line (ends may clamp)
+    mid = s1[2:-2].astype(float)
+    diffs = np.diff(mid)
+    assert np.all(np.abs(diffs - 50) <= 1)     # ramp slope halved
+    _, _, s2 = _decode_wav_samples(bytes(out[2]))
+    assert set(np.unique(s2)) == {500}         # constant preserved

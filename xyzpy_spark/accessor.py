@@ -207,6 +207,11 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(audio_features(self.df, **kw))
 
+    def resample_audio(self, target_rate: int, **kw) -> "xyz":
+        from .pipeline.multimodal import resample_audio
+
+        return self._wrap(resample_audio(self.df, target_rate, **kw))
+
     def lm_score(self, unigrams, bigrams, vocab_size: int, **kw) -> "xyz":
         from .pipeline.lm import score_bigram_nll
 

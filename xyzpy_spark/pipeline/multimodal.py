@@ -932,3 +932,88 @@ def audio_features(
         df.schema.fields + [T.StructField(out_col, AUDIO_FEATURES_TYPE)]
     )
     return df.mapInPandas(feats, schema=schema)
+
+
+def resample_audio(
+    df: DataFrame,
+    target_rate: int,
+    media_col: str = "media",
+    out_col: str = "media_resampled",
+) -> DataFrame:
+    """Resample RIFF/PCM16 clips to ``target_rate`` Hz (linear
+    interpolation — the audio sibling of the nearest-neighbor image
+    resize) and re-emit VALID WAV bytes, so downstream feature
+    extraction and export run on a rate-normalized corpus (speech
+    models expect one rate, e.g. 16 kHz).
+
+    Per clip: decode samples (the same chunk walk as
+    :func:`audio_features`), ``numpy.interp`` each channel on the new
+    uniform time grid (output length ``round(n * target/source)``),
+    clip to int16, and rebuild the RIFF container.  Arrow-batched
+    ``mapInPandas``, map-only: no shuffle, no state — executors scale
+    a petabyte of audio linearly, exactly like the decode ops.
+    Undecodable payloads yield a null output column, never a task
+    failure.
+    """
+    tr = int(target_rate)
+    if tr <= 0:
+        raise ValueError(f"resample_audio: bad target_rate {target_rate}")
+
+    def resample(batches):
+        import numpy as np
+
+        for pdf in batches:
+            outs = []
+            for payload in pdf[media_col]:
+                b = bytes(payload) if payload is not None else b""
+                dec = _decode_wav_samples(b)
+                if dec is None or dec[2].size == 0:
+                    outs.append(None)
+                    continue
+                sr, ch, samples = dec
+                frames = samples.reshape(-1, ch)
+                n = frames.shape[0]
+                m = max(1, round(n * tr / sr))
+                # sample positions as fractions of the clip duration
+                src_t = np.arange(n, dtype=np.float64) / sr
+                dst_t = np.arange(m, dtype=np.float64) * (
+                    n / sr
+                ) / m
+                res = np.stack(
+                    [
+                        np.interp(dst_t, src_t, frames[:, c])
+                        for c in range(ch)
+                    ],
+                    axis=1,
+                )
+                pcm = (
+                    np.clip(np.floor(res + 0.5), -32768, 32767)
+                    .astype("<i2")
+                    .reshape(-1)
+                    .tobytes()
+                )
+                hdr = _struct.pack(
+                    "<4sI4s4sIHHIIHH4sI",
+                    b"RIFF",
+                    36 + len(pcm),
+                    b"WAVE",
+                    b"fmt ",
+                    16,
+                    1,  # PCM
+                    ch,
+                    tr,
+                    tr * ch * 2,
+                    ch * 2,
+                    16,
+                    b"data",
+                    len(pcm),
+                )
+                outs.append(hdr + pcm)
+            out = pdf.copy()
+            out[out_col] = outs
+            yield out
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    )
+    return df.mapInPandas(resample, schema=schema)

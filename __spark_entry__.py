@@ -1535,9 +1535,11 @@ def _revenue() -> F.Column:
 
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: top-10 unshipped-revenue orders for one market
-    segment — a 3-way join where the filtered customer dim broadcasts
-    and the fact side never shuffles before the aggregation; exact
-    decimal revenue keeps the rank engine-portable."""
+    segment — a 3-way join where the filtered customer dim joins as
+    a broadcast AT BENCH SCALE via AQE/auto-threshold (no forced hint:
+    customer grows linearly with SF, so larger deployments must be
+    free to fall back to a shuffle join); exact decimal revenue keeps
+    the rank engine-portable."""
     cust = (
         _t(spark, sf_dir, "customer")
         .where(F.col("c_mktsegment") == "BUILDING")
@@ -1551,7 +1553,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_revenue()).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
@@ -1561,9 +1563,12 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: per-nation revenue where customer and supplier
-    share a nation, one region, one order-year window — a 6-way join
-    whose four dimension tables all broadcast; the lineitem fact
-    shuffles exactly once, for the final per-nation aggregation."""
+    share a nation, one region, one order-year window — a 6-way
+    join.  Only the CONSTANT-size dims (nation, region) carry forced
+    broadcast hints; customer/supplier grow linearly with SF and are
+    left to AQE (they still broadcast at bench scale, and a 100x
+    deployment safely falls back to shuffle joins).  The lineitem
+    fact shuffles once for the final per-nation aggregation."""
     region = _t(spark, sf_dir, "region").where(
         F.col("r_name") == "ASIA"
     )
@@ -1579,9 +1584,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(
-            F.broadcast(supp),
+            supp,
             (li["l_suppkey"] == supp["s_suppkey"])
             & (cust["c_nationkey"] == supp["s_nationkey"]),
         )
@@ -1602,8 +1607,9 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: revenue from orders under 20% of each part's
     average quantity, per brand — the correlated-threshold pattern
     expressed as one per-part aggregate joined back to the fact (no
-    correlated subquery re-scan); the per-part averages table is
-    part-bounded and broadcasts."""
+    correlated subquery re-scan).  The per-part averages table is
+    part-bounded but grows with SF, so no forced broadcast hint: AQE
+    broadcasts it at bench scale and shuffle-joins it beyond."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     avg_q = (
@@ -1612,13 +1618,11 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", (F.lit(0.2) * F.col("__aq")).alias("__thr"))
     )
     small = li.join(
-        F.broadcast(avg_q.withColumnRenamed("l_partkey", "__pk")),
+        avg_q.withColumnRenamed("l_partkey", "__pk"),
         li["l_partkey"] == F.col("__pk"),
     ).where(F.col("l_quantity") < F.col("__thr"))
     return (
-        small.join(
-            F.broadcast(part), small["l_partkey"] == part["p_partkey"]
-        )
+        small.join(part, small["l_partkey"] == part["p_partkey"])
         .groupBy("p_brand")
         .agg(
             _dec_sum("l_extendedprice", "small_order_revenue"),

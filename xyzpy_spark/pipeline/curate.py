@@ -63,9 +63,10 @@ def curate_corpus(
 
     ``reference_df`` is the TRUSTED corpus (e.g. Wikipedia) that
     trains the CCNet LM for the ``lm_tail`` stage — or pass a
-    pre-trained model as ``lm=(contexts, ngrams, vocab_size)``
-    (:func:`~xyzpy_spark.pipeline.lm.load_lm`) to skip the training
-    job entirely, the production shape for repeated snapshot runs.
+    pre-trained model as ``lm=(contexts, ngrams, vocab_size[, n])``
+    (exactly what :func:`~xyzpy_spark.pipeline.lm.load_lm` returns;
+    ``n`` defaults to 2) to skip the training job entirely, the
+    production shape for repeated snapshot runs.
     ``eval_df`` is the
     BENCHMARK set whose n-grams the ``decontaminate_n`` stage scrubs.
     In production these are different corpora — pass both.
@@ -90,6 +91,11 @@ def curate_corpus(
             "curate_corpus: lm_tail requires reference_df (to train) "
             "or lm=(contexts, ngrams, vocab_size) (pre-trained — "
             "pipeline.lm.load_lm)"
+        )
+    if lm is not None and not lm_tail:
+        raise ValueError(
+            "curate_corpus: lm= is only consumed by the lm_tail "
+            "stage — pass lm_tail=True"
         )
     if eval_df is None:
         eval_df = reference_df
@@ -151,18 +157,25 @@ def curate_corpus(
 
         if lm is not None:
             # pre-trained model (pipeline.lm.save_lm/load_lm): the
-            # production path — train once, score every snapshot
+            # production path — train once, score every snapshot.
+            # load_lm returns (contexts, ngrams, vocab_size, n); honor
+            # the order so a saved trigram model isn't silently scored
+            # as a bigram (every n-gram join would miss and the NLLs
+            # would collapse to the smoothing floor).
             unigrams, bigrams, vocab = lm[0], lm[1], int(lm[2])
+            lm_n = int(lm[3]) if len(lm) > 3 else 2
         else:
             unigrams, bigrams, vocab = train_bigram_lm(
                 reference_df, text_col=text_col, id_col=id_col
             )
+            lm_n = 2
         kept = (
             ccnet_buckets(
                 out,
                 unigrams,
                 bigrams,
                 vocab,
+                n=lm_n,
                 n_buckets=lm_buckets,
                 text_col=text_col,
                 id_col=id_col,

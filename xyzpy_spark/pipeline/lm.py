@@ -261,33 +261,39 @@ def save_lm(
     snapshot against the saved tables; retraining per run — what the
     one-call contract queries do for oracle-checkability — wastes the
     reference pass at every invocation.  Layout: two parquet tables
-    (``contexts/``, ``ngrams/``) plus ``meta.json`` carrying
-    ``vocab_size`` and the order ``n``.
+    (``contexts/``, ``ngrams/``) plus a one-row ``meta/`` JSON table
+    carrying ``vocab_size`` and the order ``n``.  Every component is
+    written through Spark's writers, so the model lands on whatever
+    filesystem the path names (S3/HDFS/local alike) — no driver-local
+    I/O.  The meta table is written LAST: it is the commit marker
+    (``load_lm`` requires it, so a crashed half-write fails loudly
+    instead of loading a partial model).
     """
-    import json
-    import os
+    import posixpath
 
     contexts.write.mode("overwrite").parquet(
-        os.path.join(path, "contexts")
+        posixpath.join(path, "contexts")
     )
-    ngrams.write.mode("overwrite").parquet(os.path.join(path, "ngrams"))
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump({"vocab_size": int(vocab_size), "n": int(n)}, fh)
+    ngrams.write.mode("overwrite").parquet(posixpath.join(path, "ngrams"))
+    spark = contexts.sparkSession
+    meta = spark.createDataFrame(
+        [(int(vocab_size), int(n))], "vocab_size LONG, n INT"
+    )
+    meta.coalesce(1).write.mode("overwrite").json(
+        posixpath.join(path, "meta")
+    )
 
 
 def load_lm(spark, path: str) -> tuple[DataFrame, DataFrame, int, int]:
     """Load a :func:`save_lm` model: ``(contexts, ngrams, vocab_size,
     n)`` — hand the first three to :func:`score_ngram_nll` /
     :func:`ccnet_buckets` with ``n=`` the fourth."""
-    import json
-    import os
+    import posixpath
 
-    with open(os.path.join(path, "meta.json")) as fh:
-        meta = json.load(fh)
+    meta = spark.read.json(posixpath.join(path, "meta")).first()
     return (
-        spark.read.parquet(os.path.join(path, "contexts")),
-        spark.read.parquet(os.path.join(path, "ngrams")),
+        spark.read.parquet(posixpath.join(path, "contexts")),
+        spark.read.parquet(posixpath.join(path, "ngrams")),
         int(meta["vocab_size"]),
-        int(meta.get("n", 2)),
+        int(meta["n"]) if "n" in meta.__fields__ else 2,
     )

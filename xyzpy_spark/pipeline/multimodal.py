@@ -138,6 +138,21 @@ _NULL_DECODED = {
 }
 
 
+def _wav_pcm16(sr: int, ch: int, data: bytes) -> bytes:
+    """Wrap little-endian int16 frames in a minimal RIFF/WAVE PCM16
+    container (``fmt `` + ``data`` chunks)."""
+    block_align = ch * 2
+    fmt = _struct.pack(
+        "<HHIIHH", 1, ch, sr, sr * block_align, block_align, 16
+    )
+    chunks = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", len(chunks)) + chunks
+
+
 def fake_wav_bytes(seed: int) -> bytes:
     """A VALID RIFF/WAVE PCM16 file derived from ``seed``.
 
@@ -153,14 +168,7 @@ def fake_wav_bytes(seed: int) -> bytes:
         _struct.pack("<h", (seed * 31 + i * 7) % 2003 - 1001)
         for i in range(n_vals)
     )
-    block_align = ch * 2
-    fmt = _struct.pack("<HHIIHH", 1, ch, sr, sr * block_align, block_align, 16)
-    chunks = (
-        b"WAVE"
-        + b"fmt " + _struct.pack("<I", 16) + fmt
-        + b"data" + _struct.pack("<I", len(data)) + data
-    )
-    return b"RIFF" + _struct.pack("<I", len(chunks)) + chunks
+    return _wav_pcm16(sr, ch, data)
 
 
 def fake_ppm_bytes(seed: int) -> bytes:
@@ -971,8 +979,18 @@ def resample_audio(
                     outs.append(None)
                     continue
                 sr, ch, samples = dec
-                frames = samples.reshape(-1, ch)
+                if sr <= 0 or ch <= 0:
+                    # nonsense fmt chunk (0 Hz / 0 channels): treat as
+                    # undecodable, same contract as a bad container
+                    outs.append(None)
+                    continue
+                # drop any trailing partial frame (truncated data chunk)
+                whole = samples.size // ch * ch
+                frames = samples[:whole].reshape(-1, ch)
                 n = frames.shape[0]
+                if n == 0:
+                    outs.append(None)
+                    continue
                 m = max(1, round(n * tr / sr))
                 # sample positions as fractions of the clip duration
                 src_t = np.arange(n, dtype=np.float64) / sr
@@ -992,23 +1010,7 @@ def resample_audio(
                     .reshape(-1)
                     .tobytes()
                 )
-                hdr = _struct.pack(
-                    "<4sI4s4sIHHIIHH4sI",
-                    b"RIFF",
-                    36 + len(pcm),
-                    b"WAVE",
-                    b"fmt ",
-                    16,
-                    1,  # PCM
-                    ch,
-                    tr,
-                    tr * ch * 2,
-                    ch * 2,
-                    16,
-                    b"data",
-                    len(pcm),
-                )
-                outs.append(hdr + pcm)
+                outs.append(_wav_pcm16(tr, ch, pcm))
             out = pdf.copy()
             out[out_col] = outs
             yield out

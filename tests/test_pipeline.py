@@ -2358,3 +2358,41 @@ def test_resample_audio_rate_and_content(spark):
     assert np.all(np.abs(diffs - 50) <= 1)     # ramp slope halved
     _, _, s2 = _decode_wav_samples(bytes(out[2]))
     assert set(np.unique(s2)) == {500}         # constant preserved
+
+
+def test_resample_audio_hostile_headers_yield_null(spark):
+    """Malformed-but-parseable WAV headers must yield null, never a
+    task failure: zero sample rate, zero channels, and a stereo clip
+    with an odd sample count (truncated data chunk — the last partial
+    frame is dropped; if no whole frame remains the clip nulls)."""
+    import struct
+
+    from xyzpy_spark.pipeline.multimodal import (
+        _decode_wav_samples,
+        resample_audio,
+    )
+
+    def wav(sr, ch, samples):
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        fmt = struct.pack(
+            "<HHIIHH", 1, ch, sr, sr * ch * 2, ch * 2, 16
+        )
+        chunks = (b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+                  + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+    rows = [
+        (1, wav(0, 1, [1, 2, 3, 4])),       # zero rate
+        (2, wav(8000, 0, [1, 2, 3, 4])),    # zero channels
+        (3, wav(8000, 2, [1, 2, 3])),       # stereo, odd sample count
+        (4, wav(8000, 2, [7])),             # no whole frame at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, media BINARY")
+    out = {
+        r["doc_id"]: r["media_resampled"]
+        for r in resample_audio(df, 16000).collect()
+    }
+    assert out[1] is None and out[2] is None
+    dec3 = _decode_wav_samples(bytes(out[3]))
+    assert dec3 is not None and dec3[1] == 2   # truncated to 1 frame
+    assert out[4] is None or _decode_wav_samples(bytes(out[4]))

@@ -1647,6 +1647,27 @@ def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang", "source")
 
 
+def q_strip_dup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document line dedup (pipeline/dedup.strip_duplicate_lines):
+    each doc gets deterministic repeated boilerplate lines injected
+    (a banner prepended and appended, text in the middle), and the
+    map-only first-occurrence dedup must strip the repeats."""
+    from xyzpy_spark.pipeline.dedup import strip_duplicate_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    wrapped = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("SITE MENU\ncookie banner\n"),
+            F.col("text"),
+            F.lit("\nSITE MENU\ncookie banner\nfooter"),
+        ),
+    )
+    return strip_duplicate_lines(wrapped).select(
+        "doc_id", "text_dedup_lines"
+    )
+
+
 def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style markup removal (pipeline/text.strip_html): each doc
     is wrapped in deterministic HTML (tags, a style block, a script
@@ -1887,7 +1908,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never-driver-hashed op from rounds 3-4.
     # ROUND-5 ROTATION QUEUE (added after the window filled, both
     # strict-green locally): shipping_priority, local_supplier_volume,
-    # small_quantity_revenue (TPC-H Q3/Q5/Q17-shaped queries).
+    # small_quantity_revenue (TPC-H Q3/Q5/Q17-shaped queries),
+    # strip_dup_lines (intra-doc line dedup).
     return {
         "pricing_summary": q_pricing_summary,
         "gopher_rules": q_gopher_rules,
@@ -1988,6 +2010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "small_quantity_revenue": q_small_quantity_revenue,
+        "strip_dup_lines": q_strip_dup_lines,
     }
 
 
@@ -3948,6 +3971,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id % 10 <> 0
               AND doc_id NOT IN (SELECT ida FROM dups)
+        """,
+        # DuckDB's list_distinct does NOT preserve order — the twin
+        # keeps first occurrences with an indexed filter instead
+        "strip_dup_lines": """
+            WITH wrapped AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           'SITE MENU' || chr(10) || 'cookie banner'
+                           || chr(10) || text || chr(10) || 'SITE MENU'
+                           || chr(10) || 'cookie banner' || chr(10)
+                           || 'footer', chr(10)) AS l
+                FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(l,
+                           (x, i) -> list_position(l, x) = i),
+                       chr(10)) AS text_dedup_lines
+            FROM wrapped
         """,
         "strip_html": r"""
             WITH wrapped AS (

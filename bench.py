@@ -105,6 +105,7 @@ HEADLINE = [
     "shipping_priority",
     "local_supplier_volume",
     "small_quantity_revenue",
+    "strip_dup_lines",
 ]
 
 

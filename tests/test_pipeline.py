@@ -2396,3 +2396,23 @@ def test_resample_audio_hostile_headers_yield_null(spark):
     dec3 = _decode_wav_samples(bytes(out[3]))
     assert dec3 is not None and dec3[1] == 2   # truncated to 1 frame
     assert out[4] is None or _decode_wav_samples(bytes(out[4]))
+
+
+def test_strip_duplicate_lines_keeps_first_in_order(spark):
+    from xyzpy_spark.pipeline.dedup import strip_duplicate_lines
+
+    rows = [
+        (1, "menu\nreal content A\nmenu\nreal content B\nfooter\nfooter"),
+        (2, "only once"),
+        (3, None),
+        (4, "x\n\ny\n\nx"),   # duplicate blanks collapse to one
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: r["text_dedup_lines"]
+        for r in strip_duplicate_lines(df).collect()
+    }
+    assert out[1] == "menu\nreal content A\nreal content B\nfooter"
+    assert out[2] == "only once"
+    assert out[3] is None
+    assert out[4] == "x\n\ny"

@@ -1892,6 +1892,32 @@ def dedup_corpus(
     )
 
 
+def strip_duplicate_lines(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    out_col: str = "text_dedup_lines",
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document line dedup: keep the first occurrence of every
+    line, preserving order — the cleaning step for pages that repeat
+    navigation menus / footers / legal boilerplate inside one
+    document (cross-document paragraph dedup is
+    :func:`dedup_paragraphs`; this is its intra-doc sibling).
+
+    One ``array_distinct`` over the split lines (Spark's
+    implementation keeps the FIRST occurrence in order — pinned by
+    tests and mirrored in the oracle with an indexed filter, since
+    SQL engines' ``list_distinct`` does not guarantee order).
+    Map-only column plan: no shuffle, no Python; runs of duplicate
+    empty lines collapse to one (documented).  NULL text stays NULL.
+    """
+    lines = F.split(F.col(text_col), sep)
+    return df.withColumn(
+        out_col, F.array_join(F.array_distinct(lines), sep)
+    )
+
+
 def dedup_against(
     df: DataFrame,
     reference: DataFrame,

@@ -1786,6 +1786,37 @@ def _dsir_split(spark: SparkSession, sf_dir: str):
     return raw, target
 
 
+def q_resample_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate normalization end to end: seed-derived PCM16 clips are
+    REALLY resampled to 16 kHz (linear interp + RIFF re-encode,
+    pipeline/multimodal.resample_audio) then re-decoded; the output
+    shape fields are closed-form in doc_id (resampled length =
+    round(n·16000/sr), which never lands on a rounding tie for these
+    seed rates) so the oracle is exact.  Even ids only —
+    attach_sample_media gives those valid mono WAVs."""
+    _ship(spark)
+    from xyzpy_spark.pipeline.multimodal import (
+        attach_sample_media,
+        decode_media,
+        resample_audio,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 2 == 0)
+    )
+    res = resample_audio(attach_sample_media(docs), 16000)
+    dec = decode_media(res, media_col="media_resampled")
+    return dec.select(
+        "doc_id",
+        F.col("decoded.format").alias("format"),
+        F.col("decoded.sample_rate").alias("sample_rate"),
+        F.col("decoded.channels").alias("channels"),
+        F.col("decoded.n_values").alias("n_samples"),
+    )
+
+
 def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights: hashed unigram+bigram bag models
     on the %10 target/raw split, add-0.5 smoothing, 1024 buckets —
@@ -1909,7 +1940,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ROUND-5 ROTATION QUEUE (added after the window filled, both
     # strict-green locally): shipping_priority, local_supplier_volume,
     # small_quantity_revenue (TPC-H Q3/Q5/Q17-shaped queries),
-    # strip_dup_lines (intra-doc line dedup).
+    # strip_dup_lines (intra-doc line dedup), resample_audio (rate
+    # normalization, closed-form shape oracle).
     return {
         "pricing_summary": q_pricing_summary,
         "gopher_rules": q_gopher_rules,
@@ -2011,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "small_quantity_revenue": q_small_quantity_revenue,
         "strip_dup_lines": q_strip_dup_lines,
+        "resample_audio": q_resample_audio,
     }
 
 
@@ -3971,6 +4004,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id % 10 <> 0
               AND doc_id NOT IN (SELECT ida FROM dups)
+        """,
+        # fake_wav seeds: sr = 8000 + (id%5)*1000, mono for even ids,
+        # frames n = 32 + id%17; resampled length round(n*16000/sr)
+        # never lands on a .5 tie for these rates, so ROUND agrees
+        # across engines
+        "resample_audio": """
+            WITH m AS (
+                SELECT doc_id,
+                       32 + doc_id % 17 AS n,
+                       8000 + (doc_id % 5) * 1000 AS sr
+                FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT doc_id,
+                   'wav' AS format,
+                   CAST(16000 AS INTEGER) AS sample_rate,
+                   CAST(1 AS INTEGER) AS channels,
+                   GREATEST(CAST(1 AS BIGINT),
+                            CAST(ROUND(n * 16000.0 / sr) AS BIGINT))
+                       AS n_samples
+            FROM m
         """,
         # DuckDB's list_distinct does NOT preserve order — the twin
         # keeps first occurrences with an indexed filter instead

@@ -106,6 +106,7 @@ HEADLINE = [
     "local_supplier_volume",
     "small_quantity_revenue",
     "strip_dup_lines",
+    "resample_audio",
 ]
 
 

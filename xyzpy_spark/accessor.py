@@ -289,6 +289,11 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(oov_rate(self.df, merges, vocab, **kw))
 
+    def strip_duplicate_lines(self, **kw) -> "xyz":
+        from .pipeline.dedup import strip_duplicate_lines
+
+        return self._wrap(strip_duplicate_lines(self.df, **kw))
+
     def dedup_against(self, reference_df, **kw) -> "xyz":
         from .pipeline.dedup import dedup_against
 

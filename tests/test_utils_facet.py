@@ -235,3 +235,20 @@ def test_reference_top_level_parity():
         assert name in x.__all__ or name in (
             "is_case_missing",
         ), name
+
+
+def test_pipeline_package_exports_round4_ops():
+    """Every round-4 operator is importable from xyzpy_spark.pipeline
+    (the surface the README examples use)."""
+    from xyzpy_spark import pipeline as p
+
+    for name in [
+        "add_gopher_rules", "gopher_filter", "strip_html",
+        "chunk_documents", "strip_duplicate_lines", "dedup_against",
+        "dsir_weights", "dsir_select", "packing_stats",
+        "temperature_mixture_weights", "vocab_coverage",
+        "resample_audio", "save_lm", "load_lm", "save_merges",
+        "load_merges",
+    ]:
+        assert hasattr(p, name), name
+        assert name in p.__all__, name

@@ -1897,6 +1897,126 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# Rotation bookkeeping, mechanized (round-4 verdict ask #7).  The
+# driver's correctness gate hashes only the FIRST 50 queries() entries,
+# so new queries rotate through the window across rounds.
+# ROTATION_HISTORY maps each query to the first round whose driver gate
+# hashed it (derived from CORRECTNESS_r0*.json; round-5 rows are the
+# current window's newcomers).  ROTATION_QUEUE lists queries added
+# after the current window was frozen — never driver-hashed, next in
+# line.  tests/test_plans.py::test_rotation_discipline asserts every
+# queries() key is in exactly one of the two, the queue sits at
+# positions 51+, and the window newcomers come from last round's queue.
+ROTATION_QUEUE: list[str] = []
+
+ROTATION_HISTORY: dict[str, int] = {
+    "pricing_summary": 1,
+    "gopher_rules": 4,
+    "strip_html": 4,
+    "profile_events": 4,
+    "keyword_hits": 4,
+    "normalize_text": 4,
+    "quantize_embeddings": 4,
+    "curate_corpus": 4,
+    "dedup_against": 4,
+    "dsir_weights": 4,
+    "dsir_select": 4,
+    "chunk_documents": 4,
+    "mixture_weights": 4,
+    "multimodal_jpeg": 4,
+    "vocab_coverage": 4,
+    "stream_curate": 4,
+    "dedup_clusters": 1,
+    "lm_trigram_nll": 4,
+    "bpe_token_count": 4,
+    "contamination_pairs": 4,
+    "dedup_containment": 4,
+    "skew_salted_revenue": 1,
+    "dedup_embedding_lsh": 1,
+    "oov_rate": 4,
+    "filter_corpus": 1,
+    "corpus_top_ngrams": 1,
+    "tokenized_sequences": 4,
+    "packing_stats": 4,
+    "pack_sequences": 3,
+    "decontaminate": 3,
+    "dedup_paragraphs": 3,
+    "quality_model": 3,
+    "dedup_incremental": 3,
+    "dedup_corpus": 3,
+    "semantic_dedup": 3,
+    "dedup_substrings": 3,
+    "strip_substrings": 3,
+    "image_features": 3,
+    "multimodal_png": 3,
+    "token_budget": 3,
+    "lm_nll": 3,
+    "ccnet_buckets": 3,
+    "bloom_contamination": 3,
+    "project_embeddings": 3,
+    "corpus_stats": 3,
+    "shipping_priority": 5,
+    "local_supplier_volume": 5,
+    "small_quantity_revenue": 5,
+    "strip_dup_lines": 5,
+    "resample_audio": 5,
+    "stream_dedup": 3,
+    "stream_window_hourly": 3,
+    "stream_user_sessions": 3,
+    "image_resize": 3,
+    "audio_features": 3,
+    "histogram": 1,
+    "heatmap_pivot": 1,
+    "covariance": 1,
+    "trimna": 1,
+    "topk_orders": 1,
+    "events_json": 1,
+    "topk_per_group": 1,
+    "star_join_revenue": 1,
+    "combo_grid": 1,
+    "sweep_vectorized": 1,
+    "case_union_grid": 1,
+    "merge_prefer_old": 1,
+    "sweep_vectorized_dims": 2,
+    "sweep_internal_dims": 1,
+    "missing_cases": 1,
+    "estimate_repeats": 1,
+    "rollup_hour_day": 1,
+    "sweep_sumdiff": 1,
+    "merge_overwrite_new": 1,
+    "running_stats": 1,
+    "fuse_dims": 1,
+    "run_gaps": 1,
+    "facet_agg": 1,
+    "median_quantile_band": 1,
+    "text_token_count": 1,
+    "text_quality": 1,
+    "text_langid": 1,
+    "text_fingerprint": 1,
+    "dedup_exact": 1,
+    "sampler_run": 1,
+    "asof_last_view": 1,
+    "range_follow_clicks": 1,
+    "stratified_sample": 1,
+    "window_hourly": 1,
+    "user_sessions": 1,
+    "dedup_ngram_jaccard": 1,
+    "dedup_embedding_cosine": 1,
+    "similarity_topk": 1,
+    "dedup_minhash_lsh": 1,
+    "dedup_simhash": 1,
+    "multimodal_meta": 1,
+    "similarity_ivf": 1,
+    "crop_roundtrip": 1,
+    "text_repetition": 1,
+    "pii_scrub": 3,
+    "mix_corpora": 3,
+}
+
+# The round whose driver window is currently frozen in queries() order.
+ROTATION_ROUND = 5
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's CORRECTNESS gate hashes exactly the
     # first 50 entries.  Round 3 rotated the 12 round-2 ops (pipeline +
@@ -1937,11 +2057,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # similarity_ivf, crop_roundtrip, text_repetition, pii_scrub,
     # mix_corpora) to positions 51+.  The window now holds every
     # never-driver-hashed op from rounds 3-4.
-    # ROUND-5 ROTATION QUEUE (added after the window filled, both
-    # strict-green locally): shipping_priority, local_supplier_volume,
-    # small_quantity_revenue (TPC-H Q3/Q5/Q17-shaped queries),
-    # strip_dup_lines (intra-doc line dedup), resample_audio (rate
-    # normalization, closed-form shape oracle).
+    # ROUND 5 rotated the 5-query round-5 queue into the window
+    # (shipping_priority, local_supplier_volume, small_quantity_revenue
+    # — TPC-H Q3/Q5/Q17-shaped; strip_dup_lines — intra-doc line dedup;
+    # resample_audio — rate normalization with closed-form shape
+    # oracle), displacing 5 twice-driver-green veterans (stream_dedup,
+    # stream_window_hourly, stream_user_sessions, image_resize,
+    # audio_features — streaming stays represented in-window by
+    # stream_curate, multimodal by multimodal_png/multimodal_jpeg/
+    # image_features) to positions 51+.  With this rotation every
+    # registry query has appeared in some round's first-50 driver
+    # window; tests/test_plans.py::test_rotation_discipline mechanizes
+    # the bookkeeping (every queries() key must be in ROTATION_HISTORY
+    # or ROTATION_QUEUE below).
+    # ROUND-6 ROTATION QUEUE (never driver-hashed yet, strict-green
+    # locally; rotate into the first-50 window next round):
+    # see _ROTATION_QUEUE at module scope.
     return {
         "pricing_summary": q_pricing_summary,
         "gopher_rules": q_gopher_rules,
@@ -1980,9 +2111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "dedup_substrings": q_dedup_substrings,
         "strip_substrings": q_strip_substrings,
-        "image_resize": q_image_resize,
         "image_features": q_image_features,
-        "audio_features": q_audio_features,
         "multimodal_png": q_multimodal_png,
         "token_budget": q_token_budget,
         "lm_nll": q_lm_nll,
@@ -1990,9 +2119,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination": q_bloom_contamination,
         "project_embeddings": q_project_embeddings,
         "corpus_stats": q_corpus_stats,
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
+        "small_quantity_revenue": q_small_quantity_revenue,
+        "strip_dup_lines": q_strip_dup_lines,
+        "resample_audio": q_resample_audio,
+        # ---- position 51+: rotated-out, still oracle-checked by
+        # tools/check_correctness.py and the pytest suite ----
         "stream_dedup": q_stream_dedup,
         "stream_window_hourly": q_stream_window_hourly,
         "stream_user_sessions": q_stream_user_sessions,
+        "image_resize": q_image_resize,
+        "audio_features": q_audio_features,
         "histogram": q_histogram,
         "heatmap_pivot": q_heatmap_pivot,
         "covariance": q_covariance,
@@ -2039,11 +2177,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "mix_corpora": q_mix_corpora,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
-        "small_quantity_revenue": q_small_quantity_revenue,
-        "strip_dup_lines": q_strip_dup_lines,
-        "resample_audio": q_resample_audio,
     }
 
 

@@ -572,3 +572,30 @@ def test_local_supplier_volume_all_dims_broadcast(spark):
     df = entrymod.queries()["local_supplier_volume"](spark, SF_DIR)
     plan = executed_plan(df)
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_rotation_discipline():
+    """The driver gate hashes only the first 50 queries() entries, so
+    registry growth accrues rotation debt.  Mechanize the bookkeeping
+    (round-4 verdict ask #7): every query must either carry a
+    first-driver-hashed round in ROTATION_HISTORY or sit in the
+    documented ROTATION_QUEUE, queued queries must live outside the
+    window (they are queued precisely because the window is full), and
+    this round's window newcomers must be stamped with the current
+    round number."""
+    import __spark_entry__ as entrymod
+
+    keys = list(entrymod.queries().keys())
+    hist = entrymod.ROTATION_HISTORY
+    queue = entrymod.ROTATION_QUEUE
+    assert set(keys) == set(hist) | set(queue), (
+        "query added without queue/window placement: "
+        f"{sorted(set(keys) ^ (set(hist) | set(queue)))}"
+    )
+    assert not set(hist) & set(queue), sorted(set(hist) & set(queue))
+    window = set(keys[:50])
+    assert not window & set(queue), sorted(window & set(queue))
+    newcomers = {
+        k for k, r in hist.items() if r == entrymod.ROTATION_ROUND
+    }
+    assert newcomers <= window, sorted(newcomers - window)

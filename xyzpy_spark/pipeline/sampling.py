@@ -341,11 +341,34 @@ def vocab_coverage(
     covered_tokens, coverage)`` — one row per requested size
     (``n_types`` = distinct types in the corpus, the curve's ceiling).
 
-    Plan: one token-count aggregation (vocab-bounded), one rank
-    window over the DISTINCT TYPE table (vocabulary-sized — tiny next
-    to the corpus; ties broken lexicographically so the rank is
-    engine-portable), then a bounded cumulative sum per requested
-    size.  The corpus itself is scanned once.
+    Plan — distributed counts-of-counts, NO global rank (round-4
+    verdict: the former unpartitioned ``row_number`` window moved the
+    whole distinct-type table — 10^8-10^9 rows for a web crawl —
+    through one task).  Top-k token mass depends only on the
+    frequency multiset, never on which same-frequency type is picked
+    (all types at one frequency contribute identically), so the rank
+    is replaced by cumulative sums over the counts-of-counts table
+    ``(freq, types_at_freq)``:
+
+    1. token counts (the one corpus-sized shuffle);
+    2. counts-of-counts: at most ``sqrt(2N)`` rows for ``N`` total
+       tokens (distinct frequencies sum to <= N);
+    3. log2-frequency buckets: bucket ``b`` holds frequencies in
+       ``[2^b, 2^(b+1))`` — at most ``min(2^b, N/2^b) <= sqrt(N)``
+       rows each (every frequency in the bucket needs ``>= 2^b``
+       mass), across <= 64 buckets;
+    4. cross-bucket prefix totals via a broadcast triangular
+       self-join over the <= 64 bucket totals; within-bucket
+       cumulative sums via a window PARTITIONED by bucket — no
+       single-partition exchange anywhere on the path;
+    5. per candidate ``k``, the cut frequency (largest ``f`` with
+       ``cum_types(f) >= k``) via ``max_by`` after a broadcast
+       inequality join of the tiny candidate list against the
+       cumulated table; covered mass
+       ``= cum_mass(f_cut) - (cum_types(f_cut) - k) * f_cut``.
+
+    tests/test_plans.py::test_vocab_coverage_no_single_partition_window
+    pins the no-single-partition-sort property.
     """
     from pyspark.sql import Window
 
@@ -356,35 +379,84 @@ def vocab_coverage(
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.col("token").asc())
-    ranked = counts.select(
-        "n", F.row_number().over(w).alias("__rank")
+    cofc = counts.groupBy("n").agg(
+        F.count(F.lit(1)).alias("__m")
+    ).select(
+        "n",
+        "__m",
+        (F.col("n") * F.col("__m")).alias("__mass"),
+        F.floor(F.log2("n")).cast("int").alias("__bkt"),
     )
-    totals = ranked.agg(
-        F.sum("n").alias("__tot"),
-        F.count(F.lit(1)).alias("__types"),
+    totals = cofc.agg(
+        F.sum("__mass").alias("__tot"),
+        F.sum("__m").alias("__types"),
+    )
+    bt = cofc.groupBy("__bkt").agg(
+        F.sum("__m").alias("__bm"), F.sum("__mass").alias("__bmass")
+    )
+    higher = F.broadcast(bt.select(
+        F.col("__bkt").alias("__hb"),
+        F.col("__bm").alias("__hm"),
+        F.col("__bmass").alias("__hmass"),
+    ))
+    prefix = (
+        bt.join(higher, F.col("__hb") > F.col("__bkt"), "left")
+        .groupBy("__bkt")
+        .agg(
+            F.coalesce(F.sum("__hm"), F.lit(0)).alias("__types_before"),
+            F.coalesce(F.sum("__hmass"), F.lit(0)).alias("__mass_before"),
+        )
+    )
+    w = Window.partitionBy("__bkt").orderBy(F.desc("n")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = (
+        cofc.select(
+            "n",
+            "__bkt",
+            F.sum("__m").over(w).alias("__cm"),
+            F.sum("__mass").over(w).alias("__cmass"),
+        )
+        .join(F.broadcast(prefix), "__bkt")
+        .select(
+            "n",
+            (F.col("__cm") + F.col("__types_before")).alias("__cum_types"),
+            (F.col("__cmass") + F.col("__mass_before")).alias("__cum_mass"),
+        )
     )
     sizes = sorted({int(k) for k in vocab_sizes})
-    rows = None
+    cands = None
     for k in sizes:
-        cov = (
-            ranked.where(F.col("__rank") <= k)
-            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("__cov"))
-            .select(
-                F.lit(k).cast("long").alias("vocab_size"),
-                F.col("__cov").cast("long").alias("covered_tokens"),
-            )
+        row = counts.sparkSession.range(1).select(
+            F.lit(k).cast("long").alias("vocab_size")
         )
-        rows = cov if rows is None else rows.unionByName(cov)
+        cands = row if cands is None else cands.unionByName(row)
+    covered = (
+        F.broadcast(cands)
+        .join(cum, F.col("__cum_types") >= F.col("vocab_size"), "left")
+        .groupBy("vocab_size")
+        .agg(
+            F.max_by(
+                F.col("__cum_mass")
+                - (F.col("__cum_types") - F.col("vocab_size"))
+                * F.col("n"),
+                F.col("n"),
+            ).alias("__cov")
+        )
+    )
     return (
-        rows.crossJoin(F.broadcast(totals))
+        covered.crossJoin(F.broadcast(totals))
         .select(
             "vocab_size",
-            F.col("__types").cast("long").alias("n_types"),
+            F.coalesce(F.col("__types"), F.lit(0))
+            .cast("long").alias("n_types"),
             F.col("__tot").cast("long").alias("total_tokens"),
-            "covered_tokens",
+            F.coalesce(F.col("__cov"), F.col("__tot"), F.lit(0))
+            .cast("long").alias("covered_tokens"),
             _round_det(
-                F.col("covered_tokens") / F.col("__tot"), round_places
+                F.coalesce(F.col("__cov"), F.col("__tot"))
+                / F.col("__tot"),
+                round_places,
             ).alias("coverage"),
         )
         .orderBy("vocab_size")

@@ -498,3 +498,36 @@ def test_save_load_lm_roundtrip_scores_identically(spark, tmp_path):
         for r in score_ngram_nll(rest, c2, g2, v2, n=n2).collect()
     )
     assert got == want
+
+
+def test_save_lm_overwrite_invalidates_marker_first(spark, tmp_path):
+    """Overwriting a saved model must never let the OLD meta/ commit
+    marker vouch for half-rewritten tables (round-4 ADVICE): save_lm
+    deletes meta/ before touching contexts/ngrams, so a crash
+    mid-overwrite leaves a model load_lm rejects loudly — and a
+    completed overwrite loads the NEW model."""
+    import os
+
+    import pytest as _pytest
+
+    from xyzpy_spark.pipeline.lm import load_lm, save_lm, train_ngram_lm
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma w{i} beta alpha") for i in range(10)],
+        "doc_id LONG, text STRING",
+    )
+    path = str(tmp_path / "lm")
+    c2, g2, v2 = train_ngram_lm(docs, 2)
+    save_lm(c2, g2, v2, path, n=2)
+    c3, g3, v3 = train_ngram_lm(docs, 3)
+    save_lm(c3, g3, v3, path, n=3)  # overwrite: marker dropped first
+    _, _, v_got, n_got = load_lm(spark, path)
+    assert (v_got, n_got) == (v3, 3)
+    # crash simulation: the overwrite sequence begins by deleting the
+    # marker — a model in that state must fail load_lm, not pair old
+    # meta with new tables
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "meta"))
+    with _pytest.raises(Exception):
+        load_lm(spark, path)

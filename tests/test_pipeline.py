@@ -2024,6 +2024,49 @@ def test_jpeg_decoder_rejects_non_baseline():
     decode_jpeg(enc[:-4])
 
 
+def test_jpeg_decoder_rejects_multiscan_baseline():
+    """A baseline JPEG whose first SOS covers only a subset of the
+    SOF components (legal: one scan per component) must return None —
+    decoding just that scan with interleaved-MCU geometry would leave
+    the other planes at 0 and silently emit tinted pixels (round-4
+    ADVICE, medium)."""
+    from xyzpy_spark.pipeline.jpeg import decode_jpeg
+    from xyzpy_spark.pipeline.multimodal import fake_jpeg_bytes
+
+    good = fake_jpeg_bytes(3)
+    assert decode_jpeg(good) is not None
+    # rewrite the 3-component SOS header into a Y-only scan header
+    sos = good.index(b"\xff\xda")
+    seg_len = int.from_bytes(good[sos + 2:sos + 4], "big")
+    payload = good[sos + 4:sos + 2 + seg_len]
+    ns = payload[0]
+    assert ns == 3, "fixture is the interleaved 3-component encoder"
+    y_only = bytes([1]) + payload[1:3] + payload[1 + 2 * ns:]
+    patched = (
+        good[:sos + 2]
+        + (len(y_only) + 2).to_bytes(2, "big")
+        + y_only
+        + good[sos + 2 + seg_len:]
+    )
+    assert decode_jpeg(patched) is None
+
+
+def test_encode_jpeg_validates_quant():
+    """quant outside [1, 255] must raise a clear ValueError up front
+    (0 used to ZeroDivisionError, negatives corrupted output, >255
+    failed deep in DQT serialization)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from xyzpy_spark.pipeline.jpeg import encode_jpeg
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    for bad in (0, -1, 256, 1000):
+        with _pytest.raises(ValueError, match="quant"):
+            encode_jpeg(img, quant=bad)
+    assert encode_jpeg(img, quant=255)  # boundary stays legal
+
+
 def test_jpeg_pil_cross_decode():
     """Our encoder emits standard-conforming baseline JFIF: PIL (when
     installed) must decode it to within the same rounding bound."""
@@ -2416,3 +2459,26 @@ def test_strip_duplicate_lines_keeps_first_in_order(spark):
     assert out[2] == "only once"
     assert out[3] is None
     assert out[4] == "x\n\ny"
+
+
+def test_strip_duplicate_lines_literal_metachar_separator(spark):
+    """sep is literal on BOTH sides: a regex metacharacter separator
+    ('.', '|', '+') must split on the separator itself, not on the
+    regex it happens to spell (F.split takes a Java regex — round-4
+    ADVICE: unescaped '.' split on every character while rejoining
+    literally, mangling the text)."""
+    from xyzpy_spark.pipeline.dedup import strip_duplicate_lines
+
+    rows = [(1, "aa.bb.aa.cc"), (2, "x|y|x"), (3, "p+q+p")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for sep, want in [(".", "aa.bb.cc"), ("|", None), ("+", None)]:
+        out = {
+            r["doc_id"]: r["text_dedup_lines"]
+            for r in strip_duplicate_lines(df, sep=sep).collect()
+        }
+        if sep == ".":
+            assert out[1] == want
+        elif sep == "|":
+            assert out[2] == "x|y"
+        else:
+            assert out[3] == "p+q"

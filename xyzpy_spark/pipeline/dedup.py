@@ -1911,8 +1911,14 @@ def strip_duplicate_lines(
     SQL engines' ``list_distinct`` does not guarantee order).
     Map-only column plan: no shuffle, no Python; runs of duplicate
     empty lines collapse to one (documented).  NULL text stays NULL.
+    ``sep`` is treated as a LITERAL separator on both the split and
+    the rejoin (``F.split`` takes a Java regex, so metacharacters like
+    ``.`` or ``|`` are quoted with ``\\Q...\\E`` before splitting).
     """
-    lines = F.split(F.col(text_col), sep)
+    # \Q...\E literal-quotes the separator for Java regex; an embedded
+    # \E would end the quote early, so escape that one case by hand
+    quoted = "\\Q" + sep.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+    lines = F.split(F.col(text_col), quoted)
     return df.withColumn(
         out_col, F.array_join(F.array_distinct(lines), sep)
     )

@@ -228,6 +228,15 @@ def decode_jpeg(b: bytes):
             p += 2 + seg_len
         if comps is None or scan_comps is None or w == 0 or h == 0:
             return None
+        # Multi-scan baseline JPEG (each SOS covers a component subset):
+        # decoding only the first scan with interleaved-MCU geometry
+        # would leave the other planes at 0 (e.g. a Y-only first scan
+        # renders tinted with Cb/Cr=0), and a single-component scan of
+        # a subsampled file uses per-component — not interleaved — MCU
+        # geometry.  Both are out of scope: honour the documented
+        # "return None and fall through to PIL / null pixels" contract.
+        if len(scan_comps) != len(comps):
+            return None
 
         by_id = {c["id"]: c for c in comps}
         order = [by_id[s["id"]] for s in scan_comps]
@@ -399,6 +408,13 @@ def encode_jpeg(arr, quant: int = 1) -> bytes:
     coefficient-rounding error.
     """
     import numpy as np
+
+    if not 1 <= int(quant) <= 255:
+        # 0 divides by zero downstream, negatives corrupt coefficients,
+        # >255 only fails at DQT serialization with an opaque error
+        raise ValueError(
+            f"encode_jpeg: quant must be in [1, 255], got {quant!r}"
+        )
 
     a = np.asarray(arr)
     if a.ndim == 2:

@@ -267,15 +267,32 @@ def save_lm(
     filesystem the path names (S3/HDFS/local alike) — no driver-local
     I/O.  The meta table is written LAST: it is the commit marker
     (``load_lm`` requires it, so a crashed half-write fails loudly
-    instead of loading a partial model).
+    instead of loading a partial model).  When OVERWRITING an existing
+    model the old marker is deleted FIRST — otherwise a crash between
+    the table rewrites would leave the old ``meta/`` readable next to
+    new/half-new tables and ``load_lm`` would silently pair them.
+    Overwrite is crash-safe, not reader-atomic: a concurrent
+    ``load_lm`` during an overwrite fails loudly (no marker) rather
+    than seeing a consistent old model — point concurrent readers at a
+    fresh path if that matters.
     """
     import posixpath
+
+    spark = contexts.sparkSession
+    # invalidate the commit marker before touching the tables
+    # (portable across local/HDFS/S3 via the Hadoop FileSystem API)
+    jvm = spark._jvm
+    meta_path = jvm.org.apache.hadoop.fs.Path(
+        posixpath.join(path, "meta")
+    )
+    fs = meta_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(meta_path):
+        fs.delete(meta_path, True)
 
     contexts.write.mode("overwrite").parquet(
         posixpath.join(path, "contexts")
     )
     ngrams.write.mode("overwrite").parquet(posixpath.join(path, "ngrams"))
-    spark = contexts.sparkSession
     meta = spark.createDataFrame(
         [(int(vocab_size), int(n))], "vocab_size LONG, n INT"
     )

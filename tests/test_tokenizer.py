@@ -308,3 +308,60 @@ def test_save_load_merges_roundtrip(spark, tmp_path):
         .collect()
     )
     assert a == b
+
+
+def test_frozen_merges_sequential_consistency():
+    """The frozen literal merge list that makes the bpe_token_count
+    oracle SQL-expressible is only valid if rank-greedy encoding
+    equals one replace-all pass per merge in training order, for ANY
+    word.  Two guarantees pin that: (a) structurally, every pair's
+    elements are single chars or products of STRICTLY EARLIER merges
+    and all products are distinct (so a later pass can never recreate
+    an earlier pass's pair), and (b) empirically, the two encoders
+    agree on randomized words over the merge alphabet, including
+    pathological self-overlap runs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from __spark_entry__ import _FROZEN_MERGES
+    from xyzpy_spark.pipeline.tokenizer import EOW, _encode_word
+
+    products = []
+    for a, b in _FROZEN_MERGES:
+        for el in (a, b):
+            assert len(el) == 1 or el == EOW or el in products, (
+                f"element {el!r} not a char or earlier product"
+            )
+        products.append(a + b)
+    assert len(set(products)) == len(products), "duplicate products"
+    assert not any(len(p) == 1 for p in products)
+    assert not any(a.endswith(EOW) for a, _ in _FROZEN_MERGES)
+
+    ranks = {tuple(m): i for i, m in enumerate(_FROZEN_MERGES)}
+
+    def sequential(word):
+        sym = list(word) + [EOW]
+        for a, b in _FROZEN_MERGES:
+            out, i = [], 0
+            while i < len(sym):
+                if (
+                    i + 1 < len(sym)
+                    and sym[i] == a
+                    and sym[i + 1] == b
+                ):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(alphabet="erstowna", min_size=1, max_size=12))
+    def check(word):
+        assert sequential(word) == _encode_word(word, ranks)
+
+    check()
+    for w in ["erer", "eeee", "owowow", "stst", "ererer", "e", "r"]:
+        assert sequential(w) == _encode_word(w, ranks)

@@ -79,6 +79,16 @@ HEAVY = [
     # cross-corpus inverted-index join
     "dsir_weights",
     "dedup_against",
+    # round-5 additions (r4 verdict item 6): the remaining round-4
+    # families — Arrow-batched JPEG decode, the streaming gate stack,
+    # map-only chunking, the mixture/coverage aggregations
+    # (vocab_coverage post counts-of-counts rewrite: this row is the
+    # empirical proof the unpartitioned-window fix holds at 10x)
+    "multimodal_jpeg",
+    "stream_curate",
+    "chunk_documents",
+    "mixture_weights",
+    "vocab_coverage",
 ]
 
 REP = "_rep"
@@ -217,7 +227,17 @@ def main() -> None:
         load0 = None
 
     t0 = time.time()
-    build_scaled(spark, args.src, out, args.mult)
+    # the 1x side is REBUILT through the same writer (mult=1 is a
+    # byte-identical replica-0 pass) so both sides share file layout:
+    # the driver's sf0.1 tables are single-row-group files that Spark
+    # scans as ONE partition, while the scaled side gets 32 files —
+    # without this, map-heavy queries (Arrow codecs, streaming gates)
+    # measure a 1-thread-vs-32-thread artifact instead of data scaling
+    # (r5: multimodal_jpeg "ratio 0.58" under the old protocol).
+    one_x = os.path.join(out, "_1x")
+    n_x = os.path.join(out, f"_{args.mult}x")
+    build_scaled(spark, args.src, one_x, 1)
+    build_scaled(spark, args.src, n_x, args.mult)
     gen_s = round(time.time() - t0, 2)
 
     queries = dict(entrymod.queries())
@@ -225,7 +245,7 @@ def main() -> None:
     # production probe (same protocol as bench.py)
     probes = {}
     if "dedup_incremental" in heavy:
-        for side, sf_dir in (("1x", args.src), (f"{args.mult}x", out)):
+        for side, sf_dir in (("1x", one_x), (f"{args.mult}x", n_x)):
             idx = os.path.join(out, f"_idx_{side}")
             entrymod.prestage_dedup_incremental(spark, sf_dir, idx)
             probes[side] = entrymod.make_dedup_incremental_probe(idx)
@@ -243,7 +263,7 @@ def main() -> None:
     for name in heavy:
         base_fn = queries[name]
         row = {}
-        for side, sf_dir in (("1x", args.src), (f"{args.mult}x", out)):
+        for side, sf_dir in (("1x", one_x), (f"{args.mult}x", n_x)):
             fn = probes[side] if name == "dedup_incremental" else base_fn
             row[side] = _time_query(spark, fn, sf_dir, args.runs)
         row["ratio"] = round(row[f"{args.mult}x"] / row["1x"], 2)

@@ -1654,6 +1654,146 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returned
+    items in one order-date half-year — lineitem filtered to
+    l_returnflag='R', joined to the date-filtered orders, customer,
+    and nation (only the constant-size nation carries a broadcast
+    hint; customer grows with SF and is left to AQE).  Exact decimal
+    revenue keeps the rank engine-portable; TakeOrdered, never a
+    global sort."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate")
+         >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-07-01").cast("timestamp_ntz"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nation, cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: the share of one ship-month's revenue carried
+    by promotional parts — a single conditional aggregate over the
+    lineitem-part join (part grows with SF: no forced hint, AQE
+    broadcasts at bench scale).  Revenue sums stay decimal-exact; the
+    share ratio uses the floor canon so both engines hash-match."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate")
+         >= F.lit("1997-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate")
+           < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = _revenue()
+    joined = li.join(part, li["l_partkey"] == part["p_partkey"])
+    scale = F.lit(1000000.0)
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev))
+        .cast("double")
+        .alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"),
+    ).select(
+        F.coalesce("promo_revenue", F.lit(0.0)).alias("promo_revenue"),
+        "total_revenue",
+        (
+            F.floor(
+                F.lit(100.0)
+                * F.coalesce("promo_revenue", F.lit(0.0))
+                / F.col("total_revenue")
+                * scale
+                + F.lit(0.5)
+            )
+            / scale
+        ).alias("promo_share_pct"),
+    )
+
+
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    group, excluding one brand, one type family, and complaint-list
+    suppliers — reshaped onto this schema's lineitem bridge (the
+    testdata has no partsupp table; lineitem IS the part-supplier
+    relationship observed in the fact stream).  The exclusion list is
+    a broadcast LEFT ANTI join (never NOT IN's null-trap semantics);
+    the distinct count is the one shuffle."""
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 13)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    bad = _t(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("__bad"))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("__bad"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey").cast("long")
+            .alias("supplier_cnt")
+        )
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram collocations by PMI with a min-count
+    floor (pipeline/ir.pmi_collocations) — the corpus multi-word-
+    expression audit.  Vocabulary-sized count tables, TakeOrdered."""
+    from xyzpy_spark.pipeline.ir import pmi_collocations
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5, top_k=20)
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords over the doc_id%20==0 slice
+    (pipeline/ir.tfidf_top_terms) — the cheap topic signal.  The rank
+    window partitions BY DOCUMENT (never global)."""
+    from xyzpy_spark.pipeline.ir import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 20 == 0
+    )
+    return tfidf_top_terms(docs, k=3)
+
+
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 BM25 hits for a fixed probe query
+    (pipeline/ir.bm25_search) — the leakage-hunting retrieval
+    primitive.  The token stream filters to the query's terms before
+    any shuffle; corpus-level stats broadcast."""
+    from xyzpy_spark.pipeline.ir import bm25_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_search(
+        docs, ["spark", "shuffle", "partition"], top_k=10
+    )
+
+
 def q_dedup_against(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus Jaccard dedup: the doc_id%10!=0 'new batch'
     loses every document that near-dups the %10==0 'existing' corpus,
@@ -1930,7 +2070,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # line.  tests/test_plans.py::test_rotation_discipline asserts every
 # queries() key is in exactly one of the two, the queue sits at
 # positions 51+, and the window newcomers come from last round's queue.
-ROTATION_QUEUE: list[str] = []
+ROTATION_QUEUE: list[str] = [
+    # round-5 additions, queued for the round-6 window: three more
+    # TPC-H-shaped relational queries (Q10/Q14/Q16) and the IR trio
+    # (pipeline/ir.py — PMI collocations, TF-IDF keywords, BM25)
+    "returned_item_losses",
+    "promo_revenue_share",
+    "supplier_part_variety",
+    "pmi_collocations",
+    "tfidf_top_terms",
+    "bm25_search",
+]
 
 ROTATION_HISTORY: dict[str, int] = {
     "pricing_summary": 1,
@@ -2205,6 +2355,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "mix_corpora": q_mix_corpora,
+        # ---- ROUND-6 ROTATION QUEUE (see ROTATION_QUEUE): never
+        # driver-hashed; strict-green locally ----
+        "returned_item_losses": q_returned_item_losses,
+        "promo_revenue_share": q_promo_revenue_share,
+        "supplier_part_variety": q_supplier_part_variety,
+        "pmi_collocations": q_pmi_collocations,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
     }
 
 
@@ -4179,6 +4337,168 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1999-01-01'
             GROUP BY n_name
+        """,
+        "returned_item_losses": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "promo_revenue_share": """
+            WITH j AS (
+                SELECT CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (1 - CAST(l_discount AS DECIMAL(18,2))) AS rev,
+                       p_type
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+            ), agg AS (
+                SELECT CAST(COALESCE(SUM(CASE WHEN p_type = 'PROMO'
+                                              THEN rev END), 0)
+                            AS DOUBLE) AS promo_revenue,
+                       CAST(SUM(rev) AS DOUBLE) AS total_revenue
+                FROM j
+            )
+            SELECT promo_revenue, total_revenue,
+                   FLOOR(100.0 * promo_revenue / total_revenue
+                         * 1000000.0 + 0.5) / 1000000.0
+                       AS promo_share_pct
+            FROM agg
+        """,
+        "supplier_part_variety": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
+              AND p_size IN (1, 5, 9, 13)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "pmi_collocations": r"""
+            WITH toks AS (
+                SELECT list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '') AS w
+                FROM documents WHERE text IS NOT NULL
+            ), uni AS (
+                SELECT word, COUNT(*) AS n_w FROM (
+                    SELECT unnest(w) AS word FROM toks)
+                GROUP BY word
+            ), pr AS (
+                SELECT string_split(p, chr(31))[1] AS w1,
+                       string_split(p, chr(31))[2] AS w2
+                FROM (
+                    SELECT unnest(list_transform(
+                        range(1, greatest(len(w) - 1, 0) + 1),
+                        i -> w[i] || chr(31) || w[i+1])) AS p
+                    FROM toks)
+            ), bi_all AS (
+                SELECT w1, w2, COUNT(*) AS n_pair
+                FROM pr GROUP BY w1, w2
+            ), tot AS (
+                SELECT (SELECT SUM(n_w) FROM uni) AS n_tok,
+                       (SELECT SUM(n_pair) FROM bi_all) AS n_bi
+            )
+            SELECT b.w1, b.w2,
+                   CAST(b.n_pair AS BIGINT) AS n_pair,
+                   FLOOR(ln((b.n_pair / t.n_bi)
+                            / ((ua.n_w / t.n_tok)
+                               * (ub.n_w / t.n_tok)))
+                         * 1000000.0 + 0.5) / 1000000.0 AS pmi
+            FROM bi_all b
+            JOIN uni ua ON b.w1 = ua.word
+            JOIN uni ub ON b.w2 = ub.word
+            CROSS JOIN tot t
+            WHERE b.n_pair >= 5
+            ORDER BY pmi DESC, b.w1 ASC, b.w2 ASC
+            LIMIT 20
+        """,
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '') AS w
+                FROM documents
+                WHERE text IS NOT NULL AND doc_id % 20 = 0
+            ), words AS (
+                SELECT doc_id, unnest(w) AS term FROM toks
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM words GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+            ), nd AS (
+                SELECT COUNT(DISTINCT doc_id) AS n FROM tf
+            ), scored AS (
+                SELECT tf.doc_id, tf.term,
+                       FLOOR(tf.tf * (ln((nd.n + 1.0)
+                                         / (dfreq.df_t + 1.0)) + 1.0)
+                             * 1000000.0 + 0.5) / 1000000.0 AS score
+                FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+            )
+            SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, score
+            FROM (
+                SELECT doc_id, term, score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY doc_id
+                           ORDER BY score DESC, term ASC) AS rank
+                FROM scored)
+            WHERE rank <= 3
+        """,
+        "bm25_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '') AS w
+                FROM documents WHERE text IS NOT NULL
+            ), dl AS (
+                SELECT doc_id, len(w) AS dl FROM toks
+            ), stats AS (
+                SELECT COUNT(*) AS n, AVG(dl) AS avgdl
+                FROM dl WHERE dl > 0
+            ), hits AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           w, t -> t IN ('partition', 'shuffle',
+                                         'spark'))) AS term
+                FROM toks
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM hits GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+            ), scored AS (
+                SELECT tf.doc_id,
+                       ln(1.0 + (s.n - d.df_t + 0.5) / (d.df_t + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25
+                                         + 0.75 * l.dl / s.avgdl)) AS sc
+                FROM tf
+                JOIN dfreq d USING (term)
+                JOIN dl l USING (doc_id)
+                CROSS JOIN stats s
+            )
+            SELECT doc_id,
+                   FLOOR(SUM(sc) * 1000000.0 + 0.5) / 1000000.0
+                       AS score
+            FROM scored GROUP BY doc_id
+            ORDER BY score DESC, doc_id ASC
+            LIMIT 10
         """,
         "dedup_against": r"""
             WITH toks AS (

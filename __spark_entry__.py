@@ -1759,6 +1759,66 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: per-linestatus counts of high- vs low-priority
+    orders shipped in one year — conditional aggregation over the
+    lineitem-orders join (orders grows with SF: no forced hint).  One
+    join shuffle + one two-group aggregation; the date filter pushes
+    to the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate")
+         >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate")
+           < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_priority_cnt"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_priority_cnt"),
+        )
+    )
+
+
+def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue from an OR of three brand/size/
+    quantity predicate bundles — the disjunctive-pushdown showcase
+    (each disjunct's part attributes AND lineitem quantity bounds
+    prune at their scans; the join key is the only coupling).  Part
+    grows with SF: AQE picks the join strategy."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
+    bundle = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.where(bundle).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent-bigram collocations by PMI with a min-count
     floor (pipeline/ir.pmi_collocations) — the corpus multi-word-
@@ -2080,6 +2140,10 @@ ROTATION_QUEUE: list[str] = [
     "pmi_collocations",
     "tfidf_top_terms",
     "bm25_search",
+    # two more relational shapes (Q12 conditional counts, Q19
+    # disjunctive predicate pushdown)
+    "shipmode_priority",
+    "discounted_revenue",
 ]
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -2363,6 +2427,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
+        "shipmode_priority": q_shipmode_priority,
+        "discounted_revenue": q_discounted_revenue,
     }
 
 
@@ -4337,6 +4403,37 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1999-01-01'
             GROUP BY n_name
+        """,
+        "shipmode_priority": """
+            SELECT l_linestatus,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_priority_cnt,
+                   CAST(SUM(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT)
+                       AS low_priority_cnt
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus
+        """,
+        "discounted_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1'
+                   AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#7'
+                   AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#13'
+                   AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
         "returned_item_losses": """
             SELECT c_custkey, c_name, n_name,

@@ -125,6 +125,8 @@ HEADLINE = [
     "pmi_collocations",
     "tfidf_top_terms",
     "bm25_search",
+    "shipmode_priority",
+    "discounted_revenue",
 ]
 
 

@@ -166,3 +166,35 @@ def test_langid_train_rejects_single_class(spark):
     )
     with pytest.raises(ValueError, match="two language"):
         train_langid_classifier(df)
+
+
+def test_save_load_langid_roundtrip(spark, langid_model, tmp_path):
+    """Artifact workflow: persisted model scores identically; a model
+    whose commit marker (intercepts/) is missing fails load loudly."""
+    import shutil
+
+    from xyzpy_spark.pipeline.text import load_langid, save_langid
+
+    _, test_df, weights, intercepts = langid_model
+    path = str(tmp_path / "langid")
+    save_langid(weights, intercepts, path)
+    w2, i2 = load_langid(spark, path)
+    assert i2 == intercepts
+    want = sorted(
+        (r["doc_id"], r["lang_pred"])
+        for r in score_langid_trained(
+            test_df, weights, intercepts
+        ).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["lang_pred"])
+        for r in score_langid_trained(test_df, w2, i2).collect()
+    )
+    assert got == want
+    # overwrite keeps working and loads the latest
+    save_langid(weights, {k: v + 1.0 for k, v in intercepts.items()}, path)
+    _, i3 = load_langid(spark, path)
+    assert i3 == {k: v + 1.0 for k, v in intercepts.items()}
+    shutil.rmtree(str(tmp_path / "langid" / "intercepts"))
+    with pytest.raises(Exception):
+        load_langid(spark, path)

@@ -1192,6 +1192,54 @@ def score_langid_trained(
     return df.join(pred, id_col, "left")
 
 
+def save_langid(
+    weights: DataFrame, intercepts: dict[str, float], path: str
+) -> None:
+    """Persist a trained language classifier (same artifact posture
+    as :func:`~xyzpy_spark.pipeline.lm.save_lm`: train once, serve
+    every snapshot).  Layout: a ``weights/`` parquet table and an
+    ``intercepts/`` JSON table — the intercepts table doubles as the
+    commit marker (``load_langid`` requires it), and an overwrite
+    deletes it FIRST so a crash mid-rewrite fails loudly instead of
+    pairing stale intercepts with new weights.  All writes go through
+    Spark's writers — S3/HDFS/local alike."""
+    import posixpath
+
+    spark = weights.sparkSession
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(
+        posixpath.join(path, "intercepts")
+    )
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        fs.delete(marker, True)
+    weights.write.mode("overwrite").parquet(
+        posixpath.join(path, "weights")
+    )
+    itab = spark.createDataFrame(
+        sorted((lang, float(v)) for lang, v in intercepts.items()),
+        "lang string, b0 double",
+    )
+    itab.coalesce(1).write.mode("overwrite").json(
+        posixpath.join(path, "intercepts")
+    )
+
+
+def load_langid(spark, path: str):
+    """Load a :func:`save_langid` model: ``(weights, intercepts)`` —
+    hand both to :func:`score_langid_trained`."""
+    import posixpath
+
+    itab = spark.read.json(posixpath.join(path, "intercepts"))
+    intercepts = {
+        r["lang"]: float(r["b0"]) for r in itab.collect()
+    }
+    return (
+        spark.read.parquet(posixpath.join(path, "weights")),
+        intercepts,
+    )
+
+
 def bloom_contamination_hits(
     train_df: DataFrame,
     eval_df: DataFrame,

@@ -2314,7 +2314,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # or ROTATION_QUEUE below).
     # ROUND-6 ROTATION QUEUE (never driver-hashed yet, strict-green
     # locally; rotate into the first-50 window next round):
-    # see _ROTATION_QUEUE at module scope.
+    # see ROTATION_QUEUE at module scope.
     return {
         "pricing_summary": q_pricing_summary,
         "gopher_rules": q_gopher_rules,
@@ -4479,8 +4479,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE p_brand <> 'Brand#9' AND p_type <> 'PROMO'
               AND p_size IN (1, 5, 9, 13)
-              AND l_suppkey NOT IN (
-                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              AND NOT EXISTS (
+                  SELECT 1 FROM supplier
+                  WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
             GROUP BY p_brand, p_type, p_size
             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         """,

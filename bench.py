@@ -234,6 +234,7 @@ def main() -> None:
     if build_timings:
         shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
 
+    end_load = _load()
     print(
         json.dumps(
             {
@@ -244,7 +245,9 @@ def main() -> None:
                 "sf": sf,
                 # the box is shared: interpret timings against this
                 "load_avg_at_start": load_avg,
-                "load_avg_at_end": _load() and round(_load(), 2),
+                "load_avg_at_end": (
+                    round(end_load, 2) if end_load is not None else None
+                ),
                 "load_max": load_max,
                 # rows whose every sample (incl. retries) saw load_avg
                 # above load_max — re-measure solo before reading a

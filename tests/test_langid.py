@@ -122,20 +122,21 @@ def test_langid_null_and_empty_text_predict_null(spark, langid_model):
 
 
 def test_langid_serving_plan_broadcasts_no_python(spark, langid_model):
-    """The 100-TB side: weight table broadcast (corpus text never
-    shuffles on the scoring path), all-JVM expressions — no Python
-    stage.  The only non-broadcast join allowed is the final per-doc
-    prediction attach (corpus-sized on both sides — a keyed
-    shuffle-join is the right plan there)."""
+    """The 100-TB side: weight table and language list broadcast
+    (corpus text never shuffles on the scoring path), all-JVM
+    expressions — no Python stage.  The only non-broadcast joins
+    allowed are doc-keyed: the (doc, lang) margin completion and the
+    final per-doc prediction attach (corpus-sized on both sides — a
+    keyed shuffle-join is the right plan there)."""
     from xyzpy_spark.plans.inspect import executed_plan
 
     _, test_df, weights, intercepts = langid_model
     plan = executed_plan(
         score_langid_trained(test_df, weights, intercepts)
     )
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Python" not in plan and "ArrowEval" not in plan
-    assert plan.count("SortMergeJoin") <= 1
+    assert plan.count("SortMergeJoin") <= 2
 
 
 def test_langid_featurization_frame_invariance(spark):
@@ -157,6 +158,39 @@ def test_langid_featurization_frame_invariance(spark):
         for r in hashed_char_ngram_buckets(b).collect()
     )
     assert fa == fb
+
+
+def test_langid_short_text_yields_no_ngrams(spark):
+    """Text shorter than n (and NULL / whitespace-only text) must
+    produce ZERO feature rows — Spark's sequence(1, 0) DESCENDS, so
+    the unguarded frame count fabricated truncated grams (and
+    hash(NULL) buckets) for short docs (r5 code-review finding)."""
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "ab"), (4, " \t "), (5, "abc")],
+        "doc_id LONG, text STRING",
+    )
+    rows = hashed_char_ngram_buckets(df, n=3).collect()
+    assert {r["doc_id"] for r in rows} == {5}
+    assert sum(r["cnt"] for r in rows) == 1  # exactly one trigram
+
+
+def test_langid_intercept_only_language_competes(spark):
+    """The serving argmax is over ALL languages: a language whose
+    weights never touch a document's buckets must still win when its
+    intercept dominates (r5 code-review finding — the weight join
+    used to drop it); and a doc whose buckets match no weights gets
+    the max-intercept language, not NULL."""
+    weights = spark.createDataFrame(
+        [("aa", 7, -1.0, 1 << 16, 3), ("bb", 9, -1.0, 1 << 16, 3)],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int",
+    )
+    intercepts = {"aa": 0.0, "bb": 0.0, "cc": 2.0}
+    df = spark.createDataFrame(
+        [(1, "whatever text this is")], "doc_id LONG, text STRING"
+    )
+    got = score_langid_trained(df, weights, intercepts).collect()[0]
+    assert got["lang_pred"] == "cc"
 
 
 def test_langid_train_rejects_single_class(spark):

@@ -2232,6 +2232,17 @@ def test_vocab_coverage_curve(spark):
     assert rows[100]["covered_tokens"] == 20
     assert rows[100]["coverage"] == 1.0
     assert rows[1]["n_types"] == 7 and rows[1]["total_tokens"] == 20
+    # k <= 0 covers nothing (r5 code-review: the cum_types >= k join
+    # is vacuously true for negative k and used to extrapolate
+    # negative mass; the rank-era contract returned 0)
+    zero = {
+        r["vocab_size"]: r
+        for r in vocab_coverage(df, vocab_sizes=[-5, 0, 3]).collect()
+    }
+    assert zero[-5]["covered_tokens"] == 0
+    assert zero[-5]["coverage"] == 0.0
+    assert zero[0]["covered_tokens"] == 0
+    assert zero[3]["covered_tokens"] == 16
 
 
 # -- HTML stripping (pipeline/text.strip_html) --------------------------

@@ -444,6 +444,12 @@ def vocab_coverage(
             ).alias("__cov")
         )
     )
+    # k <= 0 covers nothing (the cum_types >= k join is vacuously
+    # true there and would otherwise extrapolate NEGATIVE mass —
+    # the rank-based implementation returned 0, keep that contract)
+    cov_expr = F.when(
+        F.col("vocab_size") <= 0, F.lit(0)
+    ).otherwise(F.coalesce(F.col("__cov"), F.col("__tot"), F.lit(0)))
     return (
         covered.crossJoin(F.broadcast(totals))
         .select(
@@ -451,12 +457,9 @@ def vocab_coverage(
             F.coalesce(F.col("__types"), F.lit(0))
             .cast("long").alias("n_types"),
             F.col("__tot").cast("long").alias("total_tokens"),
-            F.coalesce(F.col("__cov"), F.col("__tot"), F.lit(0))
-            .cast("long").alias("covered_tokens"),
+            cov_expr.cast("long").alias("covered_tokens"),
             _round_det(
-                F.coalesce(F.col("__cov"), F.col("__tot"))
-                / F.col("__tot"),
-                round_places,
+                cov_expr / F.col("__tot"), round_places
             ).alias("coverage"),
         )
         .orderBy("vocab_size")

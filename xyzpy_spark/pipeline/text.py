@@ -888,7 +888,12 @@ def train_quality_classifier(
     feats = hashed_token_buckets(
         labeled, text_col, id_col=id_col, n_buckets=n_buckets
     )
-    rows = feats.collect()
+    # sort: collect() order follows partitioning, and the bincount
+    # accumulations add floats in row order — sorting makes retrains
+    # bit-identical across cluster layouts, as documented
+    rows = sorted(
+        feats.collect(), key=lambda r: (r[id_col], r["bucket"])
+    )
     labels = {
         r[id_col]: float(r[label_col])
         for r in labeled.select(id_col, label_col).collect()
@@ -1014,13 +1019,19 @@ def hashed_char_ngram_buckets(
     """
     nn = int(n)
     canon = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    grams = F.transform(
-        F.sequence(
-            F.lit(1),
-            F.greatest(F.length(canon) - F.lit(nn - 1), F.lit(0)),
+    # guard the frame count: Spark's sequence(1, stop) DESCENDS when
+    # stop < 1 (sequence(1, 0) = [1, 0]), which would fabricate
+    # truncated grams for text shorter than n — and hash(NULL) grams
+    # for NULL text.  Shorter-than-n / NULL text must yield NO rows.
+    grams = F.when(
+        F.length(canon) >= F.lit(nn),
+        F.transform(
+            F.sequence(
+                F.lit(1), F.length(canon) - F.lit(nn - 1)
+            ),
+            lambda i: F.substring(canon, i, nn),
         ),
-        lambda i: F.substring(canon, i, nn),
-    )
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__g"))
         .select(
@@ -1073,7 +1084,12 @@ def train_langid_classifier(
     feats = hashed_char_ngram_buckets(
         labeled, text_col, id_col=id_col, n=ngram, n_buckets=n_buckets
     )
-    rows = feats.collect()
+    # sort: collect() order follows partitioning, and np.add.at adds
+    # floats in row order — without the sort, "deterministic" would
+    # only hold for a fixed cluster layout
+    rows = sorted(
+        feats.collect(), key=lambda r: (r[id_col], r["bucket"])
+    )
     labels = {
         r[id_col]: str(r[label_col])
         for r in labeled.select(id_col, label_col).collect()
@@ -1146,38 +1162,53 @@ def score_langid_trained(
     Plan shape: one corpus scan into hashed char-n-gram counts
     (JVM-only expressions), BROADCAST join against the weight table
     (KB-MB for tens of languages — the corpus never shuffles its
-    text), a partial-aggregated ``(doc, lang)`` margin sum, then a
-    deterministic ``max_by`` argmax per document (ties broken by
-    lexicographically smallest language so scoring is
-    engine-portable).  Documents with no n-grams (NULL/empty text)
-    get a NULL prediction rather than an arbitrary language.
+    text), a partial-aggregated ``(doc, lang)`` margin sum completed
+    to EVERY language via a broadcast language-list cross join (an
+    intercept-only language must still compete in the argmax — the
+    softmax argmax is over all classes, not just those with weighted
+    buckets on this document), then a deterministic ``min_by`` argmax
+    per document (ties broken by lexicographically smallest language
+    so scoring is engine-portable).  Documents with no n-grams
+    (NULL / empty / shorter-than-n text) get a NULL prediction
+    rather than an arbitrary language.
     """
     meta = weights.select("n_buckets", "ngram").first()
     if meta is None:
         raise ValueError("empty weight table")
     n_buckets, ngram = int(meta["n_buckets"]), int(meta["ngram"])
     wtab = weights.select("lang", "bucket", "weight")
+    spark = df.sparkSession
     if intercepts:
         items = sorted(intercepts.items())
-        spark = df.sparkSession
-        itab = spark.createDataFrame(
+        langs = spark.createDataFrame(
             [(lang, float(v)) for lang, v in items],
             "lang string, b0 double",
         )
     else:
-        itab = None
+        langs = wtab.select("lang").distinct().withColumn(
+            "b0", F.lit(0.0)
+        )
     feats = hashed_char_ngram_buckets(
         df, text_col, id_col=id_col, n=ngram, n_buckets=n_buckets
     )
-    margins = (
+    wsums = (
         feats.join(F.broadcast(wtab), "bucket")
         .groupBy(id_col, "lang")
-        .agg(F.sum(F.col("cnt") * F.col("weight")).alias("__m"))
+        .agg(F.sum(F.col("cnt") * F.col("weight")).alias("__w"))
     )
-    if itab is not None:
-        margins = margins.join(F.broadcast(itab), "lang").select(
-            id_col, "lang", (F.col("__m") + F.col("b0")).alias("__m")
+    margins = (
+        feats.select(id_col)
+        .distinct()
+        .crossJoin(F.broadcast(langs))
+        .join(wsums, [id_col, "lang"], "left")
+        .select(
+            id_col,
+            "lang",
+            (
+                F.coalesce("__w", F.lit(0.0)) + F.col("b0")
+            ).alias("__m"),
         )
+    )
     # argmax margin, ties to the lexicographically smallest language:
     # min_by over the struct (-margin, lang) — struct ordering is
     # field-by-field, so this is deterministic and engine-portable

@@ -1935,6 +1935,53 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs, vocab_sizes=(100, 1000, 10000))
 
 
+def q_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator through the REAL engine:
+    per-event-type Welford statistics maintained explicitly across
+    triggers via ``applyInPandasWithState`` (streaming/ops.py
+    stateful_running_stats — the template for operators Spark's
+    built-in aggregates cannot express), run to completion with
+    ``availableNow`` into an update-mode memory sink.  Each key's
+    FINAL emitted row (max count — counts grow monotonically, so the
+    pick is deterministic whatever the trigger split) must equal the
+    batch statistics over the whole table, which is exactly what the
+    SQL oracle computes.  Stats floor-canonicalize at 4 decimals:
+    the Chan moment-merge accumulates in stream order and the oracle
+    in engine order, and the coarser canon keeps the sub-ulp
+    accumulation spread orders of magnitude away from a rounding
+    boundary (same contract family as the LM oracles, wider margin).
+    """
+    _ship(spark)
+    from xyzpy_spark.streaming.ops import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_running_stats,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    stats = stateful_running_stats(ev, var="value", by=("event_type",))
+    out = run_stream_to_memory(
+        stats, "q_stream_stateful_stats", output_mode="update"
+    )
+    final = out.groupBy("event_type").agg(
+        F.max_by(
+            F.struct("count", "mean", "std", "err"), F.col("count")
+        ).alias("__s")
+    )
+    scale = F.lit(10000.0)
+
+    def canon(c):
+        return F.floor(c * scale + F.lit(0.5)) / scale
+
+    return final.select(
+        "event_type",
+        F.col("__s.count").cast("long").alias("n"),
+        canon(F.col("__s.mean")).alias("mean"),
+        canon(F.col("__s.std")).alias("std"),
+        canon(F.col("__s.err")).alias("err"),
+    )
+
+
 def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming corpus curation through the REAL streaming engine:
     the stateless stages (quality rule stack + blocklist) applied to
@@ -2144,6 +2191,9 @@ ROTATION_QUEUE: list[str] = [
     # disjunctive predicate pushdown)
     "shipmode_priority",
     "discounted_revenue",
+    # the custom stateful streaming operator (applyInPandasWithState
+    # Welford), driver-gated with an exact batch-SQL oracle
+    "stream_stateful_stats",
 ]
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -2429,6 +2479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "shipmode_priority": q_shipmode_priority,
         "discounted_revenue": q_discounted_revenue,
+        "stream_stateful_stats": q_stream_stateful_stats,
     }
 
 
@@ -4403,6 +4454,18 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate >= TIMESTAMP '1996-01-01'
               AND o_orderdate < TIMESTAMP '1999-01-01'
             GROUP BY n_name
+        """,
+        "stream_stateful_stats": """
+            SELECT event_type,
+                   CAST(COUNT(value) AS BIGINT) AS n,
+                   FLOOR(AVG(value) * 10000.0 + 0.5) / 10000.0
+                       AS mean,
+                   FLOOR(STDDEV_SAMP(value) * 10000.0 + 0.5) / 10000.0
+                       AS std,
+                   FLOOR(STDDEV_SAMP(value) / SQRT(COUNT(value))
+                         * 10000.0 + 0.5) / 10000.0 AS err
+            FROM events
+            GROUP BY event_type
         """,
         "shipmode_priority": """
             SELECT l_linestatus,

@@ -127,6 +127,7 @@ HEADLINE = [
     "bm25_search",
     "shipmode_priority",
     "discounted_revenue",
+    "stream_stateful_stats",
 ]
 
 

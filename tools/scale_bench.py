@@ -89,6 +89,21 @@ HEAVY = [
     "chunk_documents",
     "mixture_weights",
     "vocab_coverage",
+    # round-5 additions: the relational shapes (now that build_scaled
+    # replicates the TPC-H tables with consistent foreign keys), the
+    # IR trio, and the stateful streaming operator
+    "shipping_priority",
+    "local_supplier_volume",
+    "small_quantity_revenue",
+    "returned_item_losses",
+    "promo_revenue_share",
+    "supplier_part_variety",
+    "shipmode_priority",
+    "discounted_revenue",
+    "pmi_collocations",
+    "tfidf_top_terms",
+    "bm25_search",
+    "stream_stateful_stats",
 ]
 
 REP = "_rep"
@@ -186,6 +201,53 @@ def build_scaled(spark, src: str, out: str, mult: int) -> None:
     cust.repartition(8).write.mode("overwrite").parquet(
         os.path.join(out, "customer.parquet")
     )
+
+    # TPC-H fact/dim tables for the relational queries: replicas get
+    # disjoint key spaces with CONSISTENT foreign keys (an order's
+    # replica joins its customer's replica, a lineitem's its part's
+    # and supplier's), so join fan-out and group counts scale ~mult
+    # while per-key densities stay constant.  Dates/attributes are
+    # untouched — filters select the same fraction of every replica.
+    orders = spark.read.parquet(os.path.join(src, "orders.parquet"))
+    orders = _replicate(
+        orders, mult,
+        {"o_orderkey": 1_000_000_000, "o_custkey": 10_000_000},
+    ).drop(REP)
+    orders.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "orders.parquet")
+    )
+
+    li = spark.read.parquet(os.path.join(src, "lineitem.parquet"))
+    li = _replicate(
+        li, mult,
+        {
+            "l_orderkey": 1_000_000_000,
+            "l_partkey": 10_000_000,
+            "l_suppkey": 1_000_000,
+        },
+    ).drop(REP)
+    li.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+
+    part = spark.read.parquet(os.path.join(src, "part.parquet"))
+    part = _replicate(part, mult, {"p_partkey": 10_000_000}).drop(REP)
+    part.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out, "part.parquet")
+    )
+
+    supp = spark.read.parquet(os.path.join(src, "supplier.parquet"))
+    supp = _replicate(supp, mult, {"s_suppkey": 1_000_000}).drop(REP)
+    supp.repartition(8).write.mode("overwrite").parquet(
+        os.path.join(out, "supplier.parquet")
+    )
+
+    # constant-size dims copy through unchanged (replica keys point at
+    # the same 25 nations / 5 regions)
+    for dim in ("nation", "region"):
+        spark.read.parquet(os.path.join(src, f"{dim}.parquet")).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"{dim}.parquet"))
 
 
 def _time_query(spark, fn, sf_dir: str, runs: int) -> float:

@@ -1464,6 +1464,271 @@ def q_lm_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_ngram_nll(rest, contexts, ngrams, vocab, n=3)
 
 
+# Frozen 5-language classifier for the q_langid_trained contract query
+# — the langid analog of _FROZEN_MERGES: trained ONCE (hashed
+# char-trigram multinomial, pipeline/text.train_langid_classifier, on
+# a seeded 12-docs-per-language fixture drawn from the package's own
+# LANG_STOPWORDS lists; n_buckets=4096, hash_fn='md5' so the bucket
+# function is engine-portable, weight_decimals=4, |w|>=0.02 pruned)
+# and shipped as a literal artifact.  Serving is pure table math
+# (bucket join + margin sum + argmax), so with the weights frozen the
+# whole scoring path is SQL-expressible and the driver gate verifies
+# the REAL score_langid_trained implementation hash-exactly.  The
+# production 28-language murmur3 model stays pytest-gated
+# (tests/test_langid.py) — murmur3 has no DuckDB twin.
+# Encoding: "lang:bucket:weight" triples joined by ';'.
+_LANGID_FROZEN_WEIGHTS = (
+    "de:45:-0.0603;de:57:-0.0815;de:59:-0.1445;de:62:1.2625;de:90:-0.1114;"
+    "de:94:-0.0837;de:114:-0.1161;de:121:-0.1028;de:123:-0.224;"
+    "de:137:-0.3543;de:152:-0.3666;de:172:0.8831;de:199:-0.0975;de:226:0.945;"
+    "de:255:-0.0302;de:313:-0.0344;de:320:-0.0707;de:323:0.103;"
+    "de:340:-0.1293;de:360:-0.0394;de:473:0.4016;de:589:-0.0696;"
+    "de:591:-0.0498;de:598:-0.0428;de:599:-0.0582;de:619:-0.2653;"
+    "de:630:-0.5343;de:649:-0.1184;de:668:-0.0411;de:678:1.1532;"
+    "de:690:-0.4994;de:697:-0.1567;de:712:-0.3018;de:719:0.1029;"
+    "de:742:0.2913;de:751:0.945;de:807:-0.1996;de:843:-0.0955;de:851:-0.0947;"
+    "de:925:-0.0377;de:988:-0.095;de:1011:0.2007;de:1014:0.1755;"
+    "de:1040:-0.0948;de:1064:0.2855;de:1095:-0.3393;de:1100:0.2768;"
+    "de:1102:-0.1737;de:1111:-0.0772;de:1115:0.8831;de:1117:-0.255;"
+    "de:1135:0.8831;de:1164:-0.3358;de:1185:1.1023;de:1198:-0.1173;"
+    "de:1199:0.1481;de:1209:-0.4189;de:1286:0.0505;de:1313:0.034;"
+    "de:1317:0.2259;de:1329:0.2875;de:1338:-0.0911;de:1375:-0.2721;"
+    "de:1413:-0.0878;de:1440:-0.1668;de:1482:-0.1411;de:1512:0.2751;"
+    "de:1516:-0.0472;de:1519:0.0445;de:1535:-0.5164;de:1542:-0.0536;"
+    "de:1551:-0.0209;de:1554:0.2052;de:1555:1.0027;de:1567:-0.0473;"
+    "de:1584:-0.0753;de:1585:-0.4021;de:1603:0.1057;de:1632:-0.0807;"
+    "de:1645:-0.224;de:1705:0.3795;de:1717:-0.1927;de:1729:-0.0329;"
+    "de:1731:1.2027;de:1733:-0.0521;de:1736:-0.318;de:1747:1.0027;"
+    "de:1806:-0.205;de:1812:0.0236;de:1836:-0.0209;de:1884:-0.1805;"
+    "de:1887:-0.3616;de:1889:0.9352;de:1898:-0.1658;de:1917:-0.245;"
+    "de:1922:1.1848;de:1943:0.1562;de:1949:-0.0231;de:1955:-0.1133;"
+    "de:1973:-0.3447;de:1992:-0.1106;de:2013:-0.0959;de:2015:-0.2188;"
+    "de:2020:-0.3196;de:2024:-0.2175;de:2032:-0.4444;de:2035:-0.1808;"
+    "de:2039:-0.1953;de:2107:-0.0651;de:2115:-0.0535;de:2117:-0.0218;"
+    "de:2128:-0.0329;de:2145:-0.3721;de:2149:-0.1826;de:2214:-0.058;"
+    "de:2219:0.8065;de:2288:-0.2142;de:2347:-0.1572;de:2375:-0.0452;"
+    "de:2425:-0.1638;de:2453:-0.2451;de:2455:-0.0794;de:2457:-0.1693;"
+    "de:2466:0.5916;de:2477:-0.0937;de:2483:-0.0751;de:2526:0.2734;"
+    "de:2547:1.152;de:2594:-0.0453;de:2595:0.0954;de:2599:0.7461;"
+    "de:2610:-0.0581;de:2616:-0.1203;de:2621:-0.0306;de:2638:0.3161;"
+    "de:2644:-0.0492;de:2671:-0.0718;de:2772:0.0966;de:2793:-0.0492;"
+    "de:2820:-0.0512;de:2822:-0.3396;de:2830:-0.3564;de:2831:0.1258;"
+    "de:2832:-0.136;de:3007:-0.0625;de:3019:-0.2431;de:3020:-0.0763;"
+    "de:3056:-0.2336;de:3080:-0.0901;de:3081:0.8686;de:3082:0.945;"
+    "de:3096:-0.4331;de:3111:-0.0522;de:3117:-0.0863;de:3129:-0.0816;"
+    "de:3134:-0.0269;de:3160:0.3573;de:3171:0.2387;de:3188:0.302;"
+    "de:3195:1.1015;de:3230:-0.0231;de:3272:-0.1409;de:3273:-0.0752;"
+    "de:3284:-0.0618;de:3298:-0.3086;de:3332:-0.1934;de:3352:-0.0714;"
+    "de:3386:-0.2613;de:3392:-0.3647;de:3406:-0.0445;de:3413:0.945;"
+    "de:3414:0.037;de:3418:-0.283;de:3431:-0.1155;de:3438:-0.2175;"
+    "de:3514:-0.1251;de:3535:-0.4195;de:3540:-0.0852;de:3580:0.2313;"
+    "de:3616:-0.207;de:3705:-0.415;de:3719:-0.1561;de:3720:-0.2721;"
+    "de:3748:0.0534;de:3755:0.6955;de:3759:-0.144;de:3805:-0.3529;"
+    "de:3811:-0.224;de:3837:-0.2832;de:3921:-0.0488;de:3922:-0.2721;"
+    "de:3930:-0.2545;de:3966:-0.0738;de:3973:-0.219;de:4014:-0.0581;"
+    "de:4047:-0.0641;de:4081:0.6892;de:4087:-0.1648;en:45:0.2176;"
+    "en:57:-0.0918;en:59:0.527;en:62:-0.3427;en:90:-0.125;en:94:-0.0736;"
+    "en:114:-0.1288;en:121:-0.0984;en:123:0.8285;en:137:-0.3307;"
+    "en:152:1.3214;en:172:-0.2327;en:199:-0.0913;en:226:-0.254;en:255:0.106;"
+    "en:313:0.1227;en:320:-0.0635;en:323:-0.0266;en:340:-0.145;en:360:0.5676;"
+    "en:473:0.6845;en:589:-0.0789;en:591:-0.0557;en:598:-0.0482;"
+    "en:599:0.2064;en:619:-0.2471;en:630:-0.4871;en:649:0.4333;"
+    "en:668:-0.0457;en:678:-0.3148;en:690:-0.4588;en:697:-0.1408;"
+    "en:712:1.0848;en:719:-0.0274;en:742:-0.3613;en:751:-0.254;"
+    "en:807:-0.1888;en:812:0.3785;en:843:-0.1057;en:851:-0.0893;"
+    "en:925:-0.0358;en:988:0.3336;en:1011:-0.0516;en:1014:-0.0465;"
+    "en:1040:0.337;en:1064:-0.0785;en:1095:1.2268;en:1100:-0.0956;"
+    "en:1102:-0.165;en:1111:0.2847;en:1115:-0.2327;en:1117:-0.2409;"
+    "en:1135:-0.2327;en:1164:1.2259;en:1185:-0.3014;en:1198:-0.108;"
+    "en:1199:-0.0922;en:1209:-0.4677;en:1264:0.0484;en:1313:-0.0343;"
+    "en:1317:1.0163;en:1329:-0.1322;en:1338:-0.103;en:1375:-0.2579;"
+    "en:1413:-0.0977;en:1440:-0.1595;en:1482:0.5075;en:1512:-0.0763;"
+    "en:1516:0.1674;en:1535:-0.4868;en:1542:-0.048;en:1554:-0.0524;"
+    "en:1555:-0.2768;en:1567:-0.0435;en:1584:0.2723;en:1585:-0.4521;"
+    "en:1603:-0.0287;en:1632:-0.0904;en:1645:0.8285;en:1675:-0.0659;"
+    "en:1705:-0.845;en:1717:-0.1762;en:1729:-0.0322;en:1731:-0.3987;"
+    "en:1733:-0.0589;en:1736:1.1616;en:1747:-0.2768;en:1806:-0.1925;"
+    "en:1812:-0.1102;en:1884:-0.1704;en:1887:1.3082;en:1889:-0.2653;"
+    "en:1898:-0.1568;en:1917:-0.2348;en:1922:-0.3419;en:1943:0.1768;"
+    "en:1949:-0.0217;en:1955:-0.1274;en:1973:-0.3192;en:1992:-0.1252;"
+    "en:2013:0.3579;en:2015:-0.2005;en:2020:1.1649;en:2024:-0.1997;"
+    "en:2032:-0.4235;en:2035:-0.1639;en:2039:-0.1835;en:2107:-0.0737;"
+    "en:2115:-0.0598;en:2117:-0.0208;en:2128:-0.0374;en:2145:-0.3374;"
+    "en:2149:-0.1757;en:2214:-0.0655;en:2219:0.6589;en:2288:-0.2022;"
+    "en:2347:-0.1756;en:2375:-0.0427;en:2425:-0.1494;en:2453:-0.2291;"
+    "en:2455:-0.0891;en:2457:-0.1629;en:2466:-0.176;en:2477:-0.0862;"
+    "en:2483:-0.069;en:2526:-0.0795;en:2527:0.064;en:2547:-0.3148;"
+    "en:2576:0.0548;en:2594:0.3334;en:2595:0.298;en:2599:-0.5111;"
+    "en:2610:-0.0656;en:2616:0.4356;en:2621:-0.0302;en:2638:-0.0879;"
+    "en:2644:0.1818;en:2671:-0.08;en:2772:-0.026;en:2793:-0.0466;"
+    "en:2820:-0.0484;en:2822:1.2326;en:2830:-0.3204;en:2831:-0.0329;"
+    "en:2832:-0.1235;en:3007:-0.0557;en:3019:0.8816;en:3020:-0.0854;"
+    "en:3056:-0.2126;en:3062:-0.0205;en:3080:-0.1005;en:3081:-0.233;"
+    "en:3082:-0.254;en:3096:-0.4846;en:3111:-0.0584;en:3117:-0.0808;"
+    "en:3129:-0.0733;en:3134:-0.0307;en:3160:-0.2738;en:3171:-0.0674;"
+    "en:3188:-0.2498;en:3195:-0.3018;en:3230:-0.0217;en:3272:-0.1359;"
+    "en:3273:0.28;en:3284:0.2239;en:3298:1.1153;en:3332:-0.2157;"
+    "en:3352:-0.0793;en:3386:-0.2476;en:3392:-0.4081;en:3406:-0.0418;"
+    "en:3413:-0.254;en:3414:0.1157;en:3418:-0.2665;en:3431:0.4252;"
+    "en:3438:-0.1997;en:3514:-0.1392;en:3535:-0.469;en:3540:0.3161;"
+    "en:3580:-0.0612;en:3616:-0.1937;en:3705:-0.4662;en:3719:-0.1745;"
+    "en:3720:-0.2579;en:3748:-0.0814;en:3755:-0.2006;en:3759:0.533;"
+    "en:3805:-0.3269;en:3811:0.8285;en:3837:1.0429;en:3921:0.1775;"
+    "en:3922:-0.2579;en:3926:-0.0205;en:3930:-0.2384;en:3940:0.0598;"
+    "en:3966:-0.0684;en:3973:-0.2055;en:4014:-0.0647;en:4047:-0.0603;"
+    "en:4081:-0.1906;en:4087:-0.1582;es:45:-0.0517;es:57:-0.0848;"
+    "es:59:-0.1256;es:62:-0.3255;es:90:-0.1157;es:94:0.3378;es:114:-0.1202;"
+    "es:121:0.0223;es:123:-0.1986;es:137:1.4548;es:152:-0.3137;"
+    "es:172:-0.2298;es:199:0.4034;es:226:-0.2443;es:235:0.0593;"
+    "es:255:-0.0249;es:313:-0.029;es:320:0.3018;es:323:-0.0266;"
+    "es:340:-0.1343;es:360:-0.1767;es:473:-0.3707;es:589:-0.0726;"
+    "es:591:-0.0517;es:598:-0.0445;es:599:-0.0486;es:619:1.0983;"
+    "es:630:1.0533;es:649:-0.1034;es:668:-0.0426;es:678:-0.2991;"
+    "es:690:0.9077;es:697:0.5223;es:712:-0.2571;es:719:-0.0277;"
+    "es:742:-0.4423;es:751:-0.2443;es:807:0.8286;es:812:-0.1302;"
+    "es:843:-0.0988;es:851:0.0817;es:925:0.1498;es:988:-0.0783;"
+    "es:1011:-0.0532;es:1014:-0.0457;es:1040:-0.0795;es:1064:-0.0733;"
+    "es:1095:-0.2917;es:1111:-0.0681;es:1115:-0.2298;es:1117:-0.3416;"
+    "es:1135:-0.2298;es:1164:-0.2925;es:1185:-0.2858;es:1198:0.2813;"
+    "es:1199:-0.1104;es:1209:-0.4345;es:1313:-0.0383;es:1317:-0.4169;"
+    "es:1329:-0.0273;es:1338:-0.0949;es:1375:-0.3902;es:1412:0.0593;"
+    "es:1413:-0.091;es:1440:0.6936;es:1482:-0.1203;es:1512:-0.0684;"
+    "es:1516:-0.0394;es:1535:0.7445;es:1542:0.209;es:1551:0.0884;"
+    "es:1554:-0.0535;es:1555:-0.2599;es:1567:0.1867;es:1584:-0.0648;"
+    "es:1585:-0.4181;es:1603:-0.0261;es:1632:-0.0838;es:1645:-0.1986;"
+    "es:1675:-0.0815;es:1705:1.0843;es:1717:-0.2794;es:1729:-0.0601;"
+    "es:1731:-0.4109;es:1733:-0.0543;es:1736:-0.2771;es:1747:-0.2599;"
+    "es:1806:-0.2783;es:1812:-0.1253;es:1836:0.0884;es:1884:-0.0501;"
+    "es:1887:-0.311;es:1889:-0.2376;es:1898:0.1621;es:1917:-0.3305;"
+    "es:1922:-0.2988;es:1943:-0.1134;es:1949:0.0905;es:1955:-0.1178;"
+    "es:1973:1.3675;es:1992:-0.1153;es:2013:-0.0861;es:2015:0.8928;"
+    "es:2020:-0.2775;es:2024:-0.316;es:2032:-0.5707;es:2035:0.1816;"
+    "es:2039:-0.2683;es:2107:-0.0679;es:2115:-0.0555;es:2117:-0.0263;"
+    "es:2128:-0.0343;es:2145:1.5157;es:2149:0.7642;es:2214:-0.0604;"
+    "es:2219:-0.5018;es:2288:-0.2896;es:2347:-0.1631;es:2375:0.1853;"
+    "es:2425:0.6763;es:2453:0.3293;es:2455:-0.0825;es:2457:0.7058;"
+    "es:2466:-0.172;es:2477:0.368;es:2483:-0.1056;es:2487:0.0554;"
+    "es:2526:-0.0678;es:2547:-0.2962;es:2594:-0.0955;es:2595:-0.1322;"
+    "es:2599:0.7936;es:2610:-0.0605;es:2616:-0.1035;es:2621:0.1299;"
+    "es:2638:-0.0804;es:2644:-0.0436;es:2671:-0.0744;es:2772:-0.0251;"
+    "es:2793:-0.0698;es:2820:0.2094;es:2822:-0.2934;es:2830:1.4501;"
+    "es:2831:-0.0325;es:2832:0.5375;es:3007:0.2445;es:3019:-0.2096;"
+    "es:3020:-0.0792;es:3056:0.963;es:3080:-0.0934;es:3081:-0.2243;"
+    "es:3082:-0.2443;es:3096:-0.4496;es:3111:-0.0542;es:3117:0.3503;"
+    "es:3129:0.3227;es:3134:-0.0281;es:3160:-0.308;es:3171:-0.0619;"
+    "es:3195:-0.2828;es:3230:0.0905;es:3273:-0.0674;es:3284:-0.0534;"
+    "es:3298:-0.2648;es:3332:-0.2005;es:3352:-0.0739;es:3386:-0.3242;"
+    "es:3392:-0.3786;es:3406:0.1836;es:3413:-0.2443;es:3414:-0.052;"
+    "es:3418:-0.3519;es:3431:-0.1016;es:3438:-0.316;es:3514:-0.1296;"
+    "es:3535:-0.4353;es:3540:-0.076;es:3580:-0.0609;es:3616:-0.3093;"
+    "es:3705:-0.4314;es:3719:-0.162;es:3720:-0.3902;es:3748:0.2114;"
+    "es:3755:-0.1778;es:3759:-0.1277;es:3805:1.4438;es:3811:-0.1986;"
+    "es:3837:-0.2495;es:3921:-0.0422;es:3922:-0.3902;es:3930:0.3558;"
+    "es:3966:0.3051;es:3973:-0.3256;es:4014:-0.0602;es:4047:0.253;"
+    "es:4081:-0.1751;es:4087:-0.2259;fr:45:-0.0488;fr:57:-0.0792;"
+    "fr:59:-0.1178;fr:62:-0.2943;fr:90:-0.1084;fr:94:-0.1049;fr:114:-0.1133;"
+    "fr:121:0.2795;fr:123:-0.1867;fr:137:-0.431;fr:152:-0.2954;"
+    "fr:172:-0.2094;fr:199:-0.1212;fr:226:-0.2223;fr:255:-0.0234;"
+    "fr:313:-0.0273;fr:320:-0.1024;fr:323:-0.0247;fr:340:-0.1258;"
+    "fr:360:-0.1643;fr:473:-0.3436;fr:589:-0.0676;fr:591:-0.0485;"
+    "fr:598:-0.0416;fr:599:-0.0453;fr:619:-0.3328;fr:630:0.4675;"
+    "fr:649:-0.0971;fr:668:-0.0401;fr:678:-0.2755;fr:690:0.5207;"
+    "fr:697:-0.0805;fr:712:-0.2412;fr:719:-0.0232;fr:742:0.8513;"
+    "fr:751:-0.2223;fr:807:-0.2469;fr:812:-0.1229;fr:843:-0.0932;"
+    "fr:851:0.1936;fr:925:-0.0395;fr:988:-0.0733;fr:1011:-0.0485;"
+    "fr:1014:-0.0409;fr:1040:-0.0746;fr:1064:-0.0676;fr:1095:-0.2747;"
+    "fr:1100:-0.0878;fr:1102:0.4881;fr:1111:-0.064;fr:1115:-0.2094;"
+    "fr:1117:1.0842;fr:1135:-0.2094;fr:1164:-0.2752;fr:1185:-0.2631;"
+    "fr:1198:0.0548;fr:1199:0.1369;fr:1209:-0.408;fr:1313:0.0703;"
+    "fr:1317:-0.3929;fr:1338:-0.0885;fr:1375:1.184;fr:1413:-0.0856;"
+    "fr:1440:-0.2039;fr:1482:-0.113;fr:1512:-0.0663;fr:1516:-0.0367;"
+    "fr:1535:0.7569;fr:1542:-0.0581;fr:1551:-0.029;fr:1554:-0.0482;"
+    "fr:1555:-0.2325;fr:1567:-0.0514;fr:1584:-0.0613;fr:1585:-0.3911;"
+    "fr:1603:-0.0251;fr:1632:-0.0786;fr:1645:-0.1867;fr:1675:0.1961;"
+    "fr:1705:0.1934;fr:1717:0.8287;fr:1729:0.1582;fr:1731:-0.0463;"
+    "fr:1733:-0.0506;fr:1736:-0.2607;fr:1747:-0.2325;fr:1806:0.8729;"
+    "fr:1812:0.3145;fr:1836:-0.029;fr:1884:0.5753;fr:1887:-0.2926;"
+    "fr:1889:-0.2165;fr:1898:0.3211;fr:1917:1.0507;fr:1922:-0.2737;"
+    "fr:1943:-0.1041;fr:1949:-0.0233;fr:1955:-0.1102;fr:1973:-0.376;"
+    "fr:1992:-0.1074;fr:2013:-0.0807;fr:2015:-0.2679;fr:2020:-0.2602;"
+    "fr:2024:0.9377;fr:2032:1.8718;fr:2035:0.331;fr:2039:0.835;"
+    "fr:2107:-0.0633;fr:2115:-0.0521;fr:2117:0.0902;fr:2128:-0.0319;"
+    "fr:2145:-0.4605;fr:2149:-0.226;fr:2214:-0.0564;fr:2219:-0.4641;"
+    "fr:2288:0.9131;fr:2347:-0.1531;fr:2375:-0.0538;fr:2425:-0.21;"
+    "fr:2453:0.3797;fr:2455:-0.0773;fr:2457:-0.2069;fr:2466:-0.0907;"
+    "fr:2477:-0.0996;fr:2483:0.3205;fr:2526:-0.0622;fr:2547:-0.2692;"
+    "fr:2594:-0.0894;fr:2595:-0.1236;fr:2599:-0.5546;fr:2610:-0.0564;"
+    "fr:2616:-0.0974;fr:2621:-0.0383;fr:2638:-0.0757;fr:2644:-0.0408;"
+    "fr:2671:-0.07;fr:2772:-0.0225;fr:2793:0.2132;fr:2820:-0.0603;"
+    "fr:2822:-0.2761;fr:2830:-0.4448;fr:2831:-0.0317;fr:2832:-0.1513;"
+    "fr:3007:-0.0693;fr:3019:-0.1966;fr:3020:-0.0743;fr:3056:-0.2988;"
+    "fr:3080:-0.0877;fr:3081:-0.2048;fr:3082:-0.2223;fr:3088:0.0485;"
+    "fr:3096:-0.4216;fr:3111:-0.0508;fr:3117:-0.1005;fr:3129:-0.0927;"
+    "fr:3134:-0.0261;fr:3160:0.4754;fr:3171:-0.0555;fr:3188:0.2044;"
+    "fr:3195:-0.2573;fr:3230:-0.0233;fr:3272:0.4232;fr:3273:-0.0636;"
+    "fr:3284:-0.0505;fr:3298:-0.2482;fr:3332:-0.1884;fr:3352:-0.0696;"
+    "fr:3386:1.0866;fr:3392:-0.3551;fr:3406:-0.0545;fr:3413:-0.2223;"
+    "fr:3414:-0.0491;fr:3418:1.1742;fr:3431:-0.0951;fr:3438:0.9377;"
+    "fr:3514:-0.1219;fr:3535:-0.4085;fr:3540:-0.0717;fr:3580:-0.0542;"
+    "fr:3616:0.9084;fr:3705:-0.4037;fr:3719:-0.152;fr:3720:1.184;"
+    "fr:3748:-0.1003;fr:3755:-0.1616;fr:3759:-0.1197;fr:3805:-0.4292;"
+    "fr:3811:-0.1867;fr:3837:-0.2341;fr:3921:-0.0395;fr:3922:1.184;"
+    "fr:3930:0.3814;fr:3966:-0.0929;fr:3973:0.9606;fr:4014:-0.0567;"
+    "fr:4047:-0.0664;fr:4081:-0.1658;fr:4087:0.7109;zh:45:-0.0568;"
+    "zh:57:0.3372;zh:59:-0.1391;zh:62:-0.3001;zh:90:0.4604;zh:94:-0.0755;"
+    "zh:114:0.4783;zh:121:-0.1006;zh:123:-0.2193;zh:137:-0.3387;"
+    "zh:152:-0.3456;zh:172:-0.2112;zh:199:-0.0934;zh:226:-0.2244;"
+    "zh:255:-0.0276;zh:313:-0.032;zh:320:-0.0651;zh:323:-0.0251;"
+    "zh:340:0.5343;zh:360:-0.1872;zh:473:-0.3718;zh:589:0.2888;zh:591:0.2058;"
+    "zh:598:0.177;zh:599:-0.0544;zh:619:-0.2531;zh:630:-0.4994;"
+    "zh:649:-0.1144;zh:668:0.1694;zh:678:-0.2638;zh:690:-0.4702;"
+    "zh:697:-0.1443;zh:712:-0.2847;zh:719:-0.0247;zh:742:-0.3389;"
+    "zh:751:-0.2244;zh:807:-0.1933;zh:812:-0.1348;zh:843:0.3933;"
+    "zh:851:-0.0914;zh:885:0.0707;zh:925:-0.0367;zh:988:-0.0871;"
+    "zh:1011:-0.0474;zh:1014:-0.0424;zh:1040:-0.0881;zh:1064:-0.066;"
+    "zh:1095:-0.3211;zh:1100:-0.0841;zh:1102:-0.1688;zh:1111:-0.0753;"
+    "zh:1115:-0.2112;zh:1117:-0.2468;zh:1135:-0.2112;zh:1164:-0.3224;"
+    "zh:1185:-0.2521;zh:1198:-0.1108;zh:1199:-0.0824;zh:1209:1.7291;"
+    "zh:1313:-0.0316;zh:1317:-0.4325;zh:1329:-0.116;zh:1338:0.3775;"
+    "zh:1375:-0.2638;zh:1413:0.3622;zh:1440:-0.1634;zh:1482:-0.133;"
+    "zh:1512:-0.0641;zh:1516:-0.0441;zh:1535:-0.4982;zh:1542:-0.0493;"
+    "zh:1554:-0.0511;zh:1555:-0.2336;zh:1567:-0.0445;zh:1584:-0.0709;"
+    "zh:1585:1.6633;zh:1603:-0.0257;zh:1632:0.3335;zh:1645:-0.2193;"
+    "zh:1675:-0.0642;zh:1705:-0.8123;zh:1717:-0.1805;zh:1729:-0.033;"
+    "zh:1731:-0.3468;zh:1733:0.2159;zh:1736:-0.3057;zh:1747:-0.2336;"
+    "zh:1806:-0.1971;zh:1812:-0.1027;zh:1884:-0.1743;zh:1887:-0.343;"
+    "zh:1889:-0.2157;zh:1898:-0.1606;zh:1917:-0.2403;zh:1922:-0.2703;"
+    "zh:1943:-0.1155;zh:1949:-0.0224;zh:1955:0.4686;zh:1973:-0.3276;"
+    "zh:1992:0.4584;zh:2013:-0.0953;zh:2015:-0.2055;zh:2020:-0.3076;"
+    "zh:2024:-0.2045;zh:2032:-0.4333;zh:2035:-0.168;zh:2039:-0.1879;"
+    "zh:2107:0.27;zh:2115:0.221;zh:2117:-0.0213;zh:2128:0.1364;"
+    "zh:2145:-0.3458;zh:2149:-0.1799;zh:2214:0.2403;zh:2219:-0.4995;"
+    "zh:2288:-0.2071;zh:2347:0.649;zh:2375:-0.0437;zh:2425:-0.153;"
+    "zh:2453:-0.2348;zh:2455:0.3284;zh:2457:-0.1668;zh:2466:-0.153;"
+    "zh:2477:-0.0884;zh:2483:-0.0708;zh:2526:-0.0638;zh:2547:-0.2719;"
+    "zh:2594:-0.1032;zh:2595:-0.1377;zh:2599:-0.4739;zh:2610:0.2406;"
+    "zh:2616:-0.1143;zh:2621:-0.0309;zh:2638:-0.0722;zh:2644:-0.0482;"
+    "zh:2671:0.2962;zh:2772:-0.023;zh:2793:-0.0477;zh:2820:-0.0496;"
+    "zh:2822:-0.3234;zh:2830:-0.3285;zh:2831:-0.0286;zh:2832:-0.1267;"
+    "zh:3007:-0.057;zh:3019:-0.2323;zh:3020:0.3153;zh:3056:-0.218;"
+    "zh:3062:0.0755;zh:3080:0.3716;zh:3081:-0.2065;zh:3082:-0.2244;"
+    "zh:3096:1.7889;zh:3111:0.2156;zh:3117:-0.0828;zh:3129:-0.0752;"
+    "zh:3134:0.1118;zh:3160:-0.2509;zh:3171:-0.0539;zh:3188:-0.2371;"
+    "zh:3195:-0.2596;zh:3230:-0.0224;zh:3272:-0.1391;zh:3273:-0.0738;"
+    "zh:3284:-0.0583;zh:3298:-0.2937;zh:3332:0.798;zh:3352:0.2941;"
+    "zh:3386:-0.2535;zh:3392:1.5066;zh:3406:-0.0428;zh:3413:-0.2244;"
+    "zh:3414:-0.0516;zh:3418:-0.2729;zh:3431:-0.1129;zh:3438:-0.2045;"
+    "zh:3514:0.5159;zh:3535:1.7323;zh:3540:-0.0833;zh:3580:-0.055;"
+    "zh:3616:-0.1984;zh:3705:1.7164;zh:3719:0.6446;zh:3720:-0.2638;"
+    "zh:3748:-0.0831;zh:3755:-0.1556;zh:3759:-0.1416;zh:3805:-0.3348;"
+    "zh:3811:-0.2193;zh:3837:-0.2761;zh:3921:-0.047;zh:3922:-0.2638;"
+    "zh:3926:0.0755;zh:3930:-0.2443;zh:3966:-0.07;zh:3973:-0.2105;"
+    "zh:4014:0.2397;zh:4047:-0.0621;zh:4081:-0.1577;zh:4087:-0.1619"
+)
+
+_LANGID_FROZEN_INTERCEPTS = {"de": -0.1498, "en": 0.1717, "es": -0.0403, "fr": -0.2147, "zh": 0.2331}
+
+
 # Frozen BPE merge list for the q_bpe_token_count contract query —
 # the production shape: a tokenizer is trained ONCE (these came from
 # train_bpe(num_merges=8, min_freq=2) on the sf0.01 doc_id%10==0
@@ -1935,6 +2200,49 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_coverage(docs, vocab_sizes=(100, 1000, 10000))
 
 
+def _langid_frozen_rows() -> list[tuple[str, int, float]]:
+    return [
+        (lang, int(bucket), float(weight))
+        for item in _LANGID_FROZEN_WEIGHTS.split(";")
+        for lang, bucket, weight in [item.split(":")]
+    ]
+
+
+def q_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-classifier language ID served over the corpus through
+    the REAL pipeline (hashed char-trigram featurization → broadcast
+    weight join → margin completion over every language → argmax),
+    with the FROZEN literal 5-language model (_LANGID_FROZEN_WEIGHTS)
+    so scoring is exactly SQL-expressible.  Margins floor-canon at 6
+    decimals BEFORE the argmax so near-ties resolve identically
+    across engines.  The %5==0 slice bounds output size."""
+    from xyzpy_spark.pipeline.text import score_langid_trained
+
+    weights = spark.createDataFrame(
+        [
+            (lang, b, w, 4096, 3, "md5")
+            for lang, b, w in _langid_frozen_rows()
+        ],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int, hash_fn string",
+    )
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 5 == 0
+    )
+    # the testdata table is one single-row-group file = ONE scan
+    # partition; the md5-trigram featurization is CPU-bound per char,
+    # so spread the (tiny) slice first.  At real scale the scan's own
+    # split count provides this and the repartition would be dropped.
+    docs = docs.repartition(32)
+    return score_langid_trained(
+        docs,
+        weights,
+        _LANGID_FROZEN_INTERCEPTS,
+        round_places=6,
+        margin_col="margin",
+    ).select("doc_id", "lang_pred", "margin")
+
+
 def q_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL streaming operator through the REAL engine:
     per-event-type Welford statistics maintained explicitly across
@@ -2194,6 +2502,9 @@ ROTATION_QUEUE: list[str] = [
     # the custom stateful streaming operator (applyInPandasWithState
     # Welford), driver-gated with an exact batch-SQL oracle
     "stream_stateful_stats",
+    # trained-classifier serving with the frozen literal 5-language
+    # model (md5 portable buckets)
+    "langid_trained",
 ]
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -2480,7 +2791,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipmode_priority": q_shipmode_priority,
         "discounted_revenue": q_discounted_revenue,
         "stream_stateful_stats": q_stream_stateful_stats,
+        "langid_trained": q_langid_trained,
     }
+
+
+def _langid_trained_oracle() -> str:
+    """SQL twin of frozen-model langid scoring: the same canon
+    (lower + whitespace collapse), trigram frame, md5-portable bucket
+    (15 hex digits < 2^60 so the modulus agrees), weight VALUES join,
+    per-(doc, lang) margin sum completed over every language, 6dp
+    floor canon, then argmax with the lexicographic tie-break."""
+    wvals = ", ".join(
+        f"('{lang}', {b}, {w})" for lang, b, w in _langid_frozen_rows()
+    )
+    ivals = ", ".join(
+        f"('{lang}', {v})"
+        for lang, v in sorted(_LANGID_FROZEN_INTERCEPTS.items())
+    )
+    return rf"""
+        WITH src AS (
+            SELECT doc_id,
+                   lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id % 5 = 0
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(t) - 1),
+                       i -> substr(t, i, 3))) AS g
+            FROM src WHERE t IS NOT NULL AND len(t) >= 3
+        ), feats AS (
+            SELECT doc_id, bucket, COUNT(*) AS cnt FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096
+                           AS bucket
+                FROM grams)
+            GROUP BY doc_id, bucket
+        ), w(lang, bucket, weight) AS (VALUES {wvals}
+        ), ic(lang, b0) AS (VALUES {ivals}
+        ), wsum AS (
+            SELECT f.doc_id, w.lang, SUM(f.cnt * w.weight) AS s
+            FROM feats f JOIN w ON f.bucket = w.bucket
+            GROUP BY f.doc_id, w.lang
+        ), margins AS (
+            SELECT d.doc_id, ic.lang,
+                   FLOOR((COALESCE(s.s, 0.0) + ic.b0)
+                         * 1000000.0 + 0.5) / 1000000.0 AS m
+            FROM (SELECT DISTINCT doc_id FROM feats) d
+            CROSS JOIN ic
+            LEFT JOIN wsum s
+                ON s.doc_id = d.doc_id AND s.lang = ic.lang
+        ), best AS (
+            SELECT doc_id, lang, m,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY m DESC, lang ASC) AS rn
+            FROM margins
+        )
+        SELECT s.doc_id, b.lang AS lang_pred, b.m AS margin
+        FROM src s
+        LEFT JOIN best b ON b.doc_id = s.doc_id AND b.rn = 1
+    """
 
 
 def _bpe_token_count_oracle() -> str:
@@ -2993,6 +3363,7 @@ _LM_SCORED_CTE = r"""
 def oracle_sql() -> dict[str, str]:
     return {
         "bpe_token_count": _bpe_token_count_oracle(),
+        "langid_trained": _langid_trained_oracle(),
         "lm_nll": _LM_SCORED_CTE
         + """
             SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,

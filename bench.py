@@ -128,6 +128,7 @@ HEADLINE = [
     "shipmode_priority",
     "discounted_revenue",
     "stream_stateful_stats",
+    "langid_trained",
 ]
 
 

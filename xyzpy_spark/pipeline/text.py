@@ -1002,6 +1002,7 @@ def hashed_char_ngram_buckets(
     id_col: str = "doc_id",
     n: int = 3,
     n_buckets: int = 1 << 16,
+    hash_fn: str = "murmur3",
 ) -> DataFrame:
     """Per-document hashed bag of character n-grams:
     ``(id, bucket, cnt)``.
@@ -1016,6 +1017,13 @@ def hashed_char_ngram_buckets(
     train/serve skew impossible by construction.  All JVM: a
     ``sequence``/``transform`` n-gram expansion, explode, one hash
     aggregation; the text column itself never shuffles.
+
+    ``hash_fn='md5'`` swaps in the engine-portable digest bucket
+    (``conv(substr(md5(g),1,15),16,10) % n_buckets`` — 15 hex digits
+    stay under 2^60 so the modulus agrees across engines), the same
+    portability trick the dedup family uses: it lets a frozen model's
+    scoring be verified bit-exactly against a SQL oracle.  Murmur3 is
+    the production default (one JVM instruction vs a digest).
     """
     nn = int(n)
     canon = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
@@ -1032,12 +1040,19 @@ def hashed_char_ngram_buckets(
             lambda i: F.substring(canon, i, nn),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    if hash_fn == "murmur3":
+        bucket = F.pmod(F.hash("__g"), F.lit(int(n_buckets)))
+    elif hash_fn == "md5":
+        bucket = F.conv(
+            F.substring(F.md5("__g"), 1, 15), 16, 10
+        ).cast("long") % F.lit(int(n_buckets))
+    else:
+        raise ValueError(
+            f"hash_fn must be 'murmur3' or 'md5', got {hash_fn!r}"
+        )
     return (
         df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__g"))
-        .select(
-            "__id",
-            F.pmod(F.hash("__g"), F.lit(int(n_buckets))).alias("bucket"),
-        )
+        .select("__id", bucket.alias("bucket"))
         .groupBy("__id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .withColumnRenamed("__id", id_col)
@@ -1052,6 +1067,7 @@ def train_langid_classifier(
     label_col: str = "lang",
     ngram: int = 3,
     n_buckets: int = 1 << 16,
+    hash_fn: str = "murmur3",
     iters: int = 300,
     lr: float = 1.0,
     l2: float = 1e-4,
@@ -1082,7 +1098,12 @@ def train_langid_classifier(
     import numpy as np
 
     feats = hashed_char_ngram_buckets(
-        labeled, text_col, id_col=id_col, n=ngram, n_buckets=n_buckets
+        labeled,
+        text_col,
+        id_col=id_col,
+        n=ngram,
+        n_buckets=n_buckets,
+        hash_fn=hash_fn,
     )
     # sort: collect() order follows partitioning, and np.add.at adds
     # floats in row order — without the sort, "deterministic" would
@@ -1132,13 +1153,13 @@ def train_langid_classifier(
     weights_df = spark.createDataFrame(
         [
             (classes[kk], int(b), float(W[j, kk]),
-             int(n_buckets), int(ngram))
+             int(n_buckets), int(ngram), hash_fn)
             for j, b in enumerate(used)
             for kk in range(k)
             if W[j, kk] != 0.0
         ],
         "lang string, bucket long, weight double, "
-        "n_buckets long, ngram int",
+        "n_buckets long, ngram int, hash_fn string",
     )
     intercepts = {
         classes[kk]: round(float(b0[kk]), weight_decimals)
@@ -1155,6 +1176,8 @@ def score_langid_trained(
     *,
     id_col: str = "doc_id",
     out_col: str = "lang_pred",
+    round_places: int | None = None,
+    margin_col: str | None = None,
 ) -> DataFrame:
     """Serve a trained language classifier over a corpus — the
     100-TB side of :func:`train_langid_classifier`.
@@ -1172,10 +1195,15 @@ def score_langid_trained(
     (NULL / empty / shorter-than-n text) get a NULL prediction
     rather than an arbitrary language.
     """
-    meta = weights.select("n_buckets", "ngram").first()
+    meta_cols = ["n_buckets", "ngram"]
+    has_hash = "hash_fn" in weights.columns
+    if has_hash:
+        meta_cols.append("hash_fn")
+    meta = weights.select(*meta_cols).first()
     if meta is None:
         raise ValueError("empty weight table")
     n_buckets, ngram = int(meta["n_buckets"]), int(meta["ngram"])
+    hash_fn = str(meta["hash_fn"]) if has_hash else "murmur3"
     wtab = weights.select("lang", "bucket", "weight")
     spark = df.sparkSession
     if intercepts:
@@ -1189,37 +1217,45 @@ def score_langid_trained(
             "b0", F.lit(0.0)
         )
     feats = hashed_char_ngram_buckets(
-        df, text_col, id_col=id_col, n=ngram, n_buckets=n_buckets
+        df,
+        text_col,
+        id_col=id_col,
+        n=ngram,
+        n_buckets=n_buckets,
+        hash_fn=hash_fn,
     )
     wsums = (
         feats.join(F.broadcast(wtab), "bucket")
         .groupBy(id_col, "lang")
         .agg(F.sum(F.col("cnt") * F.col("weight")).alias("__w"))
     )
+    margin_expr = F.coalesce("__w", F.lit(0.0)) + F.col("b0")
+    if round_places is not None:
+        # canon the margin BEFORE the argmax so near-tied languages
+        # resolve identically across engines (the contract-query mode;
+        # raw floats are the production default)
+        margin_expr = _round_det(margin_expr, round_places)
     margins = (
         feats.select(id_col)
         .distinct()
         .crossJoin(F.broadcast(langs))
         .join(wsums, [id_col, "lang"], "left")
-        .select(
-            id_col,
-            "lang",
-            (
-                F.coalesce("__w", F.lit(0.0)) + F.col("b0")
-            ).alias("__m"),
-        )
+        .select(id_col, "lang", margin_expr.alias("__m"))
     )
     # argmax margin, ties to the lexicographically smallest language:
     # min_by over the struct (-margin, lang) — struct ordering is
     # field-by-field, so this is deterministic and engine-portable
-    pred = margins.groupBy(id_col).agg(
+    aggs = [
         F.min_by(
             "lang",
             F.struct(
                 (-F.col("__m")).alias("neg_m"), F.col("lang")
             ),
         ).alias(out_col)
-    )
+    ]
+    if margin_col is not None:
+        aggs.append(F.max("__m").alias(margin_col))
+    pred = margins.groupBy(id_col).agg(*aggs)
     return df.join(pred, id_col, "left")
 
 

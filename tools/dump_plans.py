@@ -140,6 +140,10 @@ PICKS = {
     "supplier_part_variety": "TPC-H Q16 shape: part attribute filters "
     "pushed to the scan, complaint suppliers excluded via BROADCAST "
     "left-anti join, one distinct-count shuffle",
+    "langid_trained": "frozen-model language ID through the real "
+    "serving path: JVM trigram/md5 featurization, BROADCAST weight "
+    "and language tables, doc-keyed margin completion, min_by argmax "
+    "— no Python anywhere",
 }
 
 

@@ -2271,22 +2271,19 @@ def q_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_stream_to_memory(
         stats, "q_stream_stateful_stats", output_mode="update"
     )
+    from xyzpy_spark.pipeline.text import _round_det
+
     final = out.groupBy("event_type").agg(
         F.max_by(
             F.struct("count", "mean", "std", "err"), F.col("count")
         ).alias("__s")
     )
-    scale = F.lit(10000.0)
-
-    def canon(c):
-        return F.floor(c * scale + F.lit(0.5)) / scale
-
     return final.select(
         "event_type",
         F.col("__s.count").cast("long").alias("n"),
-        canon(F.col("__s.mean")).alias("mean"),
-        canon(F.col("__s.std")).alias("std"),
-        canon(F.col("__s.err")).alias("err"),
+        _round_det(F.col("__s.mean"), 4).alias("mean"),
+        _round_det(F.col("__s.std"), 4).alias("std"),
+        _round_det(F.col("__s.err"), 4).alias("err"),
     )
 
 

@@ -134,7 +134,9 @@ def test_langid_serving_plan_broadcasts_no_python(spark, langid_model):
     plan = executed_plan(
         score_langid_trained(test_df, weights, intercepts)
     )
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the WEIGHT join specifically must broadcast (a BNLJ from the
+    # language cross-join alone must not satisfy this)
+    assert "BroadcastHashJoin" in plan
     assert "Python" not in plan and "ArrowEval" not in plan
     assert plan.count("SortMergeJoin") <= 2
 
@@ -232,3 +234,32 @@ def test_save_load_langid_roundtrip(spark, langid_model, tmp_path):
     shutil.rmtree(str(tmp_path / "langid" / "intercepts"))
     with pytest.raises(Exception):
         load_langid(spark, path)
+
+
+def test_langid_weight_only_language_competes(spark):
+    """A language present in the weight table but absent from the
+    intercepts dict must still be predictable (union-of-languages
+    argmax — r5 code-review finding)."""
+    weights = spark.createDataFrame(
+        [("xx", b, 5.0, 1 << 16, 3, "murmur3") for b in range(1 << 10)],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int, hash_fn string",
+    )
+    intercepts = {"yy": 0.1}  # xx deliberately missing
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox")], "doc_id LONG, text STRING"
+    )
+    got = score_langid_trained(df, weights, intercepts).collect()[0]
+    # with heavy positive weights on many buckets, xx should win if
+    # any of the doc's trigram buckets land under 2^10; whichever
+    # wins, BOTH languages must have been in the argmax — assert xx
+    # is at least reachable by checking the prediction is not forced
+    # to 'yy' when a weighted bucket hits
+    from xyzpy_spark.pipeline.text import hashed_char_ngram_buckets
+
+    hit = (
+        hashed_char_ngram_buckets(df)
+        .where((F.col("bucket") < (1 << 10)))
+        .count()
+    )
+    assert (got["lang_pred"] == "xx") == (hit > 0)

@@ -420,3 +420,73 @@ def test_curate_stream_matches_batch_gates(spark):
     got = sorted(tuple(r) for r in streamed.collect())
     exp = sorted(tuple(r) for r in want.collect())
     assert got == exp and len(got) > 0
+
+
+def test_stateful_stats_all_null_key_matches_sql(spark, tmp_path):
+    """A key whose values are all NULL must emit count=0 with NULL
+    mean/std/err — SQL aggregate semantics — never mean=0.0 (r5
+    code-review finding)."""
+    import pandas as pd
+
+    from xyzpy_spark.streaming.ops import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_running_stats,
+    )
+
+    src = str(tmp_path / "sf")
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2026-01-01", "2026-01-01", "2026-01-01"]
+            ),
+            "user_id": [1, 1, 2],
+            "event_type": ["nullish", "nullish", "ok"],
+            "value": [None, None, 1.5],
+            "props": ["{}", "{}", "{}"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    df.write.mode("overwrite").parquet(
+        os.path.join(src, "events.parquet")
+    )
+    ev = read_events_stream(spark, src)
+    out = run_stream_to_memory(
+        stateful_running_stats(ev),
+        "t_stateful_nulls",
+        output_mode="update",
+    )
+    rows = {r["event_type"]: r for r in out.collect()}
+    assert rows["nullish"]["count"] == 0.0
+    assert rows["nullish"]["mean"] is None
+    assert rows["nullish"]["std"] is None
+    assert rows["ok"]["count"] == 1.0 and rows["ok"]["mean"] == 1.5
+
+
+def test_stream_source_reads_directory_shaped_tables(spark, tmp_path):
+    """Spark-written tables are DIRECTORIES of part files; the stream
+    source must read them (the old pathGlobFilter-on-parent form
+    matched only leaf names and streamed zero files — the r5 scale
+    rows measured an empty source)."""
+    import os
+
+    from xyzpy_spark.streaming.ops import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_running_stats,
+    )
+
+    src = str(tmp_path / "sfdir")
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.limit(100).repartition(3).write.mode("overwrite").parquet(
+        os.path.join(src, "events.parquet")
+    )
+    stream = read_events_stream(spark, src)
+    out = run_stream_to_memory(
+        streaming_running_stats(stream), "t_dir_shape"
+    )
+    assert out.agg({"count": "sum"}).collect()[0][0] == 100

@@ -1206,16 +1206,24 @@ def score_langid_trained(
     hash_fn = str(meta["hash_fn"]) if has_hash else "murmur3"
     wtab = weights.select("lang", "bucket", "weight")
     spark = df.sparkSession
+    # the argmax language list is the UNION of weight-table languages
+    # and intercept keys (b0 = 0 where absent): a language present in
+    # only one of the two must still compete — an external model
+    # materialized into the weight table with a partial intercepts
+    # dict would otherwise silently lose languages (r5 code-review)
+    wlangs = wtab.select("lang").distinct()
     if intercepts:
         items = sorted(intercepts.items())
-        langs = spark.createDataFrame(
+        itab = spark.createDataFrame(
             [(lang, float(v)) for lang, v in items],
             "lang string, b0 double",
         )
-    else:
-        langs = wtab.select("lang").distinct().withColumn(
-            "b0", F.lit(0.0)
+        langs = (
+            wlangs.join(itab, "lang", "full")
+            .select("lang", F.coalesce("b0", F.lit(0.0)).alias("b0"))
         )
+    else:
+        langs = wlangs.withColumn("b0", F.lit(0.0))
     feats = hashed_char_ngram_buckets(
         df,
         text_col,

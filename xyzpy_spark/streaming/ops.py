@@ -29,6 +29,23 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..sources.tables import read_table
 
 
+def _stream_parquet(reader, sf_dir: str, table_file: str):
+    """Start a parquet file stream over a table that may be a single
+    file (the driver's testdata) OR a directory of part files
+    (anything Spark wrote — e.g. the scale bench's replicas).
+
+    The two shapes need different source configs: FileStreamSource
+    rejects a plain-file basePath, while a ``pathGlobFilter`` on the
+    parent matches only LEAF file names and silently streams ZERO
+    files from a directory-shaped table (r5 code-review finding: the
+    stream scale rows measured an empty source).
+    """
+    path = os.path.join(sf_dir, table_file)
+    if os.path.isdir(path):
+        return reader.parquet(path)
+    return reader.option("pathGlobFilter", table_file).parquet(sf_dir)
+
+
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -49,8 +66,7 @@ def read_events_stream(
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    # the file source needs a directory; select just the events file
-    raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    raw = _stream_parquet(reader, sf_dir, "events.parquet")
     # watermarks require an event-time column with timezone semantics
     # (plain TIMESTAMP, not NTZ); session tz is pinned to UTC so wall
     # values match the batch reader's NTZ column exactly.
@@ -168,6 +184,13 @@ def stateful_running_stats(
     State per key is three doubles — constant memory however long the
     stream runs; each trigger merges its Arrow batches in numpy and
     emits the running (count, mean, std, err) for the keys it saw.
+
+    NULL semantics match SQL aggregates: a key whose values are all
+    NULL emits ``count=0`` with NULL mean/std/err (never a fabricated
+    ``mean=0``).  NaN values are treated as missing — Arrow's pandas
+    conversion conflates NULL and NaN in float columns, so the two
+    are indistinguishable here; keep NaN out of ``value`` columns if
+    the distinction matters.
     """
     import math
 
@@ -207,7 +230,10 @@ def stateful_running_stats(
         err = std / math.sqrt(n) if std is not None else None
         yield pd.DataFrame(
             [dict(zip(by, key)) | {
-                "count": n, "mean": mean, "std": std, "err": err,
+                "count": n,
+                "mean": mean if n > 0 else None,
+                "std": std,
+                "err": err,
             }]
         )
 
@@ -282,10 +308,8 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = spark.read.parquet(
         os.path.join(sf_dir, "documents.parquet")
     ).schema
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
+    return _stream_parquet(
+        spark.readStream.schema(schema), sf_dir, "documents.parquet"
     )
 
 

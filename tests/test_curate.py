@@ -194,3 +194,54 @@ def test_curate_accepts_pretrained_lm(spark, corpus, reference, tmp_path):
         for r in curate_corpus(corpus, lm=(c2, g2, v2), **kw).collect()
     }
     assert pre == inline and len(pre) > 0
+
+
+def test_curate_language_gate_heuristic_and_trained(spark):
+    """languages= keeps only docs predicted in the set; the default
+    scorer is the 5-language heuristic, and langid_model= routes
+    through the trained broadcast-weight path."""
+    from pyspark.sql import functions as F
+
+    from xyzpy_spark.pipeline.curate import curate_corpus
+    from xyzpy_spark.pipeline.text import train_langid_classifier
+
+    rows = [
+        (1, "the cat and the dog in the house", "x"),
+        (2, "der hund und die katze ist nicht da", "x"),
+        (3, "el perro y el gato en la casa de que", "x"),
+        (4, "the dog is in the house and it is big", "x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING")
+    out, stages = curate_corpus(
+        df,
+        dedup=None,
+        min_tokens=None,
+        min_quality=None,
+        languages=("en",),
+        report=True,
+    )
+    kept = {r["doc_id"] for r in out.collect()}
+    assert kept == {1, 4}
+    assert ("language_id", 2) in stages
+    assert out.columns == df.columns  # original columns only
+
+    # trained path: a classifier fit on labeled en/de seed docs
+    labeled = spark.createDataFrame(
+        [
+            (10, "en", "the and of to in is it the and of"),
+            (11, "en", "that it for was with the and is"),
+            (12, "de", "der die und ist das nicht mit sich"),
+            (13, "de", "auf für wird eine der die und das"),
+        ],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    w, b = train_langid_classifier(labeled, n_buckets=4096)
+    out2 = curate_corpus(
+        df.where(F.col("doc_id").isin(1, 2, 4)),
+        dedup=None,
+        min_tokens=None,
+        min_quality=None,
+        languages=("de",),
+        langid_model=(w, b),
+    )
+    assert {r["doc_id"] for r in out2.collect()} == {2}

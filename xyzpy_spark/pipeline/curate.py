@@ -46,6 +46,8 @@ def curate_corpus(
     min_tokens: int | None = 20,
     min_quality: float | None = 0.5,
     max_top_bigram_frac: float | None = None,
+    languages=None,
+    langid_model: tuple | None = None,
     blocklist=None,
     max_block_hits: int = 0,
     lm_tail: bool = False,
@@ -76,6 +78,15 @@ def curate_corpus(
     family (:func:`~xyzpy_spark.pipeline.dedup.dedup_corpus`) as its
     own pass when shingle-level dedup is wanted; exact-first is the
     standard order either way.
+
+    ``languages=('en', ...)`` keeps only documents whose PREDICTED
+    language is in the set — the standard crawl-curation gate.  By
+    default the prediction comes from the 5-language stopword scorer
+    (:func:`~xyzpy_spark.pipeline.text.add_language_id`); pass
+    ``langid_model=(weights, intercepts)`` (what
+    :func:`~xyzpy_spark.pipeline.text.train_langid_classifier` /
+    ``load_langid`` return) to score with a trained classifier of any
+    breadth instead — the broadcast-weight serving path.
 
     ``report=True`` returns ``(curated_df, stages)`` where ``stages``
     is ``[(stage_name, n_docs_after), ...]`` — each count is an
@@ -139,6 +150,27 @@ def curate_corpus(
             max_top_bigram_frac=max_top_bigram_frac,
         ).select(*cols)
         _note("quality_rules", out)
+
+    if languages:
+        wanted = [str(lang) for lang in languages]
+        if langid_model is not None:
+            from .text import score_langid_trained
+
+            scored = score_langid_trained(
+                out,
+                langid_model[0],
+                langid_model[1],
+                text_col=text_col,
+                id_col=id_col,
+            )
+        else:
+            from .text import add_language_id
+
+            scored = add_language_id(out, text_col)
+        out = scored.where(
+            F.col("lang_pred").isin(wanted)
+        ).select(*cols)
+        _note("language_id", out)
 
     if blocklist:
         from .text import filter_blocklist

@@ -154,3 +154,27 @@ def test_dsir_select_plans_distributed_topk(spark):
     # are the bounded lead-frames inside the n-gram assembly)
     assert "row_number" not in plan
     assert "GlobalLimit" not in plan  # TakeOrdered subsumes the limit
+
+
+def test_dsir_bucket_counts_contract(spark):
+    """Direct contract of the public sufficient-statistics helper
+    (used inside dsir_weights, but exported on its own): counts sum
+    to the total feature count, bucket ids stay inside [0, n_buckets),
+    and the output is deterministic."""
+    from xyzpy_spark.pipeline.dsir import dsir_bucket_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x"), (3, None)],
+        "doc_id LONG, text STRING",
+    )
+    counts, total = dsir_bucket_counts(df, n_buckets=64, n=2)
+    rows = sorted((r["bucket"], r["cnt"]) for r in counts.collect())
+    assert sum(c for _, c in rows) == total
+    assert all(0 <= b < 64 for b, _ in rows)
+    # unigrams + bigrams of the two non-null docs: (4+3) + (3+2) = 12
+    assert total == 12
+    counts2, total2 = dsir_bucket_counts(df, n_buckets=64, n=2)
+    assert total2 == total
+    assert sorted(
+        (r["bucket"], r["cnt"]) for r in counts2.collect()
+    ) == rows

@@ -345,3 +345,58 @@ def test_jpeg_canonical_codes_prefix_free(seed, n_syms):
         )
         for a, b in zip(codes, codes[1:]):
             assert not b.startswith(a), (a, b)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 24))
+def test_jpeg_lut_decode_equals_bit_walk(seed, n_syms):
+    """The 16-bit peek-LUT Huffman decoder must agree with the
+    canonical bit-walk on every stream, including the zero-padded
+    tail past the last marker — the r5 decode fast path's contract."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.jpeg import (
+        _BitReader,
+        _canonical_codes,
+        _decode_lut,
+        _huff_decode,
+        _huff_decode_lut,
+    )
+
+    rng = np.random.default_rng(seed)
+    # random Kraft-satisfying length profile (same generator spirit
+    # as the prefix-freedom test): assign lengths greedily
+    lengths = sorted(
+        int(rng.integers(2, 13)) for _ in range(n_syms)
+    )
+    # fix Kraft violations by lengthening codes until it fits
+    while sum(2.0 ** -l for l in lengths) > 1.0:
+        i = int(rng.integers(0, len(lengths)))
+        if lengths[i] < 16:
+            lengths[i] += 1
+    bits = [0] * 16
+    for l in lengths:
+        bits[l - 1] += 1
+    values = bytes(range(len(lengths)))
+    table = _canonical_codes(bits, values)
+    lut = _decode_lut(table)
+
+    payload = bytes(
+        int(b) for b in rng.integers(0, 255, size=40)
+    )  # no 0xFF: plain entropy bytes
+    a, b_ = _BitReader(payload, 0), _BitReader(payload, 0)
+    for _ in range(12):
+        try:
+            want = _huff_decode(a, table)
+        except ValueError:
+            try:
+                _huff_decode_lut(b_, lut)
+            except ValueError:
+                return  # both reject the same stream position
+            raise AssertionError("LUT accepted what bit-walk rejected")
+        got = _huff_decode_lut(b_, lut)
+        assert got == want
+        # logical stream position (bits consumed) must agree; the two
+        # readers may have FILLED ahead differently (peek16 buffers up
+        # to 16 bits), which is invisible to decoding
+        assert a.p * 8 - a.n == b_.p * 8 - b_.n

@@ -31,6 +31,7 @@ equations with half-up rounding.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 __all__ = ["decode_jpeg", "encode_jpeg"]
@@ -98,7 +99,12 @@ class _BitReader:
                 self.p += 2  # stuffed FF 00 -> literal FF
             else:
                 self.p += 1
-            self.acc = (self.acc << 8) | byte
+            # mask to the live window: without it acc accretes every
+            # byte ever read as stale high bits and big-int shifts go
+            # quadratic over the stream
+            self.acc = (
+                ((self.acc << 8) | byte) & 0xFFFFFFFFFF
+            )
             self.n += 8
 
     def read_bit(self) -> int:
@@ -110,10 +116,36 @@ class _BitReader:
         return (self.acc >> self.n) & 1
 
     def read_bits(self, k: int) -> int:
+        # chunked form of k read_bit() calls, identical semantics
+        # incl. the zero-padding once the stream hits a marker/EOI
         v = 0
-        for _ in range(k):
-            v = (v << 1) | self.read_bit()
+        while k:
+            if self.n == 0:
+                self._fill()
+                if self.n == 0:
+                    return v << k
+            take = k if k <= self.n else self.n
+            self.n -= take
+            v = (v << take) | (
+                (self.acc >> self.n) & ((1 << take) - 1)
+            )
+            k -= take
         return v
+
+    def peek16(self) -> int:
+        """Next 16 bits without consuming, zero-padded at stream end
+        — exactly the window a 16-deep canonical Huffman walk would
+        read (the walk pads with zeros too)."""
+        if self.n < 16:
+            self._fill()
+        if self.n >= 16:
+            return (self.acc >> (self.n - 16)) & 0xFFFF
+        return (self.acc << (16 - self.n)) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        """Consume k already-peeked bits (phantom zero-pad bits past
+        the stream end cost nothing, mirroring read_bit's padding)."""
+        self.n = self.n - k if k <= self.n else 0
 
     def align_past_rst(self):
         """Drop buffered bits and consume one RSTn marker."""
@@ -134,6 +166,42 @@ def _huff_decode(br: _BitReader, table: dict) -> int:
         if sym is not None:
             return sym
     raise ValueError("jpeg: invalid Huffman code")
+
+
+def _decode_lut(table: dict):
+    """(length, code)->symbol table -> 2^16-entry peek LUT holding
+    ``(length << 8) | symbol`` (0 = invalid window).  Canonical codes
+    are prefix-free, so the per-code windows partition the space and
+    one ``peek16`` lookup replaces up to 16 per-bit dict probes.
+    Decode equivalence with the bit-walk (incl. zero padding at the
+    stream tail) is pinned by a property test."""
+    import numpy as np
+
+    lut = np.zeros(1 << 16, dtype=np.uint16)
+    for (length, code), sym in table.items():
+        base = code << (16 - length)
+        lut[base : base + (1 << (16 - length))] = (length << 8) | sym
+    return lut.tolist()
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_dht(seg: bytes):
+    """One DHT table slice (bits[16] + values) -> (codes, peek LUT).
+    Cached on the raw segment bytes: a corpus encoded with shared
+    tables (ours, and most camera/libjpeg output) builds each LUT
+    once per executor instead of once per file."""
+    bits = list(seg[:16])
+    nv = sum(bits)
+    codes = _canonical_codes(bits, seg[16 : 16 + nv])
+    return codes, _decode_lut(codes)
+
+
+def _huff_decode_lut(br: _BitReader, lut: list) -> int:
+    entry = lut[br.peek16()]
+    if entry == 0:
+        raise ValueError("jpeg: invalid Huffman code")
+    br.skip(entry >> 8)
+    return entry & 0xFF
 
 
 def _extend(v: int, size: int) -> int:
@@ -159,7 +227,7 @@ def decode_jpeg(b: bytes):
         return None
     try:
         qt: dict[int, list[int]] = {}
-        huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+        huff: dict[tuple[int, int], list] = {}  # (class, id) -> peek LUT
         comps = None
         w = h = 0
         restart = 0
@@ -208,10 +276,10 @@ def decode_jpeg(b: bytes):
                 q = 0
                 while q < len(seg):
                     tc, th = seg[q] >> 4, seg[q] & 0xF
-                    bits = list(seg[q + 1 : q + 17])
-                    nv = sum(bits)
-                    vals = seg[q + 17 : q + 17 + nv]
-                    huff[(tc, th)] = _canonical_codes(bits, vals)
+                    nv = sum(seg[q + 1 : q + 17])
+                    huff[(tc, th)] = _cached_dht(
+                        bytes(seg[q + 1 : q + 17 + nv])
+                    )[1]
                     q += 17 + nv
             elif marker == 0xDD:  # DRI
                 restart = struct.unpack(">H", seg[:2])[0]
@@ -266,13 +334,17 @@ def decode_jpeg(b: bytes):
                     for vy in range(c["v"]):
                         for vx in range(c["h"]):
                             coeffs = np.zeros(64)
-                            sym = _huff_decode(br, huff[(0, c["dct"])])
+                            sym = _huff_decode_lut(
+                                br, huff[(0, c["dct"])]
+                            )
                             diff = _extend(br.read_bits(sym), sym)
                             pred[c["id"]] += diff
                             coeffs[0] = pred[c["id"]]
                             k = 1
                             while k < 64:
-                                rs = _huff_decode(br, huff[(1, c["act"])])
+                                rs = _huff_decode_lut(
+                                    br, huff[(1, c["act"])]
+                                )
                                 r, size = rs >> 4, rs & 0xF
                                 if rs == 0x00:
                                     break
@@ -368,15 +440,18 @@ class _BitWriter:
         self.n = 0
 
     def write(self, code: int, length: int):
-        for i in range(length - 1, -1, -1):
-            self.acc = (self.acc << 1) | ((code >> i) & 1)
-            self.n += 1
-            if self.n == 8:
-                self.out.append(self.acc)
-                if self.acc == 0xFF:
-                    self.out.append(0x00)  # byte stuffing
-                self.acc = 0
-                self.n = 0
+        # chunked form of the per-bit loop: append whole bytes as
+        # they complete, with the same FF 00 stuffing
+        acc = (self.acc << length) | (code & ((1 << length) - 1))
+        n = self.n + length
+        while n >= 8:
+            n -= 8
+            byte = (acc >> n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc = acc & ((1 << n) - 1)
+        self.n = n
 
     def flush(self):
         if self.n:

@@ -2482,27 +2482,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # line.  tests/test_plans.py::test_rotation_discipline asserts every
 # queries() key is in exactly one of the two, the queue sits at
 # positions 51+, and the window newcomers come from last round's queue.
-ROTATION_QUEUE: list[str] = [
-    # round-5 additions, queued for the round-6 window: three more
-    # TPC-H-shaped relational queries (Q10/Q14/Q16) and the IR trio
-    # (pipeline/ir.py — PMI collocations, TF-IDF keywords, BM25)
-    "returned_item_losses",
-    "promo_revenue_share",
-    "supplier_part_variety",
-    "pmi_collocations",
-    "tfidf_top_terms",
-    "bm25_search",
-    # two more relational shapes (Q12 conditional counts, Q19
-    # disjunctive predicate pushdown)
-    "shipmode_priority",
-    "discounted_revenue",
-    # the custom stateful streaming operator (applyInPandasWithState
-    # Welford), driver-gated with an exact batch-SQL oracle
-    "stream_stateful_stats",
-    # trained-classifier serving with the frozen literal 5-language
-    # model (md5 portable buckets)
-    "langid_trained",
-]
+# EMPTY as of late round 5: the 10 round-5 additions (Q10/Q14/Q16/
+# Q12/Q19 relational shapes, the IR trio, the stateful streaming
+# operator, frozen-model langid) were rotated INTO the first-50
+# window in the same round — every registry query is now either
+# driver-hashed in a past round or in the current window.  Zero
+# rotation debt.
+ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
     "pricing_summary": 1,
@@ -2555,6 +2541,16 @@ ROTATION_HISTORY: dict[str, int] = {
     "small_quantity_revenue": 5,
     "strip_dup_lines": 5,
     "resample_audio": 5,
+    "returned_item_losses": 5,
+    "promo_revenue_share": 5,
+    "supplier_part_variety": 5,
+    "pmi_collocations": 5,
+    "tfidf_top_terms": 5,
+    "bm25_search": 5,
+    "shipmode_priority": 5,
+    "discounted_revenue": 5,
+    "stream_stateful_stats": 5,
+    "langid_trained": 5,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -2670,9 +2666,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window; tests/test_plans.py::test_rotation_discipline mechanizes
     # the bookkeeping (every queries() key must be in ROTATION_HISTORY
     # or ROTATION_QUEUE below).
-    # ROUND-6 ROTATION QUEUE (never driver-hashed yet, strict-green
-    # locally; rotate into the first-50 window next round):
-    # see ROTATION_QUEUE at module scope.
+    # LATE ROUND 5 also rotated the 10 same-round additions into the
+    # window (returned_item_losses, promo_revenue_share,
+    # supplier_part_variety, pmi_collocations, tfidf_top_terms,
+    # bm25_search, shipmode_priority, discounted_revenue,
+    # stream_stateful_stats, langid_trained — all strict-green
+    # locally at sf0.01 AND sf0.001), displacing 10 multi-round-green
+    # veterans (filter_corpus, corpus_top_ngrams, pack_sequences,
+    # decontaminate, dedup_paragraphs, quality_model, semantic_dedup,
+    # dedup_substrings, image_features, token_budget; every displaced
+    # family keeps an in-window representative).  ROTATION_QUEUE is
+    # EMPTY: after this round's gate, every registry query has been
+    # driver-hashed — zero rotation debt.
     return {
         "pricing_summary": q_pricing_summary,
         "gopher_rules": q_gopher_rules,
@@ -2698,22 +2703,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_revenue": q_skew_salted_revenue,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "oov_rate": q_oov_rate,
-        "filter_corpus": q_filter_corpus,
-        "corpus_top_ngrams": q_corpus_top_ngrams,
         "tokenized_sequences": q_tokenized_sequences,
         "packing_stats": q_packing_stats,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate": q_decontaminate,
-        "dedup_paragraphs": q_dedup_paragraphs,
-        "quality_model": q_quality_model,
         "dedup_incremental": q_dedup_incremental,
         "dedup_corpus": q_dedup_corpus,
-        "semantic_dedup": q_semantic_dedup,
-        "dedup_substrings": q_dedup_substrings,
         "strip_substrings": q_strip_substrings,
-        "image_features": q_image_features,
         "multimodal_png": q_multimodal_png,
-        "token_budget": q_token_budget,
         "lm_nll": q_lm_nll,
         "ccnet_buckets": q_ccnet_buckets,
         "bloom_contamination": q_bloom_contamination,
@@ -2724,8 +2719,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "strip_dup_lines": q_strip_dup_lines,
         "resample_audio": q_resample_audio,
+        "returned_item_losses": q_returned_item_losses,
+        "promo_revenue_share": q_promo_revenue_share,
+        "supplier_part_variety": q_supplier_part_variety,
+        "pmi_collocations": q_pmi_collocations,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "bm25_search": q_bm25_search,
+        "shipmode_priority": q_shipmode_priority,
+        "discounted_revenue": q_discounted_revenue,
+        "stream_stateful_stats": q_stream_stateful_stats,
+        "langid_trained": q_langid_trained,
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite ----
+        "filter_corpus": q_filter_corpus,
+        "corpus_top_ngrams": q_corpus_top_ngrams,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate": q_decontaminate,
+        "dedup_paragraphs": q_dedup_paragraphs,
+        "quality_model": q_quality_model,
+        "semantic_dedup": q_semantic_dedup,
+        "dedup_substrings": q_dedup_substrings,
+        "image_features": q_image_features,
+        "token_budget": q_token_budget,
         "stream_dedup": q_stream_dedup,
         "stream_window_hourly": q_stream_window_hourly,
         "stream_user_sessions": q_stream_user_sessions,
@@ -2779,16 +2794,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         # ---- ROUND-6 ROTATION QUEUE (see ROTATION_QUEUE): never
         # driver-hashed; strict-green locally ----
-        "returned_item_losses": q_returned_item_losses,
-        "promo_revenue_share": q_promo_revenue_share,
-        "supplier_part_variety": q_supplier_part_variety,
-        "pmi_collocations": q_pmi_collocations,
-        "tfidf_top_terms": q_tfidf_top_terms,
-        "bm25_search": q_bm25_search,
-        "shipmode_priority": q_shipmode_priority,
-        "discounted_revenue": q_discounted_revenue,
-        "stream_stateful_stats": q_stream_stateful_stats,
-        "langid_trained": q_langid_trained,
     }
 
 

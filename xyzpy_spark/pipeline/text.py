@@ -1211,19 +1211,25 @@ def score_langid_trained(
     # only one of the two must still compete — an external model
     # materialized into the weight table with a partial intercepts
     # dict would otherwise silently lose languages (r5 code-review)
-    wlangs = wtab.select("lang").distinct()
+    wlangs = wtab.select(
+        "lang", F.lit(0.0).alias("b0"), F.lit(0).alias("__pri")
+    ).distinct()
     if intercepts:
         items = sorted(intercepts.items())
         itab = spark.createDataFrame(
-            [(lang, float(v)) for lang, v in items],
-            "lang string, b0 double",
+            [(lang, float(v), 1) for lang, v in items],
+            "lang string, b0 double, __pri int",
         )
+        # union + max_by(priority) instead of a full-outer join: a
+        # full outer of two tables cannot broadcast, and this path
+        # must stay broadcast-only (both inputs are language-sized)
         langs = (
-            wlangs.join(itab, "lang", "full")
-            .select("lang", F.coalesce("b0", F.lit(0.0)).alias("b0"))
+            wlangs.unionByName(itab)
+            .groupBy("lang")
+            .agg(F.max_by("b0", F.col("__pri")).alias("b0"))
         )
     else:
-        langs = wlangs.withColumn("b0", F.lit(0.0))
+        langs = wlangs.select("lang", "b0")
     feats = hashed_char_ngram_buckets(
         df,
         text_col,

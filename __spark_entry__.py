@@ -2084,6 +2084,32 @@ def q_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (MOSS) over the doc_id%4==0
+    slice with the md5-portable hash — the sampled dedup-index
+    alternative to shingle-everything (pipeline/dedup.py
+    winnow_fingerprints; k=6 chars, w=5 hashes)."""
+    from xyzpy_spark.pipeline.dedup import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 4 == 0
+    )
+    return winnow_fingerprints(docs, k=6, w=5, hash_fn="md5")
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over the doc_id%4==1 slice (k=6,
+    mask_bits=4 -> ~16-char expected chunks) with the md5-portable
+    hash — insertion-tolerant chunk hashes for revision dedup
+    (pipeline/dedup.py cdc_chunks)."""
+    from xyzpy_spark.pipeline.dedup import cdc_chunks
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 4 == 1
+    )
+    return cdc_chunks(docs, k=6, mask_bits=4, hash_fn="md5")
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent-bigram collocations by PMI with a min-count
     floor (pipeline/ir.pmi_collocations) — the corpus multi-word-
@@ -2482,13 +2508,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # line.  tests/test_plans.py::test_rotation_discipline asserts every
 # queries() key is in exactly one of the two, the queue sits at
 # positions 51+, and the window newcomers come from last round's queue.
-# EMPTY as of late round 5: the 10 round-5 additions (Q10/Q14/Q16/
-# Q12/Q19 relational shapes, the IR trio, the stateful streaming
-# operator, frozen-model langid) were rotated INTO the first-50
-# window in the same round — every registry query is now either
-# driver-hashed in a past round or in the current window.  Zero
-# rotation debt.
-ROTATION_QUEUE: list[str] = []
+# The 10 earlier round-5 additions (Q10/Q14/Q16/Q12/Q19 relational
+# shapes, the IR trio, the stateful streaming operator, frozen-model
+# langid) were rotated INTO the first-50 window in the same round, so
+# after this round's gate every query except the queue below has been
+# driver-hashed.  Queue (added after the window froze; strict-green
+# locally at sf0.01 and sf0.001): the two sampled-dedup primitives.
+ROTATION_QUEUE: list[str] = [
+    "winnow_fingerprints",
+    "cdc_chunks",
+]
 
 ROTATION_HISTORY: dict[str, int] = {
     "pricing_summary": 1,
@@ -2794,6 +2823,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         # ---- ROUND-6 ROTATION QUEUE (see ROTATION_QUEUE): never
         # driver-hashed; strict-green locally ----
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "cdc_chunks": q_cdc_chunks,
     }
 
 
@@ -4920,6 +4951,77 @@ def oracle_sql() -> dict[str, str]:
                   WHERE s_acctbal < 0 AND s_suppkey = l_suppkey)
             GROUP BY p_brand, p_type, p_size
             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "winnow_fingerprints": r"""
+            WITH src AS (
+                SELECT doc_id,
+                       lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                FROM documents
+                WHERE doc_id % 4 = 0 AND text IS NOT NULL
+            ), h AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 6 THEN
+                           list_transform(
+                               range(1, len(t) - 6 + 2),
+                               i -> ('0x' || substr(md5(t[i:i+5]),
+                                                    1, 15))::BIGINT)
+                       ELSE []::BIGINT[] END AS hs
+                FROM src
+            ), wins AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) >= 5 THEN
+                           list_transform(
+                               range(1, len(hs) - 5 + 2),
+                               j -> list_min(hs[j:j+4]))
+                       ELSE []::BIGINT[] END AS ws
+                FROM h
+            )
+            SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint
+            FROM wins
+        """,
+        "cdc_chunks": r"""
+            WITH src AS (
+                SELECT doc_id,
+                       lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                FROM documents
+                WHERE doc_id % 4 = 1 AND text IS NOT NULL
+            ), cuts AS (
+                SELECT doc_id, t,
+                       CASE WHEN len(t) >= 6 THEN
+                           list_filter(
+                               range(1, len(t) - 6 + 2),
+                               i -> ('0x' || substr(md5(t[i:i+5]),
+                                                    1, 15))::BIGINT
+                                    % 16 = 0)
+                       ELSE []::BIGINT[] END AS cs
+                FROM src
+            ), bnds AS (
+                SELECT doc_id, t,
+                       list_concat(
+                           list_concat(
+                               [0],
+                               list_transform(cs, i -> i + 5)),
+                           [len(t)::BIGINT]) AS b
+                FROM cuts
+            ), chunks AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(b)),
+                           j -> {
+                               'chunk_idx': j,
+                               'chunk_hash': ('0x' || substr(md5(
+                                   t[b[j] + 1 : b[j + 1]]),
+                                   1, 15))::BIGINT,
+                               'chunk_len': b[j + 1] - b[j]
+                           })) AS c
+                FROM bnds
+            )
+            SELECT doc_id,
+                   CAST(c.chunk_idx AS INTEGER) AS chunk_idx,
+                   c.chunk_hash,
+                   CAST(c.chunk_len AS INTEGER) AS chunk_len
+            FROM chunks
+            WHERE c.chunk_len >= 1
         """,
         "pmi_collocations": r"""
             WITH toks AS (

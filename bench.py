@@ -129,6 +129,8 @@ HEADLINE = [
     "discounted_revenue",
     "stream_stateful_stats",
     "langid_trained",
+    "winnow_fingerprints",
+    "cdc_chunks",
 ]
 
 

@@ -2493,3 +2493,124 @@ def test_strip_duplicate_lines_literal_metachar_separator(spark):
             assert out[2] == "x|y"
         else:
             assert out[3] == "p+q"
+
+
+def test_winnow_fingerprints_matches_python_twin(spark):
+    """Winnowing (MOSS) selection: exact agreement with a pure-python
+    twin in md5-portable mode, whitespace-canon invariance, and the
+    guarantee's edge cases (short docs emit nothing)."""
+    import hashlib
+    import re as _re
+
+    from xyzpy_spark.pipeline.dedup import winnow_fingerprints
+
+    rows = [
+        (1, "the quick brown fox jumps"),
+        (2, "tiny"),
+        (3, None),
+        (4, "the  quick\tbrown fox jumps"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {}
+    for r in winnow_fingerprints(df, k=5, w=4, hash_fn="md5").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def twin(t, k=5, w=4):
+        t = _re.sub(r"\s+", " ", t.lower())
+        hs = (
+            [h(t[i:i + k]) for i in range(len(t) - k + 1)]
+            if len(t) >= k
+            else []
+        )
+        if len(hs) < w:
+            return set()
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    want = {i: twin(t) for i, t in rows if t and twin(t)}
+    assert got == want
+    assert got[1] == got[4]  # whitespace canon
+    assert 2 not in got and 3 not in got
+
+
+def test_winnow_guarantee_shared_fingerprint_on_long_match(spark):
+    """Any substring match of length >= w + k - 1 must share at least
+    one fingerprint — the winnowing recall floor."""
+    from xyzpy_spark.pipeline.dedup import winnow_fingerprints
+
+    shared = "a very long exactly matching passage of text here"
+    df = spark.createDataFrame(
+        [(1, "prefix one " + shared), (2, shared + " suffix two")],
+        "doc_id LONG, text STRING",
+    )
+    got = {}
+    for r in winnow_fingerprints(df, k=5, w=4, hash_fn="md5").collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert got[1] & got[2], "long shared passage must collide"
+
+
+def test_cdc_chunks_matches_python_twin_and_shift_tolerance(spark):
+    """CDC boundaries are content-local: exact python-twin agreement
+    plus the insertion-tolerance property (chunks after the edit
+    point keep their hashes)."""
+    import hashlib
+    import re as _re
+
+    from xyzpy_spark.pipeline.dedup import cdc_chunks
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, base), (2, "xy"), (3, None), (4, "INSERT " + base)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {}
+    for r in cdc_chunks(df, k=4, mask_bits=3, hash_fn="md5").collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_hash"], r["chunk_len"])
+        )
+    for v in got.values():
+        v.sort()
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def twin(t, k=4, mb=3):
+        t = _re.sub(r"\s+", " ", t.lower())
+        cuts = (
+            [
+                i
+                for i in range(1, len(t) - k + 2)
+                if h(t[i - 1:i - 1 + k]) % (1 << mb) == 0
+            ]
+            if len(t) >= k
+            else []
+        )
+        bnds = [0] + [i + k - 1 for i in cuts] + [len(t)]
+        out = []
+        for j in range(1, len(bnds)):
+            ln = bnds[j] - bnds[j - 1]
+            if ln >= 1:
+                out.append((j, h(t[bnds[j - 1]:bnds[j]]), ln))
+        return out
+
+    want = {
+        i: twin(t) for i, t in rows if t is not None and twin(t)
+    }
+    assert got == want
+    h1 = {c for _, c, _ in got[1]}
+    h4 = {c for _, c, _ in got[4]}
+    assert len(h1 & h4) >= len(h1) - 2  # only the edited front differs
+
+
+def test_winnow_cdc_validate_params(spark):
+    import pytest as _pytest
+
+    from xyzpy_spark.pipeline.dedup import cdc_chunks, winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id LONG, text STRING")
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, k=0)
+    with _pytest.raises(ValueError):
+        cdc_chunks(df, mask_bits=0)
+    with _pytest.raises(ValueError, match="hash_fn"):
+        winnow_fingerprints(df, hash_fn="sha1")

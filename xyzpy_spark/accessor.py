@@ -372,6 +372,16 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
             return self._wrap(df), stages
         return self._wrap(out)
 
+    def winnow_fingerprints(self, **kw) -> "xyz":
+        from .pipeline.dedup import winnow_fingerprints
+
+        return self._wrap(winnow_fingerprints(self.df, **kw))
+
+    def cdc_chunks(self, **kw) -> "xyz":
+        from .pipeline.dedup import cdc_chunks
+
+        return self._wrap(cdc_chunks(self.df, **kw))
+
     def pmi_collocations(self, **kw) -> "xyz":
         from .pipeline.ir import pmi_collocations
 

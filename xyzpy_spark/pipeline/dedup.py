@@ -1892,6 +1892,178 @@ def dedup_corpus(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    the MOSS algorithm): hash every character ``k``-gram of the
+    whitespace-canonicalized text, slide a ``w``-hash window, keep
+    each window's MINIMUM hash, emit the distinct selections as
+    ``(id, fingerprint)`` rows.
+
+    The guarantee that makes this the standard dedup-index sampler:
+    every substring match of length >= ``w + k - 1`` shares at least
+    one selected fingerprint, while the expected index size is
+    ~``2/(w+1)`` of the full k-gram set — an order of magnitude fewer
+    rows than shingle-everything for the same recall floor.  Build
+    the candidate index over these fingerprints instead of raw
+    shingles when the shingle table itself is the bottleneck.
+
+    Map-only JVM column plan: two nested ``sequence``/``transform``
+    expansions (both guarded against Spark's descending
+    ``sequence(1, 0)``), ``array_min`` per window, one distinct
+    explode.  Documents shorter than ``k`` chars (or with fewer than
+    ``w`` k-grams) emit nothing — too short to fingerprint, by
+    construction of the guarantee.  ``hash_fn='md5'`` swaps the
+    64-bit xxhash for the engine-portable 60-bit md5 bucket so the
+    selection is verifiable bit-exactly against a SQL oracle.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("winnow_fingerprints: k and w must be >= 1")
+    if hash_fn == "xxhash64":
+        def _h(c):
+            return F.xxhash64(c)
+    elif hash_fn == "md5":
+        _h = _portable_token_hash
+    else:
+        raise ValueError(
+            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
+        )
+    # materialize the canon text and then the hash array as their own
+    # projections: a lambda that references a computed expression
+    # re-evaluates it PER ELEMENT (the whitespace regex would run once
+    # per position, and the hash array once per window — quadratic)
+    canon = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    staged = df.select(F.col(id_col), canon.alias("__t"))
+    t = F.col("__t")
+    hashes = F.when(
+        F.length(t) >= F.lit(k),
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - F.lit(k - 1)),
+            lambda i: _h(t.substr(i, F.lit(k))),
+        ),
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
+    hashed = staged.select(id_col, hashes.alias("__h"))
+    hcol = F.col("__h")
+    wins = F.when(
+        F.size(hcol) >= F.lit(w),
+        F.transform(
+            F.sequence(F.lit(1), F.size(hcol) - F.lit(w - 1)),
+            lambda j: F.array_min(F.slice(hcol, j, w)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<bigint>"))
+    return hashed.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(wins)).alias("fingerprint"),
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    *,
+    k: int = 8,
+    mask_bits: int = 5,
+    min_len: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Content-defined chunking (the LBFS / rsync family): cut the
+    whitespace-canonicalized text after every position whose ``k``-gram
+    hash is 0 mod ``2^mask_bits``, emit ``(id, chunk_idx, chunk_hash,
+    chunk_len)`` per chunk.
+
+    The property that fixed-size chunking lacks: boundaries depend
+    only on LOCAL content, so an insertion near the front shifts
+    nothing downstream — every untouched chunk keeps its hash, and a
+    chunk-hash groupBy finds shared content between revisions of a
+    document that whole-document or fixed-window dedup misses.
+    Expected chunk length is ``~2^mask_bits`` characters.
+
+    Map-only JVM plan: one k-gram hash scan with a ``filter`` over
+    positions, boundary assembly as array arithmetic, one explode;
+    NULL text emits nothing, chunks shorter than ``min_len`` are
+    dropped (the zero-length tail when a cut lands on the end, plus
+    noise chunks if the caller raises it).  ``hash_fn='md5'`` gives
+    the engine-portable selection for oracle verification.
+    """
+    if k < 1 or mask_bits < 1:
+        raise ValueError("cdc_chunks: k and mask_bits must be >= 1")
+    if hash_fn == "xxhash64":
+        def _h(c):
+            return F.xxhash64(c)
+    elif hash_fn == "md5":
+        _h = _portable_token_hash
+    else:
+        raise ValueError(
+            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
+        )
+    m = 1 << int(mask_bits)
+    # stage canon text and then the boundary array as projections —
+    # lambda-referenced computed expressions re-evaluate per element
+    # (see winnow_fingerprints)
+    canon = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    staged = df.select(F.col(id_col), canon.alias("__t"))
+    t = F.col("__t")
+    n = F.length(t)
+    cuts = F.when(
+        n >= F.lit(k),
+        F.filter(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.pmod(_h(t.substr(i, F.lit(k))), F.lit(m))
+            == 0,
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    ends = F.transform(cuts, lambda i: i + F.lit(k - 1))
+    bnds = F.when(
+        t.isNotNull(),
+        F.concat(
+            F.array(F.lit(0)), ends.cast("array<int>"), F.array(n)
+        ),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    bounded = staged.select(id_col, "__t", bnds.alias("__b"))
+    b = F.col("__b")
+    tb = F.col("__t")
+    chunks = F.when(
+        F.size(b) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(b) - 1),
+            lambda j: F.struct(
+                j.alias("chunk_idx"),
+                tb.substr(
+                    F.element_at(b, j) + F.lit(1),
+                    F.element_at(b, j + F.lit(1))
+                    - F.element_at(b, j),
+                ).alias("__c"),
+                (
+                    F.element_at(b, j + F.lit(1))
+                    - F.element_at(b, j)
+                ).alias("chunk_len"),
+            ),
+        ),
+    ).otherwise(
+        F.expr("array()").cast(
+            "array<struct<chunk_idx:int,__c:string,chunk_len:int>>"
+        )
+    )
+    return (
+        bounded.select(F.col(id_col), F.explode(chunks).alias("ch"))
+        .where(F.col("ch.chunk_len") >= int(min_len))
+        .select(
+            id_col,
+            F.col("ch.chunk_idx").alias("chunk_idx"),
+            _h(F.col("ch.__c")).alias("chunk_hash"),
+            F.col("ch.chunk_len").cast("int").alias("chunk_len"),
+        )
+    )
+
+
 def strip_duplicate_lines(
     df: DataFrame,
     *,

@@ -144,6 +144,13 @@ PICKS = {
     "serving path: JVM trigram/md5 featurization, BROADCAST weight "
     "and language tables, doc-keyed margin completion, min_by argmax "
     "— no Python anywhere",
+    "winnow_fingerprints": "MOSS winnowing: staged canon/hash-array "
+    "projections (lambda-referenced expressions re-evaluate per "
+    "element), per-window array_min, one distinct explode — ZERO "
+    "exchanges, map-only",
+    "cdc_chunks": "content-defined chunking: k-gram hash filter for "
+    "boundaries, array arithmetic for chunk spans, one explode — "
+    "ZERO exchanges, map-only",
 }
 
 

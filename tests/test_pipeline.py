@@ -2614,3 +2614,27 @@ def test_winnow_cdc_validate_params(spark):
         cdc_chunks(df, mask_bits=0)
     with _pytest.raises(ValueError, match="hash_fn"):
         winnow_fingerprints(df, hash_fn="sha1")
+
+
+def test_winnow_cdc_xxhash64_production_mode(spark):
+    """The production (default) hash mode must execute and keep the
+    structural invariants — every other test and the oracle gate use
+    md5, so this is the xxhash64 branch's only coverage."""
+    from xyzpy_spark.pipeline.dedup import cdc_chunks, winnow_fingerprints
+
+    text = "the quick brown fox jumps over the lazy dog again"
+    df = spark.createDataFrame(
+        [(1, text), (2, text)], "doc_id LONG, text STRING"
+    )
+    fps = winnow_fingerprints(df, k=5, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[1] and by_doc[1] == by_doc[2]  # deterministic
+    chunks = cdc_chunks(df, k=4, mask_bits=3).collect()
+    lens = {}
+    for r in chunks:
+        lens.setdefault(r["doc_id"], 0)
+        lens[r["doc_id"]] += r["chunk_len"]
+    # chunks partition the canonicalized text exactly
+    assert lens[1] == lens[2] == len(text)

@@ -1892,6 +1892,19 @@ def dedup_corpus(
     )
 
 
+def _kgram_hasher(hash_fn: str):
+    """Shared hash dispatch of the sampled-dedup ops: 64-bit xxhash64
+    (production) or the 60-bit md5 bucket (engine-portable, for the
+    SQL oracles)."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64
+    if hash_fn == "md5":
+        return _portable_token_hash
+    raise ValueError(
+        f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     *,
@@ -1926,15 +1939,7 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError("winnow_fingerprints: k and w must be >= 1")
-    if hash_fn == "xxhash64":
-        def _h(c):
-            return F.xxhash64(c)
-    elif hash_fn == "md5":
-        _h = _portable_token_hash
-    else:
-        raise ValueError(
-            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
-        )
+    _h = _kgram_hasher(hash_fn)
     # materialize the canon text and then the hash array as their own
     # projections: a lambda that references a computed expression
     # re-evaluates it PER ELEMENT (the whitespace regex would run once
@@ -1995,15 +2000,7 @@ def cdc_chunks(
     """
     if k < 1 or mask_bits < 1:
         raise ValueError("cdc_chunks: k and mask_bits must be >= 1")
-    if hash_fn == "xxhash64":
-        def _h(c):
-            return F.xxhash64(c)
-    elif hash_fn == "md5":
-        _h = _portable_token_hash
-    else:
-        raise ValueError(
-            f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}"
-        )
+    _h = _kgram_hasher(hash_fn)
     m = 1 << int(mask_bits)
     # stage canon text and then the boundary array as projections —
     # lambda-referenced computed expressions re-evaluate per element

@@ -2508,16 +2508,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # line.  tests/test_plans.py::test_rotation_discipline asserts every
 # queries() key is in exactly one of the two, the queue sits at
 # positions 51+, and the window newcomers come from last round's queue.
-# The 10 earlier round-5 additions (Q10/Q14/Q16/Q12/Q19 relational
-# shapes, the IR trio, the stateful streaming operator, frozen-model
-# langid) were rotated INTO the first-50 window in the same round, so
-# after this round's gate every query except the queue below has been
-# driver-hashed.  Queue (added after the window froze; strict-green
-# locally at sf0.01 and sf0.001): the two sampled-dedup primitives.
-ROTATION_QUEUE: list[str] = [
-    "winnow_fingerprints",
-    "cdc_chunks",
-]
+# ROUND 6 rotated the two round-5 queue entries (winnow_fingerprints,
+# cdc_chunks — the only never-driver-hashed registry rows, both
+# strict-green locally at sf0.01 and sf0.001 and judge-verified in
+# VERDICT r5) into the window, displacing two multi-round-green
+# veterans (dedup_clusters: green r1-r5; skew_salted_revenue: green
+# r1-r5 — cluster resolution stays exercised in-window through
+# dedup_corpus, the relational family keeps 8 in-window reps).
+ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
     "pricing_summary": 1,
@@ -2580,6 +2578,8 @@ ROTATION_HISTORY: dict[str, int] = {
     "discounted_revenue": 5,
     "stream_stateful_stats": 5,
     "langid_trained": 5,
+    "winnow_fingerprints": 6,
+    "cdc_chunks": 6,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -2634,7 +2634,7 @@ ROTATION_HISTORY: dict[str, int] = {
 }
 
 # The round whose driver window is currently frozen in queries() order.
-ROTATION_ROUND = 5
+ROTATION_ROUND = 6
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2704,9 +2704,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # veterans (filter_corpus, corpus_top_ngrams, pack_sequences,
     # decontaminate, dedup_paragraphs, quality_model, semantic_dedup,
     # dedup_substrings, image_features, token_budget; every displaced
-    # family keeps an in-window representative).  ROTATION_QUEUE is
-    # EMPTY: after this round's gate, every registry query has been
-    # driver-hashed — zero rotation debt.
+    # family keeps an in-window representative).
+    # ROUND 6 rotated the last two never-driver-hashed queries
+    # (winnow_fingerprints, cdc_chunks — the round-5 queue) into the
+    # window, displacing dedup_clusters and skew_salted_revenue
+    # (both green r1-r5; clustering stays exercised in-window via
+    # dedup_corpus, relational skew handling via the 8 TPC-H-shaped
+    # in-window queries).  ROTATION_QUEUE holds any round-6 additions
+    # until they are strict-green and rotated in.
     return {
         "pricing_summary": q_pricing_summary,
         "gopher_rules": q_gopher_rules,
@@ -2724,12 +2729,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_jpeg": q_multimodal_jpeg,
         "vocab_coverage": q_vocab_coverage,
         "stream_curate": q_stream_curate,
-        "dedup_clusters": q_dedup_clusters,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "lm_trigram_nll": q_lm_trigram_nll,
         "bpe_token_count": q_bpe_token_count,
         "contamination_pairs": q_contamination_pairs,
         "dedup_containment": q_dedup_containment,
-        "skew_salted_revenue": q_skew_salted_revenue,
+        "cdc_chunks": q_cdc_chunks,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "oov_rate": q_oov_rate,
         "tokenized_sequences": q_tokenized_sequences,
@@ -2821,10 +2826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "pii_scrub": q_pii_scrub,
         "mix_corpora": q_mix_corpora,
-        # ---- ROUND-6 ROTATION QUEUE (see ROTATION_QUEUE): never
-        # driver-hashed; strict-green locally ----
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "cdc_chunks": q_cdc_chunks,
+        "dedup_clusters": q_dedup_clusters,
+        "skew_salted_revenue": q_skew_salted_revenue,
     }
 
 

@@ -159,37 +159,6 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # pre-stage the incremental-dedup index (production: a saved table
-    # built once, probed per ingest) so the timed number is the
-    # per-batch probe; the one-time build cost is recorded separately.
-    # Runs AFTER warm-up: a cold JVM adds ~8 s of codegen/JIT to the
-    # 64-perm expression tree, which is session noise, not build cost.
-    build_timings: dict[str, float] = {}
-    if "dedup_incremental" in names:
-        import shutil
-        import tempfile
-
-        idx_path = os.path.join(
-            tempfile.mkdtemp(prefix="xyzpy_bench_"), "dedup_index"
-        )
-        # the 64-perm signature tree costs ~7 s of whole-stage codegen
-        # the FIRST time it compiles — the generic warm-up above does
-        # not cover it.  Compile it on the smoke-scale data first so
-        # the recorded one-shot tracks the sf-dir build, not JIT.
-        warm_idx = os.path.join(
-            os.path.dirname(idx_path), "warm_index"
-        )
-        entrymod.prestage_dedup_incremental(
-            spark, "/root/testdata/sf0.001", warm_idx
-        )
-        t0 = time.time()
-        entrymod.prestage_dedup_incremental(spark, sf_dir, idx_path)
-        build_timings["dedup_incremental_build"] = round(time.time() - t0, 4)
-        queries = dict(queries)
-        queries["dedup_incremental"] = entrymod.make_dedup_incremental_probe(
-            idx_path
-        )
-
     load_max = float(os.environ.get("BENCH_LOAD_MAX", "6.0"))
 
     def _load() -> float | None:
@@ -198,7 +167,83 @@ def main() -> None:
         except OSError:
             return None
 
-    def _sample(name: str) -> tuple[float, float | None]:
+    timings: dict[str, float] = {}
+    under_load: list[str] = []
+    raw_samples: dict[str, list[float]] = {}
+
+    def _race(name, run_once) -> None:
+        """Load-guarded median-of-N for one timed unit.
+
+        Takes ``runs`` samples; if EVERY sample raced a load above
+        BENCH_LOAD_MAX, takes ``runs`` more and keeps the median of the
+        lowest ``runs`` — under contention the low samples are the ones
+        that ran unimpeded, so this converges on the solo figure.  Rows
+        still fully contended after retries are flagged in
+        measured_under_load AND get their raw sample/load lists emitted
+        (r5 advice: let readers judge the spread, not just the flag).
+        """
+        samples, loads = [], []
+        for _ in range(runs):
+            ld = _load()
+            t0 = time.time()
+            run_once()
+            samples.append(time.time() - t0)
+            loads.append(ld)
+        if all(ld is not None and ld > load_max for ld in loads):
+            for _ in range(runs):
+                ld = _load()
+                t0 = time.time()
+                run_once()
+                samples.append(time.time() - t0)
+                loads.append(ld)
+            if all(ld is not None and ld > load_max for ld in loads):
+                under_load.append(name)
+                raw_samples[name] = [
+                    [round(s, 4), round(ld, 2) if ld is not None else None]
+                    for s, ld in zip(samples, loads)
+                ]
+            samples = sorted(samples)[:runs]
+        timings[name] = round(statistics.median(samples), 4)
+
+    # pre-stage the incremental-dedup index (production: a saved table
+    # built once, probed per ingest) so the timed number is the
+    # per-batch probe; the one-time build cost is recorded separately —
+    # since r6 with the SAME median/load-guard treatment as raced rows
+    # (r5 verdict: a single unraced build sample caught a busy box and
+    # printed a phantom 3.2x).  Runs AFTER warm-up: a cold JVM adds
+    # ~8 s of codegen/JIT to the 64-perm expression tree, which is
+    # session noise, not build cost.
+    idx_path = None
+    if "dedup_incremental" in names:
+        import shutil
+        import tempfile
+
+        bench_tmp = tempfile.mkdtemp(prefix="xyzpy_bench_")
+        idx_path = os.path.join(bench_tmp, "dedup_index")
+        # the 64-perm signature tree costs ~7 s of whole-stage codegen
+        # the FIRST time it compiles — the generic warm-up above does
+        # not cover it.  Compile it on the smoke-scale data first so
+        # the recorded one-shot tracks the sf-dir build, not JIT.
+        entrymod.prestage_dedup_incremental(
+            spark, "/root/testdata/sf0.001", os.path.join(bench_tmp, "warm")
+        )
+        n_build = [0]
+
+        def _build_once():
+            # each sample writes a fresh index dir; the last one is the
+            # index the probe query below reads
+            n_build[0] += 1
+            entrymod.prestage_dedup_incremental(
+                spark, sf_dir, f"{idx_path}_{n_build[0]}"
+            )
+
+        _race("dedup_incremental_build", _build_once)
+        queries = dict(queries)
+        queries["dedup_incremental"] = entrymod.make_dedup_incremental_probe(
+            f"{idx_path}_{n_build[0]}"
+        )
+
+    def _sample(name: str):
         # isolate queries from each other: operators persist()
         # intermediates (shingles, LSH signatures) that only their
         # consumer can release, so without this the bench sequence
@@ -208,58 +253,47 @@ def main() -> None:
         # own cache-build cost — same protocol as the BASELINE.md
         # solo recordings.
         spark.catalog.clearCache()
-        ld = _load()
-        t0 = time.time()
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        return time.time() - t0, ld
 
-    timings: dict[str, float] = {}
-    under_load: list[str] = []
     for name in names:
-        samples, loads = [], []
-        for _ in range(runs):
-            dt, ld = _sample(name)
-            samples.append(dt)
-            loads.append(ld)
-        if all(ld is not None and ld > load_max for ld in loads):
-            # every sample raced a loaded box: take extra samples and
-            # keep the median of the lowest `runs` — the low samples
-            # are the uncontended ones
-            for _ in range(runs):
-                dt, ld = _sample(name)
-                samples.append(dt)
-                loads.append(ld)
-            if all(ld is not None and ld > load_max for ld in loads):
-                under_load.append(name)
-            samples = sorted(samples)[:runs]
-        timings[name] = round(statistics.median(samples), 4)
-    timings.update(build_timings)  # one-shot costs, recorded not raced
-    if build_timings:
+        _race(name, lambda name=name: _sample(name))
+    if idx_path is not None:
         shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
 
     end_load = _load()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # the box is shared: interpret timings against this
-                "load_avg_at_start": load_avg,
-                "load_avg_at_end": (
-                    round(end_load, 2) if end_load is not None else None
-                ),
-                "load_max": load_max,
-                # rows whose every sample (incl. retries) saw load_avg
-                # above load_max — re-measure solo before reading a
-                # ratio off them
-                "measured_under_load": under_load,
-            }
-        )
+    record = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # the box is shared: interpret timings against this
+        "load_avg_at_start": load_avg,
+        "load_avg_at_end": (
+            round(end_load, 2) if end_load is not None else None
+        ),
+        "load_max": load_max,
+        # rows whose every sample (incl. retries) saw load_avg
+        # above load_max — re-measure solo before reading a
+        # ratio off them; raw [sec, load] pairs in samples_under_load
+        "measured_under_load": under_load,
+        "samples_under_load": raw_samples,
+    }
+    line = json.dumps(record)
+    # the driver captures stdout with a bounded window and truncated
+    # BENCH_r05 mid-line; the file copy makes the record self-sufficient
+    out_path = os.environ.get(
+        "BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_out.json"),
     )
+    try:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    except OSError:
+        pass
+    print(line)
 
 
 if __name__ == "__main__":

@@ -195,6 +195,26 @@ def test_langid_intercept_only_language_competes(spark):
     assert got["lang_pred"] == "cc"
 
 
+def test_langid_rejects_inconsistent_weight_metadata(spark):
+    """Scoring reads (n_buckets, ngram, hash_fn) as a GLOBAL featurizer
+    config; a weight table holding rows from two concatenated models
+    must fail loudly instead of featurizing with one model's config and
+    scoring with both models' weights (r5 advice)."""
+    weights = spark.createDataFrame(
+        [
+            ("aa", 7, -1.0, 1 << 16, 3),
+            ("bb", 9, -1.0, 1 << 12, 2),
+        ],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int",
+    )
+    df = spark.createDataFrame(
+        [(1, "whatever text this is")], "doc_id LONG, text STRING"
+    )
+    with pytest.raises(ValueError, match="inconsistent weight-table"):
+        score_langid_trained(df, weights, {"aa": 0.0, "bb": 0.0})
+
+
 def test_langid_train_rejects_single_class(spark):
     df = spark.createDataFrame(
         [(1, "en", "the and of"), (2, "en", "to in is")],

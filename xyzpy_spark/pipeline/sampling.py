@@ -432,8 +432,12 @@ def vocab_coverage(
         )
         cands = row if cands is None else cands.unionByName(row)
     covered = (
-        F.broadcast(cands)
-        .join(cum, F.col("__cum_types") >= F.col("vocab_size"), "left")
+        # broadcast the RIGHT side: cands is outer-preserved in this
+        # left join so a hint on it cannot be honored — the non-equi
+        # condition makes this a BroadcastNestedLoopJoin over the
+        # sqrt(2N)-bounded cumulated counts-of-counts table (r5 advice)
+        cands
+        .join(F.broadcast(cum), F.col("__cum_types") >= F.col("vocab_size"), "left")
         .groupBy("vocab_size")
         .agg(
             F.max_by(

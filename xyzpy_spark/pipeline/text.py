@@ -1199,9 +1199,21 @@ def score_langid_trained(
     has_hash = "hash_fn" in weights.columns
     if has_hash:
         meta_cols.append("hash_fn")
-    meta = weights.select(*meta_cols).first()
-    if meta is None:
+    # the featurizer config must be GLOBAL: a weight table holding rows
+    # from two concatenated models (different n_buckets/ngram/hash_fn)
+    # would silently featurize with one model's config and score with
+    # both models' weights (r5 advice) — the table is language-sized by
+    # contract, so the distinct() audit is a broadcast-scale job
+    metas = weights.select(*meta_cols).distinct().collect()
+    if not metas:
         raise ValueError("empty weight table")
+    if len(metas) > 1:
+        raise ValueError(
+            "inconsistent weight-table metadata: every row must share "
+            f"one ({', '.join(meta_cols)}) config, found "
+            f"{sorted(tuple(m) for m in metas)}"
+        )
+    meta = metas[0]
     n_buckets, ngram = int(meta["n_buckets"]), int(meta["ngram"])
     hash_fn = str(meta["hash_fn"]) if has_hash else "murmur3"
     wtab = weights.select("lang", "bucket", "weight")

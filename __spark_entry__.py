@@ -2110,6 +2110,24 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunks(docs, k=6, mask_bits=4, hash_fn="md5")
 
 
+def q_winnow_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end winnowing dedup: near-dup pairs by Jaccard over the
+    winnowed fingerprint sets (k=6, w=5, md5-portable hash), with the
+    max_fp_freq=50 boilerplate cap active so the frequency-capped
+    inverted-index plan is what the oracle verifies
+    (pipeline/dedup.py winnow_dedup_pairs)."""
+    from xyzpy_spark.pipeline.dedup import winnow_dedup_pairs
+
+    # the testdata table is one single-row-group file = ONE scan
+    # partition; the md5-per-kgram fingerprint pass is CPU-bound, so
+    # spread the scan first (at real scale the scan's own split count
+    # provides this — same note as q_langid_trained)
+    docs = _t(spark, sf_dir, "documents").repartition(32)
+    return winnow_dedup_pairs(
+        docs, k=6, w=5, threshold=0.2, max_fp_freq=50, hash_fn="md5"
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent-bigram collocations by PMI with a min-count
     floor (pipeline/ir.pmi_collocations) — the corpus multi-word-
@@ -2515,7 +2533,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # veterans (dedup_clusters: green r1-r5; skew_salted_revenue: green
 # r1-r5 — cluster resolution stays exercised in-window through
 # dedup_corpus, the relational family keeps 8 in-window reps).
-ROTATION_QUEUE: list[str] = []
+ROTATION_QUEUE: list[str] = [
+    "winnow_dedup_pairs",
+]
 
 ROTATION_HISTORY: dict[str, int] = {
     "pricing_summary": 1,
@@ -2828,6 +2848,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         "dedup_clusters": q_dedup_clusters,
         "skew_salted_revenue": q_skew_salted_revenue,
+        # ---- ROUND-6 ROTATION QUEUE (see ROTATION_QUEUE): never
+        # driver-hashed; strict-green locally ----
+        "winnow_dedup_pairs": q_winnow_dedup_pairs,
     }
 
 
@@ -4981,6 +5004,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint
             FROM wins
+        """,
+        "winnow_dedup_pairs": r"""
+            WITH src AS (
+                SELECT doc_id,
+                       lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                FROM documents
+                WHERE text IS NOT NULL
+            ), h AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 6 THEN
+                           list_transform(
+                               range(1, len(t) - 6 + 2),
+                               i -> ('0x' || substr(md5(t[i:i+5]),
+                                                    1, 15))::BIGINT)
+                       ELSE []::BIGINT[] END AS hs
+                FROM src
+            ), wins AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) >= 5 THEN
+                           list_transform(
+                               range(1, len(hs) - 5 + 2),
+                               j -> list_min(hs[j:j+4]))
+                       ELSE []::BIGINT[] END AS ws
+                FROM h
+            ), fps_all AS (
+                SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint
+                FROM wins
+            ), rare AS (
+                SELECT fingerprint FROM fps_all
+                GROUP BY 1 HAVING COUNT(*) <= 50
+            ), fps AS (
+                SELECT doc_id, fingerprint
+                FROM fps_all JOIN rare USING (fingerprint)
+            ), sizes AS (
+                SELECT doc_id, COUNT(*) AS n_fp FROM fps GROUP BY 1
+            ), common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       COUNT(*) AS n_common
+                FROM fps a JOIN fps b USING (fingerprint)
+                WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+            )
+            , j AS (
+                SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+                       ROUND(n_common / (sa.n_fp + sb.n_fp - n_common), 6)
+                           AS fp_jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+            )
+            SELECT * FROM j WHERE fp_jaccard >= 0.2
         """,
         "cdc_chunks": r"""
             WITH src AS (

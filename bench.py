@@ -131,6 +131,7 @@ HEADLINE = [
     "langid_trained",
     "winnow_fingerprints",
     "cdc_chunks",
+    "winnow_dedup_pairs",
 ]
 
 

@@ -2551,6 +2551,84 @@ def test_winnow_guarantee_shared_fingerprint_on_long_match(spark):
     assert got[1] & got[2], "long shared passage must collide"
 
 
+def test_winnow_dedup_pairs_matches_python_twin(spark):
+    """End-to-end winnow dedup: Jaccard over the winnowed selections,
+    exact agreement with a pure-python twin, with and without the
+    fingerprint-frequency cap (capped fingerprints leave BOTH the
+    intersection and the sizes)."""
+    import hashlib
+    import re as _re
+
+    from xyzpy_spark.pipeline.dedup import winnow_dedup_pairs
+
+    shared = "a very long exactly matching passage of text here"
+    rows = [
+        (1, "prefix one " + shared),
+        (2, shared + " suffix two"),
+        (3, "completely unrelated content with nothing in common!"),
+        (4, shared),  # near-dup of 1 and 2
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def fps(t, k=5, w=4):
+        t = _re.sub(r"\s+", " ", t.lower())
+        hs = (
+            [h(t[i:i + k]) for i in range(len(t) - k + 1)]
+            if len(t) >= k
+            else []
+        )
+        if len(hs) < w:
+            return set()
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    def twin(max_fp_freq, threshold):
+        sets = {i: fps(t) for i, t in rows}
+        if max_fp_freq is not None:
+            freq = {}
+            for s in sets.values():
+                for f in s:
+                    freq[f] = freq.get(f, 0) + 1
+            sets = {
+                i: {f for f in s if freq[f] <= max_fp_freq}
+                for i, s in sets.items()
+            }
+        out = {}
+        ids = sorted(sets)
+        for x in ids:
+            for y in ids:
+                if x >= y or not sets[x] or not sets[y]:
+                    continue
+                c = len(sets[x] & sets[y])
+                if not c:
+                    continue
+                jac = round(c / len(sets[x] | sets[y]), 6)
+                if jac >= threshold:
+                    out[(x, y)] = (c, jac)
+        return out
+
+    for cap in (None, 3):
+        got = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["fp_jaccard"])
+            for r in winnow_dedup_pairs(
+                df, k=5, w=4, threshold=0.05, max_fp_freq=cap,
+                hash_fn="md5",
+            ).collect()
+        }
+        assert got == twin(cap, 0.05), f"cap={cap}"
+    assert (1, 4) in got and (2, 4) in got  # the planted near-dups
+
+
+def test_winnow_dedup_pairs_cap_validation(spark):
+    from xyzpy_spark.pipeline.dedup import winnow_dedup_pairs
+
+    df = spark.createDataFrame([(1, "abcdefgh")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="max_fp_freq"):
+        winnow_dedup_pairs(df, max_fp_freq=1)
+
+
 def test_cdc_chunks_matches_python_twin_and_shift_tolerance(spark):
     """CDC boundaries are content-local: exact python-twin agreement
     plus the insertion-tolerance property (chunks after the edit

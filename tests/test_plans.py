@@ -344,6 +344,24 @@ def test_substring_spans_no_self_join(spark):
         + plan.count("BroadcastHashJoin") == 1, plan
 
 
+def test_winnow_dedup_pairs_capped_equi_join_plan(spark):
+    """The winnowed inverted-index join must be an equi-join on the
+    fingerprint (never all-pairs), fully JVM-side, with the frequency
+    cap expressed as an aggregate + semi-join — the shape that keeps
+    candidate work linear in corpus size."""
+    from xyzpy_spark.pipeline.dedup import winnow_dedup_pairs
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    q = winnow_dedup_pairs(
+        docs, k=6, w=5, threshold=0.2, max_fp_freq=50, cache=False
+    )
+    plan = executed_plan(q)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan  # the frequency cap
+
+
 def test_image_ops_single_python_stage(spark):
     """decode+resize / decode+features fuse into ONE Arrow python
     stage over the scan — no shuffle, no chained python evaluators."""

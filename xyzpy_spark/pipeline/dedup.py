@@ -2061,6 +2061,87 @@ def cdc_chunks(
     )
 
 
+def winnow_dedup_pairs(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    w: int = 4,
+    threshold: float = 0.5,
+    max_fp_freq: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    cache: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs over the WINNOWED fingerprint index —
+    the end-to-end consumer of :func:`winnow_fingerprints`.
+
+    Same inverted-index plan shape as :func:`ngram_jaccard_pairs`
+    (explode -> self-equi-join on the key -> count common -> Jaccard
+    over the selected sets), but the index is the winnowing selection:
+    ~``2/(w+1)`` of the full k-gram set, with the MOSS guarantee that
+    any substring match of length >= ``w + k - 1`` still shares at
+    least one fingerprint — so candidate recall for long overlaps is
+    structural, not probabilistic, at an order of magnitude fewer
+    index rows than shingle-everything.  That row-count reduction is
+    the whole point at 100 TB: the shingle table is the dominant
+    shuffle of inverted-index dedup, and winnowing shrinks it before
+    the shuffle, not after.
+
+    ``fp_jaccard`` is the Jaccard over each document's SELECTED
+    fingerprint sets (a consistent estimator of k-gram Jaccard for
+    fixed ``w``; ties to the same guarantee).  ``max_fp_freq`` drops
+    fingerprints shared by more than that many documents before the
+    join — one boilerplate fingerprint shared by f docs creates f²
+    candidate rows, so the cap bounds join work linearly in corpus
+    size (same discipline as ``max_shingle_freq``; dropped
+    fingerprints are also dropped from sizes, keeping the score an
+    unbiased Jaccard of the CAPPED sets rather than a mixed-domain
+    ratio).  ``cache`` persists the fingerprint table, which feeds
+    sizes and both join sides.
+    """
+    fps = winnow_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    )
+    if max_fp_freq is not None:
+        if max_fp_freq < 2:
+            raise ValueError("max_fp_freq must be >= 2 to admit any pair")
+        rare = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .where(F.col("__f") <= max_fp_freq)
+            .select("fingerprint")
+        )
+        fps = fps.join(rare, "fingerprint", "left_semi")
+    if cache:
+        fps = fps.persist()
+    sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+    common = (
+        a.join(b, "fingerprint")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_fp").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "fp_jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .where(F.col("fp_jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "fp_jaccard")
+    )
+
+
 def strip_duplicate_lines(
     df: DataFrame,
     *,

@@ -2024,6 +2024,141 @@ def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic partsupp bridge derived from the fact stream —
+    the testdata has no partsupp table, so the part-supplier relation
+    is the DISTINCT (l_partkey, l_suppkey) pairs observed in lineitem,
+    and the two measures are exact-integer functions of the key pair
+    (cents, so every downstream sum is integer arithmetic — no float
+    canon needed anywhere).  The same derivation is written into the
+    oracles' partsupp CTE, so Spark and DuckDB see the identical
+    table by construction."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    return li.select(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+        ((F.col("l_partkey") * 17 + F.col("l_suppkey") * 31) % 10000
+         + 100).cast("long").alias("ps_supplycost_cents"),
+        ((F.col("l_partkey") * 7 + F.col("l_suppkey") * 3) % 1000
+         + 1).cast("long").alias("ps_availqty"),
+    )
+
+
+# the oracle-side twin of _derived_partsupp (prepended to both
+# partsupp-consuming oracles)
+_PARTSUPP_CTE = """
+    WITH partsupp AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               CAST((l_partkey * 17 + l_suppkey * 31) % 10000 + 100
+                    AS BIGINT) AS ps_supplycost_cents,
+               CAST((l_partkey * 7 + l_suppkey * 3) % 1000 + 1
+                    AS BIGINT) AS ps_availqty
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    )
+"""
+
+
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part stock value held by one nation's
+    suppliers, keeping parts whose value exceeds a threshold of the
+    nation's total — on the derived partsupp bridge
+    (:func:`_derived_partsupp`).  Two departures from the spec, both
+    deliberate: the measures are integer cents so every sum is exact
+    (no cross-engine float drift), and the threshold is SCALE-FREE —
+    ``value * n_parts > 2 * total`` (i.e. 2x the mean part value)
+    instead of Q11's ``fraction = 0.0001/SF`` constant, so one query
+    text is meaningful at every scale factor.  All-integer comparison:
+    no division anywhere.  Only the constant-size nation is broadcast;
+    the supplier join is left to AQE; the 1-row totals are a broadcast
+    cross join."""
+    ps = _derived_partsupp(spark, sf_dir)
+    nat = F.broadcast(
+        _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_15")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    v = (
+        ps.join(supp, ps["ps_suppkey"] == F.col("s_suppkey"))
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                F.col("ps_supplycost_cents") * F.col("ps_availqty")
+            ).cast("long").alias("value_cents")
+        )
+    )
+    tot = v.agg(
+        F.sum("value_cents").alias("__t"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return (
+        v.crossJoin(F.broadcast(tot))
+        .where(F.col("value_cents") * F.col("__n") > 2 * F.col("__t"))
+        .select("ps_partkey", "value_cents")
+        .orderBy(F.desc("value_cents"), F.asc("ps_partkey"))
+    )
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every LARGE-type part, the EUROPE
+    supplier(s) offering it at the region-minimum supply cost — on
+    the derived partsupp bridge.  The correlated MIN subquery is a
+    per-part aggregate joined back on (part, cost); nation and region
+    carry broadcast hints (constant-size dims), supplier is left to
+    AQE.  TakeOrdered top-100 on the strict key
+    (acctbal DESC, n_name, s_name, p_partkey) — unique per candidate
+    row, so the LIMIT is deterministic and engine-portable."""
+    ps = _derived_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_type") == "LARGE"
+    ).select("p_partkey", "p_name")
+    eu_nat = F.broadcast(
+        _t(spark, sf_dir, "nation").join(
+            F.broadcast(
+                _t(spark, sf_dir, "region").where(
+                    F.col("r_name") == "EUROPE"
+                )
+            ),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(eu_nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        ps.join(part, ps["ps_partkey"] == part["p_partkey"])
+        .join(eu, ps["ps_suppkey"] == eu["s_suppkey"])
+        .select(
+            "p_partkey", "p_name", "s_name", "s_acctbal", "n_name",
+            "ps_supplycost_cents",
+        )
+    )
+    mn = cand.groupBy("p_partkey").agg(
+        F.min("ps_supplycost_cents").alias("__mc")
+    )
+    return (
+        cand.join(mn, "p_partkey")
+        .where(F.col("ps_supplycost_cents") == F.col("__mc"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "ps_supplycost_cents",
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
 def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: per-linestatus counts of high- vs low-priority
     orders shipped in one year — conditional aggregation over the
@@ -2535,6 +2670,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_corpus, the relational family keeps 8 in-window reps).
 ROTATION_QUEUE: list[str] = [
     "winnow_dedup_pairs",
+    "important_stock",
+    "min_cost_supplier",
 ]
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -2851,6 +2988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- ROUND-6 ROTATION QUEUE (see ROTATION_QUEUE): never
         # driver-hashed; strict-green locally ----
         "winnow_dedup_pairs": q_winnow_dedup_pairs,
+        "important_stock": q_important_stock,
+        "min_cost_supplier": q_min_cost_supplier,
     }
 
 
@@ -5004,6 +5143,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint
             FROM wins
+        """,
+        "important_stock": _PARTSUPP_CTE + """
+            , g AS (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                WHERE n_name = 'NATION_15'
+            ), v AS (
+                SELECT ps_partkey,
+                       CAST(SUM(ps_supplycost_cents * ps_availqty)
+                            AS BIGINT) AS value_cents
+                FROM partsupp JOIN g ON ps_suppkey = s_suppkey
+                GROUP BY ps_partkey
+            ), tot AS (
+                SELECT SUM(value_cents) AS t, COUNT(*) AS n FROM v
+            )
+            SELECT ps_partkey, value_cents
+            FROM v, tot
+            WHERE value_cents * n > 2 * t
+            ORDER BY value_cents DESC, ps_partkey
+        """,
+        "min_cost_supplier": _PARTSUPP_CTE + """
+            , eu AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ), cand AS (
+                SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+                       ps_supplycost_cents
+                FROM partsupp
+                JOIN part ON ps_partkey = p_partkey
+                JOIN eu ON ps_suppkey = s_suppkey
+                WHERE p_type = 'LARGE'
+            ), mn AS (
+                SELECT p_partkey,
+                       MIN(ps_supplycost_cents) AS mc
+                FROM cand GROUP BY 1
+            )
+            SELECT s_acctbal, s_name, n_name, cand.p_partkey, p_name,
+                   ps_supplycost_cents
+            FROM cand JOIN mn ON cand.p_partkey = mn.p_partkey
+                             AND ps_supplycost_cents = mc
+            ORDER BY s_acctbal DESC, n_name, s_name, cand.p_partkey
+            LIMIT 100
         """,
         "winnow_dedup_pairs": r"""
             WITH src AS (

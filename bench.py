@@ -132,6 +132,8 @@ HEADLINE = [
     "winnow_fingerprints",
     "cdc_chunks",
     "winnow_dedup_pairs",
+    "important_stock",
+    "min_cost_supplier",
 ]
 
 

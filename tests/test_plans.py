@@ -592,6 +592,36 @@ def test_local_supplier_volume_all_dims_broadcast(spark):
     assert plan.count("BroadcastHashJoin") >= 4
 
 
+def test_important_stock_broadcasts_nation_and_totals(spark):
+    """Q11 shape on the derived partsupp bridge: the nation dim and
+    the 1-row totals both broadcast (the threshold comparison must
+    never shuffle the per-part values against a single-partition
+    total), and the plan is JVM-only."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["important_stock"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan  # nation dim
+    # the 1-row totals reach the filter as a broadcast nested loop,
+    # never a shuffled cross
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_min_cost_supplier_broadcast_dims_takeordered(spark):
+    """Q2 shape: region->nation dims broadcast, the correlated-MIN
+    join back is an equi-join, and the top-100 is TakeOrdered, never
+    a global sort."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["min_cost_supplier"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrdered" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_vocab_coverage_no_single_partition_window(spark):
     """The coverage curve must never globally rank the distinct-type
     table (round-4 verdict's one weak grade: an unpartitioned

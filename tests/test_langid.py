@@ -215,6 +215,83 @@ def test_langid_rejects_inconsistent_weight_metadata(spark):
         score_langid_trained(df, weights, {"aa": 0.0, "bb": 0.0})
 
 
+def test_score_langid_rowwise_matches_join_scorer(spark):
+    """The map-literal row-wise scorer (the streaming-legal serving
+    path) must predict identically to the broadcast-join scorer on
+    real corpus text — same margin completion, same canon, same
+    tie-break, same NULL-for-no-grams contract."""
+    import __spark_entry__ as em
+    from xyzpy_spark.pipeline.text import score_langid_rowwise
+
+    weights = spark.createDataFrame(
+        [(lang, b, w, 4096, 3, "md5") for lang, b, w in em._langid_frozen_rows()],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int, hash_fn string",
+    )
+    icepts = dict(em._LANGID_FROZEN_INTERCEPTS)
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+        .unionByName(
+            spark.createDataFrame(
+                [(100001, None), (100002, ""), (100003, "ab")],
+                "doc_id LONG, text STRING",
+            )
+        )
+    )
+    joined = {
+        r["doc_id"]: (r["lang_pred"], r["m"])
+        for r in score_langid_trained(
+            docs, weights, icepts, round_places=6, margin_col="m"
+        ).collect()
+    }
+    rowwise = {
+        r["doc_id"]: (r["lang_pred"], r["m"])
+        for r in score_langid_rowwise(
+            docs, weights, icepts, round_places=6, margin_col="m"
+        ).collect()
+    }
+    assert set(joined) == set(rowwise)
+    for d in joined:
+        assert joined[d][0] == rowwise[d][0], d
+        if joined[d][1] is None:
+            assert rowwise[d][1] is None, d
+        else:
+            assert rowwise[d][1] == pytest.approx(joined[d][1], abs=1e-6), d
+    assert joined[100001][0] is None and joined[100003][0] is None
+
+
+def test_score_langid_rowwise_semantics(spark):
+    """Intercept-only languages compete, murmur3 mode works, the
+    weight-count bound raises, and inconsistent metadata raises."""
+    from xyzpy_spark.pipeline.text import score_langid_rowwise
+
+    weights = spark.createDataFrame(
+        [("aa", 7, -1.0, 1 << 16, 3), ("bb", 9, -1.0, 1 << 16, 3)],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int",
+    )
+    df = spark.createDataFrame(
+        [(1, "whatever text this is")], "doc_id LONG, text STRING"
+    )
+    got = score_langid_rowwise(
+        df, weights, {"aa": 0.0, "bb": 0.0, "cc": 2.0}
+    ).collect()[0]
+    assert got["lang_pred"] == "cc"
+    with pytest.raises(ValueError, match="literal-plan bound"):
+        score_langid_rowwise(
+            df, weights, {"aa": 0.0}, max_literal_weights=1
+        )
+    bad = spark.createDataFrame(
+        [("aa", 7, -1.0, 1 << 16, 3), ("bb", 9, -1.0, 1 << 12, 3)],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int",
+    )
+    with pytest.raises(ValueError, match="inconsistent weight-table"):
+        score_langid_rowwise(df, bad, {"aa": 0.0})
+
+
 def test_langid_train_rejects_single_class(spark):
     df = spark.createDataFrame(
         [(1, "en", "the and of"), (2, "en", "to in is")],

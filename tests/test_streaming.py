@@ -422,6 +422,51 @@ def test_curate_stream_matches_batch_gates(spark):
     assert got == exp and len(got) > 0
 
 
+def test_curate_stream_langid_gate_matches_batch(spark):
+    """The streaming language-ID gate (trained model served through
+    the map-literal row-wise scorer) must keep exactly the documents
+    the batch broadcast-join gate keeps — stream/batch parity for the
+    r5-verdict streaming-gate seam."""
+    import __spark_entry__ as em
+    from xyzpy_spark.pipeline.text import add_quality, score_langid_trained
+    from xyzpy_spark.streaming.ops import (
+        curate_stream,
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    weights = spark.createDataFrame(
+        [(lang, b, w, 4096, 3, "md5") for lang, b, w in em._langid_frozen_rows()],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int, hash_fn string",
+    )
+    icepts = dict(em._LANGID_FROZEN_INTERCEPTS)
+    langs = ("en", "de")
+    sf = "/root/testdata/sf0.001"
+    streamed = run_stream_to_memory(
+        curate_stream(
+            read_documents_stream(spark, sf),
+            min_tokens=20,
+            min_quality=0.5,
+            languages=langs,
+            langid_model=(weights, icepts),
+        ).select("doc_id", "n_tokens", "quality"),
+        "t_curate_stream_langid",
+        output_mode="append",
+    )
+    batch = add_quality(
+        spark.read.parquet(sf + "/documents.parquet")
+    ).where((F.col("n_tokens") >= 20) & (F.col("quality") >= 0.5))
+    want = (
+        score_langid_trained(batch, weights, icepts)
+        .where(F.col("lang_pred").isin(*langs))
+        .select("doc_id", "n_tokens", "quality")
+    )
+    got = sorted(tuple(r) for r in streamed.collect())
+    exp = sorted(tuple(r) for r in want.collect())
+    assert got == exp and 0 < len(got) < batch.count()
+
+
 def test_stateful_stats_all_null_key_matches_sql(spark, tmp_path):
     """A key whose values are all NULL must emit count=0 with NULL
     mean/std/err — SQL aggregate semantics — never mean=0.0 (r5

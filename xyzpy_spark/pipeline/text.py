@@ -1168,6 +1168,167 @@ def train_langid_classifier(
     return weights_df, intercepts
 
 
+def _validated_langid_meta(weights: DataFrame) -> tuple[int, int, str]:
+    """Read the featurizer config off a weight table, requiring it to
+    be GLOBAL: a table holding rows from two concatenated models
+    (different n_buckets/ngram/hash_fn) would silently featurize with
+    one model's config and score with both models' weights (r5
+    advice).  The table is language-sized by contract, so the
+    distinct() audit is a broadcast-scale job."""
+    meta_cols = ["n_buckets", "ngram"]
+    has_hash = "hash_fn" in weights.columns
+    if has_hash:
+        meta_cols.append("hash_fn")
+    metas = weights.select(*meta_cols).distinct().collect()
+    if not metas:
+        raise ValueError("empty weight table")
+    if len(metas) > 1:
+        raise ValueError(
+            "inconsistent weight-table metadata: every row must share "
+            f"one ({', '.join(meta_cols)}) config, found "
+            f"{sorted(tuple(m) for m in metas)}"
+        )
+    meta = metas[0]
+    return (
+        int(meta["n_buckets"]),
+        int(meta["ngram"]),
+        str(meta["hash_fn"]) if has_hash else "murmur3",
+    )
+
+
+def _gram_bucket_expr(g, hash_fn: str, n_buckets: int) -> F.Column:
+    """The shared gram->bucket hash of the langid featurizer (murmur3
+    production / md5 engine-portable), as an expression over a single
+    gram column — usable inside higher-order-function lambdas."""
+    if hash_fn == "murmur3":
+        return F.pmod(F.hash(g), F.lit(int(n_buckets)))
+    if hash_fn == "md5":
+        return F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast(
+            "long"
+        ) % F.lit(int(n_buckets))
+    raise ValueError(f"hash_fn must be 'murmur3' or 'md5', got {hash_fn!r}")
+
+
+def score_langid_rowwise(
+    df: DataFrame,
+    weights: DataFrame,
+    intercepts: dict[str, float] | None = None,
+    text_col: str = "text",
+    *,
+    out_col: str = "lang_pred",
+    round_places: int | None = None,
+    margin_col: str | None = None,
+    max_literal_weights: int = 8000,
+) -> DataFrame:
+    """Serve a trained language classifier WITHOUT any shuffle — the
+    streaming-legal twin of :func:`score_langid_trained`.
+
+    The broadcast-join scorer aggregates ``(doc, lang)`` margins,
+    which is a streaming aggregation append mode rejects; this
+    variant instead folds the model into per-language ``bucket ->
+    weight`` MAP LITERALS (constant-folded once by Catalyst) and
+    scores each row with a single ``aggregate`` over its gram-bucket
+    array — a map-only plan that runs identically on batch frames and
+    unbounded streams (the ``curate_stream`` langid gate).  Same
+    semantics as the join path: margins completed over the union of
+    weight-table languages and intercept keys, optional
+    ``round_places`` floor canon BEFORE the argmax, ties to the
+    lexicographically smallest language, NULL prediction for docs
+    with no n-grams.
+
+    The literal encoding bounds the model size: ``F.lit(list)`` costs
+    one plan node per element, so tables above ``max_literal_weights``
+    total weights raise — serve those through the broadcast-join path
+    (batch) or prune the model first.  (A binary-literal packing like
+    ``bloom_contains`` would lift the bound; not needed for gate-size
+    models.)
+    """
+    n_buckets, ngram, hash_fn = _validated_langid_meta(weights)
+    rows = sorted(
+        (r["lang"], int(r["bucket"]), float(r["weight"]))
+        for r in weights.select("lang", "bucket", "weight").collect()
+    )
+    if len(rows) > max_literal_weights:
+        raise ValueError(
+            f"score_langid_rowwise: {len(rows)} weights exceed the "
+            f"literal-plan bound ({max_literal_weights}); use "
+            "score_langid_trained (broadcast join) or prune the model"
+        )
+    by_lang: dict[str, list[tuple[int, float]]] = {}
+    for lang, b, wt in rows:
+        by_lang.setdefault(lang, []).append((b, wt))
+    b0 = dict(intercepts or {})
+    langs = sorted(set(by_lang) | set(b0))
+    if not langs:
+        raise ValueError("no languages: empty weights and intercepts")
+
+    # stage canon text, gram array, and bucket array as their own
+    # projections — lambda-referenced computed expressions re-evaluate
+    # per element (the winnow lesson)
+    canon = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    staged = df.withColumn("__t", canon)
+    t = F.col("__t")
+    grams = F.when(
+        F.length(t) >= F.lit(ngram),
+        F.transform(
+            F.sequence(F.lit(1), F.length(t) - F.lit(ngram - 1)),
+            lambda i: F.substring(t, i, ngram),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = staged.withColumn("__g", grams)
+    staged = staged.withColumn(
+        "__b",
+        F.transform(
+            F.col("__g"),
+            lambda g: _gram_bucket_expr(g, hash_fn, n_buckets),
+        ),
+    )
+
+    def _margin(lang: str) -> F.Column:
+        base = F.lit(float(b0.get(lang, 0.0)))
+        pairs = by_lang.get(lang)
+        if not pairs:
+            m = base
+        else:
+            wmap = F.map_from_arrays(
+                F.lit([p[0] for p in pairs]),
+                F.lit([p[1] for p in pairs]),
+            )
+            m = F.aggregate(
+                F.col("__b"),
+                base.cast("double"),
+                lambda acc, bkt: acc
+                + F.coalesce(
+                    F.element_at(wmap, bkt.cast("long")), F.lit(0.0)
+                ),
+            )
+        if round_places is not None:
+            m = _round_det(m, round_places)
+        return m
+
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    (-_margin(lang)).alias("neg_m"),
+                    F.lit(lang).alias("lang"),
+                )
+                for lang in langs
+            ]
+        )
+    )
+    staged = staged.withColumn("__best", best)
+    has_grams = F.size("__b") > 0
+    out = staged.withColumn(
+        out_col, F.when(has_grams, F.col("__best")["lang"])
+    )
+    if margin_col is not None:
+        out = out.withColumn(
+            margin_col, F.when(has_grams, -F.col("__best")["neg_m"])
+        )
+    return out.drop("__t", "__g", "__b", "__best")
+
+
 def score_langid_trained(
     df: DataFrame,
     weights: DataFrame,
@@ -1195,27 +1356,7 @@ def score_langid_trained(
     (NULL / empty / shorter-than-n text) get a NULL prediction
     rather than an arbitrary language.
     """
-    meta_cols = ["n_buckets", "ngram"]
-    has_hash = "hash_fn" in weights.columns
-    if has_hash:
-        meta_cols.append("hash_fn")
-    # the featurizer config must be GLOBAL: a weight table holding rows
-    # from two concatenated models (different n_buckets/ngram/hash_fn)
-    # would silently featurize with one model's config and score with
-    # both models' weights (r5 advice) — the table is language-sized by
-    # contract, so the distinct() audit is a broadcast-scale job
-    metas = weights.select(*meta_cols).distinct().collect()
-    if not metas:
-        raise ValueError("empty weight table")
-    if len(metas) > 1:
-        raise ValueError(
-            "inconsistent weight-table metadata: every row must share "
-            f"one ({', '.join(meta_cols)}) config, found "
-            f"{sorted(tuple(m) for m in metas)}"
-        )
-    meta = metas[0]
-    n_buckets, ngram = int(meta["n_buckets"]), int(meta["ngram"])
-    hash_fn = str(meta["hash_fn"]) if has_hash else "murmur3"
+    n_buckets, ngram, hash_fn = _validated_langid_meta(weights)
     wtab = weights.select("lang", "bucket", "weight")
     spark = df.sparkSession
     # the argmax language list is the UNION of weight-table languages

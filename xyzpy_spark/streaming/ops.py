@@ -318,6 +318,8 @@ def curate_stream(
     *,
     min_tokens: int | None = 20,
     min_quality: float | None = 0.5,
+    languages=None,
+    langid_model: tuple | None = None,
     blocklist=None,
     max_block_hits: int = 0,
 ) -> DataFrame:
@@ -325,10 +327,21 @@ def curate_stream(
     :func:`~xyzpy_spark.pipeline.curate.curate_corpus` applied to a
     document stream — the quality-signal gates
     (:func:`~xyzpy_spark.pipeline.text.add_quality`, pure column
-    arithmetic) plus the blocklist gate, so the plan runs unmodified
-    on the streaming engine in append mode with zero state and zero
-    shuffle (each micro-batch filters at scan speed; nothing
-    accumulates).
+    arithmetic), the language-ID gate, and the blocklist gate, so the
+    plan runs unmodified on the streaming engine in append mode with
+    zero state and zero shuffle (each micro-batch filters at scan
+    speed; nothing accumulates).
+
+    ``languages=('en', ...)`` mirrors the batch gate: by default the
+    prediction is the stopword scorer
+    (:func:`~xyzpy_spark.pipeline.text.add_language_id`, map-only);
+    pass ``langid_model=(weights, intercepts)`` to gate on a TRAINED
+    classifier — served through
+    :func:`~xyzpy_spark.pipeline.text.score_langid_rowwise`, the
+    map-literal scorer, because the broadcast-join path aggregates
+    ``(doc, lang)`` margins and a streaming aggregation is illegal in
+    append mode.  Same predictions as the batch path by construction
+    (parity-tested).
 
     What stays out, by design: the repetition signals
     (``add_repetition`` is a per-doc groupBy — a streaming
@@ -342,6 +355,7 @@ def curate_stream(
     """
     from ..pipeline.text import add_quality, filter_blocklist
 
+    cols = list(docs.columns)
     out = add_quality(docs)
     cond = F.lit(True)
     if min_tokens is not None:
@@ -349,6 +363,22 @@ def curate_stream(
     if min_quality is not None:
         cond &= F.col("quality") >= min_quality
     out = out.where(cond)
+    if languages:
+        wanted = [str(lang) for lang in languages]
+        quality_cols = [c for c in out.columns if c not in cols]
+        if langid_model is not None:
+            from ..pipeline.text import score_langid_rowwise
+
+            scored = score_langid_rowwise(
+                out, langid_model[0], langid_model[1]
+            )
+        else:
+            from ..pipeline.text import add_language_id
+
+            scored = add_language_id(out)
+        out = scored.where(F.col("lang_pred").isin(wanted)).select(
+            *cols, *quality_cols
+        )
     if blocklist:
         out = filter_blocklist(
             out, blocklist, max_hits=max_block_hits

@@ -404,3 +404,49 @@ def test_jpeg_lut_decode_equals_bit_walk(seed, n_syms):
         # readers may have FILLED ahead differently (peek16 buffers up
         # to 16 bits), which is invisible to decoding
         assert a.p * 8 - a.n == b_.p * 8 - b_.n
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.integers(1, 4))
+def test_jpeg_segreader_equals_bitreader(seed, n_segs):
+    """The r6 vectorized-prep entropy reader (_entropy_segments +
+    _SegReader) must be bit-for-bit equivalent to the byte-walking
+    _BitReader across stuffed FFs, RST segment boundaries, and the
+    zero-padded tail — the contract the inlined decode loop relies
+    on."""
+    from xyzpy_spark.pipeline.jpeg import (
+        _BitReader,
+        _SegReader,
+        _entropy_segments,
+    )
+
+    rng = np.random.default_rng(seed)
+    raw_segs = []
+    stream = bytearray()
+    for s in range(n_segs):
+        n = int(rng.integers(0, 12))
+        # bias toward 0xFF so stuffing paths are actually exercised
+        seg = bytes(
+            0xFF if rng.random() < 0.2 else int(b)
+            for b in rng.integers(0, 255, size=n)
+        )
+        raw_segs.append(seg)
+        stream += seg.replace(b"\xff", b"\xff\x00")
+        if s < n_segs - 1:
+            stream += bytes([0xFF, 0xD0 + (s % 8)])
+    stream += b"\xff\xd9"
+
+    segs = _entropy_segments(bytes(stream), 0)
+    assert segs == raw_segs  # unstuffing + RST split are exact
+
+    br = _BitReader(bytes(stream), 0)
+    for idx, seg in enumerate(segs):
+        if idx:
+            br.align_past_rst()
+        sr = _SegReader(seg)
+        # more ops than the segment holds, so every run crosses into
+        # the zero-padded tail
+        for _ in range(16):
+            assert sr.peek16() == br.peek16()
+            k = int(rng.integers(1, 17))
+            assert sr.read_bits(k) == br.read_bits(k)

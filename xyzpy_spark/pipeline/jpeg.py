@@ -45,6 +45,14 @@ ZIGZAG = [
 ]
 
 
+@functools.lru_cache(maxsize=1)
+def _zigzag_np():
+    import numpy as np
+
+    return np.array(ZIGZAG, dtype=np.intp)
+
+
+@functools.lru_cache(maxsize=1)
 def _dct_basis():
     import numpy as np
 
@@ -211,6 +219,91 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _entropy_segments(b: bytes, start: int) -> list[bytes]:
+    """Split the entropy-coded data at ``start`` into UNSTUFFED
+    restart segments: ``FF 00`` collapses to a literal ``FF``,
+    ``FF D0``-``FF D7`` (RSTn) closes a segment, any other ``FF xx``
+    marker ends the scan.  One numpy pass finds the (rare) FF bytes;
+    everything between them is sliced wholesale — the per-byte python
+    walk of the old ``_BitReader._fill`` never happens."""
+    import numpy as np
+
+    a = np.frombuffer(b, dtype=np.uint8, offset=start)
+    ffs = np.flatnonzero(a == 0xFF).tolist()
+    view = memoryview(b)[start:]
+    segs: list[bytes] = []
+    parts: list[bytes] = []
+    prev = 0
+    ended = False
+    for i in ffs:
+        if i < prev:  # consumed as the 00 of a prior FF 00 pair
+            continue
+        nxt = a[i + 1] if i + 1 < len(a) else 0xD9
+        if nxt == 0x00:  # stuffed: keep the FF, drop the 00
+            parts.append(bytes(view[prev : i + 1]))
+            prev = i + 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn: segment boundary
+            parts.append(bytes(view[prev:i]))
+            segs.append(b"".join(parts))
+            parts = []
+            prev = i + 2
+        elif nxt == 0xFF:  # marker-fill padding byte: drop it
+            parts.append(bytes(view[prev:i]))
+            prev = i + 1
+        else:  # real marker: end of entropy data
+            parts.append(bytes(view[prev:i]))
+            ended = True
+            break
+    if not ended:
+        parts.append(bytes(view[prev:]))
+    segs.append(b"".join(parts))
+    return segs
+
+
+class _SegReader:
+    """Bit reader over ONE unstuffed entropy segment.
+
+    Construction precomputes, in one vectorized pass, the 24-bit
+    window starting at every byte; ``peek16``/``skip``/``read_bits``
+    are then a list index plus integer shifts — no per-byte stuffing
+    checks on the hot path (that work happened in
+    :func:`_entropy_segments`).  Reads past the segment end return
+    zero bits without advancing past ``nbits``, exactly the
+    marker-padding contract of ``_BitReader`` (pinned by an
+    equivalence property test)."""
+
+    __slots__ = ("w24", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        import numpy as np
+
+        a = np.frombuffer(data + b"\x00\x00\x00", dtype=np.uint8).astype(
+            np.uint32
+        )
+        self.w24 = (
+            (a[:-2] << np.uint32(16)) | (a[1:-1] << np.uint32(8)) | a[2:]
+        ).tolist()
+        self.pos = 0
+        self.nbits = 8 * len(data)
+
+    def peek16(self) -> int:
+        p = self.pos
+        if p >= self.nbits:
+            return 0
+        return (self.w24[p >> 3] >> (8 - (p & 7))) & 0xFFFF
+
+    def skip(self, k: int) -> None:
+        p = self.pos + k
+        self.pos = p if p < self.nbits else self.nbits
+
+    def read_bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        v = self.peek16() >> (16 - k)
+        self.skip(k)
+        return v
+
+
 # -- decoder ------------------------------------------------------------
 
 
@@ -316,58 +409,126 @@ def decode_jpeg(b: bytes):
         mcux = (w + 8 * hmax - 1) // (8 * hmax)
         mcuy = (h + 8 * vmax - 1) // (8 * vmax)
         basis = _dct_basis()
-        planes = {}
-        for c in comps:
-            cw, ch_ = mcux * 8 * c["h"], mcuy * 8 * c["v"]
-            planes[c["id"]] = np.zeros((ch_, cw), dtype=np.float64)
 
-        br = _BitReader(b, scan_start)
+        # --- entropy pass: pure-python ints over precomputed bit
+        # windows; per component, zigzag-order coefficient rows in MCU
+        # order (my, mx, vy, vx) — the batch stages below consume them.
+        # The _SegReader ops are INLINED here: ~6 symbols/block x 4
+        # method calls each dominated the old decode (the call
+        # overhead, not the work — profiled), so the hot loop touches
+        # only local ints and lists.  _SegReader itself remains the
+        # reference implementation, equivalence-pinned by tests.
+        segs = _entropy_segments(b, scan_start)
+        rd = _SegReader(segs[0])
+        w24, nbits, pos = rd.w24, rd.nbits, 0
+        seg_idx = 0
         pred = {c["id"]: 0 for c in comps}
+        comp_cz: dict[int, list[list[int]]] = {c["id"]: [] for c in comps}
         n_mcu = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
+        for _my in range(mcuy):
+            for _mx in range(mcux):
                 if restart and n_mcu and n_mcu % restart == 0:
-                    br.align_past_rst()
+                    seg_idx += 1
+                    rd = _SegReader(
+                        segs[seg_idx] if seg_idx < len(segs) else b""
+                    )
+                    w24, nbits, pos = rd.w24, rd.nbits, 0
                     pred = {c["id"]: 0 for c in comps}
                 n_mcu += 1
                 for c in order:
-                    for vy in range(c["v"]):
-                        for vx in range(c["h"]):
-                            coeffs = np.zeros(64)
-                            sym = _huff_decode_lut(
-                                br, huff[(0, c["dct"])]
+                    dc_lut = huff[(0, c["dct"])]
+                    ac_lut = huff[(1, c["act"])]
+                    rows = comp_cz[c["id"]]
+                    dc = pred[c["id"]]
+                    for _blk in range(c["v"] * c["h"]):
+                        czz = [0] * 64
+                        entry = dc_lut[
+                            (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+                        ]
+                        if entry == 0:
+                            raise ValueError("jpeg: invalid Huffman code")
+                        pos += entry >> 8
+                        if pos > nbits:
+                            pos = nbits
+                        size = entry & 0xFF
+                        if size:
+                            v = (
+                                (w24[pos >> 3] >> (8 - (pos & 7)))
+                                & 0xFFFF
+                            ) >> (16 - size)
+                            pos += size
+                            if pos > nbits:
+                                pos = nbits
+                            dc += (
+                                v
+                                if v >= (1 << (size - 1))
+                                else v - (1 << size) + 1
                             )
-                            diff = _extend(br.read_bits(sym), sym)
-                            pred[c["id"]] += diff
-                            coeffs[0] = pred[c["id"]]
-                            k = 1
-                            while k < 64:
-                                rs = _huff_decode_lut(
-                                    br, huff[(1, c["act"])]
+                        czz[0] = dc
+                        k = 1
+                        while k < 64:
+                            entry = ac_lut[
+                                (w24[pos >> 3] >> (8 - (pos & 7)))
+                                & 0xFFFF
+                            ]
+                            if entry == 0:
+                                raise ValueError(
+                                    "jpeg: invalid Huffman code"
                                 )
-                                r, size = rs >> 4, rs & 0xF
-                                if rs == 0x00:
-                                    break
-                                if rs == 0xF0:
-                                    k += 16
-                                    continue
-                                k += r
-                                if k > 63:
-                                    break
-                                coeffs[ZIGZAG[k]] = _extend(
-                                    br.read_bits(size), size
+                            pos += entry >> 8
+                            if pos > nbits:
+                                pos = nbits
+                            rs = entry & 0xFF
+                            if rs == 0x00:
+                                break
+                            if rs == 0xF0:
+                                k += 16
+                                continue
+                            k += rs >> 4
+                            if k > 63:
+                                break
+                            size = rs & 0xF
+                            if size:  # size 0 w/ run>0: malformed, 0
+                                v = (
+                                    (w24[pos >> 3] >> (8 - (pos & 7)))
+                                    & 0xFFFF
+                                ) >> (16 - size)
+                                pos += size
+                                if pos > nbits:
+                                    pos = nbits
+                                czz[k] = (
+                                    v
+                                    if v >= (1 << (size - 1))
+                                    else v - (1 << size) + 1
                                 )
-                                k += 1
-                            q = np.array(qt[c["tq"]], dtype=np.float64)
-                            deq = np.zeros(64)
-                            for i in range(64):
-                                deq[ZIGZAG[i]] = coeffs[ZIGZAG[i]] * q[i]
-                            block = basis.T @ deq.reshape(8, 8) @ basis
-                            y0 = (my * c["v"] + vy) * 8
-                            x0 = (mx * c["h"] + vx) * 8
-                            planes[c["id"]][
-                                y0 : y0 + 8, x0 : x0 + 8
-                            ] = block + 128.0
+                            k += 1
+                        rows.append(czz)
+                    pred[c["id"]] = dc
+
+        # --- batch dequant + IDCT + placement, one numpy pass per
+        # component (the old per-block numpy calls and the 64-step
+        # python dequant loop dominated decode time)
+        zz = _zigzag_np()
+        planes = {}
+        for c in comps:
+            cv, ch2 = c["v"], c["h"]
+            n_blk = mcuy * mcux * cv * ch2
+            czz_arr = np.array(comp_cz[c["id"]], dtype=np.float64)
+            q = np.array(qt[c["tq"]], dtype=np.float64)
+            deq = np.zeros((n_blk, 64))
+            deq[:, zz] = czz_arr * q[None, :]
+            blocks = deq.reshape(n_blk, 8, 8)
+            # basis.T @ F @ basis batched over blocks — matmul
+            # broadcasts to a BLAS batched GEMM (einsum's c_einsum
+            # path is ~10x slower here)
+            spatial = np.matmul(
+                basis.T, np.matmul(blocks, basis)
+            ) + 128.0
+            planes[c["id"]] = (
+                spatial.reshape(mcuy, mcux, cv, ch2, 8, 8)
+                .transpose(0, 2, 4, 1, 3, 5)
+                .reshape(mcuy * cv * 8, mcux * ch2 * 8)
+            )
         # upsample to full resolution (nearest), crop to (h, w)
         full = []
         for c in comps:

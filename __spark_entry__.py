@@ -2263,6 +2263,22 @@ def q_winnow_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: codewords from a deterministic
+    md5-seeded sample, exact-int64 encode (|c|^2 - 2x.c argmin),
+    LUT-scored compressed scan, shortlist-20 exact re-rank to top-5
+    (pipeline/similarity.py pq_topk_portable — the engine-portable
+    twin of the pq_build/pq_topk scale tier; m=8 subspaces x 8
+    codes over the 64-dim embeddings)."""
+    from xyzpy_spark.pipeline.similarity import pq_topk_portable
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5)
+    return pq_topk_portable(
+        emb, queries, k=5, m=8, ksub=8, shortlist=20
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent-bigram collocations by PMI with a min-count
     floor (pipeline/ir.pmi_collocations) — the corpus multi-word-
@@ -2672,6 +2688,7 @@ ROTATION_QUEUE: list[str] = [
     "winnow_dedup_pairs",
     "important_stock",
     "min_cost_supplier",
+    "similarity_pq",
 ]
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -2990,6 +3007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_dedup_pairs": q_winnow_dedup_pairs,
         "important_stock": q_important_stock,
         "min_cost_supplier": q_min_cost_supplier,
+        "similarity_pq": q_similarity_pq,
     }
 
 
@@ -3366,6 +3384,98 @@ def _embedding_lsh_oracle() -> str:
         SELECT id_a, id_b, ROUND(cos, 6) AS cosine
         FROM scored WHERE cos >= 0.4
     """
+
+
+_SIMILARITY_PQ_ORACLE = """
+    WITH qv AS (
+        SELECT vec_id, CAST(r.range AS INTEGER) AS d,
+               CAST(floor(CAST(
+                   embedding[CAST(r.range AS INTEGER) + 1]
+               AS DOUBLE) * 1048576.0) AS BIGINT) AS qx
+        FROM embeddings CROSS JOIN range(64) r
+    ), norm2 AS (
+        SELECT vec_id, CAST(SUM(qx * qx) AS DOUBLE) AS n2
+        FROM qv GROUP BY 1
+    ), cent_ids AS (
+        SELECT vec_id AS cid,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42')
+               ) - 1 AS code
+        FROM (
+            SELECT vec_id FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 8
+        )
+    ), cw AS (
+        SELECT ci.code, CAST(q.d // 8 AS INTEGER) AS j,
+               q.d % 8 AS p, q.qx
+        FROM cent_ids ci JOIN qv q ON q.vec_id = ci.cid
+    ), cwn2 AS (
+        SELECT code, j, CAST(SUM(qx * qx) AS BIGINT) AS n2
+        FROM cw GROUP BY 1, 2
+    ), enc_cost AS (
+        SELECT v.vec_id, c.j, c.code,
+               cn.n2 - 2 * CAST(SUM(v.qx * c.qx) AS BIGINT) AS cost
+        FROM qv v
+        JOIN cw c ON c.j = CAST(v.d // 8 AS INTEGER) AND c.p = v.d % 8
+        JOIN cwn2 cn ON cn.code = c.code AND cn.j = c.j
+        GROUP BY v.vec_id, c.j, c.code, cn.n2
+    ), codes AS (
+        SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, j
+                       ORDER BY cost ASC, code ASC
+                   ) AS rn
+            FROM enc_cost
+        ) WHERE rn = 1
+    ), lut AS (
+        SELECT q.vec_id AS query_id, c.j, c.code,
+               CAST(SUM(q.qx * c.qx) AS BIGINT) AS pdot
+        FROM qv q
+        JOIN cw c ON c.j = CAST(q.d // 8 AS INTEGER) AND c.p = q.d % 8
+        WHERE q.vec_id < 5
+        GROUP BY 1, 2, 3
+    ), approx AS (
+        SELECT l.query_id, co.vec_id AS nbr_id,
+               CAST(SUM(l.pdot) AS DOUBLE)
+                   / (sqrt(nq.n2)
+                      * sqrt(CAST(SUM(cn.n2) AS DOUBLE))) AS ascore
+        FROM codes co
+        JOIN lut l ON l.j = co.j AND l.code = co.code
+        JOIN cwn2 cn ON cn.j = co.j AND cn.code = co.code
+        JOIN norm2 nq ON nq.vec_id = l.query_id
+        WHERE co.vec_id <> l.query_id
+        GROUP BY l.query_id, co.vec_id, nq.n2
+    ), short AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY ascore DESC, nbr_id ASC
+                   ) AS rn
+            FROM approx
+        ) WHERE rn <= 20
+    ), rerank AS (
+        SELECT s.query_id, s.nbr_id,
+               CAST(SUM(qa.qx * qb.qx) AS DOUBLE)
+                   / (sqrt(na.n2) * sqrt(nq.n2)) AS cos
+        FROM short s
+        JOIN qv qa ON qa.vec_id = s.nbr_id
+        JOIN qv qb ON qb.vec_id = s.query_id AND qb.d = qa.d
+        JOIN norm2 na ON na.vec_id = s.nbr_id
+        JOIN norm2 nq ON nq.vec_id = s.query_id
+        GROUP BY s.query_id, s.nbr_id, na.n2, nq.n2
+    )
+    SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(cos, 6) AS cosine
+    FROM (
+        SELECT query_id, nbr_id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC
+               ) AS rank
+        FROM rerank
+    ) WHERE rank <= 5
+"""
 
 
 _SIMILARITY_IVF_ORACLE = """
@@ -3947,6 +4057,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _dedup_incremental_oracle(),
         "dedup_embedding_lsh": _embedding_lsh_oracle(),
         "similarity_ivf": _SIMILARITY_IVF_ORACLE,
+        "similarity_pq": _SIMILARITY_PQ_ORACLE,
         "mix_corpora": """
             WITH w AS (
                 SELECT doc_id, source,

@@ -134,6 +134,7 @@ HEADLINE = [
     "winnow_dedup_pairs",
     "important_stock",
     "min_cost_supplier",
+    "similarity_pq",
 ]
 
 

@@ -633,6 +633,45 @@ def test_ivf_topk_recall(spark):
     assert sum(recalls) / len(recalls) > 0.5  # nprobe=4 of 8 cells
 
 
+def test_pq_topk_recall_and_rerank_exactness(spark):
+    """PQ asymmetric scan + exact re-rank: shortlist recall >= 0.95
+    vs brute-force cosine top-5 (the r5-verdict scale-tier bar), and
+    every returned cosine must equal the EXACT cosine (re-rank means
+    PQ error can only cost recall, never score accuracy)."""
+    from xyzpy_spark.pipeline.similarity import pq_build, pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    coded, cbs = pq_build(emb, m=16, ksub=16)
+    coded = coded.persist()
+    approx = pq_topk(coded, cbs, queries, k=5, shortlist=100).collect()
+    ex, exc = {}, {}
+    for r in exact:
+        ex.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        exc[(r["query_id"], r["nbr_id"])] = r["cosine"]
+    ap = {}
+    for r in approx:
+        ap.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        if (r["query_id"], r["nbr_id"]) in exc:
+            assert r["cosine"] == exc[(r["query_id"], r["nbr_id"])]
+    recalls = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    coded.unpersist()
+    assert sum(recalls) / len(recalls) >= 0.95, recalls
+    # 64 floats (256 B) -> 16 codes: the compressed representation
+    assert len(approx[0]) == 4  # query_id, nbr_id, rank, cosine
+
+
+def test_pq_build_validates_params(spark):
+    from xyzpy_spark.pipeline.similarity import pq_build
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    with pytest.raises(ValueError, match="divisible"):
+        pq_build(emb, m=7)
+    with pytest.raises(ValueError, match="m >= 1"):
+        pq_build(emb, m=0)
+
+
 def test_ivf_kmeans_refinement_tightens_cells(spark):
     """Lloyd iterations must (a) be deterministic and (b) not lose
     within-cell cosine tightness vs the sample-only seed centroids."""

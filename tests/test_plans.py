@@ -362,6 +362,34 @@ def test_winnow_dedup_pairs_capped_equi_join_plan(spark):
     assert "LeftSemi" in plan  # the frequency cap
 
 
+def test_pq_scan_prunes_vectors(spark, tmp_path):
+    """With materialized codes, the PQ candidate scan must read only
+    (id, codes) — the full embedding column reaches the plan ONLY
+    through the shortlist re-rank scan.  That scanned-bytes cut
+    (256 B -> 16 B per row here) is the reason the tier exists."""
+    from xyzpy_spark.pipeline.similarity import pq_build, pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    coded, cbs = pq_build(emb, m=16, ksub=16, kmeans_iters=0)
+    path = str(tmp_path / "pq_codes")
+    coded.write.parquet(path)
+    stored = spark.read.parquet(path)
+    q = pq_topk(
+        stored, cbs, emb.where(F.col("vec_id") < 3), k=5, shortlist=20
+    )
+    plan = executed_plan(q)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    scans = [
+        seg for seg in plan.split("ReadSchema: ")[1:]
+    ]
+    code_scans = [
+        s for s in scans
+        if s.startswith("struct<") and "codes" in s.split("\n")[0]
+        and "embedding" not in s.split("\n")[0]
+    ]
+    assert code_scans, f"no codes-only scan found:\n{plan}"
+
+
 def test_image_ops_single_python_stage(spark):
     """decode+resize / decode+features fuse into ONE Arrow python
     stage over the scan — no shuffle, no chained python evaluators."""

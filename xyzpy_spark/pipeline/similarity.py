@@ -362,6 +362,453 @@ def ivf_topk(
     )
 
 
+def _pq_codebook_lit(codebook: list) -> F.Column:
+    """One subspace's ksub x dsub codeword table as a nested array
+    literal (ksub * dsub doubles — a few hundred plan nodes, the
+    documented safe literal size)."""
+    return F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
+            for c in codebook
+        ]
+    )
+
+
+def _pq_encode_expr(codebooks: list, vec_col: str) -> F.Column:
+    """``array<int>`` of per-subspace nearest-codeword indices
+    (L2 argmin), pure codegen over literal codebooks — encoding never
+    joins and never leaves the JVM."""
+    v = F.col(vec_col).cast("array<double>")
+    parts = []
+    dsub = len(codebooks[0][0])
+
+    # NOTE: a two-parameter lambda makes PySpark pass (element, index)
+    # to the HOF — closing over the subvector via a default arg would
+    # silently bind it to the INDEX.  Use a one-arg closure factory.
+    def _cost_fn(sub):
+        return lambda c: _dot(c, c) - F.lit(2.0) * _dot(c, sub)
+
+    for j, cb in enumerate(codebooks):
+        sub = F.slice(v, j * dsub + 1, dsub)
+        # ||x - c||^2 ranks identically to |c|^2 - 2 x.c (x fixed)
+        costs = F.transform(_pq_codebook_lit(cb), _cost_fn(sub))
+        parts.append(
+            (F.array_position(costs, F.array_min(costs)) - 1).cast("int")
+        )
+    return F.array(*parts)
+
+
+def pq_build(
+    corpus: DataFrame,
+    *,
+    m: int = 4,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_seed: int = 42,
+    kmeans_iters: int = 2,
+) -> tuple[DataFrame, list]:
+    """Product-quantization codebooks + codes (Jégou et al., PQ for
+    nearest neighbor search): the vector is split into ``m``
+    subvectors, each quantized to one of ``ksub`` learned codewords,
+    so a D-float vector compresses to ``m`` small ints.
+
+    Why this is the ANN scale tier: IVF-Flat's within-cell scan reads
+    the full D floats per candidate; with PQ the scan reads ``m``
+    bytes of codes and scores against a per-query lookup table, an
+    8-16x cut in scanned bytes at 10^9+ vectors, with an EXACT
+    re-rank of the shortlist restoring precision
+    (:func:`pq_topk`).
+
+    Training mirrors :func:`ivf_build`: codewords start as the
+    subvectors of a deterministic seeded corpus sample and are
+    refined by ``kmeans_iters`` distributed Lloyd rounds — ONE
+    posexplode aggregation per round trains all ``m`` subspaces
+    simultaneously (subspace = dim // dsub of the exploded position),
+    driver rebuilds the bounded ``m x ksub x dsub`` literal table.
+    Empty clusters keep their previous codeword.  Returns the corpus
+    with a ``codes`` column plus the codebook list.
+    """
+    if m < 1 or ksub < 2:
+        raise ValueError("pq_build: need m >= 1 and ksub >= 2")
+    sample = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col) + F.lit(sample_seed)))
+        .limit(ksub)
+        .collect()
+    )
+    if not sample:
+        raise ValueError("pq_build: empty corpus")
+    dim = len(sample[0][vec_col])
+    if dim % m:
+        raise ValueError(f"pq_build: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks = [
+        [
+            [float(x) for x in r[vec_col][j * dsub : (j + 1) * dsub]]
+            for r in sample
+        ]
+        for j in range(m)
+    ]
+
+    for _ in range(kmeans_iters):
+        assigned = corpus.withColumn(
+            "__codes", _pq_encode_expr(codebooks, vec_col)
+        )
+        rows = (
+            assigned.select(
+                "__codes",
+                F.posexplode(
+                    F.col(vec_col).cast("array<double>")
+                ).alias("pos", "x"),
+            )
+            .select(
+                (F.col("pos") / dsub).cast("int").alias("j"),
+                F.element_at(
+                    "__codes", (F.col("pos") / dsub).cast("int") + 1
+                ).alias("code"),
+                (F.col("pos") % dsub).alias("p"),
+                "x",
+            )
+            .groupBy("j", "code", "p")
+            .agg(F.avg("x").alias("mean"))
+            .collect()
+        )
+        means: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            means.setdefault((r["j"], r["code"]), {})[r["p"]] = r["mean"]
+        codebooks = [
+            [
+                [means[(j, c)][p] for p in range(dsub)]
+                if (j, c) in means
+                else codebooks[j][c]
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+
+    coded = corpus.withColumn("codes", _pq_encode_expr(codebooks, vec_col))
+    return coded, codebooks
+
+
+def pq_topk(
+    corpus_with_codes: DataFrame,
+    codebooks: list,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Top-k cosine via PQ asymmetric distance + exact re-rank.
+
+    Stage 1 (compressed scan): every candidate is scored as
+    ``sum_j lut[j][code_j] / (|q| * sqrt(sum_j n2[j][code_j]))`` where
+    ``lut`` holds the query-subvector x codeword partial dots —
+    computed once per query row from the codebook LITERALS, shipped
+    with the broadcast query side.  The corpus side references only
+    ``id`` and ``codes``: column pruning keeps the D-float vectors
+    OUT of the scan entirely (plan-asserted), which is the point at
+    scale.  Stage 2: the per-query ``shortlist`` best approximate
+    candidates join back to the corpus by id (shortlist-sized seek,
+    AQE-broadcast) and are re-ranked by EXACT cosine, so the top-k
+    quality depends on PQ only through shortlist recall.
+
+    Compose with IVF by passing a cell-filtered
+    ``corpus_with_codes`` — the plan shape is unchanged.
+    """
+    query_id_col = query_id_col or id_col
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qv = F.col(vec_col).cast("array<double>")
+    # per-query partial-dot LUT: lut[j][c] = dot(q_j, codebook[j][c])
+    # (one-arg closure factory — see _pq_encode_expr's arity note)
+    def _lut_fn(sub):
+        return lambda c: _dot(c, sub)
+
+    lut = F.array(
+        *[
+            F.transform(
+                _pq_codebook_lit(cb),
+                _lut_fn(F.slice(qv, j * dsub + 1, dsub)),
+            )
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+    # query-independent codeword squared norms: n2[j][c]
+    n2_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.lit(float(sum(x * x for x in c)))
+                    for c in cb
+                ]
+            ).cast("array<double>")
+            for cb in codebooks
+        ]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        qv.alias("qv"),
+        _norm(qv).alias("qn"),
+        lut.alias("lut"),
+    )
+    c = corpus_with_codes.select(
+        F.col(id_col).alias("nbr_id"), F.col("codes").alias("codes")
+    )
+    approx_dot = F.aggregate(
+        F.zip_with(
+            "codes",
+            F.col("lut"),
+            lambda code, lj: F.element_at(lj, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx_n2 = F.aggregate(
+        F.zip_with(
+            "codes",
+            n2_lit,
+            lambda code, nj: F.element_at(nj, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q.drop("qv")))
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (
+                approx_dot
+                / (F.col("qn") * F.sqrt(F.greatest(approx_n2, F.lit(1e-300))))
+            ).alias("__approx"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("__approx"), F.asc("nbr_id")
+    )
+    short = (
+        scored.withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") <= shortlist)
+        .select("query_id", "nbr_id")
+    )
+    # exact re-rank: shortlist joins back to the full vectors
+    vecs = corpus_with_codes.select(
+        F.col(id_col).alias("nbr_id"),
+        qv.alias("cv"),
+        _norm(qv).alias("cn"),
+    )
+    exact = (
+        short.join(vecs, "nbr_id")
+        .join(
+            F.broadcast(q.select("query_id", "qv", "qn")), "query_id"
+        )
+        .withColumn(
+            "cosine",
+            _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("nbr_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+def pq_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 8,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    seed: int = 42,
+    quantize: int = 1 << 20,
+) -> DataFrame:
+    """Portable-exact PQ top-k — deterministic twin of
+    ``pq_build(kmeans_iters=0) + pq_topk`` that a DuckDB SQL oracle
+    reproduces bit-for-bit (the :func:`ivf_topk_portable` recipe
+    applied to product quantization):
+
+    - codewords = the ``ksub`` corpus rows with the smallest
+      ``md5(id || ':seed')`` digest, split into ``m`` subvectors
+      (code index = rank in that order);
+    - vectors quantized ``floor(x * quantize)`` -> every dot, squared
+      norm, and encode cost (``|c|^2 - 2 x.c``) is EXACT int64;
+    - approximate score ``sum_j lut[j][code_j] / (|q| *
+      sqrt(sum_j n2[j][code_j]))`` over those exact integers — IEEE
+      identical across engines, so the shortlist ranking agrees
+      exactly (ties to the smaller neighbor id);
+    - the shortlist re-rank is the exact integer cosine.
+
+    The k-means refinement stays on the production path
+    (:func:`pq_build`), same split as IVF.  Plan shape matches
+    production :func:`pq_topk`: literal codebooks -> codegen encode,
+    broadcast LUT cross join over (id, codes), window shortlist,
+    equi-join re-rank.
+    """
+    query_id_col = query_id_col or id_col
+    from .dedup import _int_dot, _qvec
+
+    md5key = F.md5(
+        F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")).cast(
+            "binary"
+        )
+    )
+    cents = (
+        corpus.select(F.col(id_col), _qvec(vec_col, quantize).alias("qv"))
+        .orderBy(md5key)
+        .limit(ksub)
+        .collect()
+    )
+    cw = [[int(x) for x in r["qv"]] for r in cents]
+    dim = len(cw[0])
+    if dim % m:
+        raise ValueError(f"pq_topk_portable: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    cb_q = [
+        [cw[c][j * dsub : (j + 1) * dsub] for c in range(len(cw))]
+        for j in range(m)
+    ]
+    n2 = [[sum(x * x for x in c) for c in cb_q[j]] for j in range(m)]
+
+    def _cb_lit(j: int) -> F.Column:
+        return F.array(
+            *[
+                F.array(*[F.lit(x) for x in c]).cast("array<bigint>")
+                for c in cb_q[j]
+            ]
+        )
+
+    def _n2_lit(j: int) -> F.Column:
+        return F.array(*[F.lit(v) for v in n2[j]]).cast("array<bigint>")
+
+    def _cost_fn(sub):
+        # encode cost |c|^2 - 2 x.c ranks like L2; zip_with pairs each
+        # codeword with its precomputed |c|^2 (one-arg-lambda rule:
+        # two-param python lambdas become (element, index) HOFs)
+        return lambda c, nn: nn - F.lit(2) * _int_dot(c, sub)
+
+    def _enc(v: F.Column) -> F.Column:
+        parts = []
+        for j in range(m):
+            sub = F.slice(v, j * dsub + 1, dsub)
+            costs = F.zip_with(_cb_lit(j), _n2_lit(j), _cost_fn(sub))
+            parts.append(
+                (F.array_position(costs, F.array_min(costs)) - 1).cast(
+                    "int"
+                )
+            )
+        return F.array(*parts)
+
+    def _lut_fn(sub):
+        return lambda c: _int_dot(c, sub)
+
+    c = (
+        corpus.select(
+            F.col(id_col).alias("nbr_id"),
+            _qvec(vec_col, quantize).alias("cv"),
+        )
+        .withColumn("codes", _enc(F.col("cv")))
+        .withColumn(
+            "cn", F.sqrt(_int_dot(F.col("cv"), F.col("cv")).cast("double"))
+        )
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            _qvec(vec_col, quantize).alias("qv"),
+        )
+        .withColumn(
+            "qn", F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double"))
+        )
+        .withColumn(
+            "lut",
+            F.array(
+                *[
+                    F.transform(
+                        _cb_lit(j),
+                        _lut_fn(F.slice(F.col("qv"), j * dsub + 1, dsub)),
+                    )
+                    for j in range(m)
+                ]
+            ),
+        )
+    )
+    n2_full = F.array(*[_n2_lit(j) for j in range(m)])
+    approx_dot = F.aggregate(
+        F.zip_with(
+            "codes", F.col("lut"),
+            lambda code, lj: F.element_at(lj, code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx_n2 = F.aggregate(
+        F.zip_with(
+            "codes", n2_full,
+            lambda code, nj: F.element_at(nj, code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.select("nbr_id", "codes")
+        .crossJoin(F.broadcast(q.select("query_id", "qn", "lut")))
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (
+                approx_dot.cast("double")
+                / (F.col("qn") * F.sqrt(approx_n2.cast("double")))
+            ).alias("__a"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("__a"), F.asc("nbr_id")
+    )
+    short = (
+        scored.withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") <= shortlist)
+        .select("query_id", "nbr_id")
+    )
+    exact = (
+        short.join(c.select("nbr_id", "cv", "cn"), "nbr_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .withColumn(
+            "cosine",
+            _int_dot(F.col("cv"), F.col("qv"))
+            / (F.col("cn") * F.col("qn")),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def project_embeddings(
     df: DataFrame,
     out_dim: int,

@@ -2684,12 +2684,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # veterans (dedup_clusters: green r1-r5; skew_salted_revenue: green
 # r1-r5 — cluster resolution stays exercised in-window through
 # dedup_corpus, the relational family keeps 8 in-window reps).
-ROTATION_QUEUE: list[str] = [
-    "winnow_dedup_pairs",
-    "important_stock",
-    "min_cost_supplier",
-    "similarity_pq",
-]
+ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
     "pricing_summary": 1,
@@ -2754,6 +2749,10 @@ ROTATION_HISTORY: dict[str, int] = {
     "langid_trained": 5,
     "winnow_fingerprints": 6,
     "cdc_chunks": 6,
+    "winnow_dedup_pairs": 6,
+    "important_stock": 6,
+    "min_cost_supplier": 6,
+    "similarity_pq": 6,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -2884,20 +2883,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # window, displacing dedup_clusters and skew_salted_revenue
     # (both green r1-r5; clustering stays exercised in-window via
     # dedup_corpus, relational skew handling via the 8 TPC-H-shaped
-    # in-window queries).  ROTATION_QUEUE holds any round-6 additions
-    # until they are strict-green and rotated in.
+    # in-window queries).
+    # LATE ROUND 6 also rotated the 4 same-round additions into the
+    # window (winnow_dedup_pairs — end-to-end winnowed dedup;
+    # important_stock, min_cost_supplier — TPC-H Q11/Q2 shapes on the
+    # derived partsupp bridge; similarity_pq — portable-exact product
+    # quantization; all strict-green locally at sf0.01 AND sf0.001),
+    # displacing 4 twice-driver-green veterans (keyword_hits,
+    # quantize_embeddings, dsir_select, oov_rate — keyword search
+    # stays represented by bm25_search, embedding transforms by
+    # project_embeddings, DSIR by dsir_weights, the tokenizer by
+    # bpe_token_count/tokenized_sequences).  ROTATION_QUEUE is EMPTY:
+    # zero rotation debt after this round's gate.
     return {
         "pricing_summary": q_pricing_summary,
         "gopher_rules": q_gopher_rules,
         "strip_html": q_strip_html,
         "profile_events": q_profile_events,
-        "keyword_hits": q_keyword_hits,
+        "winnow_dedup_pairs": q_winnow_dedup_pairs,
         "normalize_text": q_normalize_text,
-        "quantize_embeddings": q_quantize_embeddings,
+        "similarity_pq": q_similarity_pq,
         "curate_corpus": q_curate_corpus,
         "dedup_against": q_dedup_against,
         "dsir_weights": q_dsir_weights,
-        "dsir_select": q_dsir_select,
+        "important_stock": q_important_stock,
         "chunk_documents": q_chunk_documents,
         "mixture_weights": q_mixture_weights,
         "multimodal_jpeg": q_multimodal_jpeg,
@@ -2910,7 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": q_dedup_containment,
         "cdc_chunks": q_cdc_chunks,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
-        "oov_rate": q_oov_rate,
+        "min_cost_supplier": q_min_cost_supplier,
         "tokenized_sequences": q_tokenized_sequences,
         "packing_stats": q_packing_stats,
         "dedup_incremental": q_dedup_incremental,
@@ -3002,12 +3011,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_corpora": q_mix_corpora,
         "dedup_clusters": q_dedup_clusters,
         "skew_salted_revenue": q_skew_salted_revenue,
-        # ---- ROUND-6 ROTATION QUEUE (see ROTATION_QUEUE): never
-        # driver-hashed; strict-green locally ----
-        "winnow_dedup_pairs": q_winnow_dedup_pairs,
-        "important_stock": q_important_stock,
-        "min_cost_supplier": q_min_cost_supplier,
-        "similarity_pq": q_similarity_pq,
+        "keyword_hits": q_keyword_hits,
+        "quantize_embeddings": q_quantize_embeddings,
+        "dsir_select": q_dsir_select,
+        "oov_rate": q_oov_rate,
     }
 
 

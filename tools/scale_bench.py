@@ -104,6 +104,16 @@ HEAVY = [
     "tfidf_top_terms",
     "bm25_search",
     "stream_stateful_stats",
+    # round-6 additions: the winnowed inverted-index join (the whole
+    # point is its index-size cut — the scale row proves the capped
+    # equi-join stays linear), both partsupp-bridge relational shapes,
+    # and the PQ compressed scan + re-rank
+    "winnow_fingerprints",
+    "cdc_chunks",
+    "winnow_dedup_pairs",
+    "important_stock",
+    "min_cost_supplier",
+    "similarity_pq",
 ]
 
 REP = "_rep"

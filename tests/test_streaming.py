@@ -467,6 +467,64 @@ def test_curate_stream_langid_gate_matches_batch(spark):
     assert got == exp and 0 < len(got) < batch.count()
 
 
+def test_dedup_stream_against_index_matches_batch(spark, tmp_path):
+    """Continuous-ingest dedup: the foreachBatch probe over a file
+    stream must annotate exactly like the batch operator against the
+    same saved index — one code path, parity by construction, but the
+    wiring (static index + streamed batches + append sink +
+    availableNow) is what this test drives end to end."""
+    from xyzpy_spark.pipeline.dedup import (
+        band_dedup_index,
+        build_dedup_index,
+        dedup_against_index,
+    )
+    from xyzpy_spark.streaming.ops import (
+        dedup_stream_against_index,
+        read_documents_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    # historical corpus = 70% of docs; the stream replays the full
+    # table as "new" ingest (so exact dups of history MUST be flagged)
+    hist = docs.where(F.col("doc_id") % 10 < 7)
+    idx_path = str(tmp_path / "index")
+    build_dedup_index(hist, n=2, hash_fn="md5").write.parquet(
+        idx_path + "/main"
+    )
+    index = spark.read.parquet(idx_path + "/main")
+    band_dedup_index(index, n=2, hash_fn="md5").write.parquet(
+        idx_path + "/bands"
+    )
+    bands = spark.read.parquet(idx_path + "/bands")
+
+    out_path = str(tmp_path / "annotated")
+    dedup_stream_against_index(
+        read_documents_stream(spark, sf),
+        index,
+        out_path,
+        index_bands=bands,
+        n=2,
+        hash_fn="md5",
+        threshold=0.5,
+    )
+    got = {
+        r["doc_id"]: (r["dup_kind"], r["dup_of"], r["est_jaccard"])
+        for r in spark.read.parquet(out_path).select(
+            "doc_id", "dup_kind", "dup_of", "est_jaccard"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["dup_kind"], r["dup_of"], r["est_jaccard"])
+        for r in dedup_against_index(
+            docs, index, index_bands=bands, n=2, hash_fn="md5",
+            threshold=0.5,
+        ).select("doc_id", "dup_kind", "dup_of", "est_jaccard").collect()
+    }
+    assert got == want
+    assert sum(1 for k, _, _ in got.values() if k == "exact") >= 1
+
+
 def test_stateful_stats_all_null_key_matches_sql(spark, tmp_path):
     """A key whose values are all NULL must emit count=0 with NULL
     mean/std/err — SQL aggregate semantics — never mean=0.0 (r5

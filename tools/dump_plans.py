@@ -151,6 +151,24 @@ PICKS = {
     "cdc_chunks": "content-defined chunking: k-gram hash filter for "
     "boundaries, array arithmetic for chunk spans, one explode — "
     "ZERO exchanges, map-only",
+    "winnow_dedup_pairs": "winnowed dedup pairs: the fingerprint "
+    "index (~2/(w+1) of the k-gram set) feeds a frequency-capped "
+    "self-EQUI-join (aggregate + left-semi cap, no cartesian/BNLJ), "
+    "Jaccard over selected sets — the MinHash plan shape at a "
+    "fraction of the shuffle volume",
+    "important_stock": "TPC-H Q11 shape on the derived partsupp "
+    "bridge: one distinct projection of lineitem, nation BROADCAST, "
+    "per-part integer sums, 1-row totals reach the scale-free "
+    "threshold filter as a broadcast nested loop — never a shuffled "
+    "cross",
+    "min_cost_supplier": "TPC-H Q2 shape: region→nation dims "
+    "broadcast by hint, correlated MIN as a per-part aggregate "
+    "joined back on (part, cost), TakeOrderedAndProject top-100 on "
+    "a strict unique key",
+    "similarity_pq": "product quantization (portable mode): literal "
+    "codebooks → codegen encode, per-query LUTs ride the BROADCAST "
+    "cross join over (id, codes) only, window shortlist, equi-join "
+    "exact re-rank — vectors stay out of the candidate scan",
 }
 
 

@@ -2103,6 +2103,13 @@ def winnow_dedup_pairs(
     fps = winnow_fingerprints(
         df, k=k, w=w, text_col=text_col, id_col=id_col, hash_fn=hash_fn
     )
+    if cache:
+        # persist BEFORE the frequency cap: the per-k-gram hashing is
+        # the expensive compute, and the cap's count aggregate is a
+        # second consumer of it — without this the fingerprint pass
+        # re-runs per consumer (plan audit showed the documents scan
+        # 4x)
+        fps = fps.persist()
     if max_fp_freq is not None:
         if max_fp_freq < 2:
             raise ValueError("max_fp_freq must be >= 2 to admit any pair")
@@ -2113,8 +2120,8 @@ def winnow_dedup_pairs(
             .select("fingerprint")
         )
         fps = fps.join(rare, "fingerprint", "left_semi")
-    if cache:
-        fps = fps.persist()
+        if cache:
+            fps = fps.persist()
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")

@@ -1,5 +1,6 @@
 from .ops import (
     dedup_stream,
+    dedup_stream_against_index,
     read_events_stream,
     run_stream_to_memory,
     sessionize_stream,
@@ -9,6 +10,7 @@ from .ops import (
 
 __all__ = [
     "dedup_stream",
+    "dedup_stream_against_index",
     "read_events_stream",
     "run_stream_to_memory",
     "sessionize_stream",

@@ -21,6 +21,7 @@ logical plans, so batch parity is the correctness oracle.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 
@@ -299,6 +300,72 @@ def run_stream_to_memory(
                 "would be silently partial"
             )
     return df.sparkSession.table(name)
+
+
+def dedup_stream_against_index(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    out_path: str,
+    *,
+    checkpoint: str | None = None,
+    index_bands: DataFrame | None = None,
+    timeout: int = 300,
+    **probe_kwargs,
+) -> None:
+    """Continuous-ingest dedup: annotate each arriving micro-batch
+    against the saved historical corpus index and append the result
+    to ``out_path`` (parquet).
+
+    Why ``foreachBatch`` and not a pure streaming plan: the probe's
+    per-new-doc best-match step is a ``groupBy(new_id)`` aggregation,
+    which append mode rejects (no event-time watermark can bound it —
+    doc ids are not time), and the signature build aggregates too.
+    ``foreachBatch`` hands each micro-batch over as a finite batch
+    DataFrame, so the EXACT batch operator
+    (:func:`~xyzpy_spark.pipeline.dedup.dedup_against_index` — new
+    side broadcast, index never shuffles) runs unchanged per batch:
+    one code path, batch/stream parity by construction.  This is the
+    production shape Structured Streaming documents for
+    batch-reusable sinks; the static index is read once per batch and
+    the broadcast side is the (small) batch.
+
+    ``probe_kwargs`` pass through to ``dedup_against_index``
+    (``n``/``num_perm``/``bands``/``threshold``/``hash_fn`` must
+    match the index build).  ``cache`` is forced off — the per-batch
+    plan is consumed once inside its own job.
+    """
+    from ..pipeline.dedup import dedup_against_index
+
+    probe_kwargs.pop("cache", None)
+
+    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        dedup_against_index(
+            batch_df, index, cache=False, index_bands=index_bands,
+            **probe_kwargs,
+        ).write.mode("append").parquet(out_path)
+
+    ctx = (
+        tempfile.TemporaryDirectory()
+        if checkpoint is None
+        else contextlib.nullcontext(checkpoint)
+    )
+    with ctx as ckpt:
+        q = (
+            stream_docs.writeStream.foreachBatch(_probe)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(timeout)
+        q.stop()
+        if not finished:
+            raise TimeoutError(
+                "dedup_stream_against_index did not finish "
+                f"availableNow processing within {timeout}s — "
+                f"{out_path} would be silently partial"
+            )
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2438,6 +2438,42 @@ def q_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "margin")
 
 
+def q_langid_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME frozen 5-language model and the SAME oracle as
+    langid_trained, served through the MAP-ONLY row-wise scorer
+    (pipeline/text.py score_langid_rowwise — the streaming-legal
+    path curate_stream's langid gate uses): per-language map
+    literals, one aggregate fold per row, zero shuffles.  Two engine
+    paths hash-matching one SQL twin is the strongest parity evidence
+    the gate can record for the batch/stream seam.  Margin floor
+    canon at 6dp absorbs the fold-order vs per-bucket-sum float
+    difference (weights are 4-decimal literals, so sums live on a
+    coarse lattice that never straddles the canon boundary)."""
+    from xyzpy_spark.pipeline.text import score_langid_rowwise
+
+    weights = spark.createDataFrame(
+        [
+            (lang, b, w, 4096, 3, "md5")
+            for lang, b, w in _langid_frozen_rows()
+        ],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int, hash_fn string",
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .repartition(32)  # single-row-group scan artifact, as above
+    )
+    return score_langid_rowwise(
+        docs,
+        weights,
+        _LANGID_FROZEN_INTERCEPTS,
+        round_places=6,
+        margin_col="margin",
+    ).select("doc_id", "lang_pred", "margin")
+
+
 def q_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL streaming operator through the REAL engine:
     per-event-type Welford statistics maintained explicitly across
@@ -2753,6 +2789,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "important_stock": 6,
     "min_cost_supplier": 6,
     "similarity_pq": 6,
+    "langid_rowwise": 6,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -2893,15 +2930,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # quantize_embeddings, dsir_select, oov_rate — keyword search
     # stays represented by bm25_search, embedding transforms by
     # project_embeddings, DSIR by dsir_weights, the tokenizer by
-    # bpe_token_count/tokenized_sequences).  ROTATION_QUEUE is EMPTY:
-    # zero rotation debt after this round's gate.
+    # bpe_token_count/tokenized_sequences); then langid_rowwise (the
+    # map-literal streaming-path scorer hash-matching the SAME SQL
+    # twin as langid_trained) displaced normalize_text (r4+r5 green;
+    # Arrow text canonicalization stays pytest-covered and the text
+    # family keeps gopher_rules/strip_html/strip_dup_lines in-window).
+    # ROTATION_QUEUE is EMPTY: zero rotation debt after this round's
+    # gate.
     return {
         "pricing_summary": q_pricing_summary,
         "gopher_rules": q_gopher_rules,
         "strip_html": q_strip_html,
         "profile_events": q_profile_events,
         "winnow_dedup_pairs": q_winnow_dedup_pairs,
-        "normalize_text": q_normalize_text,
+        "langid_rowwise": q_langid_rowwise,
         "similarity_pq": q_similarity_pq,
         "curate_corpus": q_curate_corpus,
         "dedup_against": q_dedup_against,
@@ -3015,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "dsir_select": q_dsir_select,
         "oov_rate": q_oov_rate,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -3679,6 +3722,9 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bpe_token_count": _bpe_token_count_oracle(),
         "langid_trained": _langid_trained_oracle(),
+        # the row-wise (streaming-path) scorer hash-matches the SAME
+        # SQL twin — two engine paths, one oracle
+        "langid_rowwise": _langid_trained_oracle(),
         "lm_nll": _LM_SCORED_CTE
         + """
             SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,

@@ -135,6 +135,7 @@ HEADLINE = [
     "important_stock",
     "min_cost_supplier",
     "similarity_pq",
+    "langid_rowwise",
 ]
 
 

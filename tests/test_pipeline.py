@@ -662,6 +662,48 @@ def test_pq_topk_recall_and_rerank_exactness(spark):
     assert len(approx[0]) == 4  # query_id, nbr_id, rank, cosine
 
 
+def test_ivf_pq_topk_recall(spark):
+    """The composed billion-vector plan (IVF cell pruning x PQ
+    compressed scoring x exact re-rank): recall vs brute force must
+    be bounded below by the IVF probe recall (PQ with a generous
+    shortlist inside probed cells loses nothing more), and returned
+    cosines are exact."""
+    from xyzpy_spark.pipeline.similarity import (
+        ivf_build,
+        ivf_pq_topk,
+        ivf_topk,
+        pq_build,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = cosine_topk(emb, queries, k=5).collect()
+    assigned, cents = ivf_build(emb, n_cells=8)
+    coded, cbs = pq_build(assigned, m=16, ksub=16)
+    coded = coded.persist()
+    got = ivf_pq_topk(
+        coded, cents, cbs, queries, k=5, nprobe=4, shortlist=100
+    ).collect()
+    ivf_only = ivf_topk(coded, cents, queries, k=5, nprobe=4).collect()
+
+    def recall(rows):
+        ex, ap = {}, {}
+        for r in exact:
+            ex.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        for r in rows:
+            ap.setdefault(r["query_id"], set()).add(r["nbr_id"])
+        rs = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+        return sum(rs) / len(rs)
+
+    r_composed, r_ivf = recall(got), recall(ivf_only)
+    coded.unpersist()
+    assert r_composed >= r_ivf - 0.05, (r_composed, r_ivf)
+    exc = {(r["query_id"], r["nbr_id"]): r["cosine"] for r in exact}
+    for r in got:
+        if (r["query_id"], r["nbr_id"]) in exc:
+            assert r["cosine"] == exc[(r["query_id"], r["nbr_id"])]
+
+
 def test_pq_build_validates_params(spark):
     from xyzpy_spark.pipeline.similarity import pq_build
 

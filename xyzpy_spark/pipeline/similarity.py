@@ -625,6 +625,165 @@ def pq_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus_with_cells_codes: DataFrame,
+    centroids: list,
+    codebooks: list,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF coarse pruning x PQ compressed scoring — the full
+    billion-vector plan shape: the query probes only its ``nprobe``
+    nearest cells (an EQUI-join on ``cell``, so a cell-partitioned /
+    bucketed corpus layout prunes the scan to matching partitions),
+    candidates inside probed cells are scored from their ``m``-byte
+    codes against the per-query LUT, and the per-query ``shortlist``
+    is re-ranked by exact cosine.  Combines :func:`ivf_build` (for
+    ``cell`` + centroids) and :func:`pq_build` (for ``codes`` +
+    codebooks) — run both over the corpus first; at scale both are
+    one-time index builds saved as a table.
+
+    Scan cost versus the tiers it composes: brute force reads n
+    vectors; IVF-Flat reads ~n·nprobe/n_cells vectors; this reads
+    ~n·nprobe/n_cells CODE rows (8-16x smaller) and only
+    shortlist·n_queries full vectors.
+    """
+    query_id_col = query_id_col or id_col
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    qv = F.col(vec_col).cast("array<double>")
+
+    # rank cells for each query (same expression as ivf_topk)
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(x) for x in c]).cast("array<double>")
+            for c in centroids
+        ]
+    )
+    sims = F.transform(
+        cent_arr, lambda c: _dot(c, qv) / (_norm(c) * _norm(qv))
+    )
+    idx = F.sequence(F.lit(0), F.lit(len(centroids) - 1))
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    sims, idx,
+                    lambda s, i: F.struct((-s).alias("neg"), i.alias("i")),
+                )
+            ),
+            lambda st: st["i"],
+        ),
+        1,
+        nprobe,
+    )
+
+    def _lut_fn(sub):
+        return lambda c: _dot(c, sub)
+
+    lut = F.array(
+        *[
+            F.transform(
+                _pq_codebook_lit(cb),
+                _lut_fn(F.slice(qv, j * dsub + 1, dsub)),
+            )
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+    n2_lit = F.array(
+        *[
+            F.array(*[F.lit(float(sum(x * x for x in c))) for c in cb])
+            .cast("array<double>")
+            for cb in codebooks
+        ]
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        qv.alias("qv"),
+        _norm(qv).alias("qn"),
+        lut.alias("lut"),
+        probe_cells.alias("probe_cells"),
+    )
+    q_probe = q.select(
+        "query_id", "qn", "lut",
+        F.explode("probe_cells").alias("cell"),
+    )
+    c = corpus_with_cells_codes.select(
+        F.col(id_col).alias("nbr_id"),
+        F.col("codes").alias("codes"),
+        F.col("cell").cast("int").alias("cell"),
+    )
+    approx_dot = F.aggregate(
+        F.zip_with(
+            "codes", F.col("lut"),
+            lambda code, lj: F.element_at(lj, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    approx_n2 = F.aggregate(
+        F.zip_with(
+            "codes", n2_lit,
+            lambda code, nj: F.element_at(nj, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        c.join(F.broadcast(q_probe), "cell")
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (
+                approx_dot
+                / (
+                    F.col("qn")
+                    * F.sqrt(F.greatest(approx_n2, F.lit(1e-300)))
+                )
+            ).alias("__approx"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("__approx"), F.asc("nbr_id")
+    )
+    short = (
+        scored.withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") <= shortlist)
+        .select("query_id", "nbr_id")
+    )
+    vecs = corpus_with_cells_codes.select(
+        F.col(id_col).alias("nbr_id"),
+        qv.alias("cv"),
+        _norm(qv).alias("cn"),
+    )
+    exact = (
+        short.join(vecs, "nbr_id")
+        .join(F.broadcast(q.select("query_id", "qv", "qn")), "query_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("cv"), F.col("qv")) / (F.col("cn") * F.col("qn")),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("cosine", 9)), F.asc("nbr_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def pq_topk_portable(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1179,16 +1179,24 @@ def _validated_langid_meta(weights: DataFrame) -> tuple[int, int, str]:
     has_hash = "hash_fn" in weights.columns
     if has_hash:
         meta_cols.append("hash_fn")
-    metas = weights.select(*meta_cols).distinct().collect()
-    if not metas:
+    # ONE partially-aggregated job reads both the config and the
+    # consistency bit (a distinct() here costs a full 32-partition
+    # shuffle per scoring call — measured ~0.5 s of task overhead on
+    # a local-relation weight table); the expensive distinct runs
+    # only on the error path to name the offending configs
+    meta = weights.agg(
+        F.count_distinct(*meta_cols).alias("__n"),
+        *[F.first(c).alias(c) for c in meta_cols],
+    ).first()
+    if meta is None or meta["__n"] == 0:
         raise ValueError("empty weight table")
-    if len(metas) > 1:
+    if meta["__n"] > 1:
+        metas = weights.select(*meta_cols).distinct().collect()
         raise ValueError(
             "inconsistent weight-table metadata: every row must share "
             f"one ({', '.join(meta_cols)}) config, found "
             f"{sorted(tuple(m) for m in metas)}"
         )
-    meta = metas[0]
     return (
         int(meta["n_buckets"]),
         int(meta["ngram"]),

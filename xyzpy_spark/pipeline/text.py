@@ -1040,23 +1040,60 @@ def hashed_char_ngram_buckets(
             lambda i: F.substring(canon, i, nn),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    if hash_fn == "murmur3":
-        bucket = F.pmod(F.hash("__g"), F.lit(int(n_buckets)))
-    elif hash_fn == "md5":
-        bucket = F.conv(
-            F.substring(F.md5("__g"), 1, 15), 16, 10
-        ).cast("long") % F.lit(int(n_buckets))
-    else:
-        raise ValueError(
-            f"hash_fn must be 'murmur3' or 'md5', got {hash_fn!r}"
+    # in-row run-length counting (r6): sort the bucket array and emit
+    # one (bucket, count) run per DISTINCT bucket — the former
+    # explode-every-gram + groupBy(doc, bucket) shuffled one row per
+    # GRAM; this shuffles nothing and emits one row per distinct
+    # bucket.  Each intermediate array is staged as its own projection
+    # (lambda-referenced computed expressions re-evaluate per element).
+    # _gram_bucket_expr validates hash_fn and keeps train/serve and
+    # row-wise-scorer bucketing identical by construction.
+    staged = df.select(F.col(id_col).alias("__id"), grams.alias("__g"))
+    sorted_b = F.array_sort(
+        F.transform(
+            F.col("__g"),
+            lambda g: _gram_bucket_expr(g, hash_fn, n_buckets),
         )
-    return (
-        df.select(F.col(id_col).alias("__id"), F.explode(grams).alias("__g"))
-        .select("__id", bucket.alias("bucket"))
-        .groupBy("__id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumnRenamed("__id", id_col)
     )
+    staged = staged.select("__id", sorted_b.alias("__b"))
+    b = F.col("__b")
+    nb = F.size(b)
+    # run starts: position 1 plus every position whose bucket differs
+    # from its predecessor (greatest() keeps element_at's 1-based
+    # index legal at i=1 — codegen does not short-circuit the OR)
+    starts = F.when(
+        nb >= 1,
+        F.filter(
+            F.sequence(F.lit(1), nb),
+            lambda i: (i == 1)
+            | (
+                F.element_at(b, i)
+                != F.element_at(b, F.greatest(i - 1, F.lit(1)))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    staged = staged.select("__id", "__b", starts.alias("__s"))
+    s = F.col("__s")
+    nxt = F.concat(
+        F.slice(s, 2, F.greatest(F.size(s) - 1, F.lit(0))),
+        F.array(F.size(b) + 1),
+    )
+    runs = F.zip_with(
+        s,
+        nxt,
+        lambda st, nx: F.struct(
+            F.element_at(b, st).alias("bucket"),
+            (nx - st).cast("long").alias("cnt"),
+        ),
+    )
+    # zip_with pads the SHORTER array with nulls: with zero runs
+    # (null/short text) the sentinel in nxt would fabricate one
+    # null-bucket row — slice(runs, 1, 0) is the same-typed empty
+    runs = F.when(F.size(s) >= 1, runs).otherwise(F.slice(runs, 1, 0))
+    return staged.select(
+        F.col("__id").alias(id_col), F.explode(runs).alias("__r")
+    ).select(id_col, F.col("__r.bucket").alias("bucket"),
+             F.col("__r.cnt").alias("cnt"))
 
 
 def train_langid_classifier(

@@ -2272,7 +2272,9 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes over the 64-dim embeddings)."""
     from xyzpy_spark.pipeline.similarity import pq_topk_portable
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # single-row-group testdata artifact: spread the CPU-bound encode
+    # argmin across threads (same note as q_langid_trained)
+    emb = _t(spark, sf_dir, "embeddings").repartition(32)
     queries = emb.where(F.col("vec_id") < 5)
     return pq_topk_portable(
         emb, queries, k=5, m=8, ksub=8, shortlist=20

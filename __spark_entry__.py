@@ -2159,6 +2159,112 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipped revenue between two trading nations by
+    direction and year — lineitem joins supplier-side and (through
+    orders/customer) customer-side nation dims; both constant-size
+    nation tables broadcast, the OR of the two direction pairs is one
+    filter over the joined dims.  Exact decimal revenue cast to
+    double (the Q10 canon)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate")
+         >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate")
+           < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("__nk1"),
+            F.col("n_name").alias("supp_nation"),
+        )
+    )
+    n2 = F.broadcast(
+        _t(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("__nk2"),
+            F.col("n_name").alias("cust_nation"),
+        )
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3")
+        & (F.col("cust_nation") == "NATION_8")
+    ) | (
+        (F.col("supp_nation") == "NATION_8")
+        & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(n1, F.col("s_nationkey") == F.col("__nk1"))
+        .join(n2, F.col("c_nationkey") == F.col("__nk2"))
+        .where(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and
+    order year over the derived partsupp bridge — profit is revenue
+    MINUS supply cost, accumulated in EXACT integer e4 units
+    (revenue is a scale-4 decimal: 2dp price x 2dp discount factor,
+    so ten-thousandths of a dollar are integral by construction;
+    integer-cent supply cost scales by 100), then one exact-int /1e4
+    division to dollars — IEEE-identical in every engine, no float
+    canon.  Nation broadcasts; the bridge rides the same lineitem
+    keys the fact rows carry."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("%gear%")
+    ).select("p_partkey")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    orders = _t(spark, sf_dir, "orders")
+    p = F.col("l_extendedprice").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(18,2)")
+    # revenue is a SCALE-4 decimal (2dp price x 2dp discount factor),
+    # so exact integer units are ten-thousandths of a dollar (e4);
+    # supply cost is integer cents -> x100 to e4.  The summed profit
+    # is one exact int64, and /1e4 of an exact integer is the same
+    # IEEE double in every engine — no float canon needed.
+    rev_e4 = (
+        p * (F.lit(1).cast("decimal(18,2)") - d) * F.lit(10000)
+    ).cast("long")
+    profit_e4 = rev_e4 - F.col("ps_supplycost_cents") * F.lit(
+        100
+    ) * F.col("l_quantity").cast("long")
+    return (
+        li.join(
+            ps,
+            (li["l_partkey"] == ps["ps_partkey"])
+            & (li["l_suppkey"] == ps["ps_suppkey"]),
+        )
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(
+            (F.sum(profit_e4).cast("double") / F.lit(10000.0)).alias(
+                "profit"
+            )
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
 def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: per-linestatus counts of high- vs low-priority
     orders shipped in one year — conditional aggregation over the
@@ -2792,6 +2898,8 @@ ROTATION_HISTORY: dict[str, int] = {
     "min_cost_supplier": 6,
     "similarity_pq": 6,
     "langid_rowwise": 6,
+    "nation_trade_volume": 6,
+    "product_profit": 6,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -2936,19 +3044,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # map-literal streaming-path scorer hash-matching the SAME SQL
     # twin as langid_trained) displaced normalize_text (r4+r5 green;
     # Arrow text canonicalization stays pytest-covered and the text
-    # family keeps gopher_rules/strip_html/strip_dup_lines in-window).
-    # ROTATION_QUEUE is EMPTY: zero rotation debt after this round's
-    # gate.
+    # family keeps gopher_rules/strip_html/strip_dup_lines in-window);
+    # finally nation_trade_volume/product_profit (TPC-H Q7/Q9 shapes,
+    # Q9 on the derived partsupp bridge with exact integer-e4 profit)
+    # displaced gopher_rules and dedup_against (both r4+r5 green;
+    # quality gating stays in-window via strip_html/strip_dup_lines/
+    # curate_corpus, cross-corpus dedup via dedup_incremental/
+    # dedup_corpus/dedup_containment).  ROTATION_QUEUE is EMPTY: zero
+    # rotation debt after this round's gate.
     return {
         "pricing_summary": q_pricing_summary,
-        "gopher_rules": q_gopher_rules,
+        "nation_trade_volume": q_nation_trade_volume,
         "strip_html": q_strip_html,
         "profile_events": q_profile_events,
         "winnow_dedup_pairs": q_winnow_dedup_pairs,
         "langid_rowwise": q_langid_rowwise,
         "similarity_pq": q_similarity_pq,
         "curate_corpus": q_curate_corpus,
-        "dedup_against": q_dedup_against,
+        "product_profit": q_product_profit,
         "dsir_weights": q_dsir_weights,
         "important_stock": q_important_stock,
         "chunk_documents": q_chunk_documents,
@@ -3060,6 +3173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "oov_rate": q_oov_rate,
         "normalize_text": q_normalize_text,
+        "gopher_rules": q_gopher_rules,
+        "dedup_against": q_dedup_against,
     }
 
 
@@ -5309,6 +5424,52 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint
             FROM wins
+        """,
+        "nation_trade_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2))))
+                        AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8')
+                OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "product_profit": """
+            WITH partsupp AS (
+                SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                       CAST((l_partkey * 17 + l_suppkey * 31) % 10000
+                            + 100 AS BIGINT) AS ps_supplycost_cents
+                FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            )
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(SUM(
+                       CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                            * 10000 AS BIGINT)
+                       - ps_supplycost_cents * 100
+                         * CAST(l_quantity AS BIGINT)
+                   ) AS DOUBLE) / 10000.0 AS profit
+            FROM lineitem
+            JOIN partsupp ON ps_partkey = l_partkey
+                         AND ps_suppkey = l_suppkey
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+            ORDER BY nation ASC, o_year DESC
         """,
         "important_stock": _PARTSUPP_CTE + """
             , g AS (

@@ -136,6 +136,8 @@ HEADLINE = [
     "min_cost_supplier",
     "similarity_pq",
     "langid_rowwise",
+    "nation_trade_volume",
+    "product_profit",
 ]
 
 

@@ -114,6 +114,9 @@ HEAVY = [
     "important_stock",
     "min_cost_supplier",
     "similarity_pq",
+    "nation_trade_volume",
+    "product_profit",
+    "langid_rowwise",
 ]
 
 REP = "_rep"

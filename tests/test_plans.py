@@ -650,6 +650,29 @@ def test_min_cost_supplier_broadcast_dims_takeordered(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_nation_trade_volume_broadcasts_both_nation_dims(spark):
+    """Q7 shape: both nation dims reach the fact path as broadcasts;
+    no cartesian anywhere despite the direction-pair OR filter."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["nation_trade_volume"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_product_profit_bridge_join_no_python(spark):
+    """Q9 shape: the 6-table join stays JVM-side, nation broadcasts,
+    and the exact-e4 profit needs no float canon stage."""
+    import __spark_entry__ as entrymod
+
+    df = entrymod.queries()["product_profit"](spark, SF_DIR)
+    plan = executed_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_vocab_coverage_no_single_partition_window(spark):
     """The coverage curve must never globally rank the distinct-type
     table (round-4 verdict's one weak grade: an unpartitioned

@@ -169,6 +169,17 @@ PICKS = {
     "codebooks → codegen encode, per-query LUTs ride the BROADCAST "
     "cross join over (id, codes) only, window shortlist, equi-join "
     "exact re-rank — vectors stay out of the candidate scan",
+    "langid_rowwise": "row-wise trained langid (the streaming-legal "
+    "serving path): per-language map literals constant-folded into "
+    "the plan, one aggregate fold per row — ZERO shuffles, no joins, "
+    "no Python; hash-matches the SAME oracle as the join path",
+    "nation_trade_volume": "TPC-H Q7 shape: shipdate filter pushed "
+    "to the lineitem scan, BOTH nation dims broadcast, one "
+    "aggregation shuffle",
+    "product_profit": "TPC-H Q9 shape: 6-table join over the derived "
+    "partsupp bridge (one distinct projection of lineitem), nation "
+    "broadcast, exact integer-e4 profit — no float canon stage "
+    "anywhere",
 }
 
 

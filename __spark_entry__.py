@@ -2582,6 +2582,40 @@ def q_langid_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "margin")
 
 
+def q_stream_follow_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM interval join through the REAL engine: the error
+    and click slices of the events file stream join on user within a
+    (0, 60min] event-time window, both sides watermarked so the join
+    state is bounded (streaming/ops.py interval_join_stream).  Inner
+    matches emit on arrival — not on watermark — so the availableNow
+    replay equals the batch inner range join, which is exactly what
+    the SQL oracle computes."""
+    from xyzpy_spark.streaming.ops import (
+        interval_join_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = interval_join_stream(
+        errors, clicks, lower="0 seconds", upper="60 minutes"
+    ).select(
+        F.col("l_event_id").alias("error_id"),
+        "user_id",
+        F.col("r_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("r_value").alias("click_value"),
+    )
+    return run_stream_to_memory(
+        joined, "q_stream_follow_clicks", output_mode="append"
+    )
+
+
 def q_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSTOM STATEFUL streaming operator through the REAL engine:
     per-event-type Welford statistics maintained explicitly across
@@ -2900,6 +2934,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "langid_rowwise": 6,
     "nation_trade_volume": 6,
     "product_profit": 6,
+    "stream_follow_clicks": 6,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -3050,12 +3085,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # displaced gopher_rules and dedup_against (both r4+r5 green;
     # quality gating stays in-window via strip_html/strip_dup_lines/
     # curate_corpus, cross-corpus dedup via dedup_incremental/
-    # dedup_corpus/dedup_containment).  ROTATION_QUEUE is EMPTY: zero
-    # rotation debt after this round's gate.
+    # dedup_corpus/dedup_containment); and stream_follow_clicks (the
+    # STREAM-STREAM watermarked interval join through the real
+    # engine) displaced strip_html (r4+r5 green; markup stripping
+    # stays pytest-covered and in curate paths).  ROTATION_QUEUE is
+    # EMPTY: zero rotation debt after this round's gate.
     return {
         "pricing_summary": q_pricing_summary,
         "nation_trade_volume": q_nation_trade_volume,
-        "strip_html": q_strip_html,
+        "stream_follow_clicks": q_stream_follow_clicks,
         "profile_events": q_profile_events,
         "winnow_dedup_pairs": q_winnow_dedup_pairs,
         "langid_rowwise": q_langid_rowwise,
@@ -3175,6 +3213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "gopher_rules": q_gopher_rules,
         "dedup_against": q_dedup_against,
+        "strip_html": q_strip_html,
     }
 
 
@@ -5424,6 +5463,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint
             FROM wins
+        """,
+        "stream_follow_clicks": """
+            SELECT e.event_id AS error_id, e.user_id,
+                   c.ts AS click_ts, c.value AS click_value
+            FROM events e
+            JOIN events c ON c.user_id = e.user_id
+                         AND c.ts > e.ts
+                         AND c.ts <= e.ts + INTERVAL 60 MINUTE
+            WHERE e.event_type = 'error' AND c.event_type = 'click'
         """,
         "nation_trade_volume": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

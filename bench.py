@@ -138,6 +138,7 @@ HEADLINE = [
     "langid_rowwise",
     "nation_trade_volume",
     "product_profit",
+    "stream_follow_clicks",
 ]
 
 

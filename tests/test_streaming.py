@@ -467,6 +467,59 @@ def test_curate_stream_langid_gate_matches_batch(spark):
     assert got == exp and 0 < len(got) < batch.count()
 
 
+def test_interval_join_stream_matches_batch_inner(spark):
+    """STREAM-STREAM interval join (watermarked, time-range-bounded)
+    must emit exactly the batch inner range-join pairs — inner
+    matches emit on arrival, not on watermark, so availableNow replay
+    is lossless."""
+    from xyzpy_spark.operators.temporal import range_join
+    from xyzpy_spark.streaming.ops import (
+        interval_join_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev_s = read_events_stream(spark, sf)
+    errors_s = ev_s.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks_s = ev_s.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    streamed = run_stream_to_memory(
+        interval_join_stream(
+            errors_s, clicks_s,
+            lower="0 seconds", upper="15 minutes",
+        ).select("l_event_id", "user_id", "r_ts", "r_value"),
+        "t_interval_join",
+        output_mode="append",
+    )
+    from xyzpy_spark.sources.tables import read_table
+
+    ev = read_table(spark, sf, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    want = range_join(
+        errors, clicks, on="ts", by="user_id",
+        lower=F.expr("INTERVAL '0' SECOND"),
+        upper=F.expr("INTERVAL '15' MINUTE"),
+        how="inner",
+    ).select(
+        F.col("event_id").alias("l_event_id"), "user_id",
+        "r_ts", "r_value",
+    )
+    got = sorted(tuple(r) for r in streamed.collect())
+    exp = sorted(tuple(r) for r in want.collect())
+    assert got == exp and len(got) > 0
+
+
 def test_dedup_stream_against_index_matches_batch(spark, tmp_path):
     """Continuous-ingest dedup: the foreachBatch probe over a file
     stream must annotate exactly like the batch operator against the

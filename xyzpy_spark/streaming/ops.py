@@ -302,6 +302,67 @@ def run_stream_to_memory(
     return df.sparkSession.table(name)
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str = "ts",
+    by: str = "user_id",
+    lower: str = "0 seconds",
+    upper: str = "15 minutes",
+    watermark: str = "2 hours",
+    left_prefix: str = "l_",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """STREAM-STREAM interval join: for every left event, the right
+    events of the same ``by`` key whose event time falls in
+    ``(l.ts + lower, l.ts + upper]`` — the streaming twin of
+    ``operators.temporal.range_join(how='inner')``, including its
+    half-open bound semantics (exclusive lower, inclusive upper).
+
+    Both sides carry watermarks and the join condition carries the
+    event-time range, which is exactly what lets Spark BOUND the join
+    state: a buffered right row can be evicted once the watermark
+    passes ``r.ts - upper`` (no left row arriving later can still
+    match it).  INNER matches emit as soon as both sides arrive —
+    emission does not wait for the watermark (only state cleanup
+    does), so an ``availableNow`` replay produces exactly the batch
+    inner range join (parity-tested).  Outer variants additionally
+    hold unmatched rows until the watermark passes; at stream end
+    that tail is never finalized, so the outer form is deliberately
+    not offered here — run the batch ``range_join`` over the lakehouse
+    table for retrospective outer semantics.
+
+    Columns are prefixed (``l_``/``r_``) except the shared ``by`` key.
+    """
+    lw = left.withWatermark(on, watermark)
+    rw = right.withWatermark(on, watermark)
+    lsel = lw.select(
+        F.col(by),
+        *[
+            F.col(c).alias(f"{left_prefix}{c}")
+            for c in left.columns
+            if c != by
+        ],
+    )
+    rsel = rw.select(
+        F.col(by).alias("__rby"),
+        *[
+            F.col(c).alias(f"{right_prefix}{c}")
+            for c in right.columns
+            if c != by
+        ],
+    )
+    lts = F.col(f"{left_prefix}{on}")
+    rts = F.col(f"{right_prefix}{on}")
+    cond = (
+        (F.col(by) == F.col("__rby"))
+        & (rts > lts + F.expr(f"INTERVAL '{lower}'"))
+        & (rts <= lts + F.expr(f"INTERVAL '{upper}'"))
+    )
+    return lsel.join(rsel, cond, "inner").drop("__rby")
+
+
 def dedup_stream_against_index(
     stream_docs: DataFrame,
     index: DataFrame,

@@ -1759,6 +1759,98 @@ def test_dedup_against_index_portable_mode(spark):
     assert out[0]["dup_kind"] == "near" and out[0]["dup_of"] == 1
 
 
+def test_score_quality_rowwise_matches_join_scorer(spark):
+    """The map-literal row-wise quality scorer (streaming-legal) must
+    agree with the broadcast-join scorer: same margins (float fold
+    order within 1e-9), same keep decisions, same intercept-only
+    fallback for token-less docs, same n_buckets-mismatch guard."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.text import (
+        score_quality_rowwise,
+        score_quality_trained,
+        train_quality_classifier,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for d in range(40):
+        toks = [f"tok{int(rng.integers(0, 200))}" for _ in range(12)]
+        rows.append((d, " ".join(toks), int(d % 2)))
+    labeled = spark.createDataFrame(
+        rows, "doc_id long, text string, label int"
+    )
+    weights, b0 = train_quality_classifier(labeled, n_buckets=1 << 14)
+    held = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows]
+        + [(9001, None), (9002, ""), (9003, "   ")],
+        "doc_id long, text string",
+    )
+    join_out = {
+        r["doc_id"]: (r["margin"], r["keep"])
+        for r in score_quality_trained(
+            held, weights, b0, n_buckets=1 << 14
+        ).collect()
+    }
+    row_out = {
+        r["doc_id"]: (r["margin"], r["keep"])
+        for r in score_quality_rowwise(
+            held, weights, b0, n_buckets=1 << 14
+        ).collect()
+    }
+    assert set(join_out) == set(row_out)
+    for d in join_out:
+        assert row_out[d][0] == pytest.approx(join_out[d][0], abs=1e-9), d
+        assert row_out[d][1] == join_out[d][1], d
+    for d in (9001, 9002, 9003):  # token-less: intercept-only
+        assert join_out[d][0] == pytest.approx(b0)
+    with pytest.raises(ValueError, match="n_buckets"):
+        score_quality_rowwise(held, weights, b0, n_buckets=1 << 10)
+
+
+def test_score_quality_rowwise_runs_on_stream(spark):
+    """The row-wise scorer is a stateless map plan: it must run
+    unmodified on the streaming engine in append mode and produce
+    batch-identical margins."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.text import (
+        score_quality_rowwise,
+        train_quality_classifier,
+    )
+    from xyzpy_spark.streaming.ops import (
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch_docs = spark.read.parquet(sf + "/documents.parquet")
+    rng = np.random.default_rng(3)
+    labeled = batch_docs.limit(40).select(
+        "doc_id", "text", (F.col("doc_id") % 2).cast("int").alias("label")
+    )
+    weights, b0 = train_quality_classifier(labeled, n_buckets=1 << 14)
+    streamed = run_stream_to_memory(
+        score_quality_rowwise(
+            read_documents_stream(spark, sf), weights, b0,
+            n_buckets=1 << 14,
+        ).select("doc_id", "margin", "keep"),
+        "t_quality_rowwise_stream",
+        output_mode="append",
+    )
+    want = {
+        r["doc_id"]: (r["margin"], r["keep"])
+        for r in score_quality_rowwise(
+            batch_docs, weights, b0, n_buckets=1 << 14
+        ).select("doc_id", "margin", "keep").collect()
+    }
+    got = {
+        r["doc_id"]: (r["margin"], r["keep"])
+        for r in streamed.collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_score_quality_model_matches_python_recompute(spark, docs):
     """Triangulate the hashed-linear scorer against an independent
     pure-python hashlib recompute (the DuckDB oracle is the third

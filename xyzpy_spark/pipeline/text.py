@@ -995,6 +995,89 @@ def score_quality_trained(
     )
 
 
+def score_quality_rowwise(
+    df: DataFrame,
+    weights: DataFrame,
+    intercept: float = 0.0,
+    text_col: str = "text",
+    *,
+    n_buckets: int = 1 << 18,
+    max_literal_weights: int = 8000,
+) -> DataFrame:
+    """Serve trained quality weights WITHOUT any shuffle — the
+    streaming-legal twin of :func:`score_quality_trained`, exactly as
+    :func:`score_langid_rowwise` is to the langid join scorer.
+
+    The weight table folds into one ``bucket -> weight`` MAP LITERAL
+    (constant-folded by Catalyst) and each row scores with a single
+    ``aggregate`` over its hashed-token array — same Murmur3 buckets
+    as :func:`hashed_token_buckets`, so train/serve skew stays
+    impossible.  Same outputs as the join path: ``margin`` (linear
+    score + intercept; docs with no tokens or no weighted buckets get
+    ``intercept``) and ``keep = margin >= 0``.  Model size is bounded
+    by ``max_literal_weights`` (the plan-node budget); larger models
+    serve through the broadcast-join path batch-side.
+    """
+    if "n_buckets" in weights.columns:
+        meta = weights.select("n_buckets").first()
+        if meta is not None and meta["n_buckets"] != n_buckets:
+            raise ValueError(
+                f"weights were trained with n_buckets={meta['n_buckets']} "
+                f"but serving was asked for n_buckets={n_buckets} — a "
+                "mismatched modulus maps tokens to wrong buckets and "
+                "silently mis-scores every document"
+            )
+        weights = weights.drop("n_buckets")
+    rows = sorted(
+        (int(r["bucket"]), float(r["weight"]))
+        for r in weights.select("bucket", "weight").collect()
+    )
+    if len(rows) > max_literal_weights:
+        raise ValueError(
+            f"score_quality_rowwise: {len(rows)} weights exceed the "
+            f"literal-plan bound ({max_literal_weights}); use "
+            "score_quality_trained (broadcast join) or prune the model"
+        )
+    # stage token and bucket arrays as their own projections
+    # (lambda-referenced computed expressions re-evaluate per element);
+    # NULL text tokenizes to NULL, which would NULL the whole fold —
+    # coalesce to empty so token-less docs score the bare intercept,
+    # matching the join path's left-join + coalesce
+    staged = df.withColumn(
+        "__t",
+        F.coalesce(
+            tokenize(F.col(text_col)), F.array().cast("array<string>")
+        ),
+    )
+    staged = staged.withColumn(
+        "__b",
+        F.transform(
+            F.col("__t"),
+            lambda t: F.pmod(F.hash(t), F.lit(int(n_buckets))),
+        ),
+    )
+    if rows:
+        wmap = F.map_from_arrays(
+            F.lit([b for b, _ in rows]),
+            F.lit([w for _, w in rows]),
+        )
+        margin = F.aggregate(
+            F.col("__b"),
+            F.lit(float(intercept)).cast("double"),
+            lambda acc, bkt: acc
+            + F.coalesce(
+                F.element_at(wmap, bkt.cast("long")), F.lit(0.0)
+            ),
+        )
+    else:
+        margin = F.lit(float(intercept))
+    return (
+        staged.withColumn("margin", margin)
+        .withColumn("keep", F.col("margin") >= 0)
+        .drop("__t", "__b")
+    )
+
+
 def hashed_char_ngram_buckets(
     df: DataFrame,
     text_col: str = "text",

@@ -2265,6 +2265,55 @@ def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers in a nation set holding MORE stock
+    of promoted parts than half of what they shipped in a year — the
+    classic inventory-promotion pick, on the derived partsupp bridge.
+    The comparison is all-integer (``2 * availqty > shipped_qty``,
+    quantities integral by construction), the promoted-part filter is
+    a broadcast semi-join, and suppliers qualify through a distinct
+    semi-join — no fact data survives past the per-(part, supp)
+    aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(spark, sf_dir)
+    shipped = (
+        li.where(
+            (F.col("l_shipdate")
+             >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate")
+               < F.lit("1998-01-01").cast("timestamp_ntz"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("__qty"))
+    )
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_name").like("%bolt%")
+    ).select("p_partkey")
+    excess = (
+        ps.join(
+            shipped,
+            (ps["ps_partkey"] == shipped["l_partkey"])
+            & (ps["ps_suppkey"] == shipped["l_suppkey"]),
+        )
+        .join(F.broadcast(part), ps["ps_partkey"] == part["p_partkey"])
+        .where(F.col("ps_availqty") * 2 > F.col("__qty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    nations = F.broadcast(
+        _t(spark, sf_dir, "nation").where(
+            F.col("n_name").isin("NATION_3", "NATION_8", "NATION_15")
+        )
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(excess, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_name", F.col("s_suppkey").alias("suppkey"))
+        .orderBy("s_name")
+    )
+
+
 def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: per-linestatus counts of high- vs low-priority
     orders shipped in one year — conditional aggregation over the
@@ -2935,6 +2984,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "nation_trade_volume": 6,
     "product_profit": 6,
     "stream_follow_clicks": 6,
+    "excess_stock_suppliers": 6,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -3088,8 +3138,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup_corpus/dedup_containment); and stream_follow_clicks (the
     # STREAM-STREAM watermarked interval join through the real
     # engine) displaced strip_html (r4+r5 green; markup stripping
-    # stays pytest-covered and in curate paths).  ROTATION_QUEUE is
-    # EMPTY: zero rotation debt after this round's gate.
+    # stays pytest-covered and in curate paths); and
+    # excess_stock_suppliers (TPC-H Q20 on the bridge) displaced
+    # lm_trigram_nll (r4+r5 green; the LM family keeps lm_nll and
+    # ccnet_buckets in-window).  ROTATION_QUEUE is EMPTY: zero
+    # rotation debt after this round's gate.
     return {
         "pricing_summary": q_pricing_summary,
         "nation_trade_volume": q_nation_trade_volume,
@@ -3108,7 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "stream_curate": q_stream_curate,
         "winnow_fingerprints": q_winnow_fingerprints,
-        "lm_trigram_nll": q_lm_trigram_nll,
+        "excess_stock_suppliers": q_excess_stock_suppliers,
         "bpe_token_count": q_bpe_token_count,
         "contamination_pairs": q_contamination_pairs,
         "dedup_containment": q_dedup_containment,
@@ -3214,6 +3267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "dedup_against": q_dedup_against,
         "strip_html": q_strip_html,
+        "lm_trigram_nll": q_lm_trigram_nll,
     }
 
 
@@ -5463,6 +5517,36 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint
             FROM wins
+        """,
+        "excess_stock_suppliers": """
+            WITH partsupp AS (
+                SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+                       CAST((l_partkey * 7 + l_suppkey * 3) % 1000 + 1
+                            AS BIGINT) AS ps_availqty
+                FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+            ), shipped AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY 1, 2
+            ), excess AS (
+                SELECT DISTINCT ps_suppkey
+                FROM partsupp
+                JOIN shipped ON ps_partkey = l_partkey
+                            AND ps_suppkey = l_suppkey
+                JOIN part ON p_partkey = ps_partkey
+                WHERE p_name LIKE '%bolt%'
+                  AND ps_availqty * 2 > qty
+            )
+            SELECT s_name, s_suppkey AS suppkey
+            FROM supplier
+            JOIN excess ON s_suppkey = ps_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_3', 'NATION_8', 'NATION_15')
+            ORDER BY s_name
         """,
         "stream_follow_clicks": """
             SELECT e.event_id AS error_id, e.user_id,

@@ -139,6 +139,7 @@ HEADLINE = [
     "nation_trade_volume",
     "product_profit",
     "stream_follow_clicks",
+    "excess_stock_suppliers",
 ]
 
 

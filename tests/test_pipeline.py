@@ -704,6 +704,50 @@ def test_ivf_pq_topk_recall(spark):
             assert r["cosine"] == exc[(r["query_id"], r["nbr_id"])]
 
 
+def test_save_load_pq_ivf_roundtrip(spark, tmp_path):
+    """ANN index artifacts (train once, serve every snapshot):
+    reloaded codebooks/centroids are float-identical, the reloaded
+    model searches identically, and a missing commit marker (meta/)
+    fails load loudly instead of serving half-written artifacts."""
+    import shutil
+
+    from xyzpy_spark.pipeline.similarity import (
+        ivf_build,
+        load_ivf,
+        load_pq,
+        pq_build,
+        pq_topk,
+        save_ivf,
+        save_pq,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    assigned, cents = ivf_build(emb, n_cells=8, kmeans_iters=1)
+    coded, cbs = pq_build(emb, m=16, ksub=16, kmeans_iters=1)
+
+    pq_path = str(tmp_path / "pq")
+    ivf_path = str(tmp_path / "ivf")
+    save_pq(spark, cbs, pq_path)
+    save_ivf(spark, cents, ivf_path)
+    assert load_pq(spark, pq_path) == cbs
+    assert load_ivf(spark, ivf_path) == cents
+
+    queries = emb.where(F.col("vec_id") < 3)
+    a = pq_topk(coded, cbs, queries, k=3, shortlist=20).collect()
+    b = pq_topk(
+        coded, load_pq(spark, pq_path), queries, k=3, shortlist=20
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    # overwrite is marker-first: a model missing meta/ must not load
+    shutil.rmtree(pq_path + "/meta")
+    with pytest.raises(Exception):
+        load_pq(spark, pq_path)
+    # and a fresh save over the broken dir heals it
+    save_pq(spark, cbs, pq_path)
+    assert load_pq(spark, pq_path) == cbs
+
+
 def test_pq_build_validates_params(spark):
     from xyzpy_spark.pipeline.similarity import pq_build
 

@@ -117,6 +117,7 @@ HEAVY = [
     "nation_trade_volume",
     "product_profit",
     "langid_rowwise",
+    "excess_stock_suppliers",
 ]
 
 REP = "_rep"

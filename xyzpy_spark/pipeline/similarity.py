@@ -10,7 +10,7 @@ dependency, executor-parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 
 def _dot(a, b) -> F.Column:
@@ -966,6 +966,115 @@ def pq_topk_portable(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def _delete_marker_first(spark, path: str, marker_dir: str) -> None:
+    """Overwrite discipline shared with ``save_lm``/``save_langid``:
+    delete the commit-marker directory FIRST, so a crash mid-rewrite
+    fails the next load loudly instead of pairing a stale marker with
+    new data.  Portable Hadoop FS delete (local/S3/HDFS alike)."""
+    import posixpath
+
+    jvm = spark._jvm
+    marker = jvm.org.apache.hadoop.fs.Path(
+        posixpath.join(path, marker_dir)
+    )
+    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(marker):
+        fs.delete(marker, True)
+
+
+def save_pq(spark: SparkSession, codebooks: list, path: str) -> None:
+    """Persist PQ codebooks (train once, encode/serve every snapshot —
+    the artifact posture of ``save_lm``/``save_langid``).  Layout: a
+    ``codebooks/`` parquet table in long format ``(j, code, p, x)``
+    plus a ``meta/`` JSON table ``(m, ksub, dsub)`` that doubles as
+    the commit marker (written LAST; ``load_pq`` requires it) —
+    parquet doubles round-trip bit-exactly, so a reloaded codebook
+    encodes identically."""
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    _delete_marker_first(spark, path, "meta")
+    import posixpath
+
+    rows = [
+        (j, c, p, float(codebooks[j][c][p]))
+        for j in range(m)
+        for c in range(ksub)
+        for p in range(dsub)
+    ]
+    spark.createDataFrame(
+        rows, "j int, code int, p int, x double"
+    ).write.mode("overwrite").parquet(posixpath.join(path, "codebooks"))
+    spark.createDataFrame(
+        [(m, ksub, dsub)], "m int, ksub int, dsub int"
+    ).coalesce(1).write.mode("overwrite").json(
+        posixpath.join(path, "meta")
+    )
+
+
+def load_pq(spark: SparkSession, path: str) -> list:
+    """Load a :func:`save_pq` codebook set — hand to
+    :func:`pq_topk` / :func:`ivf_pq_topk` / the encode expression."""
+    import posixpath
+
+    meta = spark.read.json(posixpath.join(path, "meta")).first()
+    m, ksub, dsub = int(meta["m"]), int(meta["ksub"]), int(meta["dsub"])
+    vals = {
+        (r["j"], r["code"], r["p"]): r["x"]
+        for r in spark.read.parquet(
+            posixpath.join(path, "codebooks")
+        ).collect()
+    }
+    return [
+        [
+            [vals[(j, c, p)] for p in range(dsub)]
+            for c in range(ksub)
+        ]
+        for j in range(m)
+    ]
+
+
+def save_ivf(spark: SparkSession, centroids: list, path: str) -> None:
+    """Persist IVF coarse centroids (``cell, p, x`` long format plus a
+    ``meta/`` commit marker — see :func:`save_pq`)."""
+    n_cells = len(centroids)
+    dim = len(centroids[0])
+    _delete_marker_first(spark, path, "meta")
+    import posixpath
+
+    rows = [
+        (c, p, float(centroids[c][p]))
+        for c in range(n_cells)
+        for p in range(dim)
+    ]
+    spark.createDataFrame(
+        rows, "cell int, p int, x double"
+    ).write.mode("overwrite").parquet(posixpath.join(path, "centroids"))
+    spark.createDataFrame(
+        [(n_cells, dim)], "n_cells int, dim int"
+    ).coalesce(1).write.mode("overwrite").json(
+        posixpath.join(path, "meta")
+    )
+
+
+def load_ivf(spark: SparkSession, path: str) -> list:
+    """Load a :func:`save_ivf` centroid list — hand to
+    :func:`ivf_topk` / :func:`ivf_pq_topk`."""
+    import posixpath
+
+    meta = spark.read.json(posixpath.join(path, "meta")).first()
+    n_cells, dim = int(meta["n_cells"]), int(meta["dim"])
+    vals = {
+        (r["cell"], r["p"]): r["x"]
+        for r in spark.read.parquet(
+            posixpath.join(path, "centroids")
+        ).collect()
+    }
+    return [
+        [vals[(c, p)] for p in range(dim)] for c in range(n_cells)
+    ]
 
 
 def project_embeddings(

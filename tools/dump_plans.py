@@ -180,6 +180,10 @@ PICKS = {
     "partsupp bridge (one distinct projection of lineitem), nation "
     "broadcast, exact integer-e4 profit — no float canon stage "
     "anywhere",
+    "excess_stock_suppliers": "TPC-H Q20 shape: per-(part, supp) "
+    "shipped-quantity aggregate, all-integer excess comparison, "
+    "promoted parts as a BROADCAST semi-join, suppliers qualify via "
+    "LeftSemi — no fact data survives the aggregate",
 }
 
 

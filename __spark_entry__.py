@@ -2631,6 +2631,41 @@ def q_langid_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "margin")
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality end to end: deterministic clips (the repo's
+    XYZV container — length-prefixed binary-PPM frames) are
+    frame-sampled (every 2nd frame) and each kept frame is REALLY
+    decoded (pipeline/multimodal.py sample_video_frames); the emitted
+    shape and per-frame mean pixel are closed-form in (doc_id,
+    frame_idx), so the whole fan-out has an exact integer/rational
+    oracle."""
+    _ship(spark)
+    from xyzpy_spark.pipeline.multimodal import (
+        attach_sample_video,
+        sample_video_frames,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 10 == 1)
+    )
+    frames = sample_video_frames(attach_sample_video(docs), every=2)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        F.size("pixels").alias("n_values"),
+        (
+            F.aggregate(
+                "pixels", F.lit(0).cast("long"), lambda a, x: a + x
+            ).cast("double")
+            / F.size("pixels")
+        ).alias("mean_pixel"),
+    )
+
+
 def q_stream_follow_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM interval join through the REAL engine: the error
     and click slices of the events file stream join on user within a
@@ -2985,6 +3020,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "product_profit": 6,
     "stream_follow_clicks": 6,
     "excess_stock_suppliers": 6,
+    "video_frames": 6,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -3141,8 +3177,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # stays pytest-covered and in curate paths); and
     # excess_stock_suppliers (TPC-H Q20 on the bridge) displaced
     # lm_trigram_nll (r4+r5 green; the LM family keeps lm_nll and
-    # ccnet_buckets in-window).  ROTATION_QUEUE is EMPTY: zero
-    # rotation debt after this round's gate.
+    # ccnet_buckets in-window); and video_frames (the video modality
+    # end to end: container parse + real per-frame decode, exact
+    # closed-form oracle) displaced contamination_pairs (r4+r5 green;
+    # decontamination keeps bloom_contamination in-window).
+    # ROTATION_QUEUE is EMPTY: zero rotation debt after this round's
+    # gate.
     return {
         "pricing_summary": q_pricing_summary,
         "nation_trade_volume": q_nation_trade_volume,
@@ -3163,7 +3203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": q_winnow_fingerprints,
         "excess_stock_suppliers": q_excess_stock_suppliers,
         "bpe_token_count": q_bpe_token_count,
-        "contamination_pairs": q_contamination_pairs,
+        "video_frames": q_video_frames,
         "dedup_containment": q_dedup_containment,
         "cdc_chunks": q_cdc_chunks,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -3268,6 +3308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_against": q_dedup_against,
         "strip_html": q_strip_html,
         "lm_trigram_nll": q_lm_trigram_nll,
+        "contamination_pairs": q_contamination_pairs,
     }
 
 
@@ -5517,6 +5558,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint
             FROM wins
+        """,
+        "video_frames": """
+            WITH src AS (
+                SELECT doc_id,
+                       3 + doc_id % 4 AS n_frames,
+                       4 + doc_id % 5 AS w,
+                       3 + doc_id % 4 AS h
+                FROM documents WHERE doc_id % 10 = 1
+            ), f AS (
+                SELECT doc_id, w, h,
+                       unnest(list_filter(range(0, n_frames),
+                                          x -> x % 2 = 0)) AS frame_idx
+                FROM src
+            )
+            SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+                   CAST(w AS INTEGER) AS width,
+                   CAST(h AS INTEGER) AS height,
+                   CAST(3 * w * h AS INTEGER) AS n_values,
+                   CAST(list_sum(list_transform(
+                       range(0, 3 * w * h),
+                       k -> (doc_id * 7 + frame_idx * 11 + k * 3) % 256
+                   )) AS DOUBLE) / (3 * w * h) AS mean_pixel
+            FROM f
         """,
         "excess_stock_suppliers": """
             WITH partsupp AS (

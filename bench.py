@@ -140,6 +140,7 @@ HEADLINE = [
     "product_profit",
     "stream_follow_clicks",
     "excess_stock_suppliers",
+    "video_frames",
 ]
 
 

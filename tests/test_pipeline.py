@@ -2346,6 +2346,69 @@ def test_decode_media_jpeg_meta(spark):
         assert d["n_values"] == 3 * w * h
 
 
+def test_sample_video_frames_real_decode(spark):
+    """The video modality end to end: container parse + every-2nd
+    frame sampling + REAL per-frame PPM decode, pixels matching the
+    closed-form generator; malformed clips emit nothing (never a
+    task failure); param validation."""
+    from xyzpy_spark.pipeline.multimodal import (
+        fake_video_bytes,
+        sample_video_frames,
+    )
+
+    ids = [1, 2, 5]
+    df = spark.createDataFrame(
+        [(i, fake_video_bytes(i)) for i in ids]
+        + [(90, b"not a video"), (91, None),
+           (92, fake_video_bytes(3)[:10])],  # truncated frame table
+        ["doc_id", "media"],
+    )
+    rows = sample_video_frames(df, every=2).collect()
+    got = {}
+    for r in rows:
+        got[(r["doc_id"], r["frame_idx"])] = (
+            r["width"], r["height"], list(r["pixels"])
+        )
+    for s in ids:
+        n_frames, w, h = 3 + s % 4, 4 + s % 5, 3 + s % 4
+        want_frames = list(range(0, n_frames, 2))
+        have = [f for (d, f) in got if d == s]
+        assert sorted(have) == want_frames, s
+        for f in want_frames:
+            ww, hh, px = got[(s, f)]
+            assert (ww, hh) == (w, h)
+            assert px == [
+                (s * 7 + f * 11 + k * 3) % 256 for k in range(3 * w * h)
+            ]
+    assert not [d for (d, _) in got if d in (90, 91, 92)]
+    with pytest.raises(ValueError, match="every"):
+        sample_video_frames(df, every=0)
+    with pytest.raises(ValueError, match="frame_col"):
+        sample_video_frames(df.withColumn("frame_idx", F.lit(1)))
+
+
+def test_video_meta_parse(spark):
+    """_parse_video meta fields are closed-form in the seed; junk is
+    None."""
+    from xyzpy_spark.pipeline.multimodal import (
+        _parse_video,
+        fake_video_bytes,
+    )
+
+    for s in (0, 3, 7):
+        m = _parse_video(fake_video_bytes(s))
+        assert m == {
+            "format": "video",
+            "width": 4 + s % 5,
+            "height": 3 + s % 4,
+            "channels": 3,
+            "n_frames": 3 + s % 4,
+            "fps": 10 + s % 20,
+        }
+    assert _parse_video(b"XYZV") is None
+    assert _parse_video(None) is None
+
+
 # -- sliding-window chunking (pipeline/text.chunk_documents) ------------
 
 

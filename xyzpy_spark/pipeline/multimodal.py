@@ -181,6 +181,170 @@ def fake_ppm_bytes(seed: int) -> bytes:
     return f"P6\n{w} {h}\n255\n".encode() + body
 
 
+_VIDEO_MAGIC = b"XYZV"
+
+
+def fake_video_bytes(seed: int) -> bytes:
+    """A VALID clip in the repo's minimal video container, derived
+    from ``seed``: magic ``XYZV``, big-endian ``n_frames``/``fps``
+    (u16 each), then length-prefixed (u32) binary-PPM frames.
+    Closed-form enough for a SQL oracle:
+    ``frame f, pixel k = (seed*7 + f*11 + k*3) % 256`` with
+    ``n_frames = 3 + seed%4``, ``w = 4 + seed%5``, ``h = 3 + seed%4``.
+
+    The container is deliberately trivial — the point is that the
+    video MODALITY is exercised end to end with a REAL per-frame
+    decode (the PPM decoder), not a stubbed byte-offset stand-in."""
+    seed = int(seed)
+    n_frames = 3 + seed % 4
+    fps = 10 + seed % 20
+    w = 4 + seed % 5
+    h = 3 + seed % 4
+    out = [_VIDEO_MAGIC, _struct.pack(">HH", n_frames, fps)]
+    for f in range(n_frames):
+        body = bytes(
+            (seed * 7 + f * 11 + k * 3) % 256 for k in range(3 * w * h)
+        )
+        frame = f"P6\n{w} {h}\n255\n".encode() + body
+        out.append(_struct.pack(">I", len(frame)))
+        out.append(frame)
+    return b"".join(out)
+
+
+def _video_frames(b: bytes):
+    """Container bytes -> ``(n_frames, fps, [frame_bytes, ...])`` or
+    None for anything that isn't a well-formed XYZV clip (truncated
+    frame tables included — one bad file yields null downstream,
+    never a task failure)."""
+    if b is None or len(b) < 8 or b[:4] != _VIDEO_MAGIC:
+        return None
+    n_frames, fps = _struct.unpack(">HH", b[4:8])
+    frames = []
+    p = 8
+    for _ in range(n_frames):
+        if p + 4 > len(b):
+            return None
+        (ln,) = _struct.unpack(">I", b[p : p + 4])
+        p += 4
+        if p + ln > len(b):
+            return None
+        frames.append(b[p : p + ln])
+        p += ln
+    return n_frames, fps, frames
+
+
+def _parse_video(b: bytes) -> dict | None:
+    v = _video_frames(b)
+    if v is None:
+        return None
+    n_frames, fps, frames = v
+    first = _decode_ppm(frames[0]) if frames else None
+    if first is None:
+        return None
+    meta, _ = first
+    return {
+        "format": "video",
+        "width": meta["width"],
+        "height": meta["height"],
+        "channels": 3,  # the frame codec is binary PPM (always RGB)
+        "n_frames": n_frames,
+        "fps": fps,
+    }
+
+
+def attach_sample_video(
+    df: DataFrame, media_col: str = "media", id_col: str = "doc_id"
+) -> DataFrame:
+    """Attach the deterministic sample clip for each id (the corpus
+    shape: opaque binary column + typed metadata downstream)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[media_col] = [
+                fake_video_bytes(int(i)) for i in pdf[id_col]
+            ]
+            yield pdf
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(media_col, T.BinaryType())]
+    )
+    return df.mapInPandas(gen, schema=schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    media_col: str = "media",
+    *,
+    every: int = 2,
+    frame_col: str = "frame_idx",
+) -> DataFrame:
+    """REAL video frame sampling: parse the container, keep every
+    ``every``-th frame, decode each kept frame (PPM decoder) and emit
+    one row per frame with its pixel array — the fan-out shape a
+    frame-level training pipeline consumes (one input row -> many
+    schema-stable frame rows).  Malformed clips and undecodable
+    frames emit nothing; the task never fails.
+
+    ONE Arrow-batched python stage over the scan (the decode is the
+    irreducible python part; everything downstream is columnar)."""
+    import pandas as pd
+
+    if every < 1:
+        raise ValueError("sample_video_frames: every must be >= 1")
+    if frame_col in df.columns:
+        raise ValueError(
+            f"frame_col {frame_col!r} already exists in the input — "
+            "pass a different name"
+        )
+    in_cols = list(df.columns)
+
+    def sample(batches):
+        for pdf in batches:
+            rows = {c: [] for c in in_cols}
+            rows[frame_col] = []
+            rows["width"] = []
+            rows["height"] = []
+            rows["pixels"] = []
+            for _, row in pdf.iterrows():
+                payload = row[media_col]
+                v = _video_frames(
+                    bytes(payload) if payload is not None else None
+                )
+                if v is None:
+                    continue
+                _, _, frames = v
+                for f in range(0, len(frames), every):
+                    dec = _decode_ppm(frames[f])
+                    if dec is None:
+                        continue
+                    meta, arr = dec
+                    for c in in_cols:
+                        rows[c].append(row[c])
+                    rows[frame_col].append(f)
+                    rows["width"].append(meta["width"])
+                    rows["height"].append(meta["height"])
+                    rows["pixels"].append(
+                        [int(x) for x in arr.reshape(-1)]
+                    )
+            # an all-filtered batch would build EMPTY float64 columns,
+            # which Arrow cannot cast to list<int64> — yield nothing
+            if rows[frame_col]:
+                yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField(frame_col, T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("height", T.IntegerType()),
+            T.StructField("pixels", T.ArrayType(T.LongType())),
+        ]
+    )
+    return df.mapInPandas(sample, schema=schema)
+
+
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 #: channels per PNG color type (8-bit, non-interlaced support only)
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}

@@ -118,6 +118,7 @@ HEAVY = [
     "product_profit",
     "langid_rowwise",
     "excess_stock_suppliers",
+    "video_frames",
 ]
 
 REP = "_rep"

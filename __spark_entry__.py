@@ -3740,7 +3740,8 @@ _SIMILARITY_PQ_ORACLE = """
         SELECT l.query_id, co.vec_id AS nbr_id,
                CAST(SUM(l.pdot) AS DOUBLE)
                    / (sqrt(nq.n2)
-                      * sqrt(CAST(SUM(cn.n2) AS DOUBLE))) AS ascore
+                      * sqrt(CAST(GREATEST(SUM(cn.n2), 1) AS DOUBLE)))
+                       AS ascore
         FROM codes co
         JOIN lut l ON l.j = co.j AND l.code = co.code
         JOIN cwn2 cn ON cn.j = co.j AND cn.code = co.code

@@ -181,7 +181,7 @@ def main() -> None:
     under_load: list[str] = []
     raw_samples: dict[str, list[float]] = {}
 
-    def _race(name, run_once) -> None:
+    def _race(name, run_once, setup=None) -> None:
         """Load-guarded median-of-N for one timed unit.
 
         Takes ``runs`` samples; if EVERY sample raced a load above
@@ -191,9 +191,14 @@ def main() -> None:
         still fully contended after retries are flagged in
         measured_under_load AND get their raw sample/load lists emitted
         (r5 advice: let readers judge the spread, not just the flag).
+        ``setup`` runs OUTSIDE the timed window (cache isolation must
+        not bill the previous query's block-removal RPCs to this one —
+        the pre-r6 protocol, restored after a review catch).
         """
         samples, loads = [], []
         for _ in range(runs):
+            if setup is not None:
+                setup()
             ld = _load()
             t0 = time.time()
             run_once()
@@ -201,6 +206,8 @@ def main() -> None:
             loads.append(ld)
         if all(ld is not None and ld > load_max for ld in loads):
             for _ in range(runs):
+                if setup is not None:
+                    setup()
                 ld = _load()
                 t0 = time.time()
                 run_once()
@@ -254,20 +261,23 @@ def main() -> None:
         )
 
     def _sample(name: str):
-        # isolate queries from each other: operators persist()
-        # intermediates (shingles, LSH signatures) that only their
-        # consumer can release, so without this the bench sequence
-        # accumulates dead MEMORY_AND_DISK blocks and later
-        # queries pay the GC/eviction bill (r1: minhash benched
-        # 2.5s in-sequence vs 1.2s solo).  Each sample pays its
-        # own cache-build cost — same protocol as the BASELINE.md
-        # solo recordings.
-        spark.catalog.clearCache()
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
 
+    # cache isolation between samples: operators persist()
+    # intermediates (shingles, LSH signatures) that only their
+    # consumer can release, so without this the bench sequence
+    # accumulates dead MEMORY_AND_DISK blocks and later queries pay
+    # the GC/eviction bill (r1: minhash benched 2.5s in-sequence vs
+    # 1.2s solo).  Each sample pays its own cache-build cost — same
+    # protocol as the BASELINE.md solo recordings.  The clear runs as
+    # _race's UNTIMED setup.
     for name in names:
-        _race(name, lambda name=name: _sample(name))
+        _race(
+            name,
+            lambda name=name: _sample(name),
+            setup=spark.catalog.clearCache,
+        )
     if idx_path is not None:
         shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
 

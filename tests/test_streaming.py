@@ -422,6 +422,27 @@ def test_curate_stream_matches_batch_gates(spark):
     assert got == exp and len(got) > 0
 
 
+def test_curate_gates_reject_model_without_languages(spark):
+    """Passing langid_model= without languages= must raise in BOTH
+    the batch and stream curators — silently skipping the gate would
+    let every language through while the caller believes the trained
+    classifier is active (r6 review catch)."""
+    import pytest
+
+    from xyzpy_spark.pipeline.curate import curate_corpus
+    from xyzpy_spark.streaming.ops import curate_stream
+
+    docs = spark.createDataFrame([(1, "hello")], "doc_id LONG, text STRING")
+    weights = spark.createDataFrame(
+        [("en", 1, 0.5, 4096, 3)],
+        "lang string, bucket long, weight double, n_buckets long, ngram int",
+    )
+    with pytest.raises(ValueError, match="languages"):
+        curate_corpus(docs, langid_model=(weights, {"en": 0.0}))
+    with pytest.raises(ValueError, match="languages"):
+        curate_stream(docs, langid_model=(weights, {"en": 0.0}))
+
+
 def test_curate_stream_langid_gate_matches_batch(spark):
     """The streaming language-ID gate (trained model served through
     the map-literal row-wise scorer) must keep exactly the documents

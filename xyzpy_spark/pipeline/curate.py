@@ -108,6 +108,11 @@ def curate_corpus(
             "curate_corpus: lm= is only consumed by the lm_tail "
             "stage — pass lm_tail=True"
         )
+    if langid_model is not None and not languages:
+        raise ValueError(
+            "curate_corpus: langid_model= is only consumed by the "
+            "languages gate — pass languages=('en', ...) too"
+        )
     if eval_df is None:
         eval_df = reference_df
     if decontaminate_n is not None and eval_df is None:

@@ -278,16 +278,11 @@ def save_lm(
     """
     import posixpath
 
+    from .artifacts import delete_marker_first
+
     spark = contexts.sparkSession
     # invalidate the commit marker before touching the tables
-    # (portable across local/HDFS/S3 via the Hadoop FileSystem API)
-    jvm = spark._jvm
-    meta_path = jvm.org.apache.hadoop.fs.Path(
-        posixpath.join(path, "meta")
-    )
-    fs = meta_path.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(meta_path):
-        fs.delete(meta_path, True)
+    delete_marker_first(spark, path, "meta")
 
     contexts.write.mode("overwrite").parquet(
         posixpath.join(path, "contexts")

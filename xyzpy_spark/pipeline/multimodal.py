@@ -293,12 +293,16 @@ def sample_video_frames(
 
     if every < 1:
         raise ValueError("sample_video_frames: every must be >= 1")
-    if frame_col in df.columns:
-        raise ValueError(
-            f"frame_col {frame_col!r} already exists in the input — "
-            "pass a different name"
-        )
-    in_cols = list(df.columns)
+    # the payload column is DROPPED from the output (decode_media's
+    # pattern): keeping it would replicate the full clip bytes onto
+    # every frame row through the Arrow boundary
+    in_cols = [c for c in df.columns if c != media_col]
+    for reserved in (frame_col, "width", "height", "pixels"):
+        if reserved in in_cols:
+            raise ValueError(
+                f"output column {reserved!r} already exists in the "
+                "input — rename it (or pass a different frame_col)"
+            )
 
     def sample(batches):
         for pdf in batches:
@@ -334,7 +338,7 @@ def sample_video_frames(
                 yield pd.DataFrame(rows)
 
     schema = T.StructType(
-        df.schema.fields
+        [f for f in df.schema.fields if f.name != media_col]
         + [
             T.StructField(frame_col, T.IntegerType()),
             T.StructField("width", T.IntegerType()),

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from .artifacts import delete_marker_first
+
 
 def _dot(a, b) -> F.Column:
     return F.aggregate(
@@ -439,6 +441,10 @@ def pq_build(
     )
     if not sample:
         raise ValueError("pq_build: empty corpus")
+    # a corpus smaller than ksub yields fewer seed codewords; clamp so
+    # the Lloyd rebuild below iterates existing codewords (review
+    # catch: range(ksub) indexed past the short sample)
+    ksub = min(ksub, len(sample))
     dim = len(sample[0][vec_col])
     if dim % m:
         raise ValueError(f"pq_build: dim {dim} not divisible by m={m}")
@@ -491,6 +497,38 @@ def pq_build(
     return coded, codebooks
 
 
+def _pq_query_lut(codebooks: list, qv: F.Column, dsub: int) -> F.Column:
+    """Per-query partial-dot LUT: ``lut[j][c] = dot(q_j,
+    codebook[j][c])`` — shared by :func:`pq_topk` and
+    :func:`ivf_pq_topk` (one-arg closure factory: two-param HOF
+    lambdas bind (element, index))."""
+
+    def _lut_fn(sub):
+        return lambda c: _dot(c, sub)
+
+    return F.array(
+        *[
+            F.transform(
+                _pq_codebook_lit(cb),
+                _lut_fn(F.slice(qv, j * dsub + 1, dsub)),
+            )
+            for j, cb in enumerate(codebooks)
+        ]
+    )
+
+
+def _pq_n2_lit(codebooks: list) -> F.Column:
+    """Query-independent codeword squared norms ``n2[j][c]`` as one
+    nested literal."""
+    return F.array(
+        *[
+            F.array(*[F.lit(float(sum(x * x for x in c))) for c in cb])
+            .cast("array<double>")
+            for cb in codebooks
+        ]
+    )
+
+
 def pq_topk(
     corpus_with_codes: DataFrame,
     codebooks: list,
@@ -520,35 +558,10 @@ def pq_topk(
     ``corpus_with_codes`` — the plan shape is unchanged.
     """
     query_id_col = query_id_col or id_col
-    m = len(codebooks)
     dsub = len(codebooks[0][0])
     qv = F.col(vec_col).cast("array<double>")
-    # per-query partial-dot LUT: lut[j][c] = dot(q_j, codebook[j][c])
-    # (one-arg closure factory — see _pq_encode_expr's arity note)
-    def _lut_fn(sub):
-        return lambda c: _dot(c, sub)
-
-    lut = F.array(
-        *[
-            F.transform(
-                _pq_codebook_lit(cb),
-                _lut_fn(F.slice(qv, j * dsub + 1, dsub)),
-            )
-            for j, cb in enumerate(codebooks)
-        ]
-    )
-    # query-independent codeword squared norms: n2[j][c]
-    n2_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.lit(float(sum(x * x for x in c)))
-                    for c in cb
-                ]
-            ).cast("array<double>")
-            for cb in codebooks
-        ]
-    )
+    lut = _pq_query_lut(codebooks, qv, dsub)
+    n2_lit = _pq_n2_lit(codebooks)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         qv.alias("qv"),
@@ -655,7 +668,6 @@ def ivf_pq_topk(
     shortlist·n_queries full vectors.
     """
     query_id_col = query_id_col or id_col
-    m = len(codebooks)
     dsub = len(codebooks[0][0])
     qv = F.col(vec_col).cast("array<double>")
 
@@ -684,25 +696,8 @@ def ivf_pq_topk(
         nprobe,
     )
 
-    def _lut_fn(sub):
-        return lambda c: _dot(c, sub)
-
-    lut = F.array(
-        *[
-            F.transform(
-                _pq_codebook_lit(cb),
-                _lut_fn(F.slice(qv, j * dsub + 1, dsub)),
-            )
-            for j, cb in enumerate(codebooks)
-        ]
-    )
-    n2_lit = F.array(
-        *[
-            F.array(*[F.lit(float(sum(x * x for x in c))) for c in cb])
-            .cast("array<double>")
-            for cb in codebooks
-        ]
-    )
+    lut = _pq_query_lut(codebooks, qv, dsub)
+    n2_lit = _pq_n2_lit(codebooks)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         qv.alias("qv"),
@@ -934,7 +929,15 @@ def pq_topk_portable(
             "nbr_id",
             (
                 approx_dot.cast("double")
-                / (F.col("qn") * F.sqrt(approx_n2.cast("double")))
+                / (
+                    F.col("qn")
+                    # all-zero codewords would divide by zero; n2 >= 1
+                    # for any nonzero codeword, so the guard is
+                    # value-neutral elsewhere (mirrored in the oracle)
+                    * F.sqrt(
+                        F.greatest(approx_n2, F.lit(1)).cast("double")
+                    )
+                )
             ).alias("__a"),
         )
     )
@@ -968,20 +971,6 @@ def pq_topk_portable(
     )
 
 
-def _delete_marker_first(spark, path: str, marker_dir: str) -> None:
-    """Overwrite discipline shared with ``save_lm``/``save_langid``:
-    delete the commit-marker directory FIRST, so a crash mid-rewrite
-    fails the next load loudly instead of pairing a stale marker with
-    new data.  Portable Hadoop FS delete (local/S3/HDFS alike)."""
-    import posixpath
-
-    jvm = spark._jvm
-    marker = jvm.org.apache.hadoop.fs.Path(
-        posixpath.join(path, marker_dir)
-    )
-    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(marker):
-        fs.delete(marker, True)
 
 
 def save_pq(spark: SparkSession, codebooks: list, path: str) -> None:
@@ -995,7 +984,7 @@ def save_pq(spark: SparkSession, codebooks: list, path: str) -> None:
     m = len(codebooks)
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
-    _delete_marker_first(spark, path, "meta")
+    delete_marker_first(spark, path, "meta")
     import posixpath
 
     rows = [
@@ -1041,7 +1030,7 @@ def save_ivf(spark: SparkSession, centroids: list, path: str) -> None:
     ``meta/`` commit marker — see :func:`save_pq`)."""
     n_cells = len(centroids)
     dim = len(centroids[0])
-    _delete_marker_first(spark, path, "meta")
+    delete_marker_first(spark, path, "meta")
     import posixpath
 
     rows = [

@@ -1567,14 +1567,10 @@ def save_langid(
     Spark's writers — S3/HDFS/local alike."""
     import posixpath
 
+    from .artifacts import delete_marker_first
+
     spark = weights.sparkSession
-    jvm = spark._jvm
-    marker = jvm.org.apache.hadoop.fs.Path(
-        posixpath.join(path, "intercepts")
-    )
-    fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(marker):
-        fs.delete(marker, True)
+    delete_marker_first(spark, path, "intercepts")
     weights.write.mode("overwrite").parquet(
         posixpath.join(path, "weights")
     )

@@ -483,6 +483,11 @@ def curate_stream(
     """
     from ..pipeline.text import add_quality, filter_blocklist
 
+    if langid_model is not None and not languages:
+        raise ValueError(
+            "curate_stream: langid_model= is only consumed by the "
+            "languages gate — pass languages=('en', ...) too"
+        )
     cols = list(docs.columns)
     out = add_quality(docs)
     cond = F.lit(True)

@@ -422,6 +422,51 @@ def test_curate_stream_matches_batch_gates(spark):
     assert got == exp and len(got) > 0
 
 
+def test_curate_quality_model_gate_stream_batch_parity(spark):
+    """The trained-quality gate keeps the same documents through
+    curate_stream (rowwise scorer, real engine) and curate_corpus
+    (broadcast-join scorer) — the two serving paths agree on keep
+    decisions for the same model."""
+    from xyzpy_spark.pipeline.curate import curate_corpus
+    from xyzpy_spark.pipeline.text import train_quality_classifier
+    from xyzpy_spark.streaming.ops import (
+        curate_stream,
+        read_documents_stream,
+        run_stream_to_memory,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    batch_docs = spark.read.parquet(sf + "/documents.parquet")
+    labeled = batch_docs.limit(40).select(
+        "doc_id", "text", (F.col("doc_id") % 2).cast("int").alias("label")
+    )
+    model = train_quality_classifier(labeled, n_buckets=1 << 14)
+
+    streamed = run_stream_to_memory(
+        curate_stream(
+            read_documents_stream(spark, sf),
+            min_tokens=20,
+            min_quality=0.5,
+            quality_model=model,
+        ).select("doc_id"),
+        "t_curate_quality_stream",
+        output_mode="append",
+    )
+    batch = curate_corpus(
+        batch_docs,
+        dedup=None,
+        min_tokens=20,
+        min_quality=0.5,
+        max_top_bigram_frac=None,
+        quality_model=model,
+    )
+    got = sorted(r["doc_id"] for r in streamed.collect())
+    exp = sorted(r["doc_id"] for r in batch.select("doc_id").collect())
+    assert got == exp and 0 < len(got) < batch_docs.count()
+    with pytest.raises(ValueError, match="quality_model"):
+        curate_stream(batch_docs, quality_model=(model[0],))
+
+
 def test_curate_gates_reject_model_without_languages(spark):
     """Passing langid_model= without languages= must raise in BOTH
     the batch and stream curators — silently skipping the gate would

@@ -36,6 +36,17 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = ["curate_corpus"]
 
 
+def _quality_n_buckets(weights) -> int:
+    """Featurizer modulus for a trained quality model: the stamped
+    ``n_buckets`` column when present (what train_quality_classifier
+    writes), else the serving default."""
+    if "n_buckets" in weights.columns:
+        r = weights.select("n_buckets").first()
+        if r is not None:
+            return int(r["n_buckets"])
+    return 1 << 18
+
+
 def curate_corpus(
     df: DataFrame,
     *,
@@ -48,6 +59,7 @@ def curate_corpus(
     max_top_bigram_frac: float | None = None,
     languages=None,
     langid_model: tuple | None = None,
+    quality_model: tuple | None = None,
     blocklist=None,
     max_block_hits: int = 0,
     lm_tail: bool = False,
@@ -78,6 +90,12 @@ def curate_corpus(
     family (:func:`~xyzpy_spark.pipeline.dedup.dedup_corpus`) as its
     own pass when shingle-level dedup is wanted; exact-first is the
     standard order either way.
+
+    ``quality_model=(weights, intercept)`` (what
+    :func:`~xyzpy_spark.pipeline.text.train_quality_classifier`
+    returns) adds the TRAINED quality gate after the rule-based
+    signals: documents with ``margin < 0`` are dropped (broadcast
+    weight join; the stamped ``n_buckets`` drives the featurizer).
 
     ``languages=('en', ...)`` keeps only documents whose PREDICTED
     language is in the set — the standard crawl-curation gate.  By
@@ -112,6 +130,11 @@ def curate_corpus(
         raise ValueError(
             "curate_corpus: langid_model= is only consumed by the "
             "languages gate — pass languages=('en', ...) too"
+        )
+    if quality_model is not None and len(quality_model) != 2:
+        raise ValueError(
+            "curate_corpus: quality_model must be (weights_df, "
+            "intercept) — what train_quality_classifier returns"
         )
     if eval_df is None:
         eval_df = reference_df
@@ -176,6 +199,20 @@ def curate_corpus(
             F.col("lang_pred").isin(wanted)
         ).select(*cols)
         _note("language_id", out)
+
+    if quality_model is not None:
+        from .text import score_quality_trained
+
+        out = score_quality_trained(
+            out,
+            quality_model[0],
+            quality_model[1],
+            text_col=text_col,
+            id_col=id_col,
+            n_buckets=_quality_n_buckets(quality_model[0]),
+        )
+        out = out.where(F.col("keep")).select(*cols)
+        _note("quality_model", out)
 
     if blocklist:
         from .text import filter_blocklist

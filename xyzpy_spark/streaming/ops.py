@@ -448,6 +448,7 @@ def curate_stream(
     min_quality: float | None = 0.5,
     languages=None,
     langid_model: tuple | None = None,
+    quality_model: tuple | None = None,
     blocklist=None,
     max_block_hits: int = 0,
 ) -> DataFrame:
@@ -488,6 +489,11 @@ def curate_stream(
             "curate_stream: langid_model= is only consumed by the "
             "languages gate — pass languages=('en', ...) too"
         )
+    if quality_model is not None and len(quality_model) != 2:
+        raise ValueError(
+            "curate_stream: quality_model must be (weights_df, "
+            "intercept) — what train_quality_classifier returns"
+        )
     cols = list(docs.columns)
     out = add_quality(docs)
     cond = F.lit(True)
@@ -512,6 +518,21 @@ def curate_stream(
         out = scored.where(F.col("lang_pred").isin(wanted)).select(
             *cols, *quality_cols
         )
+    if quality_model is not None:
+        from ..pipeline.curate import _quality_n_buckets
+        from ..pipeline.text import score_quality_rowwise
+
+        keep_cols = [c for c in out.columns]
+        out = score_quality_rowwise(
+            out,
+            quality_model[0],
+            quality_model[1],
+            n_buckets=_quality_n_buckets(quality_model[0]),
+        )
+        # the rowwise scorer is the stream-legal serving path: the
+        # broadcast-join scorer's per-doc margin aggregation is
+        # illegal in append mode (same split as the langid gate)
+        out = out.where(F.col("keep")).select(*keep_cols)
     if blocklist:
         out = filter_blocklist(
             out, blocklist, max_hits=max_block_hits

@@ -215,6 +215,31 @@ def test_langid_rejects_inconsistent_weight_metadata(spark):
         score_langid_trained(df, weights, {"aa": 0.0, "bb": 0.0})
 
 
+def test_langid_rejects_null_weight_metadata(spark):
+    """count_distinct silently ignores NULL-bearing rows, so a table
+    mixing NULL and non-NULL metadata used to pass the consistency
+    audit and could then crash on int(None) with a misleading error
+    (r6 advice) — NULL metadata must be rejected by name, and an
+    all-NULL-meta table must not be reported as 'empty'."""
+    df = spark.createDataFrame(
+        [(1, "whatever text this is")], "doc_id LONG, text STRING"
+    )
+    mixed = spark.createDataFrame(
+        [("aa", 7, -1.0, 1 << 16, 3), ("bb", 9, -1.0, None, 3)],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int",
+    )
+    with pytest.raises(ValueError, match="metadata contains NULLs"):
+        score_langid_trained(df, mixed, {"aa": 0.0, "bb": 0.0})
+    all_null = spark.createDataFrame(
+        [("aa", 7, -1.0, None, None), ("bb", 9, -1.0, None, None)],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int",
+    )
+    with pytest.raises(ValueError, match="metadata contains NULLs"):
+        score_langid_trained(df, all_null, {"aa": 0.0, "bb": 0.0})
+
+
 def test_score_langid_rowwise_matches_join_scorer(spark):
     """The map-literal row-wise scorer (the streaming-legal serving
     path) must predict identically to the broadcast-join scorer on

@@ -643,6 +643,32 @@ def test_dedup_stream_against_index_matches_batch(spark, tmp_path):
     assert got == want
     assert sum(1 for k, _, _ in got.values() if k == "exact") >= 1
 
+    # idempotent sink (r6 advice): a full REPLAY of the same source —
+    # what a restart after a crashed-but-written micro-batch does —
+    # must overwrite its epoch partitions in place, never append
+    # duplicates.  Fresh default checkpoint => epochs renumber from 0,
+    # which is exactly the at-least-once rerun case.
+    n_once = spark.read.parquet(out_path).count()
+    dedup_stream_against_index(
+        read_documents_stream(spark, sf),
+        index,
+        out_path,
+        index_bands=bands,
+        n=2,
+        hash_fn="md5",
+        threshold=0.5,
+    )
+    again = spark.read.parquet(out_path)
+    assert again.count() == n_once
+    assert "epoch_id" in again.columns
+    got2 = {
+        r["doc_id"]: (r["dup_kind"], r["dup_of"], r["est_jaccard"])
+        for r in again.select(
+            "doc_id", "dup_kind", "dup_of", "est_jaccard"
+        ).collect()
+    }
+    assert got2 == want
+
 
 def test_stateful_stats_all_null_key_matches_sql(spark, tmp_path):
     """A key whose values are all NULL must emit count=0 with NULL

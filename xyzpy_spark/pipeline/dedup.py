@@ -2098,7 +2098,10 @@ def winnow_dedup_pairs(
     fingerprints are also dropped from sizes, keeping the score an
     unbiased Jaccard of the CAPPED sets rather than a mixed-domain
     ratio).  ``cache`` persists the fingerprint table, which feeds
-    sizes and both join sides.
+    sizes and both join sides; the returned plan references ONE live
+    persisted table (the capped index — the pre-cap intermediate is
+    materialized and released inside the call), which
+    ``spark.catalog.clearCache()`` or session teardown frees.
     """
     fps = winnow_fingerprints(
         df, k=k, w=w, text_col=text_col, id_col=id_col, hash_fn=hash_fn
@@ -2119,9 +2122,18 @@ def winnow_dedup_pairs(
             .where(F.col("__f") <= max_fp_freq)
             .select("fingerprint")
         )
+        precap = fps
         fps = fps.join(rare, "fingerprint", "left_semi")
         if cache:
+            # materialize the capped table (its build consumes the
+            # pre-cap cache twice: the freq agg + the semi-join probe),
+            # then RELEASE the pre-cap blocks — without the unpersist,
+            # every call leaked one orphaned MEMORY_AND_DISK table for
+            # the life of the session (r6 advice).  The count() is one
+            # pass over rows the downstream plan caches anyway.
             fps = fps.persist()
+            fps.count()
+            precap.unpersist()
     sizes = fps.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")

@@ -329,9 +329,9 @@ def sample_video_frames(
                     rows[frame_col].append(f)
                     rows["width"].append(meta["width"])
                     rows["height"].append(meta["height"])
-                    rows["pixels"].append(
-                        [int(x) for x in arr.reshape(-1)]
-                    )
+                    # C-level conversion: numpy scalars -> Python ints
+                    # in one call, not one Python int() per pixel
+                    rows["pixels"].append(arr.reshape(-1).tolist())
             # an all-filtered batch would build EMPTY float64 columns,
             # which Arrow cannot cast to list<int64> — yield nothing
             if rows[frame_col]:

@@ -109,9 +109,20 @@ def ivf_build(
     the single-pass sample-only build.  Returns the corpus with a
     ``cell`` column plus the centroid list.
     """
+    # hash a string concat, not `id + seed`: arithmetic `+` casts a
+    # non-numeric id to double (all-NULL sort key → partition-order
+    # dependent sample); concat matches the md5 recipe the portable
+    # variants use
     cents = (
         corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col) + F.lit(sample_seed)))
+        .orderBy(
+            F.xxhash64(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":" + str(sample_seed)),
+                )
+            )
+        )
         .limit(n_cells)
         .collect()
     )
@@ -433,9 +444,18 @@ def pq_build(
     """
     if m < 1 or ksub < 2:
         raise ValueError("pq_build: need m >= 1 and ksub >= 2")
+    # string-concat seed key (not `id + seed` — NULL for string ids);
+    # same recipe as ivf_build and the md5 portable variants
     sample = (
         corpus.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col) + F.lit(sample_seed)))
+        .orderBy(
+            F.xxhash64(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":" + str(sample_seed)),
+                )
+            )
+        )
         .limit(ksub)
         .collect()
     )

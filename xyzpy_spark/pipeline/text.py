@@ -1304,12 +1304,34 @@ def _validated_langid_meta(weights: DataFrame) -> tuple[int, int, str]:
     # shuffle per scoring call — measured ~0.5 s of task overhead on
     # a local-relation weight table); the expensive distinct runs
     # only on the error path to name the offending configs
+    # count_distinct IGNORES rows with a NULL in any column, so a
+    # table mixing NULL and non-NULL metadata would pass __n==1 and
+    # F.first could then hand back the NULL row (r6 advice) — count
+    # NULL-bearing rows explicitly and coalesce to sentinels so mixed
+    # configs are still caught
+    any_null = F.lit(False)
+    for c in meta_cols:
+        any_null = any_null | F.col(c).isNull()
     meta = weights.agg(
-        F.count_distinct(*meta_cols).alias("__n"),
+        F.count_distinct(
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+                for c in meta_cols
+            ]
+        ).alias("__n"),
+        F.count(F.when(any_null, 1)).alias("__nullrows"),
+        F.count(F.lit(1)).alias("__rows"),
         *[F.first(c).alias(c) for c in meta_cols],
     ).first()
-    if meta is None or meta["__n"] == 0:
+    if meta is None or meta["__rows"] == 0:
         raise ValueError("empty weight table")
+    if meta["__nullrows"] > 0:
+        raise ValueError(
+            "weight-table metadata contains NULLs: "
+            f"{meta['__nullrows']} row(s) have a NULL in one of "
+            f"({', '.join(meta_cols)}); every weight row must carry "
+            "the full featurizer config"
+        )
     if meta["__n"] > 1:
         metas = weights.select(*meta_cols).distinct().collect()
         raise ValueError(

@@ -394,6 +394,19 @@ def dedup_stream_against_index(
     (``n``/``num_perm``/``bands``/``threshold``/``hash_fn`` must
     match the index build).  ``cache`` is forced off — the per-batch
     plan is consumed once inside its own job.
+
+    The sink is IDEMPOTENT per micro-batch: each epoch writes to its
+    own ``epoch_id=N`` partition subdirectory with ``overwrite``, so
+    a batch that wrote output but crashed before the checkpoint
+    commit is simply re-written in place on restart instead of
+    appended twice (foreachBatch is at-least-once; epoch-keyed
+    overwrite is the documented recipe for exactly-once file sinks).
+    Readers see ``epoch_id`` as an extra partition column via
+    discovery.  NOTE: restart safety requires a caller-supplied
+    ``checkpoint`` — the default TemporaryDirectory checkpoint cannot
+    dedup epochs across process restarts (a rerun starts from epoch 0
+    but also overwrites from epoch 0, so availableNow replays remain
+    duplicate-free as long as the source file set only grows).
     """
     from ..pipeline.dedup import dedup_against_index
 
@@ -405,7 +418,9 @@ def dedup_stream_against_index(
         dedup_against_index(
             batch_df, index, cache=False, index_bands=index_bands,
             **probe_kwargs,
-        ).write.mode("append").parquet(out_path)
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"epoch_id={int(epoch_id)}")
+        )
 
     ctx = (
         tempfile.TemporaryDirectory()

@@ -304,10 +304,19 @@ def test_score_langid_rowwise_semantics(spark):
         df, weights, {"aa": 0.0, "bb": 0.0, "cc": 2.0}
     ).collect()[0]
     assert got["lang_pred"] == "cc"
+    # the bound only binds the map encoding; auto switches to packed
     with pytest.raises(ValueError, match="literal-plan bound"):
         score_langid_rowwise(
-            df, weights, {"aa": 0.0}, max_literal_weights=1
+            df, weights, {"aa": 0.0}, max_literal_weights=1,
+            encoding="map",
         )
+    auto = score_langid_rowwise(
+        df, weights, {"aa": 0.0, "bb": 0.0, "cc": 2.0},
+        max_literal_weights=1,
+    ).collect()[0]
+    assert auto["lang_pred"] == "cc"
+    with pytest.raises(ValueError, match="encoding must be"):
+        score_langid_rowwise(df, weights, {"aa": 0.0}, encoding="hex")
     bad = spark.createDataFrame(
         [("aa", 7, -1.0, 1 << 16, 3), ("bb", 9, -1.0, 1 << 12, 3)],
         "lang string, bucket long, weight double, "
@@ -385,3 +394,158 @@ def test_langid_weight_only_language_competes(spark):
         .count()
     )
     assert (got["lang_pred"] == "xx") == (hit > 0)
+
+
+def test_score_langid_rowwise_packed_bit_matches_map(spark):
+    """The packed (binary-blob) encoding must fold the IDENTICAL
+    double sequence as the map-literal encoding — bit-exact margins,
+    not just approximately equal — because _pack_fixed_point verifies
+    every weight reproduces from its fixed-point int at pack time."""
+    import __spark_entry__ as em
+    from xyzpy_spark.pipeline.text import score_langid_rowwise
+
+    weights = spark.createDataFrame(
+        [(lang, b, w, 4096, 3, "md5") for lang, b, w in em._langid_frozen_rows()],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int, hash_fn string",
+    )
+    icepts = dict(em._LANGID_FROZEN_INTERCEPTS)
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    # NO rounding: raw margins must agree to the last bit
+    m = {
+        r["doc_id"]: (r["lang_pred"], r["m"])
+        for r in score_langid_rowwise(
+            docs, weights, icepts, margin_col="m", encoding="map"
+        ).collect()
+    }
+    p = {
+        r["doc_id"]: (r["lang_pred"], r["m"])
+        for r in score_langid_rowwise(
+            docs, weights, icepts, margin_col="m", encoding="packed"
+        ).collect()
+    }
+    assert m == p and len(m) == 50
+
+
+def test_score_langid_rowwise_packed_serves_production_model(
+    spark, langid_model
+):
+    """The r6 literal bound excluded the 28-language production model
+    from row-wise (streaming-legal) serving; packed binary literals
+    lift it (r6 verdict ask #1).  Above-the-bound model, auto
+    encoding -> packed, predictions must match the broadcast-join
+    path on every doc."""
+    from xyzpy_spark.pipeline.text import score_langid_rowwise
+
+    _, test_df, weights, icepts = langid_model
+    n_w = weights.count()
+    assert n_w > 8000, f"fixture model only {n_w} weights"
+    docs = test_df.select("doc_id", "text")
+    joined = {
+        r["doc_id"]: r["lang_pred"]
+        for r in score_langid_trained(
+            docs, weights, icepts, round_places=6
+        ).collect()
+    }
+    rowwise = {
+        r["doc_id"]: r["lang_pred"]
+        for r in score_langid_rowwise(
+            docs, weights, icepts, round_places=6
+        ).collect()
+    }
+    assert rowwise == joined and len(rowwise) == docs.count()
+
+
+def test_score_langid_rowwise_packed_scores_stream(
+    spark, langid_model, tmp_path
+):
+    """The whole point of packed serving: the production 28-language
+    model scoring an UNBOUNDED stream in append mode (a map-only
+    plan — the literal blobs ride the plan, nothing joins, nothing
+    aggregates across rows)."""
+    from xyzpy_spark.pipeline.text import score_langid_rowwise
+    from xyzpy_spark.streaming.ops import run_stream_to_memory
+
+    _, test_df, weights, icepts = langid_model
+    src = str(tmp_path / "docs")
+    test_df.select("doc_id", "text").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    got = {
+        r["doc_id"]: r["lang_pred"]
+        for r in run_stream_to_memory(
+            score_langid_rowwise(stream, weights, icepts).select(
+                "doc_id", "lang_pred"
+            ),
+            "t_langid_packed_stream",
+            output_mode="append",
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: r["lang_pred"]
+        for r in score_langid_rowwise(
+            test_df.select("doc_id", "text"), weights, icepts
+        ).collect()
+    }
+    assert got == want and len(got) == test_df.count()
+
+
+def test_score_quality_rowwise_packed_bit_matches_map(spark):
+    """Quality serving twin of the packed/map bit-parity contract."""
+    from xyzpy_spark.pipeline.text import score_quality_rowwise
+
+    rng = np.random.default_rng(7)
+    n_buckets = 512
+    weights = spark.createDataFrame(
+        [
+            (int(b), float(round(float(w), 6)), n_buckets)
+            for b, w in zip(
+                rng.choice(n_buckets, size=300, replace=False),
+                rng.normal(size=300),
+            )
+        ],
+        "bucket long, weight double, n_buckets long",
+    )
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(50)
+    )
+    m = {
+        r["doc_id"]: (r["margin"], r["keep"])
+        for r in score_quality_rowwise(
+            docs, weights, 0.25, n_buckets=n_buckets, encoding="map"
+        ).collect()
+    }
+    p = {
+        r["doc_id"]: (r["margin"], r["keep"])
+        for r in score_quality_rowwise(
+            docs, weights, 0.25, n_buckets=n_buckets, encoding="packed"
+        ).collect()
+    }
+    assert m == p and len(m) == 50
+
+
+def test_pack_fixed_point_contract():
+    """Pack chooses the smallest exact scale/width, rejects
+    non-decimal and out-of-range inputs by name."""
+    from xyzpy_spark.pipeline.text import _pack_fixed_point
+
+    blob, scale, width = _pack_fixed_point([(0, 1.5), (3, -2.25)], 4)
+    assert scale == 2 and width == 4 and len(blob) == 16
+    assert int.from_bytes(blob[0:4], "big", signed=True) == 150
+    assert int.from_bytes(blob[12:16], "big", signed=True) == -225
+    # wide values need 8 bytes
+    blob, scale, width = _pack_fixed_point([(1, 3e9)], 2)
+    assert width == 8 and scale == 0
+    assert int.from_bytes(blob[8:16], "big", signed=True) == 3_000_000_000
+    with pytest.raises(ValueError, match="not fixed-point"):
+        _pack_fixed_point([(0, float(np.pi))], 1)
+    with pytest.raises(ValueError, match="outside"):
+        _pack_fixed_point([(5, 1.0)], 4)
+    with pytest.raises(ValueError, match="non-finite"):
+        _pack_fixed_point([(0, float("nan"))], 1)

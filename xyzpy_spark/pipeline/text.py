@@ -995,6 +995,94 @@ def score_quality_trained(
     )
 
 
+def _pack_fixed_point(
+    pairs: list[tuple[int, float]], n_slots: int
+) -> tuple[bytes, int, int]:
+    """Pack ``(slot, weight)`` pairs into ONE dense binary blob of
+    ``n_slots`` fixed-point integers (missing slots = 0), choosing the
+    smallest decimal scale and byte width that reproduce every weight
+    BIT-EXACTLY when decoded as ``int / 10^scale`` in double
+    arithmetic.
+
+    This is the ``bloom_contains`` literal discipline applied to
+    weight tables: ``F.lit(list)`` costs one plan node per element
+    (the 8,000-weight bound), while one BinaryType literal is a single
+    node and ``substr`` on binary is an O(1) byte slice — so a
+    28-language x 4096-bucket production model (114k weights) rides
+    the plan as 28 blobs instead of 114k literal nodes.  Exactness
+    holds because trained weights are decimal-rounded
+    (``weight_decimals``): both ``round(x, d)`` and ``n / 10^d``
+    produce the double nearest the same decimal, which the pack
+    VERIFIES per weight (and rejects non-decimal tables loudly).
+
+    Returns ``(blob, scale, width)`` with ``width`` in {4, 8} bytes
+    (big-endian two's complement).
+    """
+    import math
+
+    for s in range(0, 13):
+        scale = 10**s
+        ns: list[int] = []
+        ok = True
+        for _, w in pairs:
+            if not math.isfinite(w):
+                raise ValueError(
+                    f"non-finite weight {w!r} cannot be packed"
+                )
+            n0 = int(round(w * scale))
+            for n in (n0, n0 - 1, n0 + 1):
+                # the authoritative check mirrors the engine decode:
+                # int -> double -> divide by double 10^s
+                if abs(n) < (1 << 53) and float(n) / float(scale) == w:
+                    ns.append(n)
+                    break
+            else:
+                ok = False
+                break
+        if not ok:
+            continue
+        width = 4 if all(-(1 << 31) <= n < (1 << 31) for n in ns) else 8
+        buf = bytearray(n_slots * width)
+        mask = (1 << (8 * width)) - 1
+        for (slot, _), n in zip(pairs, ns):
+            if not (0 <= slot < n_slots):
+                raise ValueError(
+                    f"bucket {slot} outside [0, {n_slots}) — the blob "
+                    "is indexed by bucket, so the featurizer modulus "
+                    "and the weight table disagree"
+                )
+            buf[slot * width : (slot + 1) * width] = (n & mask).to_bytes(
+                width, "big"
+            )
+        return bytes(buf), s, width
+    raise ValueError(
+        "weights are not fixed-point representable at <= 12 decimals — "
+        "packed serving requires decimal-rounded weights (the "
+        "weight_decimals training default); use the map-literal or "
+        "broadcast-join path for raw-float models"
+    )
+
+
+def _packed_weight_expr(
+    blob: bytes, bkt: F.Column, *, scale: int, width: int
+) -> F.Column:
+    """Decode slot ``bkt`` of a :func:`_pack_fixed_point` blob as a
+    double — a pure whole-stage-codegen chain (O(1) binary ``substr``
+    -> hex -> signed conv -> one divide), no join, no shuffle, usable
+    inside higher-order-function lambdas on unbounded streams."""
+    lit = F.lit(blob)
+    off = (bkt.cast("long") * F.lit(width) + F.lit(1)).cast("int")
+    h = F.hex(F.call_function("substr", lit, off, F.lit(width)))
+    if width == 8:
+        # conv with NEGATIVE toBase reads the full 64 bits as two's
+        # complement signed
+        n = F.conv(h, 16, -10).cast("long")
+    else:
+        u = F.conv(h, 16, 10).cast("long")
+        n = F.when(u >= F.lit(1 << 31), u - F.lit(1 << 32)).otherwise(u)
+    return n / F.lit(float(10**scale))
+
+
 def score_quality_rowwise(
     df: DataFrame,
     weights: DataFrame,
@@ -1003,6 +1091,7 @@ def score_quality_rowwise(
     *,
     n_buckets: int = 1 << 18,
     max_literal_weights: int = 8000,
+    encoding: str = "auto",
 ) -> DataFrame:
     """Serve trained quality weights WITHOUT any shuffle — the
     streaming-legal twin of :func:`score_quality_trained`, exactly as
@@ -1014,10 +1103,20 @@ def score_quality_rowwise(
     as :func:`hashed_token_buckets`, so train/serve skew stays
     impossible.  Same outputs as the join path: ``margin`` (linear
     score + intercept; docs with no tokens or no weighted buckets get
-    ``intercept``) and ``keep = margin >= 0``.  Model size is bounded
-    by ``max_literal_weights`` (the plan-node budget); larger models
-    serve through the broadcast-join path batch-side.
+    ``intercept``) and ``keep = margin >= 0``.  ``encoding`` selects
+    the literal form as in :func:`score_langid_rowwise`: ``'map'`` up
+    to ``max_literal_weights`` plan nodes, ``'packed'`` (one dense
+    fixed-point binary blob, :func:`_pack_fixed_point` — bit-exact
+    decode, O(1) slice lookups) for larger models, ``'auto'`` picks
+    by size.  NOTE: packed blobs are dense over ``n_buckets`` slots,
+    so the quality default ``n_buckets=2^18`` costs a ~1-2 MB
+    literal; trained quality models use far fewer buckets in
+    practice.
     """
+    if encoding not in ("auto", "map", "packed"):
+        raise ValueError(
+            f"encoding must be 'auto', 'map' or 'packed', got {encoding!r}"
+        )
     if "n_buckets" in weights.columns:
         meta = weights.select("n_buckets").first()
         if meta is not None and meta["n_buckets"] != n_buckets:
@@ -1032,11 +1131,14 @@ def score_quality_rowwise(
         (int(r["bucket"]), float(r["weight"]))
         for r in weights.select("bucket", "weight").collect()
     )
-    if len(rows) > max_literal_weights:
+    if encoding == "auto":
+        encoding = "map" if len(rows) <= max_literal_weights else "packed"
+    if encoding == "map" and len(rows) > max_literal_weights:
         raise ValueError(
             f"score_quality_rowwise: {len(rows)} weights exceed the "
             f"literal-plan bound ({max_literal_weights}); use "
-            "score_quality_trained (broadcast join) or prune the model"
+            "encoding='packed' (binary blob), score_quality_trained "
+            "(broadcast join), or prune the model"
         )
     # stage token and bucket arrays as their own projections
     # (lambda-referenced computed expressions re-evaluate per element);
@@ -1056,7 +1158,15 @@ def score_quality_rowwise(
             lambda t: F.pmod(F.hash(t), F.lit(int(n_buckets))),
         ),
     )
-    if rows:
+    if rows and encoding == "packed":
+        blob, scale, width = _pack_fixed_point(rows, n_buckets)
+        margin = F.aggregate(
+            F.col("__b"),
+            F.lit(float(intercept)).cast("double"),
+            lambda acc, bkt: acc
+            + _packed_weight_expr(blob, bkt, scale=scale, width=width),
+        )
+    elif rows:
         wmap = F.map_from_arrays(
             F.lit([b for b, _ in rows]),
             F.lit([w for _, w in rows]),
@@ -1369,6 +1479,7 @@ def score_langid_rowwise(
     round_places: int | None = None,
     margin_col: str | None = None,
     max_literal_weights: int = 8000,
+    encoding: str = "auto",
 ) -> DataFrame:
     """Serve a trained language classifier WITHOUT any shuffle — the
     streaming-legal twin of :func:`score_langid_trained`.
@@ -1386,27 +1497,50 @@ def score_langid_rowwise(
     lexicographically smallest language, NULL prediction for docs
     with no n-grams.
 
-    The literal encoding bounds the model size: ``F.lit(list)`` costs
-    one plan node per element, so tables above ``max_literal_weights``
-    total weights raise — serve those through the broadcast-join path
-    (batch) or prune the model first.  (A binary-literal packing like
-    ``bloom_contains`` would lift the bound; not needed for gate-size
-    models.)
+    Two literal encodings, selected by ``encoding``:
+
+    - ``'map'`` — per-language ``bucket -> weight`` map literals.
+      ``F.lit(list)`` costs one plan node per element, so tables
+      above ``max_literal_weights`` total weights raise.
+    - ``'packed'`` — per-language DENSE binary blobs
+      (:func:`_pack_fixed_point`: ``n_buckets`` fixed-point ints,
+      ONE BinaryType literal each, O(1) byte-slice lookups — the
+      ``bloom_contains`` discipline), which lifts the bound: the
+      production 28-language x 4096-bucket model serves as 28 blobs.
+      Decoded weights reproduce the trained doubles BIT-EXACTLY
+      (verified per weight at pack time), so both encodings fold the
+      identical double sequence and predict identically.
+    - ``'auto'`` (default) — ``'map'`` up to ``max_literal_weights``,
+      ``'packed'`` above it; raises only for models whose weights are
+      not decimal-rounded (use the broadcast-join path for those).
     """
+    if encoding not in ("auto", "map", "packed"):
+        raise ValueError(
+            f"encoding must be 'auto', 'map' or 'packed', got {encoding!r}"
+        )
     n_buckets, ngram, hash_fn = _validated_langid_meta(weights)
     rows = sorted(
         (r["lang"], int(r["bucket"]), float(r["weight"]))
         for r in weights.select("lang", "bucket", "weight").collect()
     )
-    if len(rows) > max_literal_weights:
+    if encoding == "auto":
+        encoding = "map" if len(rows) <= max_literal_weights else "packed"
+    if encoding == "map" and len(rows) > max_literal_weights:
         raise ValueError(
             f"score_langid_rowwise: {len(rows)} weights exceed the "
             f"literal-plan bound ({max_literal_weights}); use "
-            "score_langid_trained (broadcast join) or prune the model"
+            "encoding='packed' (binary blobs), score_langid_trained "
+            "(broadcast join), or prune the model"
         )
     by_lang: dict[str, list[tuple[int, float]]] = {}
     for lang, b, wt in rows:
         by_lang.setdefault(lang, []).append((b, wt))
+    packed: dict[str, tuple[bytes, int, int]] = {}
+    if encoding == "packed":
+        packed = {
+            lang: _pack_fixed_point(pairs, n_buckets)
+            for lang, pairs in by_lang.items()
+        }
     b0 = dict(intercepts or {})
     langs = sorted(set(by_lang) | set(b0))
     if not langs:
@@ -1439,6 +1573,14 @@ def score_langid_rowwise(
         pairs = by_lang.get(lang)
         if not pairs:
             m = base
+        elif encoding == "packed":
+            blob, scale, width = packed[lang]
+            m = F.aggregate(
+                F.col("__b"),
+                base.cast("double"),
+                lambda acc, bkt: acc
+                + _packed_weight_expr(blob, bkt, scale=scale, width=width),
+            )
         else:
             wmap = F.map_from_arrays(
                 F.lit([p[0] for p in pairs]),

@@ -141,6 +141,7 @@ HEADLINE = [
     "stream_follow_clicks",
     "excess_stock_suppliers",
     "video_frames",
+    "winnow_against",
 ]
 
 
@@ -258,6 +259,35 @@ def main() -> None:
         queries = dict(queries)
         queries["dedup_incremental"] = entrymod.make_dedup_incremental_probe(
             f"{idx_path}_{n_build[0]}"
+        )
+
+    # same protocol for the winnowed incremental index (r7): the timed
+    # row is the per-ingest probe; the one-time build gets its own
+    # load-guarded row
+    if "winnow_against" in names:
+        import shutil  # noqa: F401  (the shared cleanup below uses it)
+        import tempfile
+
+        if idx_path is None:
+            bench_tmp = tempfile.mkdtemp(prefix="xyzpy_bench_")
+            idx_path = os.path.join(bench_tmp, "dedup_index")
+        widx_path = os.path.join(os.path.dirname(idx_path), "winnow_index")
+        entrymod.prestage_winnow_against(
+            spark, "/root/testdata/sf0.001",
+            os.path.join(os.path.dirname(idx_path), "wwarm"),
+        )
+        n_wbuild = [0]
+
+        def _wbuild_once():
+            n_wbuild[0] += 1
+            entrymod.prestage_winnow_against(
+                spark, sf_dir, f"{widx_path}_{n_wbuild[0]}"
+            )
+
+        _race("winnow_against_build", _wbuild_once)
+        queries = dict(queries)
+        queries["winnow_against"] = entrymod.make_winnow_against_probe(
+            f"{widx_path}_{n_wbuild[0]}"
         )
 
     def _sample(name: str):

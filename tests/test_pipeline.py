@@ -2996,3 +2996,124 @@ def test_winnow_cdc_xxhash64_production_mode(spark):
         lens[r["doc_id"]] += r["chunk_len"]
     # chunks partition the canonicalized text exactly
     assert lens[1] == lens[2] == len(text)
+
+
+def test_winnow_index_probe_matches_python_twin(spark):
+    """Incremental winnowed dedup (r6 verdict ask #2): build the
+    saved index over history, probe a new batch, and agree exactly
+    with a pure-python twin of the capped-set Jaccard — including the
+    dropped-table subtraction that keeps both operands in the capped
+    domain."""
+    import hashlib
+    import re as _re
+
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        winnow_against_index,
+    )
+
+    shared = "a very long exactly matching passage of text here"
+    boiler = " copyright footer boilerplate everywhere"
+    hist_rows = [
+        (1, "prefix one " + shared + boiler),
+        (2, shared + " suffix two" + boiler),
+        (3, "completely unrelated content with nothing in common!" + boiler),
+    ]
+    new_rows = [
+        (10, shared + boiler),          # near-dup of 1 and 2
+        (11, "fresh unseen words zebra quartz jumble vortex kayak"),
+        (12, "xy"),                     # too short to fingerprint
+        (13, hist_rows[2][1]),          # exact dup of 3 -> jaccard 1.0
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id LONG, text STRING")
+    new = spark.createDataFrame(new_rows, "doc_id LONG, text STRING")
+
+    def h(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def fps(t, k=5, w=4):
+        t = _re.sub(r"\s+", " ", t.lower())
+        hs = (
+            [h(t[i:i + k]) for i in range(len(t) - k + 1)]
+            if len(t) >= k
+            else []
+        )
+        if len(hs) < w:
+            return set()
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    def twin(cap, threshold):
+        hsets = {i: fps(t) for i, t in hist_rows}
+        nsets = {i: fps(t) for i, t in new_rows}
+        freq = {}
+        for s in hsets.values():
+            for f in s:
+                freq[f] = freq.get(f, 0) + 1
+        drop = {f for f, c in freq.items() if c > cap}
+        hsets = {i: s - drop for i, s in hsets.items()}
+        nsets = {i: s - drop for i, s in nsets.items()}
+        out = {}
+        for nid, ns in nsets.items():
+            best = None
+            for hid in sorted(hsets):
+                hs = hsets[hid]
+                if not ns or not hs:
+                    continue
+                c = len(ns & hs)
+                if not c:
+                    continue
+                jac = round(c / len(ns | hs), 6)
+                if jac >= threshold and (
+                    best is None or jac > best[1]
+                ):
+                    best = (hid, jac)
+            out[nid] = best
+        return out
+
+    cap, threshold = 2, 0.05
+    index, dropped = build_winnow_index(
+        hist, k=5, w=4, max_fp_freq=cap, hash_fn="md5"
+    )
+    # the boilerplate appears in all 3 hist docs > cap=2 -> dropped
+    assert dropped.count() > 0
+    got = {
+        r["doc_id"]: (
+            None
+            if r["dup_of"] is None
+            else (r["dup_of"], r["fp_jaccard"], r["dup_kind"])
+        )
+        for r in winnow_against_index(
+            new, index, dropped=dropped, threshold=threshold,
+            k=5, w=4, max_fp_freq=cap, hash_fn="md5",
+        ).collect()
+    }
+    want = {
+        nid: (None if b is None else (b[0], b[1], "near"))
+        for nid, b in twin(cap, threshold).items()
+    }
+    assert got == want
+    assert got[10] is not None and got[10][0] in (1, 2)
+    assert got[11] is None and got[12] is None
+    assert got[13] == (3, 1.0, "near")  # exact dup scores 1.0
+
+
+def test_winnow_index_validates_stamped_params(spark):
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        winnow_against_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "some history document text goes right here")],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(2, "some new document text")], "doc_id LONG, text STRING"
+    )
+    index, dropped = build_winnow_index(hist, k=5, w=4, hash_fn="md5")
+    with pytest.raises(ValueError, match="do not match the probe"):
+        winnow_against_index(new, index, k=6, w=4, hash_fn="md5")
+    with pytest.raises(ValueError, match="do not match the probe"):
+        winnow_against_index(
+            new, index, k=5, w=4, hash_fn="md5", max_fp_freq=7
+        )

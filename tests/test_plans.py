@@ -723,3 +723,30 @@ def test_rotation_discipline():
         k for k, r in hist.items() if r == entrymod.ROTATION_ROUND
     }
     assert newcomers <= window, sorted(newcomers - window)
+
+
+def test_winnow_index_probe_never_shuffle_joins(spark):
+    """The winnowed incremental probe: every join broadcasts the
+    batch-sized side (new fingerprints / sizes / dropped table) — the
+    historical index must never hit a sort-merge join, so the probe
+    stays flat in corpus size."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        winnow_against_index,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    index, dropped = build_winnow_index(corpus, k=6, w=5, max_fp_freq=50)
+    # materialized index, as production reads it from parquet
+    index = index.persist()
+    plan = executed_plan(
+        winnow_against_index(
+            batch, index, dropped=dropped, k=6, w=5, max_fp_freq=50,
+            threshold=0.2,
+        )
+    )
+    index.unpersist()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

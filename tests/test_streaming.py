@@ -738,3 +738,61 @@ def test_stream_source_reads_directory_shaped_tables(spark, tmp_path):
         streaming_running_stats(stream), "t_dir_shape"
     )
     assert out.agg({"count": "sum"}).collect()[0][0] == 100
+
+
+def test_winnow_stream_against_index_matches_batch(spark, tmp_path):
+    """Continuous-ingest WINNOWED dedup: the foreachBatch probe over
+    a file stream must annotate exactly like the batch operator
+    against the same saved index (one code path), through the
+    epoch-idempotent sink."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        winnow_against_index,
+    )
+    from xyzpy_spark.streaming.ops import (
+        read_documents_stream,
+        winnow_stream_against_index,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet")
+    hist = docs.where(F.col("doc_id") % 10 < 7)
+    idx_path = str(tmp_path / "windex")
+    index_df, dropped_df = build_winnow_index(
+        hist, k=6, w=5, max_fp_freq=50, hash_fn="md5"
+    )
+    index_df.write.parquet(idx_path + "/main")
+    dropped_df.write.parquet(idx_path + "/dropped")
+    index = spark.read.parquet(idx_path + "/main")
+    dropped = spark.read.parquet(idx_path + "/dropped")
+
+    out_path = str(tmp_path / "annotated")
+    winnow_stream_against_index(
+        read_documents_stream(spark, sf),
+        index,
+        out_path,
+        dropped=dropped,
+        k=6,
+        w=5,
+        max_fp_freq=50,
+        hash_fn="md5",
+        threshold=0.2,
+    )
+    got = {
+        r["doc_id"]: (r["dup_kind"], r["dup_of"], r["fp_jaccard"])
+        for r in spark.read.parquet(out_path).select(
+            "doc_id", "dup_kind", "dup_of", "fp_jaccard"
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["dup_kind"], r["dup_of"], r["fp_jaccard"])
+        for r in winnow_against_index(
+            docs, index, dropped=dropped, k=6, w=5, max_fp_freq=50,
+            hash_fn="md5", threshold=0.2,
+        ).collect()
+    }
+    assert got == want
+    # history replayed through the stream must self-match at 1.0
+    assert sum(
+        1 for k_, _, j in got.values() if k_ == "near" and j == 1.0
+    ) >= 1

@@ -119,6 +119,11 @@ HEAVY = [
     "langid_rowwise",
     "excess_stock_suppliers",
     "video_frames",
+    # round-7 additions: the winnowed INCREMENTAL probe (the property
+    # claimed is probe-flat-in-corpus-size: both sides probe the same
+    # batch against a 1x/Nx index, so the ratio should track index
+    # scan growth, not candidate blow-up)
+    "winnow_against",
 ]
 
 REP = "_rep"
@@ -326,6 +331,12 @@ def main() -> None:
             idx = os.path.join(out, f"_idx_{side}")
             entrymod.prestage_dedup_incremental(spark, sf_dir, idx)
             probes[side] = entrymod.make_dedup_incremental_probe(idx)
+    wprobes = {}
+    if "winnow_against" in heavy:
+        for side, sf_dir in (("1x", one_x), (f"{args.mult}x", n_x)):
+            idx = os.path.join(out, f"_widx_{side}")
+            entrymod.prestage_winnow_against(spark, sf_dir, idx)
+            wprobes[side] = entrymod.make_winnow_against_probe(idx)
 
     # warm-up (bench.py protocol): one JVM/reader query + one Arrow/UDF
     # query so the first timed sample doesn't pay JIT/codegen warm-up
@@ -341,7 +352,12 @@ def main() -> None:
         base_fn = queries[name]
         row = {}
         for side, sf_dir in (("1x", one_x), (f"{args.mult}x", n_x)):
-            fn = probes[side] if name == "dedup_incremental" else base_fn
+            if name == "dedup_incremental":
+                fn = probes[side]
+            elif name == "winnow_against":
+                fn = wprobes[side]
+            else:
+                fn = base_fn
             row[side] = _time_query(spark, fn, sf_dir, args.runs)
         row["ratio"] = round(row[f"{args.mult}x"] / row["1x"], 2)
         result[name] = row

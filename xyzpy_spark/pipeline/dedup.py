@@ -2161,6 +2161,233 @@ def winnow_dedup_pairs(
     )
 
 
+def build_winnow_index(
+    df: DataFrame,
+    *,
+    k: int = 5,
+    w: int = 4,
+    max_fp_freq: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """The persistent WINNOWED dedup index for incremental ingest —
+    the saved-fingerprint twin of :func:`build_dedup_index`, storing
+    the winnowing selection (:func:`winnow_fingerprints`, ~``2/(w+1)``
+    of the k-gram rows) instead of MinHash signatures.
+
+    Why this is the index you'd save at 100 TB: MinHash stores a
+    fixed ``num_perm``-long signature per document and estimates
+    Jaccard probabilistically; the winnowed index stores the actual
+    selected fingerprints, so the probe computes the EXACT Jaccard of
+    the selected sets with the MOSS structural-recall floor (any
+    substring match of length >= ``w + k - 1`` shares a fingerprint),
+    at an order of magnitude fewer rows than shingle-everything —
+    and, unlike the at-rest :func:`winnow_dedup_pairs`, ingest never
+    re-reads historical text.
+
+    Returns ``(index, dropped)``:
+
+    - ``index`` — ``(id, fingerprint, n_fp)`` with the build
+      parameters stamped as literal columns (``k, w, hash_fn,
+      max_fp_freq`` — RLE-compressed to nothing in parquet);
+      :func:`winnow_against_index` validates them, because a probe
+      winnowed differently matches NOTHING and silently declares
+      every duplicate novel (the :func:`band_dedup_index` discipline).
+    - ``dropped`` — the over-frequent (boilerplate) fingerprints the
+      ``max_fp_freq`` cap removed, one column, SMALL by construction
+      (only fingerprints shared by more than ``max_fp_freq``
+      documents).  Save it next to the index: the probe subtracts it
+      from each new document's selection so both Jaccard operands
+      live in the same capped domain (unbiased capped-set Jaccard —
+      the :func:`winnow_dedup_pairs` rule).  Without the cap a
+      boilerplate fingerprint shared by f docs costs f candidate rows
+      PER new doc carrying it.
+
+    Build cost (one-time, amortized over every future ingest): the
+    fingerprint table shuffles twice (frequency cap + per-doc sizes);
+    the probe path never shuffles the index at all.
+    """
+    fps = winnow_fingerprints(
+        df, k=k, w=w, text_col=text_col, id_col=id_col, hash_fn=hash_fn
+    )
+    spark = df.sparkSession
+    if max_fp_freq is not None:
+        if max_fp_freq < 1:
+            raise ValueError("max_fp_freq must be >= 1")
+        dropped = (
+            fps.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .where(F.col("__f") > int(max_fp_freq))
+            .select("fingerprint")
+        )
+        kept = fps.join(F.broadcast(dropped), "fingerprint", "left_anti")
+    else:
+        dropped = spark.createDataFrame([], "fingerprint bigint")
+        kept = fps
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    index = (
+        kept.join(sizes, id_col)
+        .select(
+            id_col,
+            "fingerprint",
+            "n_fp",
+            F.lit(int(k)).alias("k"),
+            F.lit(int(w)).alias("w"),
+            F.lit(str(hash_fn)).alias("hash_fn"),
+            F.lit(int(max_fp_freq or 0)).alias("max_fp_freq"),
+        )
+    )
+    return index, dropped
+
+
+def winnow_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    *,
+    dropped: DataFrame | None = None,
+    threshold: float = 0.5,
+    k: int = 5,
+    w: int = 4,
+    max_fp_freq: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    cache: bool = True,
+) -> DataFrame:
+    """Dedup an incoming batch against a saved winnowed index
+    (:func:`build_winnow_index`) — the winnowing twin of
+    :func:`dedup_against_index`, and the configuration the r6 verdict
+    named as "the index I'd actually run at 100 TB" made incremental.
+
+    Every new document is annotated: ``dup_of`` is the best-matching
+    historical id (highest capped-set Jaccard of the winnowing
+    selections, ties to the smallest id) when that Jaccard reaches
+    ``threshold``, else NULL (novel); ``fp_jaccard`` is the score;
+    ``dup_kind`` is ``'near'`` or NULL.  Exact duplicates of history
+    score 1.0 (identical canonical text selects identical
+    fingerprints), so there is no separate exact tier.
+
+    Scale shape — the probe is FLAT in corpus size: the new batch's
+    fingerprints are winnowed (~``2/(w+1)`` of its k-grams), capped
+    against the broadcast ``dropped`` table, then BROADCAST against
+    one scan of the index — the index never shuffles; only surviving
+    candidate pairs (bounded by the build-time frequency cap) enter
+    the per-new-doc aggregation.  ``k``/``w``/``hash_fn``/
+    ``max_fp_freq`` must match the build; the stamped index columns
+    are validated (a mismatched probe silently matches nothing).
+    """
+    stamped = {"k", "w", "hash_fn", "max_fp_freq"} & set(index.columns)
+    if stamped:
+        meta = index.select(*sorted(stamped)).first()
+        mine = {
+            "k": int(k),
+            "w": int(w),
+            "hash_fn": str(hash_fn),
+            "max_fp_freq": int(max_fp_freq or 0),
+        }
+        if meta is not None:
+            bad = {
+                kk: (meta[kk], mine[kk])
+                for kk in stamped
+                if meta[kk] != mine[kk]
+            }
+            if bad:
+                raise ValueError(
+                    "winnow index parameters do not match the probe "
+                    f"({ {kk: f'index={v[0]} probe={v[1]}' for kk, v in bad.items()} }) "
+                    "— a probe winnowed differently matches nothing"
+                )
+    new_fps = winnow_fingerprints(
+        new_docs, k=k, w=w, text_col=text_col, id_col=id_col,
+        hash_fn=hash_fn,
+    )
+    if dropped is not None:
+        # subtract the build's boilerplate fingerprints so both
+        # Jaccard operands live in the capped domain (sizes too)
+        new_fps = new_fps.join(
+            F.broadcast(dropped.select("fingerprint")),
+            "fingerprint",
+            "left_anti",
+        )
+    if cache:
+        # two consumers (sizes + probe join); batch-sized
+        new_fps = new_fps.persist()
+    new_sizes = new_fps.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_new")
+    )
+    common = (
+        index.select(
+            F.col(id_col).alias("_old_id"), "fingerprint", "n_fp"
+        )
+        .join(
+            F.broadcast(
+                new_fps.select(
+                    F.col(id_col).alias("_new_id"), "fingerprint"
+                )
+            ),
+            "fingerprint",
+        )
+        .groupBy("_new_id", "_old_id")
+        .agg(
+            F.count(F.lit(1)).alias("__n_common"),
+            F.max("n_fp").alias("__n_old"),
+        )
+    )
+    best = (
+        common.join(
+            F.broadcast(
+                new_sizes.select(
+                    F.col(id_col).alias("_new_id"), "__n_new"
+                )
+            ),
+            "_new_id",
+        )
+        .select(
+            "_new_id",
+            "_old_id",
+            F.round(
+                F.col("__n_common")
+                / (
+                    F.col("__n_old")
+                    + F.col("__n_new")
+                    - F.col("__n_common")
+                ),
+                6,
+            ).alias("_est"),
+        )
+        .where(F.col("_est") >= threshold)
+        .groupBy("_new_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_est"), (-F.col("_old_id")).alias("_neg"))
+            ).alias("_best")
+        )
+        .select(
+            "_new_id",
+            F.col("_best._est").alias("_near_est"),
+            (-F.col("_best._neg")).alias("_near_of"),
+        )
+    )
+    return (
+        new_docs.select(id_col)
+        .join(
+            F.broadcast(best),
+            new_docs[id_col] == best._new_id,
+            "left",
+        )
+        .drop("_new_id")
+        .select(
+            id_col,
+            F.when(F.col("_near_of").isNotNull(), F.lit("near")).alias(
+                "dup_kind"
+            ),
+            F.col("_near_of").alias("dup_of"),
+            F.col("_near_est").alias("fp_jaccard"),
+        )
+    )
+
+
 def strip_duplicate_lines(
     df: DataFrame,
     *,

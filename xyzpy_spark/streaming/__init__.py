@@ -1,6 +1,7 @@
 from .ops import (
     dedup_stream,
     dedup_stream_against_index,
+    winnow_stream_against_index,
     interval_join_stream,
     read_events_stream,
     run_stream_to_memory,
@@ -12,6 +13,7 @@ from .ops import (
 __all__ = [
     "dedup_stream",
     "dedup_stream_against_index",
+    "winnow_stream_against_index",
     "interval_join_stream",
     "read_events_stream",
     "run_stream_to_memory",

@@ -411,14 +411,38 @@ def dedup_stream_against_index(
     from ..pipeline.dedup import dedup_against_index
 
     probe_kwargs.pop("cache", None)
-
-    def _probe(batch_df: DataFrame, epoch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        dedup_against_index(
+    _run_batch_probe_stream(
+        stream_docs,
+        lambda batch_df: dedup_against_index(
             batch_df, index, cache=False, index_bands=index_bands,
             **probe_kwargs,
-        ).write.mode("overwrite").parquet(
+        ),
+        out_path,
+        checkpoint=checkpoint,
+        timeout=timeout,
+        what="dedup_stream_against_index",
+    )
+
+
+def _run_batch_probe_stream(
+    stream_docs: DataFrame,
+    probe,
+    out_path: str,
+    *,
+    checkpoint: str | None,
+    timeout: int,
+    what: str,
+) -> None:
+    """Shared foreachBatch scaffold of the continuous-ingest probes:
+    run ``probe(batch_df)`` per micro-batch and write each epoch to
+    its own ``epoch_id=N`` partition with overwrite (the idempotent,
+    at-least-once-safe file-sink recipe — see
+    :func:`dedup_stream_against_index`)."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        probe(batch_df).write.mode("overwrite").parquet(
             os.path.join(out_path, f"epoch_id={int(epoch_id)}")
         )
 
@@ -429,7 +453,7 @@ def dedup_stream_against_index(
     )
     with ctx as ckpt:
         q = (
-            stream_docs.writeStream.foreachBatch(_probe)
+            stream_docs.writeStream.foreachBatch(_sink)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -438,10 +462,52 @@ def dedup_stream_against_index(
         q.stop()
         if not finished:
             raise TimeoutError(
-                "dedup_stream_against_index did not finish "
-                f"availableNow processing within {timeout}s — "
-                f"{out_path} would be silently partial"
+                f"{what} did not finish availableNow processing "
+                f"within {timeout}s — {out_path} would be silently "
+                "partial"
             )
+
+
+def winnow_stream_against_index(
+    stream_docs: DataFrame,
+    index: DataFrame,
+    out_path: str,
+    *,
+    dropped: DataFrame | None = None,
+    checkpoint: str | None = None,
+    timeout: int = 300,
+    **probe_kwargs,
+) -> None:
+    """Continuous-ingest WINNOWED dedup: annotate each arriving
+    micro-batch against the saved winnowed fingerprint index
+    (:func:`~xyzpy_spark.pipeline.dedup.build_winnow_index`) and
+    write the result to ``out_path`` — the winnowing twin of
+    :func:`dedup_stream_against_index`, same foreachBatch
+    architecture (the per-new-doc best-match groupBy is
+    append-illegal), same epoch-idempotent sink, same one-code-path
+    parity: each micro-batch runs the EXACT batch operator
+    :func:`~xyzpy_spark.pipeline.dedup.winnow_against_index`
+    unchanged (new side broadcast; the index never shuffles).
+
+    ``probe_kwargs`` pass through (``k``/``w``/``hash_fn``/
+    ``max_fp_freq``/``threshold`` must match the index build —
+    validated against the index's stamped columns).  ``cache`` is
+    forced off, as each per-batch plan is consumed once.
+    """
+    from ..pipeline.dedup import winnow_against_index
+
+    probe_kwargs.pop("cache", None)
+    _run_batch_probe_stream(
+        stream_docs,
+        lambda batch_df: winnow_against_index(
+            batch_df, index, dropped=dropped, cache=False,
+            **probe_kwargs,
+        ),
+        out_path,
+        checkpoint=checkpoint,
+        timeout=timeout,
+        what="winnow_stream_against_index",
+    )
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

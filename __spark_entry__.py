@@ -2314,6 +2314,176 @@ def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority counts of one quarter's orders
+    that have at least one LATE lineitem — the canonical EXISTS
+    pattern, planned as a LEFT SEMI join so the fact side contributes
+    at most one match per order and never expands (the testdata
+    carries no commit/receipt dates, so lateness is a deterministic
+    key-derived predicate — the partsupp-bridge discipline — computed
+    identically in the oracle).  Date filter pushes to the orders
+    scan; the semi probe reads only lineitem's key columns."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate")
+         >= F.lit("1997-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1997-10-01").cast("timestamp_ntz"))
+    )
+    late = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_orderkey") * 5 + F.col("l_linenumber") * 3) % 7 < 3
+    ).select("l_orderkey")
+    return (
+        orders.join(
+            late, orders["o_orderkey"] == late["l_orderkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the customer order-count distribution — LEFT
+    OUTER join customers to their non-urgent orders (the priority
+    filter stands in for Q13's comment NOT LIKE, applied BEFORE the
+    join so zero-match customers survive with count 0), count orders
+    per customer, then count customers per order count.  Two keyed
+    aggregations; all-integer output."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cust.join(
+            orders, cust["c_custkey"] == orders["o_custkey"], "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    300 (the HAVING-over-aggregate pattern), joined back to orders and
+    customer for the report.  The quantity sum is exact-integer
+    (quantities are integral by construction); the heavy fact
+    aggregates FIRST, so only qualifying orderkeys reach the joins;
+    customer attaches via its key (broadcast at gate scale, keyed at
+    100 TB — the join order, not a hint, is the scale property)."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+    )
+
+
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers in one region whose LATE lineitems
+    sat in multi-supplier orders where every OTHER supplier delivered
+    on time — the correlated EXISTS + NOT EXISTS pair, planned as a
+    LEFT SEMI then LEFT ANTI join on (orderkey, different supplier),
+    so the fact is never re-scanned per correlated probe (lateness is
+    the key-derived predicate, same expression in the oracle).
+    Supplier and nation dims broadcast; output is the per-supplier
+    wait count."""
+    li_full = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_linenumber"
+    )
+    is_late = (
+        F.col("l_orderkey") * 3 + F.col("l_linenumber") * 7
+    ) % 5 == 0
+    l1 = li_full.where(is_late).select("l_orderkey", "l_suppkey").alias("l1")
+    others = li_full.select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    ).alias("l2")
+    late_others = li_full.where(is_late).select(
+        F.col("l_orderkey").alias("__ok"), F.col("l_suppkey").alias("__sk")
+    ).alias("l3")
+    waiting = (
+        l1.join(
+            others,
+            (F.col("l1.l_orderkey") == F.col("l2.__ok"))
+            & (F.col("l1.l_suppkey") != F.col("l2.__sk")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("l1.l_orderkey") == F.col("l3.__ok"))
+            & (F.col("l1.l_suppkey") != F.col("l3.__sk")),
+            "left_anti",
+        )
+    )
+    nations = F.broadcast(
+        _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 0)
+    )
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: per-country-code counts and balances of
+    above-average-balance customers with NO recent orders — the
+    NOT EXISTS pattern as a LEFT ANTI join (the country code is
+    key-derived since the testdata has no phone column; 'recent'
+    bounds the anti side so it prunes at the scan).  The
+    above-average filter is ALL-INTEGER and scale-free
+    (``cents * n_pos > sum_pos_cents``), so no float canon is needed
+    anywhere; the global average is one tiny aggregate broadcast via
+    a literal-free cross join."""
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .where((F.col("c_custkey") % 10).isin(1, 3, 5, 7))
+        .select(
+            "c_custkey",
+            (F.col("c_custkey") % 10).alias("cntrycode"),
+            F.round(F.col("c_acctbal") * 100).cast("long").alias("__cents"),
+        )
+    )
+    stats = cust.where(F.col("__cents") > 0).agg(
+        F.sum("__cents").alias("__sum_pos"),
+        F.count(F.lit(1)).alias("__n_pos"),
+    )
+    recent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(stats))
+        .where(F.col("__cents") * F.col("__n_pos") > F.col("__sum_pos"))
+        .join(
+            recent, cust["c_custkey"] == recent["o_custkey"], "left_anti"
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("__cents").alias("totacctbal_cents"),
+        )
+    )
+
+
 def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q12 shape: per-linestatus counts of high- vs low-priority
     orders shipped in one year — conditional aggregation over the
@@ -3022,6 +3192,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # window rotation at round end.
 ROTATION_QUEUE: list[str] = [
     "winnow_against",
+    "order_priority_check",
+    "customer_distribution",
+    "large_volume_customers",
+    "waiting_suppliers",
+    "idle_customers",
 ]
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -3314,6 +3489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting their window slot ----
         "winnow_against": q_winnow_against,
+        "order_priority_check": q_order_priority_check,
+        "customer_distribution": q_customer_distribution,
+        "large_volume_customers": q_large_volume_customers,
+        "waiting_suppliers": q_waiting_suppliers,
+        "idle_customers": q_idle_customers,
         "filter_corpus": q_filter_corpus,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "pack_sequences": q_pack_sequences,
@@ -5790,6 +5970,90 @@ def oracle_sql() -> dict[str, str]:
                              AND ps_supplycost_cents = mc
             ORDER BY s_acctbal DESC, n_name, s_name, cand.p_partkey
             LIMIT 100
+        """,
+        "order_priority_check": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o.o_orderdate < TIMESTAMP '1997-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND (l.l_orderkey * 5 + l.l_linenumber * 3) % 7 < 3
+              )
+            GROUP BY 1
+        """,
+        "customer_distribution": """
+            WITH per_cust AS (
+                SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+                FROM customer c
+                LEFT JOIN (
+                    SELECT o_custkey, o_orderkey FROM orders
+                    WHERE o_orderpriority <> '1-URGENT'
+                ) o ON o.o_custkey = c.c_custkey
+                GROUP BY 1
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM per_cust GROUP BY 1
+        """,
+        "large_volume_customers": """
+            WITH big AS (
+                SELECT l_orderkey,
+                       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+                FROM lineitem GROUP BY 1
+                HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+            )
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, b.sum_qty
+            FROM orders o
+            JOIN big b ON b.l_orderkey = o.o_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        """,
+        "waiting_suppliers": """
+            WITH late AS (
+                SELECT l_orderkey, l_suppkey FROM lineitem
+                WHERE (l_orderkey * 3 + l_linenumber * 7) % 5 = 0
+            ), waiting AS (
+                SELECT l1.l_orderkey, l1.l_suppkey
+                FROM late l1
+                WHERE EXISTS (
+                    SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey
+                )
+                AND NOT EXISTS (
+                    SELECT 1 FROM late l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                )
+            )
+            SELECT s.s_name, COUNT(*) AS numwait
+            FROM waiting w
+            JOIN supplier s ON s.s_suppkey = w.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            WHERE n.n_regionkey = 0
+            GROUP BY 1
+        """,
+        "idle_customers": """
+            WITH cu AS (
+                SELECT c_custkey, c_custkey % 10 AS cntrycode,
+                       CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer
+                WHERE c_custkey % 10 IN (1, 3, 5, 7)
+            ), stats AS (
+                SELECT SUM(cents) AS sum_pos, COUNT(*) AS n_pos
+                FROM cu WHERE cents > 0
+            )
+            SELECT cu.cntrycode, COUNT(*) AS numcust,
+                   SUM(cu.cents) AS totacctbal_cents
+            FROM cu, stats
+            WHERE cu.cents * stats.n_pos > stats.sum_pos
+              AND NOT EXISTS (
+                  SELECT 1 FROM orders o
+                  WHERE o.o_custkey = cu.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+              )
+            GROUP BY 1
         """,
         "winnow_against": r"""
             WITH src AS (

@@ -142,6 +142,11 @@ HEADLINE = [
     "excess_stock_suppliers",
     "video_frames",
     "winnow_against",
+    "order_priority_check",
+    "customer_distribution",
+    "large_volume_customers",
+    "waiting_suppliers",
+    "idle_customers",
 ]
 
 

@@ -750,3 +750,43 @@ def test_winnow_index_probe_never_shuffle_joins(spark):
     index.unpersist()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_order_priority_check_semi_join_no_expand(spark):
+    """Q4's EXISTS plans as a LEFT SEMI join — the fact side
+    contributes at most one match per order (no row expansion), and
+    the quarter filter pushes to the orders scan."""
+    import __spark_entry__ as em
+
+    plan = executed_plan(em.q_order_priority_check(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_waiting_suppliers_semi_anti_pair(spark):
+    """Q21's correlated EXISTS + NOT EXISTS plan as one LEFT SEMI and
+    one LEFT ANTI hash join (equi on orderkey, the different-supplier
+    predicate as a join residual) — never a per-row nested-loop
+    probe; the supplier/nation dims broadcast."""
+    import __spark_entry__ as em
+
+    plan = executed_plan(em.q_waiting_suppliers(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_idle_customers_anti_join_scan_prune(spark):
+    """Q22's NOT EXISTS plans as a LEFT ANTI join and the 'recent'
+    date bound pushes to the orders scan, so the anti side prunes
+    before it shuffles."""
+    import __spark_entry__ as em
+
+    plan = executed_plan(em.q_idle_customers(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    # the recent-orders date filter must reach the parquet reader
+    assert "PushedFilters" in plan and "o_orderdate" in plan.split(
+        "PushedFilters"
+    )[1][:400]

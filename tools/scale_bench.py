@@ -124,6 +124,14 @@ HEAVY = [
     # batch against a 1x/Nx index, so the ratio should track index
     # scan growth, not candidate blow-up)
     "winnow_against",
+    # round-7 semi/anti relational shapes: the scale claim is that the
+    # EXISTS/NOT-EXISTS rewrites stay hash semi/anti joins (linear),
+    # never per-row correlated probes
+    "order_priority_check",
+    "customer_distribution",
+    "large_volume_customers",
+    "waiting_suppliers",
+    "idle_customers",
 ]
 
 REP = "_rep"

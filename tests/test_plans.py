@@ -790,3 +790,33 @@ def test_idle_customers_anti_join_scan_prune(spark):
     assert "PushedFilters" in plan and "o_orderdate" in plan.split(
         "PushedFilters"
     )[1][:400]
+
+
+def test_ivf_pq_residual_scan_codes_only(spark, tmp_path):
+    """Residual IVF-PQ search: with a materialized (cell, codes)
+    index the candidate scan must read only (id, cell, codes) — all
+    residual arithmetic (centroid dot, cross terms, codeword norms)
+    rides the probe side / plan literals; the embedding column
+    reaches the plan only through the shortlist re-rank scan."""
+    from xyzpy_spark.pipeline.similarity import ivf_pq_build, ivf_pq_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    coded, cents, cbs = ivf_pq_build(
+        emb, n_cells=8, m=16, ksub=16, kmeans_iters=0
+    )
+    path = str(tmp_path / "ivfpq_codes")
+    coded.write.parquet(path)
+    stored = spark.read.parquet(path)
+    q = ivf_pq_topk(
+        stored, cents, cbs, emb.where(F.col("vec_id") < 3),
+        k=5, nprobe=4, shortlist=10, residual=True,
+    )
+    plan = executed_plan(q)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    scans = plan.split("ReadSchema: ")[1:]
+    code_scans = [
+        s for s in scans
+        if s.startswith("struct<") and "codes" in s.split("\n")[0]
+        and "embedding" not in s.split("\n")[0]
+    ]
+    assert code_scans, f"no codes-only scan found:\n{plan}"

@@ -183,9 +183,24 @@ def main() -> None:
         except OSError:
             return None
 
+    # r6 verdict ask #5a: the whole BENCH_r06 record raced load 9-18
+    # because the guard only retried per-row and contention never
+    # cleared.  If the box is ALREADY above the guard before the first
+    # timed row, wait (bounded) for it to clear rather than recording
+    # a load-shadowed sequence; the wait is recorded so readers see
+    # whether it cleared or timed out.
+    wait_budget = float(os.environ.get("BENCH_LOAD_WAIT", "600"))
+    waited = 0.0
+    ld = _load()
+    while ld is not None and ld > load_max and waited < wait_budget:
+        time.sleep(20)
+        waited += 20
+        ld = _load()
+    load_avg = round(ld, 2) if ld is not None else load_avg
+
     timings: dict[str, float] = {}
     under_load: list[str] = []
-    raw_samples: dict[str, list[float]] = {}
+    raw_samples: dict[str, list[list[float | None]]] = {}
 
     def _race(name, run_once, setup=None) -> None:
         """Load-guarded median-of-N for one timed unit.
@@ -195,8 +210,10 @@ def main() -> None:
         lowest ``runs`` — under contention the low samples are the ones
         that ran unimpeded, so this converges on the solo figure.  Rows
         still fully contended after retries are flagged in
-        measured_under_load AND get their raw sample/load lists emitted
-        (r5 advice: let readers judge the spread, not just the flag).
+        measured_under_load.  EVERY row's raw [sec, load] pairs are
+        emitted (r6 verdict ask #5b: when the box races, the unflagged
+        rows are load-shadowed too — the truth must be recoverable
+        from the record, not from a judge re-measure).
         ``setup`` runs OUTSIDE the timed window (cache isolation must
         not bill the previous query's block-removal RPCs to this one —
         the pre-r6 protocol, restored after a review catch).
@@ -221,11 +238,11 @@ def main() -> None:
                 loads.append(ld)
             if all(ld is not None and ld > load_max for ld in loads):
                 under_load.append(name)
-                raw_samples[name] = [
-                    [round(s, 4), round(ld, 2) if ld is not None else None]
-                    for s, ld in zip(samples, loads)
-                ]
-            samples = sorted(samples)[:runs]
+        raw_samples[name] = [
+            [round(s, 4), round(ld, 2) if ld is not None else None]
+            for s, ld in zip(samples, loads)
+        ]
+        samples = sorted(samples)[:runs]
         timings[name] = round(statistics.median(samples), 4)
 
     # pre-stage the incremental-dedup index (production: a saved table
@@ -317,6 +334,19 @@ def main() -> None:
         shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
 
     end_load = _load()
+    # r6 verdict ask #5c: a pinned calibration row whose CODE has not
+    # changed since its BASELINE.md recording (merge_overwrite_new,
+    # untouched since r2b per git log).  Its ratio against that pinned
+    # figure is the box-drift divisor: a reader separates
+    # code-vs-environment by dividing any query's ratio by this one,
+    # without a judge re-measure.  The pinned value must move ONLY
+    # when BASELINE.md re-records the row (sf0.1 protocol; at other
+    # SFs the divisor is emitted as null).
+    calib_name = "merge_overwrite_new"
+    calib_pinned_sf01 = 0.38
+    drift = None
+    if sf == 0.1 and calib_name in timings:
+        drift = round(timings[calib_name] / calib_pinned_sf01, 3)
     record = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 4),
@@ -329,11 +359,21 @@ def main() -> None:
             round(end_load, 2) if end_load is not None else None
         ),
         "load_max": load_max,
+        # seconds spent waiting pre-run for load to drop below the
+        # guard (bounded by BENCH_LOAD_WAIT); >0 with high start load
+        # means the wait timed out and the record is load-shadowed
+        "waited_for_load_sec": round(waited, 1),
         # rows whose every sample (incl. retries) saw load_avg
         # above load_max — re-measure solo before reading a
-        # ratio off them; raw [sec, load] pairs in samples_under_load
+        # ratio off them; every row's raw [sec, load] pairs in samples
         "measured_under_load": under_load,
-        "samples_under_load": raw_samples,
+        "samples": raw_samples,
+        # box-drift divisor: this run's calibration row over its
+        # pinned BASELINE.md figure (code untouched since r2b) —
+        # divide any ratio by this before calling it a regression
+        "calibration_query": calib_name,
+        "calibration_pinned_sec": calib_pinned_sf01 if sf == 0.1 else None,
+        "drift_divisor": drift,
     }
     line = json.dumps(record)
     # the driver captures stdout with a bounded window and truncated

@@ -450,3 +450,76 @@ def test_jpeg_segreader_equals_bitreader(seed, n_segs):
             assert sr.peek16() == br.peek16()
             k = int(rng.integers(1, 17))
             assert sr.read_bits(k) == br.read_bits(k)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(0, 2**32 - 1), st.booleans())
+def test_jpeg_super_lut_equals_two_step(seed, is_ac):
+    """The r7 fused super-LUT (one 16-bit window -> whole symbol:
+    code length, run/size, EXTENDED value) must agree with the
+    two-step code-then-magnitude read for every window of a random
+    JPEG-shaped table — the contract the decode hot loop rides.
+    Windows whose code+magnitude exceed 16 bits must be flagged -2
+    (fallback), never mis-fused; invalid windows must stay -1."""
+    from xyzpy_spark.pipeline.jpeg import (
+        _canonical_codes,
+        _decode_lut_np,
+        _super_lut,
+    )
+
+    rng = np.random.default_rng(seed)
+    if is_ac:
+        # JPEG-shaped AC symbols: (run << 4) | size, size 0-10
+        syms = [0x00, 0xF0] + [
+            (int(r) << 4) | int(s)
+            for r, s in zip(
+                rng.integers(0, 16, size=20),
+                rng.integers(1, 11, size=20),
+            )
+        ]
+    else:
+        syms = list(range(12))  # DC sizes 0..11
+    syms = list(dict.fromkeys(syms))
+    lengths = sorted(int(rng.integers(2, 13)) for _ in syms)
+    while sum(2.0 ** -l for l in lengths) > 1.0:
+        i = int(rng.integers(0, len(lengths)))
+        if lengths[i] < 16:
+            lengths[i] += 1
+    bits = [0] * 16
+    for l in lengths:
+        bits[l - 1] += 1
+    table = _canonical_codes(bits, bytes(syms))
+    lut_np = _decode_lut_np(table)
+    lut = lut_np.tolist()
+    sup = _super_lut(lut_np, is_ac)
+
+    for w in rng.integers(0, 1 << 16, size=400):
+        w = int(w)
+        entry, e = lut[w], sup[w]
+        if entry == 0:
+            assert e == -1
+            continue
+        clen, sym = entry >> 8, entry & 0xFF
+        size = (sym & 0xF) if is_ac else sym
+        if clen + size > 16:
+            assert e == -2
+            continue
+        assert e > 0
+        # two-step: magnitude = bits [clen, clen+size) of the window
+        if size:
+            mag = (w >> (16 - clen - size)) & ((1 << size) - 1)
+            want_val = (
+                mag if mag >= (1 << (size - 1)) else mag - (1 << size) + 1
+            )
+        else:
+            want_val = 0
+        assert (e >> 16) - 2048 == want_val, (w, sym)
+        assert ((e >> 11) & 31) == clen + size
+        assert ((e >> 6) & 31) == size
+        d = e & 31
+        if is_ac:
+            run = sym >> 4
+            want_d = 0 if sym == 0 else (16 if sym == 0xF0 else run + 1)
+        else:
+            want_d = 1
+        assert d == want_d

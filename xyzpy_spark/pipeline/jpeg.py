@@ -176,6 +176,16 @@ def _huff_decode(br: _BitReader, table: dict) -> int:
     raise ValueError("jpeg: invalid Huffman code")
 
 
+def _decode_lut_np(table: dict):
+    import numpy as np
+
+    lut = np.zeros(1 << 16, dtype=np.uint16)
+    for (length, code), sym in table.items():
+        base = code << (16 - length)
+        lut[base : base + (1 << (16 - length))] = (length << 8) | sym
+    return lut
+
+
 def _decode_lut(table: dict):
     """(length, code)->symbol table -> 2^16-entry peek LUT holding
     ``(length << 8) | symbol`` (0 = invalid window).  Canonical codes
@@ -183,25 +193,67 @@ def _decode_lut(table: dict):
     one ``peek16`` lookup replaces up to 16 per-bit dict probes.
     Decode equivalence with the bit-walk (incl. zero padding at the
     stream tail) is pinned by a property test."""
+    return _decode_lut_np(table).tolist()
+
+
+def _super_lut(lut_np, is_ac: bool):
+    """Fused code+magnitude LUT: one 16-bit window lookup yields the
+    WHOLE symbol — packed ``(value+2048) << 16 | total_bits << 11 |
+    size << 6 | dk`` where ``total_bits = code_len + size`` (the
+    magnitude bits live inside the same window whenever
+    ``total <= 16``), ``value`` is the already-EXTENDED coefficient,
+    and ``dk`` advances the zigzag index (0 = EOB, 16 = ZRL, else
+    run+1; DC entries use dk=1).  Sentinels: ``-1`` invalid window,
+    ``-2`` fusable-but-too-long (total > 16 — the caller falls back
+    to the two-step code-then-magnitude read).  This halves the
+    per-symbol python op count of the entropy walk; equivalence with
+    the two-step read (incl. zero padding at the stream tail) is
+    pinned by a property test."""
     import numpy as np
 
-    lut = np.zeros(1 << 16, dtype=np.uint16)
-    for (length, code), sym in table.items():
-        base = code << (16 - length)
-        lut[base : base + (1 << (16 - length))] = (length << 8) | sym
-    return lut.tolist()
+    clen = (lut_np >> 8).astype(np.int64)
+    sym = (lut_np & 0xFF).astype(np.int64)
+    if is_ac:
+        size = sym & 0xF
+        run = sym >> 4
+        dk = np.where(sym == 0, 0, np.where(sym == 0xF0, 16, run + 1))
+    else:
+        size = sym
+        dk = np.ones_like(sym)
+    total = clen + size
+    w = np.arange(1 << 16, dtype=np.int64)
+    # magnitude = bits [clen, clen+size) of the window; harmless
+    # garbage where total > 16 (those entries become the -2 sentinel)
+    mag = (w >> np.maximum(16 - np.minimum(total, 16), 0)) & (
+        (1 << size) - 1
+    )
+    val = np.where(
+        size > 0,
+        np.where(
+            mag >= (1 << np.maximum(size - 1, 0)),
+            mag,
+            mag - (1 << size) + 1,
+        ),
+        0,
+    )
+    packed = ((val + 2048) << 16) | (total << 11) | (size << 6) | dk
+    packed = np.where(total > 16, -2, packed)
+    packed = np.where(lut_np == 0, -1, packed)
+    return packed.tolist()
 
 
 @functools.lru_cache(maxsize=64)
-def _cached_dht(seg: bytes):
-    """One DHT table slice (bits[16] + values) -> (codes, peek LUT).
-    Cached on the raw segment bytes: a corpus encoded with shared
-    tables (ours, and most camera/libjpeg output) builds each LUT
-    once per executor instead of once per file."""
+def _cached_dht(seg: bytes, is_ac: bool = True):
+    """One DHT table slice (bits[16] + values) -> (codes, peek LUT,
+    fused super-LUT).  Cached on the raw segment bytes + class: a
+    corpus encoded with shared tables (ours, and most camera/libjpeg
+    output) builds each LUT once per executor instead of once per
+    file."""
     bits = list(seg[:16])
     nv = sum(bits)
     codes = _canonical_codes(bits, seg[16 : 16 + nv])
-    return codes, _decode_lut(codes)
+    lut_np = _decode_lut_np(codes)
+    return codes, lut_np.tolist(), _super_lut(lut_np, is_ac)
 
 
 def _huff_decode_lut(br: _BitReader, lut: list) -> int:
@@ -277,9 +329,17 @@ class _SegReader:
     def __init__(self, data: bytes):
         import numpy as np
 
-        a = np.frombuffer(data + b"\x00\x00\x00", dtype=np.uint8).astype(
-            np.uint32
-        )
+        # 280 zero bytes of padding (not just the 3 the 24-bit window
+        # needs): reads past nbits return zero windows BY CONSTRUCTION,
+        # which lets the decode hot loop clamp its bit cursor once per
+        # BLOCK instead of after every symbol (a block advances at most
+        # 64 symbols x 31 bits + a DC < 2100 bits past the end before
+        # its terminating break) — the zero-window reads decode
+        # identically to the old always-clamped cursor, per the
+        # equivalence property test
+        a = np.frombuffer(
+            data + b"\x00" * 280, dtype=np.uint8
+        ).astype(np.uint32)
         self.w24 = (
             (a[:-2] << np.uint32(16)) | (a[1:-1] << np.uint32(8)) | a[2:]
         ).tolist()
@@ -370,9 +430,10 @@ def decode_jpeg(b: bytes):
                 while q < len(seg):
                     tc, th = seg[q] >> 4, seg[q] & 0xF
                     nv = sum(seg[q + 1 : q + 17])
+                    # (peek LUT, fused super-LUT); tc=1 is the AC class
                     huff[(tc, th)] = _cached_dht(
-                        bytes(seg[q + 1 : q + 17 + nv])
-                    )[1]
+                        bytes(seg[q + 1 : q + 17 + nv]), tc == 1
+                    )[1:]
                     q += 17 + nv
             elif marker == 0xDD:  # DRI
                 restart = struct.unpack(">H", seg[:2])[0]
@@ -413,11 +474,16 @@ def decode_jpeg(b: bytes):
         # --- entropy pass: pure-python ints over precomputed bit
         # windows; per component, zigzag-order coefficient rows in MCU
         # order (my, mx, vy, vx) — the batch stages below consume them.
-        # The _SegReader ops are INLINED here: ~6 symbols/block x 4
-        # method calls each dominated the old decode (the call
-        # overhead, not the work — profiled), so the hot loop touches
-        # only local ints and lists.  _SegReader itself remains the
-        # reference implementation, equivalence-pinned by tests.
+        # The _SegReader ops are INLINED and each symbol is decoded by
+        # ONE fused super-LUT lookup (_super_lut: code length, run,
+        # size and the already-extended value packed in one int — the
+        # magnitude bits live inside the same 16-bit window), which
+        # halves the per-symbol op count of the previous
+        # code-then-magnitude walk (profiled; the r6 loop at ~25
+        # ops/symbol was the decode bottleneck).  Rare symbols whose
+        # code+magnitude exceed 16 bits (-2 sentinel) fall back to the
+        # two-step read.  _SegReader/_BitReader remain the reference
+        # implementations, equivalence-pinned by property tests.
         segs = _entropy_segments(b, scan_start)
         rd = _SegReader(segs[0])
         w24, nbits, pos = rd.w24, rd.nbits, 0
@@ -436,59 +502,38 @@ def decode_jpeg(b: bytes):
                     pred = {c["id"]: 0 for c in comps}
                 n_mcu += 1
                 for c in order:
-                    dc_lut = huff[(0, c["dct"])]
-                    ac_lut = huff[(1, c["act"])]
+                    dc_lut, dc_sup = huff[(0, c["dct"])]
+                    ac_lut, ac_sup = huff[(1, c["act"])]
                     rows = comp_cz[c["id"]]
                     dc = pred[c["id"]]
                     for _blk in range(c["v"] * c["h"]):
-                        czz = [0] * 64
-                        entry = dc_lut[
-                            (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
-                        ]
-                        if entry == 0:
-                            raise ValueError("jpeg: invalid Huffman code")
-                        pos += entry >> 8
+                        # one clamp per BLOCK: past-the-end reads hit
+                        # the 280-byte zero padding and decode as zero
+                        # windows, identical to a per-symbol clamp
                         if pos > nbits:
                             pos = nbits
-                        size = entry & 0xFF
-                        if size:
-                            v = (
-                                (w24[pos >> 3] >> (8 - (pos & 7)))
-                                & 0xFFFF
-                            ) >> (16 - size)
-                            pos += size
-                            if pos > nbits:
-                                pos = nbits
-                            dc += (
-                                v
-                                if v >= (1 << (size - 1))
-                                else v - (1 << size) + 1
-                            )
-                        czz[0] = dc
-                        k = 1
-                        while k < 64:
-                            entry = ac_lut[
-                                (w24[pos >> 3] >> (8 - (pos & 7)))
-                                & 0xFFFF
-                            ]
-                            if entry == 0:
+                        czz = [0] * 64
+                        e = dc_sup[
+                            (w24[pos >> 3] >> (8 - (pos & 7))) & 0xFFFF
+                        ]
+                        if e > 0:
+                            dc += (e >> 16) - 2048
+                            pos += (e >> 11) & 31
+                        else:
+                            if e == -1:
                                 raise ValueError(
                                     "jpeg: invalid Huffman code"
                                 )
+                            # -2: code+magnitude wider than the window
+                            entry = dc_lut[
+                                (w24[pos >> 3] >> (8 - (pos & 7)))
+                                & 0xFFFF
+                            ]
                             pos += entry >> 8
                             if pos > nbits:
                                 pos = nbits
-                            rs = entry & 0xFF
-                            if rs == 0x00:
-                                break
-                            if rs == 0xF0:
-                                k += 16
-                                continue
-                            k += rs >> 4
-                            if k > 63:
-                                break
-                            size = rs & 0xF
-                            if size:  # size 0 w/ run>0: malformed, 0
+                            size = entry & 0xFF
+                            if size:
                                 v = (
                                     (w24[pos >> 3] >> (8 - (pos & 7)))
                                     & 0xFFFF
@@ -496,12 +541,76 @@ def decode_jpeg(b: bytes):
                                 pos += size
                                 if pos > nbits:
                                     pos = nbits
-                                czz[k] = (
+                                dc += (
                                     v
                                     if v >= (1 << (size - 1))
                                     else v - (1 << size) + 1
                                 )
-                            k += 1
+                        czz[0] = dc
+                        k = 0
+                        while True:
+                            e = ac_sup[
+                                (w24[pos >> 3] >> (8 - (pos & 7)))
+                                & 0xFFFF
+                            ]
+                            if e <= 0:
+                                if e == -1 or e == 0:
+                                    raise ValueError(
+                                        "jpeg: invalid Huffman code"
+                                    )
+                                # -2 fallback: two-step read, exact
+                                # old-loop semantics
+                                entry = ac_lut[
+                                    (w24[pos >> 3] >> (8 - (pos & 7)))
+                                    & 0xFFFF
+                                ]
+                                pos += entry >> 8
+                                if pos > nbits:
+                                    pos = nbits
+                                rs = entry & 0xFF
+                                if rs == 0x00:
+                                    break
+                                if rs == 0xF0:
+                                    k += 16
+                                    if k >= 63:
+                                        break
+                                    continue
+                                k += rs >> 4
+                                if k > 62:
+                                    break
+                                size = rs & 0xF
+                                if size:
+                                    v = (
+                                        (w24[pos >> 3]
+                                         >> (8 - (pos & 7)))
+                                        & 0xFFFF
+                                    ) >> (16 - size)
+                                    pos += size
+                                    if pos > nbits:
+                                        pos = nbits
+                                    czz[k + 1] = (
+                                        v
+                                        if v >= (1 << (size - 1))
+                                        else v - (1 << size) + 1
+                                    )
+                                k += 1
+                                if k >= 63:
+                                    break
+                                continue
+                            d = e & 31
+                            if d == 0:  # EOB
+                                pos += (e >> 11) & 31
+                                break
+                            k += d
+                            if k > 63:
+                                # overflow: consume the CODE only (the
+                                # old loop broke before the magnitude)
+                                pos += ((e >> 11) & 31) - ((e >> 6) & 31)
+                                break
+                            pos += (e >> 11) & 31
+                            czz[k] = (e >> 16) - 2048
+                            if k == 63:
+                                break
                         rows.append(czz)
                     pred[c["id"]] = dc
 

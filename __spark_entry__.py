@@ -3188,16 +3188,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # veterans (dedup_clusters: green r1-r5; skew_salted_revenue: green
 # r1-r5 — cluster resolution stays exercised in-window through
 # dedup_corpus, the relational family keeps 8 in-window reps).
-# Round-7 additions, never driver-hashed yet — next in line for the
-# window rotation at round end.
-ROTATION_QUEUE: list[str] = [
-    "winnow_against",
-    "order_priority_check",
-    "customer_distribution",
-    "large_volume_customers",
-    "waiting_suppliers",
-    "idle_customers",
-]
+# ROUND 7 rotated all six same-round additions into the window
+# (winnow_against — the winnowed incremental probe;
+# order_priority_check / customer_distribution /
+# large_volume_customers / waiting_suppliers / idle_customers — the
+# TPC-H Q4/Q13/Q18/Q21/Q22 semi/anti shapes; all strict-green locally
+# at sf0.01 AND sf0.001), displacing six multi-round-green veterans
+# (dedup_containment r4-r6, dedup_embedding_lsh r1-r6,
+# bpe_token_count r4-r6, multimodal_png r3-r6, ccnet_buckets r3-r6,
+# corpus_stats r3-r6 — containment stays represented in-window by
+# winnow_dedup_pairs/dedup_incremental/dedup_corpus, embedding dedup
+# by similarity_pq/project_embeddings, the tokenizer by
+# tokenized_sequences/packing_stats, multimodal by
+# multimodal_jpeg/video_frames, the LM family by lm_nll, and corpus
+# statistics by profile_events/vocab_coverage).  Queue is EMPTY:
+# zero rotation debt after this round's gate.
+ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
     "pricing_summary": 1,
@@ -3272,6 +3278,12 @@ ROTATION_HISTORY: dict[str, int] = {
     "stream_follow_clicks": 6,
     "excess_stock_suppliers": 6,
     "video_frames": 6,
+    "winnow_against": 7,
+    "order_priority_check": 7,
+    "customer_distribution": 7,
+    "large_volume_customers": 7,
+    "waiting_suppliers": 7,
+    "idle_customers": 7,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -3326,7 +3338,7 @@ ROTATION_HISTORY: dict[str, int] = {
 }
 
 # The round whose driver window is currently frozen in queries() order.
-ROTATION_ROUND = 6
+ROTATION_ROUND = 7
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3453,23 +3465,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_curate": q_stream_curate,
         "winnow_fingerprints": q_winnow_fingerprints,
         "excess_stock_suppliers": q_excess_stock_suppliers,
-        "bpe_token_count": q_bpe_token_count,
+        "winnow_against": q_winnow_against,
         "video_frames": q_video_frames,
-        "dedup_containment": q_dedup_containment,
+        "order_priority_check": q_order_priority_check,
         "cdc_chunks": q_cdc_chunks,
-        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "customer_distribution": q_customer_distribution,
         "min_cost_supplier": q_min_cost_supplier,
         "tokenized_sequences": q_tokenized_sequences,
         "packing_stats": q_packing_stats,
         "dedup_incremental": q_dedup_incremental,
         "dedup_corpus": q_dedup_corpus,
         "strip_substrings": q_strip_substrings,
-        "multimodal_png": q_multimodal_png,
+        "large_volume_customers": q_large_volume_customers,
         "lm_nll": q_lm_nll,
-        "ccnet_buckets": q_ccnet_buckets,
+        "waiting_suppliers": q_waiting_suppliers,
         "bloom_contamination": q_bloom_contamination,
         "project_embeddings": q_project_embeddings,
-        "corpus_stats": q_corpus_stats,
+        "idle_customers": q_idle_customers,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "small_quantity_revenue": q_small_quantity_revenue,
@@ -3486,14 +3498,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_stats": q_stream_stateful_stats,
         "langid_trained": q_langid_trained,
         # ---- position 51+: rotated-out, still oracle-checked by
-        # tools/check_correctness.py and the pytest suite; plus the
-        # ROTATION_QUEUE newcomers awaiting their window slot ----
-        "winnow_against": q_winnow_against,
-        "order_priority_check": q_order_priority_check,
-        "customer_distribution": q_customer_distribution,
-        "large_volume_customers": q_large_volume_customers,
-        "waiting_suppliers": q_waiting_suppliers,
-        "idle_customers": q_idle_customers,
+        # tools/check_correctness.py and the pytest suite ----
+        "bpe_token_count": q_bpe_token_count,
+        "dedup_containment": q_dedup_containment,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
+        "multimodal_png": q_multimodal_png,
+        "ccnet_buckets": q_ccnet_buckets,
+        "corpus_stats": q_corpus_stats,
         "filter_corpus": q_filter_corpus,
         "corpus_top_ngrams": q_corpus_top_ngrams,
         "pack_sequences": q_pack_sequences,

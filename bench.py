@@ -343,7 +343,7 @@ def main() -> None:
     # when BASELINE.md re-records the row (sf0.1 protocol; at other
     # SFs the divisor is emitted as null).
     calib_name = "merge_overwrite_new"
-    calib_pinned_sf01 = 0.38
+    calib_pinned_sf01 = 0.45  # BASELINE.md r7 re-record of the row
     drift = None
     if sf == 0.1 and calib_name in timings:
         drift = round(timings[calib_name] / calib_pinned_sf01, 3)

@@ -631,6 +631,39 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5)
 
 
+def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN serving through the REAL engine: query vectors
+    arrive as a file stream, each micro-batch probes the static
+    corpus with the portable-exact IVF operator via foreachBatch
+    (the per-query top-k rank is append-illegal, so foreachBatch IS
+    the architecture — streaming/ops.ann_stream_topk), and the
+    epoch-idempotent sink lands the matches.  Hash-matches the SAME
+    DuckDB twin as similarity_ivf: one oracle, two engine paths
+    (batch plan vs streamed micro-batches)."""
+    import tempfile
+
+    from xyzpy_spark.pipeline.similarity import ivf_topk_portable
+    from xyzpy_spark.streaming.ops import (
+        ann_stream_topk,
+        read_embeddings_stream,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = tempfile.mkdtemp(prefix="xyzpy_gate_ann_") + "/matches"
+    ann_stream_topk(
+        read_embeddings_stream(spark, sf_dir).where(F.col("vec_id") < 5),
+        emb,
+        [],  # centroids unused: the portable search derives its own
+        out,
+        search=lambda batch: ivf_topk_portable(
+            emb, batch, k=5, n_cells=8, nprobe=4
+        ),
+    )
+    return spark.read.parquet(out).select(
+        "query_id", "nbr_id", "rank", "cosine"
+    )
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs in the portable-hash mode: the
     permutation family ``(a_i * md5_60(shingle) + b_i) mod (2^31-1)``
@@ -3202,8 +3235,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # tokenized_sequences/packing_stats, multimodal by
 # multimodal_jpeg/video_frames, the LM family by lm_nll, and corpus
 # statistics by profile_events/vocab_coverage).  Queue is EMPTY:
-# zero rotation debt after this round's gate.
-ROTATION_QUEUE: list[str] = []
+# zero rotation debt after this round's gate.  stream_ann_topk was
+# added later in round 7 (streaming ANN serving via foreachBatch,
+# same oracle as similarity_ivf) and queues for the round-8 window.
+ROTATION_QUEUE: list[str] = [
+    "stream_ann_topk",
+]
 
 ROTATION_HISTORY: dict[str, int] = {
     "pricing_summary": 1,
@@ -3498,7 +3535,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_stats": q_stream_stateful_stats,
         "langid_trained": q_langid_trained,
         # ---- position 51+: rotated-out, still oracle-checked by
-        # tools/check_correctness.py and the pytest suite ----
+        # tools/check_correctness.py and the pytest suite; plus the
+        # ROTATION_QUEUE newcomers awaiting their window slot ----
+        "stream_ann_topk": q_stream_ann_topk,
         "bpe_token_count": q_bpe_token_count,
         "dedup_containment": q_dedup_containment,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -4631,6 +4670,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": _dedup_incremental_oracle(),
         "dedup_embedding_lsh": _embedding_lsh_oracle(),
         "similarity_ivf": _SIMILARITY_IVF_ORACLE,
+        # two engine paths (batch IVF plan / streamed foreachBatch
+        # micro-batches), ONE oracle — the right verification design
+        "stream_ann_topk": _SIMILARITY_IVF_ORACLE,
         "similarity_pq": _SIMILARITY_PQ_ORACLE,
         "mix_corpora": """
             WITH w AS (

@@ -147,6 +147,7 @@ HEADLINE = [
     "large_volume_customers",
     "waiting_suppliers",
     "idle_customers",
+    "stream_ann_topk",
 ]
 
 

@@ -796,3 +796,44 @@ def test_winnow_stream_against_index_matches_batch(spark, tmp_path):
     assert sum(
         1 for k_, _, j in got.values() if k_ == "near" and j == 1.0
     ) >= 1
+
+
+def test_ann_stream_topk_matches_batch(spark, tmp_path):
+    """Streaming ANN serving: a query-vector file stream probed
+    against a static IVF-assigned corpus via foreachBatch must return
+    exactly the batch ivf_topk results (one code path), through the
+    epoch-idempotent sink — the serve side of the save_ivf artifact
+    workflow."""
+    from xyzpy_spark.pipeline.similarity import ivf_build, ivf_topk
+    from xyzpy_spark.streaming.ops import (
+        ann_stream_topk,
+        read_embeddings_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    assigned, cents = ivf_build(emb, n_cells=8, kmeans_iters=1)
+    assigned = assigned.persist()
+    out = str(tmp_path / "matches")
+    ann_stream_topk(
+        read_embeddings_stream(spark, sf).where(F.col("vec_id") < 8),
+        assigned,
+        cents,
+        out,
+        k=5,
+        nprobe=4,
+    )
+    got = sorted(
+        (r["query_id"], r["nbr_id"], r["rank"], round(r["cosine"], 9))
+        for r in spark.read.parquet(out).select(
+            "query_id", "nbr_id", "rank", "cosine"
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["nbr_id"], r["rank"], round(r["cosine"], 9))
+        for r in ivf_topk(
+            assigned, cents, emb.where(F.col("vec_id") < 8), k=5, nprobe=4
+        ).collect()
+    )
+    assigned.unpersist()
+    assert got == want and len(got) == 8 * 5

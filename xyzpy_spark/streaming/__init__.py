@@ -1,6 +1,8 @@
 from .ops import (
     dedup_stream,
+    ann_stream_topk,
     dedup_stream_against_index,
+    read_embeddings_stream,
     winnow_stream_against_index,
     interval_join_stream,
     read_events_stream,
@@ -12,7 +14,9 @@ from .ops import (
 
 __all__ = [
     "dedup_stream",
+    "ann_stream_topk",
     "dedup_stream_against_index",
+    "read_embeddings_stream",
     "winnow_stream_against_index",
     "interval_join_stream",
     "read_events_stream",

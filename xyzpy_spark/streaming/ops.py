@@ -510,6 +510,74 @@ def winnow_stream_against_index(
     )
 
 
+def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table as a file-source stream — the ingest
+    shape of continuously-arriving query vectors (schema probed
+    batch-side; file streams cannot infer)."""
+    schema = spark.read.parquet(
+        os.path.join(sf_dir, "embeddings.parquet")
+    ).schema
+    return _stream_parquet(
+        spark.readStream.schema(schema), sf_dir, "embeddings.parquet"
+    )
+
+
+def ann_stream_topk(
+    query_stream: DataFrame,
+    corpus_with_cells: DataFrame,
+    centroids: list,
+    out_path: str,
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: str | None = None,
+    timeout: int = 300,
+    search=None,
+) -> None:
+    """Streaming ANN: answer a continuous stream of QUERY vectors
+    against a saved IVF index — the serve side of the
+    ``ivf_build``/``save_ivf`` artifacts: build the index once over
+    the (100 TB) corpus, then every arriving query batch probes its
+    ``nprobe`` nearest cells and writes exact-re-ranked top-k matches
+    to ``out_path``.
+
+    Why ``foreachBatch``: the per-query top-k is a ranked window over
+    candidates, which append mode rejects (no event-time watermark
+    can bound a rank).  Each micro-batch therefore runs the EXACT
+    batch operator
+    (:func:`~xyzpy_spark.pipeline.similarity.ivf_topk` — query side
+    broadcast, the corpus never shuffles) unchanged — one code path,
+    batch/stream parity by construction — through the shared
+    epoch-idempotent sink (each epoch overwrites its own
+    ``epoch_id=N`` partition, so at-least-once replays never
+    duplicate).
+
+    ``search`` overrides the per-batch operator (a callable
+    ``batch_df -> DataFrame``) — e.g. the portable-exact
+    ``ivf_topk_portable`` twin the correctness gate drives, or a PQ
+    tier; the default is the production float path.
+    """
+    from ..pipeline.similarity import ivf_topk
+
+    if search is None:
+        def search(batch_df: DataFrame) -> DataFrame:
+            return ivf_topk(
+                corpus_with_cells, centroids, batch_df,
+                k=k, nprobe=nprobe, id_col=id_col, vec_col=vec_col,
+            )
+
+    _run_batch_probe_stream(
+        query_stream,
+        search,
+        out_path,
+        checkpoint=checkpoint,
+        timeout=timeout,
+        what="ann_stream_topk",
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table as a file-source stream — the ingest shape
     of a continuously-crawled corpus (schema probed batch-side; file

@@ -631,6 +631,32 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5)
 
 
+def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-query BM25 against the SAVED index (pipeline/ir.py
+    build_bm25_index + bm25_against_index): three bag-of-words
+    queries broadcast against one scan of the denormalized postings
+    table — index never shuffles, per-query top-10 via a ranked
+    window (WindowGroupLimit partial).  The index-at-rest twin of
+    bm25_search's live scan."""
+    from xyzpy_spark.pipeline.ir import (
+        bm25_against_index,
+        build_bm25_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # production reads the index as a SAVED table; persist models that
+    index = build_bm25_index(docs).persist()
+    queries = spark.createDataFrame(
+        [
+            (1, ["spark", "shuffle"]),
+            (2, ["join", "hash", "scan"]),
+            (3, ["window", "stream"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    return bm25_against_index(queries, index, top_k=10)
+
+
 def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN serving through the REAL engine: query vectors
     arrive as a file stream, each micro-batch probes the static
@@ -3240,6 +3266,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # same oracle as similarity_ivf) and queues for the round-8 window.
 ROTATION_QUEUE: list[str] = [
     "stream_ann_topk",
+    "bm25_index_search",
 ]
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -3538,6 +3565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting their window slot ----
         "stream_ann_topk": q_stream_ann_topk,
+        "bm25_index_search": q_bm25_index_search,
         "bpe_token_count": q_bpe_token_count,
         "dedup_containment": q_dedup_containment,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -6347,6 +6375,54 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, term ASC) AS rank
                 FROM scored)
             WHERE rank <= 3
+        """,
+        "bm25_index_search": r"""
+            WITH q(query_id, term) AS (
+                VALUES (1, 'spark'), (1, 'shuffle'),
+                       (2, 'join'), (2, 'hash'), (2, 'scan'),
+                       (3, 'window'), (3, 'stream')
+            ), toks AS (
+                SELECT doc_id,
+                       list_filter(
+                           regexp_split_to_array(trim(text), '\s+'),
+                           u -> u <> '') AS w
+                FROM documents WHERE text IS NOT NULL
+            ), dl AS (
+                SELECT doc_id, len(w) AS dl FROM toks
+            ), stats AS (
+                SELECT COUNT(*) AS n, AVG(dl) AS avgdl
+                FROM dl WHERE dl > 0
+            ), tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+                GROUP BY doc_id, term
+            ), dfreq AS (
+                SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+            ), contrib AS (
+                SELECT q.query_id, tf.doc_id,
+                       ln(1.0 + (s.n - d.df_t + 0.5) / (d.df_t + 0.5))
+                       * (tf.tf * 2.2)
+                       / (tf.tf + 1.2 * (0.25
+                                         + 0.75 * l.dl / s.avgdl)) AS sc
+                FROM q
+                JOIN tf USING (term)
+                JOIN dfreq d USING (term)
+                JOIN dl l ON l.doc_id = tf.doc_id
+                CROSS JOIN stats s
+            ), scored AS (
+                SELECT query_id, doc_id,
+                       FLOOR(SUM(sc) * 1000000.0 + 0.5) / 1000000.0
+                           AS score
+                FROM contrib GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, score, CAST(rank AS INTEGER) AS rank
+            FROM (
+                SELECT query_id, doc_id, score,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 10
         """,
         "bm25_search": r"""
             WITH toks AS (

@@ -148,6 +148,7 @@ HEADLINE = [
     "waiting_suppliers",
     "idle_customers",
     "stream_ann_topk",
+    "bm25_index_search",
 ]
 
 

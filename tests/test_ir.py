@@ -178,3 +178,68 @@ def test_ir_plan_shapes(spark, corpus):
         if "Exchange SinglePartition" in ln:
             ctx = "\n".join(lines[max(0, i - 3):i])
             assert "Window" not in ctx and "Sort" not in ctx, p3
+
+
+def test_bm25_index_single_query_matches_live_scan(spark, corpus):
+    """The saved-index probe must score EXACTLY like the live
+    full-scan bm25_search for the same query — one semantics, two
+    plans (index-at-rest vs per-query corpus scan)."""
+    from xyzpy_spark.pipeline.ir import (
+        bm25_against_index,
+        build_bm25_index,
+    )
+
+    terms = ["spark", "data", "the"]
+    live = [
+        (r["doc_id"], r["score"])
+        for r in bm25_search(corpus, terms, top_k=5).collect()
+    ]
+    index = build_bm25_index(corpus).persist()
+    queries = spark.createDataFrame(
+        [(1, terms)], "query_id long, terms array<string>"
+    )
+    got = [
+        (r["doc_id"], r["score"])
+        for r in bm25_against_index(queries, index, top_k=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    index.unpersist()
+    assert got == live and len(got) > 0
+
+
+def test_bm25_index_multi_query_and_missing_terms(spark, corpus):
+    """Multiple queries answer independently in one pass; terms
+    absent from the index contribute nothing (never NULL a score);
+    duplicate terms in a query count once (array_distinct, matching
+    bm25_search's set semantics)."""
+    from xyzpy_spark.pipeline.ir import (
+        bm25_against_index,
+        build_bm25_index,
+    )
+
+    index = build_bm25_index(corpus).persist()
+    queries = spark.createDataFrame(
+        [
+            (1, ["spark", "spark", "data"]),
+            (2, ["zzznotaterm"]),
+            (3, ["the", "zzznotaterm"]),
+        ],
+        "query_id long, terms array<string>",
+    )
+    rows = bm25_against_index(queries, index, top_k=3).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # dedup'd terms == plain terms
+    single = spark.createDataFrame(
+        [(9, ["spark", "data"])], "query_id long, terms array<string>"
+    )
+    want1 = {
+        (r["doc_id"], r["score"])
+        for r in bm25_against_index(single, index, top_k=3).collect()
+    }
+    index.unpersist()
+    assert {(r["doc_id"], r["score"]) for r in by_q[1]} == want1
+    assert 2 not in by_q  # no postings at all -> no rows
+    assert all(r["score"] > 0 for r in by_q[3])  # 'the' still scores

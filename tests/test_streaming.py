@@ -837,3 +837,51 @@ def test_ann_stream_topk_matches_batch(spark, tmp_path):
     )
     assigned.unpersist()
     assert got == want and len(got) == 8 * 5
+
+
+def test_bm25_stream_search_matches_batch(spark, tmp_path):
+    """Streaming corpus search: a query stream probed against the
+    saved BM25 index via foreachBatch must rank exactly like the
+    batch index probe (one code path), through the epoch-idempotent
+    sink."""
+    from xyzpy_spark.pipeline.ir import (
+        bm25_against_index,
+        build_bm25_index,
+    )
+    from xyzpy_spark.streaming.ops import (
+        bm25_stream_search,
+        run_stream_to_memory,  # noqa: F401  (suite convention)
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx_path = str(tmp_path / "bm25")
+    build_bm25_index(docs).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    queries = spark.createDataFrame(
+        [(1, ["spark", "shuffle"]), (2, ["join", "hash", "scan"]),
+         (3, ["window"])],
+        "query_id long, terms array<string>",
+    )
+    qsrc = str(tmp_path / "queries")
+    queries.write.parquet(qsrc)
+    qstream = spark.readStream.schema(
+        spark.read.parquet(qsrc).schema
+    ).parquet(qsrc)
+
+    out = str(tmp_path / "hits")
+    bm25_stream_search(qstream, index, out, top_k=5)
+    got = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in spark.read.parquet(out).select(
+            "query_id", "doc_id", "score", "rank"
+        ).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"])
+        for r in bm25_against_index(queries, index, top_k=5).collect()
+    )
+    assert got == want and len(got) > 0

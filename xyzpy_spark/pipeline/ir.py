@@ -267,3 +267,118 @@ def bm25_search(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(int(top_k))
     )
+
+
+def build_bm25_index(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The persistent BM25 index: ONE denormalized postings table
+    ``(term, doc_id, tf, dl, df_t, n_docs, avgdl)`` — everything a
+    query needs to score a posting without touching document text.
+
+    Build once over the (100 TB) corpus — the wordcount shape: one
+    explode + one (doc, term) aggregation, a per-term frequency
+    aggregation, the doc-length attach, and the corpus stats
+    broadcast onto every row (constant columns RLE-compress to
+    nothing in parquet).  Save next to the corpus (ideally
+    partitioned/bucketed by ``term`` so a probe prunes to matching
+    partitions) and serve every future query from
+    :func:`bm25_against_index` — corpus text is never re-read or
+    re-tokenized per query.
+    """
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__w")
+    )
+    dl = toks.select(id_col, F.size("__w").alias("dl"))
+    stats = dl.where(F.col("dl") > 0).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    tf = (
+        toks.select(id_col, F.explode("__w").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    return (
+        tf.join(dfreq, "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "term", id_col, "tf", "dl", "df_t", "n_docs", "avgdl"
+        )
+    )
+
+
+def bm25_against_index(
+    queries: DataFrame,
+    index: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    terms_col: str = "terms",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+    round_places: int = 6,
+) -> DataFrame:
+    """Answer a BATCH of bag-of-words queries against a saved BM25
+    index (:func:`build_bm25_index`) — the serve side of corpus
+    search: ``queries`` is ``(query_id, terms array<string>)``,
+    output is the per-query ``top_k`` as ``(query_id, doc_id, score,
+    rank)`` (score desc, doc_id asc ties — same scoring and canon as
+    :func:`bm25_search`, which remains the one-off full-scan form).
+
+    Scale shape: the (small) query batch explodes to (query, term)
+    rows and BROADCASTS against one scan of the index — the index
+    never shuffles, only postings of queried terms survive the join,
+    and the per-query top-k is a ranked window (WindowGroupLimit
+    gives it a map-side partial limit on Spark 4).  Query terms
+    absent from the index contribute nothing, exactly like the live
+    scan.
+    """
+    from pyspark.sql import Window
+
+    qx = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
+    )
+    contrib = (
+        index.join(F.broadcast(qx), "term")
+        .select(
+            "query_id",
+            F.col(id_col),
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+                    / (F.col("df_t") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(float(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(float(k1))
+                    * (
+                        F.lit(1.0 - float(b))
+                        + F.lit(float(b))
+                        * F.col("dl")
+                        / F.col("avgdl")
+                    )
+                )
+            ).alias("__s"),
+        )
+    )
+    scored = contrib.groupBy("query_id", id_col).agg(
+        _round_det(F.sum("__s"), round_places).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= int(top_k))
+        .select("query_id", id_col, "score", "rank")
+    )

@@ -1,6 +1,7 @@
 from .ops import (
     dedup_stream,
     ann_stream_topk,
+    bm25_stream_search,
     dedup_stream_against_index,
     read_embeddings_stream,
     winnow_stream_against_index,
@@ -15,6 +16,7 @@ from .ops import (
 __all__ = [
     "dedup_stream",
     "ann_stream_topk",
+    "bm25_stream_search",
     "dedup_stream_against_index",
     "read_embeddings_stream",
     "winnow_stream_against_index",

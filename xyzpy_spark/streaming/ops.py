@@ -578,6 +578,42 @@ def ann_stream_topk(
     )
 
 
+def bm25_stream_search(
+    query_stream: DataFrame,
+    index: DataFrame,
+    out_path: str,
+    *,
+    checkpoint: str | None = None,
+    timeout: int = 300,
+    **search_kwargs,
+) -> None:
+    """Streaming corpus search: answer a continuous stream of
+    bag-of-words queries ``(query_id, terms)`` against a saved BM25
+    index (:func:`~xyzpy_spark.pipeline.ir.build_bm25_index`) — the
+    serve side of corpus retrieval at 100 TB: index once, stream
+    queries forever.
+
+    foreachBatch architecture (the per-query top-k rank is
+    append-illegal), running the EXACT batch operator
+    :func:`~xyzpy_spark.pipeline.ir.bm25_against_index` per
+    micro-batch (query side broadcast; the index never shuffles)
+    through the shared epoch-idempotent sink.  ``search_kwargs`` pass
+    through (``k1``/``b``/``top_k``/``round_places``).
+    """
+    from ..pipeline.ir import bm25_against_index
+
+    _run_batch_probe_stream(
+        query_stream,
+        lambda batch_df: bm25_against_index(
+            batch_df, index, **search_kwargs
+        ),
+        out_path,
+        checkpoint=checkpoint,
+        timeout=timeout,
+        what="bm25_stream_search",
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table as a file-source stream — the ingest shape
     of a continuously-crawled corpus (schema probed batch-side; file

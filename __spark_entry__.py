@@ -631,6 +631,131 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries_df, k=5)
 
 
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue delta from discount-band line items in
+    one year — the pure scan-aggregate: every predicate (shipdate
+    band, discount band, quantity cap) pushes to the lineitem scan
+    and one map-side-combined global aggregate finishes it.  Revenue
+    in exact integer E4 units (price cents x discount hundredths), so
+    the single output value is engine-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.where(
+            (F.col("l_shipdate")
+             >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate")
+               < F.lit("1998-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.02)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents * disc).alias("revenue_e4"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with MAXIMUM quarterly
+    revenue — the view-then-max pattern: aggregate per supplier,
+    take the 1-row max as a broadcast, filter the aggregate against
+    it (never a global sort, never a second fact scan — the
+    aggregate is computed once and persists through both consumers).
+    Exact integer E4 revenue makes the max comparison engine-exact;
+    ties all emit (Q15's contract)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate")
+         >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate")
+           < F.lit("1997-04-01").cast("timestamp_ntz"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents * (100 - disc)).alias("total_revenue_e4"))
+        .persist()
+    )
+    mx = rev.agg(F.max("total_revenue_e4").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue_e4") == F.col("__mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name",
+            F.col("total_revenue_e4"),
+        )
+    )
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier-nation's share of a region's
+    order revenue per order year — the two-path dimension join
+    (customer->nation->region gates WHICH orders count; the
+    supplier->nation flag says which revenue is 'ours'), a
+    conditional aggregation per year, and an exact division: both
+    operands are integer E4 sums, the share rounds at 6 places for
+    the portable canon."""
+    nation = _t(spark, sf_dir, "nation")
+    cust_n = F.broadcast(
+        nation.where(F.col("n_regionkey") == 1).select(
+            F.col("n_nationkey").alias("__cn")
+        )
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(cust_n, F.col("c_nationkey") == F.col("__cn"), "left_semi")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate")
+         >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate")
+           < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "s_suppkey",
+            (F.col("n_name") == "NATION_3").alias("__ours"),
+        )
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc = F.round(F.col("l_discount") * 100).cast("long")
+    vol = cents * (100 - disc)
+    share = (
+        li.join(
+            orders.join(cust, orders["o_custkey"] == cust["c_custkey"],
+                        "left_semi"),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("__ours"), vol).otherwise(F.lit(0)))
+            .alias("nation_volume_e4"),
+            F.sum(vol).alias("total_volume_e4"),
+        )
+    )
+    return share.select(
+        "o_year",
+        "nation_volume_e4",
+        "total_volume_e4",
+        F.round(
+            F.col("nation_volume_e4") / F.col("total_volume_e4"), 6
+        ).alias("mkt_share"),
+    )
+
+
 def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-query BM25 against the SAVED index (pipeline/ir.py
     build_bm25_index + bm25_against_index): three bag-of-words
@@ -3267,6 +3392,9 @@ def entry(spark: SparkSession) -> DataFrame:
 ROTATION_QUEUE: list[str] = [
     "stream_ann_topk",
     "bm25_index_search",
+    "forecast_revenue_change",
+    "top_supplier",
+    "market_share",
 ]
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -3566,6 +3694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROTATION_QUEUE newcomers awaiting their window slot ----
         "stream_ann_topk": q_stream_ann_topk,
         "bm25_index_search": q_bm25_index_search,
+        "forecast_revenue_change": q_forecast_revenue_change,
+        "top_supplier": q_top_supplier,
+        "market_share": q_market_share,
         "bpe_token_count": q_bpe_token_count,
         "dedup_containment": q_dedup_containment,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
@@ -6375,6 +6506,60 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY score DESC, term ASC) AS rank
                 FROM scored)
             WHERE rank <= 3
+        """,
+        "forecast_revenue_change": """
+            SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * CAST(ROUND(l_discount * 100) AS BIGINT))
+                       AS revenue_e4,
+                   COUNT(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount >= 0.02 AND l_discount <= 0.06
+              AND l_quantity < 24
+        """,
+        "top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(ROUND(l_discount * 100)
+                                         AS BIGINT)))
+                           AS total_revenue_e4
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-04-01'
+                GROUP BY 1
+            )
+            SELECT s.s_suppkey, s.s_name, r.total_revenue_e4
+            FROM rev r
+            JOIN supplier s ON s.s_suppkey = r.l_suppkey
+            WHERE r.total_revenue_e4 = (SELECT MAX(total_revenue_e4)
+                                        FROM rev)
+        """,
+        "market_share": """
+            WITH vol AS (
+                SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+                       CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount * 100)
+                                     AS BIGINT)) AS v,
+                       (sn.n_name = 'NATION_3') AS ours
+                FROM lineitem l
+                JOIN orders o ON o.o_orderkey = l.l_orderkey
+                JOIN customer c ON c.c_custkey = o.o_custkey
+                JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+                JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+                WHERE cn.n_regionkey = 1
+                  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+            )
+            SELECT CAST(o_year AS INTEGER) AS o_year,
+                   SUM(CASE WHEN ours THEN v ELSE 0 END)
+                       AS nation_volume_e4,
+                   SUM(v) AS total_volume_e4,
+                   ROUND(CAST(SUM(CASE WHEN ours THEN v ELSE 0 END)
+                              AS DOUBLE) / SUM(v), 6) AS mkt_share
+            FROM vol GROUP BY 1
         """,
         "bm25_index_search": r"""
             WITH q(query_id, term) AS (

@@ -149,6 +149,9 @@ HEADLINE = [
     "idle_customers",
     "stream_ann_topk",
     "bm25_index_search",
+    "forecast_revenue_change",
+    "top_supplier",
+    "market_share",
 ]
 
 

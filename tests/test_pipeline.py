@@ -3234,3 +3234,70 @@ def test_ivf_pq_residual_codes_reconstruct_better(spark):
     )
     res_mse = mse(coded_res.collect(), cbs_res, cents_r)
     assert res_mse < raw_mse, (res_mse, raw_mse)
+
+
+def test_winnow_index_capped_probe_requires_dropped(spark):
+    """Probing a max_fp_freq-built index WITHOUT its dropped table
+    silently deflates every Jaccard (the batch keeps boilerplate the
+    index dropped), so it must raise by name (r7 code-review); an
+    uncapped index probes fine without one."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        winnow_against_index,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "some history document text goes right here")],
+        "doc_id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(2, "some new document text")], "doc_id LONG, text STRING"
+    )
+    index, dropped = build_winnow_index(hist, k=5, w=4, hash_fn="md5")
+    with pytest.raises(ValueError, match="dropped"):
+        winnow_against_index(new, index, k=5, w=4, hash_fn="md5")
+    # with the table: fine
+    winnow_against_index(
+        new, index, dropped=dropped, k=5, w=4, hash_fn="md5"
+    ).collect()
+    # uncapped build: no dropped table needed
+    index2, _ = build_winnow_index(
+        hist, k=5, w=4, max_fp_freq=None, hash_fn="md5"
+    )
+    winnow_against_index(
+        new, index2, k=5, w=4, max_fp_freq=None, hash_fn="md5"
+    ).collect()
+
+
+def test_incremental_probes_accept_string_ids(spark):
+    """Both incremental probes are parameterized by id_col; STRING
+    ids (URL/hash keys, the common corpus case) must work — the old
+    tie-break negated the id arithmetically, which NULLs (or, under
+    ANSI, rejects) non-numeric ids (r7 code-review)."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_dedup_index,
+        build_winnow_index,
+        dedup_against_index,
+        winnow_against_index,
+    )
+
+    shared = "a very long exactly matching passage of text here ok"
+    hist = spark.createDataFrame(
+        [("h-b", shared), ("h-a", shared), ("h-z", "totally different words")],
+        "doc_id STRING, text STRING",
+    )
+    new = spark.createDataFrame(
+        [("n-1", shared)], "doc_id STRING, text STRING"
+    )
+    widx, wdrop = build_winnow_index(hist, k=5, w=4, hash_fn="md5")
+    got = winnow_against_index(
+        new, widx, dropped=wdrop, k=5, w=4, threshold=0.5, hash_fn="md5"
+    ).collect()[0]
+    # ties (h-a and h-b identical) resolve to the SMALLEST id
+    assert got["dup_of"] == "h-a" and got["fp_jaccard"] == 1.0
+
+    midx = build_dedup_index(hist, n=2, hash_fn="md5")
+    got2 = dedup_against_index(
+        new, midx, n=2, threshold=0.4, hash_fn="md5"
+    ).collect()[0]
+    assert got2["dup_of"] == "h-a" and got2["dup_kind"] == "exact"

@@ -119,10 +119,14 @@ HEAVY = [
     "langid_rowwise",
     "excess_stock_suppliers",
     "video_frames",
-    # round-7 additions: the winnowed INCREMENTAL probe (the property
-    # claimed is probe-flat-in-corpus-size: both sides probe the same
-    # batch against a 1x/Nx index, so the ratio should track index
-    # scan growth, not candidate blow-up)
+    # round-7 additions: the winnowed INCREMENTAL probe.  NOTE on what
+    # this row measures: build_scaled keeps doc_id % 10 residues, so
+    # the doc_id%10==0 probe BATCH grows Nx along with the index —
+    # the ratio bounds the whole per-ingest pass (Nx batch
+    # fingerprinting + Nx index scan), it does NOT isolate
+    # fixed-batch-vs-Nx-index flatness (r7 code-review).  The
+    # fixed-probe flatness property is the dedup_incremental
+    # baseline-note protocol (probe wall flat from sf0.01 to sf0.1).
     "winnow_against",
     # round-7 semi/anti relational shapes: the scale claim is that the
     # EXISTS/NOT-EXISTS rewrites stay hash semi/anti joins (linear),

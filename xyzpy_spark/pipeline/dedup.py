@@ -1672,6 +1672,33 @@ def band_dedup_index(
     return out
 
 
+def _best_match(scored: DataFrame, threshold: float) -> DataFrame:
+    """Per-new-doc best match over ``(_new_id, _old_id, _est)``
+    candidate rows: highest score, ties to the SMALLEST old id —
+    one struct-min with the SCORE negated, never the id (ids may be
+    strings/URLs: arithmetic negation of a non-numeric id is an
+    analysis error under ANSI mode, or a silent all-NULL ``dup_of``
+    without it — r7 code-review catch).  Shared by the MinHash and
+    winnowed incremental probes."""
+    return (
+        scored.where(F.col("_est") >= threshold)
+        .groupBy("_new_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("_est")).alias("_neg_est"),
+                    F.col("_old_id").alias("_of"),
+                )
+            ).alias("_best")
+        )
+        .select(
+            "_new_id",
+            (-F.col("_best._neg_est")).alias("_near_est"),
+            F.col("_best._of").alias("_near_of"),
+        )
+    )
+
+
 def dedup_against_index(
     new_docs: DataFrame,
     index: DataFrame,
@@ -1790,25 +1817,13 @@ def dedup_against_index(
             lambda eq: eq,
         )
     )
-    near = (
-        old_b.join(F.broadcast(new_b), ["band", "bucket"])
-        .select(
+    near = _best_match(
+        old_b.join(F.broadcast(new_b), ["band", "bucket"]).select(
             "_new_id",
             "_old_id",
             F.round(agree / F.lit(float(num_perm)), 6).alias("_est"),
-        )
-        .where(F.col("_est") >= threshold)
-        .groupBy("_new_id")
-        .agg(
-            F.max(
-                F.struct(F.col("_est"), (-F.col("_old_id")).alias("_neg"))
-            ).alias("_best")
-        )
-        .select(
-            "_new_id",
-            F.col("_best._est").alias("_near_est"),
-            (-F.col("_best._neg")).alias("_near_of"),
-        )
+        ),
+        threshold,
     )
 
     # assembly joins: both match tables are <= batch-sized aggregates
@@ -2253,7 +2268,7 @@ def winnow_against_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
-    cache: bool = True,
+    cache: bool = False,
 ) -> DataFrame:
     """Dedup an incoming batch against a saved winnowed index
     (:func:`build_winnow_index`) — the winnowing twin of
@@ -2268,16 +2283,28 @@ def winnow_against_index(
     score 1.0 (identical canonical text selects identical
     fingerprints), so there is no separate exact tier.
 
+    ``dropped`` is REQUIRED for an index built with ``max_fp_freq``
+    (the build returns it; save it next to the index): it is
+    broadcast-subtracted from the batch's selection so both Jaccard
+    operands live in the capped domain — without it every score
+    deflates by the batch's boilerplate share, silently admitting
+    duplicates, so that call raises instead.
+
     Scale shape — the probe is FLAT in corpus size: the new batch's
     fingerprints are winnowed (~``2/(w+1)`` of its k-grams), capped
     against the broadcast ``dropped`` table, then BROADCAST against
     one scan of the index — the index never shuffles; only surviving
     candidate pairs (bounded by the build-time frequency cap) enter
-    the per-new-doc aggregation.  ``k``/``w``/``hash_fn``/
-    ``max_fp_freq`` must match the build; the stamped index columns
-    are validated (a mismatched probe silently matches nothing).
+    the per-new-doc aggregation.  The expensive per-k-gram hashing
+    has exactly ONE consumer (per-doc sizes ride the fingerprint
+    rows via a batch-sized window), so ``cache`` defaults off; the
+    streaming twin runs it uncached per micro-batch.
+    ``k``/``w``/``hash_fn``/``max_fp_freq`` must match the build;
+    the stamped index columns are validated (a mismatched probe
+    silently matches nothing).
     """
     stamped = {"k", "w", "hash_fn", "max_fp_freq"} & set(index.columns)
+    stamped_cap = None
     if stamped:
         meta = index.select(*sorted(stamped)).first()
         mine = {
@@ -2298,6 +2325,23 @@ def winnow_against_index(
                     f"({ {kk: f'index={v[0]} probe={v[1]}' for kk, v in bad.items()} }) "
                     "— a probe winnowed differently matches nothing"
                 )
+            if "max_fp_freq" in stamped:
+                stamped_cap = int(meta["max_fp_freq"])
+    if dropped is None and (
+        stamped_cap if stamped_cap is not None else int(max_fp_freq or 0)
+    ):
+        # a capped index with no dropped table is the silent-mismatch
+        # class the stamped validation exists for: the batch side
+        # would keep boilerplate fingerprints the index dropped,
+        # inflating |new| and deflating every Jaccard below its true
+        # value (r7 code-review catch)
+        raise ValueError(
+            "winnow_against_index: the index was built with "
+            "max_fp_freq set, so its dropped-fingerprint table must "
+            "be passed as dropped= (save it next to the index; "
+            "build_winnow_index returns it) — probing without it "
+            "deflates every score"
+        )
     new_fps = winnow_fingerprints(
         new_docs, k=k, w=w, text_col=text_col, id_col=id_col,
         hash_fn=hash_fn,
@@ -2310,12 +2354,18 @@ def winnow_against_index(
             "fingerprint",
             "left_anti",
         )
-    if cache:
-        # two consumers (sizes + probe join); batch-sized
-        new_fps = new_fps.persist()
-    new_sizes = new_fps.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n_new")
+    # per-doc selection size rides each fingerprint row via a window
+    # over the BATCH side (batch-sized shuffle — tiny by definition),
+    # so the expensive fingerprint pass has exactly ONE consumer and
+    # needs no persist (r7 code-review: the old sizes-aggregate +
+    # probe-join pair recomputed the md5-per-kgram pass per
+    # micro-batch when the stream twin disabled caching)
+    wsz = Window.partitionBy(id_col)
+    new_fps = new_fps.withColumn(
+        "__n_new", F.count(F.lit(1)).over(wsz)
     )
+    if cache:
+        new_fps = new_fps.persist()
     common = (
         index.select(
             F.col(id_col).alias("_old_id"), "fingerprint", "n_fp"
@@ -2323,7 +2373,9 @@ def winnow_against_index(
         .join(
             F.broadcast(
                 new_fps.select(
-                    F.col(id_col).alias("_new_id"), "fingerprint"
+                    F.col(id_col).alias("_new_id"),
+                    "fingerprint",
+                    "__n_new",
                 )
             ),
             "fingerprint",
@@ -2332,18 +2384,11 @@ def winnow_against_index(
         .agg(
             F.count(F.lit(1)).alias("__n_common"),
             F.max("n_fp").alias("__n_old"),
+            F.max("__n_new").alias("__n_new"),
         )
     )
-    best = (
-        common.join(
-            F.broadcast(
-                new_sizes.select(
-                    F.col(id_col).alias("_new_id"), "__n_new"
-                )
-            ),
-            "_new_id",
-        )
-        .select(
+    best = _best_match(
+        common.select(
             "_new_id",
             "_old_id",
             F.round(
@@ -2355,19 +2400,8 @@ def winnow_against_index(
                 ),
                 6,
             ).alias("_est"),
-        )
-        .where(F.col("_est") >= threshold)
-        .groupBy("_new_id")
-        .agg(
-            F.max(
-                F.struct(F.col("_est"), (-F.col("_old_id")).alias("_neg"))
-            ).alias("_best")
-        )
-        .select(
-            "_new_id",
-            F.col("_best._est").alias("_near_est"),
-            (-F.col("_best._neg")).alias("_near_of"),
-        )
+        ),
+        threshold,
     )
     return (
         new_docs.select(id_col)

@@ -184,6 +184,34 @@ def tfidf_top_terms(
     )
 
 
+def _bm25_contrib(
+    k1: float, b: float, *, n_col: str, avgdl_col: str
+) -> F.Column:
+    """The BM25 per-posting contribution — Lucene-style non-negative
+    idf ``ln(1 + (N - df + 0.5)/(df + 0.5))`` times the saturated tf
+    term — over columns ``tf, dl, df_t`` plus the corpus stats named
+    by ``n_col``/``avgdl_col``.  ONE definition shared by
+    :func:`bm25_search` (live scan) and :func:`bm25_against_index`
+    (saved-index probe), so the two paths can never drift apart (r7
+    code-review)."""
+    return (
+        F.log(
+            F.lit(1.0)
+            + (F.col(n_col) - F.col("df_t") + F.lit(0.5))
+            / (F.col("df_t") + F.lit(0.5))
+        )
+        * (F.col("tf") * F.lit(float(k1) + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(float(k1))
+            * (
+                F.lit(1.0 - float(b))
+                + F.lit(float(b)) * F.col("dl") / F.col(avgdl_col)
+            )
+        )
+    )
+
+
 def bm25_search(
     df: DataFrame,
     query: list[str],
@@ -241,23 +269,8 @@ def bm25_search(
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),
-            (
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("__n") - F.col("df_t") + F.lit(0.5))
-                    / (F.col("df_t") + F.lit(0.5))
-                )
-                * (F.col("tf") * F.lit(float(k1) + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(float(k1))
-                    * (
-                        F.lit(1.0 - float(b))
-                        + F.lit(float(b))
-                        * F.col("dl")
-                        / F.col("__avgdl")
-                    )
-                )
+            _bm25_contrib(
+                k1, b, n_col="__n", avgdl_col="__avgdl"
             ).alias("__s"),
         )
     )
@@ -351,23 +364,8 @@ def bm25_against_index(
         .select(
             "query_id",
             F.col(id_col),
-            (
-                F.log(
-                    F.lit(1.0)
-                    + (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
-                    / (F.col("df_t") + F.lit(0.5))
-                )
-                * (F.col("tf") * F.lit(float(k1) + 1.0))
-                / (
-                    F.col("tf")
-                    + F.lit(float(k1))
-                    * (
-                        F.lit(1.0 - float(b))
-                        + F.lit(float(b))
-                        * F.col("dl")
-                        / F.col("avgdl")
-                    )
-                )
+            _bm25_contrib(
+                k1, b, n_col="n_docs", avgdl_col="avgdl"
             ).alias("__s"),
         )
     )

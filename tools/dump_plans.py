@@ -184,6 +184,44 @@ PICKS = {
     "shipped-quantity aggregate, all-integer excess comparison, "
     "promoted parts as a BROADCAST semi-join, suppliers qualify via "
     "LeftSemi — no fact data survives the aggregate",
+    "winnow_against": "winnowed INCREMENTAL probe: batch "
+    "fingerprints (winnowed, dropped-subtracted, sizes riding the "
+    "rows via a batch-sized window) BROADCAST against one index "
+    "scan — the index never shuffle-joins; best match via struct-min "
+    "(type-safe tie-break).  NOTE: the gate query builds the index "
+    "INLINE, so most exchanges here are the ONE-TIME build "
+    "(fingerprint/cap/size aggregations); the production probe reads "
+    "a saved table and its exchange count is the batch-side handful "
+    "(see test_winnow_index_probe_never_shuffle_joins)",
+    "order_priority_check": "TPC-H Q4 shape: EXISTS planned as a "
+    "hash LEFT SEMI join (no row expansion), quarter filter pushed "
+    "to the orders scan",
+    "waiting_suppliers": "TPC-H Q21 shape: correlated EXISTS + NOT "
+    "EXISTS as ONE hash LeftSemi + ONE hash LeftAnti with the "
+    "different-supplier residual — no per-row correlated probes, no "
+    "BNLJ; supplier/nation dims broadcast",
+    "idle_customers": "TPC-H Q22 shape: NOT EXISTS as LeftAnti with "
+    "the recent-orders date bound pushed to the anti side's scan; "
+    "the above-average filter is all-integer over a broadcast 1-row "
+    "aggregate",
+    "large_volume_customers": "TPC-H Q18 shape: HAVING-over-agg "
+    "FIRST (only qualifying orderkeys reach the joins), exact "
+    "integer quantities",
+    "customer_distribution": "TPC-H Q13 shape: pre-filtered LEFT "
+    "OUTER join then two keyed aggregations (count-of-counts)",
+    "forecast_revenue_change": "TPC-H Q6 shape: every predicate "
+    "pushed to the lineitem scan, ONE map-side-combined global "
+    "aggregate, exact integer E4 revenue",
+    "top_supplier": "TPC-H Q15 shape: aggregate-once + broadcast "
+    "1-row MAX filter (view-then-max without a second fact scan), "
+    "ties all emit",
+    "market_share": "TPC-H Q8 shape: customer->nation->region gate "
+    "as a semi-join, supplier-nation flag broadcast, one conditional "
+    "aggregation per year — integer-exact operands, one division at "
+    "the end",
+    "bm25_index_search": "saved-postings BM25: exploded query terms "
+    "BROADCAST against one index scan (index never shuffles), "
+    "per-query top-k via ranked window (WindowGroupLimit partial)",
 }
 
 

@@ -756,6 +756,29 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch conversion funnel over the events table
+    (operators/temporal.funnel_counts): one user-keyed aggregation of
+    conditional first-touch timestamps, chain comparison as column
+    arithmetic, per-step counts — the product-analytics primitive in
+    its deterministic, exactly-SQL-expressible form."""
+    from xyzpy_spark.operators.temporal import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over the events table
+    (operators/temporal.cohort_retention): cohort = week of first
+    event, offsets as exact integer week differences — all-integer
+    output, engine-exact."""
+    from xyzpy_spark.operators.temporal import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, granularity="week")
+
+
 def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-query BM25 against the SAVED index (pipeline/ir.py
     build_bm25_index + bm25_against_index): three bag-of-words
@@ -3400,8 +3423,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # mixing/selection keeps dsir_weights, fuzzy dedup keeps
 # winnow_dedup_pairs/dedup_incremental/winnow_against, embedding
 # transforms keep similarity_pq + the new stream_ann_topk).  Queue
-# EMPTY: zero rotation debt.
-ROTATION_QUEUE: list[str] = []
+# EMPTY at the late-r7 rotation; funnel_steps / cohort_retention
+# (event-analytics operators, added after it) queue for round 8.
+ROTATION_QUEUE: list[str] = [
+    "funnel_steps",
+    "cohort_retention",
+]
 
 ROTATION_HISTORY: dict[str, int] = {
     "pricing_summary": 1,
@@ -3701,7 +3728,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stateful_stats": q_stream_stateful_stats,
         "langid_trained": q_langid_trained,
         # ---- position 51+: rotated-out, still oracle-checked by
-        # tools/check_correctness.py and the pytest suite ----
+        # tools/check_correctness.py and the pytest suite; plus the
+        # ROTATION_QUEUE newcomers awaiting a round-8 window slot ----
+        "funnel_steps": q_funnel_steps,
+        "cohort_retention": q_cohort_retention,
         "profile_events": q_profile_events,
         "chunk_documents": q_chunk_documents,
         "mixture_weights": q_mixture_weights,
@@ -6192,6 +6222,63 @@ def oracle_sql() -> dict[str, str]:
                              AND ps_supplycost_cents = mc
             ORDER BY s_acctbal DESC, n_name, s_name, cand.p_partkey
             LIMIT 100
+        """,
+        "funnel_steps": """
+            WITH firsts AS (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END)
+                           AS t0,
+                       MIN(CASE WHEN event_type = 'click' THEN ts END)
+                           AS t1,
+                       MIN(CASE WHEN event_type = 'purchase' THEN ts
+                           END) AS t2
+                FROM events GROUP BY 1
+            ), flags AS (
+                SELECT (t0 IS NOT NULL) AS f0,
+                       (t0 IS NOT NULL AND t1 IS NOT NULL
+                        AND t1 >= t0) AS f1,
+                       (t0 IS NOT NULL AND t1 IS NOT NULL
+                        AND t1 >= t0 AND t2 IS NOT NULL
+                        AND t2 >= t1) AS f2
+                FROM firsts
+            ), counted AS (
+                SELECT CAST(SUM(CASE WHEN f0 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n0,
+                       CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n1,
+                       CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END)
+                            AS BIGINT) AS n2
+                FROM flags
+            )
+            SELECT 1 AS step, 'view' AS event_type, n0 AS n_users
+            FROM counted
+            UNION ALL
+            SELECT 2, 'click', n1 FROM counted
+            UNION ALL
+            SELECT 3, 'purchase', n2 FROM counted
+        """,
+        "cohort_retention": """
+            WITH cohorts AS (
+                SELECT user_id,
+                       CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP)
+                           AS cohort
+                FROM events GROUP BY 1
+            ), sized AS (
+                SELECT cohort, COUNT(*) AS n_cohort
+                FROM cohorts GROUP BY 1
+            ), active AS (
+                SELECT DISTINCT c.cohort,
+                       CAST(date_diff('day', c.cohort,
+                                      date_trunc('week', e.ts)) // 7
+                            AS INTEGER) AS period_offset,
+                       e.user_id
+                FROM events e JOIN cohorts c ON c.user_id = e.user_id
+            ), counts AS (
+                SELECT cohort, period_offset, COUNT(*) AS n_active
+                FROM active GROUP BY 1, 2
+            )
+            SELECT c.cohort, c.period_offset, c.n_active, s.n_cohort
+            FROM counts c JOIN sized s USING (cohort)
         """,
         "order_priority_check": """
             SELECT o_orderpriority, COUNT(*) AS order_count

@@ -152,6 +152,8 @@ HEADLINE = [
     "forecast_revenue_change",
     "top_supplier",
     "market_share",
+    "funnel_steps",
+    "cohort_retention",
 ]
 
 

@@ -383,3 +383,87 @@ def test_hot_keys_feeds_salted_join(spark):
         for r in salted_join(left, right, "k", salt=8, hot_keys=hot).collect()
     }
     assert salted == plain
+
+
+def test_funnel_counts_first_touch_semantics(spark):
+    """First-touch funnel: a user converts through step i only when
+    every earlier step's FIRST occurrence is time-ordered — verified
+    against a hand-computed fixture covering out-of-order first
+    touches, missing steps, equal timestamps, and step validation."""
+    from xyzpy_spark.operators.temporal import funnel_counts
+
+    rows = [
+        # u1: view < click < buy  -> reaches 3
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 11:00:00", "click"),
+        (1, "2024-01-01 12:00:00", "buy"),
+        # u2: click BEFORE first view -> reaches only step 1
+        (2, "2024-01-01 09:00:00", "click"),
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-01 11:00:00", "buy"),
+        # u3: view only -> step 1
+        (3, "2024-01-01 08:00:00", "view"),
+        # u4: equal timestamps count as ordered (>=)
+        (4, "2024-01-01 10:00:00", "view"),
+        (4, "2024-01-01 10:00:00", "click"),
+        # u5: no view at all -> reaches nothing
+        (5, "2024-01-01 10:00:00", "buy"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, e) for u, t, e in rows],
+        "user_id long, ts_s string, event_type string",
+    ).select(
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    got = {
+        r["step"]: (r["event_type"], r["n_users"])
+        for r in funnel_counts(ev, ["view", "click", "buy"]).collect()
+    }
+    assert got == {
+        1: ("view", 4),   # u1 u2 u3 u4
+        2: ("click", 2),  # u1 u4 (u2's click precedes its view)
+        3: ("buy", 1),    # u1
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        funnel_counts(ev, [])
+    with _pytest.raises(ValueError, match="distinct"):
+        funnel_counts(ev, ["view", "view"])
+
+
+def test_cohort_retention_matrix(spark):
+    """Cohort = period of first event; per-offset distinct active
+    users; n_cohort constant per cohort row — hand-computed weekly
+    fixture spanning three ISO weeks (date_trunc weeks start
+    Monday)."""
+    from xyzpy_spark.operators.temporal import cohort_retention
+
+    # 2024-01-01 is a Monday; weeks are Jan 1, Jan 8, Jan 15
+    rows = [
+        (1, "2024-01-02"), (1, "2024-01-09"), (1, "2024-01-16"),
+        (2, "2024-01-03"), (2, "2024-01-17"),
+        (3, "2024-01-10"),
+        (3, "2024-01-10"),  # duplicate activity same week: counted once
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"))
+    got = {
+        (str(r["cohort"])[:10], r["period_offset"]): (
+            r["n_active"], r["n_cohort"]
+        )
+        for r in cohort_retention(ev, granularity="week").collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): (2, 2),  # u1 u2 week0
+        ("2024-01-01", 1): (1, 2),  # u1
+        ("2024-01-01", 2): (2, 2),  # u1 u2
+        ("2024-01-08", 0): (1, 1),  # u3
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="granularity"):
+        cohort_retention(ev, granularity="month")

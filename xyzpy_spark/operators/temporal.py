@@ -270,3 +270,128 @@ def time_rollup(
         *by,
         *[F.col(name) for name in aggs],
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-touch funnel: how many users reached each step, where a
+    user reaches step i when every step 1..i occurred for them and
+    the FIRST occurrences are time-ordered
+    (``min_ts(step_1) <= min_ts(step_2) <= ... <= min_ts(step_i)``) —
+    the classic product-analytics conversion funnel in its
+    order-of-first-touch form (deterministic and exactly
+    SQL-expressible, unlike resettable sequential-match variants).
+
+    Plan: ONE user-keyed aggregation computes every step's
+    conditional first-touch (min with a CASE — map-side partials, a
+    single shuffle on the user key), the chain comparison is pure
+    column arithmetic on the per-user row, and the per-step counts
+    are a tiny second aggregation over ``len(steps)`` booleans.
+    Output: ``(step, event_type, n_users)`` with step 1-indexed;
+    n_users is non-increasing by construction.
+    """
+    if not steps:
+        raise ValueError("funnel_counts: steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_counts: steps must be distinct")
+    firsts = events.groupBy(user_col).agg(
+        *[
+            F.min(
+                F.when(F.col(type_col) == s, F.col(ts_col))
+            ).alias(f"__t{i}")
+            for i, s in enumerate(steps)
+        ]
+    )
+    reached = F.col("__t0").isNotNull()
+    flags = [reached]
+    for i in range(1, len(steps)):
+        reached = (
+            reached
+            & F.col(f"__t{i}").isNotNull()
+            & (F.col(f"__t{i}") >= F.col(f"__t{i - 1}"))
+        )
+        flags.append(reached)
+    counted = firsts.agg(
+        *[
+            F.sum(flags[i].cast("long")).alias(f"__n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    spark = events.sparkSession
+    names = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step int, event_type string",
+    )
+    return (
+        names.crossJoin(F.broadcast(counted))
+        .select(
+            "step",
+            "event_type",
+            F.coalesce(
+                *[
+                    F.when(F.col("step") == i + 1, F.col(f"__n{i}"))
+                    for i in range(len(steps))
+                ]
+            ).alias("n_users"),
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    granularity: str = "week",
+) -> DataFrame:
+    """Cohort retention: users grouped by the period of their FIRST
+    event, with per-offset active counts — the standard growth
+    matrix (``cohort``, ``period_offset``, ``n_active``,
+    ``n_cohort``).
+
+    Plan: one user-keyed aggregation finds each user's cohort period
+    (single shuffle, map-side partials), a user-keyed join tags every
+    event with its user's cohort (the join key is the user — a keyed
+    shuffle join; the cohort table is user-sized, so AQE may
+    broadcast it at small scale), one distinct over
+    ``(cohort, offset, user)`` and one count aggregation.  Offsets
+    are exact integers (day difference floor-divided by the period
+    length), so the whole output is engine-exact.
+    """
+    days = {"week": 7, "day": 1}.get(granularity)
+    if days is None:
+        raise ValueError("granularity must be 'week' or 'day'")
+    cohorts = events.groupBy(user_col).agg(
+        F.date_trunc(granularity, F.min(ts_col)).alias("cohort")
+    )
+    sized = cohorts.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_cohort")
+    )
+    active = (
+        events.join(cohorts, user_col)
+        .select(
+            "cohort",
+            (
+                F.datediff(
+                    F.date_trunc(granularity, F.col(ts_col)),
+                    F.col("cohort"),
+                )
+                / days
+            )
+            .cast("int")
+            .alias("period_offset"),
+            F.col(user_col),
+        )
+        .distinct()
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    return active.join(F.broadcast(sized), "cohort").select(
+        "cohort", "period_offset", "n_active", "n_cohort"
+    )

@@ -848,10 +848,7 @@ def test_bm25_stream_search_matches_batch(spark, tmp_path):
         bm25_against_index,
         build_bm25_index,
     )
-    from xyzpy_spark.streaming.ops import (
-        bm25_stream_search,
-        run_stream_to_memory,  # noqa: F401  (suite convention)
-    )
+    from xyzpy_spark.streaming.ops import bm25_stream_search
 
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(sf + "/documents.parquet").select(

@@ -28,7 +28,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "range_join", "time_rollup"]
+__all__ = [
+    "asof_join",
+    "cohort_retention",
+    "funnel_counts",
+    "range_join",
+    "time_rollup",
+]
 
 
 def asof_join(
@@ -317,9 +323,13 @@ def funnel_counts(
             & (F.col(f"__t{i}") >= F.col(f"__t{i - 1}"))
         )
         flags.append(reached)
+    # coalesce: a global sum over ZERO users is NULL, but the count
+    # contract is 0 (r7 code-review)
     counted = firsts.agg(
         *[
-            F.sum(flags[i].cast("long")).alias(f"__n{i}")
+            F.coalesce(
+                F.sum(flags[i].cast("long")), F.lit(0).cast("long")
+            ).alias(f"__n{i}")
             for i in range(len(steps))
         ]
     )

@@ -28,7 +28,13 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text import _round_det, tokenize
 
-__all__ = ["pmi_collocations", "tfidf_top_terms", "bm25_search"]
+__all__ = [
+    "bm25_against_index",
+    "bm25_search",
+    "build_bm25_index",
+    "pmi_collocations",
+    "tfidf_top_terms",
+]
 
 
 def pmi_collocations(
@@ -302,18 +308,24 @@ def build_bm25_index(
     :func:`bm25_against_index` — corpus text is never re-read or
     re-tokenized per query.
     """
-    toks = df.select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("__w")
-    )
-    dl = toks.select(id_col, F.size("__w").alias("dl"))
-    stats = dl.where(F.col("dl") > 0).agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-    )
+    # ONE corpus scan: doc length is exactly sum(tf) over the doc's
+    # terms, so dl/stats derive from the already-aggregated
+    # vocabulary-sized tf table instead of a second tokenize pass
+    # (r7 code-review: the independent size() branch re-read and
+    # re-tokenized every document); docs with zero tokens have no tf
+    # rows, which matches the old dl>0 stats filter exactly
     tf = (
-        toks.select(id_col, F.explode("__w").alias("term"))
+        df.select(
+            F.col(id_col),
+            F.explode(tokenize(F.col(text_col))).alias("term"),
+        )
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     return (
@@ -355,10 +367,14 @@ def bm25_against_index(
     """
     from pyspark.sql import Window
 
+    # distinct across ROWS too: array_distinct only dedups within a
+    # row, and a query_id split over multiple input rows (stream
+    # micro-batch re-delivery, unioned term lists) would double-count
+    # every duplicated term's postings (r7 code-review)
     qx = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.explode(F.array_distinct(F.col(terms_col))).alias("term"),
-    )
+    ).distinct()
     contrib = (
         index.join(F.broadcast(qx), "term")
         .select(

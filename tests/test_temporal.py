@@ -467,3 +467,38 @@ def test_cohort_retention_matrix(spark):
 
     with _pytest.raises(ValueError, match="granularity"):
         cohort_retention(ev, granularity="month")
+
+
+def test_funnel_counts_conversion_window(spark):
+    """within= bounds the WHOLE chain to first-touch + interval: a
+    user whose later steps are ordered but slow falls out of the
+    bounded funnel while staying in the unbounded one."""
+    from xyzpy_spark.operators.temporal import funnel_counts
+
+    rows = [
+        # u1 converts within an hour
+        (1, "2024-01-01 10:00:00", "view"),
+        (1, "2024-01-01 10:30:00", "buy"),
+        # u2 converts, but 3 days later
+        (2, "2024-01-01 10:00:00", "view"),
+        (2, "2024-01-04 10:00:00", "buy"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).select(
+        "user_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    unbounded = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(ev, ["view", "buy"]).collect()
+    }
+    bounded = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(
+            ev, ["view", "buy"], within="1 day"
+        ).collect()
+    }
+    assert unbounded == {1: 2, 2: 2}
+    assert bounded == {1: 2, 2: 1}

@@ -285,11 +285,15 @@ def funnel_counts(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    within: str | None = None,
 ) -> DataFrame:
     """First-touch funnel: how many users reached each step, where a
     user reaches step i when every step 1..i occurred for them and
     the FIRST occurrences are time-ordered
-    (``min_ts(step_1) <= min_ts(step_2) <= ... <= min_ts(step_i)``) —
+    (``min_ts(step_1) <= min_ts(step_2) <= ... <= min_ts(step_i)``,
+    and — when ``within`` is an INTERVAL string like ``'7 days'`` —
+    the whole chain completes inside ``min_ts(step_1) + within``,
+    the standard conversion-window bound) —
     the classic product-analytics conversion funnel in its
     order-of-first-touch form (deterministic and exactly
     SQL-expressible, unlike resettable sequential-match variants).
@@ -314,6 +318,11 @@ def funnel_counts(
             for i, s in enumerate(steps)
         ]
     )
+    deadline = (
+        F.col("__t0") + F.expr(f"INTERVAL '{within}'")
+        if within is not None
+        else None
+    )
     reached = F.col("__t0").isNotNull()
     flags = [reached]
     for i in range(1, len(steps)):
@@ -322,6 +331,8 @@ def funnel_counts(
             & F.col(f"__t{i}").isNotNull()
             & (F.col(f"__t{i}") >= F.col(f"__t{i - 1}"))
         )
+        if deadline is not None:
+            reached = reached & (F.col(f"__t{i}") <= deadline)
         flags.append(reached)
     # coalesce: a global sum over ZERO users is NULL, but the count
     # contract is 0 (r7 code-review)

@@ -136,6 +136,17 @@ HEAVY = [
     "large_volume_customers",
     "waiting_suppliers",
     "idle_customers",
+    # late round-7 additions: index-and-serve seams (the claim is the
+    # serve side scales with the index scan, not with candidate
+    # blow-up), the Q6/Q8/Q15 aggregate shapes, and the
+    # event-analytics pair
+    "stream_ann_topk",
+    "bm25_index_search",
+    "forecast_revenue_change",
+    "top_supplier",
+    "market_share",
+    "funnel_steps",
+    "cohort_retention",
 ]
 
 REP = "_rep"

@@ -3423,12 +3423,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # mixing/selection keeps dsir_weights, fuzzy dedup keeps
 # winnow_dedup_pairs/dedup_incremental/winnow_against, embedding
 # transforms keep similarity_pq + the new stream_ann_topk).  Queue
-# EMPTY at the late-r7 rotation; funnel_steps / cohort_retention
-# (event-analytics operators, added after it) queue for round 8.
-ROTATION_QUEUE: list[str] = [
-    "funnel_steps",
-    "cohort_retention",
-]
+# FINAL ROUND 7 rotation: funnel_steps / cohort_retention (the
+# event-analytics pair, strict-green at sf0.01 AND sf0.001) entered
+# the window displacing multimodal_jpeg (r4-r6 green; multimodal
+# keeps video_frames in-window, JPEG decode stays pinned by pytest
+# roundtrips + the fused-LUT property tests) and stream_curate
+# (r4-r6 green; streaming keeps stream_follow_clicks,
+# stream_stateful_stats and stream_ann_topk in-window).  Queue
+# EMPTY: zero rotation debt after this round's gate.
+ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
     "pricing_summary": 1,
@@ -3514,6 +3517,8 @@ ROTATION_HISTORY: dict[str, int] = {
     "forecast_revenue_change": 7,
     "top_supplier": 7,
     "market_share": 7,
+    "funnel_steps": 7,
+    "cohort_retention": 7,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -3690,9 +3695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "important_stock": q_important_stock,
         "bm25_index_search": q_bm25_index_search,
         "forecast_revenue_change": q_forecast_revenue_change,
-        "multimodal_jpeg": q_multimodal_jpeg,
+        "funnel_steps": q_funnel_steps,
         "vocab_coverage": q_vocab_coverage,
-        "stream_curate": q_stream_curate,
+        "cohort_retention": q_cohort_retention,
         "winnow_fingerprints": q_winnow_fingerprints,
         "excess_stock_suppliers": q_excess_stock_suppliers,
         "winnow_against": q_winnow_against,
@@ -3730,8 +3735,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-8 window slot ----
-        "funnel_steps": q_funnel_steps,
-        "cohort_retention": q_cohort_retention,
+        "multimodal_jpeg": q_multimodal_jpeg,
+        "stream_curate": q_stream_curate,
         "profile_events": q_profile_events,
         "chunk_documents": q_chunk_documents,
         "mixture_weights": q_mixture_weights,

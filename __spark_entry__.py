@@ -756,6 +756,20 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping (pipeline/sampling.cap_per_group): at most 10
+    documents per source, selected by the deterministic salted-md5
+    hash rank — the C4/RefinedWeb guard against one domain dominating
+    the mix.  One group-keyed rank window; Spark 4's WindowGroupLimit
+    gives the rank <= k bound a map-side partial top-k."""
+    from xyzpy_spark.pipeline.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    return cap_per_group(docs, 10, by="source", key="doc_id")
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch conversion funnel over the events table
     (operators/temporal.funnel_counts): one user-keyed aggregation of
@@ -3430,8 +3444,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # roundtrips + the fused-LUT property tests) and stream_curate
 # (r4-r6 green; streaming keeps stream_follow_clicks,
 # stream_stateful_stats and stream_ann_topk in-window).  Queue
-# EMPTY: zero rotation debt after this round's gate.
-ROTATION_QUEUE: list[str] = []
+# EMPTY at the final r7 rotation; source_caps (domain capping, added
+# after it) queues for round 8.
+ROTATION_QUEUE: list[str] = [
+    "source_caps",
+]
 
 ROTATION_HISTORY: dict[str, int] = {
     "pricing_summary": 1,
@@ -3735,6 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-8 window slot ----
+        "source_caps": q_source_caps,
         "multimodal_jpeg": q_multimodal_jpeg,
         "stream_curate": q_stream_curate,
         "profile_events": q_profile_events,
@@ -6227,6 +6245,19 @@ def oracle_sql() -> dict[str, str]:
                              AND ps_supplycost_cents = mc
             ORDER BY s_acctbal DESC, n_name, s_name, cand.p_partkey
             LIMIT 100
+        """,
+        "source_caps": """
+            WITH ranked AS (
+                SELECT doc_id, source, lang,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY ('0x' || substr(
+                                         md5(doc_id::VARCHAR), 1, 8
+                                     ))::UBIGINT / 4294967296.0,
+                                    doc_id) AS r
+                FROM documents
+            )
+            SELECT doc_id, source, lang FROM ranked WHERE r <= 10
         """,
         "funnel_steps": """
             WITH firsts AS (

@@ -154,6 +154,7 @@ HEADLINE = [
     "market_share",
     "funnel_steps",
     "cohort_retention",
+    "source_caps",
 ]
 
 

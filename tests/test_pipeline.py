@@ -3301,3 +3301,43 @@ def test_incremental_probes_accept_string_ids(spark):
         new, midx, n=2, threshold=0.4, hash_fn="md5"
     ).collect()[0]
     assert got2["dup_of"] == "h-a" and got2["dup_kind"] == "exact"
+
+
+def test_cap_per_group_quota_semantics(spark):
+    """Domain capping: groups over the cap keep exactly max_rows
+    (deterministic salted-hash selection — same rows every run),
+    groups under it pass through untouched, and changing the salt
+    draws a different sample of the same size."""
+    from xyzpy_spark.pipeline.sampling import cap_per_group
+
+    rows = [(i, "big" if i < 47 else "small", f"t{i}") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    capped = cap_per_group(df, 5, by="source", key="doc_id")
+    got = capped.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts == {"big": 5, "small": 3}  # small is under the cap
+    a = sorted(r["doc_id"] for r in capped.collect())
+    b = sorted(r["doc_id"] for r in cap_per_group(
+        df, 5, by="source", key="doc_id").collect())
+    assert a == b  # deterministic
+    c = sorted(r["doc_id"] for r in cap_per_group(
+        df, 5, by="source", key="doc_id", salt="v2").collect())
+    assert len(c) == len(a) and c != a  # salted redraw
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        cap_per_group(df, 0)
+
+
+def test_cap_per_group_window_group_limit_plan(spark):
+    """The rank <= k bound must reach WindowGroupLimit (Spark 4's
+    map-side partial top-k per group) so a hot domain's rows never
+    all sort in one task."""
+    from xyzpy_spark.pipeline.sampling import cap_per_group
+    from xyzpy_spark.plans.inspect import executed_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    plan = executed_plan(cap_per_group(docs, 10))
+    assert "WindowGroupLimit" in plan

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 __all__ = [
+    "cap_per_group",
     "hash_unit",
     "hash_sample",
     "stratified_sample",
@@ -467,4 +468,41 @@ def vocab_coverage(
             ).alias("coverage"),
         )
         .orderBy("vocab_size")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    max_rows: int,
+    *,
+    by: str = "source",
+    key: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Per-group quota — domain capping, the C4/RefinedWeb-style
+    guard against one domain (source, site, crawl bucket) dominating
+    the training mix: keep at most ``max_rows`` rows per ``by``
+    group, selected by the deterministic :func:`hash_unit` rank
+    (salted md5 — engine-portable, so the selection has a bit-exact
+    SQL twin and is reproducible across runs and engines; change
+    ``salt`` to draw a different quota sample).
+
+    Plan shape: one rank window partitioned by the group — Spark 4's
+    WindowGroupLimit pushes the ``rank <= k`` bound into a map-side
+    partial top-k per group, so a group's rows never all sort in one
+    task's memory; ties are impossible (the hash rank is tiebroken by
+    the unique ``key``).  Groups already under the cap pass through
+    untouched.  At 100 TB the one shuffle is keyed by the group
+    column; a pathologically hot group is exactly what the map-side
+    partial limit bounds.
+    """
+    if max_rows < 1:
+        raise ValueError("cap_per_group: max_rows must be >= 1")
+    w = Window.partitionBy(by).orderBy(
+        hash_unit(F.col(key), salt), F.col(key)
+    )
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= int(max_rows))
+        .drop("__r")
     )

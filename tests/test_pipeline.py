@@ -3341,3 +3341,25 @@ def test_cap_per_group_window_group_limit_plan(spark):
     )
     plan = executed_plan(cap_per_group(docs, 10))
     assert "WindowGroupLimit" in plan
+
+
+def test_cap_per_group_order_col_keeps_best(spark):
+    """order_col= keeps the TOP max_rows per group by the score
+    (quality capping) instead of a random hash sample; ascending mode
+    keeps the lowest."""
+    from xyzpy_spark.pipeline.sampling import cap_per_group
+
+    rows = [(i, "s", float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, q double")
+    top = sorted(
+        r["doc_id"]
+        for r in cap_per_group(df, 3, order_col="q").collect()
+    )
+    assert top == [7, 8, 9]
+    low = sorted(
+        r["doc_id"]
+        for r in cap_per_group(
+            df, 3, order_col="q", descending=False
+        ).collect()
+    )
+    assert low == [0, 1, 2]

@@ -478,6 +478,8 @@ def cap_per_group(
     by: str = "source",
     key: str = "doc_id",
     salt: str = "",
+    order_col: str | None = None,
+    descending: bool = True,
 ) -> DataFrame:
     """Per-group quota — domain capping, the C4/RefinedWeb-style
     guard against one domain (source, site, crawl bucket) dominating
@@ -485,7 +487,11 @@ def cap_per_group(
     group, selected by the deterministic :func:`hash_unit` rank
     (salted md5 — engine-portable, so the selection has a bit-exact
     SQL twin and is reproducible across runs and engines; change
-    ``salt`` to draw a different quota sample).
+    ``salt`` to draw a different quota sample).  Pass ``order_col``
+    to keep the BEST rows per group instead of a random sample
+    (e.g. ``order_col='quality'``: top-``max_rows`` by quality score,
+    ``descending`` by default, ties broken by ``key``) — the
+    quality-capped variant of the same quota.
 
     Plan shape: one rank window partitioned by the group — Spark 4's
     WindowGroupLimit pushes the ``rank <= k`` bound into a map-side
@@ -498,9 +504,14 @@ def cap_per_group(
     """
     if max_rows < 1:
         raise ValueError("cap_per_group: max_rows must be >= 1")
-    w = Window.partitionBy(by).orderBy(
-        hash_unit(F.col(key), salt), F.col(key)
-    )
+    if order_col is not None:
+        lead = (
+            F.col(order_col).desc() if descending
+            else F.col(order_col).asc()
+        )
+    else:
+        lead = hash_unit(F.col(key), salt)
+    w = Window.partitionBy(by).orderBy(lead, F.col(key))
     return (
         df.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= int(max_rows))

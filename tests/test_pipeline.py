@@ -3363,3 +3363,38 @@ def test_cap_per_group_order_col_keeps_best(spark):
         ).collect()
     )
     assert low == [0, 1, 2]
+
+
+def test_cap_per_group_guards(spark):
+    """Mode-conflict params raise eagerly; a NULL key raises IN the
+    job (partition-order-dependent selection must never run)."""
+    from xyzpy_spark.pipeline.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(1, "s", 1.0), (None, "s", 2.0)],
+        "doc_id long, source string, q double",
+    )
+    with pytest.raises(ValueError, match="salt"):
+        cap_per_group(df, 1, order_col="q", salt="v2")
+    with pytest.raises(ValueError, match="descending"):
+        cap_per_group(df, 1, descending=False)
+    with pytest.raises(Exception, match="contains NULLs"):
+        cap_per_group(df, 1).collect()
+
+
+def test_funnel_within_validation(spark):
+    """Malformed / negative / quote-bearing within= strings raise an
+    eager ValueError at the call site, not a ParseException at
+    action time."""
+    from xyzpy_spark.operators.temporal import funnel_counts
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "view")],
+        "user_id long, ts_s string, event_type string",
+    ).select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts"),
+        "event_type",
+    )
+    for bad in ("one week", "-1 day", "7' days"):
+        with pytest.raises(ValueError, match="INTERVAL"):
+            funnel_counts(ev, ["view"], within=bad)

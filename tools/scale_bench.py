@@ -147,6 +147,7 @@ HEAVY = [
     "market_share",
     "funnel_steps",
     "cohort_retention",
+    "source_caps",
 ]
 
 REP = "_rep"

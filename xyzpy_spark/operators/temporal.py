@@ -318,11 +318,24 @@ def funnel_counts(
             for i, s in enumerate(steps)
         ]
     )
-    deadline = (
-        F.col("__t0") + F.expr(f"INTERVAL '{within}'")
-        if within is not None
-        else None
-    )
+    deadline = None
+    if within is not None:
+        w = str(within).strip()
+        # eager validation at the call site (the module's contract):
+        # a malformed interval would otherwise surface as an opaque
+        # ParseException deep inside a later action, and a negative
+        # one silently empties the funnel beyond step 1
+        if "'" in w or w.startswith("-"):
+            raise ValueError(
+                f"within must be a positive INTERVAL string, got {within!r}"
+            )
+        try:
+            events.sparkSession.sql(f"SELECT INTERVAL '{w}'")
+        except Exception as exc:
+            raise ValueError(
+                f"within is not a valid INTERVAL string: {within!r}"
+            ) from exc
+        deadline = F.col("__t0") + F.expr(f"INTERVAL '{w}'")
     reached = F.col("__t0").isNotNull()
     flags = [reached]
     for i in range(1, len(steps)):

@@ -491,19 +491,45 @@ def cap_per_group(
     to keep the BEST rows per group instead of a random sample
     (e.g. ``order_col='quality'``: top-``max_rows`` by quality score,
     ``descending`` by default, ties broken by ``key``) — the
-    quality-capped variant of the same quota.
+    quality-capped variant of the same quota.  ``key`` must be
+    UNIQUE and non-null (NULLs raise in-job; duplicate keys tie on
+    both sort columns, making the surviving row partition-order
+    dependent — dedup first).
 
     Plan shape: one rank window partitioned by the group — Spark 4's
     WindowGroupLimit pushes the ``rank <= k`` bound into a map-side
     partial top-k per group, so a group's rows never all sort in one
     task's memory; ties are impossible (the hash rank is tiebroken by
-    the unique ``key``).  Groups already under the cap pass through
+    the unique non-null ``key`` (enforced in-job for NULLs)).  Groups already under the cap pass through
     untouched.  At 100 TB the one shuffle is keyed by the group
     column; a pathologically hot group is exactly what the map-side
     partial limit bounds.
     """
     if max_rows < 1:
         raise ValueError("cap_per_group: max_rows must be >= 1")
+    if order_col is not None and salt:
+        raise ValueError(
+            "cap_per_group: salt= only applies to the hash-rank mode "
+            "— it would silently do nothing with order_col="
+        )
+    if order_col is None and not descending:
+        raise ValueError(
+            "cap_per_group: descending= only applies to order_col= "
+            "— it would silently do nothing in hash-rank mode"
+        )
+    # the unique-key contract enforced IN the job (the merge-conflict
+    # discipline): a NULL key hashes to one sentinel and ties on both
+    # sort columns, making the surviving row partition-order dependent
+    checked_key = F.when(
+        F.col(key).isNull(),
+        F.raise_error(
+            F.lit(
+                "cap_per_group: key column contains NULLs — the "
+                "selection would be nondeterministic (ties on both "
+                "sort columns); supply a unique non-null key"
+            )
+        ),
+    ).otherwise(F.col(key))
     if order_col is not None:
         lead = (
             F.col(order_col).desc() if descending
@@ -511,7 +537,7 @@ def cap_per_group(
         )
     else:
         lead = hash_unit(F.col(key), salt)
-    w = Window.partitionBy(by).orderBy(lead, F.col(key))
+    w = Window.partitionBy(by).orderBy(lead, checked_key)
     return (
         df.withColumn("__r", F.row_number().over(w))
         .where(F.col("__r") <= int(max_rows))

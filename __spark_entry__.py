@@ -3444,11 +3444,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # roundtrips + the fused-LUT property tests) and stream_curate
 # (r4-r6 green; streaming keeps stream_follow_clicks,
 # stream_stateful_stats and stream_ann_topk in-window).  Queue
-# EMPTY at the final r7 rotation; source_caps (domain capping, added
-# after it) queues for round 8.
-ROTATION_QUEUE: list[str] = [
-    "source_caps",
-]
+# LAST r7 rotation: source_caps (domain capping, strict-green at
+# sf0.01 AND sf0.001) entered the window displacing
+# discounted_revenue (Q19; r5+r6 green — the relational family keeps
+# 12+ in-window reps, and source_caps gives the sampling family an
+# in-window rep).  Queue EMPTY: zero rotation debt.
+ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
     "pricing_summary": 1,
@@ -3536,6 +3537,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "market_share": 7,
     "funnel_steps": 7,
     "cohort_retention": 7,
+    "source_caps": 7,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -3746,13 +3748,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
         "shipmode_priority": q_shipmode_priority,
-        "discounted_revenue": q_discounted_revenue,
+        "source_caps": q_source_caps,
         "stream_stateful_stats": q_stream_stateful_stats,
         "langid_trained": q_langid_trained,
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-8 window slot ----
-        "source_caps": q_source_caps,
+        "discounted_revenue": q_discounted_revenue,
         "multimodal_jpeg": q_multimodal_jpeg,
         "stream_curate": q_stream_curate,
         "profile_events": q_profile_events,

@@ -882,3 +882,52 @@ def test_bm25_stream_search_matches_batch(spark, tmp_path):
         for r in bm25_against_index(queries, index, top_k=5).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_lm_stream_score_matches_batch(spark, tmp_path):
+    """Streaming LM perplexity: a document stream scored per
+    micro-batch against the saved n-gram LM must produce exactly the
+    batch score_ngram_nll rows (one code path), through the
+    epoch-idempotent sink — the serve side of the CCNet signal."""
+    from xyzpy_spark.pipeline.lm import (
+        load_lm,
+        save_lm,
+        score_ngram_nll,
+        train_ngram_lm,
+    )
+    from xyzpy_spark.streaming.ops import (
+        lm_stream_score,
+        read_documents_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    lm_path = str(tmp_path / "lm")
+    save_lm(*train_ngram_lm(ref, 2), lm_path, n=2)
+    contexts, ngrams, vocab, n = load_lm(spark, lm_path)
+
+    out = str(tmp_path / "nll")
+    lm_stream_score(
+        read_documents_stream(spark, sf),
+        contexts,
+        ngrams,
+        vocab,
+        out,
+        n=n,
+    )
+    got = sorted(
+        (r["doc_id"], r["n_bigrams"], r["nll"])
+        for r in spark.read.parquet(out).select(
+            "doc_id", "n_bigrams", "nll"
+        ).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_bigrams"], r["nll"])
+        for r in score_ngram_nll(
+            docs, contexts, ngrams, vocab, n=n
+        ).collect()
+    )
+    assert got == want and len(got) > 0

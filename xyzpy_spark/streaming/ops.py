@@ -614,6 +614,45 @@ def bm25_stream_search(
     )
 
 
+def lm_stream_score(
+    doc_stream: DataFrame,
+    contexts: DataFrame,
+    ngrams: DataFrame,
+    vocab_size: int,
+    out_path: str,
+    *,
+    checkpoint: str | None = None,
+    timeout: int = 300,
+    **score_kwargs,
+) -> None:
+    """Streaming LM perplexity: score each arriving micro-batch of
+    documents against a SAVED n-gram LM (``save_lm``/``load_lm``
+    artifacts) and write per-doc ``(id, n_bigrams, nll)`` — the serve
+    side of the CCNet quality signal: train the LM once on the
+    reference corpus, score ingest forever.
+
+    foreachBatch architecture (the per-doc NLL mean is a
+    ``groupBy(doc)`` over exploded n-grams — doc ids are not time,
+    so append mode rejects it), running the EXACT batch operator
+    :func:`~xyzpy_spark.pipeline.lm.score_ngram_nll` per micro-batch
+    (LM tables broadcast; the stream side never shuffles its text)
+    through the shared epoch-idempotent sink.  ``score_kwargs`` pass
+    through (``n``/``add_k`` must match the LM build).
+    """
+    from ..pipeline.lm import score_ngram_nll
+
+    _run_batch_probe_stream(
+        doc_stream,
+        lambda batch_df: score_ngram_nll(
+            batch_df, contexts, ngrams, vocab_size, **score_kwargs
+        ),
+        out_path,
+        checkpoint=checkpoint,
+        timeout=timeout,
+        what="lm_stream_score",
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table as a file-source stream — the ingest shape
     of a continuously-crawled corpus (schema probed batch-side; file

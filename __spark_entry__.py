@@ -5453,7 +5453,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sweep_vectorized": """
             SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
-                   ROUND(a * 1.5 + b * b, 6) AS y
+                   CAST(ROUND(a * 1.5 + b * b, 6) AS DOUBLE) AS y
             FROM range(0, 200) ta(a), range(0, 200) tb(b)
         """,
         "sweep_vectorized_dims": """
@@ -6346,7 +6346,8 @@ def oracle_sql() -> dict[str, str]:
         "large_volume_customers": """
             WITH big AS (
                 SELECT l_orderkey,
-                       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+                       CAST(SUM(CAST(l_quantity AS BIGINT))
+                            AS BIGINT) AS sum_qty
                 FROM lineitem GROUP BY 1
                 HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
             )
@@ -6392,7 +6393,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM cu WHERE cents > 0
             )
             SELECT cu.cntrycode, COUNT(*) AS numcust,
-                   SUM(cu.cents) AS totacctbal_cents
+                   CAST(SUM(cu.cents) AS BIGINT) AS totacctbal_cents
             FROM cu, stats
             WHERE cu.cents * stats.n_pos > stats.sum_pos
               AND NOT EXISTS (
@@ -6643,9 +6644,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE rank <= 3
         """,
         "forecast_revenue_change": """
-            SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                       * CAST(ROUND(l_discount * 100) AS BIGINT))
-                       AS revenue_e4,
+            SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                            * CAST(ROUND(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_e4,
                    COUNT(*) AS n_items
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
@@ -6656,10 +6657,11 @@ def oracle_sql() -> dict[str, str]:
         "top_supplier": """
             WITH rev AS (
                 SELECT l_suppkey,
-                       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
-                           * (100 - CAST(ROUND(l_discount * 100)
-                                         AS BIGINT)))
-                           AS total_revenue_e4
+                       CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                     AS BIGINT)
+                                * (100 - CAST(ROUND(l_discount * 100)
+                                              AS BIGINT)))
+                            AS BIGINT) AS total_revenue_e4
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
                   AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -6689,9 +6691,9 @@ def oracle_sql() -> dict[str, str]:
                   AND o.o_orderdate < TIMESTAMP '1998-01-01'
             )
             SELECT CAST(o_year AS INTEGER) AS o_year,
-                   SUM(CASE WHEN ours THEN v ELSE 0 END)
-                       AS nation_volume_e4,
-                   SUM(v) AS total_volume_e4,
+                   CAST(SUM(CASE WHEN ours THEN v ELSE 0 END)
+                        AS BIGINT) AS nation_volume_e4,
+                   CAST(SUM(v) AS BIGINT) AS total_volume_e4,
                    ROUND(CAST(SUM(CASE WHEN ours THEN v ELSE 0 END)
                               AS DOUBLE) / SUM(v), 6) AS mkt_share
             FROM vol GROUP BY 1

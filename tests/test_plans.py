@@ -6,6 +6,8 @@ grid builds, filter pushdown + column pruning reaching the parquet
 scans, broadcast joins for small dimension tables.
 """
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -723,6 +725,44 @@ def test_rotation_discipline():
         k for k, r in hist.items() if r == entrymod.ROTATION_ROUND
     }
     assert newcomers <= window, sorted(newcomers - window)
+
+
+def test_oracle_output_types_driver_safe():
+    """Round-7 failure class, made a compile-time error (r7 verdict ask
+    #2): the driver's value hash is TYPE-sensitive, so an oracle whose
+    DuckDB output schema contains HUGEINT (uncast SUM(BIGINT)),
+    unsigned ints, or DECIMAL hashes red even when values are
+    bit-exact.  Audit every registered oracle's planned result types —
+    binding only, no execution — and fail on any banned type, nested
+    types included.  The same audit runs inside
+    tools/check_correctness.py before any value comparison."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from tools.check_correctness import audit_oracle_types
+
+    con = duckdb.connect()
+    for t in entrymod.TABLES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    offenders = {}
+    for name, sql in entrymod.oracle_sql().items():
+        bad = audit_oracle_types(con, sql)
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles with driver-hash-unsafe output types (wrap in "
+        f"CAST(... AS BIGINT/DOUBLE)): {offenders}"
+    )
+    # the audit itself must catch the r7 regression shape: an uncast
+    # SUM over a BIGINT expression types HUGEINT and must be flagged
+    seeded = audit_oracle_types(
+        con, "SELECT SUM(CAST(l_quantity AS BIGINT)) AS s FROM lineitem"
+    )
+    assert seeded and "HUGEINT" in seeded[0][1], seeded
 
 
 def test_winnow_index_probe_never_shuffle_joins(spark):

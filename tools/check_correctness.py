@@ -29,6 +29,30 @@ import __spark_entry__ as entrymod
 from xyzpy_spark.session import get_spark
 
 
+#: DuckDB result types the driver's type-sensitive value hash cannot
+#: canonicalize against Spark's (int128s, unsigned ints, decimals).  An
+#: oracle whose output schema contains any of these is a FAIL *before*
+#: value comparison — round 7 proved bit-exact values still hash red
+#: when the oracle types SUM(BIGINT) as HUGEINT.
+import re
+
+_BANNED_ORACLE_TYPES = re.compile(
+    r"\b(HUGEINT|UHUGEINT|UBIGINT|UINTEGER|USMALLINT|UTINYINT|DECIMAL)\b"
+)
+
+
+def audit_oracle_types(con, sql):
+    """Return [(column, type)] oracle output columns whose DuckDB type
+    the driver's hash cannot match (HUGEINT/unsigned/DECIMAL, incl.
+    nested inside LIST/STRUCT).  Empty list = clean."""
+    rel = con.sql(sql)
+    return [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if _BANNED_ORACLE_TYPES.search(str(t))
+    ]
+
+
 def canon(v):
     if v is None:
         return None
@@ -101,6 +125,7 @@ def main() -> int:
             n_weak += 1
             continue
         try:
+            bad_types = audit_oracle_types(con, oracles[name])
             res = con.execute(oracles[name])
             ocols = [d[0] for d in res.description]
             orows = res.fetchall()
@@ -109,6 +134,11 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        if bad_types:
+            problems.append(
+                "oracle output types the driver hash rejects "
+                f"(CAST them): {bad_types}"
+            )
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} vs {len(orows)}")
         if sorted(scols) != sorted(ocols):

@@ -44,6 +44,19 @@ def _ship(spark: SparkSession) -> None:
     ensure_package_shipped(spark)
 
 
+def _finish_local(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Materialize a SMALL final result as a local DataFrame.
+
+    Queries that persist a scratch table (a saved-index stand-in) or
+    write to a temp dir can't release it while the returned plan still
+    references it — the caller collects later.  So: run the plan NOW,
+    hand back the rows as a local DataFrame, and let the caller's
+    try/finally unpersist/rmtree immediately.  Only for results bounded
+    by construction (top-k, 1-row aggregates) — never fact-sized data."""
+    rows = df.collect()
+    return spark.createDataFrame(rows, df.schema)
+
+
 def _dec_sum(col: str, alias: str) -> F.Column:
     """Order-independent sum: exact decimal accumulation -> double."""
     return (
@@ -679,17 +692,21 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(cents * (100 - disc)).alias("total_revenue_e4"))
         .persist()
     )
-    mx = rev.agg(F.max("total_revenue_e4").alias("__mx"))
-    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return (
-        rev.crossJoin(F.broadcast(mx))
-        .where(F.col("total_revenue_e4") == F.col("__mx"))
-        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .select(
-            "s_suppkey", "s_name",
-            F.col("total_revenue_e4"),
+    try:
+        mx = rev.agg(F.max("total_revenue_e4").alias("__mx"))
+        supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+        return _finish_local(
+            spark,
+            rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total_revenue_e4") == F.col("__mx"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select(
+                "s_suppkey", "s_name",
+                F.col("total_revenue_e4"),
+            ),
         )
-    )
+    finally:
+        rev.unpersist()
 
 
 def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -808,15 +825,20 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     # production reads the index as a SAVED table; persist models that
     index = build_bm25_index(docs).persist()
-    queries = spark.createDataFrame(
-        [
-            (1, ["spark", "shuffle"]),
-            (2, ["join", "hash", "scan"]),
-            (3, ["window", "stream"]),
-        ],
-        "query_id long, terms array<string>",
-    )
-    return bm25_against_index(queries, index, top_k=10)
+    try:
+        queries = spark.createDataFrame(
+            [
+                (1, ["spark", "shuffle"]),
+                (2, ["join", "hash", "scan"]),
+                (3, ["window", "stream"]),
+            ],
+            "query_id long, terms array<string>",
+        )
+        return _finish_local(
+            spark, bm25_against_index(queries, index, top_k=10)
+        )
+    finally:
+        index.unpersist()
 
 
 def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -837,19 +859,30 @@ def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    out = tempfile.mkdtemp(prefix="xyzpy_gate_ann_") + "/matches"
-    ann_stream_topk(
-        read_embeddings_stream(spark, sf_dir).where(F.col("vec_id") < 5),
-        emb,
-        [],  # centroids unused: the portable search derives its own
-        out,
-        search=lambda batch: ivf_topk_portable(
-            emb, batch, k=5, n_cells=8, nprobe=4
-        ),
-    )
-    return spark.read.parquet(out).select(
-        "query_id", "nbr_id", "rank", "cosine"
-    )
+    tmp = tempfile.mkdtemp(prefix="xyzpy_gate_ann_")
+    try:
+        out = tmp + "/matches"
+        ann_stream_topk(
+            read_embeddings_stream(spark, sf_dir).where(
+                F.col("vec_id") < 5
+            ),
+            emb,
+            [],  # centroids unused: the portable search derives its own
+            out,
+            search=lambda batch: ivf_topk_portable(
+                emb, batch, k=5, n_cells=8, nprobe=4
+            ),
+        )
+        return _finish_local(
+            spark,
+            spark.read.parquet(out).select(
+                "query_id", "nbr_id", "rank", "cosine"
+            ),
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1093,9 +1126,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in production the index is a SAVED table (built once, probed per
     # ingest); persist models that materialization for the inline build
     index = build_dedup_index(corpus, n=2, hash_fn="md5").persist()
-    return dedup_against_index(
-        batch, index, n=2, threshold=0.4, hash_fn="md5"
-    )
+    try:
+        return _finish_local(
+            spark,
+            dedup_against_index(
+                batch, index, n=2, threshold=0.4, hash_fn="md5"
+            ),
+        )
+    finally:
+        index.unpersist()
 
 
 def prestage_dedup_incremental(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -2817,10 +2856,16 @@ def q_winnow_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, k=6, w=5, max_fp_freq=50, hash_fn="md5"
     )
     index = index.persist()
-    return winnow_against_index(
-        batch, index, dropped=dropped, k=6, w=5, max_fp_freq=50,
-        threshold=0.2, hash_fn="md5",
-    )
+    try:
+        return _finish_local(
+            spark,
+            winnow_against_index(
+                batch, index, dropped=dropped, k=6, w=5, max_fp_freq=50,
+                threshold=0.2, hash_fn="md5",
+            ),
+        )
+    finally:
+        index.unpersist()
 
 
 def prestage_winnow_against(

@@ -3236,6 +3236,50 @@ def test_ivf_pq_residual_codes_reconstruct_better(spark):
     assert res_mse < raw_mse, (res_mse, raw_mse)
 
 
+def test_pq_mode_stamp_validated(spark, tmp_path):
+    """Coding-mode guard (r7 ADVICE): pq_build stamps pq_mode='raw'
+    and ivf_pq_build stamps 'residual' in the codes column METADATA;
+    a search run under the wrong reconstruction raises by name instead
+    of silently returning degraded approximate scores.  The stamp must
+    survive a parquet save/load — the saved-index production path."""
+    from xyzpy_spark.pipeline.similarity import (
+        ivf_pq_build,
+        ivf_pq_topk,
+        pq_build,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 3)
+
+    coded_res, cents, cbs = ivf_pq_build(emb, n_cells=4, m=8, ksub=8)
+    # residual index searched as raw -> raise
+    with pytest.raises(ValueError, match="pq_mode"):
+        ivf_pq_topk(coded_res, cents, cbs, queries, k=3, residual=False)
+    with pytest.raises(ValueError, match="pq_mode"):
+        pq_topk(coded_res, cbs, queries, k=3)
+    # raw corpus searched as residual -> raise
+    from xyzpy_spark.pipeline.similarity import ivf_build
+
+    assigned, cents_raw = ivf_build(emb, n_cells=4)
+    coded_raw, cbs_raw = pq_build(assigned, m=8, ksub=8)
+    with pytest.raises(ValueError, match="pq_mode"):
+        ivf_pq_topk(
+            coded_raw, cents_raw, cbs_raw, queries, k=3, residual=True
+        )
+    # matched modes search fine, and the stamp survives parquet
+    p = str(tmp_path / "pq_index")
+    coded_res.write.parquet(p)
+    reloaded = spark.read.parquet(p)
+    assert (
+        dict(reloaded.schema["codes"].metadata)["pq_mode"] == "residual"
+    )
+    got = ivf_pq_topk(
+        reloaded, cents, cbs, queries, k=3, residual=True
+    )
+    assert got.count() > 0
+
+
 def test_winnow_index_capped_probe_requires_dropped(spark):
     """Probing a max_fp_freq-built index WITHOUT its dropped table
     silently deflates every Jaccard (the batch keeps boilerplate the

@@ -460,7 +460,11 @@ def test_jpeg_super_lut_equals_two_step(seed, is_ac):
     two-step code-then-magnitude read for every window of a random
     JPEG-shaped table — the contract the decode hot loop rides.
     Windows whose code+magnitude exceed 16 bits must be flagged -2
-    (fallback), never mis-fused; invalid windows must stay -1."""
+    (fallback), never mis-fused; invalid windows must stay -1.  Sizes
+    12-15 (byte-valid but hostile — no baseline encoder emits them)
+    must ALSO be -2: their extended value underflows the value+2048
+    packing bias, so fusing them would emit a negative non-sentinel
+    (r7 ADVICE — the sentinel space stays explicit)."""
     from xyzpy_spark.pipeline.jpeg import (
         _canonical_codes,
         _decode_lut_np,
@@ -469,16 +473,17 @@ def test_jpeg_super_lut_equals_two_step(seed, is_ac):
 
     rng = np.random.default_rng(seed)
     if is_ac:
-        # JPEG-shaped AC symbols: (run << 4) | size, size 0-10
+        # JPEG-shaped AC symbols (run << 4) | size, PLUS hostile
+        # size-12..15 entries that must route to the -2 sentinel
         syms = [0x00, 0xF0] + [
             (int(r) << 4) | int(s)
             for r, s in zip(
-                rng.integers(0, 16, size=20),
-                rng.integers(1, 11, size=20),
+                rng.integers(0, 16, size=24),
+                rng.integers(1, 16, size=24),
             )
         ]
     else:
-        syms = list(range(12))  # DC sizes 0..11
+        syms = list(range(16))  # DC sizes 0..15 (12+ hostile)
     syms = list(dict.fromkeys(syms))
     lengths = sorted(int(rng.integers(2, 13)) for _ in syms)
     while sum(2.0 ** -l for l in lengths) > 1.0:
@@ -501,7 +506,7 @@ def test_jpeg_super_lut_equals_two_step(seed, is_ac):
             continue
         clen, sym = entry >> 8, entry & 0xFF
         size = (sym & 0xF) if is_ac else sym
-        if clen + size > 16:
+        if clen + size > 16 or size > 11:
             assert e == -2
             continue
         assert e > 0

@@ -237,7 +237,11 @@ def _super_lut(lut_np, is_ac: bool):
         0,
     )
     packed = ((val + 2048) << 16) | (total << 11) | (size << 6) | dk
-    packed = np.where(total > 16, -2, packed)
+    # size > 11 would underflow the value+2048 bias (|val| can reach
+    # 2^size - 1 = 4095 at size 12), making packed a negative
+    # non-sentinel — route those to the explicit two-step sentinel so
+    # "-2 = take the fallback read" stays the ONLY negative besides -1
+    packed = np.where((total > 16) | (size > 11), -2, packed)
     packed = np.where(lut_np == 0, -1, packed)
     return packed.tolist()
 

@@ -513,8 +513,31 @@ def pq_build(
             for j in range(m)
         ]
 
-    coded = corpus.withColumn("codes", _pq_encode_expr(codebooks, vec_col))
+    coded = corpus.withColumn(
+        "codes", _pq_encode_expr(codebooks, vec_col)
+    ).withMetadata("codes", {"pq_mode": "raw"})
     return coded, codebooks
+
+
+def _check_pq_mode(corpus: DataFrame, expected: str, caller: str) -> None:
+    """Coding-mode guard: :func:`pq_build` stamps ``pq_mode='raw'`` and
+    :func:`ivf_pq_build` stamps ``pq_mode='residual'`` in the ``codes``
+    column METADATA (rides the schema, survives a parquet save/load of
+    the index, costs the scan nothing).  Scoring codes under the wrong
+    reconstruction silently degrades the shortlist — so a stamped
+    corpus whose mode disagrees with the search raises here;
+    pre-stamp corpora pass through unchecked."""
+    if "codes" not in corpus.columns:
+        return
+    stamped = dict(corpus.schema["codes"].metadata or {}).get("pq_mode")
+    if stamped is not None and stamped != expected:
+        raise ValueError(
+            f"{caller}: corpus codes were built in pq_mode="
+            f"'{stamped}' but this search scores them as "
+            f"'{expected}' — pass residual={stamped == 'residual'} "
+            "(raw codes come from pq_build, residual codes from "
+            "ivf_pq_build)"
+        )
 
 
 def _pq_query_lut(codebooks: list, qv: F.Column, dsub: int) -> F.Column:
@@ -577,6 +600,7 @@ def pq_topk(
     Compose with IVF by passing a cell-filtered
     ``corpus_with_codes`` — the plan shape is unchanged.
     """
+    _check_pq_mode(corpus_with_codes, "raw", "pq_topk")
     query_id_col = query_id_col or id_col
     dsub = len(codebooks[0][0])
     qv = F.col(vec_col).cast("array<double>")
@@ -707,7 +731,13 @@ def ivf_pq_build(
         staged, m=m, ksub=ksub, kmeans_iters=kmeans_iters,
         id_col=id_col, vec_col="__resid", sample_seed=sample_seed,
     )
-    return coded.drop("__resid"), centroids, codebooks
+    return (
+        coded.drop("__resid").withMetadata(
+            "codes", {"pq_mode": "residual"}
+        ),
+        centroids,
+        codebooks,
+    )
 
 
 def ivf_pq_topk(
@@ -755,6 +785,11 @@ def ivf_pq_topk(
     ~n·nprobe/n_cells CODE rows (8-16x smaller) and only
     shortlist·n_queries full vectors.
     """
+    _check_pq_mode(
+        corpus_with_cells_codes,
+        "residual" if residual else "raw",
+        "ivf_pq_topk",
+    )
     query_id_col = query_id_col or id_col
     dsub = len(codebooks[0][0])
     qv = F.col(vec_col).cast("array<double>")

@@ -1589,6 +1589,52 @@ def q_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_bigram_nll(rest, unigrams, bigrams, vocab)
 
 
+def q_lm_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LM perplexity through the REAL engine: the LM is
+    trained on the doc_id%10==0 reference split and SAVED
+    (pipeline/lm.save_lm — the production artifact), then the other
+    90% arrives as a document stream and each micro-batch runs the
+    EXACT batch scorer score_ngram_nll against the loaded artifact via
+    foreachBatch with the epoch-idempotent sink
+    (streaming/ops.lm_stream_score).  Hash-matches the SAME DuckDB
+    twin as lm_nll: one oracle, two engine paths — the
+    stream_ann_topk/bm25_index_search serving pattern, completing the
+    index-and-serve seam for the LM family (r7 verdict ask #3)."""
+    import shutil
+    import tempfile
+
+    from xyzpy_spark.pipeline.lm import load_lm, save_lm, train_ngram_lm
+    from xyzpy_spark.streaming.ops import (
+        lm_stream_score,
+        read_documents_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    tmp = tempfile.mkdtemp(prefix="xyzpy_gate_lm_")
+    try:
+        lm_path = tmp + "/lm"
+        save_lm(*train_ngram_lm(ref, 2), lm_path, n=2)
+        contexts, ngrams, vocab, n = load_lm(spark, lm_path)
+        out = tmp + "/nll"
+        lm_stream_score(
+            read_documents_stream(spark, sf_dir).where(
+                F.col("doc_id") % 10 != 0
+            ),
+            contexts,
+            ngrams,
+            vocab,
+            out,
+            n=n,
+        )
+        return _finish_local(
+            spark,
+            spark.read.parquet(out).select("doc_id", "n_bigrams", "nll"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail: per-language LM-score ntile(3)
     (pipeline/lm.ccnet_buckets)."""
@@ -3139,6 +3185,65 @@ def q_langid_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang_pred", "margin")
 
 
+def _langid_prod_rows() -> list[tuple[str, int, float]]:
+    """Production-SHAPED 28-language x 4096-bucket model: 114,688
+    weights — 14x the 8k map-literal bound, the size class the packed
+    binary encoding exists for (pipeline/text._pack_fixed_point).
+    Weights live on an exact 3-decimal lattice from a closed-form
+    integer formula, so the DuckDB twin regenerates the model with
+    range() arithmetic instead of a 114k-row VALUES literal, and the
+    fixed-point pack is bit-exact at scale 3 by construction."""
+    return [
+        (
+            f"l{li:02d}",
+            b,
+            ((b * 37 + li * 101 + 7) % 2001 - 1000) / 1000.0,
+        )
+        for li in range(28)
+        for b in range(4096)
+    ]
+
+
+_LANGID_PROD_INTERCEPTS = {
+    f"l{li:02d}": ((li * 13) % 21 - 10) / 10.0 for li in range(28)
+}
+
+
+def q_langid_rowwise_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PACKED binary-literal serving path under the driver hash
+    (r7 verdict ask #4): a production-size 28-language x 4096-bucket
+    model (114,688 weights — far above the map-literal bound) scores
+    row-wise via 28 dense fixed-point blobs, ONE plan node each,
+    O(1) byte-slice decode inside the fold
+    (pipeline/text.score_langid_rowwise, encoding='packed').  The
+    closed-form weight lattice gives the oracle an exact range()-
+    generated twin; margins floor-canon at 6dp before the argmax."""
+    from xyzpy_spark.pipeline.text import score_langid_rowwise
+
+    weights = spark.createDataFrame(
+        [
+            (lang, b, w, 4096, 3, "md5")
+            for lang, b, w in _langid_prod_rows()
+        ],
+        "lang string, bucket long, weight double, "
+        "n_buckets long, ngram int, hash_fn string",
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+        .repartition(32)  # single-row-group scan artifact, as above
+    )
+    return score_langid_rowwise(
+        docs,
+        weights,
+        _LANGID_PROD_INTERCEPTS,
+        round_places=6,
+        margin_col="margin",
+        encoding="packed",
+    ).select("doc_id", "lang_pred", "margin")
+
+
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video modality end to end: deterministic clips (the repo's
     XYZV container — length-prefixed binary-PPM frames) are
@@ -3494,6 +3599,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # discounted_revenue (Q19; r5+r6 green — the relational family keeps
 # 12+ in-window reps, and source_caps gives the sampling family an
 # in-window rep).  Queue EMPTY: zero rotation debt.
+# ROUND 8 rotated the two same-round additions into the window
+# (lm_stream_score — streaming perplexity against the saved-LM
+# artifact, SAME oracle as lm_nll, closing the last serve seam
+# without its own gate row (r7 verdict ask #3); langid_rowwise_packed
+# — the packed binary-literal decode path under the driver hash with
+# a production-size 28x4096 model (r7 verdict ask #4); both
+# strict-green locally at sf0.01 AND sf0.001 AND past the new DuckDB
+# result-type audit), displacing two multi-round-green veterans
+# (shipping_priority r5-r7, local_supplier_volume r5-r7 — the
+# relational family keeps 14+ in-window reps including all five
+# re-cast r7 TPC-H shapes, which stay IN-window per r7 verdict ask #1
+# until re-hashed green).  Queue EMPTY: zero rotation debt.
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -3583,6 +3700,8 @@ ROTATION_HISTORY: dict[str, int] = {
     "funnel_steps": 7,
     "cohort_retention": 7,
     "source_caps": 7,
+    "lm_stream_score": 8,
+    "langid_rowwise_packed": 8,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -3637,7 +3756,7 @@ ROTATION_HISTORY: dict[str, int] = {
 }
 
 # The round whose driver window is currently frozen in queries() order.
-ROTATION_ROUND = 7
+ROTATION_ROUND = 8
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3781,8 +3900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_contamination": q_bloom_contamination,
         "market_share": q_market_share,
         "idle_customers": q_idle_customers,
-        "shipping_priority": q_shipping_priority,
-        "local_supplier_volume": q_local_supplier_volume,
+        "lm_stream_score": q_lm_stream_score,
+        "langid_rowwise_packed": q_langid_rowwise_packed,
         "small_quantity_revenue": q_small_quantity_revenue,
         "strip_dup_lines": q_strip_dup_lines,
         "resample_audio": q_resample_audio,
@@ -3798,7 +3917,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_trained": q_langid_trained,
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
-        # ROTATION_QUEUE newcomers awaiting a round-8 window slot ----
+        # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
+        "shipping_priority": q_shipping_priority,
+        "local_supplier_volume": q_local_supplier_volume,
         "discounted_revenue": q_discounted_revenue,
         "multimodal_jpeg": q_multimodal_jpeg,
         "stream_curate": q_stream_curate,
@@ -3922,6 +4043,67 @@ def _langid_trained_oracle() -> str:
             GROUP BY doc_id, bucket
         ), w(lang, bucket, weight) AS (VALUES {wvals}
         ), ic(lang, b0) AS (VALUES {ivals}
+        ), wsum AS (
+            SELECT f.doc_id, w.lang, SUM(f.cnt * w.weight) AS s
+            FROM feats f JOIN w ON f.bucket = w.bucket
+            GROUP BY f.doc_id, w.lang
+        ), margins AS (
+            SELECT d.doc_id, ic.lang,
+                   FLOOR((COALESCE(s.s, 0.0) + ic.b0)
+                         * 1000000.0 + 0.5) / 1000000.0 AS m
+            FROM (SELECT DISTINCT doc_id FROM feats) d
+            CROSS JOIN ic
+            LEFT JOIN wsum s
+                ON s.doc_id = d.doc_id AND s.lang = ic.lang
+        ), best AS (
+            SELECT doc_id, lang, m,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY m DESC, lang ASC) AS rn
+            FROM margins
+        )
+        SELECT s.doc_id, b.lang AS lang_pred, b.m AS margin
+        FROM src s
+        LEFT JOIN best b ON b.doc_id = s.doc_id AND b.rn = 1
+    """
+
+
+def _langid_packed_oracle() -> str:
+    """SQL twin of the PACKED 28-language scorer: identical canon /
+    trigram frame / md5 bucket as _langid_trained_oracle, but the
+    weight and intercept tables are REGENERATED from the closed-form
+    integer lattice (range() cross product) instead of a 114k-row
+    VALUES literal — exact because every weight is k/1000 and every
+    intercept k/10, and the Spark side packs/decodes those doubles
+    bit-exactly (verified at pack time)."""
+    return r"""
+        WITH src AS (
+            SELECT doc_id,
+                   lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+            FROM documents WHERE doc_id % 5 = 0
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(t) - 1),
+                       i -> substr(t, i, 3))) AS g
+            FROM src WHERE t IS NOT NULL AND len(t) >= 3
+        ), feats AS (
+            SELECT doc_id, bucket, COUNT(*) AS cnt FROM (
+                SELECT doc_id,
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096
+                           AS bucket
+                FROM grams)
+            GROUP BY doc_id, bucket
+        ), w AS (
+            SELECT 'l' || lpad(CAST(li AS VARCHAR), 2, '0') AS lang,
+                   b AS bucket,
+                   (((b * 37 + li * 101 + 7) % 2001) - 1000) / 1000.0
+                       AS weight
+            FROM range(28) tl(li), range(4096) tb(b)
+        ), ic AS (
+            SELECT 'l' || lpad(CAST(li AS VARCHAR), 2, '0') AS lang,
+                   (((li * 13) % 21) - 10) / 10.0 AS b0
+            FROM range(28) tl(li)
         ), wsum AS (
             SELECT f.doc_id, w.lang, SUM(f.cnt * w.weight) AS s
             FROM feats f JOIN w ON f.bucket = w.bucket
@@ -4561,6 +4743,17 @@ def oracle_sql() -> dict[str, str]:
                        / 1000000.0 AS nll
             FROM scored
         """,
+        # the stream-scored perplexity (saved-LM artifact, foreachBatch
+        # micro-batches) hash-matches the SAME twin as lm_nll — one
+        # oracle, two engine paths (the stream_ann_topk pattern)
+        "lm_stream_score": _LM_SCORED_CTE
+        + """
+            SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+                   FLOOR((-lp / n_bigrams) * 1000000.0 + 0.5)
+                       / 1000000.0 AS nll
+            FROM scored
+        """,
+        "langid_rowwise_packed": _langid_packed_oracle(),
         "ccnet_buckets": _LM_SCORED_CTE
         + """
             , final AS (

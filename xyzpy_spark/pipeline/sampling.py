@@ -507,6 +507,30 @@ def cap_per_group(
     """
     if max_rows < 1:
         raise ValueError("cap_per_group: max_rows must be >= 1")
+    return (
+        _group_rank(
+            df, by=by, key=key, salt=salt,
+            order_col=order_col, descending=descending,
+        )
+        .where(F.col("__r") <= int(max_rows))
+        .drop("__r")
+    )
+
+
+def _group_rank(
+    df: DataFrame,
+    *,
+    by: str,
+    key: str,
+    salt: str = "",
+    order_col: str | None = None,
+    descending: bool = True,
+) -> DataFrame:
+    """The deterministic in-group rank (``__r`` column) shared by
+    :func:`cap_per_group` and its streaming quota twin
+    (:func:`~xyzpy_spark.streaming.ops.cap_stream_per_group`) — one
+    selection rule, two engine paths.  Validates the mode params and
+    enforces the unique non-null ``key`` contract in-job."""
     if order_col is not None and salt:
         raise ValueError(
             "cap_per_group: salt= only applies to the hash-rank mode "
@@ -538,8 +562,4 @@ def cap_per_group(
     else:
         lead = hash_unit(F.col(key), salt)
     w = Window.partitionBy(by).orderBy(lead, checked_key)
-    return (
-        df.withColumn("__r", F.row_number().over(w))
-        .where(F.col("__r") <= int(max_rows))
-        .drop("__r")
-    )
+    return df.withColumn("__r", F.row_number().over(w))

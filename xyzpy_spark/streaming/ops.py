@@ -25,6 +25,7 @@ import contextlib
 import os
 import tempfile
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import read_table
@@ -446,6 +447,19 @@ def _run_batch_probe_stream(
             os.path.join(out_path, f"epoch_id={int(epoch_id)}")
         )
 
+    _run_foreach_batch(stream_docs, _sink, checkpoint, timeout, what)
+
+
+def _run_foreach_batch(
+    stream_docs: DataFrame,
+    sink,
+    checkpoint: str | None,
+    timeout: int,
+    what: str,
+) -> None:
+    """Run a foreachBatch sink to availableNow completion with the
+    shared checkpoint/timeout discipline (partial output must raise,
+    never return silently)."""
     ctx = (
         tempfile.TemporaryDirectory()
         if checkpoint is None
@@ -453,7 +467,7 @@ def _run_batch_probe_stream(
     )
     with ctx as ckpt:
         q = (
-            stream_docs.writeStream.foreachBatch(_sink)
+            stream_docs.writeStream.foreachBatch(sink)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -463,7 +477,7 @@ def _run_batch_probe_stream(
         if not finished:
             raise TimeoutError(
                 f"{what} did not finish availableNow processing "
-                f"within {timeout}s — {out_path} would be silently "
+                f"within {timeout}s — the output would be silently "
                 "partial"
             )
 
@@ -650,6 +664,98 @@ def lm_stream_score(
         checkpoint=checkpoint,
         timeout=timeout,
         what="lm_stream_score",
+    )
+
+
+def cap_stream_per_group(
+    doc_stream: DataFrame,
+    max_rows: int,
+    out_path: str,
+    state_path: str,
+    *,
+    by: str = "source",
+    key: str = "doc_id",
+    salt: str = "",
+    order_col: str | None = None,
+    descending: bool = True,
+    checkpoint: str | None = None,
+    timeout: int = 300,
+) -> None:
+    """Streaming domain capping — the ingest-time shape of
+    :func:`~xyzpy_spark.pipeline.sampling.cap_per_group`: admit
+    arriving rows per ``by`` group until the ``max_rows`` quota fills,
+    then drop.  The per-group rank is append-illegal (a window over
+    all history), so this is a foreachBatch + SAVED-QUOTA-STATE seam
+    like the dedup/winnow/ANN/BM25/LM serving twins: the per-group
+    admitted-count table at ``state_path`` is the saved artifact,
+    epoch-partitioned exactly like the output.
+
+    Per micro-batch: (1) prior admitted counts = the state rows of
+    STRICTLY EARLIER epochs, so a replayed epoch recomputes from
+    identical state and overwrites its own ``epoch_id=N`` partitions
+    — the idempotent at-least-once recipe; (2) each group's remaining
+    quota joins onto the batch (broadcast: one row per group); (3) the
+    batch rows rank under the SAME deterministic rule as the batch
+    operator (salted-md5 hash rank, or ``order_col`` top-k — shared
+    ``_group_rank``, one selection rule, two engine paths) and keep
+    ``rank <= remaining``; (4) admitted rows land in
+    ``out_path/epoch_id=N``, their per-group counts in
+    ``state_path/epoch_id=N``.
+
+    Semantics across epochs are FIRST-ARRIVAL-WINS (streaming cannot
+    revoke already-admitted rows): with all data in one micro-batch
+    the admitted set is exactly ``cap_per_group`` (pytest-pinned);
+    across micro-batches each epoch fills only the remaining quota,
+    and ``order_col`` selects the best rows PER EPOCH — global best-k
+    needs the batch operator.  At 100 TB the state table is one row
+    per (group, epoch): the broadcast side stays group-cardinality
+    sized no matter the corpus.
+    """
+    from ..pipeline.sampling import _group_rank
+
+    if max_rows < 1:
+        raise ValueError("cap_stream_per_group: max_rows must be >= 1")
+    spark = doc_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = int(epoch_id)
+        try:
+            prior = (
+                spark.read.parquet(state_path)
+                .where(F.col("epoch_id") < eid)
+                .groupBy(by)
+                .agg(F.sum("n_admitted").alias("__adm"))
+            )
+        except AnalysisException:
+            prior = None  # first epoch: no state yet
+        ranked = _group_rank(
+            batch_df, by=by, key=key, salt=salt,
+            order_col=order_col, descending=descending,
+        )
+        if prior is not None:
+            ranked = ranked.join(F.broadcast(prior), by, "left")
+            rem = F.lit(int(max_rows)) - F.coalesce(
+                F.col("__adm"), F.lit(0)
+            )
+        else:
+            rem = F.lit(int(max_rows))
+        admitted = ranked.where(F.col("__r") <= rem).drop("__r", "__adm")
+        epoch_dir = os.path.join(out_path, f"epoch_id={eid}")
+        admitted.write.mode("overwrite").parquet(epoch_dir)
+        # count from the WRITTEN files so state can never drift from
+        # output (one source of truth, no plan recompute)
+        (
+            spark.read.parquet(epoch_dir)
+            .groupBy(by)
+            .agg(F.count(F.lit(1)).alias("n_admitted"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(state_path, f"epoch_id={eid}"))
+        )
+
+    _run_foreach_batch(
+        doc_stream, _sink, checkpoint, timeout, "cap_stream_per_group"
     )
 
 

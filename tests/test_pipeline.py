@@ -2220,6 +2220,66 @@ def test_jpeg_roundtrip_near_lossless():
     assert int(np.abs(out2[:, :, 0].astype(int) - g.astype(int)).max()) <= 1
 
 
+def test_jpeg_lockstep_equals_scalar_walk():
+    """The restart-interval lockstep entropy pass (r7 verdict ask #5)
+    must be BIT-IDENTICAL to the scalar walk on the same bytes —
+    noise (dense coefficients, heavy -2 two-step traffic), structure,
+    flat blocks, odd dimensions, gray and color, near-lossless and
+    coarse quant."""
+    import numpy as np
+
+    import xyzpy_spark.pipeline.jpeg as J
+
+    rng = np.random.default_rng(5)
+    images = [
+        rng.integers(0, 256, (128, 128), dtype=np.uint8),
+        rng.integers(0, 256, (96, 120, 3), dtype=np.uint8),
+        (np.add.outer(np.arange(100), np.arange(77)) % 256).astype(
+            np.uint8
+        ),
+        np.full((64, 64), 128, dtype=np.uint8),
+        rng.integers(0, 256, (49, 81, 3), dtype=np.uint8),
+    ]
+    for img in images:
+        for q in (1, 8):
+            bb = J.encode_jpeg(img, quant=q)  # default restarts
+            fast = J.decode_jpeg(bb)
+            thr = J._LOCKSTEP_MIN_LANES
+            try:
+                J._LOCKSTEP_MIN_LANES = 10**9  # force the scalar walk
+                slow = J.decode_jpeg(bb)
+            finally:
+                J._LOCKSTEP_MIN_LANES = thr
+            assert fast is not None and slow is not None
+            assert fast[0] == slow[0]
+            assert np.array_equal(fast[1], slow[1]), (img.shape, q)
+
+
+def test_jpeg_restart_encoding_roundtrips():
+    """Restart markers (DRI + byte-aligned RSTn, DC predictors reset)
+    must not change decoded pixels: the default restart_interval=1
+    stream decodes to exactly the restart-free stream's pixels, and
+    a coarser interval rides the same contract."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    _, base = decode_jpeg(encode_jpeg(img, quant=1, restart_interval=None))
+    for rst in (1, 3, 7):
+        _, got = decode_jpeg(
+            encode_jpeg(img, quant=1, restart_interval=rst)
+        )
+        assert np.array_equal(got, base), rst
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(img, restart_interval=0)
+    with _pytest.raises(ValueError, match="restart_interval"):
+        encode_jpeg(img, restart_interval=70000)
+
+
 def test_jpeg_decoder_rejects_non_baseline():
     """Progressive SOF2, truncated and junk payloads must return
     None, never raise (one bad file can't kill a 100-TB scan)."""

@@ -248,16 +248,28 @@ def _super_lut(lut_np, is_ac: bool):
 
 @functools.lru_cache(maxsize=64)
 def _cached_dht(seg: bytes, is_ac: bool = True):
-    """One DHT table slice (bits[16] + values) -> (codes, peek LUT,
-    fused super-LUT).  Cached on the raw segment bytes + class: a
-    corpus encoded with shared tables (ours, and most camera/libjpeg
-    output) builds each LUT once per executor instead of once per
-    file."""
+    """One DHT table slice (bits[16] + values) -> (codes, peek LUT
+    list, fused super-LUT list, peek LUT int64 ndarray, super-LUT
+    int64 ndarray).  The list forms feed the scalar walk (python list
+    indexing beats ndarray scalar indexing in a hot loop); the ndarray
+    forms feed the lockstep vectorized walk's fancy-index gathers.
+    Cached on the raw segment bytes + class: a corpus encoded with
+    shared tables (ours, and most camera/libjpeg output) builds each
+    LUT once per executor instead of once per file."""
+    import numpy as np
+
     bits = list(seg[:16])
     nv = sum(bits)
     codes = _canonical_codes(bits, seg[16 : 16 + nv])
     lut_np = _decode_lut_np(codes)
-    return codes, lut_np.tolist(), _super_lut(lut_np, is_ac)
+    sup = _super_lut(lut_np, is_ac)
+    return (
+        codes,
+        lut_np.tolist(),
+        sup,
+        lut_np.astype(np.int64),
+        np.asarray(sup, dtype=np.int64),
+    )
 
 
 def _huff_decode_lut(br: _BitReader, lut: list) -> int:
@@ -371,6 +383,273 @@ class _SegReader:
 # -- decoder ------------------------------------------------------------
 
 
+def _segments_padded_np(b: bytes, start: int):
+    """Vectorized twin of :func:`_entropy_segments` for the lockstep
+    path: classify every FF in ONE numpy pass (stuffed / RSTn /
+    fill / real marker), compact the kept bytes, and scatter each
+    restart segment into a 280-byte-zero-padded slot of one flat
+    int64 buffer — no per-FF python walk, no per-segment joins.
+    Returns ``(blob, base, lens)``: the padded byte buffer, each
+    segment's byte offset, and each segment's unpadded length.
+    Byte-for-byte the same segments as the scalar splitter (the
+    A/B decode tests pin it transitively)."""
+    import numpy as np
+
+    a = np.frombuffer(b, dtype=np.uint8)[start:]
+    n = len(a)
+    ffs = np.flatnonzero(a == 0xFF)
+    nxt = np.where(
+        ffs + 1 < n, a[np.minimum(ffs + 1, n - 1)], 0xD9
+    ).astype(np.int64)
+    stuffed = nxt == 0x00
+    rst = (nxt >= 0xD0) & (nxt <= 0xD7)
+    fill = nxt == 0xFF
+    marker = ~(stuffed | rst | fill)
+    end = int(ffs[marker][0]) if marker.any() else n
+    m = ffs < end
+    ffs, stuffed, rst, fill = ffs[m], stuffed[m], rst[m], fill[m]
+    keep = np.ones(end, dtype=bool)
+    drop00 = ffs[stuffed] + 1
+    keep[drop00[drop00 < end]] = False  # the stuffing 00
+    rpos = ffs[rst]
+    keep[rpos] = False                  # the RST marker pair
+    r1 = rpos + 1
+    keep[r1[r1 < end]] = False
+    keep[ffs[fill]] = False             # marker-fill FF padding
+    excl = np.cumsum(keep) - keep       # kept bytes strictly before i
+    compact = a[:end][keep].astype(np.int32)
+    ends = excl[rpos] if rpos.size else np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([0], ends))
+    lens = np.concatenate((ends, [len(compact)])) - starts
+    S = len(lens)
+    seg_id = np.repeat(np.arange(S, dtype=np.int64), lens)
+    # int32: 24-bit windows fit, and the big build/scatter passes run
+    # at half the memory traffic of int64
+    blob = np.zeros(len(compact) + 280 * S, dtype=np.int32)
+    blob[np.arange(len(compact)) + 280 * seg_id] = compact
+    base = starts + 280 * np.arange(S, dtype=np.int64)
+    return blob, base, lens
+
+
+#: lockstep engages only with enough restart segments to amortize the
+#: per-round numpy dispatch overhead (measured crossover ~tens of lanes)
+_LOCKSTEP_MIN_LANES = 32
+
+
+def _entropy_decode_lockstep(b, scan_start, order, huff, restart, mcu_total):
+    """Restart-interval-parallel entropy pass: decode ALL restart
+    segments in LOCKSTEP, one Huffman symbol per numpy round — the
+    construction every parallel JPEG decoder (GPU nvJPEG included)
+    uses, because restart segments are the only independently
+    decodable units in a baseline scan (byte-aligned starts, DC
+    predictors reset).
+
+    Each restart segment is a lane of a vectorized interpreter whose
+    per-lane state (bit cursor, MCU/component/block indices, zigzag
+    position, DC predictors) lives in COMPACT numpy arrays.  Per
+    round every lane gathers its 16-bit window from one concatenated
+    padded buffer and parses one symbol through a UNIFIED stacked
+    table (DC and AC super-LUTs concatenated; a lane's phase+component
+    select its row), so DC and AC lanes share one gather and one
+    arithmetic pipeline; the rare -2 too-wide entries take a
+    vectorized two-step over a 48-bit window (the scalar path's
+    mid-symbol cursor clamps are dropped there because every
+    past-the-end read decodes zero bits under the 280-byte pad either
+    way — same coefficients, pinned by the A/B tests).  Finished
+    lanes are compressed out.  Work per round is O(active lanes) with
+    ~25 numpy dispatches, so with S lanes the per-symbol python cost
+    drops from the scalar ~0.27 us to ~(25 x dispatch)/S — the r7
+    verdict's "table-driven state machine over the unstuffed segment
+    array".
+
+    Returns ``{comp_id: int64 ndarray [n_blocks, 64]}`` of
+    zigzag-order coefficients in exactly the scalar row order, or
+    ``None`` when the stream shape rules lockstep out (no/too-few
+    restart segments, or a segment count that disagrees with the MCU
+    geometry — the scalar path keeps its exact tolerance semantics
+    for those).
+    """
+    import numpy as np
+
+    if restart <= 0 or mcu_total < _LOCKSTEP_MIN_LANES * restart:
+        return None
+    blob, base0, lens = _segments_padded_np(b, scan_start)
+    S = len(lens)
+    if S < _LOCKSTEP_MIN_LANES or S != -(-mcu_total // restart):
+        return None
+    w24 = (blob[:-2] << 16) | (blob[1:-1] << 8) | blob[2:]
+    nbits0 = lens * 8
+
+    ncomp = len(order)
+    nblocks = np.array([c["v"] * c["h"] for c in order], dtype=np.int64)
+    slot_off = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+    total_slots = int(nblocks.sum())
+
+    # one stacked table per class pair: rows [0..n_dc) are DC tables,
+    # [n_dc..) AC tables; a lane's row = its phase+component selector
+    seen: dict[tuple[int, int], int] = {}
+    dc_rows, ac_rows = [], []
+    sups, luts = [], []
+    for c in order:
+        for cls, tid, rows in (
+            (0, c["dct"], dc_rows),
+            (1, c["act"], ac_rows),
+        ):
+            key = (cls, tid)
+            if key not in seen:
+                seen[key] = len(sups)
+                sups.append(huff[key][3])
+                luts.append(huff[key][2])
+            rows.append(seen[key])
+    sup_all = np.concatenate(sups)
+    lut_all = np.concatenate(luts)
+    dc_sel = np.array(dc_rows, dtype=np.int64) * 65536
+    ac_sel = np.array(ac_rows, dtype=np.int64) * 65536
+
+    # compact per-lane state (compressed as lanes finish)
+    glane = np.arange(S, dtype=np.int64)
+    base = base0.copy()
+    nbits = nbits0.copy()
+    pos = np.zeros(S, dtype=np.int64)
+    mcu = np.zeros(S, dtype=np.int64)
+    ci = np.zeros(S, dtype=np.int64)
+    blk = np.zeros(S, dtype=np.int64)
+    k = np.zeros(S, dtype=np.int64)
+    phase = np.zeros(S, dtype=np.int64)  # 0 = DC, 1 = AC
+    pred = np.zeros(S * ncomp, dtype=np.int64)  # [lane, comp] flat
+    lane_mcus = np.full(S, restart, dtype=np.int64)
+    lane_mcus[-1] = mcu_total - restart * (S - 1)
+    # czz row base of the CURRENT block, in flat czz units (x64)
+    rowb = glane * (restart * total_slots * 64)
+    # per-lane stacked-table selectors for the CURRENT component
+    # (updated only at component transitions)
+    dcsel = np.full(S, dc_sel[0], dtype=np.int64)
+    acsel = np.full(S, ac_sel[0], dtype=np.int64)
+    czz = np.zeros(mcu_total * total_slots * 64, dtype=np.int64)
+
+    while pos.size:
+        byt = base + (pos >> 3)
+        r7 = pos & 7
+        w0 = w24[byt]
+        win = (w0 >> (8 - r7)) & 0xFFFF
+        isdc = phase == 0
+        sel = np.where(isdc, dcsel, acsel)
+        e = sup_all[sel + win]
+        if (e == -1).any():
+            raise ValueError("jpeg: invalid Huffman code")
+        size = (e >> 6) & 31
+        tot = (e >> 11) & 31
+        dk = e & 31
+        val = (e >> 16) - 2048
+        slow = e == -2
+        if slow.any():
+            sub = np.flatnonzero(slow)
+            entry = lut_all[sel[sub] + win[sub]]
+            clen = entry >> 8
+            rs = entry & 0xFF
+            isac_s = ~isdc[sub]
+            sz = np.where(
+                isac_s,
+                np.where((rs == 0) | (rs == 0xF0), 0, rs & 0xF),
+                rs,
+            )
+            # 48-bit window: code + magnitude always fit (<= 27 bits
+            # + 7 alignment); reads past nbits land in the zero pad
+            # in BOTH walks, so no mid-symbol clamp is needed
+            w48 = (w0[sub].astype(np.int64) << 24) | w24[byt[sub] + 3]
+            v = (w48 >> (48 - r7[sub] - clen - sz)) & (
+                np.left_shift(1, sz) - 1
+            )
+            ext = np.where(
+                sz > 0,
+                np.where(
+                    v >= np.left_shift(1, np.maximum(sz - 1, 0)),
+                    v,
+                    v - np.left_shift(1, sz) + 1,
+                ),
+                0,
+            )
+            dk[sub] = np.where(
+                isac_s,
+                np.where(rs == 0, 0, np.where(rs == 0xF0, 16, (rs >> 4) + 1)),
+                1,
+            )
+            val[sub] = ext
+            size[sub] = sz
+            tot[sub] = clen + sz
+        # unified k/write/advance: DC behaves as a write at k=0
+        k_new = np.where(isdc, 0, k + dk)
+        over = k_new > 63
+        eob = dk == 0  # DC symbols carry dk=1, never EOB
+        if isdc.any():
+            didx = np.flatnonzero(isdc)
+            pf = didx * ncomp + ci[didx] if ncomp > 1 else didx
+            pv = pred[pf] + val[didx]
+            pred[pf] = pv
+            val[didx] = pv
+        wr = ~(over | eob)
+        if wr.all():
+            czz[rowb + k_new] = val
+        else:
+            wsub = np.flatnonzero(wr)
+            czz[rowb[wsub] + k_new[wsub]] = val[wsub]
+        pos += np.where(over, tot - size, tot)
+        k = k_new
+        ended = eob | (k_new >= 63)
+        phase = np.where(ended, 0, 1)
+        if ended.any():
+            esub = np.flatnonzero(ended)
+            b2 = blk[esub] + 1
+            c2 = ci[esub]
+            comp_done = b2 >= nblocks[c2]
+            b2 = np.where(comp_done, 0, b2)
+            c2 = np.where(comp_done, c2 + 1, c2)
+            mcu_done = c2 >= ncomp
+            c2 = np.where(mcu_done, 0, c2)
+            blk[esub] = b2
+            ci[esub] = c2
+            m2 = mcu[esub] + mcu_done
+            mcu[esub] = m2
+            if ncomp > 1 and comp_done.any():
+                dcsel[esub] = dc_sel[c2]
+                acsel[esub] = ac_sel[c2]
+            rowb[esub] = (
+                (glane[esub] * restart + m2) * total_slots
+                + slot_off[c2]
+                + b2
+            ) * 64
+            # the per-BLOCK cursor clamp of the scalar walk
+            pos[esub] = np.minimum(pos[esub], nbits[esub])
+            fin = m2 >= lane_mcus[esub]
+            if fin.any():
+                keepm = np.ones(pos.size, dtype=bool)
+                keepm[esub[fin]] = False
+                glane = glane[keepm]
+                base = base[keepm]
+                nbits = nbits[keepm]
+                pos = pos[keepm]
+                mcu = mcu[keepm]
+                ci = ci[keepm]
+                blk = blk[keepm]
+                k = k[keepm]
+                phase = phase[keepm]
+                rowb = rowb[keepm]
+                dcsel = dcsel[keepm]
+                acsel = acsel[keepm]
+                lane_mcus = lane_mcus[keepm]
+                pred = pred[np.repeat(keepm, ncomp)]
+
+    shaped = czz.reshape(mcu_total, total_slots, 64)
+    out = {}
+    for j, c in enumerate(order):
+        lo = int(slot_off[j])
+        out[c["id"]] = shaped[:, lo : lo + int(nblocks[j]), :].reshape(
+            -1, 64
+        )
+    return out
+
+
+
 def decode_jpeg(b: bytes):
     """Baseline JFIF bytes -> ``(meta, HxWxC uint8 ndarray)`` or
     ``None`` for anything that isn't baseline-sequential 8-bit.
@@ -434,7 +713,8 @@ def decode_jpeg(b: bytes):
                 while q < len(seg):
                     tc, th = seg[q] >> 4, seg[q] & 0xF
                     nv = sum(seg[q + 1 : q + 17])
-                    # (peek LUT, fused super-LUT); tc=1 is the AC class
+                    # (peek LUT, fused super-LUT, + their ndarray
+                    # twins for lockstep); tc=1 is the AC class
                     huff[(tc, th)] = _cached_dht(
                         bytes(seg[q + 1 : q + 17 + nv]), tc == 1
                     )[1:]
@@ -488,6 +768,18 @@ def decode_jpeg(b: bytes):
         # code+magnitude exceed 16 bits (-2 sentinel) fall back to the
         # two-step read.  _SegReader/_BitReader remain the reference
         # implementations, equivalence-pinned by property tests.
+        lockstep = (
+            _entropy_decode_lockstep(
+                b, scan_start, order, huff, restart, mcuy * mcux
+            )
+            if restart
+            else None
+        )
+        if lockstep is not None:
+            # skip the scalar walk entirely — same rows, A/B-pinned
+            return _jpeg_finish(
+                lockstep, comps, qt, w, h, mcux, mcuy, hmax, vmax, basis
+            )
         segs = _entropy_segments(b, scan_start)
         rd = _SegReader(segs[0])
         w24, nbits, pos = rd.w24, rd.nbits, 0
@@ -506,8 +798,8 @@ def decode_jpeg(b: bytes):
                     pred = {c["id"]: 0 for c in comps}
                 n_mcu += 1
                 for c in order:
-                    dc_lut, dc_sup = huff[(0, c["dct"])]
-                    ac_lut, ac_sup = huff[(1, c["act"])]
+                    dc_lut, dc_sup = huff[(0, c["dct"])][:2]
+                    ac_lut, ac_sup = huff[(1, c["act"])][:2]
                     rows = comp_cz[c["id"]]
                     dc = pred[c["id"]]
                     for _blk in range(c["v"] * c["h"]):
@@ -618,70 +910,74 @@ def decode_jpeg(b: bytes):
                         rows.append(czz)
                     pred[c["id"]] = dc
 
-        # --- batch dequant + IDCT + placement, one numpy pass per
-        # component (the old per-block numpy calls and the 64-step
-        # python dequant loop dominated decode time)
-        zz = _zigzag_np()
-        planes = {}
-        for c in comps:
-            cv, ch2 = c["v"], c["h"]
-            n_blk = mcuy * mcux * cv * ch2
-            czz_arr = np.array(comp_cz[c["id"]], dtype=np.float64)
-            q = np.array(qt[c["tq"]], dtype=np.float64)
-            deq = np.zeros((n_blk, 64))
-            deq[:, zz] = czz_arr * q[None, :]
-            blocks = deq.reshape(n_blk, 8, 8)
-            # basis.T @ F @ basis batched over blocks — matmul
-            # broadcasts to a BLAS batched GEMM (einsum's c_einsum
-            # path is ~10x slower here)
-            spatial = np.matmul(
-                basis.T, np.matmul(blocks, basis)
-            ) + 128.0
-            planes[c["id"]] = (
-                spatial.reshape(mcuy, mcux, cv, ch2, 8, 8)
-                .transpose(0, 2, 4, 1, 3, 5)
-                .reshape(mcuy * cv * 8, mcux * ch2 * 8)
-            )
-        # upsample to full resolution (nearest), crop to (h, w)
-        full = []
-        for c in comps:
-            pl = planes[c["id"]]
-            ry, rx = vmax // c["v"], hmax // c["h"]
-            if ry > 1 or rx > 1:
-                pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
-            full.append(pl[:h, :w])
-        if len(full) == 1:
-            # same half-up rounding as the color path (np.round is
-            # round-half-even and would disagree on exact .5 values)
-            out = np.clip(np.floor(full[0] + 0.5), 0, 255).astype(
-                np.uint8
-            )
-            out = out[:, :, None]
-            chans = 1
-        elif len(full) == 3:
-            y, cb, cr = full
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            bl = y + 1.772 * (cb - 128.0)
-            out = np.stack(
-                [
-                    np.clip(np.floor(x + 0.5), 0, 255)
-                    for x in (r, g, bl)
-                ],
-                axis=-1,
-            ).astype(np.uint8)
-            chans = 3
-        else:
-            return None
-        meta = {
-            "format": "jpeg",
-            "width": int(w),
-            "height": int(h),
-            "channels": chans,
-        }
-        return meta, out
+        return _jpeg_finish(
+            comp_cz, comps, qt, w, h, mcux, mcuy, hmax, vmax, basis
+        )
     except Exception:
         return None
+
+
+def _jpeg_finish(comp_cz, comps, qt, w, h, mcux, mcuy, hmax, vmax, basis):
+    """Batch dequant + IDCT + placement + color, one numpy pass per
+    component (the old per-block numpy calls and the 64-step python
+    dequant loop dominated decode time).  ``comp_cz`` rows are
+    zigzag-order coefficient vectors in MCU order — lists from the
+    scalar walk or an int64 ndarray from the lockstep walk."""
+    import numpy as np
+
+    zz = _zigzag_np()
+    planes = {}
+    for c in comps:
+        cv, ch2 = c["v"], c["h"]
+        n_blk = mcuy * mcux * cv * ch2
+        # no float64 pre-cast: the `* q` upcasts inline, one pass
+        czz_arr = np.asarray(comp_cz[c["id"]])
+        q = np.array(qt[c["tq"]], dtype=np.float64)
+        deq = np.zeros((n_blk, 64))
+        deq[:, zz] = czz_arr * q[None, :]
+        blocks = deq.reshape(n_blk, 8, 8)
+        # basis.T @ F @ basis batched over blocks — matmul
+        # broadcasts to a BLAS batched GEMM (einsum's c_einsum
+        # path is ~10x slower here)
+        spatial = np.matmul(basis.T, np.matmul(blocks, basis)) + 128.0
+        planes[c["id"]] = (
+            spatial.reshape(mcuy, mcux, cv, ch2, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcuy * cv * 8, mcux * ch2 * 8)
+        )
+    # upsample to full resolution (nearest), crop to (h, w)
+    full = []
+    for c in comps:
+        pl = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            pl = np.repeat(np.repeat(pl, ry, axis=0), rx, axis=1)
+        full.append(pl[:h, :w])
+    if len(full) == 1:
+        # same half-up rounding as the color path (np.round is
+        # round-half-even and would disagree on exact .5 values)
+        out = np.clip(np.floor(full[0] + 0.5), 0, 255).astype(np.uint8)
+        out = out[:, :, None]
+        chans = 1
+    elif len(full) == 3:
+        y, cb, cr = full
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        out = np.stack(
+            [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)],
+            axis=-1,
+        ).astype(np.uint8)
+        chans = 3
+    else:
+        return None
+    meta = {
+        "format": "jpeg",
+        "width": int(w),
+        "height": int(h),
+        "channels": chans,
+    }
+    return meta, out
 
 
 # -- encoder ------------------------------------------------------------
@@ -747,7 +1043,9 @@ def _size_of(v: int) -> int:
     return s
 
 
-def encode_jpeg(arr, quant: int = 1) -> bytes:
+def encode_jpeg(
+    arr, quant: int = 1, restart_interval: int | None = 1
+) -> bytes:
     """HxW (gray) or HxWx3 (RGB) uint8 array -> baseline JFIF bytes.
 
     4:4:4 sampling, one flat quantization table (``quant`` for every
@@ -755,6 +1053,17 @@ def encode_jpeg(arr, quant: int = 1) -> bytes:
     (see module docstring).  Standard-conforming output: PIL/libjpeg
     decode it, and :func:`decode_jpeg` round-trips it within
     coefficient-rounding error.
+
+    ``restart_interval`` emits a DRI segment and byte-aligned RSTn
+    markers every N MCUs (DC predictors reset per spec).  Default 1:
+    every MCU is its own restart segment, which is what lets
+    :func:`decode_jpeg` run its LOCKSTEP vectorized entropy pass (the
+    restart-interval parallelism every parallel JPEG decoder — GPU
+    nvJPEG included — relies on; a JPEG without restarts is one
+    serial bit chain by construction).  Cost: 2 marker bytes +
+    one absolute-vs-differential DC per interval, ~1-3% on our
+    corpus images.  ``restart_interval=None`` restores the dense
+    single-segment stream.
     """
     import numpy as np
 
@@ -763,6 +1072,12 @@ def encode_jpeg(arr, quant: int = 1) -> bytes:
         # >255 only fails at DQT serialization with an opaque error
         raise ValueError(
             f"encode_jpeg: quant must be in [1, 255], got {quant!r}"
+        )
+    rst = int(restart_interval) if restart_interval else 0
+    if restart_interval is not None and not 1 <= rst <= 65535:
+        raise ValueError(
+            "encode_jpeg: restart_interval must be in [1, 65535] or "
+            f"None, got {restart_interval!r}"
         )
 
     a = np.asarray(arr)
@@ -790,6 +1105,13 @@ def encode_jpeg(arr, quant: int = 1) -> bytes:
     bh, bwid = (h + 7) // 8, (w + 7) // 8
     for by in range(bh):
         for bx in range(bwid):
+            n_mcu = by * bwid + bx
+            if rst and n_mcu and n_mcu % rst == 0:
+                # byte-align (1-pad), emit RSTn (n cycles 0..7), reset
+                # the DC predictors — the spec's restart semantics
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + ((n_mcu // rst - 1) & 7)])
+                preds = [0] * len(planes)
             for ci, pl in enumerate(planes):
                 block = np.full((8, 8), pl[-1, -1])
                 ys, xs = by * 8, bx * 8
@@ -857,6 +1179,8 @@ def encode_jpeg(arr, quant: int = 1) -> bytes:
         vals = _ENC_DC_VALS if tc == 0 else _ENC_AC_VALS
         out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(vals))
         out += bytes([tc << 4]) + bytes(bits) + vals
+    if rst:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, rst)
     out += b"\xff\xda" + struct.pack(">H", 6 + 2 * nf) + bytes([nf])
     for i in range(nf):
         out += bytes([i + 1, 0x00])  # both tables id 0

@@ -799,6 +799,22 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_funnel_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-match (resettable) conversion funnel with a 30-day
+    window (operators/temporal.funnel_counts_sequential — the
+    ClickHouse windowFunnel shape, strict ordering): ANY view can
+    anchor a chain, so a late re-engagement converts where the
+    first-touch form already timed out.  Engine: one user-keyed
+    fold-DP; oracle: the declarative strict EXISTS-chain the DP is
+    proven equal to (tests/test_temporal.py brute-force pin)."""
+    from xyzpy_spark.operators.temporal import funnel_counts_sequential
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts_sequential(
+        ev, ["view", "click", "purchase"], within="30 days"
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix over the events table
     (operators/temporal.cohort_retention): cohort = week of first
@@ -3610,7 +3626,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # (shipping_priority r5-r7, local_supplier_volume r5-r7 — the
 # relational family keeps 14+ in-window reps including all five
 # re-cast r7 TPC-H shapes, which stay IN-window per r7 verdict ask #1
-# until re-hashed green).  Queue EMPTY: zero rotation debt.
+# until re-hashed green).  LATE ROUND 8 also rotated in
+# funnel_sequential (the resettable windowFunnel-shape funnel — r7
+# missing #5 closed; strict EXISTS-chain oracle, DP engine
+# brute-force-pinned in pytest), displacing small_quantity_revenue
+# (Q17 shape, r5-r7 green; the relational family still keeps 13+
+# in-window reps).  Queue EMPTY: zero rotation debt.
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -3702,6 +3723,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "source_caps": 7,
     "lm_stream_score": 8,
     "langid_rowwise_packed": 8,
+    "funnel_sequential": 8,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -3902,7 +3924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "idle_customers": q_idle_customers,
         "lm_stream_score": q_lm_stream_score,
         "langid_rowwise_packed": q_langid_rowwise_packed,
-        "small_quantity_revenue": q_small_quantity_revenue,
+        "funnel_sequential": q_funnel_sequential,
         "strip_dup_lines": q_strip_dup_lines,
         "resample_audio": q_resample_audio,
         "returned_item_losses": q_returned_item_losses,
@@ -3920,6 +3942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
+        "small_quantity_revenue": q_small_quantity_revenue,
         "discounted_revenue": q_discounted_revenue,
         "multimodal_jpeg": q_multimodal_jpeg,
         "stream_curate": q_stream_curate,
@@ -6532,6 +6555,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'click', n1 FROM counted
             UNION ALL
             SELECT 3, 'purchase', n2 FROM counted
+        """,
+        "funnel_sequential": """
+            WITH e AS (
+                SELECT user_id, event_type, ts FROM events
+                WHERE event_type IN ('view', 'click', 'purchase')
+            ), l1 AS (
+                SELECT DISTINCT user_id FROM e
+                WHERE event_type = 'view'
+            ), l2 AS (
+                SELECT DISTINCT a.user_id
+                FROM e a
+                JOIN e b ON b.user_id = a.user_id
+                    AND b.event_type = 'click' AND b.ts > a.ts
+                    AND b.ts <= a.ts + INTERVAL 30 DAY
+                WHERE a.event_type = 'view'
+            ), l3 AS (
+                SELECT DISTINCT a.user_id
+                FROM e a
+                JOIN e b ON b.user_id = a.user_id
+                    AND b.event_type = 'click' AND b.ts > a.ts
+                    AND b.ts <= a.ts + INTERVAL 30 DAY
+                JOIN e c ON c.user_id = a.user_id
+                    AND c.event_type = 'purchase' AND c.ts > b.ts
+                    AND c.ts <= a.ts + INTERVAL 30 DAY
+                WHERE a.event_type = 'view'
+            )
+            SELECT 1 AS step, 'view' AS event_type,
+                   (SELECT COUNT(*) FROM l1) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT COUNT(*) FROM l2)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT COUNT(*) FROM l3)
         """,
         "cohort_retention": """
             WITH cohorts AS (

@@ -157,6 +157,7 @@ HEADLINE = [
     "source_caps",
     "lm_stream_score",
     "langid_rowwise_packed",
+    "funnel_sequential",
 ]
 
 

@@ -502,3 +502,130 @@ def test_funnel_counts_conversion_window(spark):
     }
     assert unbounded == {1: 2, 2: 2}
     assert bounded == {1: 2, 2: 1}
+
+
+def test_funnel_sequential_matches_exists_semantics(spark):
+    """The sequential funnel's DP must equal the declarative
+    EXISTS-chain semantics (strict ts order, window from chain start)
+    on an adversarial fixture: same-timestamp events (strictness),
+    an early unconverted anchor whose LATER re-anchor converts inside
+    the window (the resettable case first-touch cannot express), and
+    random traffic checked against a python brute force."""
+    import datetime as dt
+    import random
+
+    from xyzpy_spark.operators.temporal import funnel_counts_sequential
+
+    random.seed(3)
+    T0 = dt.datetime(2024, 1, 1)
+    steps = ["view", "click", "purchase"]
+    rows = []
+    for u in range(40):
+        for _ in range(random.randint(0, 12)):
+            rows.append(
+                (
+                    u,
+                    T0 + dt.timedelta(hours=random.randint(0, 2000)),
+                    random.choice(steps + ["other"]),
+                )
+            )
+    # strictness: same-ts view+click can't chain; purchase ties click
+    rows += [
+        (100, T0, "view"),
+        (100, T0, "click"),
+        (100, T0 + dt.timedelta(1), "click"),
+        (100, T0 + dt.timedelta(1), "purchase"),
+    ]
+    # resettable: the 100-day-later view anchors a windowed conversion
+    rows += [
+        (101, T0, "view"),
+        (101, T0 + dt.timedelta(days=100), "view"),
+        (101, T0 + dt.timedelta(days=101), "click"),
+        (101, T0 + dt.timedelta(days=102), "purchase"),
+    ]
+
+    def brute(within_days):
+        from collections import defaultdict
+
+        by_u = defaultdict(list)
+        for u, t, s in rows:
+            by_u[u].append((t, s))
+        counts = [0] * len(steps)
+        for evs in by_u.values():
+            evs.sort()
+            best = 0
+
+            def go(level, last_t, start_t):
+                nonlocal best
+                best = max(best, level)
+                if level == len(steps):
+                    return
+                for t, s in evs:
+                    if s == steps[level] and (level == 0 or t > last_t):
+                        st = t if level == 0 else start_t
+                        if (
+                            level == 0
+                            or within_days is None
+                            or (t - st).total_seconds()
+                            <= within_days * 86400
+                        ):
+                            go(level + 1, t, st)
+
+            go(0, None, None)
+            for i in range(best):
+                counts[i] += 1
+        return {i + 1: counts[i] for i in range(len(steps))}
+
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    for within, wd in [(None, None), ("7 days", 7), ("30 days", 30)]:
+        got = {
+            r["step"]: r["n_users"]
+            for r in funnel_counts_sequential(
+                df, steps, within=within
+            ).collect()
+        }
+        assert got == brute(wd), (within, got)
+    # user 100: strictness keeps it at level 2 under any window
+    one = spark.createDataFrame(
+        [r for r in rows if r[0] == 100],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts_sequential(one, steps).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 0}
+    # user 101 under a 7-day window: only the re-anchored chain works
+    two = spark.createDataFrame(
+        [r for r in rows if r[0] == 101],
+        "user_id long, ts timestamp, event_type string",
+    )
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts_sequential(
+            two, steps, within="7 days"
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_funnel_sequential_validates_params(spark):
+    from xyzpy_spark.operators.temporal import funnel_counts_sequential
+
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string"
+    )
+    with pytest.raises(ValueError, match="non-empty"):
+        funnel_counts_sequential(ev, [])
+    with pytest.raises(ValueError, match="distinct"):
+        funnel_counts_sequential(ev, ["a", "a"])
+    with pytest.raises(ValueError, match="INTERVAL"):
+        funnel_counts_sequential(ev, ["a", "b"], within="bogus xx")
+    # empty input: zero counts, not NULLs
+    got = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts_sequential(ev, ["a", "b"]).collect()
+    }
+    assert got == {1: 0, 2: 0}

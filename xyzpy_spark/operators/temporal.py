@@ -32,6 +32,7 @@ __all__ = [
     "asof_join",
     "cohort_retention",
     "funnel_counts",
+    "funnel_counts_sequential",
     "range_join",
     "time_rollup",
 ]
@@ -320,21 +321,7 @@ def funnel_counts(
     )
     deadline = None
     if within is not None:
-        w = str(within).strip()
-        # eager validation at the call site (the module's contract):
-        # a malformed interval would otherwise surface as an opaque
-        # ParseException deep inside a later action, and a negative
-        # one silently empties the funnel beyond step 1
-        if "'" in w or w.startswith("-"):
-            raise ValueError(
-                f"within must be a positive INTERVAL string, got {within!r}"
-            )
-        try:
-            events.sparkSession.sql(f"SELECT INTERVAL '{w}'")
-        except Exception as exc:
-            raise ValueError(
-                f"within is not a valid INTERVAL string: {within!r}"
-            ) from exc
+        w = _validated_interval(events.sparkSession, within)
         deadline = F.col("__t0") + F.expr(f"INTERVAL '{w}'")
     reached = F.col("__t0").isNotNull()
     flags = [reached]
@@ -374,6 +361,161 @@ def funnel_counts(
                 ]
             ).alias("n_users"),
         )
+    )
+
+
+def _validated_interval(spark, within) -> str:
+    """Eagerly validate a ``within=`` INTERVAL string (the module's
+    contract): a malformed interval would otherwise surface as an
+    opaque ParseException deep inside a later action, and a negative
+    one silently empties the funnel beyond step 1."""
+    w = str(within).strip()
+    if "'" in w or w.startswith("-"):
+        raise ValueError(
+            f"within must be a positive INTERVAL string, got {within!r}"
+        )
+    try:
+        spark.sql(f"SELECT INTERVAL '{w}'")
+    except Exception as exc:
+        raise ValueError(
+            f"within is not a valid INTERVAL string: {within!r}"
+        ) from exc
+    return w
+
+
+def funnel_counts_sequential(
+    events: DataFrame,
+    steps: list[str],
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    within: str | None = None,
+) -> DataFrame:
+    """Sequential-match funnel (the ClickHouse ``windowFunnel`` shape,
+    strict ordering): a user reaches step i when a chain of events
+    with types ``steps[0..i-1]`` exists whose timestamps STRICTLY
+    increase — each step's event happens after the previous step's
+    matched event, not merely after its first touch — and, when
+    ``within`` is given, the whole chain completes inside
+    ``chain_start + within``.  Any qualifying event can start a chain
+    (the "resettable" behavior the first-touch form can't express:
+    a view AFTER an early unconverted view can still anchor a
+    conversion inside the window).
+
+    Semantics are the declarative EXISTS-chain (which is what the
+    SQL twin checks); the engine computes it in ONE pass per user via
+    a dynamic program folded over the user's time-sorted events: for
+    each level keep the LATEST chain-start among chains reaching it
+    (the window constraint binds only the start, so the latest start
+    dominates), reading only strictly-earlier state for same-timestamp
+    events (a carried ``prev`` snapshot), which makes the fold exact
+    for the strict-order semantics.  Plan: one user-keyed aggregation
+    (collect + fold inside the same shuffle — map-side partials for
+    the collect), then a tiny global count; per-user memory is the
+    user's event count, the same contract every windowFunnel
+    implementation has.  Output matches :func:`funnel_counts`:
+    ``(step, event_type, n_users)``, n_users non-increasing.
+    """
+    if not steps:
+        raise ValueError("funnel_counts_sequential: steps must be non-empty")
+    if len(set(steps)) != len(steps):
+        raise ValueError("funnel_counts_sequential: steps must be distinct")
+    k = len(steps)
+    spark = events.sparkSession
+    wlit = None
+    if within is not None:
+        wlit = _validated_interval(spark, within)
+
+    # map event type -> 0-based step index, keep only funnel events
+    step_idx = F.lit(None).cast("int")
+    for i in range(k - 1, -1, -1):
+        step_idx = F.when(
+            F.col(type_col) == steps[i], F.lit(i)
+        ).otherwise(step_idx)
+    ev = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).alias("__ts"),
+            step_idx.alias("__s"),
+        )
+        .where(F.col("__s").isNotNull())
+    )
+    # per-user sorted event array; struct sort is (ts, step) lexicographic
+    per_user = ev.groupBy("__u").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__ts").alias("t"),
+                                    F.col("__s").alias("s")))
+        ).alias("__evs")
+    )
+
+    null_ts = F.lit(None).cast(ev.schema["__ts"].dataType.simpleString())
+    empty_levels = F.array(*([null_ts] * k))
+
+    def _step(state, e):
+        # same-timestamp events must read only strictly-earlier state:
+        # `prev` snapshots the levels as of the previous distinct ts
+        prev2 = F.when(e["t"] != state["ts"], state["cur"]).otherwise(
+            state["prev"]
+        )
+        # F.get is 0-based and NULL out-of-bounds (s=0 -> index -1)
+        anchor = F.get(prev2, e["s"] - 1)
+        ok = anchor.isNotNull()
+        if wlit is not None:
+            ok = ok & (e["t"] <= anchor + F.expr(f"INTERVAL '{wlit}'"))
+        cand = F.when(e["s"] == 0, e["t"]).otherwise(
+            F.when(ok, anchor)
+        )
+        new_cur = F.transform(
+            state["cur"],
+            lambda v, j: F.when(
+                j == e["s"], F.greatest(v, cand)
+            ).otherwise(v),
+        )
+        return F.struct(
+            new_cur.alias("cur"),
+            prev2.alias("prev"),
+            e["t"].alias("ts"),
+        )
+
+    levels = F.aggregate(
+        F.col("__evs"),
+        F.struct(
+            empty_levels.alias("cur"),
+            empty_levels.alias("prev"),
+            null_ts.alias("ts"),
+        ),
+        _step,
+        lambda st: st["cur"],
+    )
+    flags = per_user.select(
+        *[
+            F.element_at(levels, i + 1).isNotNull().alias(f"__f{i}")
+            for i in range(k)
+        ]
+    )
+    counted = flags.agg(
+        *[
+            F.coalesce(
+                F.sum(F.col(f"__f{i}").cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(f"__n{i}")
+            for i in range(k)
+        ]
+    )
+    names = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)],
+        "step int, event_type string",
+    )
+    return names.crossJoin(F.broadcast(counted)).select(
+        "step",
+        "event_type",
+        F.coalesce(
+            *[
+                F.when(F.col("step") == i + 1, F.col(f"__n{i}"))
+                for i in range(k)
+            ]
+        ).alias("n_users"),
     )
 
 

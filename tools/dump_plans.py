@@ -222,6 +222,15 @@ PICKS = {
     "bm25_index_search": "saved-postings BM25: exploded query terms "
     "BROADCAST against one index scan (index never shuffles), "
     "per-query top-k via ranked window (WindowGroupLimit partial)",
+    "langid_rowwise_packed": "PACKED model serving: 28 languages x "
+    "4096 buckets (114,688 weights) ride the plan as 28 binary "
+    "literals — ONE plan node each, O(1) byte-slice decode inside "
+    "the fold; ZERO shuffles, no joins, no Python (the 8k "
+    "map-literal bound is gone)",
+    "funnel_sequential": "sequential windowFunnel: ONE user-keyed "
+    "aggregation (collect + fold-DP in the same shuffle), then a "
+    "tiny global count — per-user fold state is O(steps), the "
+    "chain search never joins",
 }
 
 

@@ -575,9 +575,17 @@ def q_sampler_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         return a * 10 + b
 
     runner = Runner(kern, var_names="y", spark=spark)
-    store = tempfile.mkdtemp(prefix="xyz_sampler_q_") + "/s.parquet"
-    s = Sampler(runner, store, seed=42)
-    return s.sample_combos(64, {"a": [1, 2, 3, 4], "b": [10, 20, 30]})
+    tmp = tempfile.mkdtemp(prefix="xyz_sampler_q_")
+    try:
+        s = Sampler(runner, tmp + "/s.parquet", seed=42)
+        return _finish_local(
+            spark,
+            s.sample_combos(64, {"a": [1, 2, 3, 4], "b": [10, 20, 30]}),
+        )
+    finally:
+        import shutil
+
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_facet_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1323,15 +1331,20 @@ def q_crop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return a * 100 + b, a - b
 
     workdir = tempfile.mkdtemp(prefix="xyz_crop_q_")
-    crop = Crop("contract", workdir, spark=spark)
-    crop.sow_combos(
-        kernel,
-        {"a": [1, 2, 3, 4, 5], "b": [10, 20, 30]},
-        var_names=["v", "w"],
-        num_batches=4,
-    )
-    crop.grow()
-    return crop.reap()
+    try:
+        crop = Crop("contract", workdir, spark=spark)
+        crop.sow_combos(
+            kernel,
+            {"a": [1, 2, 3, 4, 5], "b": [10, 20, 30]},
+            var_names=["v", "w"],
+            num_batches=4,
+        )
+        crop.grow()
+        return _finish_local(spark, crop.reap())
+    finally:
+        import shutil
+
+        shutil.rmtree(workdir, ignore_errors=True)
 
 
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4033,19 +4046,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _langid_trained_oracle() -> str:
-    """SQL twin of frozen-model langid scoring: the same canon
-    (lower + whitespace collapse), trigram frame, md5-portable bucket
-    (15 hex digits < 2^60 so the modulus agrees), weight VALUES join,
-    per-(doc, lang) margin sum completed over every language, 6dp
-    floor canon, then argmax with the lexicographic tie-break."""
-    wvals = ", ".join(
-        f"('{lang}', {b}, {w})" for lang, b, w in _langid_frozen_rows()
-    )
-    ivals = ", ".join(
-        f"('{lang}', {v})"
-        for lang, v in sorted(_LANGID_FROZEN_INTERCEPTS.items())
-    )
+def _langid_oracle_scaffold(w_cte: str, ic_cte: str) -> str:
+    """Shared SQL scaffold of the trained-langid twins: canon (lower +
+    whitespace collapse), trigram frame, md5-portable bucket (15 hex
+    digits < 2^60 so the modulus agrees), per-(doc, lang) margin sum
+    completed over every language, 6dp floor canon, argmax with the
+    lexicographic tie-break.  The weight/intercept CTE bodies are the
+    ONLY difference between the frozen-literal model and the packed
+    closed-form-lattice model — one scaffold, so a canon/frame fix
+    can never split the two gates."""
     return rf"""
         WITH src AS (
             SELECT doc_id,
@@ -4064,9 +4073,7 @@ def _langid_trained_oracle() -> str:
                            AS bucket
                 FROM grams)
             GROUP BY doc_id, bucket
-        ), w(lang, bucket, weight) AS (VALUES {wvals}
-        ), ic(lang, b0) AS (VALUES {ivals}
-        ), wsum AS (
+        ), {w_cte}, {ic_cte}, wsum AS (
             SELECT f.doc_id, w.lang, SUM(f.cnt * w.weight) AS s
             FROM feats f JOIN w ON f.bucket = w.bucket
             GROUP BY f.doc_id, w.lang
@@ -4091,65 +4098,43 @@ def _langid_trained_oracle() -> str:
     """
 
 
+def _langid_trained_oracle() -> str:
+    """Frozen-literal 5-language model twin: weight/intercept VALUES
+    literals over the shared scaffold."""
+    wvals = ", ".join(
+        f"('{lang}', {b}, {w})" for lang, b, w in _langid_frozen_rows()
+    )
+    ivals = ", ".join(
+        f"('{lang}', {v})"
+        for lang, v in sorted(_LANGID_FROZEN_INTERCEPTS.items())
+    )
+    return _langid_oracle_scaffold(
+        f"w(lang, bucket, weight) AS (VALUES {wvals})",
+        f"ic(lang, b0) AS (VALUES {ivals})",
+    )
+
+
 def _langid_packed_oracle() -> str:
-    """SQL twin of the PACKED 28-language scorer: identical canon /
-    trigram frame / md5 bucket as _langid_trained_oracle, but the
-    weight and intercept tables are REGENERATED from the closed-form
-    integer lattice (range() cross product) instead of a 114k-row
-    VALUES literal — exact because every weight is k/1000 and every
-    intercept k/10, and the Spark side packs/decodes those doubles
-    bit-exactly (verified at pack time)."""
-    return r"""
-        WITH src AS (
-            SELECT doc_id,
-                   lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
-            FROM documents WHERE doc_id % 5 = 0
-        ), grams AS (
-            SELECT doc_id,
-                   unnest(list_transform(
-                       range(1, len(t) - 1),
-                       i -> substr(t, i, 3))) AS g
-            FROM src WHERE t IS NOT NULL AND len(t) >= 3
-        ), feats AS (
-            SELECT doc_id, bucket, COUNT(*) AS cnt FROM (
-                SELECT doc_id,
-                       ('0x' || substr(md5(g), 1, 15))::BIGINT % 4096
-                           AS bucket
-                FROM grams)
-            GROUP BY doc_id, bucket
-        ), w AS (
+    """Packed 28-language model twin: the weight and intercept tables
+    are REGENERATED from the closed-form integer lattice (range()
+    cross product) instead of a 114k-row VALUES literal — exact
+    because every weight is k/1000 and every intercept k/10, and the
+    Spark side packs/decodes those doubles bit-exactly (verified at
+    pack time).  Same scaffold as _langid_trained_oracle."""
+    return _langid_oracle_scaffold(
+        """w AS (
             SELECT 'l' || lpad(CAST(li AS VARCHAR), 2, '0') AS lang,
                    b AS bucket,
                    (((b * 37 + li * 101 + 7) % 2001) - 1000) / 1000.0
                        AS weight
             FROM range(28) tl(li), range(4096) tb(b)
-        ), ic AS (
+        )""",
+        """ic AS (
             SELECT 'l' || lpad(CAST(li AS VARCHAR), 2, '0') AS lang,
                    (((li * 13) % 21) - 10) / 10.0 AS b0
             FROM range(28) tl(li)
-        ), wsum AS (
-            SELECT f.doc_id, w.lang, SUM(f.cnt * w.weight) AS s
-            FROM feats f JOIN w ON f.bucket = w.bucket
-            GROUP BY f.doc_id, w.lang
-        ), margins AS (
-            SELECT d.doc_id, ic.lang,
-                   FLOOR((COALESCE(s.s, 0.0) + ic.b0)
-                         * 1000000.0 + 0.5) / 1000000.0 AS m
-            FROM (SELECT DISTINCT doc_id FROM feats) d
-            CROSS JOIN ic
-            LEFT JOIN wsum s
-                ON s.doc_id = d.doc_id AND s.lang = ic.lang
-        ), best AS (
-            SELECT doc_id, lang, m,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY doc_id
-                       ORDER BY m DESC, lang ASC) AS rn
-            FROM margins
-        )
-        SELECT s.doc_id, b.lang AS lang_pred, b.m AS margin
-        FROM src s
-        LEFT JOIN best b ON b.doc_id = s.doc_id AND b.rn = 1
-    """
+        )""",
+    )
 
 
 def _bpe_token_count_oracle() -> str:
@@ -6560,6 +6545,7 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS (
                 SELECT user_id, event_type, ts FROM events
                 WHERE event_type IN ('view', 'click', 'purchase')
+                  AND user_id IS NOT NULL AND ts IS NOT NULL
             ), l1 AS (
                 SELECT DISTINCT user_id FROM e
                 WHERE event_type = 'view'

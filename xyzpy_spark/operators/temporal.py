@@ -439,7 +439,15 @@ def funnel_counts_sequential(
             F.col(ts_col).alias("__ts"),
             step_idx.alias("__s"),
         )
-        .where(F.col("__s").isNotNull())
+        # NULL users can't form a journey and NULL timestamps can't
+        # order a chain — excluded EXPLICITLY (groupBy would otherwise
+        # pool all NULL users into one phantom journey, and the
+        # declarative EXISTS twin drops NULL keys at its joins)
+        .where(
+            F.col("__s").isNotNull()
+            & F.col("__u").isNotNull()
+            & F.col("__ts").isNotNull()
+        )
     )
     # per-user sorted event array; struct sort is (ts, step) lexicographic
     per_user = ev.groupBy("__u").agg(

@@ -553,6 +553,12 @@ def _entropy_decode_lockstep(b, scan_start, order, huff, restart, mcu_total):
                 np.where((rs == 0) | (rs == 0xF0), 0, rs & 0xF),
                 rs,
             )
+            # hostile DC tables can declare size symbols > 16; the
+            # scalar walk raises there (negative python shift) and
+            # decode_jpeg returns None — numpy would silently evaluate
+            # the out-of-range shift, so raise to keep outcome parity
+            if (sz > 16).any():
+                raise ValueError("jpeg: invalid Huffman code")
             # 48-bit window: code + magnitude always fit (<= 27 bits
             # + 7 alignment); reads past nbits land in the zero pad
             # in BOTH walks, so no mid-symbol clamp is needed

@@ -525,20 +525,22 @@ def _group_rank(
     salt: str = "",
     order_col: str | None = None,
     descending: bool = True,
+    caller: str = "cap_per_group",
 ) -> DataFrame:
     """The deterministic in-group rank (``__r`` column) shared by
     :func:`cap_per_group` and its streaming quota twin
     (:func:`~xyzpy_spark.streaming.ops.cap_stream_per_group`) — one
     selection rule, two engine paths.  Validates the mode params and
-    enforces the unique non-null ``key`` contract in-job."""
+    enforces the unique non-null ``key`` contract in-job; ``caller``
+    names the operator the user actually invoked in every error."""
     if order_col is not None and salt:
         raise ValueError(
-            "cap_per_group: salt= only applies to the hash-rank mode "
+            f"{caller}: salt= only applies to the hash-rank mode "
             "— it would silently do nothing with order_col="
         )
     if order_col is None and not descending:
         raise ValueError(
-            "cap_per_group: descending= only applies to order_col= "
+            f"{caller}: descending= only applies to order_col= "
             "— it would silently do nothing in hash-rank mode"
         )
     # the unique-key contract enforced IN the job (the merge-conflict
@@ -548,7 +550,7 @@ def _group_rank(
         F.col(key).isNull(),
         F.raise_error(
             F.lit(
-                "cap_per_group: key column contains NULLs — the "
+                f"{caller}: key column contains NULLs — the "
                 "selection would be nondeterministic (ties on both "
                 "sort columns); supply a unique non-null key"
             )

@@ -531,12 +531,21 @@ def _check_pq_mode(corpus: DataFrame, expected: str, caller: str) -> None:
         return
     stamped = dict(corpus.schema["codes"].metadata or {}).get("pq_mode")
     if stamped is not None and stamped != expected:
+        if stamped == "residual":
+            fix = (
+                "search it with ivf_pq_topk(..., residual=True) — "
+                "residual codes need the cell centroids to reconstruct"
+            )
+        else:
+            fix = (
+                "search it with residual=False / pq_topk, or rebuild "
+                "the index with ivf_pq_build for residual search"
+            )
         raise ValueError(
             f"{caller}: corpus codes were built in pq_mode="
             f"'{stamped}' but this search scores them as "
-            f"'{expected}' — pass residual={stamped == 'residual'} "
-            "(raw codes come from pq_build, residual codes from "
-            "ivf_pq_build)"
+            f"'{expected}' — {fix} (raw codes come from pq_build, "
+            "residual codes from ivf_pq_build)"
         )
 
 

@@ -733,6 +733,7 @@ def cap_stream_per_group(
         ranked = _group_rank(
             batch_df, by=by, key=key, salt=salt,
             order_col=order_col, descending=descending,
+            caller="cap_stream_per_group",
         )
         if prior is not None:
             ranked = ranked.join(F.broadcast(prior), by, "left")

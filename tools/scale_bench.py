@@ -148,6 +148,14 @@ HEAVY = [
     "funnel_steps",
     "cohort_retention",
     "source_caps",
+    # round-8 additions: the stream-served LM scorer (claim: streaming
+    # fixed cost + linear score scan), the packed-literal 28-language
+    # scorer (claim: pure map-only linear scan — the blobs are plan
+    # constants), and the sequential funnel (claim: ONE user-keyed
+    # collect+fold shuffle, linear in events)
+    "lm_stream_score",
+    "langid_rowwise_packed",
+    "funnel_sequential",
 ]
 
 REP = "_rep"

@@ -807,6 +807,31 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE HyperLogLog distinct counts under the driver hash
+    (functions/sketch.hll_registers/hll_estimate): the md5-hashed
+    register construction and the exact-integer harmonic sum make the
+    ESTIMATE itself bit-reproducible in DuckDB — an approximate
+    sketch holding an exact oracle, like bloom_contamination.  Two
+    sketches per event_type: user_id (150 distinct — the
+    linear-counting ln branch) and event_id (thousands — the raw
+    harmonic branch), so both estimator paths are driver-hashed."""
+    from xyzpy_spark.functions.sketch import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    users = hll_distinct(ev, "user_id", "event_type", p=8).select(
+        "event_type",
+        F.col("registers_hit").alias("users_hit"),
+        F.col("n_distinct_hll").alias("n_users_hll"),
+    )
+    events = hll_distinct(ev, "event_id", "event_type", p=8).select(
+        "event_type",
+        F.col("registers_hit").alias("events_hit"),
+        F.col("n_distinct_hll").alias("n_events_hll"),
+    )
+    return users.join(events, "event_type")
+
+
 def q_funnel_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-match (resettable) conversion funnel with a 30-day
     window (operators/temporal.funnel_counts_sequential — the
@@ -3644,7 +3669,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # missing #5 closed; strict EXISTS-chain oracle, DP engine
 # brute-force-pinned in pytest), displacing small_quantity_revenue
 # (Q17 shape, r5-r7 green; the relational family still keeps 13+
-# in-window reps).  Queue EMPTY: zero rotation debt.
+# in-window reps); and hll_distinct (the PORTABLE HyperLogLog —
+# an approximate sketch whose estimate is bit-reproducible in
+# DuckDB, both estimator branches driver-hashed), displacing
+# strip_dup_lines (r5-r7 green; intra-doc line dedup stays
+# pytest-covered and the text family keeps strip_substrings/
+# curate_corpus in-window).  Queue EMPTY: zero rotation debt.
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -3737,6 +3767,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "lm_stream_score": 8,
     "langid_rowwise_packed": 8,
     "funnel_sequential": 8,
+    "hll_distinct": 8,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -3938,7 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_stream_score": q_lm_stream_score,
         "langid_rowwise_packed": q_langid_rowwise_packed,
         "funnel_sequential": q_funnel_sequential,
-        "strip_dup_lines": q_strip_dup_lines,
+        "hll_distinct": q_hll_distinct,
         "resample_audio": q_resample_audio,
         "returned_item_losses": q_returned_item_losses,
         "promo_revenue_share": q_promo_revenue_share,
@@ -3956,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "small_quantity_revenue": q_small_quantity_revenue,
+        "strip_dup_lines": q_strip_dup_lines,
         "discounted_revenue": q_discounted_revenue,
         "multimodal_jpeg": q_multimodal_jpeg,
         "stream_curate": q_stream_curate,
@@ -6540,6 +6572,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'click', n1 FROM counted
             UNION ALL
             SELECT 3, 'purchase', n2 FROM counted
+        """,
+        "hll_distinct": """
+            WITH reg AS (
+                SELECT 'u' AS kind, event_type,
+                       h >> 52 AS idx,
+                       MAX(CASE WHEN (h & ((1::BIGINT << 52) - 1)) > 0
+                           THEN 52 - length(bin(
+                                h & ((1::BIGINT << 52) - 1))) + 1
+                           ELSE 53 END) AS rho
+                FROM (
+                    SELECT event_type,
+                           ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           1, 15))::BIGINT AS h
+                    FROM events WHERE user_id IS NOT NULL
+                ) GROUP BY 1, 2, 3
+                UNION ALL
+                SELECT 'e', event_type,
+                       h >> 52,
+                       MAX(CASE WHEN (h & ((1::BIGINT << 52) - 1)) > 0
+                           THEN 52 - length(bin(
+                                h & ((1::BIGINT << 52) - 1))) + 1
+                           ELSE 53 END)
+                FROM (
+                    SELECT event_type,
+                           ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                           1, 15))::BIGINT AS h
+                    FROM events WHERE event_id IS NOT NULL
+                ) GROUP BY 1, 2, 3
+            ), agg AS (
+                SELECT kind, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS hit,
+                       CAST(SUM((1::BIGINT << (53 - rho))) AS BIGINT)
+                           AS s_hit
+                FROM reg GROUP BY 1, 2
+            ), est AS (
+                SELECT kind, event_type, hit,
+                       CASE WHEN
+                           ((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+                            * CAST((1::BIGINT << 53) AS DOUBLE)
+                            / CAST(s_hit + (256 - hit)
+                                   * (1::BIGINT << 53) AS DOUBLE))
+                           <= 2.5 * 256 AND hit < 256
+                       THEN 256.0 * ln(256.0
+                                       / CAST(256 - hit AS DOUBLE))
+                       ELSE
+                           ((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+                            * CAST((1::BIGINT << 53) AS DOUBLE)
+                            / CAST(s_hit + (256 - hit)
+                                   * (1::BIGINT << 53) AS DOUBLE))
+                       END AS e
+                FROM agg
+            )
+            SELECT u.event_type,
+                   u.hit AS users_hit,
+                   FLOOR(u.e * 1000000.0 + 0.5) / 1000000.0
+                       AS n_users_hll,
+                   ev.hit AS events_hit,
+                   FLOOR(ev.e * 1000000.0 + 0.5) / 1000000.0
+                       AS n_events_hll
+            FROM (SELECT * FROM est WHERE kind = 'u') u
+            JOIN (SELECT * FROM est WHERE kind = 'e') ev
+                USING (event_type)
         """,
         "funnel_sequential": """
             WITH e AS (

@@ -158,6 +158,7 @@ HEADLINE = [
     "lm_stream_score",
     "langid_rowwise_packed",
     "funnel_sequential",
+    "hll_distinct",
 ]
 
 

@@ -80,3 +80,81 @@ def test_heavy_hitters_finds_planted_values(spark):
     for v, est in hh:
         assert est >= true_counts.get(v, 0)  # CMS overestimates only
         assert est <= true_counts.get(v, 0) + 0.001 * len(pdf)
+
+
+def test_hll_distinct_error_bound_and_branches(spark):
+    """Portable HLL: estimates within the theoretical error envelope
+    (~1.04/sqrt(m); we assert 3x slack) on cardinalities spanning the
+    linear-counting ln branch AND the raw harmonic branch, at p=8 and
+    p=12."""
+    from xyzpy_spark.functions.sketch import hll_distinct
+
+    rows = [(n, i) for n in (40, 600, 20000) for i in range(n)]
+    df = spark.createDataFrame(rows, "n long, v long").withColumn(
+        "v", F.concat(F.col("n"), F.lit(":"), F.col("v"))
+    )
+    for p in (8, 12):
+        m = 1 << p
+        got = {
+            r["n"]: r["n_distinct_hll"]
+            for r in hll_distinct(df, "v", "n", p=p).collect()
+        }
+        for n, est in got.items():
+            assert abs(est - n) <= 3 * 1.04 / (m ** 0.5) * n + 3, (
+                p, n, est,
+            )
+    # NULLs excluded per the COUNT DISTINCT contract
+    with_null = spark.createDataFrame(
+        [(1, "a"), (1, None), (1, "b")], "g long, v string"
+    )
+    one = hll_distinct(with_null, "v", "g", p=8).collect()[0]
+    assert one["registers_hit"] == 2
+
+
+def test_hll_merge_law_exact(spark):
+    """sketch(A U B) == merge(sketch(A), sketch(B)) EXACTLY — max is
+    associative/commutative/idempotent over the registers, which is
+    what makes the sketch a saved mergeable artifact (count the
+    corpus once, merge each ingest increment)."""
+    from xyzpy_spark.functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_type", "user_id", "event_id")
+    a = ev.where(F.col("event_id") % 3 != 0)
+    b = ev.where(F.col("event_id") % 3 == 0)
+    whole = hll_registers(ev, "user_id", "event_type", p=8)
+    merged = hll_merge(
+        [
+            hll_registers(a, "user_id", "event_type", p=8),
+            hll_registers(b, "user_id", "event_type", p=8),
+        ],
+        "event_type",
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
+    # estimates from merged registers equal whole-input estimates
+    e1 = sorted(map(tuple, hll_estimate(whole, "event_type").collect()))
+    e2 = sorted(map(tuple, hll_estimate(merged, "event_type").collect()))
+    assert e1 == e2 and len(e1) > 0
+
+
+def test_hll_validates_p(spark):
+    import pytest
+
+    from xyzpy_spark.functions.sketch import hll_estimate, hll_registers
+
+    df = spark.createDataFrame([(1,)], "v long")
+    with pytest.raises(ValueError, match="p must be"):
+        hll_registers(df, "v", p=3)
+    with pytest.raises(ValueError, match="p must be"):
+        hll_estimate(df, p=17)
+    from xyzpy_spark.functions.sketch import hll_merge
+
+    with pytest.raises(ValueError, match="at least one"):
+        hll_merge([])

@@ -231,6 +231,10 @@ PICKS = {
     "aggregation (collect + fold-DP in the same shuffle), then a "
     "tiny global count — per-user fold state is O(steps), the "
     "chain search never joins",
+    "hll_distinct": "portable HyperLogLog: map-only register "
+    "projection, grouped max (shuffle carries <= 2^p rows per group "
+    "no matter the input), exact-integer harmonic sum — the "
+    "approximate sketch that still hashes against an exact oracle",
 }
 
 

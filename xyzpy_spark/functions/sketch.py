@@ -27,6 +27,10 @@ __all__ = [
     "bloom_positions",
     "bloom_build",
     "bloom_contains",
+    "hll_registers",
+    "hll_merge",
+    "hll_estimate",
+    "hll_distinct",
 ]
 
 
@@ -340,3 +344,162 @@ def bloom_contains(
         bit = F.bit_get(byte, (p % 8).cast("int"))
         cond = cond & (bit == F.lit(1).cast("tinyint"))
     return cond
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog — engine-reproducible distinct-count sketch
+# ---------------------------------------------------------------------------
+#
+# Spark's approx_count_distinct (HLL++) is a JVM-internal sketch: its
+# estimates cannot be reproduced by another engine, so it can never be
+# driver-hashed.  This family is the PORTABLE twin — the classic
+# Flajolet et al. HyperLogLog over the repo's md5 hash recipe
+# (15 hex digits -> 60-bit non-negative int64), with the estimator
+# arithmetic arranged so every intermediate is either an exact integer
+# or a deterministic double expression any engine evaluates
+# identically:
+#
+#   h   = int64(md5(value)[:15 hex])          (60 bits)
+#   idx = h >> (60 - p)                        (register, top p bits)
+#   w   = h & (2^(60-p) - 1)                   (remaining bits)
+#   rho = (60-p) - bitlen(w) + 1, or (60-p)+1 when w = 0
+#   S   = sum over all m=2^p registers of 2^(K - M_j), K = 61 - p
+#         (EXACT int64: each term <= 2^K, m terms <= 2^61)
+#   E   = alpha_m * m^2 * 2^K / S              (one double division)
+#   E  <= 2.5m and V empty registers > 0  ->  m * ln(m / V)
+#
+# bitlen is length(conv(w, 10, 2)) — minimal-width binary, exactly
+# DuckDB's length(bin(w)) — so registers, S, V, and the estimate are
+# bit-reproducible (ln() last-ulp noise is absorbed by the repo's 6dp
+# floor canon).  The register table IS the sketch: mergeable by
+# groupBy(idx).max(rho), map-side partial, one shuffle of <= m rows
+# per group no matter the input size — the property that makes
+# distinct counting free at 100 TB.
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    by=(),
+    *,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog register table ``(by..., idx, rho)`` —
+    the mergeable sketch state (sparse: absent idx = empty register).
+
+    One map-only projection + one grouped max: the shuffle carries at
+    most ``2^p`` rows per group regardless of input rows.  NULL values
+    are excluded (the COUNT DISTINCT contract).
+    """
+    if not 4 <= int(p) <= 16:
+        raise ValueError(f"hll_registers: p must be in [4, 16], got {p}")
+    by = [by] if isinstance(by, str) else list(by)
+    w = 60 - int(p)
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    low = h.bitwiseAND(F.lit((1 << w) - 1))
+    bitlen = F.when(
+        low > 0, F.length(F.conv(low, 10, 2))
+    ).otherwise(F.lit(0))
+    staged = (
+        df.where(F.col(col).isNotNull())
+        .select(
+            *by,
+            F.shiftright(h, w).alias("idx"),
+            (F.lit(w) - bitlen + 1).cast("int").alias("__rho"),
+        )
+    )
+    return staged.groupBy(*by, "idx").agg(F.max("__rho").alias("rho"))
+
+
+def hll_merge(sketches, by=()) -> DataFrame:
+    """Merge register tables from :func:`hll_registers` — union +
+    grouped max, the HLL merge law (sketch(A U B) == merge(sketch(A),
+    sketch(B)), exactly, because max is associative/commutative/
+    idempotent).  This is what makes the sketch a saved artifact:
+    count yesterday's corpus once, merge today's increment in."""
+    from functools import reduce
+
+    by = [by] if isinstance(by, str) else list(by)
+    it = list(sketches)
+    if not it:
+        raise ValueError("hll_merge: need at least one sketch")
+    u = reduce(DataFrame.unionByName, it)
+    return u.groupBy(*by, "idx").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    by=(),
+    *,
+    p: int = 8,
+    round_places: int = 6,
+) -> DataFrame:
+    """HyperLogLog estimate per group from a register table:
+    ``(by..., registers_hit, n_distinct_hll)``.
+
+    The harmonic sum is computed as the EXACT integer
+    ``S = sum(2^(K - rho)) + (m - hit) * 2^K`` (every term a power of
+    two <= 2^K, total <= 2^61 — int64-exact on any engine), so the
+    only float steps are one division and the small-range ``ln``,
+    both deterministic under the repo's 6dp floor canon.  Relative
+    error ~= 1.04/sqrt(2^p) (~6.5% at the default p=8; use p=12 for
+    ~1.6% at 4096 registers per group).
+    """
+    if not 4 <= int(p) <= 16:
+        raise ValueError(f"hll_estimate: p must be in [4, 16], got {p}")
+    by = [by] if isinstance(by, str) else list(by)
+    m = 1 << int(p)
+    k_exp = 61 - int(p)
+    alpha = 0.7213 / (1.0 + 1.079 / m) if m >= 128 else (
+        0.673 if m == 16 else 0.697 if m == 32 else 0.709
+    )
+    agg = registers.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("registers_hit"),
+        # 2^(K - rho) as an exact int64 shift (DataFrame shiftleft
+        # only takes a python-int shift, so SQL-expression form)
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {k_exp} - rho)")
+        ).alias("__s_hit"),
+    )
+    s = (
+        F.col("__s_hit")
+        + (F.lit(m) - F.col("registers_hit")) * F.lit(1 << k_exp)
+    ).cast("double")
+    v = F.lit(m) - F.col("registers_hit")  # empty registers
+    e_raw = (
+        F.lit(float(alpha) * m * m) * F.lit(float(1 << k_exp)) / s
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(e_raw)
+    from ..pipeline.text import _round_det
+
+    return agg.select(
+        *by,
+        F.col("registers_hit").cast("long").alias("registers_hit"),
+        _round_det(est, round_places).alias("n_distinct_hll"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    col: str,
+    by=(),
+    *,
+    p: int = 8,
+    round_places: int = 6,
+) -> DataFrame:
+    """One-call portable distinct count: :func:`hll_registers` +
+    :func:`hll_estimate`.  The engine-reproducible sibling of
+    :func:`approx_distinct` — same single-shuffle plan shape, but the
+    estimate is bit-identical on any engine that can md5, so it can
+    sit under the driver's value hash like an exact query."""
+    return hll_estimate(
+        hll_registers(df, col, by, p=p),
+        by,
+        p=p,
+        round_places=round_places,
+    )

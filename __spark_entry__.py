@@ -807,6 +807,31 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(ev, ["view", "click", "purchase"])
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement under the driver hash
+    (pipeline/sampling.weighted_sample — Efraimidis-Spirakis A-ES
+    priorities u^(1/w)), run in the PORTABLE pow2 mode: weights
+    2^(doc_id%4), priorities as iterated sqrt (IEEE-correctly-rounded
+    on every engine, unlike pow), per-source top-10 via the rank
+    window (WindowGroupLimit partial) — the quality/importance-
+    weighted corpus-subsampling primitive with a bit-exact twin."""
+    from xyzpy_spark.pipeline.sampling import weighted_sample
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .withColumn(
+            "w",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT))"
+            ),
+        )
+    )
+    return weighted_sample(
+        docs, 10, "w", key="doc_id", by="source", pow2_weights=True
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PORTABLE HyperLogLog distinct counts under the driver hash
     (functions/sketch.hll_registers/hll_estimate): the md5-hashed
@@ -3674,7 +3699,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # DuckDB, both estimator branches driver-hashed), displacing
 # strip_dup_lines (r5-r7 green; intra-doc line dedup stays
 # pytest-covered and the text family keeps strip_substrings/
-# curate_corpus in-window).  Queue EMPTY: zero rotation debt.
+# curate_corpus in-window); and weighted_sample (Efraimidis-Spirakis
+# weighted sampling without replacement in the portable
+# iterated-sqrt mode — bit-exact priorities cross-engine),
+# displacing pmi_collocations (r5-r7 green; the IR family keeps
+# tfidf_top_terms/bm25_search/bm25_index_search in-window).
+# Queue EMPTY: zero rotation debt.
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -3768,6 +3798,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "langid_rowwise_packed": 8,
     "funnel_sequential": 8,
     "hll_distinct": 8,
+    "weighted_sample": 8,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -3974,7 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "returned_item_losses": q_returned_item_losses,
         "promo_revenue_share": q_promo_revenue_share,
         "supplier_part_variety": q_supplier_part_variety,
-        "pmi_collocations": q_pmi_collocations,
+        "weighted_sample": q_weighted_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "bm25_search": q_bm25_search,
         "shipmode_priority": q_shipmode_priority,
@@ -3988,6 +4019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "local_supplier_volume": q_local_supplier_volume,
         "small_quantity_revenue": q_small_quantity_revenue,
         "strip_dup_lines": q_strip_dup_lines,
+        "pmi_collocations": q_pmi_collocations,
         "discounted_revenue": q_discounted_revenue,
         "multimodal_jpeg": q_multimodal_jpeg,
         "stream_curate": q_stream_curate,
@@ -6572,6 +6604,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'click', n1 FROM counted
             UNION ALL
             SELECT 3, 'purchase', n2 FROM counted
+        """,
+        "weighted_sample": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       (1::BIGINT << CAST(doc_id % 4 AS INTEGER)) AS w,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 8))::BIGINT
+                           / 4294967296.0 AS u
+                FROM documents
+            ), pr AS (
+                SELECT doc_id, source, w,
+                       CASE CAST(doc_id % 4 AS INTEGER)
+                           WHEN 0 THEN u
+                           WHEN 1 THEN sqrt(u)
+                           WHEN 2 THEN sqrt(sqrt(u))
+                           ELSE sqrt(sqrt(sqrt(u))) END AS p
+                FROM d
+            ), r AS (
+                SELECT doc_id, source, w,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY source
+                           ORDER BY p DESC, doc_id) AS rn
+                FROM pr
+            )
+            SELECT doc_id, source, CAST(w AS BIGINT) AS w
+            FROM r WHERE rn <= 10
         """,
         "hll_distinct": """
             WITH reg AS (

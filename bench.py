@@ -159,6 +159,7 @@ HEADLINE = [
     "langid_rowwise_packed",
     "funnel_sequential",
     "hll_distinct",
+    "weighted_sample",
 ]
 
 

@@ -3502,3 +3502,84 @@ def test_funnel_within_validation(spark):
     for bad in ("one week", "-1 day", "7' days"):
         with pytest.raises(ValueError, match="INTERVAL"):
             funnel_counts(ev, ["view"], within=bad)
+
+
+def test_weighted_sample_matches_python_twin_and_proportionality(spark):
+    """weighted_sample (Efraimidis-Spirakis A-ES) in the portable
+    pow2 mode must select EXACTLY the ids a python twin (hashlib md5
+    + math.sqrt — bit-exact, since IEEE sqrt is correctly rounded)
+    selects, globally and per group; heavier weights must dominate
+    the selected set (~proportional representation)."""
+    import collections
+    import hashlib
+    import math
+
+    from xyzpy_spark.pipeline.sampling import weighted_sample
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "source")
+        .withColumn(
+            "w",
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(doc_id % 4 AS INT))"
+            ),
+        )
+    )
+    rows = docs.collect()
+
+    def prio(doc_id, w):
+        u = (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16)
+            / 4294967296.0
+        )
+        for _ in range(int(w).bit_length() - 1):
+            u = math.sqrt(u)
+        return u
+
+    want = sorted(
+        rows, key=lambda r: (-prio(r["doc_id"], r["w"]), r["doc_id"])
+    )[:50]
+    got = weighted_sample(
+        docs, 50, "w", key="doc_id", pow2_weights=True
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == sorted(
+        r["doc_id"] for r in want
+    )
+    hist = collections.Counter(r["w"] for r in got)
+    assert hist[8] > hist[1]  # weight-proportional selection
+
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    sel = set()
+    for rs in by_src.values():
+        rs.sort(key=lambda r: (-prio(r["doc_id"], r["w"]), r["doc_id"]))
+        sel |= {r["doc_id"] for r in rs[:10]}
+    gotg = {
+        r["doc_id"]
+        for r in weighted_sample(
+            docs, 10, "w", key="doc_id", by="source", pow2_weights=True
+        ).collect()
+    }
+    assert gotg == sel
+
+
+def test_weighted_sample_validates(spark):
+    from xyzpy_spark.pipeline.sampling import weighted_sample
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id")
+        .limit(10)
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(docs.withColumn("w", F.lit(1)), 0, "w")
+    # non-pow2 weight raises IN-JOB in the portable mode
+    bad = docs.withColumn("w", F.lit(3).cast("long"))
+    with pytest.raises(Exception, match="power-of-two"):
+        weighted_sample(bad, 5, "w", pow2_weights=True).collect()
+    # zero/negative weights raise in-job in either mode
+    zero = docs.withColumn("w", F.lit(0).cast("long"))
+    with pytest.raises(Exception, match="positive"):
+        weighted_sample(zero, 5, "w").collect()

@@ -235,6 +235,10 @@ PICKS = {
     "projection, grouped max (shuffle carries <= 2^p rows per group "
     "no matter the input), exact-integer harmonic sum — the "
     "approximate sketch that still hashes against an exact oracle",
+    "weighted_sample": "Efraimidis-Spirakis weighted sampling: "
+    "map-only priority projection (iterated correctly-rounded sqrt "
+    "in portable mode), per-group rank window with WindowGroupLimit "
+    "partial top-k — one shuffle, no weight-sized state",
 }
 
 

@@ -565,3 +565,116 @@ def _group_rank(
         lead = hash_unit(F.col(key), salt)
     w = Window.partitionBy(by).orderBy(lead, checked_key)
     return df.withColumn("__r", F.row_number().over(w))
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    *,
+    key: str = "doc_id",
+    by=(),
+    salt: str = "",
+    pow2_weights: bool = False,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis & Spirakis,
+    "Weighted random sampling with a reservoir"): every row draws the
+    priority ``u^(1/w)`` from its deterministic :func:`hash_unit`
+    ``u`` and weight ``w``, and the ``k`` highest priorities (per
+    ``by`` group, or globally) are exactly a weight-proportional
+    sample without replacement — the corpus-subsampling primitive
+    (quality-weighted selection, importance-weighted mixing) in a
+    form that is reproducible across runs, partitionings, and salts.
+
+    ``pow2_weights=True`` is the PORTABLE mode: weights must be
+    integer powers of two (validated in-job), and the priority is
+    computed as an ITERATED ``sqrt`` — IEEE-754 requires sqrt to be
+    correctly rounded (``pow`` is not), so the priorities, and
+    therefore the selected set, are bit-reproducible on any engine
+    (the gate-query mode).  The default mode accepts arbitrary
+    positive weights via ``pow(u, 1/w)`` (last-ulp pow differences
+    could in principle flip a selection boundary across engines —
+    fine within one engine, documented for cross-engine use).
+
+    Plan: map-only priority projection; global top-k is TakeOrdered,
+    per-group top-k is one rank window (WindowGroupLimit map-side
+    partial) — one shuffle either way, never a weight-sized state.
+    Non-positive/NULL weights raise in-job; ``key`` must be unique
+    non-null (the tie-break; the cap_per_group discipline).
+    """
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+    by = [by] if isinstance(by, str) else list(by)
+    u = hash_unit(key, salt)
+    w = F.col(weight_col)
+    checked_w = F.when(
+        w.isNull() | (w <= 0),
+        F.raise_error(
+            F.lit(
+                "weighted_sample: weights must be positive and "
+                "non-null — a zero/negative weight has no sampling "
+                "probability and NULL would silently drop the row"
+            )
+        ),
+    ).otherwise(w)
+    if pow2_weights:
+        # j = log2(w) via exact integer bit-length; w must be 2^j
+        # with j <= 15 (deeper chains trip a Catalyst expression-tree
+        # blow-up around ~25 nested entries; 2^15 spans any sane
+        # sampling-weight range)
+        wi = checked_w.cast("long")
+        jbits = F.length(F.conv(wi, 10, 2)) - 1
+        pow2_ok = (
+            (wi > 0)
+            & (wi <= (1 << 15))
+            & (wi.bitwiseAND(wi - 1) == 0)
+        )
+        checked_j = F.when(
+            pow2_ok,
+            jbits,
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "weighted_sample: pow2_weights=True requires "
+                    "integer power-of-two weights <= 2^15 (the "
+                    "portable iterated-sqrt mode); use "
+                    "pow2_weights=False for arbitrary positive "
+                    "weights"
+                )
+            )
+        )
+        # iterated sqrt chain: entry j holds u^(1/2^j); IEEE sqrt is
+        # correctly rounded, so every entry is bit-exact cross-engine
+        chain = [u]
+        for _ in range(15):
+            chain.append(F.sqrt(chain[-1]))
+        prio = F.element_at(F.array(*chain), checked_j.cast("int") + 1)
+    else:
+        prio = F.pow(u, F.lit(1.0) / checked_w.cast("double"))
+    checked_key = F.when(
+        F.col(key).isNull(),
+        F.raise_error(
+            F.lit(
+                "weighted_sample: key column contains NULLs — the "
+                "priority tie-break would be nondeterministic; "
+                "supply a unique non-null key"
+            )
+        ),
+    ).otherwise(F.col(key))
+    if by:
+        win = Window.partitionBy(*by).orderBy(
+            F.desc_nulls_last(prio), checked_key
+        )
+        return (
+            df.withColumn("__r", F.row_number().over(win))
+            .where(F.col("__r") <= int(k))
+            .drop("__r")
+        )
+    # global top-k: TakeOrdered (distributed partial top-k, no window)
+    return (
+        df.withColumn("__prio", prio)
+        .withColumn("__ck", checked_key)
+        .orderBy(F.desc_nulls_last("__prio"), F.col("__ck"))
+        .limit(int(k))
+        .drop("__prio", "__ck")
+    )

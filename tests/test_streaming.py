@@ -1119,3 +1119,60 @@ def test_lm_stream_score_matches_batch(spark, tmp_path):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_hll_stream_distinct_matches_batch(spark, tmp_path):
+    """Streaming distinct counting via the saved mergeable register
+    state: after the final micro-batch, the estimate table must equal
+    the batch hll_distinct of EVERYTHING seen — same registers, same
+    estimate, exactly (the HLL merge law end to end through the real
+    engine), across multiple epochs."""
+    from xyzpy_spark.functions.sketch import hll_distinct
+    from xyzpy_spark.streaming.ops import hll_stream_distinct
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "event_type", "user_id")
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    half1.coalesce(1).write.parquet(src)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    hll_stream_distinct(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "user_id",
+        out,
+        state,
+        by="event_type",
+        p=8,
+    )
+    est = spark.read.parquet(out)
+    epochs = sorted(
+        r["epoch_id"]
+        for r in est.select("epoch_id").distinct().collect()
+    )
+    assert len(epochs) == 2, epochs
+    final = {
+        r["event_type"]: (r["registers_hit"], r["n_distinct_hll"])
+        for r in est.where(F.col("epoch_id") == epochs[-1]).collect()
+    }
+    want = {
+        r["event_type"]: (r["registers_hit"], r["n_distinct_hll"])
+        for r in hll_distinct(ev, "user_id", "event_type", p=8).collect()
+    }
+    assert final == want and len(final) > 0
+    # the saved state is bounded: <= 2^p register rows per group
+    st = spark.read.parquet(state).where(
+        F.col("epoch_id") == epochs[-1]
+    )
+    mx = (
+        st.groupBy("event_type")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert mx <= 256

@@ -760,6 +760,74 @@ def cap_stream_per_group(
     )
 
 
+def hll_stream_distinct(
+    doc_stream: DataFrame,
+    col: str,
+    out_path: str,
+    state_path: str,
+    *,
+    by=(),
+    p: int = 8,
+    round_places: int = 6,
+    checkpoint: str | None = None,
+    timeout: int = 300,
+) -> None:
+    """Streaming distinct counts over an unbounded stream via the
+    portable HyperLogLog
+    (:func:`~xyzpy_spark.functions.sketch.hll_registers`): the saved
+    artifact is the per-group REGISTER table — tiny (<= 2^p rows per
+    group forever) and mergeable by grouped max, so each micro-batch
+    folds in exactly (sketch(history U batch) == merge law, pytest-
+    pinned on the batch side).
+
+    Epoch discipline matches the quota/dedup seams: each epoch's
+    merged registers land in ``state_path/epoch_id=N`` and the
+    estimates in ``out_path/epoch_id=N`` (overwrite), with the merge
+    reading only STRICTLY EARLIER epochs — a replayed epoch
+    recomputes from identical state, so at-least-once delivery never
+    double-counts (and double-counting wouldn't even matter: max is
+    idempotent, the reason HLL is the right streaming sketch).  A
+    true exact streaming COUNT DISTINCT needs unbounded state; this
+    is the bounded-state answer, and the estimate after the final
+    epoch equals the batch :func:`hll_distinct` of everything seen
+    (same registers -> same estimate, exactly).
+    """
+    from ..functions.sketch import hll_estimate, hll_merge, hll_registers
+
+    by = [by] if isinstance(by, str) else list(by)
+    spark = doc_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = int(epoch_id)
+        fresh = hll_registers(batch_df, col, by, p=p)
+        try:
+            prior = (
+                spark.read.parquet(state_path)
+                .where(F.col("epoch_id") < eid)
+                .select(*by, "idx", "rho")
+            )
+            merged = hll_merge([prior, fresh], by)
+        except AnalysisException:
+            merged = fresh  # first epoch: no state yet
+        state_dir = os.path.join(state_path, f"epoch_id={eid}")
+        merged.write.mode("overwrite").parquet(state_dir)
+        # estimate FROM the written state (one source of truth)
+        hll_estimate(
+            spark.read.parquet(state_dir).select(*by, "idx", "rho"),
+            by,
+            p=p,
+            round_places=round_places,
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"epoch_id={eid}")
+        )
+
+    _run_foreach_batch(
+        doc_stream, _sink, checkpoint, timeout, "hll_stream_distinct"
+    )
+
+
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table as a file-source stream — the ingest shape
     of a continuously-crawled corpus (schema probed batch-side; file

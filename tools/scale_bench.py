@@ -156,6 +156,12 @@ HEAVY = [
     "lm_stream_score",
     "langid_rowwise_packed",
     "funnel_sequential",
+    # late round-8: the sketch family (claim: the HLL shuffle carries
+    # <= 2^p rows per group at ANY input size — the data-flat property
+    # in person) and weighted sampling (map-only priorities, one
+    # top-k shuffle)
+    "hll_distinct",
+    "weighted_sample",
 ]
 
 REP = "_rep"

@@ -3002,6 +3002,8 @@ def prestage_winnow_against(
     prestage_dedup_incremental protocol)."""
     from xyzpy_spark.pipeline.dedup import build_winnow_index
 
+    from xyzpy_spark.pipeline.dedup import save_winnow_index
+
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "text"
     ).repartition(32)
@@ -3009,8 +3011,9 @@ def prestage_winnow_against(
     index, dropped = build_winnow_index(
         corpus, k=6, w=5, max_fp_freq=50, hash_fn="md5"
     )
-    index.write.mode("overwrite").parquet(path + "/main")
-    dropped.write.mode("overwrite").parquet(path + "/dropped")
+    # the partition-prunable layout: probes read only the fp_buckets
+    # the batch hashes into (dynamic partition pruning)
+    save_winnow_index(index, dropped, path, fp_buckets=64)
 
 
 def make_winnow_against_probe(path: str):
@@ -3019,12 +3022,13 @@ def make_winnow_against_probe(path: str):
     from xyzpy_spark.pipeline.dedup import winnow_against_index
 
     def probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from xyzpy_spark.pipeline.dedup import load_winnow_index
+
         docs = _t(spark, sf_dir, "documents").select(
             "doc_id", "text"
         ).repartition(32)
         batch = docs.where(F.col("doc_id") % 10 == 0)
-        index = spark.read.parquet(path + "/main")
-        dropped = spark.read.parquet(path + "/dropped")
+        index, dropped = load_winnow_index(spark, path)
         return winnow_against_index(
             batch, index, dropped=dropped, k=6, w=5, max_fp_freq=50,
             threshold=0.2, hash_fn="md5",

@@ -3583,3 +3583,48 @@ def test_weighted_sample_validates(spark):
     zero = docs.withColumn("w", F.lit(0).cast("long"))
     with pytest.raises(Exception, match="positive"):
         weighted_sample(zero, 5, "w").collect()
+
+
+def test_winnow_index_saved_layout_parity(spark, tmp_path):
+    """save_winnow_index/load_winnow_index round-trip: probing the
+    partition-prunable on-disk layout (fp_bucket partitions +
+    stamped bucket count) must return exactly the inline index's
+    annotations."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        load_winnow_index,
+        save_winnow_index,
+        winnow_against_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    index, dropped = build_winnow_index(
+        corpus, k=6, w=5, max_fp_freq=50, hash_fn="md5"
+    )
+    p = str(tmp_path / "widx")
+    save_winnow_index(index, dropped, p, fp_buckets=32)
+    idx2, drp2 = load_winnow_index(spark, p)
+    kw = dict(k=6, w=5, max_fp_freq=50, threshold=0.2, hash_fn="md5")
+    a = sorted(
+        map(
+            tuple,
+            winnow_against_index(
+                batch, index, dropped=dropped, **kw
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            winnow_against_index(
+                batch, idx2, dropped=drp2, **kw
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="fp_buckets"):
+        save_winnow_index(index, dropped, p, fp_buckets=1)

@@ -860,3 +860,35 @@ def test_ivf_pq_residual_scan_codes_only(spark, tmp_path):
         and "embedding" not in s.split("\n")[0]
     ]
     assert code_scans, f"no codes-only scan found:\n{plan}"
+
+
+def test_winnow_saved_index_probe_partition_prunes(spark, tmp_path):
+    """The save_winnow_index layout's point: a probe against the
+    fp_bucket-partitioned index must plan DYNAMIC PARTITION PRUNING
+    on the index scan (the batch's bucket values prune which
+    partitions are read), on top of the existing no-shuffle-join
+    property."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        load_winnow_index,
+        save_winnow_index,
+        winnow_against_index,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0).limit(5)
+    index, dropped = build_winnow_index(
+        corpus, k=6, w=5, max_fp_freq=50, hash_fn="md5"
+    )
+    p = str(tmp_path / "widx")
+    save_winnow_index(index, dropped, p, fp_buckets=32)
+    idx2, drp2 = load_winnow_index(spark, p)
+    plan = executed_plan(
+        winnow_against_index(
+            batch, idx2, dropped=drp2, k=6, w=5, max_fp_freq=50,
+            threshold=0.2, hash_fn="md5",
+        )
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "SortMergeJoin" not in plan

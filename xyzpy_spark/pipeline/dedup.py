@@ -2256,6 +2256,51 @@ def build_winnow_index(
     return index, dropped
 
 
+def save_winnow_index(
+    index: DataFrame,
+    dropped: DataFrame,
+    path: str,
+    *,
+    fp_buckets: int = 1024,
+) -> None:
+    """Persist a :func:`build_winnow_index` result as the
+    PARTITION-PRUNABLE on-disk layout: the index parquet is
+    partitioned by ``fp_bucket = pmod(fingerprint, fp_buckets)``, and
+    the bucket count is stamped as a column next to k/w/hash_fn — so
+    :func:`winnow_against_index` can include ``fp_bucket`` in the
+    probe join and Spark's dynamic partition pruning reads ONLY the
+    buckets the batch's fingerprints hash into.  A small probe (one
+    document ~ a few hundred fingerprints) against a 100 TB index
+    then scans a few hundred of the ``fp_buckets`` partitions instead
+    of the whole index — the scan-side complement of the
+    broadcast-probe plan (which already never shuffles the index).
+
+    ``dropped`` lands at ``path + '/dropped'``; load the pair back
+    with :func:`load_winnow_index`."""
+    if fp_buckets < 2:
+        raise ValueError("save_winnow_index: fp_buckets must be >= 2")
+    (
+        index.withColumn(
+            "fp_bucket", F.pmod(F.col("fingerprint"), F.lit(int(fp_buckets)))
+        )
+        .withColumn("fp_buckets", F.lit(int(fp_buckets)))
+        .write.mode("overwrite")
+        .partitionBy("fp_bucket")
+        .parquet(path + "/main")
+    )
+    dropped.write.mode("overwrite").parquet(path + "/dropped")
+
+
+def load_winnow_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a :func:`save_winnow_index` pair: ``(index, dropped)``.
+    The partition column ``fp_bucket`` comes back via discovery and
+    re-enables dynamic partition pruning on every probe."""
+    return (
+        spark.read.parquet(path + "/main"),
+        spark.read.parquet(path + "/dropped"),
+    )
+
+
 def winnow_against_index(
     new_docs: DataFrame,
     index: DataFrame,
@@ -2366,19 +2411,33 @@ def winnow_against_index(
     )
     if cache:
         new_fps = new_fps.persist()
-    common = (
-        index.select(
-            F.col(id_col).alias("_old_id"), "fingerprint", "n_fp"
-        )
-        .join(
-            F.broadcast(
-                new_fps.select(
-                    F.col(id_col).alias("_new_id"),
-                    "fingerprint",
-                    "__n_new",
+    # a save_winnow_index layout carries fp_bucket as its parquet
+    # partition column: joining on it (values derived from the same
+    # pmod on the batch side) lets dynamic partition pruning cut the
+    # index SCAN to the buckets the batch actually hashes into
+    join_keys = ["fingerprint"]
+    idx_cols = [F.col(id_col).alias("_old_id"), "fingerprint", "n_fp"]
+    new_cols = [
+        F.col(id_col).alias("_new_id"),
+        "fingerprint",
+        "__n_new",
+    ]
+    if "fp_bucket" in index.columns and "fp_buckets" in index.columns:
+        nb_row = index.select("fp_buckets").first()
+        if nb_row is not None:
+            nb = int(nb_row["fp_buckets"])
+            join_keys = ["fp_bucket", "fingerprint"]
+            idx_cols.append(F.col("fp_bucket"))
+            new_cols.append(
+                F.pmod(F.col("fingerprint"), F.lit(nb)).alias(
+                    "fp_bucket"
                 )
-            ),
-            "fingerprint",
+            )
+    common = (
+        index.select(*idx_cols)
+        .join(
+            F.broadcast(new_fps.select(*new_cols)),
+            join_keys,
         )
         .groupBy("_new_id", "_old_id")
         .agg(

@@ -242,6 +242,13 @@ def main() -> None:
     under_load: list[str] = []
     raw_samples: dict[str, list[list[float | None]]] = {}
 
+    #: the pinned-calibration row must keep the exact protocol its
+    #: BASELINE.md figure was recorded under (median of BENCH_RUNS) —
+    #: the r8 sub-second top-up (keep-lowest-3-of-5) reads ~30% lower
+    #: on it, which silently deflates drift_divisor and inflates every
+    #: calibrated ratio
+    no_topup = {"merge_overwrite_new"}
+
     def _race(name, run_once, setup=None) -> None:
         """Load-guarded median-of-N for one timed unit.
 
@@ -289,6 +296,7 @@ def main() -> None:
         subsec = float(os.environ.get("BENCH_SUBSEC_THRESH", "1.5"))
         if (
             2 <= runs < 5
+            and name not in no_topup
             and statistics.median(sorted(samples)[:runs]) < subsec
         ):
             while len(samples) < 5:

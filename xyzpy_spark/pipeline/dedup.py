@@ -2277,17 +2277,24 @@ def save_winnow_index(
 
     ``dropped`` lands at ``path + '/dropped'``; load the pair back
     with :func:`load_winnow_index`."""
+    import glob
+    import os
+
     if fp_buckets < 2:
         raise ValueError("save_winnow_index: fp_buckets must be >= 2")
-    (
-        index.withColumn(
-            "fp_bucket", F.pmod(F.col("fingerprint"), F.lit(int(fp_buckets)))
-        )
-        .withColumn("fp_buckets", F.lit(int(fp_buckets)))
-        .write.mode("overwrite")
-        .partitionBy("fp_bucket")
-        .parquet(path + "/main")
+    stamped = index.withColumn(
+        "fp_bucket", F.pmod(F.col("fingerprint"), F.lit(int(fp_buckets)))
+    ).withColumn("fp_buckets", F.lit(int(fp_buckets)))
+    stamped.write.mode("overwrite").partitionBy("fp_bucket").parquet(
+        path + "/main"
     )
+    # an EMPTY index (corpus of all-too-short docs) leaves a
+    # partitionBy dataset with zero data files, which parquet cannot
+    # infer a schema from at load time — rewrite it unpartitioned so
+    # load_winnow_index round-trips and the probe returns all-novel
+    # (the plain-layout behavior; review catch)
+    if not glob.glob(os.path.join(path, "main", "fp_bucket=*")):
+        stamped.write.mode("overwrite").parquet(path + "/main")
     dropped.write.mode("overwrite").parquet(path + "/dropped")
 
 
@@ -2350,8 +2357,15 @@ def winnow_against_index(
     """
     stamped = {"k", "w", "hash_fn", "max_fp_freq"} & set(index.columns)
     stamped_cap = None
-    if stamped:
-        meta = index.select(*sorted(stamped)).first()
+    # the bucketed-layout stamp rides the SAME single .first() as the
+    # param validation (one driver job per probe — review catch)
+    has_buckets = (
+        "fp_bucket" in index.columns and "fp_buckets" in index.columns
+    )
+    fp_buckets_stamp = None
+    if stamped or has_buckets:
+        sel = sorted(stamped | ({"fp_buckets"} if has_buckets else set()))
+        meta = index.select(*sel).first()
         mine = {
             "k": int(k),
             "w": int(w),
@@ -2372,6 +2386,8 @@ def winnow_against_index(
                 )
             if "max_fp_freq" in stamped:
                 stamped_cap = int(meta["max_fp_freq"])
+            if has_buckets:
+                fp_buckets_stamp = int(meta["fp_buckets"])
     if dropped is None and (
         stamped_cap if stamped_cap is not None else int(max_fp_freq or 0)
     ):
@@ -2422,17 +2438,14 @@ def winnow_against_index(
         "fingerprint",
         "__n_new",
     ]
-    if "fp_bucket" in index.columns and "fp_buckets" in index.columns:
-        nb_row = index.select("fp_buckets").first()
-        if nb_row is not None:
-            nb = int(nb_row["fp_buckets"])
-            join_keys = ["fp_bucket", "fingerprint"]
-            idx_cols.append(F.col("fp_bucket"))
-            new_cols.append(
-                F.pmod(F.col("fingerprint"), F.lit(nb)).alias(
-                    "fp_bucket"
-                )
-            )
+    if fp_buckets_stamp is not None:
+        join_keys = ["fp_bucket", "fingerprint"]
+        idx_cols.append(F.col("fp_bucket"))
+        new_cols.append(
+            F.pmod(
+                F.col("fingerprint"), F.lit(fp_buckets_stamp)
+            ).alias("fp_bucket")
+        )
     common = (
         index.select(*idx_cols)
         .join(

@@ -628,6 +628,9 @@ def weighted_sample(
             (wi > 0)
             & (wi <= (1 << 15))
             & (wi.bitwiseAND(wi - 1) == 0)
+            # fractional weights must raise, not silently floor
+            # (2.5 would otherwise pass as 2 — review catch)
+            & (checked_w.cast("double") == wi.cast("double"))
         )
         checked_j = F.when(
             pow2_ok,
@@ -651,29 +654,32 @@ def weighted_sample(
         prio = F.element_at(F.array(*chain), checked_j.cast("int") + 1)
     else:
         prio = F.pow(u, F.lit(1.0) / checked_w.cast("double"))
+    staged = df.withColumn("__prio", prio)
+    if by:
+        # reuse the shared rank (one selection rule, one NULL-key
+        # error message — the cap_per_group/_group_rank discipline)
+        return (
+            _group_rank(
+                staged, by=by, key=key,
+                order_col="__prio", descending=True,
+                caller="weighted_sample",
+            )
+            .where(F.col("__r") <= int(k))
+            .drop("__r", "__prio")
+        )
     checked_key = F.when(
         F.col(key).isNull(),
         F.raise_error(
             F.lit(
                 "weighted_sample: key column contains NULLs — the "
-                "priority tie-break would be nondeterministic; "
-                "supply a unique non-null key"
+                "selection would be nondeterministic (ties on both "
+                "sort columns); supply a unique non-null key"
             )
         ),
     ).otherwise(F.col(key))
-    if by:
-        win = Window.partitionBy(*by).orderBy(
-            F.desc_nulls_last(prio), checked_key
-        )
-        return (
-            df.withColumn("__r", F.row_number().over(win))
-            .where(F.col("__r") <= int(k))
-            .drop("__r")
-        )
     # global top-k: TakeOrdered (distributed partial top-k, no window)
     return (
-        df.withColumn("__prio", prio)
-        .withColumn("__ck", checked_key)
+        staged.withColumn("__ck", checked_key)
         .orderBy(F.desc_nulls_last("__prio"), F.col("__ck"))
         .limit(int(k))
         .drop("__prio", "__ck")

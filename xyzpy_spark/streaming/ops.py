@@ -803,12 +803,25 @@ def hll_stream_distinct(
         eid = int(epoch_id)
         fresh = hll_registers(batch_df, col, by, p=p)
         try:
-            prior = (
-                spark.read.parquet(state_path)
-                .where(F.col("epoch_id") < eid)
-                .select(*by, "idx", "rho")
+            st = spark.read.parquet(state_path)
+            # each epoch dir is already the FULL cumulative snapshot,
+            # so merge only the LATEST strictly-earlier epoch — not
+            # the union of all of them (O(epochs^2) reads otherwise;
+            # review catch).  Strictly-earlier keeps replays
+            # idempotent; older epoch dirs are retained only as
+            # replay anchors and may be pruned externally.
+            last = (
+                st.where(F.col("epoch_id") < eid)
+                .agg(F.max("epoch_id"))
+                .first()[0]
             )
-            merged = hll_merge([prior, fresh], by)
+            if last is None:
+                merged = fresh
+            else:
+                prior = st.where(F.col("epoch_id") == last).select(
+                    *by, "idx", "rho"
+                )
+                merged = hll_merge([prior, fresh], by)
         except AnalysisException:
             merged = fresh  # first epoch: no state yet
         state_dir = os.path.join(state_path, f"epoch_id={eid}")

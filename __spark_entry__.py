@@ -857,6 +857,55 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return users.join(events, "event_type")
 
 
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming distinct counting through the REAL engine: the events
+    table arrives as a file stream, each micro-batch's HLL registers
+    merge into the epoch-partitioned saved state (grouped max — the
+    merge law), and the FINAL epoch's estimates are returned
+    (streaming/ops.hll_stream_distinct).  Hash-matches the SAME DuckDB
+    twin as hll_distinct: one oracle, two engine paths — because the
+    merged registers after the last epoch are EXACTLY the batch
+    registers (max is associative/commutative/idempotent), so the
+    estimates agree bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from xyzpy_spark.streaming.ops import (
+        hll_stream_distinct,
+        read_events_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="xyzpy_gate_hll_")
+    try:
+        parts = {}
+        for kind, col in (("u", "user_id"), ("e", "event_id")):
+            out = f"{tmp}/{kind}/out"
+            hll_stream_distinct(
+                read_events_stream(spark, sf_dir),
+                col,
+                out,
+                f"{tmp}/{kind}/state",
+                by="event_type",
+                p=8,
+            )
+            est = spark.read.parquet(out)
+            last = est.agg(F.max("epoch_id")).first()[0]
+            parts[kind] = est.where(F.col("epoch_id") == last)
+        users = parts["u"].select(
+            "event_type",
+            F.col("registers_hit").alias("users_hit"),
+            F.col("n_distinct_hll").alias("n_users_hll"),
+        )
+        events = parts["e"].select(
+            "event_type",
+            F.col("registers_hit").alias("events_hit"),
+            F.col("n_distinct_hll").alias("n_events_hll"),
+        )
+        return _finish_local(spark, users.join(events, "event_type"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_funnel_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-match (resettable) conversion funnel with a 30-day
     window (operators/temporal.funnel_counts_sequential — the
@@ -3707,7 +3756,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # weighted sampling without replacement in the portable
 # iterated-sqrt mode — bit-exact priorities cross-engine),
 # displacing pmi_collocations (r5-r7 green; the IR family keeps
-# tfidf_top_terms/bm25_search/bm25_index_search in-window).
+# tfidf_top_terms/bm25_search/bm25_index_search in-window); and
+# stream_hll (the streaming sketch served through the real engine,
+# hash-matching the SAME twin as hll_distinct — the merge law under
+# the driver hash), displacing tfidf_top_terms (r5-r7 green; the IR
+# family keeps bm25_search/bm25_index_search in-window).
 # Queue EMPTY: zero rotation debt.
 ROTATION_QUEUE: list[str] = []
 
@@ -3803,6 +3856,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "funnel_sequential": 8,
     "hll_distinct": 8,
     "weighted_sample": 8,
+    "stream_hll": 8,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -4010,7 +4064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_share": q_promo_revenue_share,
         "supplier_part_variety": q_supplier_part_variety,
         "weighted_sample": q_weighted_sample,
-        "tfidf_top_terms": q_tfidf_top_terms,
+        "stream_hll": q_stream_hll,
         "bm25_search": q_bm25_search,
         "shipmode_priority": q_shipmode_priority,
         "source_caps": q_source_caps,
@@ -4024,6 +4078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "strip_dup_lines": q_strip_dup_lines,
         "pmi_collocations": q_pmi_collocations,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "discounted_revenue": q_discounted_revenue,
         "multimodal_jpeg": q_multimodal_jpeg,
         "stream_curate": q_stream_curate,
@@ -4803,6 +4858,72 @@ _LM_SCORED_CTE = r"""
         GROUP BY g.doc_id
     )
 """
+
+
+#: shared twin of hll_distinct AND stream_hll (two engine paths,
+#: one oracle — the merged stream registers equal the batch registers)
+_HLL_ORACLE = """
+            WITH reg AS (
+                SELECT 'u' AS kind, event_type,
+                       h >> 52 AS idx,
+                       MAX(CASE WHEN (h & ((1::BIGINT << 52) - 1)) > 0
+                           THEN 52 - length(bin(
+                                h & ((1::BIGINT << 52) - 1))) + 1
+                           ELSE 53 END) AS rho
+                FROM (
+                    SELECT event_type,
+                           ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                           1, 15))::BIGINT AS h
+                    FROM events WHERE user_id IS NOT NULL
+                ) GROUP BY 1, 2, 3
+                UNION ALL
+                SELECT 'e', event_type,
+                       h >> 52,
+                       MAX(CASE WHEN (h & ((1::BIGINT << 52) - 1)) > 0
+                           THEN 52 - length(bin(
+                                h & ((1::BIGINT << 52) - 1))) + 1
+                           ELSE 53 END)
+                FROM (
+                    SELECT event_type,
+                           ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                           1, 15))::BIGINT AS h
+                    FROM events WHERE event_id IS NOT NULL
+                ) GROUP BY 1, 2, 3
+            ), agg AS (
+                SELECT kind, event_type,
+                       CAST(COUNT(*) AS BIGINT) AS hit,
+                       CAST(SUM((1::BIGINT << (53 - rho))) AS BIGINT)
+                           AS s_hit
+                FROM reg GROUP BY 1, 2
+            ), est AS (
+                SELECT kind, event_type, hit,
+                       CASE WHEN
+                           ((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+                            * CAST((1::BIGINT << 53) AS DOUBLE)
+                            / CAST(s_hit + (256 - hit)
+                                   * (1::BIGINT << 53) AS DOUBLE))
+                           <= 2.5 * 256 AND hit < 256
+                       THEN 256.0 * ln(256.0
+                                       / CAST(256 - hit AS DOUBLE))
+                       ELSE
+                           ((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
+                            * CAST((1::BIGINT << 53) AS DOUBLE)
+                            / CAST(s_hit + (256 - hit)
+                                   * (1::BIGINT << 53) AS DOUBLE))
+                       END AS e
+                FROM agg
+            )
+            SELECT u.event_type,
+                   u.hit AS users_hit,
+                   FLOOR(u.e * 1000000.0 + 0.5) / 1000000.0
+                       AS n_users_hll,
+                   ev.hit AS events_hit,
+                   FLOOR(ev.e * 1000000.0 + 0.5) / 1000000.0
+                       AS n_events_hll
+            FROM (SELECT * FROM est WHERE kind = 'u') u
+            JOIN (SELECT * FROM est WHERE kind = 'e') ev
+                USING (event_type)
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6635,68 +6756,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, source, CAST(w AS BIGINT) AS w
             FROM r WHERE rn <= 10
         """,
-        "hll_distinct": """
-            WITH reg AS (
-                SELECT 'u' AS kind, event_type,
-                       h >> 52 AS idx,
-                       MAX(CASE WHEN (h & ((1::BIGINT << 52) - 1)) > 0
-                           THEN 52 - length(bin(
-                                h & ((1::BIGINT << 52) - 1))) + 1
-                           ELSE 53 END) AS rho
-                FROM (
-                    SELECT event_type,
-                           ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
-                                           1, 15))::BIGINT AS h
-                    FROM events WHERE user_id IS NOT NULL
-                ) GROUP BY 1, 2, 3
-                UNION ALL
-                SELECT 'e', event_type,
-                       h >> 52,
-                       MAX(CASE WHEN (h & ((1::BIGINT << 52) - 1)) > 0
-                           THEN 52 - length(bin(
-                                h & ((1::BIGINT << 52) - 1))) + 1
-                           ELSE 53 END)
-                FROM (
-                    SELECT event_type,
-                           ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
-                                           1, 15))::BIGINT AS h
-                    FROM events WHERE event_id IS NOT NULL
-                ) GROUP BY 1, 2, 3
-            ), agg AS (
-                SELECT kind, event_type,
-                       CAST(COUNT(*) AS BIGINT) AS hit,
-                       CAST(SUM((1::BIGINT << (53 - rho))) AS BIGINT)
-                           AS s_hit
-                FROM reg GROUP BY 1, 2
-            ), est AS (
-                SELECT kind, event_type, hit,
-                       CASE WHEN
-                           ((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
-                            * CAST((1::BIGINT << 53) AS DOUBLE)
-                            / CAST(s_hit + (256 - hit)
-                                   * (1::BIGINT << 53) AS DOUBLE))
-                           <= 2.5 * 256 AND hit < 256
-                       THEN 256.0 * ln(256.0
-                                       / CAST(256 - hit AS DOUBLE))
-                       ELSE
-                           ((0.7213 / (1.0 + 1.079 / 256)) * 256 * 256
-                            * CAST((1::BIGINT << 53) AS DOUBLE)
-                            / CAST(s_hit + (256 - hit)
-                                   * (1::BIGINT << 53) AS DOUBLE))
-                       END AS e
-                FROM agg
-            )
-            SELECT u.event_type,
-                   u.hit AS users_hit,
-                   FLOOR(u.e * 1000000.0 + 0.5) / 1000000.0
-                       AS n_users_hll,
-                   ev.hit AS events_hit,
-                   FLOOR(ev.e * 1000000.0 + 0.5) / 1000000.0
-                       AS n_events_hll
-            FROM (SELECT * FROM est WHERE kind = 'u') u
-            JOIN (SELECT * FROM est WHERE kind = 'e') ev
-                USING (event_type)
-        """,
+        "hll_distinct": _HLL_ORACLE,
+        # the stream-served sketch hash-matches the SAME twin: the
+        # merged registers after the final epoch equal the batch
+        # registers exactly (max is associative/commutative/
+        # idempotent), so the estimates agree bit-for-bit — one
+        # oracle, two engine paths
+        "stream_hll": _HLL_ORACLE,
         "funnel_sequential": """
             WITH e AS (
                 SELECT user_id, event_type, ts FROM events

@@ -160,6 +160,7 @@ HEADLINE = [
     "funnel_sequential",
     "hll_distinct",
     "weighted_sample",
+    "stream_hll",
 ]
 
 

@@ -3756,7 +3756,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # weighted sampling without replacement in the portable
 # iterated-sqrt mode — bit-exact priorities cross-engine),
 # displacing pmi_collocations (r5-r7 green; the IR family keeps
-# tfidf_top_terms/bm25_search/bm25_index_search in-window); and
+# bm25_search/bm25_index_search in-window); and
 # stream_hll (the streaming sketch served through the real engine,
 # hash-matching the SAME twin as hll_distinct — the merge law under
 # the driver hash), displacing tfidf_top_terms (r5-r7 green; the IR

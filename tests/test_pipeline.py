@@ -2255,6 +2255,76 @@ def test_jpeg_lockstep_equals_scalar_walk():
             assert np.array_equal(fast[1], slow[1]), (img.shape, q)
 
 
+def test_jpeg_lockstep_truncation_parity():
+    """HOSTILE-input parity sweep (r8 ADVICE): on truncated /
+    zeroed / bit-flipped restart streams the lockstep walk must reach
+    exactly the scalar walk's outcome — same pixels or both reject.
+    The lockstep slow path drops the scalar's mid-symbol cursor
+    clamps on the argument that past-the-end reads decode zero bits
+    from the 280-byte pad either way; valid streams are A/B-pinned
+    above, this pins the corrupt ones."""
+    import numpy as np
+
+    import xyzpy_spark.pipeline.jpeg as J
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (96, 96), dtype=np.uint8)
+    bb = J.encode_jpeg(img, quant=4)  # restart_interval=1 -> 144 lanes
+    sos = bb.index(b"\xff\xda")
+    seg_len = int.from_bytes(bb[sos + 2 : sos + 4], "big")
+    ent0 = sos + 2 + seg_len  # first entropy byte
+    ent1 = len(bb) - 2  # EOI
+
+    def _both(stream: bytes):
+        fast = J.decode_jpeg(stream)
+        thr = J._LOCKSTEP_MIN_LANES
+        try:
+            J._LOCKSTEP_MIN_LANES = 10**9
+            slow = J.decode_jpeg(stream)
+        finally:
+            J._LOCKSTEP_MIN_LANES = thr
+        return fast, slow
+
+    # RST marker positions: truncating a segment's TAIL (bytes removed
+    # just before its RST marker) keeps the lane count — lockstep stays
+    # engaged — while the shortened lane's cursor runs past nbits
+    # mid-block, the exact divergence window the clamps guard
+    rsts = [
+        i
+        for i in range(ent0, ent1 - 1)
+        if bb[i] == 0xFF and 0xD0 <= bb[i + 1] <= 0xD7
+    ]
+    assert len(rsts) > 100
+    cases = []
+    for pick in range(0, len(rsts), 11):
+        for drop in (1, 2, 5, 11):
+            at = rsts[pick]
+            if at - drop > ent0:
+                cases.append(bb[: at - drop] + bb[at:])
+    # zeroed tails of restart segments (valid-length garbage bits)
+    for zlen in (1, 3, 9):
+        for at in range(ent0 + 11, ent1 - zlen, (ent1 - ent0) // 7):
+            cases.append(bb[:at] + b"\x00" * zlen + bb[at + zlen :])
+    # random byte flips (avoid creating 0xFF marker prefixes is NOT
+    # required — marker resync divergence is exactly what must agree)
+    for seed in range(12):
+        r2 = np.random.default_rng(seed)
+        s = bytearray(bb)
+        for _ in range(4):
+            s[int(r2.integers(ent0, ent1))] = int(r2.integers(0, 256))
+        cases.append(bytes(s))
+    n_decoded = 0
+    for stream in cases:
+        fast, slow = _both(stream)
+        assert (fast is None) == (slow is None)
+        if fast is not None:
+            n_decoded += 1
+            assert fast[0] == slow[0]
+            assert np.array_equal(fast[1], slow[1])
+    # the sweep must actually exercise decode paths, not just rejects
+    assert n_decoded >= 5
+
+
 def test_jpeg_restart_encoding_roundtrips():
     """Restart markers (DRI + byte-aligned RSTn, DC predictors reset)
     must not change decoded pixels: the default restart_interval=1

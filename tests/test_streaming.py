@@ -1176,3 +1176,50 @@ def test_hll_stream_distinct_matches_batch(spark, tmp_path):
         .collect()[0][0]
     )
     assert mx <= 256
+
+
+def test_stale_epoch_state_rejected_on_path_reuse(spark, tmp_path):
+    """Reusing a state/out path with a FRESH checkpoint (epoch ids
+    restart at 0) must fail fast, not silently merge the prior run's
+    snapshots as 'earlier' state (r8 ADVICE).  Replays of the same
+    run stay legal: only epoch dirs BEYOND the current epoch are
+    stale by construction."""
+    from xyzpy_spark.streaming.ops import (
+        cap_stream_per_group,
+        hll_stream_distinct,
+    )
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "event_type", "user_id")
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def _stream():
+        return spark.readStream.schema(schema).parquet(src)
+
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    hll_stream_distinct(
+        _stream(), "user_id", out, state, by="event_type", p=8
+    )
+    # plant a prior-run leftover beyond any epoch this run reaches
+    spark.read.parquet(state).limit(1).write.parquet(
+        state + "/epoch_id=7"
+    )
+    with pytest.raises(Exception, match="prior run"):
+        hll_stream_distinct(
+            _stream(), "user_id", out, state, by="event_type", p=8
+        )
+
+    out2, state2 = str(tmp_path / "o2"), str(tmp_path / "s2")
+    cap_stream_per_group(
+        _stream(), 5, out2, state2, by="event_type", key="event_id"
+    )
+    spark.read.parquet(state2).limit(1).write.parquet(
+        state2 + "/epoch_id=9"
+    )
+    with pytest.raises(Exception, match="prior run"):
+        cap_stream_per_group(
+            _stream(), 5, out2, state2, by="event_type", key="event_id"
+        )

@@ -623,6 +623,19 @@ def test_funnel_sequential_validates_params(spark):
         funnel_counts_sequential(ev, ["a", "a"])
     with pytest.raises(ValueError, match="INTERVAL"):
         funnel_counts_sequential(ev, ["a", "b"], within="bogus xx")
+    # the PARSED interval's sign is validated, not the string prefix:
+    # an embedded negative unit is net-negative and must raise (r8
+    # ADVICE — it would silently empty the funnel beyond step 1)
+    with pytest.raises(ValueError, match="positive"):
+        funnel_counts_sequential(
+            ev, ["a", "b"], within="1 day -25 hours"
+        )
+    with pytest.raises(ValueError, match="positive"):
+        funnel_counts_sequential(ev, ["a", "b"], within="-7 days")
+    with pytest.raises(ValueError, match="positive"):
+        funnel_counts_sequential(ev, ["a", "b"], within="0 seconds")
+    # net-positive mixed-sign intervals are legal
+    funnel_counts_sequential(ev, ["a", "b"], within="2 days -25 hours")
     # empty input: zero counts, not NULLs
     got = {
         r["step"]: r["n_users"]

@@ -370,16 +370,29 @@ def _validated_interval(spark, within) -> str:
     opaque ParseException deep inside a later action, and a negative
     one silently empties the funnel beyond step 1."""
     w = str(within).strip()
-    if "'" in w or w.startswith("-"):
+    if "'" in w:
         raise ValueError(
             f"within must be a positive INTERVAL string, got {within!r}"
         )
     try:
-        spark.sql(f"SELECT INTERVAL '{w}'")
+        # probe the PARSED interval's sign, not the string's prefix: an
+        # embedded negative unit ('1 day -25 hours') passes any prefix
+        # check but is net-negative and silently empties the funnel
+        # beyond step 1 (r8 ADVICE)
+        probe = spark.sql(
+            f"SELECT TIMESTAMP '2000-01-01 00:00:00' + INTERVAL '{w}' "
+            "<= TIMESTAMP '2000-01-01 00:00:00' AS nonpos"
+        ).first()
     except Exception as exc:
         raise ValueError(
             f"within is not a valid INTERVAL string: {within!r}"
         ) from exc
+    if probe is not None and probe["nonpos"]:
+        raise ValueError(
+            f"within must be a NET-positive interval, got {within!r} "
+            "(a zero or net-negative window empties the funnel beyond "
+            "step 1)"
+        )
     return w
 
 

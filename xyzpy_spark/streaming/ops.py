@@ -425,6 +425,36 @@ def dedup_stream_against_index(
     )
 
 
+def _check_no_stale_epochs(path: str, eid: int, what: str) -> None:
+    """Fail fast on epoch dirs a PRIOR run left behind (r8 ADVICE):
+    when a ``state_path``/``out_path`` is reused with a fresh
+    checkpoint, epoch ids restart at 0 and the old run's higher-epoch
+    snapshots would silently be read as "earlier"/"latest" state,
+    merging foreign data into the new stream.  The invariant that
+    separates replay from reuse: a legitimate at-least-once replay of
+    epoch N can only see dirs ``<= N`` (epoch N+1 never started,
+    or N would not replay) — so any ``epoch_id > N`` dir at write
+    time is stale by construction and must be an error, never input.
+    """
+    import glob
+
+    stale = [
+        d
+        for d in glob.glob(os.path.join(path, "epoch_id=*"))
+        if d.rsplit("=", 1)[-1].isdigit()
+        and int(d.rsplit("=", 1)[-1]) > eid
+    ]
+    if stale:
+        raise ValueError(
+            f"{what}: {path!r} holds epoch snapshots beyond the "
+            f"current epoch {eid} ({sorted(stale)[:3]}...) — a prior "
+            "run's state.  Reusing a state/output path with a fresh "
+            "checkpoint would silently merge the old run's data; "
+            "point the new stream at an empty path (or resume the old "
+            "checkpoint)"
+        )
+
+
 def _run_batch_probe_stream(
     stream_docs: DataFrame,
     probe,
@@ -443,6 +473,7 @@ def _run_batch_probe_stream(
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        _check_no_stale_epochs(out_path, int(epoch_id), what)
         probe(batch_df).write.mode("overwrite").parquet(
             os.path.join(out_path, f"epoch_id={int(epoch_id)}")
         )
@@ -721,6 +752,10 @@ def cap_stream_per_group(
         if batch_df.isEmpty():
             return
         eid = int(epoch_id)
+        # a reused state/out path with a fresh checkpoint would sum a
+        # prior run's admitted counts into this stream's quotas
+        _check_no_stale_epochs(state_path, eid, "cap_stream_per_group")
+        _check_no_stale_epochs(out_path, eid, "cap_stream_per_group")
         try:
             prior = (
                 spark.read.parquet(state_path)
@@ -801,6 +836,10 @@ def hll_stream_distinct(
         if batch_df.isEmpty():
             return
         eid = int(epoch_id)
+        # a reused state/out path with a fresh checkpoint would merge
+        # a prior run's registers into this stream's counts (r8 ADVICE)
+        _check_no_stale_epochs(state_path, eid, "hll_stream_distinct")
+        _check_no_stale_epochs(out_path, eid, "hll_stream_distinct")
         fresh = hll_registers(batch_df, col, by, p=p)
         try:
             st = spark.read.parquet(state_path)

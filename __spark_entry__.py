@@ -1755,9 +1755,18 @@ def q_lm_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             out,
             n=n,
         )
+        # the streamed scores are per-document (corpus-proportional):
+        # gate on the deterministic top-64 slice (highest nll, ties to
+        # the smaller doc_id — a TakeOrdered, never a global sort) so
+        # _finish_local's collect stays bounded by construction at any
+        # SF (r8 ADVICE); nll is already on the exact 1e-6 canon grid,
+        # so the slice boundary is engine-exact
         return _finish_local(
             spark,
-            spark.read.parquet(out).select("doc_id", "n_bigrams", "nll"),
+            spark.read.parquet(out)
+            .select("doc_id", "n_bigrams", "nll")
+            .orderBy(F.desc("nll"), F.asc("doc_id"))
+            .limit(64),
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -4942,13 +4951,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         # the stream-scored perplexity (saved-LM artifact, foreachBatch
         # micro-batches) hash-matches the SAME twin as lm_nll — one
-        # oracle, two engine paths (the stream_ann_topk pattern)
+        # oracle, two engine paths (the stream_ann_topk pattern);
+        # sliced to the deterministic top-64 (nll DESC, doc_id ASC) so
+        # the gate output is bounded at any SF (r8 ADVICE)
         "lm_stream_score": _LM_SCORED_CTE
         + """
             SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
                    FLOOR((-lp / n_bigrams) * 1000000.0 + 0.5)
                        / 1000000.0 AS nll
             FROM scored
+            ORDER BY nll DESC, doc_id ASC
+            LIMIT 64
         """,
         "langid_rowwise_packed": _langid_packed_oracle(),
         "ccnet_buckets": _LM_SCORED_CTE

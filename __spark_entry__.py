@@ -795,6 +795,49 @@ def q_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cap_per_group(docs, 10, by="source", key="doc_id")
 
 
+def q_stream_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming domain capping through the REAL engine: documents
+    arrive as a file stream, each micro-batch ranks under the SAME
+    deterministic salted-md5 rule as the batch operator and admits
+    rows against the epoch-partitioned saved quota state
+    (streaming/ops.cap_stream_per_group — the foreachBatch +
+    saved-state seam; the per-group rank over all history is
+    append-illegal).  Hash-matches the SAME DuckDB twin as
+    source_caps: one oracle, two engine paths — the gate corpus
+    arrives as one availableNow micro-batch, where the stream's
+    first-arrival-wins admission IS the batch top-10 by construction
+    (the multi-epoch quota semantics stay pytest-pinned:
+    test_cap_stream_per_group_quota_fills_across_epochs)."""
+    import shutil
+    import tempfile
+
+    from xyzpy_spark.streaming.ops import (
+        cap_stream_per_group,
+        read_documents_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="xyzpy_gate_caps_")
+    try:
+        out, state = tmp + "/out", tmp + "/state"
+        cap_stream_per_group(
+            read_documents_stream(spark, sf_dir).select(
+                "doc_id", "source", "lang"
+            ),
+            10,
+            out,
+            state,
+            by="source",
+            key="doc_id",
+        )
+        # bounded by construction: <= 10 admitted rows per source
+        return _finish_local(
+            spark,
+            spark.read.parquet(out).select("doc_id", "source", "lang"),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch conversion funnel over the events table
     (operators/temporal.funnel_counts): one user-keyed aggregation of
@@ -1295,6 +1338,57 @@ def make_dedup_incremental_probe(path: str):
         )
 
     return probe
+
+
+def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest dedup through the REAL engine: the
+    doc_id%10==0 split arrives as a document stream and every
+    micro-batch runs the EXACT batch probe
+    (pipeline/dedup.dedup_against_index — new side broadcast, the
+    index never shuffles) against the index built over the rest of
+    the corpus, via foreachBatch with the epoch-idempotent sink
+    (streaming/ops.dedup_stream_against_index; the per-new-doc
+    best-match groupBy is append-illegal, so foreachBatch IS the
+    architecture).  Hash-matches the SAME DuckDB twin as
+    dedup_incremental: one oracle, two engine paths — the
+    stream_hll / lm_stream_score serving pattern, closing the last
+    un-hashed continuous-ingest seam (r8 verdict ask #2)."""
+    import shutil
+    import tempfile
+
+    from xyzpy_spark.pipeline.dedup import build_dedup_index
+    from xyzpy_spark.streaming.ops import (
+        dedup_stream_against_index,
+        read_documents_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    # production probes a SAVED index; persist models that for the
+    # inline build (the q_dedup_incremental discipline)
+    index = build_dedup_index(corpus, n=2, hash_fn="md5").persist()
+    tmp = tempfile.mkdtemp(prefix="xyzpy_gate_sdedup_")
+    try:
+        out = tmp + "/annotated"
+        dedup_stream_against_index(
+            read_documents_stream(spark, sf_dir)
+            .where(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text"),
+            index,
+            out,
+            n=2,
+            threshold=0.4,
+            hash_fn="md5",
+        )
+        return _finish_local(
+            spark,
+            spark.read.parquet(out).select(
+                "doc_id", "dup_kind", "dup_of", "est_jaccard"
+            ),
+        )
+    finally:
+        index.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3771,6 +3865,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # the driver hash), displacing tfidf_top_terms (r5-r7 green; the IR
 # family keeps bm25_search/bm25_index_search in-window).
 # Queue EMPTY: zero rotation debt.
+# ROUND 9 rotated in the two continuous-serving seams the r8 verdict
+# asked to driver-hash (ask #2): stream_caps (streaming quota capping
+# through the real engine, SAME oracle as source_caps — at gate SFs
+# the corpus is one availableNow micro-batch, where first-arrival-wins
+# admission IS the batch top-10; multi-epoch quota semantics stay
+# pytest-pinned) displacing resample_audio (r5-r8 green; multimodal
+# keeps video_frames in-window and the resampler stays pytest- and
+# strict-gate-covered); and stream_dedup_index (continuous-ingest
+# dedup through the real engine, SAME oracle as dedup_incremental)
+# displacing dedup_incremental itself (r3-r8 green — the stream row
+# runs the EXACT batch probe operator per micro-batch, so
+# dedup_against_index stays driver-exercised through the new row while
+# the batch composition keeps its strict local gate + pytest pins).
+# Both newcomers strict-green locally at sf0.01 AND sf0.001 and past
+# the DuckDB result-type audit before entering the window.
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -3866,6 +3975,8 @@ ROTATION_HISTORY: dict[str, int] = {
     "hll_distinct": 8,
     "weighted_sample": 8,
     "stream_hll": 8,
+    "stream_caps": 9,
+    "stream_dedup_index": 9,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -3920,7 +4031,7 @@ ROTATION_HISTORY: dict[str, int] = {
 }
 
 # The round whose driver window is currently frozen in queries() order.
-ROTATION_ROUND = 8
+ROTATION_ROUND = 9
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4055,7 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_cost_supplier": q_min_cost_supplier,
         "tokenized_sequences": q_tokenized_sequences,
         "packing_stats": q_packing_stats,
-        "dedup_incremental": q_dedup_incremental,
+        "stream_dedup_index": q_stream_dedup_index,
         "top_supplier": q_top_supplier,
         "strip_substrings": q_strip_substrings,
         "large_volume_customers": q_large_volume_customers,
@@ -4068,7 +4179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_rowwise_packed": q_langid_rowwise_packed,
         "funnel_sequential": q_funnel_sequential,
         "hll_distinct": q_hll_distinct,
-        "resample_audio": q_resample_audio,
+        "stream_caps": q_stream_caps,
         "returned_item_losses": q_returned_item_losses,
         "promo_revenue_share": q_promo_revenue_share,
         "supplier_part_variety": q_supplier_part_variety,
@@ -4087,6 +4198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "small_quantity_revenue": q_small_quantity_revenue,
         "strip_dup_lines": q_strip_dup_lines,
         "pmi_collocations": q_pmi_collocations,
+        "resample_audio": q_resample_audio,
+        "dedup_incremental": q_dedup_incremental,
         "tfidf_top_terms": q_tfidf_top_terms,
         "discounted_revenue": q_discounted_revenue,
         "multimodal_jpeg": q_multimodal_jpeg,
@@ -4584,6 +4697,25 @@ def _embedding_lsh_oracle() -> str:
         SELECT id_a, id_b, ROUND(cos, 6) AS cosine
         FROM scored WHERE cos >= 0.4
     """
+
+
+#: deterministic salted-md5 hash-rank top-10 per source — the twin of
+#: BOTH cap_per_group (source_caps) and its streaming quota seam
+#: (stream_caps: one availableNow micro-batch at gate SFs, so the
+#: stream's first-arrival-wins admission IS the batch selection)
+_SOURCE_CAPS_ORACLE = """
+    WITH ranked AS (
+        SELECT doc_id, source, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ('0x' || substr(
+                                 md5(doc_id::VARCHAR), 1, 8
+                             ))::UBIGINT / 4294967296.0,
+                            doc_id) AS r
+        FROM documents
+    )
+    SELECT doc_id, source, lang FROM ranked WHERE r <= 10
+"""
 
 
 _SIMILARITY_PQ_ORACLE = """
@@ -6696,19 +6828,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s_acctbal DESC, n_name, s_name, cand.p_partkey
             LIMIT 100
         """,
-        "source_caps": """
-            WITH ranked AS (
-                SELECT doc_id, source, lang,
-                       ROW_NUMBER() OVER (
-                           PARTITION BY source
-                           ORDER BY ('0x' || substr(
-                                         md5(doc_id::VARCHAR), 1, 8
-                                     ))::UBIGINT / 4294967296.0,
-                                    doc_id) AS r
-                FROM documents
-            )
-            SELECT doc_id, source, lang FROM ranked WHERE r <= 10
-        """,
+        "source_caps": _SOURCE_CAPS_ORACLE,
+        # the streaming quota twin (one availableNow micro-batch at
+        # gate SFs -> first-arrival-wins == the batch top-10) hash-
+        # matches the SAME twin — one oracle, two engine paths
+        "stream_caps": _SOURCE_CAPS_ORACLE,
+        # the continuous-ingest stream probe runs the EXACT batch
+        # operator per micro-batch — same twin as dedup_incremental
+        "stream_dedup_index": _dedup_incremental_oracle(),
         "funnel_steps": """
             WITH firsts AS (
                 SELECT user_id,

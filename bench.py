@@ -161,6 +161,8 @@ HEADLINE = [
     "hll_distinct",
     "weighted_sample",
     "stream_hll",
+    "stream_caps",
+    "stream_dedup_index",
 ]
 
 

@@ -3225,6 +3225,31 @@ def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL IVF-PQ under the driver hash — the production
+    billion-vector ANN configuration (Jégou et al. TPAMI 2011: coarse
+    cells + PQ over the residuals x - centroid(cell)) in the
+    portable-exact mode (pipeline/similarity.ivf_pq_topk_portable):
+    md5-seeded centroids AND codewords, exact-int64 cell assignment /
+    residuals / encode / LUT, the per-cell cross-term reconstruction
+    |x|^2 ~ |c|^2 + 2*cross + |r|^2 accumulated in int64 and divided
+    once — so cell probe, PQ shortlist and the exact re-rank all have
+    a bit-exact DuckDB twin (r8 verdict ask #4).  The k-means-refined
+    float composition (ivf_pq_build + ivf_pq_topk(residual=True))
+    keeps its recall contracts in pytest; with a full-width shortlist
+    this twin is pytest-pinned EQUAL to the IVF-Flat portable tier."""
+    from xyzpy_spark.pipeline.similarity import ivf_pq_topk_portable
+
+    # single-row-group testdata artifact: spread the CPU-bound
+    # assign+encode across threads (same note as q_similarity_pq)
+    emb = _t(spark, sf_dir, "embeddings").repartition(32)
+    queries = emb.where(F.col("vec_id") < 5)
+    return ivf_pq_topk_portable(
+        emb, queries, k=5, n_cells=8, nprobe=4, m=8, ksub=8,
+        shortlist=20,
+    )
+
+
 def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 adjacent-bigram collocations by PMI with a min-count
     floor (pipeline/ir.pmi_collocations) — the corpus multi-word-
@@ -3880,6 +3905,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # the batch composition keeps its strict local gate + pytest pins).
 # Both newcomers strict-green locally at sf0.01 AND sf0.001 and past
 # the DuckDB result-type audit before entering the window.
+# ROUND 9 also rotated in similarity_ivf_pq (the RESIDUAL IVF-PQ
+# production ANN configuration in portable-exact mode — r8 verdict
+# ask #4: md5-seeded centroids AND codewords, exact-int residual
+# encode + per-cell cross-term reconstruction, full-width-shortlist
+# pytest pin EQUAL to the IVF-Flat tier) displacing
+# promo_revenue_share (r5-r8 green; the relational family keeps 13+
+# in-window reps including all five re-cast r7 TPC-H shapes).
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -3977,6 +4009,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "stream_hll": 8,
     "stream_caps": 9,
     "stream_dedup_index": 9,
+    "similarity_ivf_pq": 9,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -4181,7 +4214,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "stream_caps": q_stream_caps,
         "returned_item_losses": q_returned_item_losses,
-        "promo_revenue_share": q_promo_revenue_share,
+        "similarity_ivf_pq": q_similarity_ivf_pq,
         "supplier_part_variety": q_supplier_part_variety,
         "weighted_sample": q_weighted_sample,
         "stream_hll": q_stream_hll,
@@ -4200,6 +4233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": q_pmi_collocations,
         "resample_audio": q_resample_audio,
         "dedup_incremental": q_dedup_incremental,
+        "promo_revenue_share": q_promo_revenue_share,
         "tfidf_top_terms": q_tfidf_top_terms,
         "discounted_revenue": q_discounted_revenue,
         "multimodal_jpeg": q_multimodal_jpeg,
@@ -4880,6 +4914,174 @@ _SIMILARITY_IVF_ORACLE = """
 """
 
 
+#: exact DuckDB twin of the portable RESIDUAL IVF-PQ composition
+#: (similarity.ivf_pq_topk_portable): the _SIMILARITY_IVF_ORACLE
+#: assignment CTEs (md5-:42 centroids, exact-int cosine argmax) feed a
+#: residual table, the _SIMILARITY_PQ_ORACLE encode/LUT CTEs run over
+#: those residuals with md5-:43-seeded codewords, and the approximate
+#: score reconstructs dot ~ q.c + LUT and |x|^2 ~ |c|^2 + 2*cross +
+#: |r|^2 from per-cell integer constants — every term BIGINT-exact,
+#: cast to double once at the division, ties to the smaller ids.
+_SIMILARITY_IVF_PQ_ORACLE = """
+    WITH qv AS (
+        SELECT vec_id, CAST(r.range AS INTEGER) AS d,
+               CAST(floor(CAST(
+                   embedding[CAST(r.range AS INTEGER) + 1]
+               AS DOUBLE) * 1048576.0) AS BIGINT) AS qx
+        FROM embeddings CROSS JOIN range(64) r
+    ), norm2 AS (
+        SELECT vec_id, CAST(SUM(qx * qx) AS DOUBLE) AS n2
+        FROM qv GROUP BY 1
+    ), cent_ids AS (
+        SELECT vec_id AS cid,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42')
+               ) - 1 AS cell
+        FROM (
+            SELECT vec_id FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || ':42') LIMIT 8
+        )
+    ), simsc AS (
+        SELECT q.vec_id, ci.cell,
+               CAST(SUM(q.qx * cq.qx) AS DOUBLE)
+                   / (sqrt(cn.n2) * sqrt(vn.n2)) AS sim
+        FROM qv q
+        JOIN cent_ids ci ON TRUE
+        JOIN qv cq ON cq.vec_id = ci.cid AND cq.d = q.d
+        JOIN norm2 cn ON cn.vec_id = ci.cid
+        JOIN norm2 vn ON vn.vec_id = q.vec_id
+        GROUP BY q.vec_id, ci.cell, cn.n2, vn.n2
+    ), assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+                   ) AS rn
+            FROM simsc
+        ) WHERE rn = 1
+    ), resid AS (
+        SELECT v.vec_id, v.d, v.qx - cq.qx AS rx
+        FROM qv v
+        JOIN assign a ON a.vec_id = v.vec_id
+        JOIN cent_ids ci ON ci.cell = a.cell
+        JOIN qv cq ON cq.vec_id = ci.cid AND cq.d = v.d
+    ), cw_ids AS (
+        SELECT vec_id AS cwid,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR) || ':43')
+               ) - 1 AS code
+        FROM (
+            SELECT vec_id FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR) || ':43') LIMIT 8
+        )
+    ), cw AS (
+        SELECT ci.code, CAST(r.d // 8 AS INTEGER) AS j,
+               r.d % 8 AS p, r.rx AS qx
+        FROM cw_ids ci JOIN resid r ON r.vec_id = ci.cwid
+    ), cwn2 AS (
+        SELECT code, j, CAST(SUM(qx * qx) AS BIGINT) AS n2
+        FROM cw GROUP BY 1, 2
+    ), enc_cost AS (
+        SELECT v.vec_id, c.j, c.code,
+               cn.n2 - 2 * CAST(SUM(v.rx * c.qx) AS BIGINT) AS cost
+        FROM resid v
+        JOIN cw c ON c.j = CAST(v.d // 8 AS INTEGER) AND c.p = v.d % 8
+        JOIN cwn2 cn ON cn.code = c.code AND cn.j = c.j
+        GROUP BY v.vec_id, c.j, c.code, cn.n2
+    ), codes AS (
+        SELECT vec_id, j, code FROM (
+            SELECT vec_id, j, code,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id, j
+                       ORDER BY cost ASC, code ASC
+                   ) AS rn
+            FROM enc_cost
+        ) WHERE rn = 1
+    ), probe AS (
+        SELECT vec_id AS query_id, cell FROM (
+            SELECT vec_id, cell,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cell ASC
+                   ) AS rn
+            FROM simsc WHERE vec_id < 5
+        ) WHERE rn <= 4
+    ), qdc AS (
+        SELECT q.vec_id AS query_id, ci.cell,
+               CAST(SUM(q.qx * cq.qx) AS BIGINT) AS v
+        FROM qv q
+        JOIN cent_ids ci ON TRUE
+        JOIN qv cq ON cq.vec_id = ci.cid AND cq.d = q.d
+        WHERE q.vec_id < 5
+        GROUP BY 1, 2
+    ), lut AS (
+        SELECT q.vec_id AS query_id, c.j, c.code,
+               CAST(SUM(q.qx * c.qx) AS BIGINT) AS pdot
+        FROM qv q
+        JOIN cw c ON c.j = CAST(q.d // 8 AS INTEGER) AND c.p = q.d % 8
+        WHERE q.vec_id < 5
+        GROUP BY 1, 2, 3
+    ), crossv AS (
+        SELECT ci.cell, c.j, c.code,
+               CAST(SUM(cq.qx * c.qx) AS BIGINT) AS v
+        FROM cent_ids ci
+        JOIN qv cq ON cq.vec_id = ci.cid
+        JOIN cw c ON cq.d = c.j * 8 + c.p
+        GROUP BY 1, 2, 3
+    ), cn2i AS (
+        SELECT ci.cell, CAST(SUM(cq.qx * cq.qx) AS BIGINT) AS v
+        FROM cent_ids ci JOIN qv cq ON cq.vec_id = ci.cid
+        GROUP BY 1
+    ), approx AS (
+        SELECT p.query_id, a.vec_id AS nbr_id,
+               CAST(qd.v + SUM(l.pdot) AS DOUBLE)
+                   / (sqrt(nq.n2)
+                      * sqrt(CAST(GREATEST(
+                            ci2.v + 2 * SUM(cr.v) + SUM(cn.n2), 1
+                        ) AS DOUBLE))) AS ascore
+        FROM probe p
+        JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.query_id
+        JOIN codes co ON co.vec_id = a.vec_id
+        JOIN lut l ON l.query_id = p.query_id
+                  AND l.j = co.j AND l.code = co.code
+        JOIN crossv cr ON cr.cell = p.cell
+                      AND cr.j = co.j AND cr.code = co.code
+        JOIN cwn2 cn ON cn.j = co.j AND cn.code = co.code
+        JOIN qdc qd ON qd.query_id = p.query_id AND qd.cell = p.cell
+        JOIN cn2i ci2 ON ci2.cell = p.cell
+        JOIN norm2 nq ON nq.vec_id = p.query_id
+        GROUP BY p.query_id, a.vec_id, qd.v, ci2.v, nq.n2
+    ), short AS (
+        SELECT query_id, nbr_id FROM (
+            SELECT query_id, nbr_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY ascore DESC, nbr_id ASC
+                   ) AS rn
+            FROM approx
+        ) WHERE rn <= 20
+    ), rerank AS (
+        SELECT s.query_id, s.nbr_id,
+               CAST(SUM(qa.qx * qb.qx) AS DOUBLE)
+                   / (sqrt(na.n2) * sqrt(nq.n2)) AS cos
+        FROM short s
+        JOIN qv qa ON qa.vec_id = s.nbr_id
+        JOIN qv qb ON qb.vec_id = s.query_id AND qb.d = qa.d
+        JOIN norm2 na ON na.vec_id = s.nbr_id
+        JOIN norm2 nq ON nq.vec_id = s.query_id
+        GROUP BY s.query_id, s.nbr_id, na.n2, nq.n2
+    )
+    SELECT query_id, nbr_id, CAST(rank AS INTEGER) AS rank,
+           ROUND(cos, 6) AS cosine
+    FROM (
+        SELECT query_id, nbr_id, cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos DESC, nbr_id ASC
+               ) AS rank
+        FROM rerank
+    ) WHERE rank <= 5
+"""
+
+
 def _pii_scrub_oracle() -> str:
     """Same patterns, same replacement order, RE2 semantics — counts
     on the original text, replacements cascaded in dict order."""
@@ -5478,6 +5680,7 @@ def oracle_sql() -> dict[str, str]:
         # micro-batches), ONE oracle — the right verification design
         "stream_ann_topk": _SIMILARITY_IVF_ORACLE,
         "similarity_pq": _SIMILARITY_PQ_ORACLE,
+        "similarity_ivf_pq": _SIMILARITY_IVF_PQ_ORACLE,
         "mix_corpora": """
             WITH w AS (
                 SELECT doc_id, source,

@@ -163,6 +163,7 @@ HEADLINE = [
     "stream_hll",
     "stream_caps",
     "stream_dedup_index",
+    "similarity_ivf_pq",
 ]
 
 

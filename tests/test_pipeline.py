@@ -3249,6 +3249,54 @@ def test_winnow_index_validates_stamped_params(spark):
         )
 
 
+def test_ivf_pq_topk_portable_exact_pin_and_recall(spark):
+    """The portable residual IVF-PQ twin (r8 verdict ask #4): with a
+    shortlist covering every probed candidate, the PQ stage decides
+    nothing and the exact-int re-rank must equal the IVF-Flat portable
+    tier EXACTLY (same seed -> same centroids, same probe, same exact
+    cosine) — an end-to-end pin of the composition's plumbing.  At the
+    default shortlist the residual reconstruction drives the ranking;
+    it must stay deterministic across runs and retain recall against
+    the IVF tier on this near-uniform fixture (the clustered-data
+    advantage is pinned separately above)."""
+    from pyspark.sql import functions as F
+
+    from xyzpy_spark.pipeline.similarity import (
+        ivf_pq_topk_portable,
+        ivf_topk_portable,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    kw = dict(k=5, n_cells=8, nprobe=4)
+    ivf = {tuple(r) for r in ivf_topk_portable(emb, q, **kw).collect()}
+    full = {
+        tuple(r)
+        for r in ivf_pq_topk_portable(
+            emb, q, m=8, ksub=8, shortlist=10**6, **kw
+        ).collect()
+    }
+    assert full == ivf and len(ivf) == 25
+    got1 = [
+        tuple(r)
+        for r in ivf_pq_topk_portable(
+            emb, q, m=8, ksub=8, shortlist=20, **kw
+        ).collect()
+    ]
+    got2 = [
+        tuple(r)
+        for r in ivf_pq_topk_portable(
+            emb, q, m=8, ksub=8, shortlist=20, **kw
+        ).collect()
+    ]
+    assert sorted(got1) == sorted(got2)  # deterministic
+    pairs = {(g[0], g[1]) for g in got1}
+    ivf_pairs = {(g[0], g[1]) for g in ivf}
+    # random vectors are PQ's worst case; the floor pins sanity, the
+    # clustered-regime quality contract lives in the residual tests
+    assert len(pairs & ivf_pairs) / len(ivf_pairs) >= 0.15
+
+
 def test_ivf_pq_residual_recall_tighter_shortlist(spark):
     """Residual-encoded IVF-PQ (r6 verdict ask #3, the Jegou et al.
     construction) on CLUSTERED data — the regime the construction is

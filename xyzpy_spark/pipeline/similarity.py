@@ -1162,6 +1162,377 @@ def pq_topk_portable(
 
 
 
+def ivf_pq_topk_portable(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 5,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 8,
+    shortlist: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    seed: int = 42,
+    cw_seed: int = 43,
+    quantize: int = 1 << 20,
+) -> DataFrame:
+    """Portable-exact RESIDUAL IVF-PQ top-k — the deterministic twin
+    of ``ivf_pq_build + ivf_pq_topk(residual=True)`` (the production
+    billion-vector configuration, Jégou et al. TPAMI 2011) that a
+    DuckDB SQL oracle reproduces bit-for-bit.  Composition of the
+    :func:`ivf_topk_portable` and :func:`pq_topk_portable` recipes
+    plus the residual reconstruction's per-cell constants:
+
+    - coarse centroids = the ``n_cells`` corpus rows with the
+      smallest ``md5(id || ':seed')`` digest, quantized
+      ``floor(x * quantize)`` (exact int64); cell assignment is the
+      exact-integer cosine argmax;
+    - PQ codewords = the RESIDUALS ``x - centroid(cell(x))`` of the
+      ``ksub`` rows with the smallest ``md5(id || ':cw_seed')``
+      digest (a different seed, so centroid rows — whose residuals
+      are zero — don't dominate the codebook), split into ``m``
+      subvectors; residuals of quantized integers are exact int64;
+    - the compressed score reconstructs exactly what
+      :func:`ivf_pq_topk` ``residual=True`` reconstructs —
+      ``dot(q,x) ~ dot(q,c_cell) + LUT-sum`` and ``|x|^2 ~ |c|^2 +
+      2*cross(cell, codes) + |r|^2`` — but over exact integers, every
+      term accumulated in int64 and cast to double ONCE at the final
+      division, so shortlist ranking is IEEE-identical cross-engine
+      (``|c|^2 + 2*cross + |r~|^2 = sum((c_d + r~_d)^2) >= 0`` keeps
+      the sqrt guard value-neutral);
+    - the ``shortlist`` re-rank is the exact integer cosine.
+
+    The k-means-refined float path stays on :func:`ivf_pq_build` /
+    :func:`ivf_pq_topk` (its distributed float means are
+    partition-order-sensitive — no SQL twin can replicate them);
+    pytest pins this twin's recall against brute force and the
+    production composition's own recall contract separately.  Plan
+    shape matches production: centroid/codebook/cross literals ->
+    codegen assign+encode, broadcast probe join on ``cell``,
+    window shortlist, equi-join re-rank.
+    """
+    query_id_col = query_id_col or id_col
+    from .dedup import _int_dot, _qvec
+
+    def _md5key(tag: int) -> F.Column:
+        return F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(f":{tag}")
+            ).cast("binary")
+        )
+
+    cents = (
+        corpus.select(
+            F.col(id_col), _qvec(vec_col, quantize).alias("qv")
+        )
+        .orderBy(_md5key(seed))
+        .limit(n_cells)
+        .collect()
+    )
+    cent_q = [[int(x) for x in r["qv"]] for r in cents]
+    if not cent_q:
+        raise ValueError("ivf_pq_topk_portable: empty corpus")
+    dim = len(cent_q[0])
+    if dim % m:
+        raise ValueError(
+            f"ivf_pq_topk_portable: dim {dim} not divisible by m={m}"
+        )
+    dsub = dim // m
+    cent_lit = F.array(
+        *[
+            F.array(*[F.lit(x) for x in c]).cast("array<bigint>")
+            for c in cent_q
+        ]
+    )
+    cn2_lit = F.array(
+        *[F.lit(sum(x * x for x in c)).cast("long") for c in cent_q]
+    )
+
+    def _sims(qv: F.Column) -> F.Column:
+        vn = F.sqrt(_int_dot(qv, qv).cast("double"))
+        return F.zip_with(
+            cent_lit,
+            cn2_lit,
+            lambda c, n2: _int_dot(c, qv)
+            / (F.sqrt(n2.cast("double")) * vn),
+        )
+
+    def _with_cell_resid(df: DataFrame) -> DataFrame:
+        # materialize the sims array once (Catalyst does not CSE
+        # higher-order-function trees — the ivf_topk_portable rule)
+        return (
+            df.withColumn("__sims", _sims(F.col("cv")))
+            .withColumn(
+                "cell",
+                (
+                    F.array_position(
+                        F.col("__sims"), F.array_max(F.col("__sims"))
+                    )
+                    - 1
+                ).cast("int"),
+            )
+            .drop("__sims")
+            .withColumn(
+                "rv",
+                F.zip_with(
+                    F.col("cv"),
+                    F.element_at(cent_lit, F.col("cell") + 1),
+                    lambda x, c: x - c,
+                ),
+            )
+        )
+
+    # codewords: residuals of the cw_seed-sampled rows, cells assigned
+    # by the SAME exact-integer argmax expression (no python re-derive)
+    cwrows = (
+        _with_cell_resid(
+            corpus.select(
+                F.col(id_col).alias("__cwid"),
+                _qvec(vec_col, quantize).alias("cv"),
+            )
+        )
+        .orderBy(
+            F.md5(
+                F.concat(
+                    F.col("__cwid").cast("string"), F.lit(f":{cw_seed}")
+                ).cast("binary")
+            )
+        )
+        .limit(ksub)
+        .collect()
+    )
+    cw = [[int(x) for x in r["rv"]] for r in cwrows]
+    ksub = len(cw)
+    if ksub < 2:
+        raise ValueError("ivf_pq_topk_portable: need >= 2 codewords")
+    cb_q = [
+        [cw[c][j * dsub : (j + 1) * dsub] for c in range(ksub)]
+        for j in range(m)
+    ]
+    n2 = [[sum(x * x for x in c) for c in cb_q[j]] for j in range(m)]
+    # query-independent residual-reconstruction constants: int |c|^2
+    # per cell and the cell x subspace x codeword cross table
+    # dot(c_cell_subj, codeword) — n_cells*m*ksub int64 literals (512
+    # at the gate defaults; at 4096x256 production scale this becomes
+    # a broadcast-joined table, exactly as ivf_pq_topk documents)
+    cross = [
+        [
+            [
+                sum(
+                    cent_q[L][j * dsub + p] * cb_q[j][c][p]
+                    for p in range(dsub)
+                )
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+        for L in range(len(cent_q))
+    ]
+    cross_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(v) for v in cj]).cast(
+                        "array<bigint>"
+                    )
+                    for cj in cl
+                ]
+            )
+            for cl in cross
+        ]
+    )
+
+    def _cb_lit(j: int) -> F.Column:
+        return F.array(
+            *[
+                F.array(*[F.lit(x) for x in c]).cast("array<bigint>")
+                for c in cb_q[j]
+            ]
+        )
+
+    def _n2_lit(j: int) -> F.Column:
+        return F.array(*[F.lit(v) for v in n2[j]]).cast("array<bigint>")
+
+    def _cost_fn(sub):
+        return lambda c, nn: nn - F.lit(2) * _int_dot(c, sub)
+
+    def _enc(v: F.Column) -> F.Column:
+        parts = []
+        for j in range(m):
+            sub = F.slice(v, j * dsub + 1, dsub)
+            costs = F.zip_with(_cb_lit(j), _n2_lit(j), _cost_fn(sub))
+            parts.append(
+                (F.array_position(costs, F.array_min(costs)) - 1).cast(
+                    "int"
+                )
+            )
+        return F.array(*parts)
+
+    c = _with_cell_resid(
+        corpus.select(
+            F.col(id_col).alias("nbr_id"),
+            _qvec(vec_col, quantize).alias("cv"),
+        )
+    ).select(
+        "nbr_id",
+        "cell",
+        _enc(F.col("rv")).alias("codes"),
+        "cv",
+        F.sqrt(_int_dot(F.col("cv"), F.col("cv")).cast("double")).alias(
+            "cn"
+        ),
+    )
+
+    idx = F.sequence(F.lit(0), F.lit(len(cent_q) - 1))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _qvec(vec_col, quantize).alias("qv"),
+    )
+    probe_cells = F.slice(
+        F.transform(
+            F.array_sort(
+                F.zip_with(
+                    _sims(F.col("qv")),
+                    idx,
+                    lambda s, i: F.struct(
+                        (-s).alias("neg"), i.alias("i")
+                    ),
+                )
+            ),
+            lambda st: st["i"],
+        ),
+        1,
+        nprobe,
+    )
+
+    def _lut_fn(sub):
+        return lambda cc: _int_dot(cc, sub)
+
+    q = (
+        q.withColumn(
+            "qn",
+            F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double")),
+        )
+        .withColumn(
+            "lut",
+            F.array(
+                *[
+                    F.transform(
+                        _cb_lit(j),
+                        _lut_fn(F.slice(F.col("qv"), j * dsub + 1, dsub)),
+                    )
+                    for j in range(m)
+                ]
+            ),
+        )
+        .withColumn("cell", F.explode(probe_cells))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "lut",
+            F.col("cell").cast("int").alias("cell"),
+        )
+        .withColumn(
+            "qdc",
+            _int_dot(F.element_at(cent_lit, F.col("cell") + 1), F.col("qv")),
+        )
+    )
+    n2_full = F.array(*[_n2_lit(j) for j in range(m)])
+    lut_sum = F.aggregate(
+        F.zip_with(
+            "codes", F.col("lut"),
+            lambda code, lj: F.element_at(lj, code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    r_n2 = F.aggregate(
+        F.zip_with(
+            "codes", n2_full,
+            lambda code, nj: F.element_at(nj, code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cross_sum = F.aggregate(
+        F.zip_with(
+            "codes",
+            F.element_at(cross_lit, F.col("cell") + 1),
+            lambda code, cj: F.element_at(cj, code + 1),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    approx_dot = F.col("qdc") + lut_sum
+    approx_n2 = (
+        F.element_at(cn2_lit, F.col("cell") + 1)
+        + F.lit(2).cast("long") * cross_sum
+        + r_n2
+    )
+    scored = (
+        c.select("nbr_id", "cell", "codes")
+        .join(
+            F.broadcast(q.select("query_id", "qn", "lut", "cell", "qdc")),
+            "cell",
+        )
+        .where(F.col("nbr_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "nbr_id",
+            (
+                approx_dot.cast("double")
+                / (
+                    F.col("qn")
+                    * F.sqrt(
+                        F.greatest(
+                            approx_n2, F.lit(1).cast("long")
+                        ).cast("double")
+                    )
+                )
+            ).alias("__a"),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("__a"), F.asc("nbr_id")
+    )
+    short = (
+        scored.withColumn("__r", F.row_number().over(w1))
+        .where(F.col("__r") <= shortlist)
+        .select("query_id", "nbr_id")
+    )
+    exact = (
+        short.join(c.select("nbr_id", "cv", "cn"), "nbr_id")
+        .join(
+            F.broadcast(
+                q.select("query_id", "qv", "qn").dropDuplicates(
+                    ["query_id"]
+                )
+            ),
+            "query_id",
+        )
+        .withColumn(
+            "cosine",
+            _int_dot(F.col("cv"), F.col("qv"))
+            / (F.col("cn") * F.col("qn")),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("nbr_id")
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "nbr_id", "rank",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def save_pq(spark: SparkSession, codebooks: list, path: str) -> None:
     """Persist PQ codebooks (train once, encode/serve every snapshot —
     the artifact posture of ``save_lm``/``save_langid``).  Layout: a

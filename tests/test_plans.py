@@ -862,6 +862,46 @@ def test_ivf_pq_residual_scan_codes_only(spark, tmp_path):
     assert code_scans, f"no codes-only scan found:\n{plan}"
 
 
+def test_dedup_saved_index_probe_partition_prunes(spark, tmp_path):
+    """The save_dedup_index layout's point (r8 verdict ask #3 — the
+    MinHash twin of the winnow layout below): a probe against the
+    fp_bucket/bb_bucket-partitioned index must plan DYNAMIC PARTITION
+    PRUNING on the index scans (the batch's bucket values prune which
+    partitions are read) on top of the no-shuffle-join property, and
+    return EXACTLY what the unbucketed probe returns."""
+    from xyzpy_spark.pipeline.dedup import (
+        band_dedup_index,
+        build_dedup_index,
+        dedup_against_index,
+        load_dedup_index,
+        save_dedup_index,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    index = build_dedup_index(corpus, n=2, hash_fn="md5")
+    bands = band_dedup_index(index, n=2, hash_fn="md5")
+    p = str(tmp_path / "didx")
+    save_dedup_index(index, bands, p, fp_buckets=32, bb_buckets=32)
+    idx2, bnd2 = load_dedup_index(spark, p)
+    probed = dedup_against_index(
+        batch, idx2, index_bands=bnd2, n=2, threshold=0.4,
+        hash_fn="md5", cache=False,
+    )
+    plan = executed_plan(probed)
+    # both probe joins carry a partition column -> two pruning seams
+    assert plan.lower().count("dynamicpruning") >= 2, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    want = sorted(
+        map(tuple, dedup_against_index(
+            batch, index, n=2, threshold=0.4, hash_fn="md5",
+            cache=False,
+        ).collect())
+    )
+    assert sorted(map(tuple, probed.collect())) == want
+
+
 def test_winnow_saved_index_probe_partition_prunes(spark, tmp_path):
     """The save_winnow_index layout's point: a probe against the
     fp_bucket-partitioned index must plan DYNAMIC PARTITION PRUNING

@@ -1672,6 +1672,76 @@ def band_dedup_index(
     return out
 
 
+def save_dedup_index(
+    index: DataFrame,
+    bands: DataFrame,
+    path: str,
+    *,
+    fp_buckets: int = 64,
+    bb_buckets: int = 64,
+) -> None:
+    """Persist a :func:`build_dedup_index` + :func:`band_dedup_index`
+    pair as the PARTITION-PRUNABLE on-disk layout — the MinHash twin
+    of :func:`save_winnow_index` (r8 verdict ask #3):
+
+    - the main index parquet is partitioned by ``fp_bucket =
+      pmod(xxhash64(fingerprint), fp_buckets)`` so the EXACT-dup
+      probe's fingerprint join includes the partition column and
+      Spark's dynamic partition pruning reads only the buckets the
+      batch's fingerprints hash into;
+    - the banded projection is partitioned by ``bb_bucket =
+      pmod(xxhash64(band, bucket), bb_buckets)`` so the NEAR probe's
+      (band, bucket) equi-join prunes the same way.
+
+    A small ingest batch (hundreds of fingerprints / band keys)
+    against a 100 TB index then scans a bounded set of the bucket
+    partitions instead of the whole index — the scan-side complement
+    of the broadcast-probe plan, which already never shuffles the
+    index.  The bucket counts ride as stamped columns
+    (RLE-compressed to nothing); :func:`dedup_against_index` derives
+    the same bucket expression on the batch side and validates via
+    the stamps.  Load the pair back with :func:`load_dedup_index`."""
+    import glob
+    import os
+
+    if fp_buckets < 2 or bb_buckets < 2:
+        raise ValueError("save_dedup_index: bucket counts must be >= 2")
+    main = index.withColumn(
+        "fp_bucket",
+        F.pmod(F.xxhash64("fingerprint"), F.lit(int(fp_buckets))),
+    ).withColumn("fp_buckets", F.lit(int(fp_buckets)))
+    main.write.mode("overwrite").partitionBy("fp_bucket").parquet(
+        path + "/main"
+    )
+    # empty-index fallback: a partitionBy dataset with zero data files
+    # cannot infer a schema at load — rewrite unpartitioned (the
+    # save_winnow_index discipline)
+    if not glob.glob(os.path.join(path, "main", "fp_bucket=*")):
+        main.write.mode("overwrite").parquet(path + "/main")
+    bb = bands.withColumn(
+        "bb_bucket",
+        F.pmod(
+            F.xxhash64(F.col("band"), F.col("bucket")),
+            F.lit(int(bb_buckets)),
+        ),
+    ).withColumn("bb_buckets", F.lit(int(bb_buckets)))
+    bb.write.mode("overwrite").partitionBy("bb_bucket").parquet(
+        path + "/bands"
+    )
+    if not glob.glob(os.path.join(path, "bands", "bb_bucket=*")):
+        bb.write.mode("overwrite").parquet(path + "/bands")
+
+
+def load_dedup_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Load a :func:`save_dedup_index` pair: ``(index, bands)``.  The
+    partition columns come back via discovery and re-enable dynamic
+    partition pruning on every probe."""
+    return (
+        spark.read.parquet(path + "/main"),
+        spark.read.parquet(path + "/bands"),
+    )
+
+
 def _best_match(scored: DataFrame, threshold: float) -> DataFrame:
     """Per-new-doc best match over ``(_new_id, _old_id, _est)``
     candidate rows: highest score, ties to the SMALLEST old id —
@@ -1749,33 +1819,50 @@ def dedup_against_index(
     if cache:
         new_idx = new_idx.persist()
 
-    old_fp = index.select(F.col(id_col).alias("_old_id"), "fingerprint")
-    exact = (
-        old_fp.join(
-            F.broadcast(
-                new_idx.select(
-                    F.col(id_col).alias("_new_id"), "fingerprint"
-                )
-            ),
-            "fingerprint",
+    # a save_dedup_index layout carries fp_bucket as its parquet
+    # partition column: joining on it (derived from the same pmod on
+    # the batch side) lets dynamic partition pruning cut the exact-
+    # probe index SCAN to the buckets the batch actually hashes into
+    fp_buckets_stamp = None
+    if {"fp_bucket", "fp_buckets"} <= set(index.columns):
+        row = index.select("fp_buckets").first()
+        if row is not None:
+            fp_buckets_stamp = int(row[0])
+    fp_keys = ["fingerprint"]
+    old_fp_cols = [F.col(id_col).alias("_old_id"), F.col("fingerprint")]
+    new_fp_cols = [F.col(id_col).alias("_new_id"), F.col("fingerprint")]
+    if fp_buckets_stamp is not None:
+        fp_keys = ["fp_bucket", "fingerprint"]
+        old_fp_cols.append(F.col("fp_bucket"))
+        new_fp_cols.append(
+            F.pmod(
+                F.xxhash64("fingerprint"), F.lit(fp_buckets_stamp)
+            ).alias("fp_bucket")
         )
+    exact = (
+        index.select(*old_fp_cols)
+        .join(F.broadcast(new_idx.select(*new_fp_cols)), fp_keys)
         .groupBy("_new_id")
         .agg(F.min("_old_id").alias("_exact_of"))
     )
 
     # token-less docs carry NULL sigs: exclude them from banding (they
     # would all collide on the hash of the empty tuple)
+    bb_buckets_stamp = None
     if index_bands is not None:
         stamped = {"num_perm", "bands", "n", "hash_fn"} & set(
             index_bands.columns
         )
-        if stamped:
+        has_bb = {"bb_bucket", "bb_buckets"} <= set(index_bands.columns)
+        if stamped or has_bb:
             # the projection stamps its parameters on every row
             # (band_dedup_index): a mismatched probe would join against
             # incompatible buckets / signatures and silently find
             # nothing, so fail loudly instead.  limit-1 read —
-            # negligible vs the probe.
-            meta = index_bands.select(*sorted(stamped)).first()
+            # negligible vs the probe; the bucketed-layout stamp rides
+            # the SAME single .first() (the winnow_against_index rule).
+            sel = sorted(stamped | ({"bb_buckets"} if has_bb else set()))
+            meta = index_bands.select(*sel).first()
             mine = {
                 "num_perm": num_perm, "bands": bands,
                 "n": n, "hash_fn": hash_fn,
@@ -1793,12 +1880,19 @@ def dedup_against_index(
                         "— probes must match the index's signature and "
                         "banding parameters"
                     )
-        old_b = index_bands.select(
+                if has_bb:
+                    bb_buckets_stamp = int(meta["bb_buckets"])
+        old_b_cols = [
             F.col(id_col).alias("_old_id"),
             F.col("sig").alias("sig_old"),
-            "band",
-            "bucket",
-        )
+            F.col("band"),
+            F.col("bucket"),
+        ]
+        if bb_buckets_stamp is not None:
+            # the saved layout's partition column joins too -> dynamic
+            # partition pruning on the banded index scan
+            old_b_cols.append(F.col("bb_bucket"))
+        old_b = index_bands.select(*old_b_cols)
     else:
         old_b = index.where(F.col("sig").isNotNull()).select(
             F.col(id_col).alias("_old_id"),
@@ -1810,6 +1904,16 @@ def dedup_against_index(
         F.col("sig").alias("sig_new"),
         _band_bucket_col(num_perm, bands).alias("bb"),
     ).select("_new_id", "sig_new", "bb.band", "bb.bucket")
+    band_keys = ["band", "bucket"]
+    if bb_buckets_stamp is not None:
+        band_keys = ["bb_bucket", "band", "bucket"]
+        new_b = new_b.withColumn(
+            "bb_bucket",
+            F.pmod(
+                F.xxhash64(F.col("band"), F.col("bucket")),
+                F.lit(bb_buckets_stamp),
+            ),
+        )
 
     agree = F.size(
         F.filter(
@@ -1818,7 +1922,7 @@ def dedup_against_index(
         )
     )
     near = _best_match(
-        old_b.join(F.broadcast(new_b), ["band", "bucket"]).select(
+        old_b.join(F.broadcast(new_b), band_keys).select(
             "_new_id",
             "_old_id",
             F.round(agree / F.lit(float(num_perm)), 6).alias("_est"),

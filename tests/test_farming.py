@@ -133,6 +133,109 @@ def test_harvester_expand_dims_and_drop_sel(fba_runner, tmp_path):
     assert h.full_df.count() == 6
 
 
+def test_harvester_partitioned_store_parity(fba_runner, tmp_path):
+    """The partition_by= store layout (r8 verdict ask #1) must be
+    semantically invisible: the same harvest sequence through a
+    partitioned and a full-publish store yields identical tables —
+    golden values, accumulation, and the on-disk dim=value layout."""
+    full = Harvester(fba_runner, str(tmp_path / "full.parquet"))
+    part = Harvester(
+        fba_runner, str(tmp_path / "part.parquet"), partition_by="a"
+    )
+    for combos in ({"a": [1], "b": [3, 4]}, {"a": [2], "b": [3, 4]}):
+        full.harvest_combos(combos)
+        part.harvest_combos(combos)
+    _check_golden(part.full_df)
+    cols = sorted(full.full_df.columns)
+    assert sorted(part.full_df.columns) == cols
+    a = sorted(map(tuple, full.full_df.select(*cols).collect()))
+    b = sorted(map(tuple, part.full_df.select(*cols).collect()))
+    assert a == b
+    assert (tmp_path / "part.parquet" / "a=1").is_dir()
+    assert (tmp_path / "part.parquet" / "a=2").is_dir()
+
+
+def test_harvester_partitioned_topup_touches_only_new_partitions(
+    fba_runner, tmp_path
+):
+    """The point of the layout: an incremental harvest must republish
+    ONLY partitions containing touched coordinates — the untouched
+    dim=value dirs keep their exact files (same names, same bytes,
+    same mtimes), so top-up cost is O(touched), not O(store)."""
+    store = tmp_path / "part.parquet"
+    h = Harvester(fba_runner, str(store), partition_by="a")
+    h.harvest_combos({"a": [1, 2], "b": [3, 4]})
+
+    def snap(d):
+        return {
+            f: (d / f).stat().st_mtime_ns
+            for f in os.listdir(d)
+            if not f.startswith(".")
+        }
+
+    before = {v: snap(store / f"a={v}") for v in (1, 2)}
+    h.harvest_combos({"a": [1, 2, 3], "b": [3, 4]}, missing_only=True)
+    assert (store / "a=3").is_dir()
+    assert {v: snap(store / f"a={v}") for v in (1, 2)} == before
+    assert h.full_df.count() == 18
+    # a conflicting re-harvest under the raise policy fails inside the
+    # job and leaves the store intact (reference merge semantics)
+    import pyspark.sql.functions as F
+
+    clash = fba_runner.run_combos({"a": [2], "b": [3]}).withColumn(
+        "sum", F.col("sum") + 1
+    )
+    with pytest.raises(Exception, match="MERGE CONFLICT"):
+        h.add_df(clash, ["a", "b", "time"])
+    assert h.full_df.count() == 18
+    # overwrite=True: new wins, and only a=2 republished
+    a1_before = snap(store / "a=1")
+    h.add_df(clash, ["a", "b", "time"], overwrite=True)
+    got = h.full_df.where("a = 2 AND b = 3").select("sum").distinct()
+    assert [r[0] for r in got.collect()] == [2 + 3 + 100 + 1]
+    assert snap(store / "a=1") == a1_before
+
+
+def test_harvester_partitioned_schema_evolution_and_validation(
+    fba_runner, tmp_path
+):
+    """A top-up that introduces a new variable column must surface it
+    as NULL holes on untouched partitions (the outer-merge
+    semantics), via the _layout.json schema sidecar — never a
+    mergeSchema footer sweep.  Plus the layout's guard rails."""
+    import pyspark.sql.functions as F
+
+    store = tmp_path / "part.parquet"
+    h = Harvester(fba_runner, str(store), partition_by="a")
+    h.harvest_combos({"a": [1, 2], "b": [3, 4]})
+    new = fba_runner.run_combos({"a": [3], "b": [3, 4]}).withColumn(
+        "extra", F.lit(7.5)
+    )
+    h.add_df(new, ["a", "b", "time"])
+    df = h.full_df
+    assert "extra" in df.columns
+    assert df.where("a = 3 AND extra IS NULL").count() == 0
+    assert df.where("a < 3 AND extra IS NOT NULL").count() == 0
+    # partition dim missing from the merge dims -> actionable error
+    with pytest.raises(ValueError, match="partition dim"):
+        h.add_df(new.drop("a"), ["b", "time"])
+    # NULL partition coordinates cannot round-trip dim=value dirs
+    with pytest.raises(ValueError, match="NULL"):
+        h.add_df(
+            new.withColumn(
+                "a", F.lit(None).cast("bigint")
+            ),
+            ["a", "b", "time"],
+        )
+    with pytest.raises(ValueError, match="single dim"):
+        Harvester(fba_runner, str(store), partition_by=["a", "b"])
+    # dense views and expand_dims keep working on the partitioned
+    # layout (expand_dims republishes in full, preserving partitions)
+    h.expand_dims("d", 5)
+    assert (store / "a=1").is_dir()
+    assert h.full_df.where("d != 5").count() == 0
+
+
 def test_harvester_attrs_sidecar(fba_runner, tmp_path):
     from xyzpy_spark.farming import load_attrs
 

@@ -29,7 +29,7 @@ import shutil
 import uuid
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .grid import LOC_COL
 from .merge import merge_datasets
@@ -196,10 +196,50 @@ class Runner:
 # -- atomic parquet publish ---------------------------------------------
 
 
-def _publish_parquet(df: DataFrame, path: str, attrs: dict | None = None) -> None:
-    """Write-audit-publish: stage to a temp dir, audit, swap with .bak."""
+def _write_layout(dirpath: str, partition_by: str, schema) -> None:
+    """Persist the store's physical layout next to the data: the
+    partition dim and the UNIFIED logical schema.  The schema sidecar
+    is what lets a partitioned store read as one table at 100 TB —
+    a plain read would need ``mergeSchema`` (a footer read of every
+    file) the first time a top-up adds a variable column; with the
+    sidecar the read is ``spark.read.schema(...)`` and files that
+    predate a column simply surface NULLs (exactly the outer-merge
+    hole semantics).  Underscore-prefixed so partition discovery
+    ignores it (the ``_attrs.json`` convention)."""
+    with open(os.path.join(dirpath, "_layout.json"), "w") as f:
+        json.dump(
+            {"partition_by": partition_by, "schema": schema.jsonValue()},
+            f,
+        )
+
+
+def _read_layout(path: str) -> dict | None:
+    p = os.path.join(path, "_layout.json")
+    if os.path.exists(p):
+        with open(p) as f:
+            return json.load(f)
+    return None
+
+
+def _publish_parquet(
+    df: DataFrame,
+    path: str,
+    attrs: dict | None = None,
+    partition_by: str | None = None,
+) -> None:
+    """Write-audit-publish: stage to a temp dir, audit, swap with .bak.
+
+    ``partition_by`` stages the store in the PARTITIONED layout
+    (``dim=value`` dirs + ``_layout.json`` schema sidecar) — the full
+    atomic swap is still used here (first write / schema surgery);
+    incremental top-ups go through ``Harvester._publish_partitions``
+    which rewrites only touched partitions."""
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    df.write.mode("overwrite").parquet(tmp)
+    if partition_by is not None:
+        df.write.mode("overwrite").partitionBy(partition_by).parquet(tmp)
+        _write_layout(tmp, partition_by, df.schema)
+    else:
+        df.write.mode("overwrite").parquet(tmp)
     if attrs:
         with open(os.path.join(tmp, "_attrs.json"), "w") as f:
             json.dump(attrs, f, default=repr)
@@ -237,10 +277,35 @@ class Harvester:
     republishes atomically.
     """
 
-    def __init__(self, runner: Runner, data_name: str, *, overwrite: bool | None = None):
+    def __init__(
+        self,
+        runner: Runner,
+        data_name: str,
+        *,
+        overwrite: bool | None = None,
+        partition_by: str | None = None,
+    ):
+        """``partition_by`` opts the store into the PARTITIONED layout
+        (one ``dim=value`` parquet partition per coordinate of that
+        sweep dim): incremental harvests then merge and republish ONLY
+        the partitions containing touched coordinates — O(touched)
+        write cost per top-up instead of O(store), the property that
+        makes a 100-TB result store harvestable.  The dim must be one
+        of the merge dims of every ``add_df`` (validated).  Without it
+        the store is a single dir and every top-up republishes in
+        full (the reference's file-granularity semantics,
+        gen/farming.py:520-580)."""
         self.runner = runner
         self.data_name = data_name
         self.overwrite = overwrite
+        if partition_by is not None and not isinstance(partition_by, str):
+            raise ValueError(
+                "partition_by must be a single dim-column name "
+                f"(got {partition_by!r}); nest further dims inside "
+                "the partition files — one level already bounds the "
+                "top-up to touched coordinates"
+            )
+        self.partition_by = partition_by
         self.last_merged: DataFrame | None = None
 
     @property
@@ -261,6 +326,17 @@ class Harvester:
                 os.rename(bak, self.data_name)
             else:
                 return None
+        layout = _read_layout(self.data_name)
+        if layout is not None and layout.get("partition_by"):
+            from pyspark.sql.types import StructType
+
+            # read through the sidecar schema: no mergeSchema footer
+            # sweep, and partitions written before a later top-up
+            # added a variable column surface NULLs (the outer-merge
+            # hole semantics)
+            return self.spark.read.schema(
+                StructType.fromJson(layout["schema"])
+            ).parquet(self.data_name)
         return self.spark.read.parquet(self.data_name)
 
     def delete_ds(self) -> None:
@@ -324,21 +400,98 @@ class Harvester:
         self, new: DataFrame, dims, *, overwrite: bool | None = None, sync: bool = True
     ) -> DataFrame:
         """Merge a new result table into the store (reference
-        ``add_ds``, ``farming.py:602-670``)."""
+        ``add_ds``, ``farming.py:602-670``).
+
+        With ``partition_by`` set and a store on disk, the merge and
+        the publish touch ONLY the partitions whose ``partition_by``
+        coordinate appears in ``new``: the store read prunes to those
+        partitions, the outer-merge + conflict policy runs on that
+        subset (conflicts can only live at matching coordinates, which
+        are by definition in touched partitions), and the write is a
+        dynamic-partition overwrite that replaces exactly those
+        ``dim=value`` dirs — top-up cost tracks touched coordinates,
+        not store size."""
         if overwrite is None:
             overwrite = self.overwrite
+        pby = self.partition_by
         old = self.load_full_df()
+        touched = None
         if old is None:
             merged = new
+        elif pby is not None:
+            if pby not in dims:
+                raise ValueError(
+                    f"partitioned store {self.data_name!r} requires its "
+                    f"partition dim {pby!r} among the merge dims "
+                    f"(got {list(dims)}) — merging without it could "
+                    "move rows across partitions, which a partition-"
+                    "level publish cannot express"
+                )
+            # the touched coordinate set is bounded by the sweep dim's
+            # cardinality (a handful of values per top-up), so the
+            # collect is driver-safe by construction
+            touched = [
+                r[0] for r in new.select(pby).distinct().collect()
+            ]
+            if any(v is None for v in touched):
+                raise ValueError(
+                    f"partition dim {pby!r} holds NULL coordinates — "
+                    "NULL partition values do not round-trip through "
+                    "the dim=value layout; use an unpartitioned store "
+                    "for nullable dims"
+                )
+            old_touched = old.where(F.col(pby).isin(touched))
+            merged = merge_datasets(
+                old_touched, new, dims, overwrite=overwrite
+            )
         else:
             merged = merge_datasets(old, new, dims, overwrite=overwrite)
         attrs = {**load_attrs(self.data_name), **self.runner.attrs,
                  **self.runner.constants}
         if sync:
-            _publish_parquet(merged, self.data_name, attrs)
-            merged = self.spark.read.parquet(self.data_name)
+            if pby is not None and old is not None:
+                self._publish_partitions(merged, attrs)
+            else:
+                _publish_parquet(
+                    merged, self.data_name, attrs, partition_by=pby
+                )
+            merged = self.load_full_df()
         self.last_merged = merged
         return merged
+
+    def _publish_partitions(self, merged: DataFrame, attrs: dict) -> None:
+        """Incremental publish for the partitioned layout: a DYNAMIC
+        partition overwrite replaces only the ``dim=value`` dirs
+        present in ``merged`` (Spark stages the new files and commits
+        per-partition; a failed job leaves the store untouched), then
+        the schema sidecar is unioned so columns a top-up introduced
+        read as NULL holes from older partitions.  This is the
+        O(touched) complement of the full write-audit-publish swap —
+        the atomic .bak contract stays with the full path (first
+        write, expand_dims, drop_sel)."""
+        from pyspark.sql.types import StructType
+
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.partition_by)
+            .parquet(self.data_name)
+        )
+        layout = _read_layout(self.data_name)
+        schema = merged.schema
+        if layout is not None:
+            old_schema = StructType.fromJson(layout["schema"])
+            extra = [
+                f for f in old_schema.fields if f.name not in schema.names
+            ]
+            for f in extra:
+                schema = schema.add(f)
+        _write_layout(self.data_name, self.partition_by, schema)
+        if attrs:
+            with open(
+                os.path.join(self.data_name, "_attrs.json"), "w"
+            ) as f:
+                json.dump(attrs, f, default=repr)
 
     def _missing_filter(self, cases_df: DataFrame, dims) -> DataFrame:
         old = self.load_full_df()
@@ -439,7 +592,7 @@ class Harvester:
             raise ValueError("no stored dataset to expand")
         _publish_parquet(
             old.withColumn(name, F.lit(value)), self.data_name,
-            load_attrs(self.data_name),
+            load_attrs(self.data_name), partition_by=self.partition_by,
         )
 
     def drop_sel(self, **dim_values) -> None:
@@ -455,7 +608,10 @@ class Harvester:
             if not isinstance(vals, (list, tuple)):
                 vals = [vals]
             df = df.where(~F.col(dim).isin(list(vals)))
-        _publish_parquet(df, self.data_name, load_attrs(self.data_name))
+        _publish_parquet(
+            df, self.data_name, load_attrs(self.data_name),
+            partition_by=self.partition_by,
+        )
 
 
 class Sampler:

@@ -245,6 +245,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     under_load: list[str] = []
     raw_samples: dict[str, list[list[float | None]]] = {}
+    #: per-row sampling protocol (r8 ADVICE: sub-second rows top up to
+    #: 5 samples keep-lowest-3 while their BASELINE.md figures were
+    #: recorded median-of-3 — flag which protocol produced each number
+    #: so a reader knows when a ratio mixes protocols)
+    protocols: dict[str, str] = {}
 
     #: the pinned-calibration row must keep the exact protocol its
     #: BASELINE.md figure was recorded under (median of BENCH_RUNS) —
@@ -318,6 +323,10 @@ def main() -> None:
             [round(s, 4), round(ld, 2) if ld is not None else None]
             for s, ld in zip(samples, loads)
         ]
+        protocols[name] = (
+            f"median{keep}" if keep == len(samples) else
+            f"lowest{keep}of{len(samples)}"
+        )
         samples = sorted(samples)[:keep]
         timings[name] = round(statistics.median(samples), 4)
 
@@ -392,24 +401,6 @@ def main() -> None:
         df = queries[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
 
-    # cache isolation between samples: operators persist()
-    # intermediates (shingles, LSH signatures) that only their
-    # consumer can release, so without this the bench sequence
-    # accumulates dead MEMORY_AND_DISK blocks and later queries pay
-    # the GC/eviction bill (r1: minhash benched 2.5s in-sequence vs
-    # 1.2s solo).  Each sample pays its own cache-build cost — same
-    # protocol as the BASELINE.md solo recordings.  The clear runs as
-    # _race's UNTIMED setup.
-    for name in names:
-        _race(
-            name,
-            lambda name=name: _sample(name),
-            setup=spark.catalog.clearCache,
-        )
-    if idx_path is not None:
-        shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
-
-    end_load = _load()
     # r6 verdict ask #5c: a pinned calibration row whose CODE has not
     # changed since its BASELINE.md recording (merge_overwrite_new,
     # untouched since r2b per git log).  Its ratio against that pinned
@@ -420,21 +411,93 @@ def main() -> None:
     # SFs the divisor is emitted as null).
     calib_name = "merge_overwrite_new"
     calib_pinned_sf01 = 0.45  # BASELINE.md r7 re-record of the row
+
+    # r8 verdict ask #7: ONE run-level divisor cannot correct a
+    # mid-run load spike (the BENCH_r08 tail flagged a contiguous
+    # 6-row segment that solo runs disowned).  Interleave the pinned
+    # calibration row every SENTINEL_EVERY rows and calibrate each
+    # row against its NEAREST sentinel, so a transient spike only
+    # distorts the segment it actually hit.  Sentinels use the
+    # pinned row's own protocol (median of BENCH_RUNS, no top-up).
+    sentinel_every = int(os.environ.get("BENCH_SENTINEL_EVERY", "25"))
+    sentinels: list[dict] = []
+    row_pos: dict[str, int] = {}
+
+    def _sentinel(pos: int) -> None:
+        if sf != 0.1:
+            return
+        ss = []
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            _sample(calib_name)
+            ss.append(time.time() - t0)
+        sec = round(statistics.median(ss), 4)
+        sentinels.append(
+            {
+                "after_row": pos,
+                "sec": sec,
+                "drift": round(sec / calib_pinned_sf01, 3),
+            }
+        )
+
+    # cache isolation between samples: operators persist()
+    # intermediates (shingles, LSH signatures) that only their
+    # consumer can release, so without this the bench sequence
+    # accumulates dead MEMORY_AND_DISK blocks and later queries pay
+    # the GC/eviction bill (r1: minhash benched 2.5s in-sequence vs
+    # 1.2s solo).  Each sample pays its own cache-build cost — same
+    # protocol as the BASELINE.md solo recordings.  The clear runs as
+    # _race's UNTIMED setup.
+    # warm the calibration plan itself before the first sentinel: its
+    # pinned figure is a warm-JVM median, and a cold sentinel-0 would
+    # mis-calibrate the first segment by its own compile cost
+    if sf == 0.1:
+        spark.catalog.clearCache()
+        _sample(calib_name)
+    _sentinel(0)
+    for i, name in enumerate(names, 1):
+        row_pos[name] = i
+        _race(
+            name,
+            lambda name=name: _sample(name),
+            setup=spark.catalog.clearCache,
+        )
+        if i % sentinel_every == 0 and i < len(names):
+            _sentinel(i)
+    _sentinel(len(names))
+    if idx_path is not None:
+        shutil.rmtree(os.path.dirname(idx_path), ignore_errors=True)
+
+    end_load = _load()
+    # run-level divisor = median of the segment sentinels (kept for
+    # record compatibility; per-row calibration below uses the
+    # NEAREST sentinel instead)
     drift = None
-    if sf == 0.1 and calib_name in timings:
-        drift = round(timings[calib_name] / calib_pinned_sf01, 3)
+    if sentinels:
+        drift = round(
+            statistics.median(s["drift"] for s in sentinels), 3
+        )
+
+    def _drift_for(name: str) -> float | None:
+        if not sentinels:
+            return None
+        pos = row_pos.get(name, 0)
+        s = min(sentinels, key=lambda s: abs(s["after_row"] - pos))
+        return s["drift"] or None
+
     # self-adjudicating per-row ratios (r7 verdict ask #6): each row's
-    # timing over its BASELINE.md figure, divided by this run's drift
-    # divisor — the number a reader compares against the 2x bar without
-    # re-measuring.  Rows without a baseline (new this round) are
-    # omitted; record their baseline next quiet session.
+    # timing over its BASELINE.md figure, divided by its SEGMENT's
+    # sentinel drift — the number a reader compares against the 2x bar
+    # without re-measuring.  Rows without a baseline (new this round)
+    # are omitted; record their baseline next quiet session.
     base = _baseline_secs(sf)
     ratios = None
     if drift and base:
         ratios = {
-            n: round(t / base[n] / drift, 3)
+            n: round(t / base[n] / _drift_for(n), 3)
             for n, t in timings.items()
-            if n in base and base[n] > 0
+            if n in base and base[n] > 0 and _drift_for(n)
         }
     record = {
         "metric": "headline_queries_total_wall",
@@ -462,10 +525,19 @@ def main() -> None:
         # divide any ratio by this before calling it a regression
         "calibration_query": calib_name,
         "calibration_pinned_sec": calib_pinned_sf01 if sf == 0.1 else None,
+        # median of the segment sentinels (run-level summary)
         "drift_divisor": drift,
-        # per-row ratio vs BASELINE.md, pre-divided by drift_divisor —
-        # self-adjudicating against the 2x bar (null off-sf0.1)
+        # the pinned calibration row re-measured every ~25 rows: a
+        # mid-run load spike shows up as a drift bump in ITS segment
+        # and calibrates only the rows it actually shadowed
+        "segment_sentinels": sentinels or None,
+        # per-row ratio vs BASELINE.md, pre-divided by the NEAREST
+        # sentinel's drift — self-adjudicating against the 2x bar
+        # (null off-sf0.1)
         "ratios_calibrated": ratios,
+        # which sampling protocol produced each row (sub-second rows
+        # top up to 5 samples keep-lowest-3; baselines note their own)
+        "protocols": protocols,
     }
     line = json.dumps(record)
     # the driver captures stdout with a bounded window and truncated

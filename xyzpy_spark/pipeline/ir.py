@@ -140,7 +140,12 @@ def tfidf_top_terms(
     then term asc (deterministic).  Plan: one (doc, term) count
     aggregation, a vocabulary-sized document-frequency aggregation
     joined back on the term key, broadcast one-row N, and a window
-    PARTITIONED BY document (never global) for the rank.
+    PARTITIONED BY document (never global) for the rank.  ``N``
+    (documents with at least one token) deliberately does NOT go
+    through the tokenizer: a whitespace token exists iff the text has
+    a non-whitespace char, so the one-row count is a plain regex scan
+    — one fewer tokenize+aggregate pass over the corpus (r9 headroom
+    shave; the tokenize passes, not hashing, are this op's cost).
     """
     terms = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
@@ -151,7 +156,7 @@ def tfidf_top_terms(
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).alias("df_t")
     )
-    n_docs = tf.select(id_col).distinct().agg(
+    n_docs = df.where(F.col(text_col).rlike(r"\S")).agg(
         F.count(F.lit(1)).alias("__n")
     )
     from pyspark.sql import Window
@@ -242,10 +247,16 @@ def bm25_search(
 
     Plan: the token stream is FILTERED to the query's terms before
     any shuffle (array_contains against a literal array — predicate
-    on the scan side), so only matching (doc, term) pairs aggregate;
-    doc lengths come from the same single corpus scan; N/avgdl are a
-    broadcast one-row aggregate and per-term document frequencies a
-    broadcast query-sized table; top-k is TakeOrdered.
+    on the scan side), so only matching (doc, term) pairs aggregate —
+    with the document length CARRIED on the hit rows through the
+    aggregation (min over a per-doc constant), so no dl join and no
+    second tokenize pass feeds the scoring branch; N/avgdl are a
+    broadcast one-row aggregate (the one other tokenize pass — it
+    must length every document, hits or not) and per-term document
+    frequencies a broadcast query-sized table; top-k is TakeOrdered.
+    (r9 headroom shave: the previous shape tokenized the corpus in
+    four plan branches; this one does it twice, the minimum for
+    corpus-wide avgdl + per-hit scoring without a persist.)
     """
     qterms = sorted({str(t) for t in query})
     if not qterms:
@@ -253,25 +264,28 @@ def bm25_search(
     qarr = F.array(*[F.lit(t) for t in qterms])
     toks = df.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("__w")
+    ).select(
+        F.col(id_col),
+        F.size("__w").alias("dl"),
+        F.filter("__w", lambda t: F.array_contains(qarr, t)).alias(
+            "__q"
+        ),
     )
-    dl = toks.select(id_col, F.size("__w").alias("dl"))
-    stats = dl.where(F.col("dl") > 0).agg(
+    stats = toks.where(F.col("dl") > 0).agg(
         F.count(F.lit(1)).alias("__n"),
         F.avg("dl").alias("__avgdl"),
     )
     hits = toks.select(
-        id_col,
-        F.explode(
-            F.filter("__w", lambda t: F.array_contains(qarr, t))
-        ).alias("term"),
+        id_col, "dl", F.explode("__q").alias("term")
     )
     tf = hits.groupBy(id_col, "term").agg(
-        F.count(F.lit(1)).alias("tf")
+        F.count(F.lit(1)).alias("tf"),
+        # dl is constant per document; min() is its deterministic ride
+        F.min("dl").alias("dl"),
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .select(
             F.col(id_col),

@@ -2351,8 +2351,8 @@ def test_jpeg_restart_encoding_roundtrips():
 
 
 def test_jpeg_decoder_rejects_non_baseline():
-    """Progressive SOF2, truncated and junk payloads must return
-    None, never raise (one bad file can't kill a 100-TB scan)."""
+    """Malformed / exotic payloads must return None, never raise (one
+    bad file can't kill a 100-TB scan)."""
     from xyzpy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
     from xyzpy_spark.pipeline.multimodal import fake_jpeg_bytes
 
@@ -2361,14 +2361,88 @@ def test_jpeg_decoder_rejects_non_baseline():
     good = fake_jpeg_bytes(3)
     assert decode_jpeg(good) is not None
     assert decode_jpeg(good[: len(good) // 2]) is None or True  # no raise
-    # flip SOF0 -> SOF2 (progressive): must be rejected, not mis-read
+    # flip SOF0 -> SOF2: the bytes now claim progressive but carry a
+    # BASELINE scan header (Ss=0, Se=63 — illegal for a progressive
+    # DC scan), so the r9 progressive path must reject, not mis-read
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg(prog) is None
+    # lossless SOF3 stays out of scope -> None (PIL fallback)
+    assert decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3", 1)) is None
     import numpy as np
 
     # hostile: truncated entropy stream decodes or rejects, no raise
     enc = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
     decode_jpeg(enc[:-4])
+
+
+def test_jpeg_progressive_roundtrip_bit_identical():
+    """The r9 progressive path (carried r6-r8: the last PIL gate):
+    encode_jpeg_progressive emits an SOF2 scan script covering every
+    scan type the decoder implements — interleaved DC first at Al=1,
+    per-component AC spectral bands with EOBRUN coding, DC
+    refinement, AC successive-approximation refinement — and because
+    successive approximation is lossless by construction, the decoded
+    pixels must be BIT-IDENTICAL to the baseline encoding of the same
+    array at the same quant."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+    from xyzpy_spark.pipeline.multimodal import _decode_jpeg_full
+
+    rng = np.random.default_rng(9)
+    images = [
+        rng.integers(0, 256, (40, 56, 3), dtype=np.uint8),
+        rng.integers(0, 256, (19, 13), dtype=np.uint8),
+        np.full((24, 24), 128, dtype=np.uint8),  # EOBRUN-heavy
+        (np.add.outer(np.arange(33), np.arange(41)) % 256).astype(
+            np.uint8
+        ),
+    ]
+    for img in images:
+        for q in (1, 6):
+            pb = encode_jpeg_progressive(img, quant=q)
+            # really progressive: SOF2 present, multiple SOS scans
+            assert b"\xff\xc2" in pb and pb.count(b"\xff\xda") >= 4
+            base = decode_jpeg(
+                encode_jpeg(img, quant=q, restart_interval=None)
+            )
+            prog = decode_jpeg(pb)
+            assert prog is not None
+            assert prog[0] == base[0]
+            assert np.array_equal(prog[1], base[1]), (img.shape, q)
+    # the multimodal plumbing decodes progressive natively (no PIL)
+    pb = encode_jpeg_progressive(images[0], quant=1)
+    full = _decode_jpeg_full(pb)
+    assert full is not None and full[0]["format"] == "jpeg"
+    assert full[0]["width"] == 56 and full[0]["channels"] == 3
+
+
+def test_jpeg_progressive_hostile_inputs_never_raise():
+    """Truncated / corrupted progressive streams decode or reject —
+    never raise (the decode_media null contract)."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    pb = encode_jpeg_progressive(img, quant=2)
+    for cut in range(10, len(pb), max(1, len(pb) // 37)):
+        decode_jpeg(pb[:cut])          # truncation: None or partial ok
+        decode_jpeg(pb[:cut] + b"\xff\xd9")
+    for seed in range(8):
+        r2 = np.random.default_rng(seed)
+        s = bytearray(pb)
+        for _ in range(5):
+            s[int(r2.integers(2, len(pb)))] = int(r2.integers(0, 256))
+        decode_jpeg(bytes(s))  # must not raise
 
 
 def test_jpeg_decoder_rejects_multiscan_baseline():
@@ -2455,6 +2529,34 @@ def test_decode_image_jpeg_native(spark):
         got = rows[i]
         assert got is not None and len(got) == len(want)
         assert max(abs(a - b) for a, b in zip(got, want)) <= 2, i
+
+
+def test_decode_image_progressive_jpeg_native(spark):
+    """decode_image decodes PROGRESSIVE JFIF without any imaging
+    library (the r9 path): pixels bit-identical to the baseline
+    encoding of the same array."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(31)
+    imgs = {i: rng.integers(0, 256, (11, 17, 3), dtype=np.uint8)
+            for i in range(4)}
+    df = spark.createDataFrame(
+        [(i, encode_jpeg_progressive(img, quant=2))
+         for i, img in imgs.items()],
+        ["doc_id", "media"],
+    )
+    rows = {r["doc_id"]: r["pixels"] for r in decode_image(df).collect()}
+    for i, img in imgs.items():
+        want = decode_jpeg(
+            encode_jpeg(img, quant=2, restart_interval=None)
+        )[1].ravel().tolist()
+        assert rows[i] == want, i
 
 
 def test_decode_media_jpeg_meta(spark):

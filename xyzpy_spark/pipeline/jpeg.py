@@ -1,16 +1,21 @@
-"""Dependency-free baseline JPEG (JFIF) codec — pure python + numpy.
+"""Dependency-free JPEG (JFIF) codec — pure python + numpy.
 
-Closes the last PIL gate in the multimodal path (r3 verdict item 9):
+Closes the last PIL gates in the multimodal path (r3 verdict item 9;
+progressive carried r6-r8, closed r9):
 ``decode_image``/``image_features``/``resize_image`` previously needed
-PIL for JPEG payloads; this module decodes baseline sequential JFIF
-natively, the same way ``_decode_png`` covers PNG with stdlib zlib.
+PIL for JPEG payloads; this module decodes baseline sequential AND
+progressive JFIF natively, the same way ``_decode_png`` covers PNG
+with stdlib zlib.
 
 Scope (deliberate):
 
 - **Decoder** (:func:`decode_jpeg`): baseline sequential DCT (SOF0),
   8-bit, gray or YCbCr, any Hi/Vi sampling (nearest-neighbor chroma
-  upsample), restart markers, byte unstuffing.  Progressive (SOF2),
-  arithmetic coding, and 12-bit precision return ``None`` so callers
+  upsample), restart markers, byte unstuffing; plus PROGRESSIVE DCT
+  (SOF2, :func:`_decode_progressive`): DC first/refinement scans,
+  AC spectral-selection bands with EOBRUN coding, AC successive-
+  approximation refinement (the libjpeg correction-bit walk).
+  Arithmetic coding and 12-bit precision return ``None`` so callers
   fall through to PIL when present — one exotic file must yield a
   null, never a task failure.
 - **Encoder** (:func:`encode_jpeg`): baseline 4:4:4 (no subsampling),
@@ -711,9 +716,11 @@ def decode_jpeg(b: bytes):
                     comps.append(
                         {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                     )
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker == 0xC2:  # SOF2: the progressive path
+                return _decode_progressive(b)
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline SOF
+                return None  # non-baseline/progressive SOF
             elif marker == 0xC4:  # DHT
                 q = 0
                 while q < len(seg):
@@ -923,6 +930,305 @@ def decode_jpeg(b: bytes):
         return None
 
 
+def _entropy_end(b: bytes, start: int) -> int:
+    """Index of the first REAL marker after the entropy data at
+    ``start`` (skipping stuffed ``FF 00``, restart ``FF D0-D7`` and
+    fill ``FF FF``) — where the next header segment begins.  The
+    progressive decoder needs this to resume the marker walk after
+    each scan's bits."""
+    i = start
+    n = len(b)
+    while True:
+        i = b.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = b[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+        elif nxt == 0xFF:
+            i += 1
+        else:
+            return i
+
+
+def _decode_progressive(b: bytes):
+    """Progressive (SOF2) JFIF bytes -> ``(meta, HxWxC uint8)`` or
+    raise (the caller's except returns None) — the pure-python path
+    that removes the PIL gate for progressive files (carried
+    r6-r8).  Implements the full scan taxonomy of ITU-T T.81 §G:
+
+    - DC first scans (``Ss=0, Ah=0``, interleaved or single
+      component): baseline DC differences, values ``<< Al``;
+    - DC refinement (``Ah>0``): one appended precision bit per block,
+      OR-ed in at bit ``Al``;
+    - AC first scans (spectral band ``Ss..Se``, single component by
+      spec): run/size coding extended with EOBRUN (end-of-band runs
+      ``(1<<r)+bits`` spanning blocks);
+    - AC refinement: the correction-bit walk (newly-nonzero
+      coefficients as ``±1<<Al`` with ZRL/EOBRUN folding, one
+      correction bit per already-nonzero coefficient passed) — the
+      libjpeg ``decode_mcu_AC_refine`` construction.
+
+    Restart markers reset DC predictors AND the EOB run per spec.
+    Successive approximation is lossless by construction (first scan
+    stores the point-transformed value, refinements append the
+    dropped bits), so a progressive encode of the same quantized
+    coefficients decodes BIT-IDENTICAL to its baseline twin — pinned
+    by the roundtrip tests.  Per-coefficient scalar python: the
+    progressive path is the long-tail compatibility path; the hot
+    corpus path stays the baseline lockstep decoder."""
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], list] = {}  # (class, id) -> peek LUT
+    comps = None
+    w = h = 0
+    restart = 0
+    grids: dict[int, list] = {}
+    preds: dict[int, int] = {}
+    p = 2
+    while p + 4 <= len(b):
+        if b[p] != 0xFF:
+            raise ValueError("jpeg: bad marker stream")
+        marker = b[p + 1]
+        if marker == 0xD8:
+            p += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", b[p + 2 : p + 4])[0]
+        seg = b[p + 4 : p + 2 + seg_len]
+        if marker == 0xDB:
+            q = 0
+            while q < len(seg):
+                prec, tid = seg[q] >> 4, seg[q] & 0xF
+                q += 1
+                if prec == 0:
+                    qt[tid] = list(seg[q : q + 64])
+                    q += 64
+                else:
+                    qt[tid] = list(
+                        struct.unpack(f">{64}H", seg[q : q + 128])
+                    )
+                    q += 128
+        elif marker == 0xC2:
+            if seg[0] != 8:
+                raise ValueError("jpeg: 12-bit progressive unsupported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            comps = []
+            for i in range(seg[5]):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("jpeg: mixed/non-progressive SOF")
+        elif marker == 0xC4:
+            q = 0
+            while q < len(seg):
+                tc, th = seg[q] >> 4, seg[q] & 0xF
+                nv = sum(seg[q + 1 : q + 17])
+                huff[(tc, th)] = _cached_dht(
+                    bytes(seg[q + 1 : q + 17 + nv]), tc == 1
+                )[1]
+                q += 17 + nv
+        elif marker == 0xDD:
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            if comps is None:
+                raise ValueError("jpeg: SOS before SOF")
+            if not grids:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = (w + 8 * hmax - 1) // (8 * hmax)
+                mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+                for c in comps:
+                    rows, cols = mcuy * c["v"], mcux * c["h"]
+                    grids[c["id"]] = [
+                        [[0] * 64 for _ in range(cols)]
+                        for _ in range(rows)
+                    ]
+                    preds[c["id"]] = 0
+            ns = seg[0]
+            scomps = []
+            by_id = {c["id"]: c for c in comps}
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i : 3 + 2 * i]
+                scomps.append((by_id[cid], tt >> 4, tt & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            scan_start = p + 2 + seg_len
+            _decode_prog_scan(
+                b, scan_start, scomps, ss, se, ah, al,
+                huff, grids, preds, restart,
+                (w, h, hmax, vmax, mcux, mcuy),
+            )
+            p = _entropy_end(b, scan_start)
+            continue
+        p += 2 + seg_len
+    if comps is None or not grids or w == 0 or h == 0:
+        raise ValueError("jpeg: no decodable progressive scan")
+    # grid (row-major per component) -> the MCU-order rows
+    # _jpeg_finish consumes: (my, mx, vy, vx)
+    comp_cz = {}
+    for c in comps:
+        g = grids[c["id"]]
+        cv, ch2 = c["v"], c["h"]
+        rows = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for vy in range(cv):
+                    for vx in range(ch2):
+                        rows.append(g[my * cv + vy][mx * ch2 + vx])
+        comp_cz[c["id"]] = rows
+    return _jpeg_finish(
+        comp_cz, comps, qt, w, h, mcux, mcuy, hmax, vmax, _dct_basis()
+    )
+
+
+def _decode_prog_scan(
+    b, scan_start, scomps, ss, se, ah, al, huff, grids, preds,
+    restart, geom,
+):
+    """One progressive scan's entropy pass over the shared coefficient
+    grids (zigzag order; band indices ARE zigzag indices)."""
+    w, h, hmax, vmax, mcux, mcuy = geom
+    segs = _entropy_segments(b, scan_start)
+    seg_idx = 0
+    rd = _SegReader(segs[0])
+    eobrun = 0
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("jpeg: DC scan with Se != 0")
+    if not is_dc and len(scomps) != 1:
+        raise ValueError("jpeg: multi-component AC scan")
+    if is_dc and ah == 0:
+        for c, dcid, _ in scomps:
+            if (0, dcid) not in huff:
+                raise ValueError("jpeg: missing DC table")
+
+    def _huffdec(lut):
+        entry = lut[rd.peek16()]
+        if entry == 0:
+            raise ValueError("jpeg: invalid Huffman code")
+        rd.skip(entry >> 8)
+        return entry & 0xFF
+
+    # units: MCUs when interleaved, the component's own blocks when
+    # single-component (per-spec non-interleaved geometry)
+    if len(scomps) > 1:
+        units = mcux * mcuy
+    else:
+        c = scomps[0][0]
+        cw = (-(-(w * c["h"]) // hmax) + 7) // 8
+        chh = (-(-(h * c["v"]) // vmax) + 7) // 8
+        units = cw * chh
+
+    for u in range(units):
+        if restart and u and u % restart == 0:
+            seg_idx += 1
+            rd = _SegReader(
+                segs[seg_idx] if seg_idx < len(segs) else b""
+            )
+            for c, _, _ in scomps:
+                preds[c["id"]] = 0
+            eobrun = 0
+        if len(scomps) > 1:
+            my, mx = divmod(u, mcux)
+            blocks = []
+            for c, dcid, acid in scomps:
+                g = grids[c["id"]]
+                for vy in range(c["v"]):
+                    for vx in range(c["h"]):
+                        blocks.append(
+                            (c, dcid, acid,
+                             g[my * c["v"] + vy][mx * c["h"] + vx])
+                        )
+        else:
+            c, dcid, acid = scomps[0]
+            row, col = divmod(u, cw)
+            blocks = [(c, dcid, acid, grids[c["id"]][row][col])]
+        for c, dcid, acid, czz in blocks:
+            if is_dc:
+                if ah == 0:
+                    s = _huffdec(huff[(0, dcid)])
+                    diff = _extend(rd.read_bits(s), s) if s else 0
+                    preds[c["id"]] += diff
+                    czz[0] = preds[c["id"]] << al
+                else:
+                    if rd.read_bits(1):
+                        czz[0] |= 1 << al
+                continue
+            lut = huff.get((1, acid))
+            if lut is None:
+                raise ValueError("jpeg: missing AC table")
+            if ah == 0:  # AC first scan (with EOBRUN)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = _huffdec(lut)
+                    r, s = rs >> 4, rs & 15
+                    if s:
+                        k += r
+                        if k > se:
+                            raise ValueError("jpeg: band overflow")
+                        czz[k] = _extend(rd.read_bits(s), s) << al
+                        k += 1
+                    else:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += rd.read_bits(r)
+                            break
+                        k += 16  # ZRL
+                continue
+            # AC refinement: the libjpeg correction-bit walk
+            p1, m1 = 1 << al, -(1 << al)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huffdec(lut)
+                    r, s = rs >> 4, rs & 15
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "jpeg: refinement size != 1"
+                            )
+                        val = p1 if rd.read_bits(1) else m1
+                    else:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += rd.read_bits(r)
+                            break
+                        # r == 15: ZRL — skip 16 zero-history slots
+                    while k <= se:
+                        cv = czz[k]
+                        if cv != 0:
+                            if rd.read_bits(1) and (cv & p1) == 0:
+                                czz[k] = cv + (p1 if cv >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if val:
+                        if k > se:
+                            raise ValueError("jpeg: band overflow")
+                        czz[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    cv = czz[k]
+                    if cv != 0:
+                        if rd.read_bits(1) and (cv & p1) == 0:
+                            czz[k] = cv + (p1 if cv >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+
+
 def _jpeg_finish(comp_cz, comps, qt, w, h, mcux, mcuy, hmax, vmax, basis):
     """Batch dequant + IDCT + placement + color, one numpy pass per
     component (the old per-block numpy calls and the 64-step python
@@ -991,11 +1297,15 @@ def _jpeg_finish(comp_cz, comps, qt, w, h, mcux, mcuy, hmax, vmax, basis):
 #: fixed canonical DC table: 12 symbols (sizes 0..11), all 4-bit codes
 _ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_DC_VALS = bytes(range(12))
-#: fixed canonical AC table: EOB, ZRL and every (run 0-15, size 1-10)
-#: combo — 162 symbols, all 8-bit codes (162/256 satisfies Kraft)
+#: fixed canonical AC table: EOB, ZRL, every (run 0-15, size 1-10)
+#: combo, plus the progressive EOB_n symbols (run 1-14, size 0 —
+#: end-of-band runs of 2^r..2^(r+1)-1 blocks) — 176 symbols, all
+#: 8-bit codes (176/256 satisfies Kraft).  One shared table serves
+#: the baseline and progressive encoders.
 _ENC_AC_VALS = bytes(
     [0x00, 0xF0]
     + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    + [r << 4 for r in range(1, 15)]
 )
 _ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALS), 0, 0, 0, 0, 0, 0,
                 0, 0]
@@ -1192,5 +1502,257 @@ def encode_jpeg(
         out += bytes([i + 1, 0x00])  # both tables id 0
     out += b"\x00\x3f\x00"  # Ss, Se, Ah/Al
     out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _quantize_block(pl, by, bx, basis, q):
+    """One 8x8 tile -> 64 quantized zigzag coefficients (edge
+    replication at image borders) — the shared forward transform of
+    the baseline and progressive encoders."""
+    import numpy as np
+
+    block = np.full((8, 8), pl[-1, -1])
+    ys, xs = by * 8, bx * 8
+    tile = pl[ys : ys + 8, xs : xs + 8]
+    block[: tile.shape[0], : tile.shape[1]] = tile
+    if tile.shape[0] < 8:
+        block[tile.shape[0] :, : tile.shape[1]] = tile[-1:, :]
+    if tile.shape[1] < 8:
+        block[:, tile.shape[1] :] = block[
+            :, tile.shape[1] - 1 : tile.shape[1]
+        ]
+    coeffs = basis @ (block - 128.0) @ basis.T
+    flat = coeffs.reshape(-1)
+    return [int(np.floor(flat[ZIGZAG[i]] / q + 0.5)) for i in range(64)]
+
+
+class _ProgACWriter:
+    """Per-scan AC state of the progressive encoder: the pending
+    end-of-band run plus its saved correction bits (libjpeg's
+    EOBRUN/BE), and the current block's not-yet-committed bits (BR).
+    Flush ORDER is the decoder's read order: EOB symbol, then the
+    saved bits of the blocks that run covers."""
+
+    __slots__ = ("bw", "ac", "eobrun", "saved", "cur")
+
+    def __init__(self, bw, ac_tab):
+        self.bw = bw
+        self.ac = ac_tab
+        self.eobrun = 0
+        self.saved: list[int] = []
+        self.cur: list[int] = []
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.bw.write(code, ln)
+            if r:
+                self.bw.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+            for bit in self.saved:
+                self.bw.write(bit, 1)
+            self.saved = []
+
+    def end_block(self, open_run: bool):
+        if open_run or self.cur:
+            self.eobrun += 1
+            self.saved += self.cur
+            self.cur = []
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+
+def _enc_ac_first_block(st: _ProgACWriter, zz, ss, se, al):
+    bw, ac = st.bw, st.ac
+    r = 0
+    for k in range(ss, se + 1):
+        t = zz[k]
+        mag = (-t if t < 0 else t) >> al
+        if mag == 0:
+            r += 1
+            continue
+        st.flush_eobrun()
+        while r > 15:
+            code, ln = ac[0xF0]
+            bw.write(code, ln)
+            r -= 16
+        s = mag.bit_length()
+        code, ln = ac[(r << 4) | s]
+        bw.write(code, ln)
+        v = mag if t >= 0 else -mag
+        bw.write((v if v >= 0 else v + (1 << s) - 1) & ((1 << s) - 1), s)
+        r = 0
+    st.end_block(r > 0)
+
+
+def _enc_ac_refine_block(st: _ProgACWriter, zz, ss, se, al):
+    bw, ac = st.bw, st.ac
+    absv = {}
+    eobpos = ss - 1  # last NEWLY-nonzero position in the band
+    for k in range(ss, se + 1):
+        t = zz[k]
+        absv[k] = (-t if t < 0 else t) >> al
+        if absv[k] == 1:
+            eobpos = k
+    r = 0
+    for k in range(ss, se + 1):
+        mag = absv[k]
+        if mag == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eobpos:
+            st.flush_eobrun()
+            code, ln = ac[0xF0]
+            bw.write(code, ln)
+            r -= 16
+            for bit in st.cur:
+                bw.write(bit, 1)
+            st.cur = []
+        if mag > 1:
+            # already nonzero in a previous scan: one correction bit,
+            # run length NOT consumed (the decoder skips it for free)
+            st.cur.append(mag & 1)
+            continue
+        st.flush_eobrun()
+        code, ln = ac[(r << 4) | 1]
+        bw.write(code, ln)
+        bw.write(1 if zz[k] >= 0 else 0, 1)
+        for bit in st.cur:
+            bw.write(bit, 1)
+        st.cur = []
+        r = 0
+    st.end_block(r > 0)
+
+
+def encode_jpeg_progressive(arr, quant: int = 1) -> bytes:
+    """HxW (gray) or HxWx3 (RGB) uint8 array -> PROGRESSIVE (SOF2)
+    JFIF bytes — the fixture generator that lets the pure-python
+    progressive decoder be roundtrip-tested without PIL (the r6-r8
+    carried seam).  4:4:4, flat quant table, the shared fixed
+    canonical Huffman tables (the AC table carries the EOB_n
+    symbols).
+
+    Scan script (exercises every progressive scan type the decoder
+    implements): interleaved DC first at Al=1; per-component AC
+    first scans in two spectral bands (1-5, 6-63) at Al=1 with
+    EOBRUN coding; interleaved DC refinement; per-component AC
+    refinement to Al=0.  Successive approximation is lossless by
+    construction (first scans store the point-transformed value,
+    refinements append the dropped bit), so the decoded pixels are
+    BIT-IDENTICAL to the baseline encoding of the same array at the
+    same ``quant`` — the property the roundtrip tests pin.
+    """
+    import numpy as np
+
+    if not 1 <= int(quant) <= 255:
+        raise ValueError(
+            f"encode_jpeg_progressive: quant must be in [1, 255], "
+            f"got {quant!r}"
+        )
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if nc == 3:
+        r_, g_, b_ = (a[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r_ + 0.587 * g_ + 0.114 * b_,
+            -0.168736 * r_ - 0.331264 * g_ + 0.5 * b_ + 128.0,
+            0.5 * r_ - 0.418688 * g_ - 0.081312 * b_ + 128.0,
+        ]
+    elif nc == 1:
+        planes = [a[:, :, 0].astype(np.float64)]
+    else:
+        raise ValueError(
+            f"encode_jpeg_progressive: unsupported channels {nc}"
+        )
+    basis = _dct_basis()
+    q = int(quant)
+    bh, bwid = (h + 7) // 8, (w + 7) // 8
+    # all quantized blocks up front (each coefficient is re-read by
+    # three scans)
+    comp_zz = [
+        [
+            _quantize_block(pl, by, bx, basis, q)
+            for by in range(bh)
+            for bx in range(bwid)
+        ]
+        for pl in planes
+    ]
+    dc_tab = _enc_table(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_tab = _enc_table(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+    out += bytes([0x00]) + bytes([q] * 64)
+    nf = len(planes)
+    out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * nf)
+    out += bytes([8]) + struct.pack(">HH", h, w) + bytes([nf])
+    for i in range(nf):
+        out += bytes([i + 1, 0x11, 0])
+    for tc in (0, 1):
+        bits = _ENC_DC_BITS if tc == 0 else _ENC_AC_BITS
+        vals = _ENC_DC_VALS if tc == 0 else _ENC_AC_VALS
+        out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(vals))
+        out += bytes([tc << 4]) + bytes(bits) + vals
+
+    def _sos(comp_ids, ss, se, ah, al, body: bytes):
+        seg = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            seg += bytes([cid, 0x00])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return (
+            b"\xff\xda"
+            + struct.pack(">H", 2 + len(seg))
+            + seg
+            + body
+        )
+
+    # scan 1: DC first, interleaved, Al=1
+    bw = _BitWriter()
+    preds = [0] * nf
+    for bi in range(bh * bwid):
+        for ci in range(nf):
+            t = comp_zz[ci][bi][0] >> 1  # arithmetic point transform
+            diff = t - preds[ci]
+            preds[ci] = t
+            s = _size_of(diff)
+            code, ln = dc_tab[s]
+            bw.write(code, ln)
+            if s:
+                v = diff if diff >= 0 else diff + (1 << s) - 1
+                bw.write(v & ((1 << s) - 1), s)
+    bw.flush()
+    out += _sos(list(range(1, nf + 1)), 0, 0, 0, 1, bytes(bw.out))
+    # AC first scans: two spectral bands per component, Al=1
+    for ss, se in ((1, 5), (6, 63)):
+        for ci in range(nf):
+            bw = _BitWriter()
+            st = _ProgACWriter(bw, ac_tab)
+            for bi in range(bh * bwid):
+                _enc_ac_first_block(st, comp_zz[ci][bi], ss, se, 1)
+            st.flush_eobrun()
+            bw.flush()
+            out += _sos([ci + 1], ss, se, 0, 1, bytes(bw.out))
+    # DC refinement, interleaved, Ah=1 -> Al=0
+    bw = _BitWriter()
+    for bi in range(bh * bwid):
+        for ci in range(nf):
+            bw.write(comp_zz[ci][bi][0] & 1, 1)
+    bw.flush()
+    out += _sos(list(range(1, nf + 1)), 0, 0, 1, 0, bytes(bw.out))
+    # AC refinement per component, Ah=1 -> Al=0
+    for ci in range(nf):
+        bw = _BitWriter()
+        st = _ProgACWriter(bw, ac_tab)
+        for bi in range(bh * bwid):
+            _enc_ac_refine_block(st, comp_zz[ci][bi], 1, 63, 0)
+        st.flush_eobrun()
+        bw.flush()
+        out += _sos([ci + 1], 1, 63, 1, 0, bytes(bw.out))
     out += b"\xff\xd9"
     return bytes(out)

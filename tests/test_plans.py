@@ -877,6 +877,11 @@ def test_dedup_saved_index_probe_partition_prunes(spark, tmp_path):
         save_dedup_index,
     )
 
+    # cache isolation: an earlier test's persisted build_dedup_index
+    # fragment would be substituted as an InMemoryRelation, which
+    # blocks the DPP rule from extracting the pruning subquery (the
+    # plan is then correct but unprunable — order-dependent flake)
+    spark.catalog.clearCache()
     docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
@@ -915,6 +920,9 @@ def test_winnow_saved_index_probe_partition_prunes(spark, tmp_path):
         winnow_against_index,
     )
 
+    # same cache isolation as the MinHash DPP test above: a cached
+    # fragment substitution would block the pruning-subquery rule
+    spark.catalog.clearCache()
     docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0).limit(5)

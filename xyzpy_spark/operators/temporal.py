@@ -389,7 +389,7 @@ def _validated_interval(spark, within) -> str:
         ) from exc
     if probe is not None and probe["nonpos"]:
         raise ValueError(
-            f"within must be a NET-positive interval, got {within!r} "
+            f"within must be a NET-positive INTERVAL, got {within!r} "
             "(a zero or net-negative window empties the funnel beyond "
             "step 1)"
         )

@@ -1556,6 +1556,48 @@ def q_crop_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_harvest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F6 through the r9 PARTITIONED store layout, under the
+    driver hash: a two-top-up harvest into a ``partition_by='a'``
+    store (farming.Harvester — dim=value parquet partitions,
+    `_layout.json` schema sidecar, dynamic-partition-overwrite
+    publish).  The second harvest is missing_only and touches ONLY
+    the new coordinates' partitions (O(touched) publish — the
+    BASELINE.md §5 receipt); the gate returns the final store
+    contents, which must equal the closed-form grid the oracle
+    generates — accumulation, merge and the partitioned read all
+    verified in one row."""
+    _ship(spark)
+    import shutil
+    import tempfile
+
+    from xyzpy_spark.farming import Harvester, Runner
+
+    def kernel(a, b):
+        return a * 100 + b, a - b
+
+    r = Runner(kernel, var_names=["v", "w"], spark=spark)
+    workdir = tempfile.mkdtemp(prefix="xyz_hpart_q_")
+    try:
+        h = Harvester(
+            r, workdir + "/store.parquet", partition_by="a"
+        )
+        h.harvest_combos({"a": [1, 2, 3], "b": [10, 20, 30]})
+        h.harvest_combos(
+            {"a": [1, 2, 3, 4, 5], "b": [10, 20, 30]},
+            missing_only=True,
+        )
+        out = h.load_full_df().select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("v").cast("long").alias("v"),
+            F.col("w").cast("long").alias("w"),
+        )
+        return _finish_local(spark, out)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> REAL dependency-free decode (WAV RIFF
     chunk walk / PPM header scan) via mapInPandas; the payloads are
@@ -3161,6 +3203,62 @@ def q_winnow_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         index.unpersist()
 
 
+def q_stream_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingest WINNOWED dedup through the REAL engine: the
+    doc_id%10==0 split arrives as a document stream and every
+    micro-batch runs the exact batch probe
+    (pipeline/dedup.winnow_against_index — batch fingerprints
+    broadcast, capped-set Jaccard, index never shuffles) against the
+    winnowed index built over the rest of the corpus, via
+    foreachBatch with the epoch-idempotent sink
+    (streaming/ops.winnow_stream_against_index).  Hash-matches the
+    SAME DuckDB twin as winnow_against — one oracle, two engine
+    paths — completing the winnow family's serve seam under the
+    driver hash (the stream_dedup_index pattern)."""
+    import shutil
+    import tempfile
+
+    from xyzpy_spark.pipeline.dedup import build_winnow_index
+    from xyzpy_spark.streaming.ops import (
+        read_documents_stream,
+        winnow_stream_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(32)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    index, dropped = build_winnow_index(
+        corpus, k=6, w=5, max_fp_freq=50, hash_fn="md5"
+    )
+    index = index.persist()
+    tmp = tempfile.mkdtemp(prefix="xyzpy_gate_swinnow_")
+    try:
+        out = tmp + "/annotated"
+        winnow_stream_against_index(
+            read_documents_stream(spark, sf_dir)
+            .where(F.col("doc_id") % 10 == 0)
+            .select("doc_id", "text"),
+            index,
+            out,
+            dropped=dropped,
+            k=6,
+            w=5,
+            max_fp_freq=50,
+            threshold=0.2,
+            hash_fn="md5",
+        )
+        return _finish_local(
+            spark,
+            spark.read.parquet(out).select(
+                "doc_id", "dup_kind", "dup_of", "fp_jaccard"
+            ),
+        )
+    finally:
+        index.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def prestage_winnow_against(
     spark: SparkSession, sf_dir: str, path: str
 ) -> None:
@@ -3928,6 +4026,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # pytest pin EQUAL to the IVF-Flat tier) displacing
 # promo_revenue_share (r5-r8 green; the relational family keeps 13+
 # in-window reps including all five re-cast r7 TPC-H shapes).
+# LATE ROUND 9 rotated in harvest_partitioned (the r9 partitioned
+# store layout end to end: two-top-up harvest, O(touched) publish,
+# partitioned read — closed-form grid oracle) displacing
+# supplier_part_variety (r5-r8 green; the relational family still
+# keeps 12+ in-window reps); and stream_winnow_index (the winnow
+# family's continuous-ingest serve seam through the real engine,
+# SAME oracle as winnow_against — the last pytest-only stream seam)
+# displacing winnow_fingerprints (r6-r8 green; the winnowing
+# selection stays exercised inside every in-window winnow row:
+# winnow_dedup_pairs, winnow_against, stream_winnow_index).
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -4026,6 +4134,8 @@ ROTATION_HISTORY: dict[str, int] = {
     "stream_caps": 9,
     "stream_dedup_index": 9,
     "similarity_ivf_pq": 9,
+    "harvest_partitioned": 9,
+    "stream_winnow_index": 9,
     "stream_dedup": 3,
     "stream_window_hourly": 3,
     "stream_user_sessions": 3,
@@ -4205,7 +4315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "vocab_coverage": q_vocab_coverage,
         "cohort_retention": q_cohort_retention,
-        "winnow_fingerprints": q_winnow_fingerprints,
+        "stream_winnow_index": q_stream_winnow_index,
         "excess_stock_suppliers": q_excess_stock_suppliers,
         "winnow_against": q_winnow_against,
         "video_frames": q_video_frames,
@@ -4231,7 +4341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_caps": q_stream_caps,
         "returned_item_losses": q_returned_item_losses,
         "similarity_ivf_pq": q_similarity_ivf_pq,
-        "supplier_part_variety": q_supplier_part_variety,
+        "harvest_partitioned": q_harvest_partitioned,
         "weighted_sample": q_weighted_sample,
         "stream_hll": q_stream_hll,
         "bm25_search": q_bm25_search,
@@ -4250,6 +4360,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample_audio": q_resample_audio,
         "dedup_incremental": q_dedup_incremental,
         "promo_revenue_share": q_promo_revenue_share,
+        "supplier_part_variety": q_supplier_part_variety,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "tfidf_top_terms": q_tfidf_top_terms,
         "discounted_revenue": q_discounted_revenue,
         "multimodal_jpeg": q_multimodal_jpeg,
@@ -5282,6 +5394,82 @@ _HLL_ORACLE = """
             FROM (SELECT * FROM est WHERE kind = 'u') u
             JOIN (SELECT * FROM est WHERE kind = 'e') ev
                 USING (event_type)
+        """
+
+
+_WINNOW_AGAINST_ORACLE = r"""
+            WITH src AS (
+                SELECT doc_id,
+                       lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                FROM documents
+                WHERE text IS NOT NULL
+            ), h AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 6 THEN
+                           list_transform(
+                               range(1, len(t) - 6 + 2),
+                               i -> ('0x' || substr(md5(t[i:i+5]),
+                                                    1, 15))::BIGINT)
+                       ELSE []::BIGINT[] END AS hs
+                FROM src
+            ), wins AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) >= 5 THEN
+                           list_transform(
+                               range(1, len(hs) - 5 + 2),
+                               j -> list_min(hs[j:j+4]))
+                       ELSE []::BIGINT[] END AS ws
+                FROM h
+            ), fps_all AS (
+                SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint
+                FROM wins
+            ), hist_all AS (
+                SELECT doc_id, fingerprint FROM fps_all
+                WHERE doc_id % 10 <> 0
+            ), dropped AS (
+                SELECT fingerprint FROM hist_all
+                GROUP BY 1 HAVING COUNT(*) > 50
+            ), hist AS (
+                SELECT doc_id, fingerprint FROM hist_all
+                WHERE fingerprint NOT IN (SELECT fingerprint FROM dropped)
+            ), newf AS (
+                SELECT doc_id, fingerprint FROM fps_all
+                WHERE doc_id % 10 = 0
+                  AND fingerprint NOT IN
+                      (SELECT fingerprint FROM dropped)
+            ), hsz AS (
+                SELECT doc_id, COUNT(*) AS n_old FROM hist GROUP BY 1
+            ), nsz AS (
+                SELECT doc_id, COUNT(*) AS n_new FROM newf GROUP BY 1
+            ), common AS (
+                SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+                       COUNT(*) AS n_common
+                FROM newf n JOIN hist o USING (fingerprint)
+                GROUP BY 1, 2
+            ), scored AS (
+                SELECT new_id, old_id,
+                       ROUND(n_common /
+                             (hsz.n_old + nsz.n_new - n_common),
+                             6) AS jac
+                FROM common
+                JOIN hsz ON hsz.doc_id = old_id
+                JOIN nsz ON nsz.doc_id = new_id
+            ), best AS (
+                SELECT new_id, old_id, jac FROM (
+                    SELECT new_id, old_id, jac,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY new_id
+                               ORDER BY jac DESC, old_id ASC) AS rk
+                    FROM scored WHERE jac >= 0.2
+                ) WHERE rk = 1
+            )
+            SELECT d.doc_id,
+                   CASE WHEN b.old_id IS NOT NULL THEN 'near'
+                        END AS dup_kind,
+                   b.old_id AS dup_of,
+                   b.jac AS fp_jaccard
+            FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+            LEFT JOIN best b ON b.new_id = d.doc_id
         """
 
 
@@ -6501,6 +6689,16 @@ def oracle_sql() -> dict[str, str]:
             FROM (VALUES (1), (2), (3), (4), (5)) ta(a),
                  (VALUES (10), (20), (30)) tb(b)
         """,
+        # the two-top-up partitioned harvest accumulates to the SAME
+        # closed-form grid (the store layout must be semantically
+        # invisible — r9)
+        "harvest_partitioned": """
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(a * 100 + b AS BIGINT) AS v,
+                   CAST(a - b AS BIGINT) AS w
+            FROM (VALUES (1), (2), (3), (4), (5)) ta(a),
+                 (VALUES (10), (20), (30)) tb(b)
+        """,
         "asof_last_view": """
             SELECT c.event_id, c.user_id, ROUND(v.value, 6) AS last_view_value
             FROM (SELECT * FROM events WHERE event_type = 'click') c
@@ -7263,80 +7461,11 @@ def oracle_sql() -> dict[str, str]:
               )
             GROUP BY 1
         """,
-        "winnow_against": r"""
-            WITH src AS (
-                SELECT doc_id,
-                       lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
-                FROM documents
-                WHERE text IS NOT NULL
-            ), h AS (
-                SELECT doc_id,
-                       CASE WHEN len(t) >= 6 THEN
-                           list_transform(
-                               range(1, len(t) - 6 + 2),
-                               i -> ('0x' || substr(md5(t[i:i+5]),
-                                                    1, 15))::BIGINT)
-                       ELSE []::BIGINT[] END AS hs
-                FROM src
-            ), wins AS (
-                SELECT doc_id,
-                       CASE WHEN len(hs) >= 5 THEN
-                           list_transform(
-                               range(1, len(hs) - 5 + 2),
-                               j -> list_min(hs[j:j+4]))
-                       ELSE []::BIGINT[] END AS ws
-                FROM h
-            ), fps_all AS (
-                SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint
-                FROM wins
-            ), hist_all AS (
-                SELECT doc_id, fingerprint FROM fps_all
-                WHERE doc_id % 10 <> 0
-            ), dropped AS (
-                SELECT fingerprint FROM hist_all
-                GROUP BY 1 HAVING COUNT(*) > 50
-            ), hist AS (
-                SELECT doc_id, fingerprint FROM hist_all
-                WHERE fingerprint NOT IN (SELECT fingerprint FROM dropped)
-            ), newf AS (
-                SELECT doc_id, fingerprint FROM fps_all
-                WHERE doc_id % 10 = 0
-                  AND fingerprint NOT IN
-                      (SELECT fingerprint FROM dropped)
-            ), hsz AS (
-                SELECT doc_id, COUNT(*) AS n_old FROM hist GROUP BY 1
-            ), nsz AS (
-                SELECT doc_id, COUNT(*) AS n_new FROM newf GROUP BY 1
-            ), common AS (
-                SELECT n.doc_id AS new_id, o.doc_id AS old_id,
-                       COUNT(*) AS n_common
-                FROM newf n JOIN hist o USING (fingerprint)
-                GROUP BY 1, 2
-            ), scored AS (
-                SELECT new_id, old_id,
-                       ROUND(n_common /
-                             (hsz.n_old + nsz.n_new - n_common),
-                             6) AS jac
-                FROM common
-                JOIN hsz ON hsz.doc_id = old_id
-                JOIN nsz ON nsz.doc_id = new_id
-            ), best AS (
-                SELECT new_id, old_id, jac FROM (
-                    SELECT new_id, old_id, jac,
-                           ROW_NUMBER() OVER (
-                               PARTITION BY new_id
-                               ORDER BY jac DESC, old_id ASC) AS rk
-                    FROM scored WHERE jac >= 0.2
-                ) WHERE rk = 1
-            )
-            SELECT d.doc_id,
-                   CASE WHEN b.old_id IS NOT NULL THEN 'near'
-                        END AS dup_kind,
-                   b.old_id AS dup_of,
-                   b.jac AS fp_jaccard
-            FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
-            LEFT JOIN best b ON b.new_id = d.doc_id
-        """,
+        "winnow_against": _WINNOW_AGAINST_ORACLE,
+        # the streaming winnow probe runs the EXACT batch
+        # operator per micro-batch — same twin (r9)
+        "stream_winnow_index": _WINNOW_AGAINST_ORACLE,
+
         "winnow_dedup_pairs": r"""
             WITH src AS (
                 SELECT doc_id,

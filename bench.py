@@ -164,6 +164,8 @@ HEADLINE = [
     "stream_caps",
     "stream_dedup_index",
     "similarity_ivf_pq",
+    "harvest_partitioned",
+    "stream_winnow_index",
 ]
 
 

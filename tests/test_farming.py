@@ -411,3 +411,43 @@ def test_to_xarray_constants_override_attrs(spark, tmp_path, monkeypatch):
     h.to_xarray()
     assert captured["attrs"]["scale"] == 2  # agrees with the sidecar
     assert captured["attrs"]["units"] == "ms"
+
+
+def test_partitioned_topup_evaluates_kernel_once(spark, tmp_path):
+    """The partitioned add_df path collects the touched coordinates
+    from `new` BEFORE writing it; without the r9 persist the sweep
+    kernel (mapInPandas — never column-prunable) would run once for
+    the collect and AGAIN for the publish, doubling the cost the
+    layout exists to avoid (review catch).  The kernel appends one
+    line per evaluated point to a shared file; local-mode python
+    workers share the filesystem, so the line count IS the
+    evaluation count."""
+    import os
+
+    marker = str(tmp_path / "calls.log")
+
+    def counting_kernel(a, b):
+        with open(marker, "a") as fh:
+            fh.write("x\n")
+        return a + b
+
+    r = Runner(counting_kernel, var_names=["s"], spark=spark)
+    h = Harvester(
+        r, str(tmp_path / "store.parquet"), partition_by="a"
+    )
+    h.harvest_combos({"a": [1, 2], "b": [10, 20, 30]})
+    n_first = sum(1 for _ in open(marker))
+    # each grid point evaluates once; the runner additionally makes
+    # ONE driver-side schema-sample call per run (G11) — measure it
+    # instead of hard-coding, so the assert pins only the
+    # per-point-once property
+    overhead = n_first - 6
+    assert 0 <= overhead <= 1, n_first
+    h.harvest_combos(
+        {"a": [1, 2, 3], "b": [10, 20, 30]}, missing_only=True
+    )
+    n_topup = sum(1 for _ in open(marker)) - n_first
+    # only a=3's three points run, each exactly ONCE (the unpersisted
+    # pre-fix path ran them twice: coordinate collect + publish)
+    assert n_topup == 3 + overhead, n_topup
+    assert h.full_df.count() == 9

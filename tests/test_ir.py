@@ -243,3 +243,28 @@ def test_bm25_index_multi_query_and_missing_terms(spark, corpus):
     assert {(r["doc_id"], r["score"]) for r in by_q[1]} == want1
     assert 2 not in by_q  # no postings at all -> no rows
     assert all(r["score"] > 0 for r in by_q[3])  # 'the' still scores
+
+
+def test_tfidf_n_counts_distinct_documents(spark):
+    """N (documents with >= 1 token) must be the DISTINCT doc count —
+    the r9 rlike shortcut initially counted ROWS, silently shifting
+    every idf when id_col carries duplicate rows (review catch)."""
+    rows = [
+        (1, "alpha beta"),
+        (1, "alpha beta"),   # duplicate row, same document
+        (2, "alpha gamma"),
+        (3, "   "),          # token-less: not a document for N
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["term"]): r["score"]
+        for r in tfidf_top_terms(df, k=3).collect()
+    }
+    # N = 2 (docs 1 and 2); doc 3 has no tokens
+    def idf(df_t, n=2):
+        return math.log((n + 1.0) / (df_t + 1.0)) + 1.0
+
+    # doc 1's rows are duplicated, so its tf for each term is 2
+    assert got[(1, "alpha")] == pytest.approx(2 * idf(2), abs=1e-6)
+    assert got[(1, "beta")] == pytest.approx(2 * idf(1), abs=1e-6)
+    assert got[(2, "gamma")] == pytest.approx(1 * idf(1), abs=1e-6)

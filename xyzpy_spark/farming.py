@@ -415,10 +415,12 @@ class Harvester:
             overwrite = self.overwrite
         pby = self.partition_by
         old = self.load_full_df()
-        touched = None
-        if old is None:
-            merged = new
-        elif pby is not None:
+        persisted = None
+        if pby is not None:
+            # validations run for FIRST writes too: a NULL coordinate
+            # written as __HIVE_DEFAULT_PARTITION__ would be invisible
+            # to every later isin(touched) merge — conflicts at NULL
+            # coordinates would silently never be detected
             if pby not in dims:
                 raise ValueError(
                     f"partitioned store {self.data_name!r} requires its "
@@ -427,6 +429,12 @@ class Harvester:
                     "move rows across partitions, which a partition-"
                     "level publish cannot express"
                 )
+            # persist BEFORE the coordinate collect: the sweep kernel
+            # (mapInPandas) cannot be column-pruned away, so an
+            # unpersisted `new` would run the user's (expensive by
+            # definition) kernel once for this collect and again for
+            # the publish (review catch)
+            persisted = new = new.persist()
             # the touched coordinate set is bounded by the sweep dim's
             # cardinality (a handful of values per top-up), so the
             # collect is driver-safe by construction
@@ -434,49 +442,64 @@ class Harvester:
                 r[0] for r in new.select(pby).distinct().collect()
             ]
             if any(v is None for v in touched):
+                new.unpersist()
                 raise ValueError(
                     f"partition dim {pby!r} holds NULL coordinates — "
                     "NULL partition values do not round-trip through "
                     "the dim=value layout; use an unpartitioned store "
                     "for nullable dims"
                 )
-            old_touched = old.where(F.col(pby).isin(touched))
-            merged = merge_datasets(
-                old_touched, new, dims, overwrite=overwrite
-            )
-        else:
-            merged = merge_datasets(old, new, dims, overwrite=overwrite)
-        attrs = {**load_attrs(self.data_name), **self.runner.attrs,
-                 **self.runner.constants}
-        if sync:
-            if pby is not None and old is not None:
-                self._publish_partitions(merged, attrs)
-            else:
-                _publish_parquet(
-                    merged, self.data_name, attrs, partition_by=pby
+        try:
+            if old is None:
+                merged = new
+            elif pby is not None:
+                old_touched = old.where(F.col(pby).isin(touched))
+                merged = merge_datasets(
+                    old_touched, new, dims, overwrite=overwrite
                 )
-            merged = self.load_full_df()
-        self.last_merged = merged
-        return merged
+            else:
+                merged = merge_datasets(
+                    old, new, dims, overwrite=overwrite
+                )
+            attrs = {**load_attrs(self.data_name), **self.runner.attrs,
+                     **self.runner.constants}
+            if sync:
+                if pby is not None and old is not None:
+                    self._publish_partitions(merged, attrs)
+                else:
+                    _publish_parquet(
+                        merged, self.data_name, attrs, partition_by=pby
+                    )
+                merged = self.load_full_df()
+            self.last_merged = merged
+            return merged
+        finally:
+            if persisted is not None:
+                # with sync=True the publish action has consumed the
+                # cache; with sync=False a later action on the lazy
+                # merge recomputes (the harvest_combos todo discipline)
+                persisted.unpersist()
 
     def _publish_partitions(self, merged: DataFrame, attrs: dict) -> None:
         """Incremental publish for the partitioned layout: a DYNAMIC
         partition overwrite replaces only the ``dim=value`` dirs
-        present in ``merged`` (Spark stages the new files and commits
-        per-partition; a failed job leaves the store untouched), then
-        the schema sidecar is unioned so columns a top-up introduced
-        read as NULL holes from older partitions.  This is the
-        O(touched) complement of the full write-audit-publish swap —
-        the atomic .bak contract stays with the full path (first
-        write, expand_dims, drop_sel)."""
+        present in ``merged``, then the attrs sidecar refreshes.
+
+        Crash contract (weaker than the full path's .bak swap, by
+        design — that atomicity costs an O(store) rewrite, which is
+        the thing this layout exists to avoid): a failure BEFORE the
+        write job's commit leaves the store untouched (Spark stages
+        dynamic-overwrite files and deletes/moves at commit); a crash
+        DURING the commit can leave a mix of old and new touched
+        partitions.  Recovery is to re-run the same harvest: the
+        merge is idempotent, and every touched partition converges to
+        the merged content.  The UNIONED schema sidecar is written
+        BEFORE the data job so a mid-publish crash can never make
+        ``load_full_df`` silently drop a column the new files carry —
+        a sidecar column with no data yet reads as all-NULL, which is
+        exactly the outer-merge hole semantics (review catch)."""
         from pyspark.sql.types import StructType
 
-        (
-            merged.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(self.partition_by)
-            .parquet(self.data_name)
-        )
         layout = _read_layout(self.data_name)
         schema = merged.schema
         if layout is not None:
@@ -487,6 +510,12 @@ class Harvester:
             for f in extra:
                 schema = schema.add(f)
         _write_layout(self.data_name, self.partition_by, schema)
+        (
+            merged.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.partition_by)
+            .parquet(self.data_name)
+        )
         if attrs:
             with open(
                 os.path.join(self.data_name, "_attrs.json"), "w"

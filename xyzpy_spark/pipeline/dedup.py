@@ -1672,6 +1672,23 @@ def band_dedup_index(
     return out
 
 
+def _save_bucket_partitioned(
+    df: DataFrame, path: str, bucket_col: str
+) -> None:
+    """Shared scaffold of the partition-prunable index saves
+    (:func:`save_dedup_index`, :func:`save_winnow_index`): write
+    partitioned by the bucket column, then handle the EMPTY-dataset
+    corner — a partitionBy write with zero data files cannot infer a
+    schema at load time, so rewrite unpartitioned (the probe then
+    returns all-novel, the plain-layout behavior)."""
+    import glob
+    import os
+
+    df.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
+    if not glob.glob(os.path.join(path, f"{bucket_col}=*")):
+        df.write.mode("overwrite").parquet(path)
+
+
 def save_dedup_index(
     index: DataFrame,
     bands: DataFrame,
@@ -1701,23 +1718,13 @@ def save_dedup_index(
     (RLE-compressed to nothing); :func:`dedup_against_index` derives
     the same bucket expression on the batch side and validates via
     the stamps.  Load the pair back with :func:`load_dedup_index`."""
-    import glob
-    import os
-
     if fp_buckets < 2 or bb_buckets < 2:
         raise ValueError("save_dedup_index: bucket counts must be >= 2")
     main = index.withColumn(
         "fp_bucket",
         F.pmod(F.xxhash64("fingerprint"), F.lit(int(fp_buckets))),
     ).withColumn("fp_buckets", F.lit(int(fp_buckets)))
-    main.write.mode("overwrite").partitionBy("fp_bucket").parquet(
-        path + "/main"
-    )
-    # empty-index fallback: a partitionBy dataset with zero data files
-    # cannot infer a schema at load — rewrite unpartitioned (the
-    # save_winnow_index discipline)
-    if not glob.glob(os.path.join(path, "main", "fp_bucket=*")):
-        main.write.mode("overwrite").parquet(path + "/main")
+    _save_bucket_partitioned(main, path + "/main", "fp_bucket")
     bb = bands.withColumn(
         "bb_bucket",
         F.pmod(
@@ -1725,11 +1732,7 @@ def save_dedup_index(
             F.lit(int(bb_buckets)),
         ),
     ).withColumn("bb_buckets", F.lit(int(bb_buckets)))
-    bb.write.mode("overwrite").partitionBy("bb_bucket").parquet(
-        path + "/bands"
-    )
-    if not glob.glob(os.path.join(path, "bands", "bb_bucket=*")):
-        bb.write.mode("overwrite").parquet(path + "/bands")
+    _save_bucket_partitioned(bb, path + "/bands", "bb_bucket")
 
 
 def load_dedup_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -2381,24 +2384,15 @@ def save_winnow_index(
 
     ``dropped`` lands at ``path + '/dropped'``; load the pair back
     with :func:`load_winnow_index`."""
-    import glob
-    import os
-
     if fp_buckets < 2:
         raise ValueError("save_winnow_index: fp_buckets must be >= 2")
     stamped = index.withColumn(
         "fp_bucket", F.pmod(F.col("fingerprint"), F.lit(int(fp_buckets)))
     ).withColumn("fp_buckets", F.lit(int(fp_buckets)))
-    stamped.write.mode("overwrite").partitionBy("fp_bucket").parquet(
-        path + "/main"
-    )
-    # an EMPTY index (corpus of all-too-short docs) leaves a
-    # partitionBy dataset with zero data files, which parquet cannot
-    # infer a schema from at load time — rewrite it unpartitioned so
-    # load_winnow_index round-trips and the probe returns all-novel
-    # (the plain-layout behavior; review catch)
-    if not glob.glob(os.path.join(path, "main", "fp_bucket=*")):
-        stamped.write.mode("overwrite").parquet(path + "/main")
+    # empty-index corner (corpus of all-too-short docs) handled by
+    # the shared scaffold: rewrite unpartitioned so the load
+    # round-trips and the probe returns all-novel (review catch)
+    _save_bucket_partitioned(stamped, path + "/main", "fp_bucket")
     dropped.write.mode("overwrite").parquet(path + "/dropped")
 
 

@@ -141,11 +141,13 @@ def tfidf_top_terms(
     aggregation, a vocabulary-sized document-frequency aggregation
     joined back on the term key, broadcast one-row N, and a window
     PARTITIONED BY document (never global) for the rank.  ``N``
-    (documents with at least one token) deliberately does NOT go
-    through the tokenizer: a whitespace token exists iff the text has
-    a non-whitespace char, so the one-row count is a plain regex scan
-    — one fewer tokenize+aggregate pass over the corpus (r9 headroom
-    shave; the tokenize passes, not hashing, are this op's cost).
+    (DISTINCT documents with at least one token) deliberately does
+    NOT go through the tokenizer: a whitespace token exists iff the
+    text has a non-whitespace char, so the one-row count is a regex
+    scan + distinct-id count — one fewer tokenize+aggregate pass over
+    the corpus (r9 headroom shave; the tokenize passes, not hashing,
+    are this op's cost).  The distinct keeps N identical to the old
+    tf-derived count when ``id_col`` carries duplicate rows.
     """
     terms = df.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("term")
@@ -157,7 +159,7 @@ def tfidf_top_terms(
         F.count(F.lit(1)).alias("df_t")
     )
     n_docs = df.where(F.col(text_col).rlike(r"\S")).agg(
-        F.count(F.lit(1)).alias("__n")
+        F.count_distinct(F.col(id_col)).alias("__n")
     )
     from pyspark.sql import Window
 

@@ -292,13 +292,19 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
-def _entropy_segments(b: bytes, start: int) -> list[bytes]:
+def _entropy_segments(
+    b: bytes, start: int, return_end: bool = False
+):
     """Split the entropy-coded data at ``start`` into UNSTUFFED
     restart segments: ``FF 00`` collapses to a literal ``FF``,
     ``FF D0``-``FF D7`` (RSTn) closes a segment, any other ``FF xx``
     marker ends the scan.  One numpy pass finds the (rare) FF bytes;
     everything between them is sliced wholesale — the per-byte python
-    walk of the old ``_BitReader._fill`` never happens."""
+    walk of the old ``_BitReader._fill`` never happens.
+    ``return_end=True`` additionally returns the ABSOLUTE offset of
+    the terminating marker (``len(b)`` when the data runs out) so a
+    multi-scan caller (the progressive decoder) can resume its marker
+    walk without re-scanning the same bytes."""
     import numpy as np
 
     a = np.frombuffer(b, dtype=np.uint8, offset=start)
@@ -307,7 +313,7 @@ def _entropy_segments(b: bytes, start: int) -> list[bytes]:
     segs: list[bytes] = []
     parts: list[bytes] = []
     prev = 0
-    ended = False
+    end = len(b)
     for i in ffs:
         if i < prev:  # consumed as the 00 of a prior FF 00 pair
             continue
@@ -325,11 +331,13 @@ def _entropy_segments(b: bytes, start: int) -> list[bytes]:
             prev = i + 1
         else:  # real marker: end of entropy data
             parts.append(bytes(view[prev:i]))
-            ended = True
+            end = start + i
             break
-    if not ended:
+    else:
         parts.append(bytes(view[prev:]))
     segs.append(b"".join(parts))
+    if return_end:
+        return segs, end
     return segs
 
 
@@ -930,27 +938,6 @@ def decode_jpeg(b: bytes):
         return None
 
 
-def _entropy_end(b: bytes, start: int) -> int:
-    """Index of the first REAL marker after the entropy data at
-    ``start`` (skipping stuffed ``FF 00``, restart ``FF D0-D7`` and
-    fill ``FF FF``) — where the next header segment begins.  The
-    progressive decoder needs this to resume the marker walk after
-    each scan's bits."""
-    i = start
-    n = len(b)
-    while True:
-        i = b.find(b"\xff", i)
-        if i < 0 or i + 1 >= n:
-            return n
-        nxt = b[i + 1]
-        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
-            i += 2
-        elif nxt == 0xFF:
-            i += 1
-        else:
-            return i
-
-
 def _decode_progressive(b: bytes):
     """Progressive (SOF2) JFIF bytes -> ``(meta, HxWxC uint8)`` or
     raise (the caller's except returns None) — the pure-python path
@@ -1057,12 +1044,18 @@ def _decode_progressive(b: bytes):
             ss, se, ahal = seg[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0xF
             scan_start = p + 2 + seg_len
+            # one FF-classification pass yields BOTH the unstuffed
+            # segments and the next marker's offset (review catch:
+            # a second _entropy_end walk re-scanned the same bytes)
+            segs, scan_end = _entropy_segments(
+                b, scan_start, return_end=True
+            )
             _decode_prog_scan(
-                b, scan_start, scomps, ss, se, ah, al,
+                segs, scomps, ss, se, ah, al,
                 huff, grids, preds, restart,
                 (w, h, hmax, vmax, mcux, mcuy),
             )
-            p = _entropy_end(b, scan_start)
+            p = scan_end
             continue
         p += 2 + seg_len
     if comps is None or not grids or w == 0 or h == 0:
@@ -1086,13 +1079,13 @@ def _decode_progressive(b: bytes):
 
 
 def _decode_prog_scan(
-    b, scan_start, scomps, ss, se, ah, al, huff, grids, preds,
+    segs, scomps, ss, se, ah, al, huff, grids, preds,
     restart, geom,
 ):
     """One progressive scan's entropy pass over the shared coefficient
-    grids (zigzag order; band indices ARE zigzag indices)."""
+    grids (zigzag order; band indices ARE zigzag indices).  ``segs``
+    are the scan's unstuffed restart segments."""
     w, h, hmax, vmax, mcux, mcuy = geom
-    segs = _entropy_segments(b, scan_start)
     seg_idx = 0
     rd = _SegReader(segs[0])
     eobrun = 0

@@ -405,9 +405,15 @@ def dedup_stream_against_index(
     Readers see ``epoch_id`` as an extra partition column via
     discovery.  NOTE: restart safety requires a caller-supplied
     ``checkpoint`` — the default TemporaryDirectory checkpoint cannot
-    dedup epochs across process restarts (a rerun starts from epoch 0
-    but also overwrites from epoch 0, so availableNow replays remain
-    duplicate-free as long as the source file set only grows).
+    dedup epochs across process restarts.  A FRESH-checkpoint rerun
+    over the same ``out_path`` is accepted only when the prior run
+    wrote a single epoch (the rerun overwrites ``epoch_id=0`` in
+    place); if the prior run spanned multiple epochs (e.g. a
+    ``maxFilesPerTrigger`` batching plan), the epoch ids no longer
+    line up and the new run's batching could leave the old run's
+    higher epochs as silent stale output — the stale-epoch guard
+    (:func:`_check_no_stale_epochs`, r9) fails fast there: resume the
+    ORIGINAL checkpoint, or point the rerun at a clean ``out_path``.
     """
     from ..pipeline.dedup import dedup_against_index
 

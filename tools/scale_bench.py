@@ -162,6 +162,17 @@ HEAVY = [
     # top-k shuffle)
     "hll_distinct",
     "weighted_sample",
+    # round-9 additions: the portable residual IVF-PQ (claim: the
+    # assign+encode pass is map-only linear; the probe join is
+    # broadcast + cell-pruned), the two continuous-ingest stream
+    # gates (claim: streaming fixed cost + one linear probe pass —
+    # like winnow_against, the %10==0 probe batch grows Nx with the
+    # corpus, so the ratio bounds the WHOLE per-ingest pass), and the
+    # streaming quota gate (claim: map-only rank + group-sized state)
+    "similarity_ivf_pq",
+    "stream_dedup_index",
+    "stream_winnow_index",
+    "stream_caps",
 ]
 
 REP = "_rep"

@@ -422,8 +422,6 @@ def test_partitioned_topup_evaluates_kernel_once(spark, tmp_path):
     line per evaluated point to a shared file; local-mode python
     workers share the filesystem, so the line count IS the
     evaluation count."""
-    import os
-
     marker = str(tmp_path / "calls.log")
 
     def counting_kernel(a, b):

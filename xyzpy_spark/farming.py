@@ -429,27 +429,29 @@ class Harvester:
                     "move rows across partitions, which a partition-"
                     "level publish cannot express"
                 )
-            # persist BEFORE the coordinate collect: the sweep kernel
-            # (mapInPandas) cannot be column-pruned away, so an
-            # unpersisted `new` would run the user's (expensive by
-            # definition) kernel once for this collect and again for
-            # the publish (review catch)
-            persisted = new = new.persist()
-            # the touched coordinate set is bounded by the sweep dim's
-            # cardinality (a handful of values per top-up), so the
-            # collect is driver-safe by construction
-            touched = [
-                r[0] for r in new.select(pby).distinct().collect()
-            ]
-            if any(v is None for v in touched):
-                new.unpersist()
-                raise ValueError(
-                    f"partition dim {pby!r} holds NULL coordinates — "
-                    "NULL partition values do not round-trip through "
-                    "the dim=value layout; use an unpartitioned store "
-                    "for nullable dims"
-                )
         try:
+            if pby is not None:
+                # persist BEFORE the coordinate collect: the sweep
+                # kernel (mapInPandas) cannot be column-pruned away,
+                # so an unpersisted `new` would run the user's
+                # (expensive by definition) kernel once for this
+                # collect and again for the publish (review catch);
+                # inside the try so a kernel failure mid-collect
+                # cannot leak the cache entry (second review catch)
+                persisted = new = new.persist()
+                # the touched coordinate set is bounded by the sweep
+                # dim's cardinality (a handful of values per top-up),
+                # so the collect is driver-safe by construction
+                touched = [
+                    r[0] for r in new.select(pby).distinct().collect()
+                ]
+                if any(v is None for v in touched):
+                    raise ValueError(
+                        f"partition dim {pby!r} holds NULL coordinates "
+                        "— NULL partition values do not round-trip "
+                        "through the dim=value layout; use an "
+                        "unpartitioned store for nullable dims"
+                    )
             if old is None:
                 merged = new
             elif pby is not None:

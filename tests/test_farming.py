@@ -449,3 +449,40 @@ def test_partitioned_topup_evaluates_kernel_once(spark, tmp_path):
     # pre-fix path ran them twice: coordinate collect + publish)
     assert n_topup == 3 + overhead, n_topup
     assert h.full_df.count() == 9
+
+
+def test_harvester_partitioned_compact(fba_runner, tmp_path):
+    """A publish writes each touched dim=value dir with one file per
+    task holding its rows — a wide harvest fragments partitions.
+    compact(min_files=...) must rewrite ONLY the partitions over the
+    threshold: same rows after, untouched partitions' files
+    bit-identical."""
+    store = tmp_path / "part.parquet"
+    h = Harvester(fba_runner, str(store), partition_by="a")
+    # a wide first write fragments a=1 across tasks; a=2 arrives in a
+    # later narrow top-up (single file)
+    h.harvest_combos({"a": [1], "b": [3, 4, 5]}, num_partitions=6)
+    h.harvest_combos(
+        {"a": [1, 2], "b": [3, 4, 5]}, missing_only=True
+    )
+
+    def files(v):
+        return sorted(
+            f for f in os.listdir(store / f"a={v}")
+            if f.endswith(".parquet")
+        )
+
+    assert len(files(1)) >= 2
+    before_rows = sorted(map(tuple, h.full_df.collect()))
+    a2_before = files(2)
+    compacted = h.compact(min_files=1)
+    assert compacted == ["1"], compacted
+    assert len(files(1)) == 1
+    assert files(2) == a2_before  # untouched partition keeps its files
+    assert sorted(map(tuple, h.full_df.collect())) == before_rows
+    # below-threshold store: no-op
+    assert h.compact(min_files=8) == []
+    # unpartitioned stores route to manage.compact_table instead
+    h2 = Harvester(fba_runner, str(tmp_path / "flat.parquet"))
+    with pytest.raises(ValueError, match="compact_table"):
+        h2.compact()

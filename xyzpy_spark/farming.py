@@ -524,6 +524,57 @@ class Harvester:
             ) as f:
                 json.dump(attrs, f, default=repr)
 
+    def compact(self, min_files: int = 8) -> list[str]:
+        """Per-partition compaction for the partitioned layout: a
+        publish writes each touched ``dim=value`` dir with as many
+        files as tasks held its rows (a wide top-up can leave 32+
+        small files per partition), and at cluster scale per-file
+        open/footer overhead eventually dominates the scan.  This
+        reads ONLY the partitions holding more than ``min_files``
+        data files and
+        republishes them — one file per partition — via the same
+        dynamic partition overwrite as a top-up; untouched partitions
+        keep their exact files (the O(touched) discipline;
+        ``manage.compact_table`` remains the full-rewrite pass for
+        unpartitioned stores).  Returns the compacted coordinate
+        strings (empty = nothing exceeded the threshold)."""
+        from urllib.parse import unquote
+
+        if self.partition_by is None:
+            raise ValueError(
+                "compact() is the partitioned-layout maintenance pass;"
+                " use manage.compact_table for unpartitioned stores"
+            )
+        if min_files < 1:
+            raise ValueError("compact: min_files must be >= 1")
+        df = self.load_full_df()
+        if df is None:
+            return []
+        pby = self.partition_by
+        prefix = f"{pby}="
+        flagged = []
+        for d in os.listdir(self.data_name):
+            full = os.path.join(self.data_name, d)
+            if not (d.startswith(prefix) and os.path.isdir(full)):
+                continue
+            n = sum(
+                1 for f in os.listdir(full) if f.endswith(".parquet")
+            )
+            if n > min_files:
+                # partition dir names are URL-style escaped
+                flagged.append(unquote(d[len(prefix):]))
+        if not flagged:
+            return []
+        sub = df.where(F.col(pby).cast("string").isin(flagged))
+        (
+            sub.repartition(len(flagged), F.col(pby))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(pby)
+            .parquet(self.data_name)
+        )
+        return flagged
+
     def _missing_filter(self, cases_df: DataFrame, dims) -> DataFrame:
         old = self.load_full_df()
         if old is None:

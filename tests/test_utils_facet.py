@@ -252,3 +252,40 @@ def test_pipeline_package_exports_round4_ops():
     ]:
         assert hasattr(p, name), name
         assert name in p.__all__, name
+
+
+def test_accessor_sampling_sketch_and_temporal_methods(spark):
+    """The r8/r9 operator families ride the xyz() namespace too:
+    per-group capping, weighted sampling, HLL distinct, funnels and
+    cohort retention chain like every other method (each delegates to
+    its oracled operator — semantics are pinned there)."""
+    from pyspark.sql import functions as F
+
+    from xyzpy_spark.accessor import xyz
+    from xyzpy_spark.sources.tables import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "source"
+    )
+    capped = xyz(docs).cap_per_group(3, by="source", key="doc_id").df
+    assert (
+        capped.groupBy("source").count().agg(F.max("count")).first()[0]
+        <= 3
+    )
+    w = docs.withColumn("w", (F.col("doc_id") % 4 + 1).cast("double"))
+    picked = xyz(w).weighted_sample(5, "w", key="doc_id").df
+    assert picked.count() == 5
+
+    ev = read_table(spark, "/root/testdata/sf0.001", "events")
+    hll = xyz(ev).hll_distinct("user_id", "event_type").df
+    assert {"event_type", "n_distinct_hll"} <= set(hll.columns)
+    f1 = xyz(ev).funnel(["view", "click"]).df
+    f2 = xyz(ev).funnel(
+        ["view", "click"], sequential=True, within="30 days"
+    ).df
+    n1 = {r["step"]: r["n_users"] for r in f1.collect()}
+    n2 = {r["step"]: r["n_users"] for r in f2.collect()}
+    # sequential-match reaches at least the first-touch count at step 2
+    assert n2[2] >= n1[2] and n1[1] == n2[1]
+    coh = xyz(ev).cohort_retention(granularity="week").df
+    assert {"cohort", "period_offset", "n_active"} <= set(coh.columns)

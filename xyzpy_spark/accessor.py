@@ -397,6 +397,35 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(bm25_search(self.df, query, **kw))
 
+    def cap_per_group(self, max_rows: int, **kw) -> "xyz":
+        from .pipeline.sampling import cap_per_group
+
+        return self._wrap(cap_per_group(self.df, max_rows, **kw))
+
+    def weighted_sample(self, k: int, weight_col: str, **kw) -> "xyz":
+        from .pipeline.sampling import weighted_sample
+
+        return self._wrap(weighted_sample(self.df, k, weight_col, **kw))
+
+    def hll_distinct(self, col: str, by=(), **kw) -> "xyz":
+        from .functions.sketch import hll_distinct
+
+        return self._wrap(hll_distinct(self.df, col, by, **kw))
+
+    def funnel(self, steps, *, sequential: bool = False, **kw) -> "xyz":
+        from .operators.temporal import (
+            funnel_counts,
+            funnel_counts_sequential,
+        )
+
+        fn = funnel_counts_sequential if sequential else funnel_counts
+        return self._wrap(fn(self.df, steps, **kw))
+
+    def cohort_retention(self, **kw) -> "xyz":
+        from .operators.temporal import cohort_retention
+
+        return self._wrap(cohort_retention(self.df, **kw))
+
     # -- presentation (dense) -------------------------------------------
     def to_xarray(self, dims, **kw):
         from .runner import to_xarray

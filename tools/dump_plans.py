@@ -239,6 +239,12 @@ PICKS = {
     "map-only priority projection (iterated correctly-rounded sqrt "
     "in portable mode), per-group rank window with WindowGroupLimit "
     "partial top-k — one shuffle, no weight-sized state",
+    "similarity_ivf_pq": "portable residual IVF-PQ (the production "
+    "billion-vector composition): exact-int cell assign + residual "
+    "PQ encode are codegen column expressions over plan-literal "
+    "centroid/codebook/cross tables; the probe is a BROADCAST join "
+    "on cell (candidate scan reads codes, never vectors), then a "
+    "per-query shortlist window and an equi-join exact re-rank",
 }
 
 

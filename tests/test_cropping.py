@@ -237,3 +237,44 @@ def test_resow_changed_batching_clears(spark, tmp_path):
     crop.sow_combos(foo3_scalar, COMBOS, var_names="x", num_batches=6)
     assert crop.grown_batches() == set()
     assert crop.num_batches == 6
+
+
+def test_reap_harvest_into_partitioned_store(spark, tmp_path):
+    """The sow/grow/reap pipeline composes with the r9 partitioned
+    store: reap_harvest into a partition_by store lands dim=value
+    dirs, and a second crop's reap touches only ITS coordinates'
+    partitions (the O(touched) publish through the staged-execution
+    path)."""
+    import os
+
+    from xyzpy_spark.farming import Harvester, Runner
+
+    runner = Runner(foo3_scalar, var_names="x", spark=spark)
+    store = tmp_path / "pstore.parquet"
+    h = Harvester(runner, str(store), partition_by="a")
+    c1 = Crop("p1", str(tmp_path), spark=spark)
+    c1.sow_combos(
+        foo3_scalar, {"a": [1, 2], "b": [10], "c": [100, 200]},
+        var_names="x", num_batches=2,
+    )
+    c1.grow()
+    assert c1.reap_harvest(h, ["a", "b", "c"]).count() == 4
+    assert (store / "a=1").is_dir() and (store / "a=2").is_dir()
+
+    def snap(v):
+        return sorted(
+            (f, (store / f"a={v}" / f).stat().st_mtime_ns)
+            for f in os.listdir(store / f"a={v}")
+            if not f.startswith(".")
+        )
+
+    before = {1: snap(1), 2: snap(2)}
+    c2 = Crop("p2", str(tmp_path), spark=spark)
+    c2.sow_combos(
+        foo3_scalar, {"a": [3], "b": [10], "c": [100, 200]},
+        var_names="x", num_batches=1,
+    )
+    c2.grow()
+    assert c2.reap_harvest(h, ["a", "b", "c"]).count() == 6
+    assert (store / "a=3").is_dir()
+    assert {1: snap(1), 2: snap(2)} == before

@@ -528,3 +528,39 @@ def test_jpeg_super_lut_equals_two_step(seed, is_ac):
         else:
             want_d = 1
         assert d == want_d
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(0, 2**32 - 1),
+    st.sampled_from([1, 3, 7, 12]),
+    st.integers(8, 40),
+    st.integers(8, 40),
+    st.booleans(),
+)
+def test_progressive_jpeg_equals_baseline_decode(seed, q, h, w, color):
+    """Property pin of the r9 progressive codec: for ANY image the
+    progressive scan script (DC first/refine at Al 1->0, two AC
+    spectral bands with EOBRUN, AC successive-approximation
+    refinement) decodes BIT-IDENTICAL to the baseline encoding of the
+    same array at the same quant — successive approximation is
+    lossless by construction, and this sweeps the EOBRUN/ZRL/
+    correction-bit interactions fixed seeds can miss."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    # mixed content: noise half, flat half (flat -> long EOB runs)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    img[h // 2 :] = img[h // 2, 0]
+    base = decode_jpeg(encode_jpeg(img, quant=q, restart_interval=None))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quant=q))
+    assert prog is not None and base is not None
+    assert prog[0] == base[0]
+    assert np.array_equal(prog[1], base[1]), (seed, q, shape)

@@ -227,8 +227,10 @@ def test_harvester_partitioned_schema_evolution_and_validation(
             ),
             ["a", "b", "time"],
         )
-    with pytest.raises(ValueError, match="single dim"):
-        Harvester(fba_runner, str(store), partition_by=["a", "b"])
+    with pytest.raises(ValueError, match="duplicate"):
+        Harvester(fba_runner, str(store), partition_by=["a", "a"])
+    with pytest.raises(ValueError, match="non-empty"):
+        Harvester(fba_runner, str(store), partition_by=[])
     # dense views and expand_dims keep working on the partitioned
     # layout (expand_dims republishes in full, preserving partitions)
     h.expand_dims("d", 5)
@@ -486,3 +488,147 @@ def test_harvester_partitioned_compact(fba_runner, tmp_path):
     h2 = Harvester(fba_runner, str(tmp_path / "flat.parquet"))
     with pytest.raises(ValueError, match="compact_table"):
         h2.compact()
+
+
+def _snap_files(d):
+    return {
+        f: (d / f).stat().st_mtime_ns
+        for f in os.listdir(d)
+        if not f.startswith(".")
+    }
+
+
+def test_harvester_partitioned_two_dims_parity(fba_runner, tmp_path):
+    """partition_by=("a","b") nests dim dirs (r9 verdict ask #3): the
+    same harvest sequence through a 2-dim-partitioned and a
+    full-publish store yields identical tables, and a top-up
+    republishes only the touched LEAF dirs."""
+    full = Harvester(fba_runner, str(tmp_path / "full.parquet"))
+    store = tmp_path / "part.parquet"
+    part = Harvester(fba_runner, str(store), partition_by=("a", "b"))
+    for combos in ({"a": [1], "b": [3, 4]}, {"a": [2], "b": [3, 4]}):
+        full.harvest_combos(combos)
+        part.harvest_combos(combos)
+    _check_golden(part.full_df)
+    cols = sorted(full.full_df.columns)
+    assert sorted(part.full_df.columns) == cols
+    a = sorted(map(tuple, full.full_df.select(*cols).collect()))
+    b = sorted(map(tuple, part.full_df.select(*cols).collect()))
+    assert a == b
+    assert (store / "a=1" / "b=3").is_dir()
+    assert (store / "a=2" / "b=4").is_dir()
+    before = {
+        (av, bv): _snap_files(store / f"a={av}" / f"b={bv}")
+        for av in (1, 2)
+        for bv in (3, 4)
+    }
+    part.harvest_combos(
+        {"a": [1, 2], "b": [3, 4, 5]}, missing_only=True
+    )
+    assert (store / "a=1" / "b=5").is_dir()
+    after = {
+        (av, bv): _snap_files(store / f"a={av}" / f"b={bv}")
+        for av in (1, 2)
+        for bv in (3, 4)
+    }
+    assert after == before  # only the b=5 leaves were written
+    assert part.full_df.count() == 18
+    # both partition dims must be merge dims
+    import pyspark.sql.functions as F
+
+    new = fba_runner.run_combos({"a": [1], "b": [9]})
+    with pytest.raises(ValueError, match="partition dim"):
+        part.add_df(new.drop("b"), ["a", "time"])
+
+
+def test_harvester_partitioned_compact_two_dims(fba_runner, tmp_path):
+    """compact() walks the nested dim1=/dim2= tree and rewrites only
+    over-threshold LEAF partitions, reading them back through
+    basePath so Spark itself parses the partition values (r9
+    ADVICE: no driver-side cast-to-string reconstruction)."""
+    store = tmp_path / "p2.parquet"
+    h = Harvester(fba_runner, str(store), partition_by=("a", "b"))
+    # round-robin the 3 time rows of the (1,3) point across tasks so
+    # its leaf dir lands fragmented (>1 file)
+    frag = fba_runner.run_combos({"a": [1], "b": [3]}).repartition(6)
+    h.add_df(frag, ["a", "b", "time"])
+    h.harvest_combos({"a": [1, 2], "b": [3, 4]}, missing_only=True)
+
+    def files(av, bv):
+        return sorted(
+            f
+            for f in os.listdir(store / f"a={av}" / f"b={bv}")
+            if f.endswith(".parquet")
+        )
+
+    assert len(files(1, 3)) >= 2
+    before_rows = sorted(map(tuple, h.full_df.collect()))
+    others_before = {
+        (av, bv): files(av, bv) for av, bv in [(1, 4), (2, 3), (2, 4)]
+    }
+    compacted = h.compact(min_files=1)
+    assert compacted == ["1/3"], compacted
+    assert len(files(1, 3)) == 1
+    assert {
+        (av, bv): files(av, bv) for av, bv in [(1, 4), (2, 3), (2, 4)]
+    } == others_before
+    assert sorted(map(tuple, h.full_df.collect())) == before_rows
+
+
+def test_harvester_repartition_store_migration(fba_runner, tmp_path):
+    """repartition_store() migrates an EXISTING store between layouts
+    in one audited atomic publish (r9 verdict ask #3): rows
+    identical after flat->partitioned, later top-ups become
+    O(touched), and flattening back restores the single-dir
+    layout."""
+    store = tmp_path / "mig.parquet"
+    h = Harvester(fba_runner, str(store))
+    h.harvest_combos({"a": [1, 2], "b": [3, 4]})
+    cols = sorted(h.full_df.columns)
+    before = sorted(map(tuple, h.full_df.select(*cols).collect()))
+    with pytest.raises(ValueError, match="not in store"):
+        h.repartition_store("zzz")
+    h.repartition_store("a")
+    assert h.partition_by == ("a",)
+    assert (store / "a=1").is_dir()
+    assert sorted(map(tuple, h.full_df.select(*cols).collect())) == before
+    # the migrated store now has partition-granular top-ups
+    a1_before = _snap_files(store / "a=1")
+    h.harvest_combos({"a": [1, 2, 3], "b": [3, 4]}, missing_only=True)
+    assert (store / "a=3").is_dir()
+    assert _snap_files(store / "a=1") == a1_before
+    assert h.full_df.count() == 18
+    # and flattening back removes the dim dirs and the layout sidecar
+    h.repartition_store(None)
+    assert h.partition_by is None
+    assert not (store / "a=1").exists()
+    assert not (store / "_layout.json").exists()
+    assert h.full_df.count() == 18
+
+
+def test_partitioned_add_df_sync_false_returns_full_view(
+    fba_runner, tmp_path
+):
+    """add_df(sync=False) on a partitioned store must return the FULL
+    merged view — untouched partitions included (r9 ADVICE): the
+    publish-side table holds only touched partitions, but a caller
+    consuming the return (or last_merged) expects the logical
+    table, exactly like the unpartitioned path."""
+    import pyspark.sql.functions as F
+
+    store = tmp_path / "p.parquet"
+    h = Harvester(fba_runner, str(store), partition_by="a")
+    h.harvest_combos({"a": [1, 2], "b": [3, 4]})
+    new = fba_runner.run_combos({"a": [3], "b": [3, 4]}).withColumn(
+        "extra", F.lit(7.5)
+    )
+    out = h.add_df(new, ["a", "b", "time"], sync=False)
+    assert out.count() == 18  # 12 untouched + 6 new
+    assert out.where("a = 1").count() == 6
+    assert h.last_merged is out
+    # a new variable column surfaces as NULL holes on the untouched
+    # partitions (outer-merge semantics), values on the touched one
+    assert out.where("a < 3 AND extra IS NOT NULL").count() == 0
+    assert out.where("a = 3 AND extra IS NULL").count() == 0
+    # nothing was published
+    assert h.full_df.count() == 12

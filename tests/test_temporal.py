@@ -634,8 +634,18 @@ def test_funnel_sequential_validates_params(spark):
         funnel_counts_sequential(ev, ["a", "b"], within="-7 days")
     with pytest.raises(ValueError, match="positive"):
         funnel_counts_sequential(ev, ["a", "b"], within="0 seconds")
-    # net-positive mixed-sign intervals are legal
+    # calendar units make the sign ANCHOR-dependent: '1 month -30
+    # days' is +1 day from a 31-day month but -2 days from February —
+    # a funnel anchored there silently empties later steps, so the
+    # probe must test the shortest month too (r9 ADVICE)
+    with pytest.raises(ValueError, match="positive"):
+        funnel_counts_sequential(
+            ev, ["a", "b"], within="1 month -30 days"
+        )
+    # net-positive mixed-sign intervals are legal...
     funnel_counts_sequential(ev, ["a", "b"], within="2 days -25 hours")
+    # ...including calendar-mixed ones positive at EVERY anchor
+    funnel_counts_sequential(ev, ["a", "b"], within="1 month -27 days")
     # empty input: zero counts, not NULLs
     got = {
         r["step"]: r["n_users"]

@@ -2046,6 +2046,72 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "lang", "source")
 
 
+def q_lm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed production recipe as ONE lazy lineage (r9 verdict
+    ask #4): corpus → curate (exact dedup + quality + blocklist +
+    CCNet tail + decontamination) → cross-corpus jaccard dedup vs the
+    held-out split → sliding-window chunking (16/4) → tokenize →
+    concat-and-chunk packing (512 tokens, 8 md5 shards) → per-shard
+    export summary.  Every stage is the same operator its standalone
+    gate row runs; the two checksum columns pin per-chunk
+    (seq_id, seq_offset) through the aggregate.  The one non-linear
+    seam (dedup_against consumes its input twice: shingle build +
+    survivor anti-join) is cut with localCheckpoint so the five
+    curation stages never recompute."""
+    from xyzpy_spark.pipeline.curate import curate_corpus
+    from xyzpy_spark.pipeline.dedup import dedup_against
+    from xyzpy_spark.pipeline.packing import pack_sequences
+    from xyzpy_spark.pipeline.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    curated = curate_corpus(
+        corpus,
+        reference_df=ref,
+        hash_fn="md5",
+        min_tokens=20,
+        min_quality=0.5,
+        max_top_bigram_frac=0.12,
+        blocklist=["merge", "spark"],
+        max_block_hits=2,
+        lm_tail=True,
+        lm_buckets=3,
+        decontaminate_n=5,
+    ).select("doc_id", "text")
+    # lineage seam: without it the 5-stage curation plan is evaluated
+    # once per dedup_against consumer (its shingle side AND its
+    # anti-join side) — checkpointing the (small, post-filter)
+    # survivor set bounds the whole pipeline to one pass per stage
+    curated = curated.localCheckpoint()
+    kept = dedup_against(
+        curated, ref, method="jaccard", threshold=0.5,
+        max_shingle_freq=None,
+    )
+    chunks = chunk_documents(kept, max_tokens=16, overlap=4)
+    keyed = chunks.select(
+        (F.col("doc_id") * 1024 + F.col("chunk_id"))
+        .cast("long")
+        .alias("chunk_key"),
+        "chunk_text",
+    )
+    packed = pack_sequences(
+        keyed, max_tokens=512, id_col="chunk_key",
+        text_col="chunk_text", n_shards=8,
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        (F.max("seq_id") + 1).cast("long").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.col("seq_id") * F.col("chunk_key"))
+        .cast("long")
+        .alias("ck_seq"),
+        F.sum(F.col("seq_offset") * F.col("chunk_key"))
+        .cast("long")
+        .alias("ck_off"),
+    )
+
+
 def q_lm_trigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-3 LM scoring (CCNet production models are higher-order):
     2-gram context counts + 3-gram counts, both broadcast
@@ -4036,6 +4102,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # displacing winnow_fingerprints (r6-r8 green; the winnowing
 # selection stays exercised inside every in-window winnow row:
 # winnow_dedup_pairs, winnow_against, stream_winnow_index).
+# ROUND 10 rotated in lm_pipeline_e2e (the composed production
+# pipeline as ONE lazy lineage — r9 verdict ask #4: curate →
+# cross-corpus dedup → chunk → tokenize → pack → shard export, each
+# stage the same operator its standalone gate row runs, packing math
+# pinned per-chunk via checksum aggregates; strict-green locally at
+# sf0.01 AND sf0.001 and past the type audit before entering),
+# displacing returned_item_losses (TPC-H Q10 shape, r5-r9 green; the
+# relational family keeps 12+ in-window reps).  Per r9 verdict ask
+# #7, the five r9 newcomers (stream_caps, stream_dedup_index,
+# similarity_ivf_pq, harvest_partitioned, stream_winnow_index) hold
+# their window slots one more round.
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -4131,6 +4208,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "hll_distinct": 8,
     "weighted_sample": 8,
     "stream_hll": 8,
+    "lm_pipeline_e2e": 10,
     "stream_caps": 9,
     "stream_dedup_index": 9,
     "similarity_ivf_pq": 9,
@@ -4190,7 +4268,7 @@ ROTATION_HISTORY: dict[str, int] = {
 }
 
 # The round whose driver window is currently frozen in queries() order.
-ROTATION_ROUND = 9
+ROTATION_ROUND = 10
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4339,7 +4417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_sequential": q_funnel_sequential,
         "hll_distinct": q_hll_distinct,
         "stream_caps": q_stream_caps,
-        "returned_item_losses": q_returned_item_losses,
+        "lm_pipeline_e2e": q_lm_pipeline_e2e,
         "similarity_ivf_pq": q_similarity_ivf_pq,
         "harvest_partitioned": q_harvest_partitioned,
         "weighted_sample": q_weighted_sample,
@@ -4352,6 +4430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
+        "returned_item_losses": q_returned_item_losses,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
         "small_quantity_revenue": q_small_quantity_revenue,
@@ -5473,6 +5552,253 @@ _WINNOW_AGAINST_ORACLE = r"""
         """
 
 
+#: The curation recipe's oracle CTE chain (exact dedup -> quality ->
+#: blocklist -> CCNet LM tail -> decontamination), factored so the
+#: composed end-to-end pipeline oracle can extend it through the
+#: chunk -> tokenize -> pack stages without duplicating 130 lines
+#: (r9 verdict ask #4).  _CURATE_ORACLE is the byte-equivalent of the
+#: pre-r10 inline curate_corpus oracle.
+_CURATE_CTES = r"""
+            WITH corpus AS (
+                SELECT * FROM documents WHERE doc_id % 10 <> 0
+            ), ref AS (
+                SELECT * FROM documents WHERE doc_id % 10 = 0
+            ), fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f
+                FROM corpus
+            ), keepers AS (
+                SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
+            ), s1 AS (
+                SELECT c.* FROM corpus c JOIN keepers USING (doc_id)
+            ), m AS (
+                SELECT doc_id, len(text) AS nchars,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS toks,
+                       len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
+                           AS n_punct
+                FROM s1
+            ), bgq AS (
+                SELECT doc_id, nchars, toks, n_punct,
+                       list_transform(range(1, len(toks)),
+                                      i -> toks[i] || ' ' || toks[i+1])
+                           AS bigrams
+                FROM m
+            ), rq AS (
+                SELECT doc_id, len(toks) AS n_tokens,
+                       FLOOR(n_punct / GREATEST(nchars, 1) * 1e6 + 0.5)/1e6
+                           AS punct_ratio,
+                       FLOOR(len(list_filter(toks,
+                             t -> list_contains(
+                                 ['the','a','and','of','to','in','is','it'],
+                                 t)))
+                             / GREATEST(len(toks), 1) * 1e6 + 0.5)/1e6
+                           AS stopword_ratio,
+                       FLOOR(list_max(list_transform(list_distinct(bigrams),
+                                 g -> len(list_filter(bigrams, x -> x = g))))
+                             / CAST(len(toks) - 1 AS DOUBLE) * 1e6 + 0.5)/1e6
+                           AS top_bigram_frac
+                FROM bgq
+            ), qq AS (
+                SELECT doc_id, n_tokens, top_bigram_frac,
+                       FLOOR((LEAST(n_tokens / 64.0, 1.0) * 0.5
+                              + LEAST(stopword_ratio * 5, 1.0) * 0.3
+                              + (1 - LEAST(punct_ratio * 10, 1.0)) * 0.2)
+                             * 1e6 + 0.5)/1e6 AS quality
+                FROM rq
+            ), s2 AS (
+                SELECT s1.* FROM s1 JOIN qq USING (doc_id)
+                WHERE qq.n_tokens >= 20 AND qq.quality >= 0.5
+                  AND qq.top_bigram_frac <= 0.12
+            ), bl AS (
+                SELECT doc_id,
+                       len(list_filter(
+                           list_filter(regexp_split_to_array(
+                               trim(lower(text)), '\s+'), u -> u <> ''),
+                           t -> list_contains(['merge','spark'], t))) AS nh
+                FROM s2
+            ), s3 AS (
+                SELECT s2.* FROM s2 JOIN bl USING (doc_id) WHERE bl.nh <= 2
+            ), rtoks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS w
+                FROM ref
+            ), unic AS (
+                SELECT token, COUNT(*) AS c1
+                FROM (SELECT unnest(w) AS token FROM rtoks)
+                GROUP BY token
+            ), vocab AS (SELECT COUNT(*) AS v FROM unic),
+            bic AS (
+                SELECT ngram, COUNT(*) AS c2
+                FROM (SELECT unnest(list_transform(
+                          range(1, greatest(len(w) - 1, 0) + 1),
+                          i -> w[i] || ' ' || w[i+1])) AS ngram
+                      FROM rtoks)
+                GROUP BY ngram
+            ), stoks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS w
+                FROM s3
+            ), sgrams AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, greatest(len(w) - 1, 0) + 1),
+                           i -> w[i] || ' ' || w[i+1])) AS ngram
+                FROM stoks
+            ), scored AS (
+                SELECT g.doc_id,
+                       COUNT(*) AS n_bi,
+                       SUM(ln(COALESCE(b.c2, 0) + 0.5)
+                           - ln(COALESCE(u.c1, 0) + 0.5 * v.v)) AS lp
+                FROM sgrams g
+                LEFT JOIN bic b USING (ngram)
+                LEFT JOIN unic u ON split_part(g.ngram, ' ', 1) = u.token
+                CROSS JOIN vocab v
+                GROUP BY g.doc_id
+            ), buck AS (
+                SELECT s.doc_id,
+                       NTILE(3) OVER (
+                           PARTITION BY d.lang
+                           ORDER BY FLOOR((-s.lp / s.n_bi) * 1e6 + 0.5)/1e6,
+                                    s.doc_id
+                       ) AS bucket
+                FROM scored s JOIN s3 d USING (doc_id)
+            ), s4 AS (
+                SELECT s3.* FROM s3 JOIN buck USING (doc_id)
+                WHERE buck.bucket < 3
+            ), ref5 AS (
+                SELECT DISTINCT ngram
+                FROM (SELECT unnest(list_transform(
+                          range(1, greatest(len(w) - 4, 0) + 1),
+                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                               || ' ' || w[i+3] || ' ' || w[i+4])) AS ngram
+                      FROM rtoks)
+            ), s4g AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 4, 0) + 1),
+                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                || ' ' || w[i+3] || ' ' || w[i+4]))) AS ngram
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(
+                                 trim(text), '\s+'), u -> u <> '') AS w
+                      FROM s4)
+            ), contaminated AS (
+                SELECT DISTINCT g.doc_id
+                FROM s4g g JOIN ref5 USING (ngram)
+            )"""
+
+_CURATE_ORACLE = (
+    _CURATE_CTES
+    + r"""
+            SELECT doc_id, text, lang, source
+            FROM s4
+            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """
+)
+
+
+def _lm_pipeline_e2e_oracle() -> str:
+    """DuckDB twin of the composed production pipeline (r9 verdict ask
+    #4): curate (5 stages) -> cross-corpus jaccard dedup vs the
+    held-out split -> sliding-window chunking (16/4) -> tokenize ->
+    concat-and-chunk packing at 512 tokens over 8 md5 shards ->
+    per-shard export summary.  The packing stage is pack_sequences'
+    window-mode math verbatim; the two checksum columns pin every
+    per-row (seq_id, seq_offset) through the aggregate."""
+    return (
+        _CURATE_CTES
+        + r""", curated AS (
+                SELECT doc_id, text FROM s4
+                WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+            ), ctoks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS w
+                FROM curated
+            ), csh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 3, 0) + 2),
+                           i -> array_to_string(w[i:i+2], ' '))))
+                           AS shingle
+                FROM ctoks
+            ), rsh AS (
+                SELECT doc_id AS idb,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(w) - 3, 0) + 2),
+                           i -> array_to_string(w[i:i+2], ' '))))
+                           AS shingle
+                FROM rtoks
+            ), sza AS (
+                SELECT doc_id AS ida, COUNT(*) AS n_a FROM csh GROUP BY 1
+            ), szb AS (
+                SELECT idb, COUNT(*) AS n_b FROM rsh GROUP BY idb
+            ), xcommon AS (
+                SELECT c.doc_id AS ida, r.idb, COUNT(*) AS ncom
+                FROM csh c JOIN rsh r USING (shingle) GROUP BY 1, 2
+            ), xdups AS (
+                SELECT DISTINCT ida
+                FROM xcommon JOIN sza USING (ida) JOIN szb USING (idb)
+                WHERE ncom / (n_a + n_b - ncom) >= 0.5
+            ), kept AS (
+                SELECT doc_id, text FROM curated
+                WHERE doc_id NOT IN (SELECT ida FROM xdups)
+            ), ktoks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   u -> u <> '') AS w
+                FROM kept
+            ), km AS (
+                SELECT doc_id, w, len(w) AS n,
+                       CASE WHEN len(w) <= 16 THEN 1
+                            ELSE 1 + CAST(CEIL((len(w) - 16) / 12.0)
+                                          AS INTEGER) END AS nc
+                FROM ktoks WHERE len(w) > 0
+            ), ke AS (
+                SELECT doc_id, w, n, unnest(range(nc)) AS chunk_id
+                FROM km
+            ), kchunks AS (
+                SELECT doc_id * 1024 + chunk_id AS chunk_key,
+                       array_to_string(
+                           w[LEAST(chunk_id * 12, GREATEST(n - 16, 0)) + 1
+                             : LEAST(chunk_id * 12, GREATEST(n - 16, 0)) + 16],
+                           ' ') AS chunk_text
+                FROM ke
+            ), pt AS (
+                SELECT chunk_key,
+                       CAST(('0x' || substr(md5(chunk_key::VARCHAR
+                                                || ':pack'), 1, 8))::UBIGINT
+                            % 8 AS INTEGER) AS shard,
+                       CAST(len(list_filter(
+                           regexp_split_to_array(trim(chunk_text), '\s+'),
+                           u -> u <> '')) AS BIGINT) AS n_tokens
+                FROM kchunks
+            ), pc AS (
+                SELECT chunk_key, shard, n_tokens,
+                       COALESCE(SUM(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY chunk_key
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cb
+                FROM pt
+            ), packed AS (
+                SELECT chunk_key, shard, n_tokens,
+                       cb // 512 AS seq_id, cb % 512 AS seq_offset
+                FROM pc
+            )
+            SELECT shard,
+                   CAST(COUNT(*) AS BIGINT) AS n_chunks,
+                   CAST(MAX(seq_id) + 1 AS BIGINT) AS n_seqs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(SUM(seq_id * chunk_key) AS BIGINT) AS ck_seq,
+                   CAST(SUM(seq_offset * chunk_key) AS BIGINT) AS ck_off
+            FROM packed GROUP BY shard
+        """
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "bpe_token_count": _bpe_token_count_oracle(),
@@ -5697,141 +6023,8 @@ def oracle_sql() -> dict[str, str]:
                        * 127) AS INTEGER) AS q
             FROM s, range(64) t(i)
         """,
-        "curate_corpus": r"""
-            WITH corpus AS (
-                SELECT * FROM documents WHERE doc_id % 10 <> 0
-            ), ref AS (
-                SELECT * FROM documents WHERE doc_id % 10 = 0
-            ), fp AS (
-                SELECT doc_id,
-                       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f
-                FROM corpus
-            ), keepers AS (
-                SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
-            ), s1 AS (
-                SELECT c.* FROM corpus c JOIN keepers USING (doc_id)
-            ), m AS (
-                SELECT doc_id, len(text) AS nchars,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                   u -> u <> '') AS toks,
-                       len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
-                           AS n_punct
-                FROM s1
-            ), bgq AS (
-                SELECT doc_id, nchars, toks, n_punct,
-                       list_transform(range(1, len(toks)),
-                                      i -> toks[i] || ' ' || toks[i+1])
-                           AS bigrams
-                FROM m
-            ), rq AS (
-                SELECT doc_id, len(toks) AS n_tokens,
-                       FLOOR(n_punct / GREATEST(nchars, 1) * 1e6 + 0.5)/1e6
-                           AS punct_ratio,
-                       FLOOR(len(list_filter(toks,
-                             t -> list_contains(
-                                 ['the','a','and','of','to','in','is','it'],
-                                 t)))
-                             / GREATEST(len(toks), 1) * 1e6 + 0.5)/1e6
-                           AS stopword_ratio,
-                       FLOOR(list_max(list_transform(list_distinct(bigrams),
-                                 g -> len(list_filter(bigrams, x -> x = g))))
-                             / CAST(len(toks) - 1 AS DOUBLE) * 1e6 + 0.5)/1e6
-                           AS top_bigram_frac
-                FROM bgq
-            ), qq AS (
-                SELECT doc_id, n_tokens, top_bigram_frac,
-                       FLOOR((LEAST(n_tokens / 64.0, 1.0) * 0.5
-                              + LEAST(stopword_ratio * 5, 1.0) * 0.3
-                              + (1 - LEAST(punct_ratio * 10, 1.0)) * 0.2)
-                             * 1e6 + 0.5)/1e6 AS quality
-                FROM rq
-            ), s2 AS (
-                SELECT s1.* FROM s1 JOIN qq USING (doc_id)
-                WHERE qq.n_tokens >= 20 AND qq.quality >= 0.5
-                  AND qq.top_bigram_frac <= 0.12
-            ), bl AS (
-                SELECT doc_id,
-                       len(list_filter(
-                           list_filter(regexp_split_to_array(
-                               trim(lower(text)), '\s+'), u -> u <> ''),
-                           t -> list_contains(['merge','spark'], t))) AS nh
-                FROM s2
-            ), s3 AS (
-                SELECT s2.* FROM s2 JOIN bl USING (doc_id) WHERE bl.nh <= 2
-            ), rtoks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                   u -> u <> '') AS w
-                FROM ref
-            ), unic AS (
-                SELECT token, COUNT(*) AS c1
-                FROM (SELECT unnest(w) AS token FROM rtoks)
-                GROUP BY token
-            ), vocab AS (SELECT COUNT(*) AS v FROM unic),
-            bic AS (
-                SELECT ngram, COUNT(*) AS c2
-                FROM (SELECT unnest(list_transform(
-                          range(1, greatest(len(w) - 1, 0) + 1),
-                          i -> w[i] || ' ' || w[i+1])) AS ngram
-                      FROM rtoks)
-                GROUP BY ngram
-            ), stoks AS (
-                SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
-                                   u -> u <> '') AS w
-                FROM s3
-            ), sgrams AS (
-                SELECT doc_id,
-                       unnest(list_transform(
-                           range(1, greatest(len(w) - 1, 0) + 1),
-                           i -> w[i] || ' ' || w[i+1])) AS ngram
-                FROM stoks
-            ), scored AS (
-                SELECT g.doc_id,
-                       COUNT(*) AS n_bi,
-                       SUM(ln(COALESCE(b.c2, 0) + 0.5)
-                           - ln(COALESCE(u.c1, 0) + 0.5 * v.v)) AS lp
-                FROM sgrams g
-                LEFT JOIN bic b USING (ngram)
-                LEFT JOIN unic u ON split_part(g.ngram, ' ', 1) = u.token
-                CROSS JOIN vocab v
-                GROUP BY g.doc_id
-            ), buck AS (
-                SELECT s.doc_id,
-                       NTILE(3) OVER (
-                           PARTITION BY d.lang
-                           ORDER BY FLOOR((-s.lp / s.n_bi) * 1e6 + 0.5)/1e6,
-                                    s.doc_id
-                       ) AS bucket
-                FROM scored s JOIN s3 d USING (doc_id)
-            ), s4 AS (
-                SELECT s3.* FROM s3 JOIN buck USING (doc_id)
-                WHERE buck.bucket < 3
-            ), ref5 AS (
-                SELECT DISTINCT ngram
-                FROM (SELECT unnest(list_transform(
-                          range(1, greatest(len(w) - 4, 0) + 1),
-                          i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                               || ' ' || w[i+3] || ' ' || w[i+4])) AS ngram
-                      FROM rtoks)
-            ), s4g AS (
-                SELECT doc_id,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(len(w) - 4, 0) + 1),
-                           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                                || ' ' || w[i+3] || ' ' || w[i+4]))) AS ngram
-                FROM (SELECT doc_id,
-                             list_filter(regexp_split_to_array(
-                                 trim(text), '\s+'), u -> u <> '') AS w
-                      FROM s4)
-            ), contaminated AS (
-                SELECT DISTINCT g.doc_id
-                FROM s4g g JOIN ref5 USING (ngram)
-            )
-            SELECT doc_id, text, lang, source
-            FROM s4
-            WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
-        """,
+        "curate_corpus": _CURATE_ORACLE,
+        "lm_pipeline_e2e": _lm_pipeline_e2e_oracle(),
         "keyword_hits": r"""
             WITH toks AS (
                 SELECT doc_id,

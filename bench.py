@@ -166,6 +166,30 @@ HEADLINE = [
     "similarity_ivf_pq",
     "harvest_partitioned",
     "stream_winnow_index",
+    # r10: the 19 registry rows that had never been benched (r9
+    # verdict ask #1 — the bench blind spot), plus the round's
+    # composed-pipeline newcomer.  Every declared query now has a
+    # BASELINE.md row and appears in the per-round receipt.
+    "case_union_grid",
+    "combo_grid",
+    "crop_roundtrip",
+    "dedup_corpus",
+    "estimate_repeats",
+    "events_json",
+    "facet_agg",
+    "merge_prefer_old",
+    "multimodal_png",
+    "sampler_run",
+    "similarity_ivf",
+    "star_join_revenue",
+    "stream_dedup",
+    "stream_user_sessions",
+    "stream_window_hourly",
+    "sweep_internal_dims",
+    "sweep_vectorized",
+    "sweep_vectorized_dims",
+    "topk_per_group",
+    "lm_pipeline_e2e",
 ]
 
 

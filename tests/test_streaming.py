@@ -1223,3 +1223,192 @@ def test_stale_epoch_state_rejected_on_path_reuse(spark, tmp_path):
         cap_stream_per_group(
             _stream(), 5, out2, state2, by="event_type", key="event_id"
         )
+
+
+# ---- late / out-of-order data semantics (r9 verdict ask #5) ----------
+#
+# The gate rows replay in-order file epochs, so none of them pins what
+# a LATE row (older than the watermark) does.  These tests feed
+# deliberately late rows through the three stateful shapes and assert
+# the documented drop/admit behavior: batch semantics MINUS the
+# watermark horizon, with watermark propagation lagging one trigger
+# (the watermark for batch N is computed from data seen through batch
+# N-1, so a late row is reliably dropped from the SECOND batch after
+# its horizon passed).
+
+
+def _epoch_stream(spark, tmp_path, dfs, name):
+    """A file-source stream that replays ``dfs`` one per micro-batch:
+    each frame is one parquet file, mtimes stamped in write order so
+    FileStreamSource's modification-time ordering is deterministic,
+    maxFilesPerTrigger=1 makes each file its own trigger."""
+    import glob
+    import os
+    import time
+
+    src = str(tmp_path / name)
+    for i, e in enumerate(dfs):
+        e.coalesce(1).write.mode("append" if i else "overwrite").parquet(
+            src
+        )
+    now = time.time()
+    files = sorted(glob.glob(src + "/*.parquet"), key=os.path.getmtime)
+    for i, f in enumerate(files):
+        os.utime(f, (now - 100 + i * 10,) * 2)
+    schema = spark.read.parquet(src).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+
+
+def _ts_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, "
+        "event_type string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_windowed_agg_drops_late_rows_after_horizon(spark, tmp_path):
+    """A row older than the watermark must neither re-open its evicted
+    window nor update it: epoch 1 closes window [10:00,11:00) (max ts
+    12:45 -> watermark 12:15), epoch 2 advances the watermark past it,
+    epoch 3's 10:20 straggler is dropped — the final window counts are
+    the batch counts MINUS the late row, and no update row for the
+    closed window ever carries its contribution."""
+    TS = lambda s: f"2024-01-01 {s}:00"
+    epochs = [
+        _ts_events(spark, [
+            (1, 1, TS("10:05"), "view", 1.0),
+            (2, 1, TS("10:15"), "view", 1.0),
+            (3, 1, TS("12:45"), "view", 1.0),
+        ]),
+        _ts_events(spark, [(4, 1, TS("13:10"), "view", 1.0)]),
+        _ts_events(spark, [
+            (5, 1, TS("10:20"), "view", 1.0),   # LATE: horizon passed
+            (6, 1, TS("13:20"), "view", 1.0),
+        ]),
+    ]
+    st = _epoch_stream(spark, tmp_path, epochs, "late_win")
+    out = run_stream_to_memory(
+        windowed_agg(st, window="1 hour", watermark="30 minutes"),
+        "late_win_t",
+        output_mode="update",
+    ).collect()
+    # last update per window = the final streaming answer
+    final = {}
+    for r in out:
+        final[str(r["window_start"])] = r["n"]
+    assert final["2024-01-01 10:00:00"] == 2          # late row DROPPED
+    assert final["2024-01-01 13:00:00"] == 2          # on-time admitted
+    # the late row never surfaced anywhere: no n=3 update for 10:00 and
+    # no resurrected n=1 window
+    tens = sorted(
+        r["n"] for r in out
+        if str(r["window_start"]) == "2024-01-01 10:00:00"
+    )
+    assert tens == [2], tens
+    # batch-minus-horizon: the batch twin over ALL rows counts the
+    # straggler; streaming differs from batch EXACTLY by it
+    allrows = epochs[0].unionAll(epochs[1]).unionAll(epochs[2])
+    batch = {
+        str(r["ws"]): r["n"]
+        for r in allrows.groupBy(
+            F.window("ts", "1 hour").start.alias("ws")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert batch["2024-01-01 10:00:00"] == 3
+    assert {
+        k: v for k, v in batch.items() if k != "2024-01-01 10:00:00"
+    } == {k: v for k, v in final.items() if k != "2024-01-01 10:00:00"}
+
+
+def test_dedup_stream_drops_all_late_rows(spark, tmp_path):
+    """dropDuplicatesWithinWatermark late semantics, pinned: a row
+    older than the watermark is dropped WHOLESALE — both a late
+    duplicate (correct: its first arrival already passed) and a late
+    FIRST arrival (the horizon cost: batch dedup would keep it).
+    Within the horizon, first arrival wins."""
+    from xyzpy_spark.streaming.ops import dedup_stream
+
+    TS = lambda s: f"2024-01-01 {s}:00"
+    epochs = [
+        _ts_events(spark, [
+            (10, 1, TS("10:00"), "view", 1.0),
+            (11, 1, TS("14:00"), "view", 1.0),
+        ]),
+        _ts_events(spark, [(99, 1, TS("14:05"), "view", 1.0)]),
+        _ts_events(spark, [
+            (10, 1, TS("10:10"), "view", 1.0),  # late DUPLICATE
+            (12, 1, TS("10:20"), "view", 1.0),  # late FIRST arrival
+            (13, 1, TS("14:10"), "view", 1.0),  # on-time
+        ]),
+    ]
+    st = _epoch_stream(spark, tmp_path, epochs, "late_dd")
+    out = run_stream_to_memory(
+        dedup_stream(st, keys=("event_id",), watermark="30 minutes"),
+        "late_dd_t",
+        output_mode="append",
+    )
+    kept = sorted(r["event_id"] for r in out.collect())
+    assert kept == [10, 11, 13, 99], kept
+    # the batch twin keeps the late first arrival (12): the streaming
+    # result is batch dedup minus rows beyond the horizon
+    batch_ids = sorted(
+        r["event_id"]
+        for r in epochs[0].unionAll(epochs[1]).unionAll(epochs[2])
+        .dropDuplicates(["event_id"]).collect()
+    )
+    assert batch_ids == [10, 11, 12, 13, 99]
+
+
+def test_interval_join_stream_late_left_loses_match(spark, tmp_path):
+    """STREAM-STREAM interval join late semantics, pinned: a left row
+    arriving after the watermark evicted its matching right state
+    emits NO pair (the batch range join would match it); on-time
+    pairs are unaffected.  This is the state-bounding trade the
+    docstring promises — eviction is what lets the join run forever."""
+    from xyzpy_spark.streaming.ops import interval_join_stream
+
+    TS = lambda s: f"2024-01-01 {s}:00"
+    mk = lambda rows: spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    L = [
+        mk([(20, 7, TS("14:00"))]),
+        mk([(22, 7, TS("14:10"))]),
+        mk([(21, 7, TS("10:00")), (23, 7, TS("14:20"))]),  # 21 is LATE
+    ]
+    R = [
+        mk([(30, 7, TS("10:05")), (31, 7, TS("14:00"))]),
+        mk([(33, 7, TS("14:10"))]),
+        mk([(32, 7, TS("14:30"))]),
+    ]
+    out = run_stream_to_memory(
+        interval_join_stream(
+            _epoch_stream(spark, tmp_path, L, "late_jl"),
+            _epoch_stream(spark, tmp_path, R, "late_jr"),
+            on="ts", by="user_id", upper="15 minutes",
+            watermark="30 minutes",
+        ),
+        "late_j_t",
+        output_mode="append",
+    )
+    got = sorted(
+        (r["l_event_id"], r["r_event_id"]) for r in out.collect()
+    )
+    assert got == [(20, 33), (23, 32)], got
+    # batch twin over the full replay (brute-force python range join,
+    # same (lower, upper] bounds): the late left row 21 matches right
+    # 30 — streaming == batch minus late-arrival pairs
+    lall = L[0].unionAll(L[1]).unionAll(L[2])
+    rall = R[0].unionAll(R[1]).unionAll(R[2])
+    batch = sorted(
+        (lr["event_id"], rr["event_id"])
+        for lr in lall.collect()
+        for rr in rall.collect()
+        if lr["user_id"] == rr["user_id"]
+        and 0 < (rr["ts"] - lr["ts"]).total_seconds() <= 900
+    )
+    assert batch == [(20, 33), (21, 30), (23, 32)]

@@ -97,6 +97,16 @@ def windowed_agg(
     evicted — the property that lets this run forever at 100 TB/day.
     ``aggs`` overrides the default count/sum/avg aggregate list
     (e.g. decimal-accumulated sums for engine-exact results).
+
+    Late-data contract (pinned in
+    test_streaming.test_windowed_agg_drops_late_rows_after_horizon):
+    the watermark for trigger N is computed from data seen through
+    trigger N-1, so the drop takes effect from the SECOND trigger
+    after a window's horizon passes — a straggler landing in the very
+    next trigger may still update its (not-yet-evicted) window.  Once
+    dropped, a late row neither re-opens its window nor surfaces a
+    duplicate finalization: the result is the batch aggregation minus
+    rows beyond the horizon.
     """
     by = [by] if isinstance(by, str) else list(by)
     w = (
@@ -263,6 +273,13 @@ def dedup_stream(
     dedup horizon rather than the stream's lifetime — the property
     that makes exact dedup feasible on an unbounded 100 TB/day feed.
     Batch twin: ``pipeline.dedup.dedup_exact`` (full-history dedup).
+
+    Late-data contract (pinned in
+    test_streaming.test_dedup_stream_drops_all_late_rows): a row
+    older than the watermark is dropped WHOLESALE — late duplicates
+    (their first arrival already passed) and late FIRST arrivals
+    alike.  The result is batch dedup minus rows beyond the horizon;
+    within the horizon, first arrival wins.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
@@ -333,6 +350,14 @@ def interval_join_stream(
     that tail is never finalized, so the outer form is deliberately
     not offered here — run the batch ``range_join`` over the lakehouse
     table for retrospective outer semantics.
+
+    Late-data contract (pinned in
+    test_streaming.test_interval_join_stream_late_left_loses_match):
+    a row arriving after the watermark evicted its would-be partner's
+    state emits NO pair — the result is the batch inner range join
+    minus pairs whose later side arrived beyond the horizon.  That
+    loss is the price of bounded state; for retrospective exactness
+    run the batch ``range_join``.
 
     Columns are prefixed (``l_``/``r_``) except the shared ``by`` key.
     """

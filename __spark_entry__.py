@@ -828,6 +828,7 @@ def q_stream_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
             state,
             by="source",
             key="doc_id",
+            state_partitions=8,
         )
         # bounded by construction: <= 10 admitted rows per source
         return _finish_local(
@@ -930,6 +931,7 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"{tmp}/{kind}/state",
                 by="event_type",
                 p=8,
+                state_partitions=8,
             )
             est = spark.read.parquet(out)
             last = est.agg(F.max("epoch_id")).first()[0]
@@ -1038,6 +1040,7 @@ def q_stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             search=lambda batch: ivf_topk_portable(
                 emb, batch, k=5, n_cells=8, nprobe=4
             ),
+            state_partitions=8,
         )
         return _finish_local(
             spark,
@@ -1395,6 +1398,7 @@ def q_stream_dedup_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             n=2,
             threshold=0.4,
             hash_fn="md5",
+            state_partitions=8,
         )
         return _finish_local(
             spark,
@@ -1446,7 +1450,7 @@ def q_stream_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dec_sum("value", "sum_value"),
         ],
     )
-    out = run_stream_to_memory(win, "q_stream_window_hourly")
+    out = run_stream_to_memory(win, "q_stream_window_hourly", state_partitions=8)
     return out.select(
         F.col("window_start").cast("timestamp_ntz").alias("hour"),
         "event_type",
@@ -1470,7 +1474,7 @@ def q_stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_events_stream(spark, sf_dir)
     sess = sessionize_stream(ev, gap="30 minutes", watermark="2 hours")
-    out = run_stream_to_memory(sess, "q_stream_user_sessions")
+    out = run_stream_to_memory(sess, "q_stream_user_sessions", state_partitions=8)
     return out.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
@@ -1493,6 +1497,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_stream(doubled, keys="event_id", watermark="2 hours"),
         "q_stream_dedup",
         output_mode="append",
+        state_partitions=8,
     )
     return out.select(
         "event_id",
@@ -1906,6 +1911,7 @@ def q_lm_stream_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             vocab,
             out,
             n=n,
+            state_partitions=8,
         )
         # the streamed scores are per-document (corpus-proportional):
         # gate on the deterministic top-64 slice (highest nll, ties to
@@ -3313,6 +3319,7 @@ def q_stream_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             max_fp_freq=50,
             threshold=0.2,
             hash_fn="md5",
+            state_partitions=8,
         )
         return _finish_local(
             spark,
@@ -3749,7 +3756,8 @@ def q_stream_follow_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r_value").alias("click_value"),
     )
     return run_stream_to_memory(
-        joined, "q_stream_follow_clicks", output_mode="append"
+        joined, "q_stream_follow_clicks", output_mode="append",
+        state_partitions=8,
     )
 
 
@@ -3779,7 +3787,8 @@ def q_stream_stateful_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_events_stream(spark, sf_dir)
     stats = stateful_running_stats(ev, var="value", by=("event_type",))
     out = run_stream_to_memory(
-        stats, "q_stream_stateful_stats", output_mode="update"
+        stats, "q_stream_stateful_stats", output_mode="update",
+        state_partitions=8,
     )
     from xyzpy_spark.pipeline.text import _round_det
 
@@ -3818,7 +3827,8 @@ def q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_block_hits=2,
     ).select("doc_id", "n_tokens", "quality")
     return run_stream_to_memory(
-        curated, "q_stream_curate", output_mode="append"
+        curated, "q_stream_curate", output_mode="append",
+        state_partitions=8,
     )
 
 

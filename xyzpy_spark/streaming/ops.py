@@ -287,20 +287,52 @@ def dedup_stream(
     )
 
 
+@contextlib.contextmanager
+def scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily size ``spark.sql.shuffle.partitions`` around a
+    streaming run (restored on exit, errors included).
+
+    Why this exists: stateful streaming operators create one
+    state-store instance per shuffle partition PER stateful stage PER
+    micro-batch, and that per-partition fixed cost dominates when the
+    actual state is small (measured A/B on the sf0.1 gate data:
+    stream_follow_clicks 8.1 s at 32 partitions vs 2.7 s at 8 vs
+    2.2 s at 4 — identical results, identical plan shape, only the
+    state/task fan-out changes).  The partition count is baked into a
+    query's checkpoint at first start, so size it to the DEPLOYMENT:
+    a 100-TB/day stream wants hundreds of state partitions; a gate-SF
+    replay wants a handful.  ``n=None`` is a no-op.
+    """
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(int(n)))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,
     *,
     output_mode: str = "complete",
     timeout: int = 120,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Execute a streaming plan to completion over available data.
 
     ``trigger(availableNow=True)`` processes everything currently in
     the source then stops — the batch-parity harness used by tests.
-    Returns the memory-sink table.
+    Returns the memory-sink table.  ``state_partitions`` sizes the
+    stateful stages' shuffle width for the run (see
+    :func:`scoped_shuffle_partitions`).
     """
-    with tempfile.TemporaryDirectory() as ckpt:
+    with tempfile.TemporaryDirectory() as ckpt, scoped_shuffle_partitions(
+        df.sparkSession, state_partitions
+    ):
         q = (
             df.writeStream.format("memory")
             .queryName(name)
@@ -397,6 +429,7 @@ def dedup_stream_against_index(
     checkpoint: str | None = None,
     index_bands: DataFrame | None = None,
     timeout: int = 300,
+    state_partitions: int | None = None,
     **probe_kwargs,
 ) -> None:
     """Continuous-ingest dedup: annotate each arriving micro-batch
@@ -453,6 +486,7 @@ def dedup_stream_against_index(
         checkpoint=checkpoint,
         timeout=timeout,
         what="dedup_stream_against_index",
+        state_partitions=state_partitions,
     )
 
 
@@ -494,6 +528,7 @@ def _run_batch_probe_stream(
     checkpoint: str | None,
     timeout: int,
     what: str,
+    state_partitions: int | None = None,
 ) -> None:
     """Shared foreachBatch scaffold of the continuous-ingest probes:
     run ``probe(batch_df)`` per micro-batch and write each epoch to
@@ -509,7 +544,10 @@ def _run_batch_probe_stream(
             os.path.join(out_path, f"epoch_id={int(epoch_id)}")
         )
 
-    _run_foreach_batch(stream_docs, _sink, checkpoint, timeout, what)
+    _run_foreach_batch(
+        stream_docs, _sink, checkpoint, timeout, what,
+        state_partitions=state_partitions,
+    )
 
 
 def _run_foreach_batch(
@@ -518,16 +556,20 @@ def _run_foreach_batch(
     checkpoint: str | None,
     timeout: int,
     what: str,
+    state_partitions: int | None = None,
 ) -> None:
     """Run a foreachBatch sink to availableNow completion with the
     shared checkpoint/timeout discipline (partial output must raise,
-    never return silently)."""
+    never return silently).  ``state_partitions`` sizes the per-batch
+    shuffle width (see :func:`scoped_shuffle_partitions`)."""
     ctx = (
         tempfile.TemporaryDirectory()
         if checkpoint is None
         else contextlib.nullcontext(checkpoint)
     )
-    with ctx as ckpt:
+    with ctx as ckpt, scoped_shuffle_partitions(
+        stream_docs.sparkSession, state_partitions
+    ):
         q = (
             stream_docs.writeStream.foreachBatch(sink)
             .option("checkpointLocation", ckpt)
@@ -552,6 +594,7 @@ def winnow_stream_against_index(
     dropped: DataFrame | None = None,
     checkpoint: str | None = None,
     timeout: int = 300,
+    state_partitions: int | None = None,
     **probe_kwargs,
 ) -> None:
     """Continuous-ingest WINNOWED dedup: annotate each arriving
@@ -583,6 +626,7 @@ def winnow_stream_against_index(
         checkpoint=checkpoint,
         timeout=timeout,
         what="winnow_stream_against_index",
+        state_partitions=state_partitions,
     )
 
 
@@ -611,6 +655,7 @@ def ann_stream_topk(
     checkpoint: str | None = None,
     timeout: int = 300,
     search=None,
+    state_partitions: int | None = None,
 ) -> None:
     """Streaming ANN: answer a continuous stream of QUERY vectors
     against a saved IVF index — the serve side of the
@@ -651,6 +696,7 @@ def ann_stream_topk(
         checkpoint=checkpoint,
         timeout=timeout,
         what="ann_stream_topk",
+        state_partitions=state_partitions,
     )
 
 
@@ -661,6 +707,7 @@ def bm25_stream_search(
     *,
     checkpoint: str | None = None,
     timeout: int = 300,
+    state_partitions: int | None = None,
     **search_kwargs,
 ) -> None:
     """Streaming corpus search: answer a continuous stream of
@@ -687,6 +734,7 @@ def bm25_stream_search(
         checkpoint=checkpoint,
         timeout=timeout,
         what="bm25_stream_search",
+        state_partitions=state_partitions,
     )
 
 
@@ -699,6 +747,7 @@ def lm_stream_score(
     *,
     checkpoint: str | None = None,
     timeout: int = 300,
+    state_partitions: int | None = None,
     **score_kwargs,
 ) -> None:
     """Streaming LM perplexity: score each arriving micro-batch of
@@ -726,6 +775,7 @@ def lm_stream_score(
         checkpoint=checkpoint,
         timeout=timeout,
         what="lm_stream_score",
+        state_partitions=state_partitions,
     )
 
 
@@ -742,6 +792,7 @@ def cap_stream_per_group(
     descending: bool = True,
     checkpoint: str | None = None,
     timeout: int = 300,
+    state_partitions: int | None = None,
 ) -> None:
     """Streaming domain capping — the ingest-time shape of
     :func:`~xyzpy_spark.pipeline.sampling.cap_per_group`: admit
@@ -822,7 +873,8 @@ def cap_stream_per_group(
         )
 
     _run_foreach_batch(
-        doc_stream, _sink, checkpoint, timeout, "cap_stream_per_group"
+        doc_stream, _sink, checkpoint, timeout, "cap_stream_per_group",
+        state_partitions=state_partitions,
     )
 
 
@@ -837,6 +889,7 @@ def hll_stream_distinct(
     round_places: int = 6,
     checkpoint: str | None = None,
     timeout: int = 300,
+    state_partitions: int | None = None,
 ) -> None:
     """Streaming distinct counts over an unbounded stream via the
     portable HyperLogLog
@@ -907,7 +960,8 @@ def hll_stream_distinct(
         )
 
     _run_foreach_batch(
-        doc_stream, _sink, checkpoint, timeout, "hll_stream_distinct"
+        doc_stream, _sink, checkpoint, timeout, "hll_stream_distinct",
+        state_partitions=state_partitions,
     )
 
 

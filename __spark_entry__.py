@@ -1603,6 +1603,47 @@ def q_harvest_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def q_harvest_partitioned_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 multi-dim partitioned layout AND store migration under
+    the driver hash: harvest into an UNPARTITIONED store, migrate it
+    with ``Harvester.repartition_store(("a", "b"))`` (one audited
+    atomic publish into nested ``a=v/b=v`` leaf dirs), then a
+    missing_only top-up that merges and republishes ONLY the new
+    leaf partitions (touched-leaf dynamic overwrite).  The gate
+    returns the final store read back through the nested layout's
+    ``_layout.json`` schema sidecar; it must equal the closed-form
+    grid the oracle generates — migration, 2-dim pruned merge, and
+    the nested partitioned read all verified in one row."""
+    _ship(spark)
+    import shutil
+    import tempfile
+
+    from xyzpy_spark.farming import Harvester, Runner
+
+    def kernel(a, b):
+        return a * b, a + b
+
+    r = Runner(kernel, var_names=["v", "w"], spark=spark)
+    workdir = tempfile.mkdtemp(prefix="xyz_hpart2d_q_")
+    try:
+        h = Harvester(r, workdir + "/store.parquet")
+        h.harvest_combos({"a": [1, 2], "b": [10, 20, 30]})
+        h.repartition_store(("a", "b"))
+        h.harvest_combos(
+            {"a": [1, 2, 3], "b": [10, 20, 30, 40]},
+            missing_only=True,
+        )
+        out = h.load_full_df().select(
+            F.col("a").cast("long").alias("a"),
+            F.col("b").cast("long").alias("b"),
+            F.col("v").cast("long").alias("v"),
+            F.col("w").cast("long").alias("w"),
+        )
+        return _finish_local(spark, out)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media column -> REAL dependency-free decode (WAV RIFF
     chunk walk / PPM header scan) via mapInPandas; the payloads are
@@ -4120,6 +4161,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # sf0.01 AND sf0.001 and past the type audit before entering),
 # displacing returned_item_losses (TPC-H Q10 shape, r5-r9 green; the
 # relational family keeps 12+ in-window reps).  Per r9 verdict ask
+# LATE ROUND 10 also rotated in harvest_partitioned_2d (the
+# multi-dim partitioned layout + repartition_store migration end to
+# end — r9 verdict ask #3's gate receipt; strict-green at sf0.01 AND
+# sf0.001 + type audit before entering), displacing shipmode_priority
+# (TPC-H Q12 shape, r5-r9 green; the relational family keeps 13+
+# in-window reps).  Per r9 verdict ask
 # #7, the five r9 newcomers (stream_caps, stream_dedup_index,
 # similarity_ivf_pq, harvest_partitioned, stream_winnow_index) hold
 # their window slots one more round.
@@ -4219,6 +4266,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "weighted_sample": 8,
     "stream_hll": 8,
     "lm_pipeline_e2e": 10,
+    "harvest_partitioned_2d": 10,
     "stream_caps": 9,
     "stream_dedup_index": 9,
     "similarity_ivf_pq": 9,
@@ -4433,13 +4481,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "stream_hll": q_stream_hll,
         "bm25_search": q_bm25_search,
-        "shipmode_priority": q_shipmode_priority,
+        "harvest_partitioned_2d": q_harvest_partitioned_2d,
         "source_caps": q_source_caps,
         "stream_stateful_stats": q_stream_stateful_stats,
         "langid_trained": q_langid_trained,
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
+        "shipmode_priority": q_shipmode_priority,
         "returned_item_losses": q_returned_item_losses,
         "shipping_priority": q_shipping_priority,
         "local_supplier_volume": q_local_supplier_volume,
@@ -6895,6 +6944,13 @@ def oracle_sql() -> dict[str, str]:
         # the two-top-up partitioned harvest accumulates to the SAME
         # closed-form grid (the store layout must be semantically
         # invisible — r9)
+        "harvest_partitioned_2d": """
+            SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
+                   CAST(a * b AS BIGINT) AS v,
+                   CAST(a + b AS BIGINT) AS w
+            FROM (VALUES (1), (2), (3)) ta(a),
+                 (VALUES (10), (20), (30), (40)) tb(b)
+        """,
         "harvest_partitioned": """
             SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
                    CAST(a * 100 + b AS BIGINT) AS v,

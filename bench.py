@@ -190,6 +190,7 @@ HEADLINE = [
     "sweep_vectorized_dims",
     "topk_per_group",
     "lm_pipeline_e2e",
+    "harvest_partitioned_2d",
 ]
 
 

@@ -2366,13 +2366,104 @@ def test_jpeg_decoder_rejects_non_baseline():
     # DC scan), so the r9 progressive path must reject, not mis-read
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg(prog) is None
-    # lossless SOF3 stays out of scope -> None (PIL fallback)
+    # flip SOF0 -> SOF3: claims lossless but carries a baseline scan
+    # header (Ss=0 is not a valid predictor selector) — the r10
+    # lossless path must reject, not mis-read
     assert decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3", 1)) is None
     import numpy as np
 
     # hostile: truncated entropy stream decodes or rejects, no raise
     enc = encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
     decode_jpeg(enc[:-4])
+
+
+def test_jpeg_lossless_roundtrip_bit_exact():
+    """The r10 lossless path (SOF3) closes the last non-hierarchical
+    PIL gate: encode_jpeg_lossless -> decode_jpeg must reproduce the
+    input EXACTLY (the defining property of process 14) across every
+    predictor, gray and multi-channel data, restart intervals, and
+    point transforms (which drop exactly the Pt low bits)."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(7)
+    images = [
+        rng.integers(0, 256, (15, 23), dtype=np.uint8),
+        rng.integers(0, 256, (12, 9, 3), dtype=np.uint8),
+        np.zeros((1, 1), dtype=np.uint8),
+        (np.add.outer(np.arange(20), np.arange(6)) % 256).astype(
+            np.uint8
+        ),
+    ]
+    for img in images:
+        want = img if img.ndim == 3 else img[:, :, None]
+        for pred in range(1, 8):
+            b = encode_jpeg_lossless(img, predictor=pred)
+            assert b"\xff\xc3" in b
+            meta, out = decode_jpeg(b)
+            assert meta["width"] == img.shape[1]
+            assert meta["height"] == img.shape[0]
+            assert np.array_equal(out, want), (img.shape, pred)
+        # restart markers reset the prediction chain identically on
+        # both sides
+        b = encode_jpeg_lossless(img, predictor=4, restart_interval=3)
+        assert np.array_equal(decode_jpeg(b)[1], want)
+    # point transform: roundtrip reproduces the Pt-masked input
+    a = rng.integers(0, 256, (10, 14), dtype=np.uint8)
+    for pt in (1, 3):
+        b = encode_jpeg_lossless(a, predictor=7, point_transform=pt)
+        got = decode_jpeg(b)[1][:, :, 0]
+        assert np.array_equal(got, a & ~((1 << pt) - 1))
+    # parameter validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="predictor"):
+        encode_jpeg_lossless(a, predictor=0)
+    with _pytest.raises(ValueError, match="point_transform"):
+        encode_jpeg_lossless(a, point_transform=9)
+    # hostile: truncated lossless streams decode or reject, no raise
+    b = encode_jpeg_lossless(a)
+    for cut in (len(b) // 4, len(b) // 2, len(b) - 3):
+        decode_jpeg(b[:cut])
+
+
+def test_jpeg_sof1_decodes_as_baseline():
+    """SOF1 (extended sequential, 8-bit) is a superset marker for the
+    identical decoding process: a baseline file re-stamped SOF1 must
+    decode bit-identically (r10 — previously returned None and fell
+    to the PIL gate)."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (17, 21, 3), dtype=np.uint8)
+    base = encode_jpeg(img, quant=2)
+    sof1 = base.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    assert sof1 != base
+    m0, a0 = decode_jpeg(base)
+    m1, a1 = decode_jpeg(sof1)
+    assert m0 == m1 and np.array_equal(a0, a1)
+
+
+def test_jpeg_hierarchical_null_contract():
+    """The ONLY remaining PIL gate after r10: differential/
+    hierarchical and arithmetic-coded SOFs.  Without PIL the decode
+    contract is null pixels with no exception — pinned here so an
+    env without PIL cannot silently regress (and the gate cannot
+    silently widen back to formats the native paths now own)."""
+    from xyzpy_spark.pipeline.jpeg import decode_jpeg
+    from xyzpy_spark.pipeline.multimodal import fake_jpeg_bytes
+
+    good = fake_jpeg_bytes(5)
+    for sof in (b"\xc5", b"\xc6", b"\xc7", b"\xc9", b"\xca", b"\xcb",
+                b"\xcd", b"\xce", b"\xcf"):
+        exotic = good.replace(b"\xff\xc0", b"\xff" + sof, 1)
+        assert decode_jpeg(exotic) is None, sof
 
 
 def test_jpeg_progressive_roundtrip_bit_identical():

@@ -634,18 +634,26 @@ def test_funnel_sequential_validates_params(spark):
         funnel_counts_sequential(ev, ["a", "b"], within="-7 days")
     with pytest.raises(ValueError, match="positive"):
         funnel_counts_sequential(ev, ["a", "b"], within="0 seconds")
-    # calendar units make the sign ANCHOR-dependent: '1 month -30
-    # days' is +1 day from a 31-day month but -2 days from February —
-    # a funnel anchored there silently empties later steps, so the
-    # probe must test the shortest month too (r9 ADVICE)
-    with pytest.raises(ValueError, match="positive"):
+    # the r9 ADVICE scenario — anchor-dependent calendar mixes like
+    # '1 month -30 days' (+1 day from January, -2 days from
+    # February) — is UNREPRESENTABLE: Spark's typed interval literals
+    # (the form every within= consumer uses) forbid mixing year-month
+    # with day-time fields, so the eager parse probe rejects the
+    # string outright instead of letting an anchor-dependent sign
+    # through
+    with pytest.raises(ValueError, match="INTERVAL"):
         funnel_counts_sequential(
             ev, ["a", "b"], within="1 month -30 days"
         )
-    # net-positive mixed-sign intervals are legal...
+    # net-positive mixed-sign intervals WITHIN one field class are
+    # legal, day-time...
     funnel_counts_sequential(ev, ["a", "b"], within="2 days -25 hours")
-    # ...including calendar-mixed ones positive at EVERY anchor
-    funnel_counts_sequential(ev, ["a", "b"], within="1 month -27 days")
+    # ...and year-month alike; net-negative year-month still raises
+    funnel_counts_sequential(ev, ["a", "b"], within="1 year -11 months")
+    with pytest.raises(ValueError, match="positive"):
+        funnel_counts_sequential(
+            ev, ["a", "b"], within="1 year -12 months"
+        )
     # empty input: zero counts, not NULLs
     got = {
         r["step"]: r["n_users"]

@@ -378,16 +378,19 @@ def _validated_interval(spark, within) -> str:
         # probe the PARSED interval's sign, not the string's prefix: an
         # embedded negative unit ('1 day -25 hours') passes any prefix
         # check but is net-negative and silently empties the funnel
-        # beyond step 1 (r8 ADVICE).  Calendar units make the sign
-        # anchor-dependent ('1 month -30 days' is +1d from January but
-        # -2d from February), so probe BOTH a 31-day month and the
-        # shortest month (non-leap February) and require net-positive
-        # at every anchor (r9 ADVICE)
+        # beyond step 1 (r8 ADVICE).  Anchor-dependent signs (the r9
+        # ADVICE scenario, '1 month -30 days': +1 day from January,
+        # -2 days from February) are UNREPRESENTABLE here: every
+        # within= consumer uses the typed literal ``INTERVAL '{w}'``,
+        # and Spark's ANSI interval types forbid mixing year-month
+        # with day-time fields in one literal — such strings fail THIS
+        # parse probe (ParseException -> the eager ValueError below;
+        # pinned in test_funnel_sequential_validates_params).  Pure
+        # year-month and pure day-time intervals are sign-definite,
+        # so one anchor decides the sign for all anchors.
         probe = spark.sql(
             f"SELECT TIMESTAMP '2000-01-01 00:00:00' + INTERVAL '{w}' "
-            "<= TIMESTAMP '2000-01-01 00:00:00' "
-            f"OR TIMESTAMP '2001-02-01 00:00:00' + INTERVAL '{w}' "
-            "<= TIMESTAMP '2001-02-01 00:00:00' AS nonpos"
+            "<= TIMESTAMP '2000-01-01 00:00:00' AS nonpos"
         ).first()
     except Exception as exc:
         raise ValueError(
@@ -395,8 +398,7 @@ def _validated_interval(spark, within) -> str:
         ) from exc
     if probe is not None and probe["nonpos"]:
         raise ValueError(
-            f"within must be a NET-positive INTERVAL at every calendar "
-            f"anchor, got {within!r} "
+            f"within must be a NET-positive INTERVAL, got {within!r} "
             "(a zero or net-negative window empties the funnel beyond "
             "step 1)"
         )

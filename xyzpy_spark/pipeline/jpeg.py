@@ -1,30 +1,36 @@
 """Dependency-free JPEG (JFIF) codec — pure python + numpy.
 
 Closes the last PIL gates in the multimodal path (r3 verdict item 9;
-progressive carried r6-r8, closed r9):
-``decode_image``/``image_features``/``resize_image`` previously needed
-PIL for JPEG payloads; this module decodes baseline sequential AND
-progressive JFIF natively, the same way ``_decode_png`` covers PNG
-with stdlib zlib.
+progressive carried r6-r8, closed r9; lossless + extended sequential
+closed r10): ``decode_image``/``image_features``/``resize_image``
+previously needed PIL for JPEG payloads; this module decodes baseline
+sequential, extended sequential, progressive AND lossless JFIF
+natively, the same way ``_decode_png`` covers PNG with stdlib zlib.
 
 Scope (deliberate):
 
-- **Decoder** (:func:`decode_jpeg`): baseline sequential DCT (SOF0),
-  8-bit, gray or YCbCr, any Hi/Vi sampling (nearest-neighbor chroma
-  upsample), restart markers, byte unstuffing; plus PROGRESSIVE DCT
-  (SOF2, :func:`_decode_progressive`): DC first/refinement scans,
-  AC spectral-selection bands with EOBRUN coding, AC successive-
-  approximation refinement (the libjpeg correction-bit walk).
-  Arithmetic coding and 12-bit precision return ``None`` so callers
-  fall through to PIL when present — one exotic file must yield a
-  null, never a task failure.
-- **Encoder** (:func:`encode_jpeg`): baseline 4:4:4 (no subsampling),
-  flat quantization table (default all-ones ≈ near-lossless), and
+- **Decoder** (:func:`decode_jpeg`): baseline sequential DCT
+  (SOF0/SOF1 at 8-bit — the decoding process is identical), gray or
+  YCbCr, any Hi/Vi sampling (nearest-neighbor chroma upsample),
+  restart markers, byte unstuffing; PROGRESSIVE DCT (SOF2,
+  :func:`_decode_progressive`): DC first/refinement scans, AC
+  spectral-selection bands with EOBRUN coding, AC successive-
+  approximation refinement (the libjpeg correction-bit walk); and
+  LOSSLESS (SOF3, :func:`_decode_lossless`): predictive Annex-H
+  coding, predictors 1-7, point transform, restarts.  Arithmetic
+  coding, differential/hierarchical SOFs, and 12/16-bit precision
+  return ``None`` so callers fall through to PIL when present — one
+  exotic file must yield a null, never a task failure (contract
+  pinned in test_pipeline.test_jpeg_hierarchical_null_contract).
+- **Encoders** (:func:`encode_jpeg` baseline,
+  :func:`encode_jpeg_progressive`, :func:`encode_jpeg_lossless`):
+  4:4:4 (no subsampling), flat quantization table (default all-ones
+  ≈ near-lossless; lossless mode is exact by definition), and
   CUSTOM canonical Huffman tables written into DHT — fixed-length
   code sets (12×4-bit DC, 162×8-bit AC) that satisfy the Kraft
   inequality, so the file is fully standard-conforming (any decoder,
   PIL included, reads it) without replicating the spec's Annex K
-  tables here.  Compression is poor; the encoder exists to make
+  tables here.  Compression is poor; the encoders exist to make
   synthetic fixtures and round-trip tests, not small files.
 
 Numerics: IDCT/DCT are exact float64 matrix products against the
@@ -39,7 +45,12 @@ from __future__ import annotations
 import functools
 import struct
 
-__all__ = ["decode_jpeg", "encode_jpeg"]
+__all__ = [
+    "decode_jpeg",
+    "encode_jpeg",
+    "encode_jpeg_progressive",
+    "encode_jpeg_lossless",
+]
 
 #: zig-zag order: index i of the scan -> (row, col) flat index
 ZIGZAG = [
@@ -712,7 +723,11 @@ def decode_jpeg(b: bytes):
                         vals = struct.unpack(f">{64}H", seg[q : q + 128])
                         qt[tid] = list(vals)
                         q += 128
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1
+                # extended sequential: for 8-bit precision the decoding
+                # process is IDENTICAL to baseline (T.81 baseline is
+                # the 8-bit restriction of extended sequential — SOF1
+                # only additionally permits 12-bit data and 4 tables)
                 prec = seg[0]
                 if prec != 8:
                     return None
@@ -726,9 +741,14 @@ def decode_jpeg(b: bytes):
                     )
             elif marker == 0xC2:  # SOF2: the progressive path
                 return _decode_progressive(b)
-            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker == 0xC3:  # SOF3: the lossless path (r10)
+                return _decode_lossless(b)
+            elif marker in (0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline/progressive SOF
+                # differential/hierarchical + arithmetic-coded SOFs:
+                # the remaining PIL gate (null pixels without PIL —
+                # contract pinned in test_pipeline)
+                return None
             elif marker == 0xC4:  # DHT
                 q = 0
                 while q < len(seg):
@@ -936,6 +956,283 @@ def decode_jpeg(b: bytes):
         )
     except Exception:
         return None
+
+
+def _decode_lossless(b: bytes):
+    """Lossless JPEG (SOF3, T.81 process 14 / Annex H) -> ``(meta,
+    HxWxC uint8)`` or raise (the caller's except returns None) — the
+    r10 path that removes the PIL gate for 8-bit lossless files.
+
+    Predictive coding, no DCT: each sample's Huffman-coded value is a
+    CATEGORY (the DC-class SSSS code) followed by that many extended
+    magnitude bits, giving the difference from a neighborhood
+    prediction.  Supported: 8-bit precision (the module's uint8 pixel
+    contract), predictors 1-7, point transform, restart intervals,
+    one scan covering all components with 1x1 sampling (the shape
+    :func:`encode_jpeg_lossless` emits and 8-bit lossless encoders
+    commonly write).  12/16-bit precision, subsampled or multi-scan
+    lossless return None — those stay on the PIL fallback.
+
+    Position rules (T.81 H.1.2): the first sample (of the scan, and
+    of each restart interval) predicts ``1 << (P - Pt - 1)``; the
+    rest of the first line predicts Ra (left); the first column
+    predicts Rb (above); everywhere else the scan's selector applies
+    over (Ra, Rb, Rc).  Differences accumulate mod 2^16; output
+    samples are shifted left by the point transform.
+    """
+    import numpy as np
+
+    if len(b) < 4 or b[0:2] != b"\xff\xd8":
+        raise ValueError("jpeg: not a JFIF stream")
+    huff: dict[tuple[int, int], list] = {}
+    comps = None
+    w = h = 0
+    prec = 8
+    restart = 0
+    p = 2
+    scan = None
+    scan_start = None
+    pred_sel = 1
+    pt = 0
+    while p + 4 <= len(b):
+        if b[p] != 0xFF:
+            raise ValueError("jpeg: bad marker")
+        marker = b[p + 1]
+        if marker == 0xD8:
+            p += 2
+            continue
+        if marker == 0xD9:
+            break
+        seg_len = struct.unpack(">H", b[p + 2 : p + 4])[0]
+        seg = b[p + 4 : p + 2 + seg_len]
+        if marker == 0xC3:
+            prec = seg[0]
+            if prec != 8:
+                raise ValueError("jpeg: lossless precision > 8")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, _tq = seg[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise ValueError("jpeg: subsampled lossless")
+                comps.append(cid)
+        elif marker == 0xC4:
+            q = 0
+            while q < len(seg):
+                tc, th = seg[q] >> 4, seg[q] & 0xF
+                nv = sum(seg[q + 1 : q + 17])
+                huff[(tc, th)] = _cached_dht(
+                    bytes(seg[q + 1 : q + 17 + nv]), False
+                )[1:]
+                q += 17 + nv
+        elif marker == 0xDD:
+            restart = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = []
+            for i in range(ns):
+                cid, tt = seg[1 + 2 * i : 3 + 2 * i]
+                scan.append((cid, tt >> 4))
+            pred_sel = seg[1 + 2 * ns]  # Ss = predictor selector
+            pt = seg[3 + 2 * ns] & 0xF  # Al = point transform
+            scan_start = p + 2 + seg_len
+            break
+        p += 2 + seg_len
+    if (
+        comps is None
+        or scan is None
+        or w == 0
+        or h == 0
+        or len(scan) != len(comps)
+        or not 1 <= pred_sel <= 7
+    ):
+        raise ValueError("jpeg: unsupported lossless structure")
+    order = [comps.index(cid) for cid, _ in scan]
+    luts = []
+    for _cid, td in scan:
+        t = huff.get((0, td))
+        if t is None:
+            raise ValueError("jpeg: missing lossless Huffman table")
+        luts.append(t[0])  # peek-LUT list form (scalar walk)
+    nc = len(comps)
+    planes = np.zeros((nc, h, w), dtype=np.int32)
+    br = _BitReader(b, scan_start)
+    default = 1 << (prec - pt - 1)
+    n_mcu = 0  # one MCU = one sample per scan component (1x1)
+    reset = True
+    for y in range(h):
+        row = planes[:, y]
+        above = planes[:, y - 1] if y else None
+        for x in range(w):
+            if restart and n_mcu and n_mcu % restart == 0:
+                br.align_past_rst()
+                reset = True
+            for j in order:
+                s = _huff_decode_lut(br, luts[j])
+                if s == 16:  # category 16: diff is 32768, no bits
+                    diff = 32768
+                else:
+                    diff = _extend(br.read_bits(s), s) if s else 0
+                if reset:
+                    px = default
+                elif y == 0:
+                    px = int(row[j, x - 1])
+                elif x == 0:
+                    px = int(above[j, x])
+                else:
+                    ra = int(row[j, x - 1])
+                    rb = int(above[j, x])
+                    rc = int(above[j, x - 1])
+                    if pred_sel == 1:
+                        px = ra
+                    elif pred_sel == 2:
+                        px = rb
+                    elif pred_sel == 3:
+                        px = rc
+                    elif pred_sel == 4:
+                        px = ra + rb - rc
+                    elif pred_sel == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif pred_sel == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                row[j, x] = (px + diff) & 0xFFFF
+            reset = False
+            n_mcu += 1
+    arr = (planes.astype(np.uint16) << pt).astype(np.uint8)
+    meta = {
+        "format": "jpeg",
+        "width": int(w),
+        "height": int(h),
+        "channels": int(nc),
+    }
+    return meta, np.transpose(arr, (1, 2, 0))
+
+
+def encode_jpeg_lossless(
+    arr,
+    predictor: int = 1,
+    point_transform: int = 0,
+    restart_interval: int | None = None,
+) -> bytes:
+    """HxW (gray) or HxWxC uint8 array -> LOSSLESS (SOF3) JFIF bytes
+    — the encoder twin that lets :func:`_decode_lossless` be
+    roundtrip-tested without PIL (the progressive-pair pattern).
+    Components are stored as-is (lossless JPEG defines no color
+    transform), so decode(encode(a)) == a EXACTLY, bit for bit — the
+    defining property, pinned by the tests.
+
+    ``point_transform`` drops the Pt low bits before prediction
+    (decode then shifts back: the roundtrip reproduces ``a & ~((1 <<
+    Pt) - 1)``).  ``restart_interval`` emits RSTn every N samples
+    with the same reset-to-default prediction rule the decoder
+    applies.  Uses the shared canonical DC table (categories 0-11
+    cover 8-bit differences, |diff| <= 255 -> SSSS <= 8).
+    """
+    import numpy as np
+
+    if not 1 <= int(predictor) <= 7:
+        raise ValueError(
+            f"encode_jpeg_lossless: predictor must be 1-7, got "
+            f"{predictor!r}"
+        )
+    pt = int(point_transform)
+    if not 0 <= pt <= 7:
+        raise ValueError(
+            f"encode_jpeg_lossless: point_transform must be 0-7, got "
+            f"{point_transform!r}"
+        )
+    rst = int(restart_interval) if restart_interval else 0
+    if restart_interval is not None and not 1 <= rst <= 65535:
+        raise ValueError(
+            "encode_jpeg_lossless: restart_interval must be in "
+            f"[1, 65535] or None, got {restart_interval!r}"
+        )
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        a = a[:, :, None]
+    h, w, nc = a.shape
+    if not 1 <= nc <= 4:
+        raise ValueError(
+            f"encode_jpeg_lossless: unsupported channels {nc}"
+        )
+    samples = (a.astype(np.int32) >> pt).transpose(2, 0, 1)
+    prec = 8
+    sel = int(predictor)
+    default = 1 << (prec - pt - 1)
+    dc_tab = _enc_table(_ENC_DC_BITS, _ENC_DC_VALS)
+    bw = _BitWriter()
+    n_mcu = 0
+    reset = True
+    for y in range(h):
+        for x in range(w):
+            if rst and n_mcu and n_mcu % rst == 0:
+                bw.flush()
+                bw.out += bytes(
+                    [0xFF, 0xD0 + ((n_mcu // rst - 1) & 7)]
+                )
+                reset = True
+            for j in range(nc):
+                v = int(samples[j, y, x])
+                if reset:
+                    px = default
+                elif y == 0:
+                    px = int(samples[j, y, x - 1])
+                elif x == 0:
+                    px = int(samples[j, y - 1, x])
+                else:
+                    ra = int(samples[j, y, x - 1])
+                    rb = int(samples[j, y - 1, x])
+                    rc = int(samples[j, y - 1, x - 1])
+                    if sel == 1:
+                        px = ra
+                    elif sel == 2:
+                        px = rb
+                    elif sel == 3:
+                        px = rc
+                    elif sel == 4:
+                        px = ra + rb - rc
+                    elif sel == 5:
+                        px = ra + ((rb - rc) >> 1)
+                    elif sel == 6:
+                        px = rb + ((ra - rc) >> 1)
+                    else:
+                        px = (ra + rb) >> 1
+                diff = (v - px) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                s = _size_of(diff)
+                code, ln = dc_tab[s]
+                bw.write(code, ln)
+                if s:
+                    ev = diff if diff >= 0 else diff + (1 << s) - 1
+                    bw.write(ev & ((1 << s) - 1), s)
+            reset = False
+            n_mcu += 1
+    bw.flush()
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+    out += struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out += b"\xff\xc3" + struct.pack(">H", 8 + 3 * nc)
+    out += bytes([prec]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i in range(nc):
+        out += bytes([i + 1, 0x11, 0])  # id, 1x1 sampling, Tq=0
+    out += b"\xff\xc4" + struct.pack(
+        ">H", 2 + 17 + len(_ENC_DC_VALS)
+    )
+    out += bytes([0x00]) + bytes(_ENC_DC_BITS) + _ENC_DC_VALS
+    if rst:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, rst)
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * nc) + bytes([nc])
+    for i in range(nc):
+        out += bytes([i + 1, 0x00])  # DC table 0 (AC unused)
+    out += bytes([sel, 0, pt])  # Ss=predictor, Se=0, Ah=0/Al=Pt
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _decode_progressive(b: bytes):

@@ -12,13 +12,14 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
   binary-column counterpart.
 - ``decode_image``: non-interlaced 8-bit PNG decodes with a REAL
   dependency-free baseline decoder (stdlib ``zlib`` inflate + full
-  scanline unfiltering, all 5 filter types), and JPEG — baseline
-  sequential AND progressive (SOF2) since r9 — decodes with the
-  dependency-free codec in :mod:`xyzpy_spark.pipeline.jpeg` (Huffman
-  + dequant + IDCT; spectral-selection / successive-approximation
-  scans); remaining exotica (12-bit, lossless, other formats) fall
-  back to PIL when installed, else yield a null pixels column — one
-  missing codec can't kill a scan.
+  scanline unfiltering, all 5 filter types), and JPEG — baseline +
+  extended sequential, progressive (SOF2, r9), and lossless (SOF3,
+  r10) — decodes with the dependency-free codec in
+  :mod:`xyzpy_spark.pipeline.jpeg` (Huffman + dequant + IDCT;
+  spectral-selection / successive-approximation scans; Annex-H
+  predictive lossless); remaining exotica (12/16-bit precision,
+  hierarchical, other formats) fall back to PIL when installed, else
+  yield a null pixels column — one missing codec can't kill a scan.
 
 ``fake_wav_bytes`` / ``fake_ppm_bytes`` emit VALID files whose content
 is a closed-form function of the seed, so decoded stats have an exact
@@ -697,11 +698,11 @@ def _parse_ppm(b: bytes) -> dict | None:
 def _decode_jpeg_full(b: bytes):
     """JFIF -> (MEDIA_DECODED-shaped meta, HxWxC uint8 array) or None
     — the dependency-free JPEG sibling of :func:`_decode_png` (full
-    codec in :mod:`xyzpy_spark.pipeline.jpeg`: baseline-sequential
-    SOF0 AND, since r9, progressive SOF2 with spectral selection +
-    successive approximation; remaining exotica — 12-bit, lossless,
-    hierarchical — return None and fall through to PIL when
-    present)."""
+    codec in :mod:`xyzpy_spark.pipeline.jpeg`: baseline/extended
+    sequential SOF0/SOF1, progressive SOF2 (r9) with spectral
+    selection + successive approximation, and lossless SOF3 (r10);
+    remaining exotica — 12/16-bit precision, hierarchical — return
+    None and fall through to PIL when present)."""
     from .jpeg import decode_jpeg
 
     dec = decode_jpeg(b)
@@ -768,12 +769,13 @@ def decode_image(df: DataFrame, media_col: str = "media") -> DataFrame:
     Non-interlaced 8-bit PNG (gray / gray+alpha / RGB / RGBA) decodes
     with the built-in dependency-free decoder (:func:`_decode_png` —
     stdlib zlib inflate + full scanline unfiltering); PPM (P6) and
-    JPEG — baseline-sequential AND progressive since r9
-    (:mod:`~xyzpy_spark.pipeline.jpeg` — real Huffman + dequant +
-    IDCT; spectral-selection / successive-approximation scans) —
-    decode natively too.  Remaining formats (12-bit / lossless JPEG
-    &c.) use PIL when installed; without it they yield a null
-    ``pixels`` entry rather than failing the scan.
+    JPEG — baseline/extended sequential, progressive (r9) and
+    lossless (r10) (:mod:`~xyzpy_spark.pipeline.jpeg` — real Huffman
+    + dequant + IDCT; spectral-selection / successive-approximation
+    scans; Annex-H predictive lossless) — decode natively too.
+    Remaining formats (12/16-bit precision, hierarchical JPEG &c.)
+    use PIL when installed; without it they yield a null ``pixels``
+    entry rather than failing the scan.
     """
 
     def decode(batches):

@@ -3915,6 +3915,36 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native LOSSLESS-JPEG decode end to end (r10): valid SOF3 files
+    (Annex-H predictive coding — predictor cycling 1-7 with the seed,
+    restart intervals on every third file) flow through decode_image;
+    process 14 reproduces pixels EXACTLY, so unlike the baseline
+    multimodal_jpeg row the pixel SUM itself is under the driver hash
+    (pipeline/jpeg.py:_decode_lossless / encode_jpeg_lossless)."""
+    _ship(spark)
+    from xyzpy_spark.pipeline.multimodal import (
+        attach_sample_jpeg_lossless,
+        decode_image,
+    )
+
+    # the %5 slice bounds the scalar per-sample entropy walk in the
+    # bench while cycling every (predictor, restart, dims) combo
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 5 == 0)
+    )
+    dec = decode_image(attach_sample_jpeg_lossless(docs))
+    return dec.select(
+        "doc_id",
+        F.size("pixels").alias("n_pixels"),
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("pixel_sum"),
+    )
+
+
 def _dsir_split(spark: SparkSession, sf_dir: str):
     docs = _t(spark, sf_dir, "documents")
     target = docs.where(F.col("doc_id") % 10 == 0)
@@ -4161,6 +4191,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # sf0.01 AND sf0.001 and past the type audit before entering),
 # displacing returned_item_losses (TPC-H Q10 shape, r5-r9 green; the
 # relational family keeps 12+ in-window reps).  Per r9 verdict ask
+# LATE ROUND 10 also rotated in multimodal_jpeg_lossless (native
+# SOF3 lossless decode with EXACT pixel sums under the driver hash —
+# r9 verdict ask #8's native-codec closure; strict-green at sf0.01
+# AND sf0.001 + type audit before entering), displacing
+# langid_trained (r5-r9 green; the langid family keeps
+# langid_rowwise and langid_rowwise_packed in-window).
 # LATE ROUND 10 also rotated in harvest_partitioned_2d (the
 # multi-dim partitioned layout + repartition_store migration end to
 # end — r9 verdict ask #3's gate receipt; strict-green at sf0.01 AND
@@ -4267,6 +4303,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "stream_hll": 8,
     "lm_pipeline_e2e": 10,
     "harvest_partitioned_2d": 10,
+    "multimodal_jpeg_lossless": 10,
     "stream_caps": 9,
     "stream_dedup_index": 9,
     "similarity_ivf_pq": 9,
@@ -4484,10 +4521,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harvest_partitioned_2d": q_harvest_partitioned_2d,
         "source_caps": q_source_caps,
         "stream_stateful_stats": q_stream_stateful_stats,
-        "langid_trained": q_langid_trained,
+        "multimodal_jpeg_lossless": q_multimodal_jpeg_lossless,
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
+        "langid_trained": q_langid_trained,
         "shipmode_priority": q_shipmode_priority,
         "returned_item_losses": q_returned_item_losses,
         "shipping_priority": q_shipping_priority,
@@ -6944,6 +6982,16 @@ def oracle_sql() -> dict[str, str]:
         # the two-top-up partitioned harvest accumulates to the SAME
         # closed-form grid (the store layout must be semantically
         # invisible — r9)
+        "multimodal_jpeg_lossless": """
+            SELECT d.doc_id,
+                   CAST(COUNT(*) AS INTEGER) AS n_pixels,
+                   CAST(SUM((d.doc_id * 13 + t.k * 5) % 256) AS BIGINT)
+                       AS pixel_sum
+            FROM documents d, range(324) t(k)
+            WHERE d.doc_id % 5 = 0
+              AND t.k < 3 * (4 + d.doc_id % 9) * (3 + d.doc_id % 7)
+            GROUP BY d.doc_id
+        """,
         "harvest_partitioned_2d": """
             SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,
                    CAST(a * b AS BIGINT) AS v,

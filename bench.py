@@ -191,6 +191,7 @@ HEADLINE = [
     "topk_per_group",
     "lm_pipeline_e2e",
     "harvest_partitioned_2d",
+    "multimodal_jpeg_lossless",
 ]
 
 

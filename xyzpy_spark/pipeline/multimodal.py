@@ -620,6 +620,55 @@ def attach_sample_jpeg(
     return df.mapInPandas(gen, schema=schema)
 
 
+def fake_jpeg_lossless_bytes(seed: int) -> bytes:
+    """A VALID lossless (SOF3) JFIF file derived from ``seed`` — the
+    exact-pixel JPEG fixture: the same closed-form RGB pixels as
+    :func:`fake_jpeg_bytes`, encoded by
+    :func:`~xyzpy_spark.pipeline.jpeg.encode_jpeg_lossless`, so the
+    decode reproduces every pixel EXACTLY (process 14 is lossless by
+    definition) and pixel SUMS become SQL-derivable — a stronger
+    oracle than the baseline fixture's shape-only fields.  The
+    predictor cycles with the seed (all seven) and every third file
+    carries restart intervals, so the driver hash exercises the full
+    Annex-H surface."""
+    import numpy as np
+
+    from .jpeg import encode_jpeg_lossless
+
+    seed = int(seed)
+    w = 4 + seed % 9
+    h = 3 + seed % 7
+    px = np.array(
+        [(seed * 13 + k * 5) % 256 for k in range(3 * w * h)],
+        dtype=np.uint8,
+    ).reshape(h, w, 3)
+    return encode_jpeg_lossless(
+        px,
+        predictor=(seed % 7) + 1,
+        restart_interval=4 if seed % 3 == 0 else None,
+    )
+
+
+def attach_sample_jpeg_lossless(
+    df: DataFrame, id_col: str = "doc_id", out_col: str = "media"
+) -> DataFrame:
+    """Attach deterministic REAL lossless-JPEG files keyed off the id
+    column (test harness for the native SOF3 decode path, r10)."""
+
+    def gen(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                fake_jpeg_lossless_bytes(int(i)) for i in pdf[id_col]
+            ]
+            yield pdf
+
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out_col, T.BinaryType())]
+    )
+    return df.mapInPandas(gen, schema=schema)
+
+
 def _parse_wav(b: bytes) -> dict | None:
     """Stats view over :func:`_decode_wav_samples` (single RIFF chunk
     walk shared by decode_media and audio_features — the same

@@ -245,6 +245,17 @@ PICKS = {
     "centroid/codebook/cross tables; the probe is a BROADCAST join "
     "on cell (candidate scan reads codes, never vectors), then a "
     "per-query shortlist window and an equi-join exact re-rank",
+    "lm_pipeline_e2e": "the composed production recipe as ONE lazy "
+    "lineage: curate (5 map/broadcast stages) -> localCheckpoint seam "
+    "(cuts the double-consumption of dedup_against so curation never "
+    "recomputes) -> cross-corpus jaccard anti-join -> chunk (explode, "
+    "zero extra shuffles) -> pack (ONE shard shuffle) -> per-shard "
+    "aggregate; every exchange belongs to exactly one stage",
+    "multimodal_jpeg_lossless": "native lossless-JPEG decode: "
+    "map-only Arrow mapInPandas codec stage over a pruned 1-column "
+    "scan, pixel sum folded JVM-side — ZERO exchanges before the "
+    "final aggregation; the per-file entropy walk is the declared "
+    "opaque-kernel contract, everything around it is codegen",
 }
 
 

@@ -423,10 +423,15 @@ def fake_png_bytes(seed: int) -> bytes:
 
 def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
     """Invert PNG scanline filtering; returns (h, w*ch) uint8 array or
-    None on malformed input.  Filters 1/3/4 are inherently sequential
-    (each byte depends on the reconstructed left neighbor) so this is
-    a per-byte loop — fine for a BASELINE decoder; production clusters
-    swap in a codec library via the PIL path."""
+    None on malformed input.  Filter 0 (None) and 2 (Up) are plain
+    vector ops; filter 1 (Sub) vectorizes as a per-channel-lane
+    cumulative sum mod 256 (recon[i] = line[i] + recon[i-ch] unrolls
+    to a prefix sum within each of the ``ch`` byte lanes).  Filters
+    3/4 (Average/Paeth) are inherently sequential in the reconstructed
+    left neighbor, so those lines run a per-byte loop — over plain
+    Python lists, not numpy scalar indexing (~4x) — fine for a
+    BASELINE decoder; production clusters swap in a codec library via
+    the PIL path."""
     import numpy as np
 
     stride = w * ch
@@ -446,23 +451,28 @@ def _png_unfilter(raw: bytes, w: int, h: int, ch: int):
             cur = line
         elif ft == 2:
             cur = (line + prev) & 0xFF
-        elif ft in (1, 3, 4):
-            cur = line.copy()
+        elif ft == 1:
+            cur = (
+                np.cumsum(line.reshape(w, ch), axis=0, dtype=np.int64)
+                & 0xFF
+            ).reshape(stride).astype(np.int32)
+        elif ft in (3, 4):
+            lst = line.tolist()
+            pl = prev.tolist()
             for i in range(stride):
-                a = int(cur[i - ch]) if i >= ch else 0
-                b = int(prev[i])
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
+                a = lst[i - ch] if i >= ch else 0
+                b = pl[i]
+                if ft == 3:
                     pred = (a + b) >> 1
                 else:
-                    c = int(prev[i - ch]) if i >= ch else 0
+                    c = pl[i - ch] if i >= ch else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = (
                         a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                     )
-                cur[i] = (int(cur[i]) + pred) & 0xFF
+                lst[i] = (lst[i] + pred) & 0xFF
+            cur = np.asarray(lst, dtype=np.int32)
         else:
             return None  # invalid filter type
         out[y] = cur.astype(np.uint8)

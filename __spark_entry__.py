@@ -3994,6 +3994,27 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_weights(raw, target, n_buckets=1024)
 
 
+def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot drift (pipeline/drift.corpus_divergence): JS
+    divergence between the en and de snapshots' smoothed unigram
+    distributions — the top-20 contributing tokens plus the
+    corpus-level total in exact e9 fixed point.  Each side collapses
+    to a vocab-bounded count table (one map-side-combinable shuffle
+    per side; the corpus text is scanned once per side), the
+    divergence math is all-JVM column arithmetic, the total is an
+    exact BIGINT sum — order-independent, hence engine-portable by
+    construction — and the top-k is a TakeOrdered, never a global
+    sort."""
+    from xyzpy_spark.pipeline.drift import corpus_divergence
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_divergence(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") == "de"),
+        top_k=20,
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel top-k importance resampling of 50 raw docs ∝ exp(logw)
     — deterministic md5 Gumbel, distributed TakeOrdered rank
@@ -4206,6 +4227,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # #7, the five r9 newcomers (stream_caps, stream_dedup_index,
 # similarity_ivf_pq, harvest_partitioned, stream_winnow_index) hold
 # their window slots one more round.
+# LATE ROUND 10 also rotated in corpus_drift (snapshot-drift
+# monitoring: Jensen-Shannon divergence over smoothed unigram
+# distributions with exact e9 fixed-point totals — new
+# pipeline/drift.py capability; strict-green at sf0.01 AND sf0.001 +
+# type audit before entering), displacing strip_substrings (r3-r9
+# green, the longest in-window streak; substring dedup stays
+# exercised via winnow_dedup_pairs/cdc_chunks in-window and the
+# strict local gate).
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -4304,6 +4333,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "lm_pipeline_e2e": 10,
     "harvest_partitioned_2d": 10,
     "multimodal_jpeg_lossless": 10,
+    "corpus_drift": 10,
     "stream_caps": 9,
     "stream_dedup_index": 9,
     "similarity_ivf_pq": 9,
@@ -4500,7 +4530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_stats": q_packing_stats,
         "stream_dedup_index": q_stream_dedup_index,
         "top_supplier": q_top_supplier,
-        "strip_substrings": q_strip_substrings,
+        "corpus_drift": q_corpus_drift,
         "large_volume_customers": q_large_volume_customers,
         "lm_nll": q_lm_nll,
         "waiting_suppliers": q_waiting_suppliers,
@@ -4525,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
+        "strip_substrings": q_strip_substrings,
         "langid_trained": q_langid_trained,
         "shipmode_priority": q_shipmode_priority,
         "returned_item_losses": q_returned_item_losses,
@@ -6308,6 +6339,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         # strip = the span pipeline above + cut-position join + ordered
         # reassembly (string_agg skips NULLs = the kept-token filter)
+        "corpus_drift": r"""
+            WITH ta AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           u -> u <> '')) AS token
+                FROM documents WHERE text IS NOT NULL AND lang = 'en'
+            ), tb AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           u -> u <> '')) AS token
+                FROM documents WHERE text IS NOT NULL AND lang = 'de'
+            ), ca AS (
+                SELECT token, COUNT(*) AS cnt_a FROM ta GROUP BY token
+            ), cb AS (
+                SELECT token, COUNT(*) AS cnt_b FROM tb GROUP BY token
+            ), j AS (
+                SELECT COALESCE(ca.token, cb.token) AS token,
+                       COALESCE(cnt_a, 0) AS cnt_a,
+                       COALESCE(cnt_b, 0) AS cnt_b
+                FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+            ), tot AS (
+                SELECT CAST(SUM(cnt_a) AS DOUBLE) AS ta,
+                       CAST(SUM(cnt_b) AS DOUBLE) AS tb,
+                       CAST(COUNT(*) AS DOUBLE) AS v
+                FROM j
+            ), pq AS (
+                SELECT token, cnt_a, cnt_b,
+                       (CAST(cnt_a AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                           / (tot.ta + CAST(0.5 AS DOUBLE) * tot.v) AS p,
+                       (CAST(cnt_b AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                           / (tot.tb + CAST(0.5 AS DOUBLE) * tot.v) AS q
+                FROM j CROSS JOIN tot
+            ), scored AS (
+                SELECT token,
+                       CAST(cnt_a AS BIGINT) AS cnt_a,
+                       CAST(cnt_b AS BIGINT) AS cnt_b,
+                       FLOOR(p * 1000000000.0 + 0.5) / 1000000000.0
+                           AS p_a,
+                       FLOOR(q * 1000000000.0 + 0.5) / 1000000000.0
+                           AS p_b,
+                       CAST(FLOOR((0.5 * p * log2(2.0 * p / (p + q))
+                                   + 0.5 * q * log2(2.0 * q / (p + q)))
+                                  * 1000000000.0 + 0.5)
+                            AS BIGINT) AS js_contrib_e9
+                FROM pq
+            ), total AS (
+                SELECT CAST(SUM(js_contrib_e9) AS BIGINT) AS js_total_e9
+                FROM scored
+            )
+            SELECT token, cnt_a, cnt_b, p_a, p_b, js_contrib_e9,
+                   total.js_total_e9
+            FROM scored CROSS JOIN total
+            ORDER BY js_contrib_e9 DESC, token ASC
+            LIMIT 20
+        """,
         "strip_substrings": """
             WITH t AS (
                 SELECT doc_id,

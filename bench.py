@@ -192,6 +192,7 @@ HEADLINE = [
     "lm_pipeline_e2e",
     "harvest_partitioned_2d",
     "multimodal_jpeg_lossless",
+    "corpus_drift",
 ]
 
 

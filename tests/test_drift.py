@@ -1,0 +1,111 @@
+"""Corpus drift monitoring (pipeline/drift.py) vs an independent
+pure-python JS-divergence twin: same whitespace tokenization, same
+add-alpha smoothing over the union vocabulary, same e9 fixed-point
+quantization — recomputed flat, no Spark."""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+
+def _pytokens(text: str) -> list[str]:
+    return [t for t in re.split(r"\s+", text) if t]
+
+
+def _pydrift(side_a, side_b, alpha=0.5):
+    """Flat reimplementation of corpus_divergence's documented
+    semantics: returns ({token: contrib_e9}, total_e9)."""
+    ca = Counter(t for x in side_a for t in _pytokens(x))
+    cb = Counter(t for x in side_b for t in _pytokens(x))
+    vocab = set(ca) | set(cb)
+    a_tot, b_tot = sum(ca.values()), sum(cb.values())
+    contribs = {}
+    for t in vocab:
+        p = (ca.get(t, 0) + alpha) / (float(a_tot) + alpha * len(vocab))
+        q = (cb.get(t, 0) + alpha) / (float(b_tot) + alpha * len(vocab))
+        c = 0.5 * p * math.log2(2.0 * p / (p + q)) + 0.5 * q * math.log2(
+            2.0 * q / (p + q)
+        )
+        contribs[t] = math.floor(c * 1e9 + 0.5)
+    return contribs, sum(contribs.values())
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_identical_distributions_zero(spark):
+    from xyzpy_spark.pipeline.drift import corpus_divergence
+
+    rows = [(i, "alpha beta gamma delta") for i in range(8)]
+    out = corpus_divergence(
+        _docs(spark, rows), _docs(spark, rows), top_k=4
+    ).collect()
+    assert len(out) == 4
+    assert all(r["js_total_e9"] == 0 for r in out)
+    assert all(r["js_contrib_e9"] == 0 for r in out)
+    # identical sides: p_a == p_b per token
+    assert all(r["p_a"] == r["p_b"] for r in out)
+
+
+def test_disjoint_support_near_one_bit(spark):
+    """Disjoint vocabularies: JSD -> 1 bit as smoothing mass -> 0.
+    With alpha=0.5 over a small vocab the smoothed value stays close
+    to but strictly below 1."""
+    from xyzpy_spark.pipeline.drift import corpus_divergence
+
+    a = [(i, "aa bb cc dd " * 50) for i in range(4)]
+    b = [(i, "ww xx yy zz " * 50) for i in range(4)]
+    out = corpus_divergence(_docs(spark, a), _docs(spark, b), top_k=2).collect()
+    total = out[0]["js_total_e9"] / 1e9
+    assert 0.9 < total < 1.0
+
+
+def test_matches_python_twin(spark):
+    """Full-surface parity on a mixed corpus: per-token contributions,
+    counts, the exact total, and the top-k ordering (contrib desc,
+    token asc)."""
+    from xyzpy_spark.pipeline.drift import corpus_divergence
+
+    a_rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the cat sat on the mat"),
+        (3, "spark shuffles the partitioned data"),
+        (4, None),
+        (5, "   "),
+    ]
+    b_rows = [
+        (1, "der schnelle braune fuchs the the"),
+        (2, "die katze sat auf der matte"),
+        (3, "spark spark spark data"),
+    ]
+    contribs, total = _pydrift(
+        [t for _, t in a_rows if t], [t for _, t in b_rows if t]
+    )
+    out = corpus_divergence(
+        _docs(spark, a_rows), _docs(spark, b_rows), top_k=10
+    ).collect()
+    assert all(r["js_total_e9"] == total for r in out)
+    expect = sorted(contribs.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["token"], r["js_contrib_e9"]) for r in out]
+    assert got == expect
+    # count columns agree with flat counters
+    ca = Counter(t for _, x in a_rows if x for t in _pytokens(x))
+    cb = Counter(t for _, x in b_rows if x for t in _pytokens(x))
+    for r in out:
+        assert r["cnt_a"] == ca.get(r["token"], 0)
+        assert r["cnt_b"] == cb.get(r["token"], 0)
+
+
+def test_validates_params(spark):
+    from xyzpy_spark.pipeline.drift import corpus_divergence
+
+    d = _docs(spark, [(1, "a b")])
+    with pytest.raises(ValueError, match="top_k"):
+        corpus_divergence(d, d, top_k=0)
+    with pytest.raises(ValueError, match="alpha"):
+        corpus_divergence(d, d, alpha=0.0)

@@ -966,3 +966,29 @@ def test_lm_pipeline_e2e_no_stage_recomputation(spark):
     # documents table is scanned a BOUNDED number of times (ref side
     # only), not once per downstream stage.
     assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+
+
+def test_corpus_drift_topk_never_global_sorts(spark):
+    """Snapshot-drift monitoring (pipeline/drift.corpus_divergence):
+    the vocab-sized contribution table must reach the top-k through
+    TakeOrdered — a global Sort of a 10^8-token vocabulary is the
+    failure mode — and no vocab-sized single-partition exchange may
+    feed a Sort or Window.  Both text scans must prune to the two
+    needed columns."""
+    from xyzpy_spark.pipeline.drift import corpus_divergence
+
+    docs = read_table(spark, SF_DIR, "documents")
+    df = corpus_divergence(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") == "de"),
+        top_k=20,
+    )
+    plan = executed_plan(df)
+    assert "TakeOrdered" in plan, plan
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            ctx = "\n".join(lines[max(0, i - 3):i])
+            assert "Window" not in ctx and "Sort" not in ctx, plan
+    cols = scan_columns(df)
+    assert cols and set(cols) <= {"text", "lang"}, cols

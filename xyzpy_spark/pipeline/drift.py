@@ -1,0 +1,129 @@
+"""Corpus drift monitoring: token-distribution divergence between two
+corpus snapshots.
+
+A production training-data pipeline re-crawls its sources continuously;
+the first question about a new snapshot is "how far did the token
+distribution move, and which tokens moved it".  Jensen-Shannon
+divergence over smoothed unigram distributions is the standard monitor:
+symmetric, bounded to [0, 1] in base 2, and defined even where the two
+vocabularies don't overlap.  (No reference counterpart — this is part
+of the beyond-the-reference training-data surface, like
+:mod:`~xyzpy_spark.pipeline.dsir` which answers the *per-document*
+importance question; this module answers the *corpus-level* one.)
+
+Scale design (the same sufficient-statistics discipline as
+``dsir_bucket_counts``): each side collapses to a vocab-bounded token
+count table through one map-side-combinable aggregation — the corpus
+text is scanned exactly once per side and never again (the count
+tables persist; the eager total-count actions below materialize the
+cache).  Everything downstream — the full-outer vocab join, the scalar
+totals, the fixed-point contribution sum, the top-k — is bounded by
+vocabulary size, not corpus size.  No Python in the plan, no
+driver-sized state (the only ``collect``-like actions are 1-row
+aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .text import _round_det, tokenize
+
+__all__ = ["token_distribution", "corpus_divergence"]
+
+
+def token_distribution(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unigram counts ``(token, cnt)`` — one side's sufficient
+    statistics.  One explode + one map-side-combinable aggregation;
+    output is vocab-bounded however large the corpus."""
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokenize(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def corpus_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    *,
+    text_col: str = "text",
+    top_k: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Jensen-Shannon drift between two corpus snapshots, with the
+    top-k contributing tokens.
+
+    Add-``alpha`` smoothed unigram probabilities over the UNION
+    vocabulary ``V``: ``p_t = (cnt_a + α) / (A + α·|V|)`` (same for
+    ``q`` on side b), per-token contribution
+    ``½·p·log2(2p/(p+q)) + ½·q·log2(2q/(p+q))``; the divergence is
+    the sum over the vocabulary.  Contributions are fixed-pointed at
+    1e-9 **before** summing (BIGINT sum — exact and order-independent,
+    so the corpus total is engine-portable; float sums of a
+    vocab-sized table are not).
+
+    Returns the ``top_k`` tokens by contribution (ties broken by
+    token), each row carrying both distributions' counts and smoothed
+    probabilities, its own contribution, and the corpus-level total:
+
+    ``(token, cnt_a, cnt_b, p_a, p_b, js_contrib_e9, js_total_e9)``
+
+    ``js_total_e9 / 1e9`` is the JS divergence in bits — 0 for
+    identical distributions, 1 for disjoint support.
+    """
+    if top_k < 1:
+        raise ValueError(f"corpus_divergence: top_k must be >= 1, got {top_k}")
+    a = float(alpha)
+    if not a > 0:
+        raise ValueError(
+            f"corpus_divergence: alpha must be > 0 (smoothing keeps "
+            f"log arguments positive), got {alpha!r}"
+        )
+    ca = token_distribution(df_a, text_col).withColumnRenamed(
+        "cnt", "cnt_a"
+    ).persist()
+    cb = token_distribution(df_b, text_col).withColumnRenamed(
+        "cnt", "cnt_b"
+    ).persist()
+    # eager 1-row totals (materializing the caches): downstream plans
+    # embed them as literals, the dsir_bucket_counts convention
+    total_a = int(ca.agg(F.sum("cnt_a")).first()[0] or 0)
+    total_b = int(cb.agg(F.sum("cnt_b")).first()[0] or 0)
+    joined = ca.join(cb, "token", "full_outer").select(
+        "token",
+        F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+        F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+    )
+    vocab = joined.count()  # vocab-bounded; reads the cached counts
+    denom_a = F.lit(float(total_a) + a * vocab)
+    denom_b = F.lit(float(total_b) + a * vocab)
+    p = (F.col("cnt_a").cast("double") + F.lit(a)) / denom_a
+    q = (F.col("cnt_b").cast("double") + F.lit(a)) / denom_b
+    contrib = (
+        F.lit(0.5) * p * F.log2(F.lit(2.0) * p / (p + q))
+        + F.lit(0.5) * q * F.log2(F.lit(2.0) * q / (p + q))
+    )
+    scored = joined.select(
+        "token",
+        "cnt_a",
+        "cnt_b",
+        _round_det(p, 9).alias("p_a"),
+        _round_det(q, 9).alias("p_b"),
+        F.floor(contrib * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("js_contrib_e9"),
+    )
+    # exact BIGINT total over the whole vocabulary, embedded as a
+    # literal so the top-k result is a single bounded plan
+    total_e9 = int(
+        scored.agg(F.sum("js_contrib_e9")).first()[0] or 0
+    )
+    return (
+        scored.orderBy(
+            F.col("js_contrib_e9").desc(), F.col("token").asc()
+        )
+        .limit(int(top_k))
+        .withColumn("js_total_e9", F.lit(total_e9).cast("long"))
+    )

@@ -4015,6 +4015,57 @@ def q_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitoring through the REAL engine: the de
+    snapshot arrives as a document file stream, each micro-batch's
+    token counts fold into the epoch-partitioned cumulative state
+    (grouped sum — the merge law), and each epoch scores the
+    ACCUMULATED distribution against the frozen en reference
+    (streaming/ops.drift_stream_monitor).  Hash-matches the SAME
+    DuckDB twin as corpus_drift: one oracle, two engine paths —
+    after the last epoch the accumulated counts are EXACTLY the batch
+    counts (sum is associative/commutative), so the report agrees
+    bit-for-bit."""
+    import shutil
+    import tempfile
+
+    from xyzpy_spark.pipeline.drift import token_distribution
+    from xyzpy_spark.streaming.ops import (
+        drift_stream_monitor,
+        read_documents_stream,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="xyzpy_gate_drift_")
+    ref_counts = token_distribution(
+        docs.where(F.col("lang") == "en")
+    ).persist()
+    try:
+        out = f"{tmp}/out"
+        drift_stream_monitor(
+            read_documents_stream(spark, sf_dir).where(
+                F.col("lang") == "de"
+            ),
+            ref_counts,
+            out,
+            f"{tmp}/state",
+            top_k=20,
+            state_partitions=8,
+        )
+        rep = spark.read.parquet(out)
+        last = rep.agg(F.max("epoch_id")).first()[0]
+        return _finish_local(
+            spark,
+            rep.where(F.col("epoch_id") == last).select(
+                "token", "cnt_a", "cnt_b", "p_a", "p_b",
+                "js_contrib_e9", "js_total_e9",
+            ),
+        )
+    finally:
+        ref_counts.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel top-k importance resampling of 50 raw docs ∝ exp(logw)
     — deterministic md5 Gumbel, distributed TakeOrdered rank
@@ -4234,7 +4285,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # type audit before entering), displacing strip_substrings (r3-r9
 # green, the longest in-window streak; substring dedup stays
 # exercised via winnow_dedup_pairs/cdc_chunks in-window and the
-# strict local gate).
+# strict local gate); and stream_drift (the same oracle through the
+# REAL streaming engine — cumulative token-count state, grouped-sum
+# merge law, per-epoch scoring against the frozen reference;
+# strict-green at sf0.01 AND sf0.001 + type audit before entering),
+# displacing lm_nll (r3-r9 green; the LM family keeps lm_stream_score
+# and lm_pipeline_e2e in-window).
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -4334,6 +4390,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "harvest_partitioned_2d": 10,
     "multimodal_jpeg_lossless": 10,
     "corpus_drift": 10,
+    "stream_drift": 10,
     "stream_caps": 9,
     "stream_dedup_index": 9,
     "similarity_ivf_pq": 9,
@@ -4532,7 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_supplier": q_top_supplier,
         "corpus_drift": q_corpus_drift,
         "large_volume_customers": q_large_volume_customers,
-        "lm_nll": q_lm_nll,
+        "stream_drift": q_stream_drift,
         "waiting_suppliers": q_waiting_suppliers,
         "bloom_contamination": q_bloom_contamination,
         "market_share": q_market_share,
@@ -4555,6 +4612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
+        "lm_nll": q_lm_nll,
         "strip_substrings": q_strip_substrings,
         "langid_trained": q_langid_trained,
         "shipmode_priority": q_shipmode_priority,
@@ -5538,6 +5596,65 @@ _LM_SCORED_CTE = r"""
 """
 
 
+#: shared twin of corpus_drift AND stream_drift (two engine paths,
+#: one oracle — the accumulated stream token counts equal the batch
+#: counts, sum being associative/commutative)
+_CORPUS_DRIFT_ORACLE = r"""
+            WITH ta AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           u -> u <> '')) AS token
+                FROM documents WHERE text IS NOT NULL AND lang = 'en'
+            ), tb AS (
+                SELECT unnest(list_filter(
+                           regexp_split_to_array(text, '\s+'),
+                           u -> u <> '')) AS token
+                FROM documents WHERE text IS NOT NULL AND lang = 'de'
+            ), ca AS (
+                SELECT token, COUNT(*) AS cnt_a FROM ta GROUP BY token
+            ), cb AS (
+                SELECT token, COUNT(*) AS cnt_b FROM tb GROUP BY token
+            ), j AS (
+                SELECT COALESCE(ca.token, cb.token) AS token,
+                       COALESCE(cnt_a, 0) AS cnt_a,
+                       COALESCE(cnt_b, 0) AS cnt_b
+                FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+            ), tot AS (
+                SELECT CAST(SUM(cnt_a) AS DOUBLE) AS ta,
+                       CAST(SUM(cnt_b) AS DOUBLE) AS tb,
+                       CAST(COUNT(*) AS DOUBLE) AS v
+                FROM j
+            ), pq AS (
+                SELECT token, cnt_a, cnt_b,
+                       (CAST(cnt_a AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                           / (tot.ta + CAST(0.5 AS DOUBLE) * tot.v) AS p,
+                       (CAST(cnt_b AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                           / (tot.tb + CAST(0.5 AS DOUBLE) * tot.v) AS q
+                FROM j CROSS JOIN tot
+            ), scored AS (
+                SELECT token,
+                       CAST(cnt_a AS BIGINT) AS cnt_a,
+                       CAST(cnt_b AS BIGINT) AS cnt_b,
+                       FLOOR(p * 1000000000.0 + 0.5) / 1000000000.0
+                           AS p_a,
+                       FLOOR(q * 1000000000.0 + 0.5) / 1000000000.0
+                           AS p_b,
+                       CAST(FLOOR((0.5 * p * log2(2.0 * p / (p + q))
+                                   + 0.5 * q * log2(2.0 * q / (p + q)))
+                                  * 1000000000.0 + 0.5)
+                            AS BIGINT) AS js_contrib_e9
+                FROM pq
+            ), total AS (
+                SELECT CAST(SUM(js_contrib_e9) AS BIGINT) AS js_total_e9
+                FROM scored
+            )
+            SELECT token, cnt_a, cnt_b, p_a, p_b, js_contrib_e9,
+                   total.js_total_e9
+            FROM scored CROSS JOIN total
+            ORDER BY js_contrib_e9 DESC, token ASC
+            LIMIT 20
+        """
+
 #: shared twin of hll_distinct AND stream_hll (two engine paths,
 #: one oracle — the merged stream registers equal the batch registers)
 _HLL_ORACLE = """
@@ -6339,61 +6456,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # strip = the span pipeline above + cut-position join + ordered
         # reassembly (string_agg skips NULLs = the kept-token filter)
-        "corpus_drift": r"""
-            WITH ta AS (
-                SELECT unnest(list_filter(
-                           regexp_split_to_array(text, '\s+'),
-                           u -> u <> '')) AS token
-                FROM documents WHERE text IS NOT NULL AND lang = 'en'
-            ), tb AS (
-                SELECT unnest(list_filter(
-                           regexp_split_to_array(text, '\s+'),
-                           u -> u <> '')) AS token
-                FROM documents WHERE text IS NOT NULL AND lang = 'de'
-            ), ca AS (
-                SELECT token, COUNT(*) AS cnt_a FROM ta GROUP BY token
-            ), cb AS (
-                SELECT token, COUNT(*) AS cnt_b FROM tb GROUP BY token
-            ), j AS (
-                SELECT COALESCE(ca.token, cb.token) AS token,
-                       COALESCE(cnt_a, 0) AS cnt_a,
-                       COALESCE(cnt_b, 0) AS cnt_b
-                FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
-            ), tot AS (
-                SELECT CAST(SUM(cnt_a) AS DOUBLE) AS ta,
-                       CAST(SUM(cnt_b) AS DOUBLE) AS tb,
-                       CAST(COUNT(*) AS DOUBLE) AS v
-                FROM j
-            ), pq AS (
-                SELECT token, cnt_a, cnt_b,
-                       (CAST(cnt_a AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                           / (tot.ta + CAST(0.5 AS DOUBLE) * tot.v) AS p,
-                       (CAST(cnt_b AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                           / (tot.tb + CAST(0.5 AS DOUBLE) * tot.v) AS q
-                FROM j CROSS JOIN tot
-            ), scored AS (
-                SELECT token,
-                       CAST(cnt_a AS BIGINT) AS cnt_a,
-                       CAST(cnt_b AS BIGINT) AS cnt_b,
-                       FLOOR(p * 1000000000.0 + 0.5) / 1000000000.0
-                           AS p_a,
-                       FLOOR(q * 1000000000.0 + 0.5) / 1000000000.0
-                           AS p_b,
-                       CAST(FLOOR((0.5 * p * log2(2.0 * p / (p + q))
-                                   + 0.5 * q * log2(2.0 * q / (p + q)))
-                                  * 1000000000.0 + 0.5)
-                            AS BIGINT) AS js_contrib_e9
-                FROM pq
-            ), total AS (
-                SELECT CAST(SUM(js_contrib_e9) AS BIGINT) AS js_total_e9
-                FROM scored
-            )
-            SELECT token, cnt_a, cnt_b, p_a, p_b, js_contrib_e9,
-                   total.js_total_e9
-            FROM scored CROSS JOIN total
-            ORDER BY js_contrib_e9 DESC, token ASC
-            LIMIT 20
-        """,
+        "corpus_drift": _CORPUS_DRIFT_ORACLE,
+        "stream_drift": _CORPUS_DRIFT_ORACLE,
         "strip_substrings": """
             WITH t AS (
                 SELECT doc_id,

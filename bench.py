@@ -193,6 +193,7 @@ HEADLINE = [
     "harvest_partitioned_2d",
     "multimodal_jpeg_lossless",
     "corpus_drift",
+    "stream_drift",
 ]
 
 

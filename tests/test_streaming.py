@@ -1412,3 +1412,102 @@ def test_interval_join_stream_late_left_loses_match(spark, tmp_path):
         and 0 < (rr["ts"] - lr["ts"]).total_seconds() <= 900
     )
     assert batch == [(20, 33), (21, 30), (23, 32)]
+
+
+def test_drift_stream_monitor_accumulates_across_epochs(spark, tmp_path):
+    """Cumulative-state semantics (one oracle, two engine paths): after
+    epoch 1 the drift report equals the batch corpus_divergence of
+    (reference, first half); after the final epoch it equals the batch
+    answer over EVERYTHING streamed — token counts merge by grouped
+    sum, so the streaming path is exactly the batch math."""
+    from xyzpy_spark.pipeline.drift import (
+        corpus_divergence,
+        token_distribution,
+    )
+    from xyzpy_spark.streaming.ops import drift_stream_monitor
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    ref = docs.where(F.col("lang") == "en")
+    streamed = docs.where(F.col("lang") == "de")
+    half1 = streamed.where(F.col("doc_id") % 2 == 0)
+    half2 = streamed.where(F.col("doc_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    half1.coalesce(1).write.parquet(src)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    ref_counts = token_distribution(ref).persist()
+    drift_stream_monitor(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        ref_counts,
+        out,
+        state,
+        top_k=10,
+    )
+    result = spark.read.parquet(out)
+    epochs = sorted(
+        r["epoch_id"]
+        for r in result.select("epoch_id").distinct().collect()
+    )
+    assert len(epochs) == 2, epochs
+
+    def _rows(df):
+        return sorted(
+            (
+                r["token"], r["cnt_a"], r["cnt_b"], r["p_a"], r["p_b"],
+                r["js_contrib_e9"], r["js_total_e9"],
+            )
+            for r in df.collect()
+        )
+
+    # epoch 1: reference vs the first half only
+    got_e1 = _rows(
+        result.where(F.col("epoch_id") == epochs[0]).drop("epoch_id")
+    )
+    want_e1 = _rows(corpus_divergence(ref, half1, top_k=10))
+    assert got_e1 == want_e1
+    # final epoch: reference vs everything streamed == the batch twin
+    got_e2 = _rows(
+        result.where(F.col("epoch_id") == epochs[1]).drop("epoch_id")
+    )
+    want_e2 = _rows(corpus_divergence(ref, streamed, top_k=10))
+    assert got_e2 == want_e2
+    ref_counts.unpersist()
+
+
+def test_drift_stream_monitor_rejects_stale_state(spark, tmp_path):
+    """A reused state path with a fresh checkpoint must fail fast, not
+    silently fold a prior run's counts into this stream's state."""
+    import pytest as _pytest
+
+    from xyzpy_spark.pipeline.drift import token_distribution
+    from xyzpy_spark.streaming.ops import drift_stream_monitor
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(sf + "/documents.parquet").select(
+        "doc_id", "lang", "text"
+    )
+    ref_counts = token_distribution(
+        docs.where(F.col("lang") == "en")
+    ).persist()
+    src = str(tmp_path / "src")
+    docs.where(F.col("lang") == "de").coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    # seed a STALE epoch >= the first epoch id the fresh run will use
+    spark.createDataFrame(
+        [("ghost", 5)], "token string, cnt long"
+    ).write.parquet(state + "/epoch_id=7")
+    with _pytest.raises(Exception, match="stale|drift_stream_monitor"):
+        drift_stream_monitor(
+            spark.readStream.schema(schema).parquet(src),
+            ref_counts,
+            out,
+            state,
+        )
+    ref_counts.unpersist()

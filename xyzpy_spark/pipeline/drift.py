@@ -29,7 +29,11 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text import _round_det, tokenize
 
-__all__ = ["token_distribution", "corpus_divergence"]
+__all__ = [
+    "token_distribution",
+    "divergence_from_counts",
+    "corpus_divergence",
+]
 
 
 def token_distribution(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -73,6 +77,24 @@ def corpus_divergence(
     ``js_total_e9 / 1e9`` is the JS divergence in bits — 0 for
     identical distributions, 1 for disjoint support.
     """
+    ca = token_distribution(df_a, text_col).persist()
+    cb = token_distribution(df_b, text_col).persist()
+    return divergence_from_counts(ca, cb, top_k=top_k, alpha=alpha)
+
+
+def divergence_from_counts(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    *,
+    top_k: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """:func:`corpus_divergence` starting from the sufficient
+    statistics — two ``(token, cnt)`` tables (as produced by
+    :func:`token_distribution`, or accumulated incrementally by the
+    streaming monitor).  Inputs are assumed cheap to re-scan
+    (persisted or already-materialized parquet): the scalar totals
+    below are 1-row actions over them."""
     if top_k < 1:
         raise ValueError(f"corpus_divergence: top_k must be >= 1, got {top_k}")
     a = float(alpha)
@@ -81,14 +103,10 @@ def corpus_divergence(
             f"corpus_divergence: alpha must be > 0 (smoothing keeps "
             f"log arguments positive), got {alpha!r}"
         )
-    ca = token_distribution(df_a, text_col).withColumnRenamed(
-        "cnt", "cnt_a"
-    ).persist()
-    cb = token_distribution(df_b, text_col).withColumnRenamed(
-        "cnt", "cnt_b"
-    ).persist()
-    # eager 1-row totals (materializing the caches): downstream plans
-    # embed them as literals, the dsir_bucket_counts convention
+    ca = counts_a.withColumnRenamed("cnt", "cnt_a")
+    cb = counts_b.withColumnRenamed("cnt", "cnt_b")
+    # eager 1-row totals: downstream plans embed them as literals,
+    # the dsir_bucket_counts convention
     total_a = int(ca.agg(F.sum("cnt_a")).first()[0] or 0)
     total_b = int(cb.agg(F.sum("cnt_b")).first()[0] or 0)
     joined = ca.join(cb, "token", "full_outer").select(

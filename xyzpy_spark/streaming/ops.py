@@ -1074,3 +1074,89 @@ def curate_stream(
             out, blocklist, max_hits=max_block_hits
         )
     return out
+
+
+def drift_stream_monitor(
+    doc_stream: DataFrame,
+    reference_counts: DataFrame,
+    out_path: str,
+    state_path: str,
+    *,
+    text_col: str = "text",
+    top_k: int = 20,
+    alpha: float = 0.5,
+    checkpoint: str | None = None,
+    timeout: int = 300,
+    state_partitions: int | None = None,
+) -> None:
+    """Streaming corpus-drift monitor: fold each micro-batch's token
+    counts into cumulative state and score the ACCUMULATED stream
+    distribution against a frozen reference snapshot
+    (:func:`~xyzpy_spark.pipeline.drift.divergence_from_counts`) —
+    the continuously-crawled-corpus shape of ``corpus_divergence``
+    (is the new crawl drifting away from the blessed snapshot, and
+    which tokens are moving it?).
+
+    ``reference_counts`` is the frozen side's ``(token, cnt)`` table
+    (:func:`~xyzpy_spark.pipeline.drift.token_distribution` output —
+    persist it or read it from parquet; it is re-scanned per epoch).
+
+    Epoch discipline matches the HLL/quota seams: each epoch's merged
+    counts land in ``state_path/epoch_id=N`` and the top-k drift
+    report in ``out_path/epoch_id=N``, the merge reading only the
+    LATEST strictly-earlier epoch (each epoch dir is the full
+    cumulative snapshot, so a replayed epoch recomputes from identical
+    state — at-least-once delivery never double-counts).  Token
+    counts are mergeable by grouped SUM, so after the final epoch the
+    report equals the batch ``corpus_divergence(reference, everything
+    streamed)`` exactly — one oracle, two engine paths.
+    """
+    from ..pipeline.drift import divergence_from_counts, token_distribution
+
+    spark = doc_stream.sparkSession
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = int(epoch_id)
+        # a reused state/out path with a fresh checkpoint would fold a
+        # prior run's counts into this stream's state (r8 ADVICE class)
+        _check_no_stale_epochs(state_path, eid, "drift_stream_monitor")
+        _check_no_stale_epochs(out_path, eid, "drift_stream_monitor")
+        fresh = token_distribution(batch_df, text_col)
+        try:
+            st = spark.read.parquet(state_path)
+            last = (
+                st.where(F.col("epoch_id") < eid)
+                .agg(F.max("epoch_id"))
+                .first()[0]
+            )
+            if last is None:
+                merged = fresh
+            else:
+                prior = st.where(F.col("epoch_id") == last).select(
+                    "token", "cnt"
+                )
+                merged = (
+                    prior.unionByName(fresh)
+                    .groupBy("token")
+                    .agg(F.sum("cnt").cast("long").alias("cnt"))
+                )
+        except AnalysisException:
+            merged = fresh  # first epoch: no state yet
+        state_dir = os.path.join(state_path, f"epoch_id={eid}")
+        merged.write.mode("overwrite").parquet(state_dir)
+        # score FROM the written state (one source of truth)
+        divergence_from_counts(
+            reference_counts,
+            spark.read.parquet(state_dir).select("token", "cnt"),
+            top_k=top_k,
+            alpha=alpha,
+        ).write.mode("overwrite").parquet(
+            os.path.join(out_path, f"epoch_id={eid}")
+        )
+
+    _run_foreach_batch(
+        doc_stream, _sink, checkpoint, timeout, "drift_stream_monitor",
+        state_partitions=state_partitions,
+    )

@@ -256,6 +256,12 @@ PICKS = {
     "scan, pixel sum folded JVM-side — ZERO exchanges before the "
     "final aggregation; the per-file entropy walk is the declared "
     "opaque-kernel contract, everything around it is codegen",
+    "corpus_drift": "snapshot-drift JSD: each side collapses to a "
+    "persisted vocab-bounded count table (one map-side-combinable "
+    "shuffle per side, corpus text scanned once), scalar totals ride "
+    "as literals, the exact e9 fixed-point total is a BIGINT sum, "
+    "and the top-20 contributors go through TakeOrdered — never a "
+    "vocabulary-wide sort",
 }
 
 

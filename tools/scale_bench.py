@@ -173,6 +173,13 @@ HEAVY = [
     "stream_dedup_index",
     "stream_winnow_index",
     "stream_caps",
+    # round-10 additions: the drift-monitoring family (claim: the
+    # corpus text is scanned once per side into vocab-bounded count
+    # tables — wall grows with the scan, everything downstream is
+    # vocab-sized; the streaming twin adds the per-epoch engine fixed
+    # cost plus the same linear count pass)
+    "corpus_drift",
+    "stream_drift",
 ]
 
 REP = "_rep"

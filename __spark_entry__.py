@@ -4066,6 +4066,29 @@ def q_stream_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric feature-drift monitoring
+    (pipeline/drift.numeric_divergence): JS divergence between the
+    first and second half of January's event-value distributions on
+    fixed [0, 512) edges, 64 bins (width 8.0 — binary-exact, so both
+    engines bucket identically), complete binned comparison
+    (top_k = n_bins).  Bin counts bound everything after the two
+    count aggregations at 64 rows however large the event stream."""
+    from xyzpy_spark.pipeline.drift import numeric_divergence
+
+    ev = _t(spark, sf_dir, "events")
+    split = "2024-01-16 00:00:00"
+    return numeric_divergence(
+        ev.where(F.col("ts") < F.lit(split).cast("timestamp")),
+        ev.where(F.col("ts") >= F.lit(split).cast("timestamp")),
+        "value",
+        lo=0.0,
+        hi=512.0,
+        n_bins=64,
+        top_k=64,
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel top-k importance resampling of 50 raw docs ∝ exp(logw)
     — deterministic md5 Gumbel, distributed TakeOrdered rank
@@ -4290,7 +4313,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # merge law, per-epoch scoring against the frozen reference;
 # strict-green at sf0.01 AND sf0.001 + type audit before entering),
 # displacing lm_nll (r3-r9 green; the LM family keeps lm_stream_score
-# and lm_pipeline_e2e in-window).
+# and lm_pipeline_e2e in-window); and value_drift (the numeric sibling
+# — fixed-bin binned-JSD feature drift over the event values, complete
+# 64-bin comparison; strict-green at sf0.01 AND sf0.001 + type audit
+# before entering), displacing vocab_coverage (r4-r9 green; the
+# coverage/sampling family keeps weighted_sample, source_caps and
+# stream_caps in-window, and the counts-of-counts plan shape stays
+# plan-asserted in test_plans).
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -4391,6 +4420,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "multimodal_jpeg_lossless": 10,
     "corpus_drift": 10,
     "stream_drift": 10,
+    "value_drift": 10,
     "stream_caps": 9,
     "stream_dedup_index": 9,
     "similarity_ivf_pq": 9,
@@ -4573,7 +4603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_search": q_bm25_index_search,
         "forecast_revenue_change": q_forecast_revenue_change,
         "funnel_steps": q_funnel_steps,
-        "vocab_coverage": q_vocab_coverage,
+        "value_drift": q_value_drift,
         "cohort_retention": q_cohort_retention,
         "stream_winnow_index": q_stream_winnow_index,
         "excess_stock_suppliers": q_excess_stock_suppliers,
@@ -4612,6 +4642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
+        "vocab_coverage": q_vocab_coverage,
         "lm_nll": q_lm_nll,
         "strip_substrings": q_strip_substrings,
         "langid_trained": q_langid_trained,
@@ -6457,6 +6488,65 @@ def oracle_sql() -> dict[str, str]:
         # strip = the span pipeline above + cut-position join + ordered
         # reassembly (string_agg skips NULLs = the kept-token filter)
         "corpus_drift": _CORPUS_DRIFT_ORACLE,
+        "value_drift": """
+            WITH a AS (
+                SELECT CAST(LEAST(GREATEST(
+                           FLOOR((CAST(value AS DOUBLE) - 0.0) / 8.0),
+                           0), 63) AS BIGINT) AS token
+                FROM events
+                WHERE value IS NOT NULL
+                  AND ts < TIMESTAMP '2024-01-16 00:00:00'
+            ), b AS (
+                SELECT CAST(LEAST(GREATEST(
+                           FLOOR((CAST(value AS DOUBLE) - 0.0) / 8.0),
+                           0), 63) AS BIGINT) AS token
+                FROM events
+                WHERE value IS NOT NULL
+                  AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+            ), ca AS (
+                SELECT token, COUNT(*) AS cnt_a FROM a GROUP BY token
+            ), cb AS (
+                SELECT token, COUNT(*) AS cnt_b FROM b GROUP BY token
+            ), j AS (
+                SELECT COALESCE(ca.token, cb.token) AS token,
+                       COALESCE(cnt_a, 0) AS cnt_a,
+                       COALESCE(cnt_b, 0) AS cnt_b
+                FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
+            ), tot AS (
+                SELECT CAST(SUM(cnt_a) AS DOUBLE) AS ta,
+                       CAST(SUM(cnt_b) AS DOUBLE) AS tb,
+                       CAST(COUNT(*) AS DOUBLE) AS v
+                FROM j
+            ), pq AS (
+                SELECT token, cnt_a, cnt_b,
+                       (CAST(cnt_a AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                           / (tot.ta + CAST(0.5 AS DOUBLE) * tot.v) AS p,
+                       (CAST(cnt_b AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                           / (tot.tb + CAST(0.5 AS DOUBLE) * tot.v) AS q
+                FROM j CROSS JOIN tot
+            ), scored AS (
+                SELECT token,
+                       CAST(cnt_a AS BIGINT) AS cnt_a,
+                       CAST(cnt_b AS BIGINT) AS cnt_b,
+                       FLOOR(p * 1000000000.0 + 0.5) / 1000000000.0
+                           AS p_a,
+                       FLOOR(q * 1000000000.0 + 0.5) / 1000000000.0
+                           AS p_b,
+                       CAST(FLOOR((0.5 * p * log2(2.0 * p / (p + q))
+                                   + 0.5 * q * log2(2.0 * q / (p + q)))
+                                  * 1000000000.0 + 0.5)
+                            AS BIGINT) AS js_contrib_e9
+                FROM pq
+            ), total AS (
+                SELECT CAST(SUM(js_contrib_e9) AS BIGINT) AS js_total_e9
+                FROM scored
+            )
+            SELECT token, cnt_a, cnt_b, p_a, p_b, js_contrib_e9,
+                   total.js_total_e9
+            FROM scored CROSS JOIN total
+            ORDER BY js_contrib_e9 DESC, token ASC
+            LIMIT 64
+        """,
         "stream_drift": _CORPUS_DRIFT_ORACLE,
         "strip_substrings": """
             WITH t AS (

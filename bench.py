@@ -194,6 +194,7 @@ HEADLINE = [
     "multimodal_jpeg_lossless",
     "corpus_drift",
     "stream_drift",
+    "value_drift",
 ]
 
 

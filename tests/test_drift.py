@@ -109,3 +109,61 @@ def test_validates_params(spark):
         corpus_divergence(d, d, top_k=0)
     with pytest.raises(ValueError, match="alpha"):
         corpus_divergence(d, d, alpha=0.0)
+
+
+def test_numeric_divergence_matches_python_twin(spark):
+    """Binned-JSD feature drift: bucketing (incl. clamping and NULL
+    drop) and the shared divergence math vs a flat reimplementation."""
+    import math as _math
+    from collections import Counter as _Counter
+
+    from xyzpy_spark.pipeline.drift import numeric_divergence
+
+    a_vals = [0.0, 1.5, 7.99, 8.0, 63.9, -5.0, 120.0, None, 33.3, 8.1]
+    b_vals = [2.0, 2.0, 2.0, 40.0, 40.0, 999.0, None, -0.001]
+    lo, hi, n_bins = 0.0, 64.0, 8  # width 8.0
+
+    def _bins(vals):
+        out = _Counter()
+        for v in vals:
+            if v is None:
+                continue
+            b = _math.floor((v - lo) / 8.0)
+            out[min(max(b, 0), n_bins - 1)] += 1
+        return out
+
+    ca, cb = _bins(a_vals), _bins(b_vals)
+    union = set(ca) | set(cb)
+    at, bt = sum(ca.values()), sum(cb.values())
+    want = {}
+    total = 0
+    for t in union:
+        p = (ca.get(t, 0) + 0.5) / (float(at) + 0.5 * len(union))
+        q = (cb.get(t, 0) + 0.5) / (float(bt) + 0.5 * len(union))
+        c = 0.5 * p * _math.log2(2.0 * p / (p + q)) + 0.5 * q * _math.log2(
+            2.0 * q / (p + q)
+        )
+        want[t] = _math.floor(c * 1e9 + 0.5)
+        total += want[t]
+
+    da = spark.createDataFrame([(v,) for v in a_vals], "value double")
+    db = spark.createDataFrame([(v,) for v in b_vals], "value double")
+    out = numeric_divergence(
+        da, db, "value", lo=lo, hi=hi, n_bins=n_bins, top_k=n_bins
+    ).collect()
+    assert {r["token"]: r["js_contrib_e9"] for r in out} == want
+    assert all(r["js_total_e9"] == total for r in out)
+    # clamped mass is visible in the edge bins
+    got = {r["token"]: (r["cnt_a"], r["cnt_b"]) for r in out}
+    assert got[0] == (ca[0], cb[0])          # includes -5.0 / -0.001
+    assert got[n_bins - 1] == (ca[7], cb[7])  # includes 120.0 / 999.0
+
+
+def test_numeric_divergence_validates_params(spark):
+    from xyzpy_spark.pipeline.drift import numeric_divergence
+
+    d = spark.createDataFrame([(1.0,)], "value double")
+    with pytest.raises(ValueError, match="lo < hi"):
+        numeric_divergence(d, d, "value", lo=5.0, hi=5.0)
+    with pytest.raises(ValueError, match="n_bins"):
+        numeric_divergence(d, d, "value", lo=0.0, hi=1.0, n_bins=1)

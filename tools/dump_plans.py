@@ -262,6 +262,11 @@ PICKS = {
     "as literals, the exact e9 fixed-point total is a BIGINT sum, "
     "and the top-20 contributors go through TakeOrdered — never a "
     "vocabulary-wide sort",
+    "value_drift": "numeric feature drift: binary-exact fixed-bin "
+    "bucketing is pure codegen (no data-dependent min/max pass), "
+    "pushed timestamp filters split the two snapshots at the scan, "
+    "and everything after the two 64-bin count aggregations is "
+    "O(n_bins)",
 }
 
 

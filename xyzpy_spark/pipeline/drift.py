@@ -33,6 +33,8 @@ __all__ = [
     "token_distribution",
     "divergence_from_counts",
     "corpus_divergence",
+    "numeric_distribution",
+    "numeric_divergence",
 ]
 
 
@@ -145,3 +147,63 @@ def divergence_from_counts(
         .limit(int(top_k))
         .withColumn("js_total_e9", F.lit(total_e9).cast("long"))
     )
+
+
+def numeric_distribution(
+    df: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Fixed-bin value counts ``(token, cnt)`` — the numeric-column
+    analog of :func:`token_distribution` (``token`` is the bin index,
+    a long).  Explicit ``[lo, hi)`` edges keep the binning a pure
+    codegen expression — no data-dependent min/max pass, and the same
+    literals on any engine bucket identically (``(hi-lo)/n_bins``
+    chosen binary-exact makes it bit-portable).  Out-of-range values
+    clamp into the edge bins (a drift monitor must SEE outlier mass,
+    not drop it); NULLs are dropped."""
+    width = (float(hi) - float(lo)) / int(n_bins)
+    b = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1))
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(b.cast("long").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def numeric_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    top_k: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Jensen-Shannon drift between two snapshots of a NUMERIC column
+    (value distributions binned on fixed edges) — the feature-drift
+    monitor for event values, quality scores, lengths, latencies.
+    Same math, same fixed-point discipline, and same output shape as
+    :func:`corpus_divergence` with bin indexes in the ``token``
+    column; ``top_k >= n_bins`` returns the complete binned
+    comparison.  Bin counts are bounded by ``n_bins`` however large
+    the corpus, so everything after the two count aggregations is
+    O(n_bins)."""
+    if not float(lo) < float(hi):
+        raise ValueError(
+            f"numeric_divergence: need lo < hi, got [{lo!r}, {hi!r})"
+        )
+    if int(n_bins) < 2:
+        raise ValueError(
+            f"numeric_divergence: n_bins must be >= 2, got {n_bins!r}"
+        )
+    ca = numeric_distribution(df_a, col, lo=lo, hi=hi, n_bins=n_bins).persist()
+    cb = numeric_distribution(df_b, col, lo=lo, hi=hi, n_bins=n_bins).persist()
+    return divergence_from_counts(ca, cb, top_k=top_k, alpha=alpha)

@@ -5627,24 +5627,20 @@ _LM_SCORED_CTE = r"""
 """
 
 
-#: shared twin of corpus_drift AND stream_drift (two engine paths,
-#: one oracle — the accumulated stream token counts equal the batch
-#: counts, sum being associative/commutative)
-_CORPUS_DRIFT_ORACLE = r"""
-            WITH ta AS (
-                SELECT unnest(list_filter(
-                           regexp_split_to_array(text, '\s+'),
-                           u -> u <> '')) AS token
-                FROM documents WHERE text IS NOT NULL AND lang = 'en'
-            ), tb AS (
-                SELECT unnest(list_filter(
-                           regexp_split_to_array(text, '\s+'),
-                           u -> u <> '')) AS token
-                FROM documents WHERE text IS NOT NULL AND lang = 'de'
+#: shared divergence-oracle core: the j/tot/pq/scored/total math is
+#: written ONCE and parameterized only by the two source CTE bodies
+#: (each yielding a ``token`` column) and the top-k limit — so the
+#: smoothing / fixed-point arithmetic can never silently diverge
+#: between the drift gate rows (review catch).
+_DIVERGENCE_ORACLE_CORE = r"""
+            WITH a AS (
+{src_a}
+            ), b AS (
+{src_b}
             ), ca AS (
-                SELECT token, COUNT(*) AS cnt_a FROM ta GROUP BY token
+                SELECT token, COUNT(*) AS cnt_a FROM a GROUP BY token
             ), cb AS (
-                SELECT token, COUNT(*) AS cnt_b FROM tb GROUP BY token
+                SELECT token, COUNT(*) AS cnt_b FROM b GROUP BY token
             ), j AS (
                 SELECT COALESCE(ca.token, cb.token) AS token,
                        COALESCE(cnt_a, 0) AS cnt_a,
@@ -5683,8 +5679,43 @@ _CORPUS_DRIFT_ORACLE = r"""
                    total.js_total_e9
             FROM scored CROSS JOIN total
             ORDER BY js_contrib_e9 DESC, token ASC
-            LIMIT 20
+            LIMIT {limit}
         """
+
+_TOKEN_SRC = (
+    r"                SELECT unnest(list_filter("
+    "\n"
+    r"                           regexp_split_to_array(text, '\s+'),"
+    "\n"
+    r"                           u -> u <> '')) AS token"
+    "\n"
+    "                FROM documents WHERE text IS NOT NULL AND lang = '{lang}'"
+)
+
+_VALUE_SRC = (
+    "                SELECT CAST(LEAST(GREATEST(\n"
+    "                           FLOOR((CAST(value AS DOUBLE) - 0.0) / 8.0),\n"
+    "                           0), 63) AS BIGINT) AS token\n"
+    "                FROM events\n"
+    "                WHERE value IS NOT NULL AND NOT isnan(value)\n"
+    "                  AND ts {op} TIMESTAMP '2024-01-16 00:00:00'"
+)
+
+#: shared twin of corpus_drift AND stream_drift (two engine paths,
+#: one oracle — the accumulated stream token counts equal the batch
+#: counts, sum being associative/commutative)
+_CORPUS_DRIFT_ORACLE = _DIVERGENCE_ORACLE_CORE.format(
+    src_a=_TOKEN_SRC.format(lang="en"),
+    src_b=_TOKEN_SRC.format(lang="de"),
+    limit=20,
+)
+
+#: the numeric sibling: same core, fixed-bin bucket sources
+_VALUE_DRIFT_ORACLE = _DIVERGENCE_ORACLE_CORE.format(
+    src_a=_VALUE_SRC.format(op="<"),
+    src_b=_VALUE_SRC.format(op=">="),
+    limit=64,
+)
 
 #: shared twin of hll_distinct AND stream_hll (two engine paths,
 #: one oracle — the merged stream registers equal the batch registers)
@@ -6488,65 +6519,7 @@ def oracle_sql() -> dict[str, str]:
         # strip = the span pipeline above + cut-position join + ordered
         # reassembly (string_agg skips NULLs = the kept-token filter)
         "corpus_drift": _CORPUS_DRIFT_ORACLE,
-        "value_drift": """
-            WITH a AS (
-                SELECT CAST(LEAST(GREATEST(
-                           FLOOR((CAST(value AS DOUBLE) - 0.0) / 8.0),
-                           0), 63) AS BIGINT) AS token
-                FROM events
-                WHERE value IS NOT NULL
-                  AND ts < TIMESTAMP '2024-01-16 00:00:00'
-            ), b AS (
-                SELECT CAST(LEAST(GREATEST(
-                           FLOOR((CAST(value AS DOUBLE) - 0.0) / 8.0),
-                           0), 63) AS BIGINT) AS token
-                FROM events
-                WHERE value IS NOT NULL
-                  AND ts >= TIMESTAMP '2024-01-16 00:00:00'
-            ), ca AS (
-                SELECT token, COUNT(*) AS cnt_a FROM a GROUP BY token
-            ), cb AS (
-                SELECT token, COUNT(*) AS cnt_b FROM b GROUP BY token
-            ), j AS (
-                SELECT COALESCE(ca.token, cb.token) AS token,
-                       COALESCE(cnt_a, 0) AS cnt_a,
-                       COALESCE(cnt_b, 0) AS cnt_b
-                FROM ca FULL OUTER JOIN cb ON ca.token = cb.token
-            ), tot AS (
-                SELECT CAST(SUM(cnt_a) AS DOUBLE) AS ta,
-                       CAST(SUM(cnt_b) AS DOUBLE) AS tb,
-                       CAST(COUNT(*) AS DOUBLE) AS v
-                FROM j
-            ), pq AS (
-                SELECT token, cnt_a, cnt_b,
-                       (CAST(cnt_a AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                           / (tot.ta + CAST(0.5 AS DOUBLE) * tot.v) AS p,
-                       (CAST(cnt_b AS DOUBLE) + CAST(0.5 AS DOUBLE))
-                           / (tot.tb + CAST(0.5 AS DOUBLE) * tot.v) AS q
-                FROM j CROSS JOIN tot
-            ), scored AS (
-                SELECT token,
-                       CAST(cnt_a AS BIGINT) AS cnt_a,
-                       CAST(cnt_b AS BIGINT) AS cnt_b,
-                       FLOOR(p * 1000000000.0 + 0.5) / 1000000000.0
-                           AS p_a,
-                       FLOOR(q * 1000000000.0 + 0.5) / 1000000000.0
-                           AS p_b,
-                       CAST(FLOOR((0.5 * p * log2(2.0 * p / (p + q))
-                                   + 0.5 * q * log2(2.0 * q / (p + q)))
-                                  * 1000000000.0 + 0.5)
-                            AS BIGINT) AS js_contrib_e9
-                FROM pq
-            ), total AS (
-                SELECT CAST(SUM(js_contrib_e9) AS BIGINT) AS js_total_e9
-                FROM scored
-            )
-            SELECT token, cnt_a, cnt_b, p_a, p_b, js_contrib_e9,
-                   total.js_total_e9
-            FROM scored CROSS JOIN total
-            ORDER BY js_contrib_e9 DESC, token ASC
-            LIMIT 64
-        """,
+        "value_drift": _VALUE_DRIFT_ORACLE,
         "stream_drift": _CORPUS_DRIFT_ORACLE,
         "strip_substrings": """
             WITH t AS (

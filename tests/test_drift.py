@@ -119,14 +119,23 @@ def test_numeric_divergence_matches_python_twin(spark):
 
     from xyzpy_spark.pipeline.drift import numeric_divergence
 
-    a_vals = [0.0, 1.5, 7.99, 8.0, 63.9, -5.0, 120.0, None, 33.3, 8.1]
-    b_vals = [2.0, 2.0, 2.0, 40.0, 40.0, 999.0, None, -0.001]
+    nan = float("nan")
+    # NaN must drop like NULL (Spark's floor(NaN)->0 vs DuckDB's
+    # NaN-sorts-greatest disagree, so it may never reach the bucket);
+    # ±Inf clamps into the edge bins like any outlier
+    a_vals = [0.0, 1.5, 7.99, 8.0, 63.9, -5.0, 120.0, None, 33.3, 8.1,
+              nan, float("inf")]
+    b_vals = [2.0, 2.0, 2.0, 40.0, 40.0, 999.0, None, -0.001, nan,
+              float("-inf")]
     lo, hi, n_bins = 0.0, 64.0, 8  # width 8.0
 
     def _bins(vals):
         out = _Counter()
         for v in vals:
-            if v is None:
+            if v is None or v != v:
+                continue
+            if _math.isinf(v):
+                out[n_bins - 1 if v > 0 else 0] += 1
                 continue
             b = _math.floor((v - lo) / 8.0)
             out[min(max(b, 0), n_bins - 1)] += 1

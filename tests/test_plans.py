@@ -982,6 +982,7 @@ def test_corpus_drift_topk_never_global_sorts(spark):
         docs.where(F.col("lang") == "en"),
         docs.where(F.col("lang") == "de"),
         top_k=20,
+        localize=False,  # keep the lazy plan for inspection
     )
     plan = executed_plan(df)
     assert "TakeOrdered" in plan, plan

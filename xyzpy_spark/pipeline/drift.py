@@ -13,14 +13,15 @@ importance question; this module answers the *corpus-level* one.)
 
 Scale design (the same sufficient-statistics discipline as
 ``dsir_bucket_counts``): each side collapses to a vocab-bounded token
-count table through one map-side-combinable aggregation — the corpus
-text is scanned exactly once per side and never again (the count
-tables persist; the eager total-count actions below materialize the
-cache).  Everything downstream — the full-outer vocab join, the scalar
-totals, the fixed-point contribution sum, the top-k — is bounded by
+count table through one map-side-combinable aggregation, and the
+full-outer vocab join of the two is persisted and executed ONCE — the
+corpus text is scanned exactly once per side and never again; the
+scalar totals, the fixed-point contribution sum and the top-k all read
+that single cache (released before returning in the default localized
+mode).  Everything downstream of the count aggregations is bounded by
 vocabulary size, not corpus size.  No Python in the plan, no
-driver-sized state (the only ``collect``-like actions are 1-row
-aggregates).
+driver-sized state (the only collects are 1-row aggregates and the
+``<= top_k``-row result).
 """
 
 from __future__ import annotations
@@ -57,6 +58,7 @@ def corpus_divergence(
     text_col: str = "text",
     top_k: int = 20,
     alpha: float = 0.5,
+    localize: bool = True,
 ) -> DataFrame:
     """Jensen-Shannon drift between two corpus snapshots, with the
     top-k contributing tokens.
@@ -79,9 +81,13 @@ def corpus_divergence(
     ``js_total_e9 / 1e9`` is the JS divergence in bits — 0 for
     identical distributions, 1 for disjoint support.
     """
-    ca = token_distribution(df_a, text_col).persist()
-    cb = token_distribution(df_b, text_col).persist()
-    return divergence_from_counts(ca, cb, top_k=top_k, alpha=alpha)
+    return divergence_from_counts(
+        token_distribution(df_a, text_col),
+        token_distribution(df_b, text_col),
+        top_k=top_k,
+        alpha=alpha,
+        localize=localize,
+    )
 
 
 def divergence_from_counts(
@@ -90,13 +96,23 @@ def divergence_from_counts(
     *,
     top_k: int = 20,
     alpha: float = 0.5,
+    localize: bool = True,
 ) -> DataFrame:
     """:func:`corpus_divergence` starting from the sufficient
     statistics — two ``(token, cnt)`` tables (as produced by
     :func:`token_distribution`, or accumulated incrementally by the
-    streaming monitor).  Inputs are assumed cheap to re-scan
-    (persisted or already-materialized parquet): the scalar totals
-    below are 1-row actions over them."""
+    streaming monitor).
+
+    The vocab-sized full-outer join is persisted and executed ONCE
+    (its materialization is the single corpus scan per side); the
+    scalar totals, the exact fixed-point sum and the top-k all read
+    that cache.  With ``localize=True`` (default) the bounded top-k
+    result (``<= top_k`` rows by construction) is collected, the
+    cache released, and a local DataFrame returned — repeated
+    monitoring calls leak nothing.  ``localize=False`` returns the
+    lazy top-k plan instead (for plan inspection or further
+    composition) and leaves the vocab join cached; the caller owns
+    releasing it."""
     if top_k < 1:
         raise ValueError(f"corpus_divergence: top_k must be >= 1, got {top_k}")
     a = float(alpha)
@@ -107,16 +123,21 @@ def divergence_from_counts(
         )
     ca = counts_a.withColumnRenamed("cnt", "cnt_a")
     cb = counts_b.withColumnRenamed("cnt", "cnt_b")
-    # eager 1-row totals: downstream plans embed them as literals,
-    # the dsir_bucket_counts convention
-    total_a = int(ca.agg(F.sum("cnt_a")).first()[0] or 0)
-    total_b = int(cb.agg(F.sum("cnt_b")).first()[0] or 0)
-    joined = ca.join(cb, "token", "full_outer").select(
-        "token",
-        F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
-        F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+    joined = (
+        ca.join(cb, "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+        )
+        .persist()
     )
-    vocab = joined.count()  # vocab-bounded; reads the cached counts
+    vocab = joined.count()  # materializes the cache
+    # eager 1-row totals over the CACHED join (the full-outer rows
+    # carry coalesced 0s, so these equal the per-side count sums):
+    # downstream plans embed them as literals, the dsir convention
+    total_a = int(joined.agg(F.sum("cnt_a")).first()[0] or 0)
+    total_b = int(joined.agg(F.sum("cnt_b")).first()[0] or 0)
     denom_a = F.lit(float(total_a) + a * vocab)
     denom_b = F.lit(float(total_b) + a * vocab)
     p = (F.col("cnt_a").cast("double") + F.lit(a)) / denom_a
@@ -140,13 +161,18 @@ def divergence_from_counts(
     total_e9 = int(
         scored.agg(F.sum("js_contrib_e9")).first()[0] or 0
     )
-    return (
+    topk = (
         scored.orderBy(
             F.col("js_contrib_e9").desc(), F.col("token").asc()
         )
         .limit(int(top_k))
         .withColumn("js_total_e9", F.lit(total_e9).cast("long"))
     )
+    if not localize:
+        return topk
+    rows = topk.collect()  # <= top_k rows, bounded by construction
+    joined.unpersist()
+    return counts_a.sparkSession.createDataFrame(rows, topk.schema)
 
 
 def numeric_distribution(
@@ -164,12 +190,16 @@ def numeric_distribution(
     literals on any engine bucket identically (``(hi-lo)/n_bins``
     chosen binary-exact makes it bit-portable).  Out-of-range values
     clamp into the edge bins (a drift monitor must SEE outlier mass,
-    not drop it); NULLs are dropped."""
+    not drop it — ±Inf clamps like any outlier); NULL and NaN are
+    dropped (engines disagree on where floor/clamp send NaN — Spark's
+    floor(NaN) is 0, DuckDB's NaN sorts greatest — so NaN must never
+    reach the bucket expression)."""
     width = (float(hi) - float(lo)) / int(n_bins)
-    b = F.floor((F.col(col).cast("double") - F.lit(float(lo))) / F.lit(width))
+    c = F.col(col).cast("double")
+    b = F.floor((c - F.lit(float(lo))) / F.lit(width))
     b = F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1))
     return (
-        df.where(F.col(col).isNotNull())
+        df.where(F.col(col).isNotNull() & ~F.isnan(c))
         .select(b.cast("long").alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
@@ -186,6 +216,7 @@ def numeric_divergence(
     n_bins: int = 64,
     top_k: int = 20,
     alpha: float = 0.5,
+    localize: bool = True,
 ) -> DataFrame:
     """Jensen-Shannon drift between two snapshots of a NUMERIC column
     (value distributions binned on fixed edges) — the feature-drift
@@ -204,6 +235,10 @@ def numeric_divergence(
         raise ValueError(
             f"numeric_divergence: n_bins must be >= 2, got {n_bins!r}"
         )
-    ca = numeric_distribution(df_a, col, lo=lo, hi=hi, n_bins=n_bins).persist()
-    cb = numeric_distribution(df_b, col, lo=lo, hi=hi, n_bins=n_bins).persist()
-    return divergence_from_counts(ca, cb, top_k=top_k, alpha=alpha)
+    return divergence_from_counts(
+        numeric_distribution(df_a, col, lo=lo, hi=hi, n_bins=n_bins),
+        numeric_distribution(df_b, col, lo=lo, hi=hi, n_bins=n_bins),
+        top_k=top_k,
+        alpha=alpha,
+        localize=localize,
+    )

@@ -838,15 +838,20 @@ def cap_stream_per_group(
         # prior run's admitted counts into this stream's quotas
         _check_no_stale_epochs(state_path, eid, "cap_stream_per_group")
         _check_no_stale_epochs(out_path, eid, "cap_stream_per_group")
+        # only the READ may fall back to first-epoch semantics — a
+        # state dir that exists but is not epoch_id= layout must fail
+        # fast below, not silently reset the admitted counts
         try:
-            prior = (
-                spark.read.parquet(state_path)
-                .where(F.col("epoch_id") < eid)
-                .groupBy(by)
-                .agg(F.sum("n_admitted").alias("__adm"))
-            )
+            st = spark.read.parquet(state_path)
         except AnalysisException:
-            prior = None  # first epoch: no state yet
+            st = None  # first epoch: no state yet
+        prior = (
+            None
+            if st is None
+            else st.where(F.col("epoch_id") < eid)
+            .groupBy(by)
+            .agg(F.sum("n_admitted").alias("__adm"))
+        )
         ranked = _group_rank(
             batch_df, by=by, key=key, salt=salt,
             order_col=order_col, descending=descending,
@@ -925,8 +930,16 @@ def hll_stream_distinct(
         _check_no_stale_epochs(state_path, eid, "hll_stream_distinct")
         _check_no_stale_epochs(out_path, eid, "hll_stream_distinct")
         fresh = hll_registers(batch_df, col, by, p=p)
+        # only the READ may fall back to first-epoch semantics — a
+        # state dir that exists but is not epoch_id= layout must fail
+        # fast below, not silently reset the registers to this batch
         try:
             st = spark.read.parquet(state_path)
+        except AnalysisException:
+            st = None  # first epoch: no state yet
+        if st is None:
+            merged = fresh
+        else:
             # each epoch dir is already the FULL cumulative snapshot,
             # so merge only the LATEST strictly-earlier epoch — not
             # the union of all of them (O(epochs^2) reads otherwise;
@@ -945,8 +958,6 @@ def hll_stream_distinct(
                     *by, "idx", "rho"
                 )
                 merged = hll_merge([prior, fresh], by)
-        except AnalysisException:
-            merged = fresh  # first epoch: no state yet
         state_dir = os.path.join(state_path, f"epoch_id={eid}")
         merged.write.mode("overwrite").parquet(state_dir)
         # estimate FROM the written state (one source of truth)
@@ -1124,8 +1135,17 @@ def drift_stream_monitor(
         _check_no_stale_epochs(state_path, eid, "drift_stream_monitor")
         _check_no_stale_epochs(out_path, eid, "drift_stream_monitor")
         fresh = token_distribution(batch_df, text_col)
+        # only the READ may fall back to first-epoch semantics — a
+        # state dir that exists but is not epoch_id= layout must fail
+        # fast below (an except around the merge would silently reset
+        # cumulative counts to just this batch; review catch)
         try:
             st = spark.read.parquet(state_path)
+        except AnalysisException:
+            st = None  # first epoch: no state yet
+        if st is None:
+            merged = fresh
+        else:
             last = (
                 st.where(F.col("epoch_id") < eid)
                 .agg(F.max("epoch_id"))
@@ -1142,8 +1162,6 @@ def drift_stream_monitor(
                     .groupBy("token")
                     .agg(F.sum("cnt").cast("long").alias("cnt"))
                 )
-        except AnalysisException:
-            merged = fresh  # first epoch: no state yet
         state_dir = os.path.join(state_path, f"epoch_id={eid}")
         merged.write.mode("overwrite").parquet(state_dir)
         # score FROM the written state (one source of truth)

@@ -180,6 +180,7 @@ HEAVY = [
     # cost plus the same linear count pass)
     "corpus_drift",
     "stream_drift",
+    "value_drift",
 ]
 
 REP = "_rep"
@@ -199,6 +200,29 @@ def scale_cfg_embedding_lsh(spark, sf_dir: str):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return embedding_lsh_pairs(
         emb, threshold=0.8, n_bits=128, bands=16, max_bucket_size=128
+    )
+
+
+def scale_cfg_value_drift(spark, sf_dir: str):
+    """Scale-sized numeric drift: the gate row splits on a FIXED
+    calendar instant, but build_scaled shifts replica timestamps by
+    replica weeks — the pre-split side would stay 1x while the
+    post-split side grows, measuring an asymmetric artifact instead
+    of data scaling.  Split on event_type instead (every replica
+    carries every type), so BOTH count aggregations grow ~mult and
+    the ratio bounds the real linear work: two scans into 64-bin
+    count tables; everything downstream is O(n_bins)."""
+    from xyzpy_spark.pipeline.drift import numeric_divergence
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return numeric_divergence(
+        ev.where(F.col("event_type").isin("view", "click")),
+        ev.where(~F.col("event_type").isin("view", "click")),
+        "value",
+        lo=0.0,
+        hi=512.0,
+        n_bins=64,
+        top_k=64,
     )
 
 
@@ -402,6 +426,7 @@ def main() -> None:
         ).save()
 
     queries["dedup_embedding_lsh"] = scale_cfg_embedding_lsh
+    queries["value_drift"] = scale_cfg_value_drift
 
     result = {}
     for name in heavy:

@@ -176,3 +176,25 @@ def test_numeric_divergence_validates_params(spark):
         numeric_divergence(d, d, "value", lo=5.0, hi=5.0)
     with pytest.raises(ValueError, match="n_bins"):
         numeric_divergence(d, d, "value", lo=0.0, hi=1.0, n_bins=1)
+
+
+def test_accessor_divergence(spark):
+    """The .xyz accessor exposes both drift monitors; results equal the
+    direct calls."""
+    from xyzpy_spark.accessor import xyz
+    from xyzpy_spark.pipeline.drift import corpus_divergence
+
+    a = _docs(spark, [(1, "aa bb cc"), (2, "aa dd")])
+    b = _docs(spark, [(1, "aa bb"), (2, "ee ee ee")])
+    via_acc = xyz(a).divergence_from(xyz(b), top_k=5).df.collect()
+    direct = corpus_divergence(a, b, top_k=5).collect()
+    assert via_acc == direct
+    nd = (
+        xyz(spark.createDataFrame([(1.0,), (9.0,)], "v double"))
+        .value_divergence_from(
+            spark.createDataFrame([(1.0,), (1.5,)], "v double"),
+            "v", lo=0.0, hi=16.0, n_bins=4, top_k=4,
+        )
+        .df.collect()
+    )
+    assert {r["token"] for r in nd} == {0, 2}

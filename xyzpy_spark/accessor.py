@@ -426,6 +426,24 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
 
         return self._wrap(cohort_retention(self.df, **kw))
 
+    def divergence_from(self, other, **kw) -> "xyz":
+        """Token-distribution JS drift of ``other`` relative to this
+        corpus (this DataFrame is the reference side a)."""
+        from .pipeline.drift import corpus_divergence
+
+        other = other.df if isinstance(other, xyz) else other
+        return self._wrap(corpus_divergence(self.df, other, **kw))
+
+    def value_divergence_from(self, other, col, *, lo, hi, **kw) -> "xyz":
+        """Fixed-bin numeric-distribution JS drift of ``other`` vs
+        this snapshot's ``col`` values."""
+        from .pipeline.drift import numeric_divergence
+
+        other = other.df if isinstance(other, xyz) else other
+        return self._wrap(
+            numeric_divergence(self.df, other, col, lo=lo, hi=hi, **kw)
+        )
+
     # -- presentation (dense) -------------------------------------------
     def to_xarray(self, dims, **kw):
         from .runner import to_xarray

@@ -273,6 +273,45 @@ PICKS = {
 def main() -> None:
     spark = get_spark(app_name="dump_plans")
     queries = entrymod.queries()
+
+    # the drift gate rows localize their bounded results by default
+    # (leak-free library contract), which collapses their executed
+    # plan to an ExistingRDD scan — dump the LAZY plan instead
+    def _plan_corpus_drift(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from xyzpy_spark.pipeline.drift import corpus_divergence
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        return corpus_divergence(
+            docs.where(F.col("lang") == "en"),
+            docs.where(F.col("lang") == "de"),
+            top_k=20,
+            localize=False,
+        )
+
+    def _plan_value_drift(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from xyzpy_spark.pipeline.drift import numeric_divergence
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        return numeric_divergence(
+            ev.where(F.col("ts") < split),
+            ev.where(F.col("ts") >= split),
+            "value",
+            lo=0.0,
+            hi=512.0,
+            n_bins=64,
+            top_k=64,
+            localize=False,
+        )
+
+    queries["corpus_drift"] = _plan_corpus_drift
+    queries["value_drift"] = _plan_value_drift
     out = [
         "# PLANS — annotated physical plans of key queries",
         "",

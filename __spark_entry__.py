@@ -4761,7 +4761,7 @@ def _langid_oracle_scaffold(w_cte: str, ic_cte: str) -> str:
     return rf"""
         WITH src AS (
             SELECT doc_id,
-                   lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                   lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
             FROM documents WHERE doc_id % 5 = 0
         ), grams AS (
             SELECT doc_id,
@@ -4862,7 +4862,7 @@ def _bpe_token_count_oracle() -> str:
             SELECT doc_id,
                    list_filter(
                        regexp_split_to_array(trim(coalesce(t, '')),
-                                             '\\s+'),
+                                             '[ \\t\\n\\x0b\\f\\r]+'),
                        u -> u <> '') AS w
             FROM src
         ), words AS (
@@ -4961,7 +4961,7 @@ def _minhash_lsh_oracle() -> str:
     return f"""
         WITH toks AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                u -> u <> '') AS w
             FROM documents
         ), sh AS (
@@ -5030,7 +5030,7 @@ def _dedup_incremental_oracle() -> str:
     return f"""
         WITH fp AS (
             SELECT doc_id,
-                   md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+                   md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f
             FROM documents
         ), exact AS (
             SELECT n.doc_id AS new_id, MIN(o.doc_id) AS exact_of
@@ -5039,7 +5039,7 @@ def _dedup_incremental_oracle() -> str:
             GROUP BY 1
         ), toks AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                   list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                                u -> u <> '') AS w
             FROM documents
         ), sh AS (
@@ -5550,7 +5550,7 @@ def _project_embeddings_oracle() -> str:
 _DSIR_SCORED_CTE = r"""
     WITH toks AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(trim(text), '\s+'),
+               list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '') AS w
         FROM documents
     ), feats AS (
@@ -5596,7 +5596,7 @@ _DSIR_SCORED_CTE = r"""
 _LM_SCORED_CTE = r"""
     WITH toks AS (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(trim(text), '\s+'),
+               list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '') AS w
         FROM documents
     ), grams AS (
@@ -5685,7 +5685,7 @@ _DIVERGENCE_ORACLE_CORE = r"""
 _TOKEN_SRC = (
     r"                SELECT unnest(list_filter("
     "\n"
-    r"                           regexp_split_to_array(text, '\s+'),"
+    r"                           regexp_split_to_array(text, '[ \t\n\x0b\f\r]+'),"
     "\n"
     r"                           u -> u <> '')) AS token"
     "\n"
@@ -5786,7 +5786,7 @@ _HLL_ORACLE = """
 _WINNOW_AGAINST_ORACLE = r"""
             WITH src AS (
                 SELECT doc_id,
-                       lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                       lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
                 FROM documents
                 WHERE text IS NOT NULL
             ), h AS (
@@ -5872,7 +5872,7 @@ _CURATE_CTES = r"""
                 SELECT * FROM documents WHERE doc_id % 10 = 0
             ), fp AS (
                 SELECT doc_id,
-                       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f
+                       md5(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS f
                 FROM corpus
             ), keepers AS (
                 SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f
@@ -5880,7 +5880,7 @@ _CURATE_CTES = r"""
                 SELECT c.* FROM corpus c JOIN keepers USING (doc_id)
             ), m AS (
                 SELECT doc_id, len(text) AS nchars,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                    u -> u <> '') AS toks,
                        len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g'))
                            AS n_punct
@@ -5921,14 +5921,14 @@ _CURATE_CTES = r"""
                 SELECT doc_id,
                        len(list_filter(
                            list_filter(regexp_split_to_array(
-                               trim(lower(text)), '\s+'), u -> u <> ''),
+                               trim(lower(text)), '[ \t\n\x0b\f\r]+'), u -> u <> ''),
                            t -> list_contains(['merge','spark'], t))) AS nh
                 FROM s2
             ), s3 AS (
                 SELECT s2.* FROM s2 JOIN bl USING (doc_id) WHERE bl.nh <= 2
             ), rtoks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                    u -> u <> '') AS w
                 FROM ref
             ), unic AS (
@@ -5945,7 +5945,7 @@ _CURATE_CTES = r"""
                 GROUP BY ngram
             ), stoks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                    u -> u <> '') AS w
                 FROM s3
             ), sgrams AS (
@@ -5990,7 +5990,7 @@ _CURATE_CTES = r"""
                                 || ' ' || w[i+3] || ' ' || w[i+4]))) AS ngram
                 FROM (SELECT doc_id,
                              list_filter(regexp_split_to_array(
-                                 trim(text), '\s+'), u -> u <> '') AS w
+                                 trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> '') AS w
                       FROM s4)
             ), contaminated AS (
                 SELECT DISTINCT g.doc_id
@@ -6022,7 +6022,7 @@ def _lm_pipeline_e2e_oracle() -> str:
                 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
             ), ctoks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                    u -> u <> '') AS w
                 FROM curated
             ), csh AS (
@@ -6055,7 +6055,7 @@ def _lm_pipeline_e2e_oracle() -> str:
                 WHERE doc_id NOT IN (SELECT ida FROM xdups)
             ), ktoks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                    u -> u <> '') AS w
                 FROM kept
             ), km AS (
@@ -6080,7 +6080,7 @@ def _lm_pipeline_e2e_oracle() -> str:
                                                 || ':pack'), 1, 8))::UBIGINT
                             % 8 AS INTEGER) AS shard,
                        CAST(len(list_filter(
-                           regexp_split_to_array(trim(chunk_text), '\s+'),
+                           regexp_split_to_array(trim(chunk_text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '')) AS BIGINT) AS n_tokens
                 FROM kchunks
             ), pc AS (
@@ -6153,7 +6153,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_contamination": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                    u -> u <> '') AS w
                 FROM documents
             ), grams AS (
@@ -6242,7 +6242,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_trigram_nll": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                    u -> u <> '') AS w
                 FROM documents
             ), tri AS (
@@ -6290,7 +6290,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_pairs": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                    u -> u <> '') AS w
                 FROM documents
             ), grams AS (
@@ -6312,7 +6312,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    trim(regexp_replace(
                        lower(strip_accents(nfc_normalize(text))),
-                       '\s+', ' ', 'g')) AS text_norm
+                       '[ \t\n\x0b\f\r]+', ' ', 'g')) AS text_norm
             FROM documents
         """,
         "quantize_embeddings": r"""
@@ -6336,7 +6336,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        list_filter(
-                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '') AS w
                 FROM documents
             )
@@ -6352,8 +6352,8 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": r"""
             WITH fp AS (
                 SELECT source, lang,
-                       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f,
-                       len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       md5(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS f,
+                       len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                        u -> u <> '')) AS nt,
                        len(text) AS nc
                 FROM documents
@@ -6413,7 +6413,7 @@ def oracle_sql() -> dict[str, str]:
                                             1, 8))::UBIGINT % 8
                             AS INTEGER) AS shard,
                        CAST(len(list_filter(
-                           regexp_split_to_array(trim(text), '\s+'),
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '')) AS BIGINT) AS n_tokens
                 FROM documents
             ), c AS (
@@ -6434,7 +6434,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_corpus": r"""
             WITH RECURSIVE toks AS (
-                SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> '') AS w
+                SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> '') AS w
                 FROM documents
             ), sh AS (
                 SELECT doc_id,
@@ -6480,7 +6480,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substrings": """
             WITH t AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\\s+'), u -> u <> '') AS toks
+                       list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), u -> u <> '') AS toks
                 FROM documents
             ), occ AS (
                 SELECT doc_id, o.pos AS pos, o.gram AS gram
@@ -6524,7 +6524,7 @@ def oracle_sql() -> dict[str, str]:
         "strip_substrings": """
             WITH t AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\\s+'), u -> u <> '') AS toks
+                       list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), u -> u <> '') AS toks
                 FROM documents
             ), toksl AS (
                 SELECT doc_id, o.pos AS pos, o.tok AS tok
@@ -6643,7 +6643,7 @@ def oracle_sql() -> dict[str, str]:
         "token_budget": """
             WITH t AS (
                 SELECT doc_id, source,
-                       len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                       len(list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
                            u -> u <> '')) AS n_tokens
                 FROM documents
             ), tot AS (
@@ -6719,7 +6719,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_model": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                    u -> u <> '') AS w
                 FROM documents
             ), scored AS (
@@ -6748,7 +6748,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                    u -> u <> '') AS w
                 FROM documents
             ), grams AS (
@@ -6770,7 +6770,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                                    u -> u <> '') AS w
                 FROM documents
             ), chunks AS (
@@ -7000,7 +7000,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_token_count": r"""
             SELECT doc_id,
-                   len(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> '')) AS n_tokens,
+                   len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> '')) AS n_tokens,
                    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
             FROM documents
         """,
@@ -7008,8 +7008,8 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
                 SELECT doc_id,
                        len(text) AS n_chars,
-                       len(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> '')) AS n_tokens,
-                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> ''),
+                       len(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> '')) AS n_tokens,
+                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> ''),
                            t -> list_contains(['the','a','and','of','to','in','is','it'], t))) AS n_stop,
                        len(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct
                 FROM documents
@@ -7029,15 +7029,15 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": r"""
             WITH s AS (
                 SELECT doc_id, lang,
-                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> ''),
+                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> ''),
                            w -> list_contains(['der','die','das','und','ist','von','mit','nicht'], w))) AS score_de,
-                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> ''),
+                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> ''),
                            w -> list_contains(['the','a','and','of','to','in','is','it'], w))) AS score_en,
-                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> ''),
+                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> ''),
                            w -> list_contains(['el','la','de','que','y','en','los','por'], w))) AS score_es,
-                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> ''),
+                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> ''),
                            w -> list_contains(['le','la','les','de','et','est','dans','une','pour'], w))) AS score_fr,
-                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> ''),
+                       len(list_filter(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> ''),
                            w -> list_contains(['的','了','是','我','不','在'], w))) AS score_zh
                 FROM documents
             )
@@ -7053,17 +7053,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_fingerprint": r"""
             SELECT doc_id,
-                   md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+                   md5(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fingerprint
             FROM documents
         """,
         "dedup_exact": r"""
-            SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint,
+            SELECT md5(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')) AS fingerprint,
                    MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
             FROM documents GROUP BY 1
         """,
         "dedup_ngram_jaccard": r"""
             WITH toks AS (
-                SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> '') AS w
+                SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> '') AS w
                 FROM documents
             ), sh AS (
                 SELECT doc_id,
@@ -7090,7 +7090,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_containment": r"""
             WITH toks AS (
-                SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> '') AS w
+                SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> '') AS w
                 FROM documents
             ), sh AS (
                 SELECT doc_id,
@@ -7154,7 +7154,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_clusters": r"""
             WITH RECURSIVE toks AS (
-                SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), u -> u <> '') AS w
+                SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'), u -> u <> '') AS w
                 FROM documents
             ), sh AS (
                 SELECT doc_id,
@@ -7270,7 +7270,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": """
             WITH t AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\\s+'), u -> u <> '') AS toks,
+                       list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), u -> u <> '') AS toks,
                        list_filter(
                            list_transform(string_split(text, chr(10)),
                                           x -> trim(x)),
@@ -7305,7 +7305,7 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
                 SELECT doc_id,
                        len(text) AS n_chars,
-                       list_filter(regexp_split_to_array(trim(text), '\\s+'), u -> u <> '') AS toks,
+                       list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), u -> u <> '') AS toks,
                        len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
                 FROM documents
             ), bg AS (
@@ -7340,7 +7340,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_top_ngrams": """
             WITH t AS (
                 SELECT doc_id,
-                       list_filter(regexp_split_to_array(trim(text), '\\s+'), u -> u <> '') AS toks
+                       list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), u -> u <> '') AS toks
                 FROM documents
             ), g AS (
                 SELECT doc_id,
@@ -7418,7 +7418,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                       unnest(list_filter(regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                               u -> u <> '')) AS tok
                 FROM documents
             ), bits AS (
@@ -7588,7 +7588,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fingerprints": r"""
             WITH src AS (
                 SELECT doc_id,
-                       lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                       lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
                 FROM documents
                 WHERE doc_id % 4 = 0 AND text IS NOT NULL
             ), h AS (
@@ -7989,7 +7989,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_dedup_pairs": r"""
             WITH src AS (
                 SELECT doc_id,
-                       lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                       lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
                 FROM documents
                 WHERE text IS NOT NULL
             ), h AS (
@@ -8039,7 +8039,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_chunks": r"""
             WITH src AS (
                 SELECT doc_id,
-                       lower(regexp_replace(text, '\s+', ' ', 'g')) AS t
+                       lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
                 FROM documents
                 WHERE doc_id % 4 = 1 AND text IS NOT NULL
             ), cuts AS (
@@ -8083,7 +8083,7 @@ def oracle_sql() -> dict[str, str]:
         "pmi_collocations": r"""
             WITH toks AS (
                 SELECT list_filter(
-                           regexp_split_to_array(trim(text), '\s+'),
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '') AS w
                 FROM documents WHERE text IS NOT NULL
             ), uni AS (
@@ -8123,7 +8123,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        list_filter(
-                           regexp_split_to_array(trim(text), '\s+'),
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '') AS w
                 FROM documents
                 WHERE text IS NOT NULL AND doc_id % 20 = 0
@@ -8215,7 +8215,7 @@ def oracle_sql() -> dict[str, str]:
             ), toks AS (
                 SELECT doc_id,
                        list_filter(
-                           regexp_split_to_array(trim(text), '\s+'),
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '') AS w
                 FROM documents WHERE text IS NOT NULL
             ), dl AS (
@@ -8259,7 +8259,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        list_filter(
-                           regexp_split_to_array(trim(text), '\s+'),
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '') AS w
                 FROM documents WHERE text IS NOT NULL
             ), dl AS (
@@ -8300,7 +8300,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        list_filter(
-                           regexp_split_to_array(trim(text), '\s+'),
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '') AS w
                 FROM documents
             ), sh AS (
@@ -8405,7 +8405,7 @@ def oracle_sql() -> dict[str, str]:
                 FROM s
             )
             SELECT doc_id,
-                   trim(regexp_replace(t, '\s+', ' ', 'g'))
+                   trim(regexp_replace(t, '[ \t\n\x0b\f\r]+', ' ', 'g'))
                        AS text_plain
             FROM e
         """,
@@ -8413,7 +8413,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT source,
                        COALESCE(len(list_filter(
-                           regexp_split_to_array(trim(text), '\s+'),
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '')), 0) AS n
                 FROM documents
             ), per AS (
@@ -8437,7 +8437,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_coverage": r"""
             WITH toks AS (
                 SELECT unnest(list_filter(
-                           regexp_split_to_array(trim(text), '\s+'),
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '')) AS token
                 FROM documents
             ), counts AS (
@@ -8472,7 +8472,7 @@ def oracle_sql() -> dict[str, str]:
             WITH m AS (
                 SELECT doc_id,
                        len(text) AS n_chars,
-                       list_filter(regexp_split_to_array(trim(text), '\\s+'), u -> u <> '') AS toks,
+                       list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), u -> u <> '') AS toks,
                        len(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS n_punct
                 FROM documents
             ), r AS (
@@ -8501,7 +8501,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        list_filter(
-                           regexp_split_to_array(trim(text), '\s+'),
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '') AS w
                 FROM documents
             ), m AS (
@@ -8567,7 +8567,7 @@ def oracle_sql() -> dict[str, str]:
         "packing_stats": r"""
             WITH t AS (
                 SELECT COALESCE(len(list_filter(
-                           regexp_split_to_array(trim(text), '\s+'),
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '')), 0) AS n
                 FROM documents
             ), a AS (
@@ -8598,7 +8598,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id, text,
                        list_filter(
-                           regexp_split_to_array(trim(text), '\s+'),
+                           regexp_split_to_array(trim(text), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '') AS w
                 FROM documents
             ), m AS (
@@ -8669,7 +8669,7 @@ def oracle_sql() -> dict[str, str]:
         "oov_rate": r"""
             WITH toks AS (
                 SELECT list_filter(
-                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '') AS w
                 FROM documents WHERE text IS NOT NULL
             ), words AS (
@@ -8696,7 +8696,7 @@ def oracle_sql() -> dict[str, str]:
             WITH toks AS (
                 SELECT doc_id,
                        list_filter(
-                           regexp_split_to_array(trim(lower(text)), '\s+'),
+                           regexp_split_to_array(trim(lower(text)), '[ \t\n\x0b\f\r]+'),
                            u -> u <> '') AS w
                 FROM documents WHERE text IS NOT NULL
             ), streams AS (

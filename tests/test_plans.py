@@ -978,18 +978,25 @@ def test_corpus_drift_topk_never_global_sorts(spark):
     from xyzpy_spark.pipeline.drift import corpus_divergence
 
     docs = read_table(spark, SF_DIR, "documents")
-    df = corpus_divergence(
-        docs.where(F.col("lang") == "en"),
-        docs.where(F.col("lang") == "de"),
-        top_k=20,
-        localize=False,  # keep the lazy plan for inspection
-    )
-    plan = executed_plan(df)
-    assert "TakeOrdered" in plan, plan
-    lines = plan.splitlines()
-    for i, ln in enumerate(lines):
-        if "Exchange SinglePartition" in ln:
-            ctx = "\n".join(lines[max(0, i - 3):i])
-            assert "Window" not in ctx and "Sort" not in ctx, plan
-    cols = scan_columns(df)
-    assert cols and set(cols) <= {"text", "lang"}, cols
+    # localize=False leaves the vocab full-outer join persisted by
+    # documented contract (the caller owns releasing it) — release it
+    # after plan inspection so this test doesn't leak a cached table
+    # into the shared session
+    try:
+        df = corpus_divergence(
+            docs.where(F.col("lang") == "en"),
+            docs.where(F.col("lang") == "de"),
+            top_k=20,
+            localize=False,  # keep the lazy plan for inspection
+        )
+        plan = executed_plan(df)
+        assert "TakeOrdered" in plan, plan
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" in ln:
+                ctx = "\n".join(lines[max(0, i - 3):i])
+                assert "Window" not in ctx and "Sort" not in ctx, plan
+        cols = scan_columns(df)
+        assert cols and set(cols) <= {"text", "lang"}, cols
+    finally:
+        spark.catalog.clearCache()

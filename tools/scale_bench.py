@@ -211,13 +211,17 @@ def scale_cfg_value_drift(spark, sf_dir: str):
     of data scaling.  Split on event_type instead (every replica
     carries every type), so BOTH count aggregations grow ~mult and
     the ratio bounds the real linear work: two scans into 64-bin
-    count tables; everything downstream is O(n_bins)."""
+    count tables; everything downstream is O(n_bins).  NULL-typed
+    events route to side b (coalesced predicate) — a plain ~isin
+    evaluates to NULL and would silently drop them from BOTH sides,
+    under-measuring the scan."""
     from xyzpy_spark.pipeline.drift import numeric_divergence
 
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    is_ab = F.col("event_type").isin("view", "click")
     return numeric_divergence(
-        ev.where(F.col("event_type").isin("view", "click")),
-        ev.where(~F.col("event_type").isin("view", "click")),
+        ev.where(F.coalesce(is_ab, F.lit(False))),
+        ev.where(F.coalesce(~is_ab, F.lit(True))),
         "value",
         lo=0.0,
         hi=512.0,

@@ -142,6 +142,13 @@ def divergence_from_counts(
     denom_b = F.lit(float(total_b) + a * vocab)
     p = (F.col("cnt_a").cast("double") + F.lit(a)) / denom_a
     q = (F.col("cnt_b").cast("double") + F.lit(a)) / denom_b
+    # accepted-risk class (ORACLES.md "libm transcendentals"): oracle
+    # bit-parity rests on JVM Math.log-based log2 matching DuckDB's
+    # libm log2 to the last ulp — a half-ULP difference at a
+    # floor(x*1e9+0.5) boundary would flip js_contrib_e9 by 1.  The
+    # strict sf0.01/sf0.001 gate guards it; if a flip ever appears,
+    # compute contrib via one shared expression form (ln/LN2) on both
+    # engines before the floor.
     contrib = (
         F.lit(0.5) * p * F.log2(F.lit(2.0) * p / (p + q))
         + F.lit(0.5) * q * F.log2(F.lit(2.0) * q / (p + q))

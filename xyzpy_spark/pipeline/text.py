@@ -44,6 +44,12 @@ def tokenize(col) -> F.Column:
     built-in) drops the empty strings ``split`` emits at whitespace
     edges; note ``F.trim`` alone can't do this (it strips spaces only,
     not tabs/newlines).
+
+    Whitespace class: Java's ``\\s`` is exactly ``[ \\t\\n\\x0B\\f\\r]``;
+    RE2 (DuckDB) historically excludes the vertical tab from ``\\s``,
+    so every DuckDB oracle pins that class explicitly instead of using
+    ``\\s`` — both engines then tokenize identically even on exotic
+    whitespace (ORACLES.md "whitespace").
     """
     return F.array_remove(F.split(col, r"\s+"), "")
 

@@ -245,3 +245,39 @@ def test_curate_language_gate_heuristic_and_trained(spark):
         langid_model=(w, b),
     )
     assert {r["doc_id"] for r in out2.collect()} == {2}
+
+
+def test_curate_decontaminate_via_bloom(spark, corpus):
+    """curate_corpus(decontaminate_via='bloom') — the one-call recipe's
+    scale-safe decontamination switch (r10 verdict ask #1).  On this
+    corpus the 2^20-bit filter has no false positives, so the bloom
+    recipe output equals the broadcast recipe output exactly; the
+    general contract (bloom survivors ⊆ broadcast survivors) is pinned
+    at corpus scale in test_pipeline.test_decontaminate_bloom_parity."""
+    from xyzpy_spark.pipeline.curate import curate_corpus
+
+    leak = spark.createDataFrame(
+        [(999, "quick brown cat jumps over", "en", "ref")],
+        "doc_id LONG, text STRING, lang STRING, source STRING",
+    )
+    kw = dict(
+        reference_df=leak,
+        min_tokens=10,
+        min_quality=None,
+        decontaminate_n=5,
+    )
+    exact = {
+        r["doc_id"]
+        for r in curate_corpus(corpus, **kw).collect()
+    }
+    bloom = {
+        r["doc_id"]
+        for r in curate_corpus(
+            corpus, decontaminate_via="bloom", **kw
+        ).collect()
+    }
+    assert bloom == exact
+    assert 4 not in bloom and 1 in bloom
+
+    with pytest.raises(ValueError, match="via"):
+        curate_corpus(corpus, decontaminate_via="nope", **kw).collect()

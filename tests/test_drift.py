@@ -198,3 +198,127 @@ def test_accessor_divergence(spark):
         .df.collect()
     )
     assert {r["token"] for r in nd} == {0, 2}
+
+
+def test_numeric_divergence_multi_matches_single(spark):
+    """The one-scan multi-column monitor is column-for-column
+    identical to k single-column calls (same bucket core, same JSD
+    core, same fixed-point totals) — with per-column NULL/NaN
+    patterns exercising the projection-context guard that replaces
+    the single-column path's pushed-down filter."""
+    from xyzpy_spark.pipeline.drift import (
+        numeric_divergence,
+        numeric_divergence_multi,
+    )
+
+    nan = float("nan")
+    rows_a = [
+        (0.0, 5.0), (7.99, None), (63.9, nan), (None, 2.0),
+        (nan, 999.0), (-5.0, -1.0), (120.0, 3.0), (33.3, 3.0),
+    ]
+    rows_b = [
+        (2.0, None), (40.0, 1.0), (None, 1.0), (8.0, nan),
+        (float("inf"), 2.5), (999.0, float("-inf")),
+    ]
+    da = spark.createDataFrame(rows_a, "x double, y double")
+    db = spark.createDataFrame(rows_b, "x double, y double")
+    specs = {"x": (0.0, 64.0), "y": (0.0, 4.0)}
+    multi = numeric_divergence_multi(da, db, specs, n_bins=8, top_k=8)
+    assert multi.columns == [
+        "col", "token", "cnt_a", "cnt_b", "p_a", "p_b",
+        "js_contrib_e9", "js_total_e9",
+    ]
+    mrows = multi.collect()
+    # specs insertion order is the output order contract
+    seen_order = []
+    for r in mrows:
+        if r["col"] not in seen_order:
+            seen_order.append(r["col"])
+    assert seen_order == ["x", "y"]
+    for col, (lo, hi) in specs.items():
+        single = {
+            r["token"]: r
+            for r in numeric_divergence(
+                da, db, col, lo=lo, hi=hi, n_bins=8, top_k=8
+            ).collect()
+        }
+        got = {r["token"]: r for r in mrows if r["col"] == col}
+        assert set(got) == set(single), col
+        for t, s in single.items():
+            m = got[t]
+            assert (
+                m["cnt_a"], m["cnt_b"], m["p_a"], m["p_b"],
+                m["js_contrib_e9"], m["js_total_e9"],
+            ) == (
+                s["cnt_a"], s["cnt_b"], s["p_a"], s["p_b"],
+                s["js_contrib_e9"], s["js_total_e9"],
+            ), (col, t)
+
+
+def test_numeric_divergence_multi_python_twin(spark):
+    """Direct flat-python parity for the multi monitor (not just
+    consistency with the single-column path): per-column binning with
+    clamp + NULL/NaN drop, add-alpha smoothing over each column's
+    union bin support, e9 fixed-point contributions and totals."""
+    import math as _math
+    from collections import Counter as _Counter
+
+    from xyzpy_spark.pipeline.drift import numeric_divergence_multi
+
+    nan = float("nan")
+    rows_a = [(1.0, 10.0), (2.5, None), (None, 30.0), (nan, 10.0),
+              (-9.0, 500.0), (3.0, 10.0)]
+    rows_b = [(1.0, 20.0), (1.0, 20.0), (7.5, nan), (None, None),
+              (99.0, -3.0)]
+    specs = {"u": (0.0, 8.0), "v": (0.0, 40.0)}
+    n_bins = 4
+
+    def _bins(vals, lo, hi):
+        width = (hi - lo) / n_bins
+        out = _Counter()
+        for v in vals:
+            if v is None or v != v:
+                continue
+            b = _math.floor((v - lo) / width)
+            out[min(max(b, 0), n_bins - 1)] += 1
+        return out
+
+    want = {}
+    for i, (col, (lo, hi)) in enumerate(specs.items()):
+        ca = _bins([r[i] for r in rows_a], lo, hi)
+        cb = _bins([r[i] for r in rows_b], lo, hi)
+        union = set(ca) | set(cb)
+        at, bt = sum(ca.values()), sum(cb.values())
+        contribs = {}
+        for t in union:
+            p = (ca.get(t, 0) + 0.5) / (float(at) + 0.5 * len(union))
+            q = (cb.get(t, 0) + 0.5) / (float(bt) + 0.5 * len(union))
+            c = 0.5 * p * _math.log2(2.0 * p / (p + q)) \
+                + 0.5 * q * _math.log2(2.0 * q / (p + q))
+            contribs[t] = _math.floor(c * 1e9 + 0.5)
+        want[col] = (contribs, sum(contribs.values()))
+
+    da = spark.createDataFrame(rows_a, "u double, v double")
+    db = spark.createDataFrame(rows_b, "u double, v double")
+    out = numeric_divergence_multi(
+        da, db, specs, n_bins=n_bins, top_k=n_bins
+    ).collect()
+    for col, (contribs, total) in want.items():
+        got = {r["token"]: r for r in out if r["col"] == col}
+        assert {t: r["js_contrib_e9"] for t, r in got.items()} == contribs
+        assert all(r["js_total_e9"] == total for r in got.values()), col
+
+
+def test_numeric_divergence_multi_validates(spark):
+    from xyzpy_spark.pipeline.drift import (
+        numeric_distribution_multi,
+        numeric_divergence_multi,
+    )
+
+    d = spark.createDataFrame([(1.0,)], "value double")
+    with pytest.raises(ValueError, match="empty"):
+        numeric_distribution_multi(d, {})
+    with pytest.raises(ValueError, match="lo < hi"):
+        numeric_divergence_multi(d, d, {"value": (3.0, 3.0)})
+    with pytest.raises(ValueError, match="n_bins"):
+        numeric_divergence_multi(d, d, {"value": (0.0, 1.0)}, n_bins=1)

@@ -1000,3 +1000,21 @@ def test_corpus_drift_topk_never_global_sorts(spark):
         assert cols and set(cols) <= {"text", "lang"}, cols
     finally:
         spark.catalog.clearCache()
+
+
+def test_numeric_distribution_multi_one_scan(spark):
+    """The multi-column feature monitor's whole point (r10 verdict ask
+    #4): k monitored columns must cost ONE scan per side, not k.  The
+    count-table plan must contain exactly one parquet scan reading
+    only the monitored columns, and stay pure codegen (no Python)."""
+    from xyzpy_spark.pipeline.drift import numeric_distribution_multi
+
+    ev = read_table(spark, SF_DIR, "events")
+    d = numeric_distribution_multi(
+        ev, {"value": (0.0, 512.0), "user_id": (0.0, 256.0)}, n_bins=64
+    )
+    plan = executed_plan(d)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "pythonUDF" not in plan and "BatchEvalPython" not in plan, plan
+    cols = scan_columns(d)
+    assert cols and set(cols) <= {"value", "user_id"}, cols

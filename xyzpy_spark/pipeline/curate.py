@@ -15,8 +15,12 @@ pipelines run them (C4 → Gopher → CCNet → GPT-3 decontamination):
    bigram LM; the worst per-language bucket is dropped
    (:func:`~xyzpy_spark.pipeline.lm.ccnet_buckets`).
 5. **Decontamination** — drop documents sharing n-grams with the
-   eval/reference set (:func:`~xyzpy_spark.pipeline.text.decontaminate`),
-   eval side broadcast.
+   eval/reference set (:func:`~xyzpy_spark.pipeline.text.decontaminate`);
+   ``decontaminate_via`` picks the eval-side form — exact broadcast
+   n-gram join (default) or the 128 KiB Bloom filter that stays
+   constant-size however large the eval set (r11: the measured
+   boundary is a ~408 MiB broadcast at a 100x eval set — the recipe
+   now has the scale-safe switch built in).
 
 Scale shape: stages 2-3 are pure column filters fused into the scan;
 stages 1, 4, 5 add one bounded-key shuffle each (8-byte fingerprints,
@@ -67,6 +71,9 @@ def curate_corpus(
     lm_buckets: int = 3,
     decontaminate_n: int | None = None,
     min_decontam_hits: int = 1,
+    decontaminate_via: str = "broadcast",
+    decontam_m_bits: int = 1 << 20,
+    decontam_k: int = 4,
     text_col: str = "text",
     id_col: str = "doc_id",
     lang_col: str = "lang",
@@ -82,7 +89,12 @@ def curate_corpus(
     ``n`` defaults to 2) to skip the training job entirely, the
     production shape for repeated snapshot runs.
     ``eval_df`` is the
-    BENCHMARK set whose n-grams the ``decontaminate_n`` stage scrubs.
+    BENCHMARK set whose n-grams the ``decontaminate_n`` stage scrubs;
+    ``decontaminate_via="bloom"`` swaps the exact broadcast n-gram
+    join for the constant-128-KiB Bloom-filter probe
+    (``decontam_m_bits`` / ``decontam_k`` size it) — use it when the
+    eval side outgrows a comfortable broadcast (FP-rate-bounded
+    over-dropping, never under-dropping).
     In production these are different corpora — pass both.
     ``eval_df`` defaults to ``reference_df`` for the common audit
     setup where one held-out split plays both roles.  ``dedup``
@@ -271,6 +283,9 @@ def curate_corpus(
             text_col=text_col,
             id_col=id_col,
             min_hits=min_decontam_hits,
+            via=decontaminate_via,
+            m_bits=decontam_m_bits,
+            k=decontam_k,
         )
         _note("decontaminate", out)
 

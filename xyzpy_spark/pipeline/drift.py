@@ -36,6 +36,8 @@ __all__ = [
     "corpus_divergence",
     "numeric_distribution",
     "numeric_divergence",
+    "numeric_distribution_multi",
+    "numeric_divergence_multi",
 ]
 
 
@@ -200,14 +202,14 @@ def numeric_distribution(
     not drop it — ±Inf clamps like any outlier); NULL and NaN are
     dropped (engines disagree on where floor/clamp send NaN — Spark's
     floor(NaN) is 0, DuckDB's NaN sorts greatest — so NaN must never
-    reach the bucket expression)."""
-    width = (float(hi) - float(lo)) / int(n_bins)
+    reach the bucket expression).  The clamp expression itself is
+    shared with the multi-column monitor (:func:`_bin_core` — r11),
+    so the two paths can never bin differently; here the NULL/NaN
+    filter runs BEFORE the projection so it pushes into the scan."""
     c = F.col(col).cast("double")
-    b = F.floor((c - F.lit(float(lo))) / F.lit(width))
-    b = F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1))
     return (
         df.where(F.col(col).isNotNull() & ~F.isnan(c))
-        .select(b.cast("long").alias("token"))
+        .select(_bin_core(col, lo, hi, n_bins).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
@@ -249,3 +251,132 @@ def numeric_divergence(
         alpha=alpha,
         localize=localize,
     )
+
+
+def _bin_core(col: str, lo: float, hi: float, n_bins: int) -> F.Column:
+    """The shared fixed-edge clamp: ``floor((x-lo)/width)`` clamped
+    into ``[0, n_bins)``, as a long.  Callers MUST keep NULL/NaN away
+    from it (engines disagree on where floor/clamp send NaN).
+    Factored so the single-column and multi-column distributions can
+    never bucket differently."""
+    width = (float(hi) - float(lo)) / int(n_bins)
+    c = F.col(col).cast("double")
+    b = F.floor((c - F.lit(float(lo))) / F.lit(width))
+    return F.least(F.greatest(b, F.lit(0)), F.lit(int(n_bins) - 1)).cast(
+        "long"
+    )
+
+
+def _bin_expr(col: str, lo: float, hi: float, n_bins: int) -> F.Column:
+    """:func:`_bin_core` guarded for projection contexts: NULL for
+    NULL/NaN input, the clamped bin index otherwise — the form the
+    multi-column single-scan monitor needs (per-column null-ness
+    differs, so no pre-filter can serve all k columns)."""
+    c = F.col(col).cast("double")
+    return F.when(
+        F.col(col).isNotNull() & ~F.isnan(c),
+        _bin_core(col, lo, hi, n_bins),
+    )
+
+
+def _check_bin_args(fn: str, col: str, lo, hi, n_bins: int) -> None:
+    if not float(lo) < float(hi):
+        raise ValueError(f"{fn}: need lo < hi for {col!r}, got [{lo!r}, {hi!r})")
+    if int(n_bins) < 2:
+        raise ValueError(f"{fn}: n_bins must be >= 2, got {n_bins!r}")
+
+
+def numeric_distribution_multi(
+    df: DataFrame,
+    specs,
+    *,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Fixed-bin value counts for SEVERAL numeric columns in ONE scan:
+    ``(col, token, cnt)`` where ``token`` is the bin index within that
+    column's ``[lo, hi)`` edges.
+
+    ``specs`` maps column name -> ``(lo, hi)`` (insertion order is the
+    output order contract).  The k bucket expressions ride a single
+    ``explode(array(struct...))`` projection — the input is scanned
+    ONCE however many columns are monitored, where k separate
+    :func:`numeric_distribution` calls would scan it k times.  The
+    explode fans each row into k narrow (col, token) rows; NULL/NaN
+    values surface as NULL tokens and are dropped after the explode
+    (per-column null-ness differs, so no global filter can do it).
+    One map-side-combinable aggregation bounds the output at
+    ``k * n_bins`` rows however large the table."""
+    if not specs:
+        raise ValueError("numeric_distribution_multi: specs is empty")
+    entries = []
+    for col, (lo, hi) in dict(specs).items():
+        _check_bin_args("numeric_distribution_multi", col, lo, hi, n_bins)
+        entries.append(
+            F.struct(
+                F.lit(col).alias("col"),
+                _bin_expr(col, lo, hi, n_bins).alias("token"),
+            )
+        )
+    return (
+        df.select(F.explode(F.array(*entries)).alias("s"))
+        .select("s.col", "s.token")
+        .where(F.col("token").isNotNull())
+        .groupBy("col", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def numeric_divergence_multi(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    specs,
+    *,
+    n_bins: int = 64,
+    top_k: int = 20,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """:func:`numeric_divergence` over SEVERAL columns with ONE scan
+    per side — the production feature-table monitor (k monitored
+    features must not cost k scans of a 100-TB table).
+
+    Each side collapses to one ``k * n_bins``-bounded count table via
+    :func:`numeric_distribution_multi` (single scan, single
+    aggregation); the tables are persisted, materialized once, and
+    every per-column divergence — the SAME JSD core as every other
+    drift monitor (:func:`divergence_from_counts`, exact e9
+    fixed-point totals) — reads those caches, never the input again.
+    Output adds a leading ``col`` column (the monitored column's name
+    — reserved in the output schema) to the usual report shape:
+
+    ``(col, token, cnt_a, cnt_b, p_a, p_b, js_contrib_e9, js_total_e9)``
+
+    with ``js_total_e9`` the per-column corpus total.  Results are
+    localized (everything downstream of the two count aggregations is
+    bounded by ``k * n_bins``); both caches are released before
+    returning.  ``top_k >= n_bins`` returns each column's complete
+    binned comparison."""
+    specs = dict(specs)
+    for col, (lo, hi) in specs.items():
+        _check_bin_args("numeric_divergence_multi", col, lo, hi, n_bins)
+    ca = numeric_distribution_multi(df_a, specs, n_bins=n_bins).persist()
+    cb = numeric_distribution_multi(df_b, specs, n_bins=n_bins).persist()
+    try:
+        ca.count()  # THE one scan of side a
+        cb.count()  # THE one scan of side b
+        frames = []
+        for col in specs:
+            rep = divergence_from_counts(
+                ca.where(F.col("col") == col).select("token", "cnt"),
+                cb.where(F.col("col") == col).select("token", "cnt"),
+                top_k=top_k,
+                alpha=alpha,
+                localize=True,  # <= top_k rows; the caches stay warm
+            )
+            frames.append(rep.select(F.lit(col).alias("col"), "*"))
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+    finally:
+        ca.unpersist()
+        cb.unpersist()

@@ -761,14 +761,52 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_hits: int = 1,
+    via: str = "broadcast",
+    m_bits: int = 1 << 20,
+    k: int = 4,
 ) -> DataFrame:
     """Drop training docs sharing >= ``min_hits`` distinct n-grams
-    with the eval set (left-anti join against
-    :func:`contamination_hits` — train text never shuffles, only its
-    n-gram stream does)."""
-    hits = contamination_hits(
-        train_df, eval_df, n=n, text_col=text_col, id_col=id_col
-    ).where(F.col("n_hits") >= min_hits)
+    with the eval set (left-anti join against the hit census — train
+    text never shuffles, only its n-gram stream does).
+
+    ``via`` selects the eval-side representation (r10 verdict ask #1):
+
+    - ``"broadcast"`` (default) — :func:`contamination_hits`: the
+      distinct eval n-gram strings ride a broadcast hash join.  Exact,
+      and right while the eval side fits comfortably in executor
+      memory; the measured boundary is a ~408 MiB broadcast at a
+      100x-scaled eval set (scale_r10_100x.log), where the join
+      spills.
+    - ``"bloom"`` — :func:`bloom_contamination_hits`: the eval n-grams
+      compress into an ``m_bits``-bit Bloom filter (128 KiB at the
+      default 2^20) that ships as a plan literal however large the
+      eval set; the probe is map-only column arithmetic.  Bounded
+      false-positive rate (<1% at the defaults up to ~130k grams): a
+      few clean docs may be dropped too, no contaminated doc is ever
+      kept.  The 100-TB scale path.
+
+    ``m_bits`` / ``k`` apply to the bloom form only.
+    """
+    if via == "broadcast":
+        hits = contamination_hits(
+            train_df, eval_df, n=n, text_col=text_col, id_col=id_col
+        )
+    elif via == "bloom":
+        hits = bloom_contamination_hits(
+            train_df,
+            eval_df,
+            n=n,
+            text_col=text_col,
+            id_col=id_col,
+            m_bits=m_bits,
+            k=k,
+        )
+    else:
+        raise ValueError(
+            f"decontaminate: via must be 'broadcast' or 'bloom', "
+            f"got {via!r}"
+        )
+    hits = hits.where(F.col("n_hits") >= min_hits)
     return train_df.join(hits, id_col, "left_anti")
 
 

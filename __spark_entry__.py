@@ -2093,6 +2093,37 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "text", "lang", "source")
 
 
+def q_curate_corpus_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation recipe through the SCALE-PATH decontamination
+    switch (r10 verdict ask #1: curate_corpus(decontaminate_via=
+    'bloom')): identical five stages to curate_corpus, but the eval
+    n-grams compress into the 2^20-bit Bloom filter — 128 KiB on the
+    plan however large the eval set, map-only probe, zero joins on
+    the eval side.  The md5 hash family is engine-portable, so the
+    EXACT survivor set — any false positives included — is
+    reproducible in DuckDB and sits under the driver hash."""
+    from xyzpy_spark.pipeline.curate import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    ref = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    out = curate_corpus(
+        corpus,
+        reference_df=ref,
+        hash_fn="md5",
+        min_tokens=20,
+        min_quality=0.5,
+        max_top_bigram_frac=0.12,
+        blocklist=["merge", "spark"],
+        max_block_hits=2,
+        lm_tail=True,
+        lm_buckets=3,
+        decontaminate_n=5,
+        decontaminate_via="bloom",
+    )
+    return out.select("doc_id", "text", "lang", "source")
+
+
 def q_lm_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed production recipe as ONE lazy lineage (r9 verdict
     ask #4): corpus → curate (exact dedup + quality + blocklist +
@@ -4089,6 +4120,32 @@ def q_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_value_drift_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column feature drift in ONE scan per side (r10 verdict
+    ask #4: pipeline/drift.numeric_divergence_multi): the event
+    VALUE [0, 512) and USER_ID [0, 256) distributions monitored
+    together across the same mid-January split — k monitored columns
+    must not cost k scans of a 100-TB feature table.  Each side
+    collapses to one k*64-bin count table (explode of k bucket
+    structs, one map-side-combinable aggregation; plan-asserted
+    single parquet scan reading only the two columns), and each
+    column's JS divergence reuses the exact e9 fixed-point core.
+    Bin widths 8.0 and 4.0 are binary-exact, so both engines bucket
+    identically; top_k = n_bins returns the complete binned
+    comparison, so no rank-tie risk."""
+    from xyzpy_spark.pipeline.drift import numeric_divergence_multi
+
+    ev = _t(spark, sf_dir, "events")
+    split = "2024-01-16 00:00:00"
+    return numeric_divergence_multi(
+        ev.where(F.col("ts") < F.lit(split).cast("timestamp")),
+        ev.where(F.col("ts") >= F.lit(split).cast("timestamp")),
+        {"value": (0.0, 512.0), "user_id": (0.0, 256.0)},
+        n_bins=64,
+        top_k=64,
+    )
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel top-k importance resampling of 50 raw docs ∝ exp(logw)
     — deterministic md5 Gumbel, distributed TakeOrdered rank
@@ -4320,6 +4377,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # coverage/sampling family keeps weighted_sample, source_caps and
 # stream_caps in-window, and the counts-of-counts plan shape stays
 # plan-asserted in test_plans).
+# ROUND 11 rotated in value_drift_multi (the one-scan multi-column
+# feature-drift monitor — r10 verdict ask #4; strict-green at sf0.01
+# AND sf0.001 + type audit before entering), displacing bm25_search
+# (r5-r10 green, one of the two longest in-window streaks; the IR
+# family keeps bm25_index_search in-window and the ad-hoc probe stays
+# under the strict local gate); and curate_corpus_bloom (the recipe
+# through the scale-path Bloom decontamination switch — r10 verdict
+# ask #1; strict-green at sf0.01 AND sf0.001 + type audit before
+# entering), displacing stream_stateful_stats (r5-r10 green; streaming
+# keeps eight in-window reps incl. the applyInPandasWithState twin's
+# batch sibling running_stats under the strict gate).  Per the
+# two-round precedent the six r10 newcomers hold their slots through
+# r11.
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -4419,6 +4489,8 @@ ROTATION_HISTORY: dict[str, int] = {
     "harvest_partitioned_2d": 10,
     "multimodal_jpeg_lossless": 10,
     "corpus_drift": 10,
+    "value_drift_multi": 11,
+    "curate_corpus_bloom": 11,
     "stream_drift": 10,
     "value_drift": 10,
     "stream_caps": 9,
@@ -4480,7 +4552,7 @@ ROTATION_HISTORY: dict[str, int] = {
 }
 
 # The round whose driver window is currently frozen in queries() order.
-ROTATION_ROUND = 10
+ROTATION_ROUND = 11
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4597,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_rowwise": q_langid_rowwise,
         "similarity_pq": q_similarity_pq,
         "curate_corpus": q_curate_corpus,
+        "curate_corpus_bloom": q_curate_corpus_bloom,
         "product_profit": q_product_profit,
         "dsir_weights": q_dsir_weights,
         "important_stock": q_important_stock,
@@ -4604,6 +4677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forecast_revenue_change": q_forecast_revenue_change,
         "funnel_steps": q_funnel_steps,
         "value_drift": q_value_drift,
+        "value_drift_multi": q_value_drift_multi,
         "cohort_retention": q_cohort_retention,
         "stream_winnow_index": q_stream_winnow_index,
         "excess_stock_suppliers": q_excess_stock_suppliers,
@@ -4634,14 +4708,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "harvest_partitioned": q_harvest_partitioned,
         "weighted_sample": q_weighted_sample,
         "stream_hll": q_stream_hll,
-        "bm25_search": q_bm25_search,
         "harvest_partitioned_2d": q_harvest_partitioned_2d,
         "source_caps": q_source_caps,
-        "stream_stateful_stats": q_stream_stateful_stats,
         "multimodal_jpeg_lossless": q_multimodal_jpeg_lossless,
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
+        "bm25_search": q_bm25_search,
+        "stream_stateful_stats": q_stream_stateful_stats,
         "vocab_coverage": q_vocab_coverage,
         "lm_nll": q_lm_nll,
         "strip_substrings": q_strip_substrings,
@@ -5717,6 +5791,90 @@ _VALUE_DRIFT_ORACLE = _DIVERGENCE_ORACLE_CORE.format(
     limit=64,
 )
 
+#: one side of the MULTI-column monitor: k (col, token) bucket streams
+#: out of one table (the Spark twin reads it in one scan; SQL-wise a
+#: UNION ALL of per-column bucket selects is the same relation)
+_VALUE_MULTI_SRC = (
+    "                SELECT 'value' AS col,\n"
+    "                       CAST(LEAST(GREATEST(\n"
+    "                           FLOOR((CAST(value AS DOUBLE) - 0.0) / 8.0),\n"
+    "                           0), 63) AS BIGINT) AS token\n"
+    "                FROM events\n"
+    "                WHERE value IS NOT NULL AND NOT isnan(value)\n"
+    "                  AND ts {op} TIMESTAMP '2024-01-16 00:00:00'\n"
+    "                UNION ALL\n"
+    "                SELECT 'user_id' AS col,\n"
+    "                       CAST(LEAST(GREATEST(\n"
+    "                           FLOOR((CAST(user_id AS DOUBLE) - 0.0) / 4.0),\n"
+    "                           0), 63) AS BIGINT) AS token\n"
+    "                FROM events\n"
+    "                WHERE user_id IS NOT NULL\n"
+    "                  AND ts {op} TIMESTAMP '2024-01-16 00:00:00'"
+)
+
+#: the grouped divergence core: _DIVERGENCE_ORACLE_CORE's arithmetic
+#: verbatim, with every CTE keyed by (col, token) and the totals /
+#: smoothing denominators / fixed-point sums computed PER COLUMN —
+#: the SQL twin of numeric_divergence_multi's per-column reuse of
+#: divergence_from_counts.  top_k = n_bins in the gate row, so no
+#: per-column limit is needed (the complete binned comparison).
+_VALUE_DRIFT_MULTI_ORACLE = r"""
+            WITH a AS (
+{src_a}
+            ), b AS (
+{src_b}
+            ), ca AS (
+                SELECT col, token, COUNT(*) AS cnt_a
+                FROM a GROUP BY col, token
+            ), cb AS (
+                SELECT col, token, COUNT(*) AS cnt_b
+                FROM b GROUP BY col, token
+            ), j AS (
+                SELECT COALESCE(ca.col, cb.col) AS col,
+                       COALESCE(ca.token, cb.token) AS token,
+                       COALESCE(cnt_a, 0) AS cnt_a,
+                       COALESCE(cnt_b, 0) AS cnt_b
+                FROM ca FULL OUTER JOIN cb
+                  ON ca.col = cb.col AND ca.token = cb.token
+            ), tot AS (
+                SELECT col,
+                       CAST(SUM(cnt_a) AS DOUBLE) AS ta,
+                       CAST(SUM(cnt_b) AS DOUBLE) AS tb,
+                       CAST(COUNT(*) AS DOUBLE) AS v
+                FROM j GROUP BY col
+            ), pq AS (
+                SELECT j.col, token, cnt_a, cnt_b,
+                       (CAST(cnt_a AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                           / (tot.ta + CAST(0.5 AS DOUBLE) * tot.v) AS p,
+                       (CAST(cnt_b AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                           / (tot.tb + CAST(0.5 AS DOUBLE) * tot.v) AS q
+                FROM j JOIN tot ON j.col = tot.col
+            ), scored AS (
+                SELECT col, token,
+                       CAST(cnt_a AS BIGINT) AS cnt_a,
+                       CAST(cnt_b AS BIGINT) AS cnt_b,
+                       FLOOR(p * 1000000000.0 + 0.5) / 1000000000.0
+                           AS p_a,
+                       FLOOR(q * 1000000000.0 + 0.5) / 1000000000.0
+                           AS p_b,
+                       CAST(FLOOR((0.5 * p * log2(2.0 * p / (p + q))
+                                   + 0.5 * q * log2(2.0 * q / (p + q)))
+                                  * 1000000000.0 + 0.5)
+                            AS BIGINT) AS js_contrib_e9
+                FROM pq
+            ), total AS (
+                SELECT col, CAST(SUM(js_contrib_e9) AS BIGINT)
+                           AS js_total_e9
+                FROM scored GROUP BY col
+            )
+            SELECT scored.col, token, cnt_a, cnt_b, p_a, p_b,
+                   js_contrib_e9, total.js_total_e9
+            FROM scored JOIN total ON scored.col = total.col
+        """.format(
+    src_a=_VALUE_MULTI_SRC.format(op="<"),
+    src_b=_VALUE_MULTI_SRC.format(op=">="),
+)
+
 #: shared twin of hll_distinct AND stream_hll (two engine paths,
 #: one oracle — the merged stream registers equal the batch registers)
 _HLL_ORACLE = """
@@ -6003,6 +6161,42 @@ _CURATE_ORACLE = (
             SELECT doc_id, text, lang, source
             FROM s4
             WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+        """
+)
+
+#: the bloom-decontamination recipe variant: stages 1-4 are the SAME
+#: CTE chain; the final stage replaces the exact eval-n-gram join with
+#: the portable-md5 Bloom probe (positions i in 0..3 over 2^20 bits —
+#: the bloom_contamination oracle's hash family applied to the
+#: recipe's s4/ref5 gram streams).  A doc is contaminated iff ANY of
+#: its distinct 5-grams probes positive at ALL 4 positions — false
+#: positives included, which is exactly what the Spark side computes,
+#: so the survivor set hashes bit-for-bit.
+_CURATE_BLOOM_ORACLE = (
+    _CURATE_CTES
+    + r""", beval AS (
+                SELECT DISTINCT
+                       ('0x' || substr(md5(ngram || ':' ||
+                            CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+                           % 1048576 AS pb
+                FROM ref5, range(4) t(i)
+            ), btp AS (
+                SELECT doc_id, ngram,
+                       ('0x' || substr(md5(ngram || ':' ||
+                            CAST(t.i AS VARCHAR)), 1, 15))::BIGINT
+                           % 1048576 AS p
+                FROM s4g, range(4) t(i)
+            ), bcontam AS (
+                SELECT DISTINCT doc_id FROM (
+                    SELECT doc_id, ngram
+                    FROM btp LEFT JOIN beval e ON btp.p = e.pb
+                    GROUP BY doc_id, ngram
+                    HAVING COUNT(*) = COUNT(e.pb)
+                )
+            )
+            SELECT doc_id, text, lang, source
+            FROM s4
+            WHERE doc_id NOT IN (SELECT doc_id FROM bcontam)
         """
 )
 
@@ -6331,6 +6525,7 @@ def oracle_sql() -> dict[str, str]:
             FROM s, range(64) t(i)
         """,
         "curate_corpus": _CURATE_ORACLE,
+        "curate_corpus_bloom": _CURATE_BLOOM_ORACLE,
         "lm_pipeline_e2e": _lm_pipeline_e2e_oracle(),
         "keyword_hits": r"""
             WITH toks AS (
@@ -6520,6 +6715,7 @@ def oracle_sql() -> dict[str, str]:
         # reassembly (string_agg skips NULLs = the kept-token filter)
         "corpus_drift": _CORPUS_DRIFT_ORACLE,
         "value_drift": _VALUE_DRIFT_ORACLE,
+        "value_drift_multi": _VALUE_DRIFT_MULTI_ORACLE,
         "stream_drift": _CORPUS_DRIFT_ORACLE,
         "strip_substrings": """
             WITH t AS (

@@ -1459,6 +1459,30 @@ def test_pack_sequences_chunk_model(spark):
     assert key(again) == key(out)
 
 
+def test_pack_sequences_derives_n_shards(spark):
+    """n_shards=None sizes the shard count to the session (2x default
+    parallelism, floor 16) so the packing window stage can never be
+    parallelism-starved by a forgotten knob (r10 verdict ask #7);
+    explicit counts stay byte-reproducible (the gate-row contract)."""
+    from xyzpy_spark.pipeline.packing import (
+        _resolve_n_shards,
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    want = max(2 * spark.sparkContext.defaultParallelism, 16)
+    assert _resolve_n_shards(docs, None) == want
+    out = pack_sequences(docs, max_tokens=256, n_shards=None)
+    n_shards_seen = out.select("shard").distinct().count()
+    assert 0 < n_shards_seen <= want
+    # derived == explicit at the same count: same layout bit-for-bit
+    explicit = pack_sequences(docs, max_tokens=256, n_shards=want)
+    key = lambda d: sorted(map(tuple, d.toPandas().values))
+    assert key(out) == key(explicit)
+
+
 def test_pack_sequences_greedy_model(spark):
     from xyzpy_spark.pipeline.packing import pack_sequences_greedy
 
@@ -2502,6 +2526,63 @@ def test_jpeg_hierarchical_null_contract():
                 b"\xcd", b"\xce", b"\xcf"):
         exotic = good.replace(b"\xff\xc0", b"\xff" + sof, 1)
         assert decode_jpeg(exotic) is None, sof
+
+
+def _with_precision(jfif: bytes, sof_marker: bytes, prec: int) -> bytes:
+    """Rewrite the SOF precision byte (marker, 2-byte length, then
+    precision) — a structurally valid high-precision JPEG header."""
+    i = jfif.index(b"\xff" + sof_marker)
+    assert jfif[i + 4] == 8
+    return jfif[: i + 4] + bytes([prec]) + jfif[i + 5 :]
+
+
+def test_jpeg_high_precision_null_contract(spark):
+    """12/16-bit-precision JPEG (the r10 verdict's remaining exotica,
+    ask #5): without PIL the contract is NULL pixels and NO exception
+    — pinned UNGATED so the no-PIL CI environment runs it (the
+    env-gated PIL roundtrip tests skip here and could hide a
+    regression).  Covers the sequential (SOF0/SOF1 prec=12) and
+    lossless (SOF3 prec=12/16) headers at the codec level, and the
+    decode_image/decode_media plumbing level where one such file must
+    never kill the scan."""
+    import importlib.util
+
+    import numpy as np
+
+    from xyzpy_spark.pipeline.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_lossless,
+    )
+    from xyzpy_spark.pipeline.multimodal import decode_image, decode_media
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    seq12 = _with_precision(encode_jpeg(img, quant=2), b"\xc0", 12)
+    sof1_12 = seq12.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    lossless = encode_jpeg_lossless(img[:, :, 0])
+    loss12 = _with_precision(lossless, b"\xc3", 12)
+    loss16 = _with_precision(lossless, b"\xc3", 16)
+    payloads = [seq12, sof1_12, loss12, loss16]
+    for b in payloads:
+        assert decode_jpeg(b) is None  # codec refuses, never raises
+
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in enumerate(payloads)],
+        "media_id long, media binary",
+    )
+    pix = {r["media_id"]: r["pixels"] for r in decode_image(df).collect()}
+    met = {
+        r["media_id"]: r["decoded"]
+        for r in decode_media(df).collect()
+    }
+    if importlib.util.find_spec("PIL") is None:
+        # THE contract under test: null pixels / null-format struct,
+        # scan survives
+        assert all(v is None for v in pix.values()), pix
+        assert all(m["format"] is None for m in met.values()), met
+    else:  # pragma: no cover - PIL present: plumbing must still not raise
+        assert set(pix) == set(met) == {0, 1, 2, 3}
 
 
 def test_jpeg_progressive_roundtrip_bit_identical():

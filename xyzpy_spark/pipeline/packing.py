@@ -34,6 +34,20 @@ from .text import tokenize
 __all__ = ["pack_sequences", "pack_sequences_greedy", "packing_stats"]
 
 
+def _resolve_n_shards(df: DataFrame, n_shards) -> int:
+    """``n_shards=None`` -> size to the session: 2x the session's
+    default parallelism (floor 16).  The shard window is the packing
+    parallelism unit, so shard count must be >= cluster cores at scale
+    — an 8-shard layout on a 1000-core cluster caps the window stage
+    at 8 tasks.  Pass an EXPLICIT n_shards when shard assignment must
+    be reproducible across differently-sized clusters (the gate rows
+    do); the derived value trades that for right-sized parallelism."""
+    if n_shards is not None:
+        return int(n_shards)
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    return max(2 * int(cores), 16)
+
+
 def _shard_col(key, n_shards: int, salt: str) -> F.Column:
     """Deterministic md5 shard (portable: any engine reproduces it)."""
     h = F.conv(
@@ -52,7 +66,7 @@ def pack_sequences(
     max_tokens: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_shards: int = 16,
+    n_shards: int | None = 16,
     salt: str = "pack",
 ) -> DataFrame:
     """Concat-and-chunk packing: per shard, docs are concatenated in
@@ -62,7 +76,14 @@ def pack_sequences(
     first token falls in) and ``seq_offset`` (token offset within that
     sequence).  All integer arithmetic over a single window cumsum —
     partitioning-invariant and oracle-exact.
+
+    ``n_shards`` bounds the packing parallelism (the cumsum window
+    partitions by shard): pick ``n_shards >= cluster cores`` at scale,
+    or pass ``None`` to derive 2x the session's default parallelism
+    (explicit values stay reproducible across clusters — see
+    SCALING.md "packing").
     """
+    n_shards = _resolve_n_shards(df, n_shards)
     toks = F.size(tokenize(F.col(text_col))).cast("long")
     out = df.select(
         F.col(id_col),
@@ -92,7 +113,7 @@ def pack_sequences_greedy(
     max_tokens: int = 2048,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_shards: int = 16,
+    n_shards: int | None = 16,
     salt: str = "pack",
 ) -> DataFrame:
     """First-fit-sequential packing (documents are never split).
@@ -101,9 +122,12 @@ def pack_sequences_greedy(
     sequence if it fits, else opens the next one; docs longer than the
     budget get a sequence of their own.  The reset-recurrence runs per
     shard in one Arrow batch (``applyInPandas``) — shards are the
-    parallelism unit, so size ``n_shards`` to the cluster, not the
-    corpus.
+    parallelism unit, so size ``n_shards >= cluster cores`` (NOT to
+    the corpus), or pass ``None`` to derive 2x the session's default
+    parallelism; explicit values stay reproducible across clusters
+    (SCALING.md "packing").
     """
+    n_shards = _resolve_n_shards(df, n_shards)
     toks = F.size(tokenize(F.col(text_col))).cast("long")
     narrow = df.select(
         F.col(id_col),

@@ -195,6 +195,8 @@ HEADLINE = [
     "corpus_drift",
     "stream_drift",
     "value_drift",
+    "value_drift_multi",
+    "curate_corpus_bloom",
 ]
 
 

@@ -6,7 +6,12 @@ Runs every ``__spark_entry__.queries()`` entry on Spark and its
 compares row count, column-name set, and an order-insensitive
 value multiset (floats canonicalized).  Usage:
 
-    python tools/check_correctness.py [sf_dir] [query ...]
+    python tools/check_correctness.py [--json OUT] [--all] [sf_dir] [query ...]
+
+No query names (or ``--all``) runs the FULL registry; ``--json OUT``
+writes the machine-readable receipt (per-query status/rows/seconds
+plus the summary counts) — the full-registry strict receipt the
+round records as ``STRICT_r{N}.json`` (r10 verdict ask #2).
 """
 
 from __future__ import annotations
@@ -91,8 +96,16 @@ def normalize(rows, columns):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i : i + 2]
+    if "--all" in args:  # explicit alias for the no-names default
+        args = [a for a in args if a != "--all"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_spark(app_name="correctness_check")
 
     con = duckdb.connect()
@@ -106,6 +119,7 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_weak = 0
+    record = {}
     for name, qfn in queries.items():
         if only and name not in only:
             continue
@@ -116,12 +130,16 @@ def main() -> int:
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
+            record[name] = {"status": "fail",
+                            "detail": f"spark error: {exc}"[:300]}
             n_fail += 1
             continue
         if name not in oracles:
             ok = len(srows) >= 0
             print(f"weak  {name}: rows-only ({len(srows)} rows, "
                   f"{time.time()-t0:.1f}s)")
+            record[name] = {"status": "rows_only", "rows": len(srows),
+                            "seconds": round(time.time() - t0, 2)}
             n_weak += 1
             continue
         try:
@@ -131,6 +149,8 @@ def main() -> int:
             orows = res.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {exc}")
+            record[name] = {"status": "fail",
+                            "detail": f"oracle error: {exc}"[:300]}
             n_fail += 1
             continue
         problems = []
@@ -153,11 +173,33 @@ def main() -> int:
                 problems.append(f"values differ, first diffs: {diffs}")
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
+            record[name] = {"status": "fail",
+                            "detail": "; ".join(problems)[:300]}
             n_fail += 1
         else:
             print(f"pass  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            record[name] = {"status": "pass", "rows": len(srows),
+                            "seconds": round(time.time() - t0, 2)}
             n_pass += 1
     print(f"\n{n_pass} pass, {n_weak} rows-only, {n_fail} FAIL")
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "strict": STRICT,
+                    "n_pass": n_pass,
+                    "n_rows_only": n_weak,
+                    "n_fail": n_fail,
+                    "queries": record,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
     return 1 if n_fail else 0
 
 

@@ -267,6 +267,19 @@ PICKS = {
     "pushed timestamp filters split the two snapshots at the scan, "
     "and everything after the two 64-bin count aggregations is "
     "O(n_bins)",
+    "value_drift_multi": "multi-column feature drift (r11): the "
+    "side's k=2 monitored columns collapse to ONE parquet scan "
+    "reading only those columns — explode of k bucket structs, one "
+    "map-side-combinable aggregation bounded at k*n_bins rows; per-"
+    "column JSD then reuses the cached counts, never the input "
+    "(shown: the count-table plan, the part that touches data)",
+    "curate_corpus_bloom": "the curation recipe through the Bloom "
+    "decontamination switch (r11): stage 5 carries NO eval-side "
+    "join — the 2^20-bit filter is a single 128 KiB binary literal "
+    "in the projection and the probe is map-only column arithmetic "
+    "(compare curate_corpus, whose final stage is the broadcast "
+    "n-gram join); the anti-join on contaminated doc ids is the "
+    "only stage-5 shuffle",
 }
 
 
@@ -310,8 +323,22 @@ def main() -> None:
             localize=False,
         )
 
+    def _plan_value_drift_multi(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from xyzpy_spark.pipeline.drift import numeric_distribution_multi
+
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        return numeric_distribution_multi(
+            ev.where(F.col("ts") < split),
+            {"value": (0.0, 512.0), "user_id": (0.0, 256.0)},
+            n_bins=64,
+        )
+
     queries["corpus_drift"] = _plan_corpus_drift
     queries["value_drift"] = _plan_value_drift
+    queries["value_drift_multi"] = _plan_value_drift_multi
     out = [
         "# PLANS — annotated physical plans of key queries",
         "",

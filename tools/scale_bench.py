@@ -181,6 +181,10 @@ HEAVY = [
     "corpus_drift",
     "stream_drift",
     "value_drift",
+    # round-11 addition: the one-scan multi-column monitor (claim:
+    # k monitored columns ride the single scan per side, so the wall
+    # ratio tracks the scan — ~the value_drift ratio — not k scans)
+    "value_drift_multi",
 ]
 
 REP = "_rep"
@@ -225,6 +229,24 @@ def scale_cfg_value_drift(spark, sf_dir: str):
         "value",
         lo=0.0,
         hi=512.0,
+        n_bins=64,
+        top_k=64,
+    )
+
+
+def scale_cfg_value_drift_multi(spark, sf_dir: str):
+    """Scale-sized multi-column drift (same event_type split rationale
+    as scale_cfg_value_drift): the claim under test is that BOTH
+    monitored columns ride the single scan per side, so the wall
+    ratio tracks the scan, not 2x the scan."""
+    from xyzpy_spark.pipeline.drift import numeric_divergence_multi
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    is_ab = F.col("event_type").isin("view", "click")
+    return numeric_divergence_multi(
+        ev.where(F.coalesce(is_ab, F.lit(False))),
+        ev.where(F.coalesce(~is_ab, F.lit(True))),
+        {"value": (0.0, 512.0), "user_id": (0.0, 256.0)},
         n_bins=64,
         top_k=64,
     )
@@ -431,6 +453,7 @@ def main() -> None:
 
     queries["dedup_embedding_lsh"] = scale_cfg_embedding_lsh
     queries["value_drift"] = scale_cfg_value_drift
+    queries["value_drift_multi"] = scale_cfg_value_drift_multi
 
     result = {}
     for name in heavy:

@@ -198,6 +198,16 @@ def test_accessor_divergence(spark):
         .df.collect()
     )
     assert {r["token"] for r in nd} == {0, 2}
+    md = (
+        xyz(spark.createDataFrame([(1.0, 3.0), (9.0, 3.0)], "u double, v double"))
+        .multi_divergence_from(
+            spark.createDataFrame([(1.0, 15.0), (1.5, 3.0)], "u double, v double"),
+            {"u": (0.0, 16.0), "v": (0.0, 16.0)},
+            n_bins=4, top_k=4,
+        )
+        .df.collect()
+    )
+    assert {r["col"] for r in md} == {"u", "v"}
 
 
 def test_numeric_divergence_multi_matches_single(spark):

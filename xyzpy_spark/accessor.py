@@ -444,6 +444,17 @@ class xyz:  # noqa: N801 — mirrors the reference accessor name
             numeric_divergence(self.df, other, col, lo=lo, hi=hi, **kw)
         )
 
+    def multi_divergence_from(self, other, specs, **kw) -> "xyz":
+        """Multi-column fixed-bin JS drift of ``other`` vs this
+        snapshot — k monitored columns in ONE scan per side
+        (``specs`` maps column -> (lo, hi); r11)."""
+        from .pipeline.drift import numeric_divergence_multi
+
+        other = other.df if isinstance(other, xyz) else other
+        return self._wrap(
+            numeric_divergence_multi(self.df, other, specs, **kw)
+        )
+
     # -- presentation (dense) -------------------------------------------
     def to_xarray(self, dims, **kw):
         from .runner import to_xarray

@@ -2537,33 +2537,27 @@ def _with_precision(jfif: bytes, sof_marker: bytes, prec: int) -> bytes:
 
 
 def test_jpeg_high_precision_null_contract(spark):
-    """12/16-bit-precision JPEG (the r10 verdict's remaining exotica,
-    ask #5): without PIL the contract is NULL pixels and NO exception
-    — pinned UNGATED so the no-PIL CI environment runs it (the
-    env-gated PIL roundtrip tests skip here and could hide a
-    regression).  Covers the sequential (SOF0/SOF1 prec=12) and
-    lossless (SOF3 prec=12/16) headers at the codec level, and the
+    """12-bit-precision DCT JPEG (the r10 verdict's remaining exotica,
+    ask #5 — lossless high precision decodes NATIVELY since r11, see
+    test_jpeg_lossless_high_precision_roundtrip): without PIL the
+    contract is NULL pixels and NO exception — pinned UNGATED so the
+    no-PIL CI environment runs it (the env-gated PIL roundtrip tests
+    skip here and could hide a regression).  Covers the sequential
+    SOF0/SOF1 prec=12 headers at the codec level, and the
     decode_image/decode_media plumbing level where one such file must
     never kill the scan."""
     import importlib.util
 
     import numpy as np
 
-    from xyzpy_spark.pipeline.jpeg import (
-        decode_jpeg,
-        encode_jpeg,
-        encode_jpeg_lossless,
-    )
+    from xyzpy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
     from xyzpy_spark.pipeline.multimodal import decode_image, decode_media
 
     rng = np.random.default_rng(12)
     img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
     seq12 = _with_precision(encode_jpeg(img, quant=2), b"\xc0", 12)
     sof1_12 = seq12.replace(b"\xff\xc0", b"\xff\xc1", 1)
-    lossless = encode_jpeg_lossless(img[:, :, 0])
-    loss12 = _with_precision(lossless, b"\xc3", 12)
-    loss16 = _with_precision(lossless, b"\xc3", 16)
-    payloads = [seq12, sof1_12, loss12, loss16]
+    payloads = [seq12, sof1_12]
     for b in payloads:
         assert decode_jpeg(b) is None  # codec refuses, never raises
 
@@ -2582,7 +2576,56 @@ def test_jpeg_high_precision_null_contract(spark):
         assert all(v is None for v in pix.values()), pix
         assert all(m["format"] is None for m in met.values()), met
     else:  # pragma: no cover - PIL present: plumbing must still not raise
-        assert set(pix) == set(met) == {0, 1, 2, 3}
+        assert set(pix) == set(met) == {0, 1}
+
+
+def test_jpeg_lossless_high_precision_roundtrip():
+    """12/16-bit lossless JPEG decodes NATIVELY (r11 — the r10
+    verdict's ask #5 'decode natively' branch: the SOF3 predictor
+    machinery was already precision-general mod 2^16; this pins the
+    full ring).  decode(encode(a, precision=P)) == a bit-for-bit
+    across predictors, restart intervals and point transforms,
+    including the category-16 no-magnitude-bits code a 32768
+    difference emits — and 8-bit output stays byte-identical uint8."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    rng = np.random.default_rng(13)
+    g12 = rng.integers(0, 1 << 12, (13, 7), dtype=np.uint16)
+    rgb16 = rng.integers(0, 1 << 16, (6, 9, 3), dtype=np.uint16)
+    for a, prec, kw in [
+        (g12, 12, {}),
+        (g12, 12, {"predictor": 4, "restart_interval": 5}),
+        (g12, 12, {"predictor": 7, "point_transform": 3}),
+        (rgb16, 16, {}),
+        (rgb16, 16, {"predictor": 6}),
+    ]:
+        m, dec = decode_jpeg(encode_jpeg_lossless(a, precision=prec, **kw))
+        assert (m["width"], m["height"]) == (a.shape[1], a.shape[0])
+        assert dec.dtype == np.uint16
+        pt = kw.get("point_transform", 0)
+        want = (a if a.ndim == 3 else a[:, :, None]) & ~((1 << pt) - 1)
+        assert np.array_equal(dec, want), (prec, kw)
+    # the category-16 special case: predictor 1 over a 0/32768
+    # alternation makes every in-row difference exactly 32768 mod 2^16
+    alt = np.zeros((3, 8), dtype=np.uint16)
+    alt[:, 1::2] = 32768
+    m, dec = decode_jpeg(encode_jpeg_lossless(alt, precision=16))
+    assert np.array_equal(dec[:, :, 0], alt)
+    # 8-bit path unchanged: uint8 out, and inferred precision == 8
+    g8 = rng.integers(0, 256, (5, 5), dtype=np.uint8)
+    m8, d8 = decode_jpeg(encode_jpeg_lossless(g8))
+    assert d8.dtype == np.uint8 and np.array_equal(d8[:, :, 0], g8)
+    # guards: oversized samples and out-of-range precision/pt
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="precision"):
+        encode_jpeg_lossless(g12, precision=11)  # 12-bit data, 11-bit P
+    with _pytest.raises(ValueError, match="precision"):
+        encode_jpeg_lossless(g8, precision=17)
+    with _pytest.raises(ValueError, match="point_transform"):
+        encode_jpeg_lossless(g12, precision=12, point_transform=12)
 
 
 def test_jpeg_progressive_roundtrip_bit_identical():

@@ -17,15 +17,18 @@ Scope (deliberate):
   spectral-selection bands with EOBRUN coding, AC successive-
   approximation refinement (the libjpeg correction-bit walk); and
   LOSSLESS (SOF3, :func:`_decode_lossless`): predictive Annex-H
-  coding, predictors 1-7, point transform, restarts.  Arithmetic
-  coding, differential/hierarchical SOFs, and 12/16-bit precision
+  coding, predictors 1-7, point transform, restarts, 2-16-bit
+  precision (r11 — uint16 pixels above 8 bits; the medical/raw-photo
+  lossless shapes decode natively).  Arithmetic coding,
+  differential/hierarchical SOFs, and 12-bit DCT (SOF0/SOF1/SOF2)
   return ``None`` so callers fall through to PIL when present — one
   exotic file must yield a null, never a task failure (contract
   pinned UNGATED in test_pipeline.test_jpeg_hierarchical_null_contract
-  and, for 12/16-bit precision through the codec AND the
+  and, for 12-bit DCT through the codec AND the
   decode_image/decode_media plumbing,
   test_jpeg_high_precision_null_contract — both run in the no-PIL CI
-  environment, r10 verdict ask #5).
+  environment, r10 verdict ask #5; the lossless high-precision
+  roundtrip is test_jpeg_lossless_high_precision_roundtrip).
 - **Encoders** (:func:`encode_jpeg` baseline,
   :func:`encode_jpeg_progressive`, :func:`encode_jpeg_lossless`):
   4:4:4 (no subsampling), flat quantization table (default all-ones
@@ -964,18 +967,21 @@ def decode_jpeg(b: bytes):
 
 def _decode_lossless(b: bytes):
     """Lossless JPEG (SOF3, T.81 process 14 / Annex H) -> ``(meta,
-    HxWxC uint8)`` or raise (the caller's except returns None) — the
-    r10 path that removes the PIL gate for 8-bit lossless files.
+    HxWxC uint8 — uint16 above 8-bit precision)`` or raise (the
+    caller's except returns None) — the r10 path that removed the PIL
+    gate for 8-bit lossless files, precision-general since r11.
 
     Predictive coding, no DCT: each sample's Huffman-coded value is a
-    CATEGORY (the DC-class SSSS code) followed by that many extended
-    magnitude bits, giving the difference from a neighborhood
-    prediction.  Supported: 8-bit precision (the module's uint8 pixel
-    contract), predictors 1-7, point transform, restart intervals,
-    one scan covering all components with 1x1 sampling (the shape
-    :func:`encode_jpeg_lossless` emits and 8-bit lossless encoders
-    commonly write).  12/16-bit precision, subsampled or multi-scan
-    lossless return None — those stay on the PIL fallback.
+    CATEGORY (the DC-class SSSS code, 0-16 with the category-16
+    no-bits special case for a 32768 difference) followed by that
+    many extended magnitude bits, giving the difference from a
+    neighborhood prediction.  Supported: 2-16-bit precision (medical
+    DICOM and raw-photo lossless JPEGs are 12/16-bit), predictors
+    1-7, point transform, restart intervals, one scan covering all
+    components with 1x1 sampling (the shape
+    :func:`encode_jpeg_lossless` emits and lossless encoders
+    commonly write).  Subsampled or multi-scan lossless return None —
+    those stay on the PIL fallback.
 
     Position rules (T.81 H.1.2): the first sample (of the scan, and
     of each restart interval) predicts ``1 << (P - Pt - 1)``; the
@@ -1011,8 +1017,8 @@ def _decode_lossless(b: bytes):
         seg = b[p + 4 : p + 2 + seg_len]
         if marker == 0xC3:
             prec = seg[0]
-            if prec != 8:
-                raise ValueError("jpeg: lossless precision > 8")
+            if not 2 <= prec <= 16:
+                raise ValueError("jpeg: lossless precision out of range")
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -1105,7 +1111,9 @@ def _decode_lossless(b: bytes):
                 row[j, x] = (px + diff) & 0xFFFF
             reset = False
             n_mcu += 1
-    arr = (planes.astype(np.uint16) << pt).astype(np.uint8)
+    arr = planes.astype(np.uint16) << pt
+    if prec <= 8:
+        arr = arr.astype(np.uint8)  # the historical 8-bit contract
     meta = {
         "format": "jpeg",
         "width": int(w),
@@ -1120,20 +1128,27 @@ def encode_jpeg_lossless(
     predictor: int = 1,
     point_transform: int = 0,
     restart_interval: int | None = None,
+    precision: int | None = None,
 ) -> bytes:
-    """HxW (gray) or HxWxC uint8 array -> LOSSLESS (SOF3) JFIF bytes
-    — the encoder twin that lets :func:`_decode_lossless` be
+    """HxW (gray) or HxWxC integer array -> LOSSLESS (SOF3) JFIF
+    bytes — the encoder twin that lets :func:`_decode_lossless` be
     roundtrip-tested without PIL (the progressive-pair pattern).
     Components are stored as-is (lossless JPEG defines no color
     transform), so decode(encode(a)) == a EXACTLY, bit for bit — the
     defining property, pinned by the tests.
 
-    ``point_transform`` drops the Pt low bits before prediction
-    (decode then shifts back: the roundtrip reproduces ``a & ~((1 <<
-    Pt) - 1)``).  ``restart_interval`` emits RSTn every N samples
-    with the same reset-to-default prediction rule the decoder
-    applies.  Uses the shared canonical DC table (categories 0-11
-    cover 8-bit differences, |diff| <= 255 -> SSSS <= 8).
+    ``precision`` is the sample bit depth P (2-16; default: 8 for
+    uint8 input, else 16 — the r11 extension covering the
+    medical/raw-photo 12/16-bit lossless shapes); every sample must
+    fit in P bits.  ``point_transform`` drops the Pt low bits before
+    prediction (decode then shifts back: the roundtrip reproduces
+    ``a & ~((1 << Pt) - 1)``).  ``restart_interval`` emits RSTn every
+    N samples with the same reset-to-default prediction rule the
+    decoder applies.  8-bit streams keep the shared canonical DC
+    table (categories 0-11, byte-identical output to r10); deeper
+    precisions use the 17-category table — differences span the full
+    mod-2^16 ring, including the category-16 no-bits code for a
+    32768 difference.
     """
     import numpy as np
 
@@ -1142,11 +1157,21 @@ def encode_jpeg_lossless(
             f"encode_jpeg_lossless: predictor must be 1-7, got "
             f"{predictor!r}"
         )
-    pt = int(point_transform)
-    if not 0 <= pt <= 7:
+    a = np.asarray(arr)
+    if precision is None:
+        prec = 8 if a.dtype == np.uint8 else 16
+    else:
+        prec = int(precision)
+    if not 2 <= prec <= 16:
         raise ValueError(
-            f"encode_jpeg_lossless: point_transform must be 0-7, got "
-            f"{point_transform!r}"
+            f"encode_jpeg_lossless: precision must be 2-16, got "
+            f"{precision!r}"
+        )
+    pt = int(point_transform)
+    if not 0 <= pt < prec:
+        raise ValueError(
+            f"encode_jpeg_lossless: point_transform must be in "
+            f"[0, precision), got {point_transform!r}"
         )
     rst = int(restart_interval) if restart_interval else 0
     if restart_interval is not None and not 1 <= rst <= 65535:
@@ -1154,7 +1179,11 @@ def encode_jpeg_lossless(
             "encode_jpeg_lossless: restart_interval must be in "
             f"[1, 65535] or None, got {restart_interval!r}"
         )
-    a = np.asarray(arr, dtype=np.uint8)
+    if a.size and int(a.max()) >> prec:
+        raise ValueError(
+            f"encode_jpeg_lossless: samples exceed {prec}-bit precision"
+        )
+    a = a.astype(np.uint16 if prec > 8 else np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, nc = a.shape
@@ -1163,10 +1192,13 @@ def encode_jpeg_lossless(
             f"encode_jpeg_lossless: unsupported channels {nc}"
         )
     samples = (a.astype(np.int32) >> pt).transpose(2, 0, 1)
-    prec = 8
     sel = int(predictor)
     default = 1 << (prec - pt - 1)
-    dc_tab = _enc_table(_ENC_DC_BITS, _ENC_DC_VALS)
+    if prec <= 8:
+        dc_bits, dc_vals = _ENC_DC_BITS, _ENC_DC_VALS
+    else:
+        dc_bits, dc_vals = _ENC_DC16_BITS, _ENC_DC16_VALS
+    dc_tab = _enc_table(dc_bits, dc_vals)
     bw = _BitWriter()
     n_mcu = 0
     reset = True
@@ -1205,12 +1237,15 @@ def encode_jpeg_lossless(
                     else:
                         px = (ra + rb) >> 1
                 diff = (v - px) & 0xFFFF
-                if diff >= 32768:
-                    diff -= 65536
-                s = _size_of(diff)
+                if diff == 32768:
+                    s = 16  # category 16: a 32768 difference, no bits
+                else:
+                    if diff > 32768:
+                        diff -= 65536
+                    s = _size_of(diff)
                 code, ln = dc_tab[s]
                 bw.write(code, ln)
-                if s:
+                if s and s != 16:
                     ev = diff if diff >= 0 else diff + (1 << s) - 1
                     bw.write(ev & ((1 << s) - 1), s)
             reset = False
@@ -1225,9 +1260,9 @@ def encode_jpeg_lossless(
     for i in range(nc):
         out += bytes([i + 1, 0x11, 0])  # id, 1x1 sampling, Tq=0
     out += b"\xff\xc4" + struct.pack(
-        ">H", 2 + 17 + len(_ENC_DC_VALS)
+        ">H", 2 + 17 + len(dc_vals)
     )
-    out += bytes([0x00]) + bytes(_ENC_DC_BITS) + _ENC_DC_VALS
+    out += bytes([0x00]) + bytes(dc_bits) + dc_vals
     if rst:
         out += b"\xff\xdd" + struct.pack(">HH", 4, rst)
     out += b"\xff\xda" + struct.pack(">H", 6 + 2 * nc) + bytes([nc])
@@ -1591,6 +1626,11 @@ def _jpeg_finish(comp_cz, comps, qt, w, h, mcux, mcuy, hmax, vmax, basis):
 #: fixed canonical DC table: 12 symbols (sizes 0..11), all 4-bit codes
 _ENC_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
 _ENC_DC_VALS = bytes(range(12))
+#: the lossless >8-bit DC table: categories 0-16 (differences span the
+#: full mod-2^16 ring), all at length 5 (17 of 32 slots — the all-ones
+#: code stays unassigned, as T.81 requires of canonical tables)
+_ENC_DC16_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC16_VALS = bytes(range(17))
 #: fixed canonical AC table: EOB, ZRL, every (run 0-15, size 1-10)
 #: combo, plus the progressive EOB_n symbols (run 1-14, size 0 —
 #: end-of-band runs of 2^r..2^(r+1)-1 blocks) — 176 symbols, all

@@ -17,9 +17,10 @@ decode / feature-extract / resize / frame-sample run as Arrow-batched
   r10) — decodes with the dependency-free codec in
   :mod:`xyzpy_spark.pipeline.jpeg` (Huffman + dequant + IDCT;
   spectral-selection / successive-approximation scans; Annex-H
-  predictive lossless); remaining exotica (12/16-bit precision,
-  hierarchical, other formats) fall back to PIL when installed, else
-  yield a null pixels column — one missing codec can't kill a scan.
+  predictive lossless, 2-16-bit precision since r11); remaining
+  exotica (12-bit DCT, hierarchical, other formats) fall back to PIL
+  when installed, else yield a null pixels column — one missing codec
+  can't kill a scan.
 
 ``fake_wav_bytes`` / ``fake_ppm_bytes`` emit VALID files whose content
 is a closed-form function of the seed, so decoded stats have an exact
@@ -759,9 +760,10 @@ def _decode_jpeg_full(b: bytes):
     — the dependency-free JPEG sibling of :func:`_decode_png` (full
     codec in :mod:`xyzpy_spark.pipeline.jpeg`: baseline/extended
     sequential SOF0/SOF1, progressive SOF2 (r9) with spectral
-    selection + successive approximation, and lossless SOF3 (r10);
-    remaining exotica — 12/16-bit precision, hierarchical — return
-    None and fall through to PIL when present)."""
+    selection + successive approximation, and lossless SOF3 (r10;
+    2-16-bit precision r11); remaining exotica — 12-bit DCT,
+    hierarchical — return None and fall through to PIL when
+    present)."""
     from .jpeg import decode_jpeg
 
     dec = decode_jpeg(b)
@@ -832,9 +834,10 @@ def decode_image(df: DataFrame, media_col: str = "media") -> DataFrame:
     lossless (r10) (:mod:`~xyzpy_spark.pipeline.jpeg` — real Huffman
     + dequant + IDCT; spectral-selection / successive-approximation
     scans; Annex-H predictive lossless) — decode natively too.
-    Remaining formats (12/16-bit precision, hierarchical JPEG &c.)
-    use PIL when installed; without it they yield a null ``pixels``
-    entry rather than failing the scan.
+    Remaining formats (12-bit DCT, hierarchical JPEG &c.) use PIL
+    when installed; without it they yield a null ``pixels`` entry
+    rather than failing the scan.  Lossless 12/16-bit decodes
+    natively to 16-bit samples (r11).
     """
 
     def decode(batches):

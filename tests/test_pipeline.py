@@ -4101,3 +4101,143 @@ def test_winnow_index_saved_layout_parity(spark, tmp_path):
     assert a == b and len(a) > 0
     with pytest.raises(ValueError, match="fp_buckets"):
         save_winnow_index(index, dropped, p, fp_buckets=1)
+
+
+def test_extend_winnow_index_matches_full_rebuild(spark, tmp_path):
+    """Incremental index growth (r11): build+save over corpus A,
+    extend_winnow_index with two deltas (O(delta) writes, uncapped
+    segments), and the LOADED pair must probe bit-for-bit like a
+    from-scratch rebuild over A + both deltas — including
+    fingerprints that cross the frequency cap only once the deltas'
+    counts arrive (the global-cap monotonicity the consolidation
+    relies on), whose docs' n_fp the load recomputes exactly."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        compact_winnow_index,
+        extend_winnow_index,
+        load_winnow_index,
+        save_winnow_index,
+        winnow_against_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus_a = docs.where(F.col("doc_id") % 10 < 4)
+    delta_b = docs.where(F.col("doc_id") % 10 == 4)
+    delta_c = docs.where(F.col("doc_id") % 10 == 5)
+    batch = docs.where(F.col("doc_id") % 10 == 9)
+    kw = dict(k=6, w=5, max_fp_freq=5, hash_fn="md5")
+
+    p = str(tmp_path / "widx")
+    index, dropped = build_winnow_index(corpus_a, **kw)
+    save_winnow_index(index, dropped, p, fp_buckets=32)
+    assert extend_winnow_index(delta_b, p) == 0
+    assert extend_winnow_index(delta_c, p) == 1
+
+    full = corpus_a.unionByName(delta_b).unionByName(delta_c)
+    ridx, rdrp = build_winnow_index(full, **kw)
+    lidx, ldrp = load_winnow_index(spark, p)
+
+    # the consolidated capped domain equals the rebuild's exactly —
+    # including fingerprints that crossed the cap only with the deltas
+    assert sorted(r[0] for r in ldrp.collect()) == sorted(
+        r[0] for r in rdrp.collect()
+    )
+    extra_dropped = ldrp.join(dropped, "fingerprint", "left_anti").count()
+    assert extra_dropped > 0, "cap 5 chosen to force delta crossings"
+
+    pkw = dict(k=6, w=5, max_fp_freq=5, threshold=0.2, hash_fn="md5")
+    want = sorted(
+        map(
+            tuple,
+            winnow_against_index(
+                batch, ridx, dropped=rdrp, **pkw
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            winnow_against_index(
+                batch, lidx, dropped=ldrp, **pkw
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+
+    # compact folds the segments back into the flat DPP layout: the
+    # segments dir is gone, fp_bucket partitioning is back, and the
+    # probe result is unchanged
+    compact_winnow_index(spark, p, fp_buckets=32)
+    import glob as _glob
+
+    assert not _glob.glob(str(tmp_path / "widx" / "segments" / "seg=*"))
+    cidx, cdrp = load_winnow_index(spark, p)
+    assert "fp_bucket" in cidx.columns
+    after = sorted(
+        map(
+            tuple,
+            winnow_against_index(
+                batch, cidx, dropped=cdrp, **pkw
+            ).collect(),
+        )
+    )
+    assert after == want
+    # a second compact is a no-op
+    compact_winnow_index(spark, p, fp_buckets=32)
+    assert sorted(
+        r[0] for r in load_winnow_index(spark, p)[1].collect()
+    ) == sorted(r[0] for r in rdrp.collect())
+
+
+def test_decode_media_high_precision_lossless(spark):
+    """The multimodal plumbing serves 16-bit lossless natively: real
+    decoded stats (n_values, exact integer-sum mean over the uint16
+    samples) through decode_media, and full pixel values through
+    decode_image — no PIL, no nulls (r11)."""
+    import numpy as np
+
+    from xyzpy_spark.pipeline.jpeg import encode_jpeg_lossless
+    from xyzpy_spark.pipeline.multimodal import decode_image, decode_media
+
+    rng = np.random.default_rng(14)
+    imgs = {
+        0: rng.integers(0, 1 << 12, (5, 4), dtype=np.uint16),
+        1: rng.integers(0, 1 << 16, (3, 6), dtype=np.uint16),
+    }
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_jpeg_lossless(imgs[0], precision=12))),
+            (1, bytearray(encode_jpeg_lossless(imgs[1], precision=16))),
+        ],
+        "media_id long, media binary",
+    )
+    met = {r["media_id"]: r["decoded"] for r in decode_media(df).collect()}
+    for i, a in imgs.items():
+        m = met[i]
+        assert m["format"] == "jpeg"
+        assert (m["width"], m["height"]) == (a.shape[1], a.shape[0])
+        assert m["n_values"] == a.size
+        assert m["mean_value"] == int(a.sum(dtype="int64")) / a.size
+    pix = {r["media_id"]: r["pixels"] for r in decode_image(df).collect()}
+    for i, a in imgs.items():
+        assert pix[i] == a.ravel().astype("int64").tolist()
+
+
+def test_extend_winnow_index_validates(spark, tmp_path):
+    """extend refuses an unstamped/empty saved index (the params to
+    winnow the delta with would be guesses — a delta winnowed
+    differently poisons every future probe)."""
+    from xyzpy_spark.pipeline.dedup import extend_winnow_index
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    p = str(tmp_path / "bad")
+    docs.selectExpr(
+        "doc_id", "cast(doc_id as bigint) as fingerprint"
+    ).write.parquet(p + "/main")
+    with pytest.raises(ValueError, match="stamped"):
+        extend_winnow_index(docs, p)

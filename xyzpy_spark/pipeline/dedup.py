@@ -2399,11 +2399,166 @@ def save_winnow_index(
 def load_winnow_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     """Load a :func:`save_winnow_index` pair: ``(index, dropped)``.
     The partition column ``fp_bucket`` comes back via discovery and
-    re-enables dynamic partition pruning on every probe."""
-    return (
-        spark.read.parquet(path + "/main"),
-        spark.read.parquet(path + "/dropped"),
+    re-enables dynamic partition pruning on every probe.
+
+    If the layout has been grown with :func:`extend_winnow_index`
+    (a ``segments/`` directory exists), the load CONSOLIDATES: main
+    rows union every segment's uncapped rows, the frequency cap is
+    re-applied over the GLOBAL counts (monotone — a fingerprint the
+    initial build dropped stays dropped; one that crossed the cap
+    only via deltas joins the dropped set now), and per-doc sizes
+    are recomputed over the capped domain.  The returned pair then
+    probes IDENTICALLY to a from-scratch rebuild over corpus + all
+    deltas (pinned bit-for-bit in pytest).  Consolidation is one
+    aggregation over the index at LOAD time — the probes themselves
+    are unchanged; a long-lived serve process pays it once, and
+    :func:`compact_winnow_index` folds it back into the flat
+    DPP-prunable layout."""
+    import glob as _glob
+    import os as _os
+
+    main = spark.read.parquet(path + "/main")
+    dropped = spark.read.parquet(path + "/dropped")
+    seg_dirs = sorted(
+        _glob.glob(_os.path.join(path, "segments", "seg=*"))
     )
+    if not seg_dirs:
+        return main, dropped
+    segs = spark.read.option(
+        "basePath", _os.path.join(path, "segments")
+    ).parquet(*seg_dirs)
+    meta = main.select("k", "w", "hash_fn", "max_fp_freq").first()
+    if meta is None:  # empty unstamped main: nothing to consolidate on
+        return main, dropped
+    idc = main.columns[0]  # id col leads both layouts by construction
+    rows = main.select(idc, "fingerprint").unionByName(
+        segs.select(idc, "fingerprint")
+    )
+    cap = int(meta["max_fp_freq"]) if meta is not None else 0
+    if cap:
+        # counts over kept-main + uncapped segments are EXACT for every
+        # fingerprint not already dropped (the only ones the cap can
+        # still affect); initially-dropped fps are absent from main but
+        # stay in `dropped` — monotone, counts only grow
+        extra = (
+            rows.groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__f"))
+            .where(F.col("__f") > cap)
+            .select("fingerprint")
+        )
+        dropped = (
+            dropped.select("fingerprint")
+            .unionByName(extra)
+            .distinct()
+        )
+    kept = rows.join(F.broadcast(dropped), "fingerprint", "left_anti")
+    sizes = kept.groupBy(idc).agg(F.count(F.lit(1)).alias("n_fp"))
+    index = kept.join(sizes, idc).select(
+        idc,
+        "fingerprint",
+        "n_fp",
+        F.lit(int(meta["k"])).alias("k"),
+        F.lit(int(meta["w"])).alias("w"),
+        F.lit(str(meta["hash_fn"])).alias("hash_fn"),
+        F.lit(cap).alias("max_fp_freq"),
+    )
+    return index, dropped
+
+
+def extend_winnow_index(
+    delta_df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> int:
+    """Incrementally grow a SAVED winnow index with a delta corpus —
+    O(delta) work and O(delta) writes; historical text is never
+    re-read and the saved files are never rewritten (r11: the
+    incremental-build path the 100x streaming receipt's honesty note
+    assumes).
+
+    The layout becomes SEGMENTED (the log-structured-index pattern):
+    the delta's winnowed fingerprints land UNCAPPED under
+    ``path/segments/seg=N`` with the build params re-stamped (read
+    from the saved index, so a delta can never be winnowed
+    differently).  Segments store the uncapped rows precisely so the
+    GLOBAL frequency cap stays derivable without a ledger:
+    :func:`load_winnow_index` re-applies it over main + segments and
+    recomputes exact per-doc sizes, making the loaded pair probe
+    bit-for-bit like a full rebuild over corpus + every delta.
+
+    Each delta's doc ids must be new (at-least-once redelivery of a
+    delta would double its fingerprint counts — dedup ingest ids
+    upstream, the epoch-sink discipline the streaming seams use).
+    Returns the new segment id; run :func:`compact_winnow_index`
+    when segments accumulate.
+    """
+    import glob as _glob
+    import os as _os
+
+    spark = delta_df.sparkSession
+    main = spark.read.parquet(_os.path.join(path, "main"))
+    cols = set(main.columns)
+    if not {"k", "w", "hash_fn", "max_fp_freq"} <= cols:
+        raise ValueError(
+            "extend_winnow_index: the saved index is not param-stamped "
+            "— rebuild with build_winnow_index + save_winnow_index"
+        )
+    meta = main.select("k", "w", "hash_fn", "max_fp_freq").first()
+    if meta is None:
+        raise ValueError(
+            "extend_winnow_index: the saved index is empty — build the "
+            "initial index over the first real corpus, then extend"
+        )
+    seg_ids = [
+        int(d.rsplit("=", 1)[1])
+        for d in _glob.glob(_os.path.join(path, "segments", "seg=*"))
+    ]
+    seg = max(seg_ids, default=-1) + 1
+    fps = winnow_fingerprints(
+        delta_df,
+        k=int(meta["k"]),
+        w=int(meta["w"]),
+        text_col=text_col,
+        id_col=id_col,
+        hash_fn=str(meta["hash_fn"]),
+    )
+    fps.select(
+        id_col,
+        "fingerprint",
+        F.lit(int(meta["k"])).alias("k"),
+        F.lit(int(meta["w"])).alias("w"),
+        F.lit(str(meta["hash_fn"])).alias("hash_fn"),
+        F.lit(int(meta["max_fp_freq"])).alias("max_fp_freq"),
+    ).write.mode("errorifexists").parquet(
+        _os.path.join(path, "segments", f"seg={seg}")
+    )
+    return seg
+
+
+def compact_winnow_index(spark, path: str, *, fp_buckets: int = 1024) -> None:
+    """Fold an extended (segmented) winnow index back into the flat
+    :func:`save_winnow_index` layout — consolidation runs once here
+    instead of at every load, and the probe's dynamic partition
+    pruning (the ``fp_bucket`` layout) comes back.  The consolidated
+    pair's LINEAGE is cut (eager ``localCheckpoint``) before the
+    in-place overwrite — a mere persist is not enough: any cache miss
+    during the write would recompute from the very files being
+    replaced and silently truncate the result (caught by the parity
+    test).  Compact a 100-TB index to a NEW path and swap atomically
+    instead."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    index, dropped = load_winnow_index(spark, path)
+    if not _glob.glob(_os.path.join(path, "segments", "seg=*")):
+        return  # nothing to fold
+    index = index.localCheckpoint(eager=True)
+    dropped = dropped.localCheckpoint(eager=True)
+    save_winnow_index(index, dropped, path, fp_buckets=fp_buckets)
+    _shutil.rmtree(_os.path.join(path, "segments"), ignore_errors=True)
 
 
 def winnow_against_index(

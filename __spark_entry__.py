@@ -3347,6 +3347,58 @@ def q_winnow_against(spark: SparkSession, sf_dir: str) -> DataFrame:
         index.unpersist()
 
 
+def q_winnow_index_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTALLY-GROWN winnow index, end to end (r11:
+    pipeline/dedup.extend_winnow_index): the historical corpus
+    arrives in two installments — doc_id % 10 in 1-4 builds and
+    saves the initial index, % 10 in 5-9 lands later as an O(delta)
+    uncapped segment — and the % 10 == 0 batch probes the
+    consolidated load (global frequency cap re-applied over
+    main+segments, per-doc sizes recomputed).  Hash-matches the SAME
+    DuckDB twin as winnow_against: consolidation is exactly a full
+    rebuild over the whole history — one oracle, THREE engine paths
+    (batch build, incremental build, streaming probe)."""
+    import shutil
+    import tempfile
+
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        extend_winnow_index,
+        load_winnow_index,
+        save_winnow_index,
+        winnow_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(32)
+    initial = docs.where((F.col("doc_id") % 10).between(1, 4))
+    delta = docs.where(F.col("doc_id") % 10 >= 5)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    tmp = tempfile.mkdtemp(prefix="xyzpy_gate_wext_")
+    try:
+        p = f"{tmp}/widx"
+        index, dropped = build_winnow_index(
+            initial, k=6, w=5, max_fp_freq=50, hash_fn="md5"
+        )
+        save_winnow_index(index, dropped, p, fp_buckets=32)
+        extend_winnow_index(delta, p)
+        idx, drp = load_winnow_index(spark, p)
+        idx = idx.persist()
+        try:
+            return _finish_local(
+                spark,
+                winnow_against_index(
+                    batch, idx, dropped=drp, k=6, w=5, max_fp_freq=50,
+                    threshold=0.2, hash_fn="md5",
+                ),
+            )
+        finally:
+            idx.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_stream_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest WINNOWED dedup through the REAL engine: the
     doc_id%10==0 split arrives as a document stream and every
@@ -4390,6 +4442,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # batch sibling running_stats under the strict gate).  Per the
 # two-round precedent the six r10 newcomers hold their slots through
 # r11.
+# LATE ROUND 11 also rotated in winnow_index_extended (the
+# incrementally-grown winnow index end to end: initial build+save ->
+# O(delta) segment -> consolidated load -> probe; strict-green at
+# sf0.01 AND sf0.001 + type audit before entering), displacing its
+# own sibling winnow_against (r7-r10 green) — the extended row's
+# consolidation path is a superset (it IS a full-rebuild-equivalent
+# probe, same oracle), and the winnow family keeps
+# winnow_dedup_pairs, cdc_chunks and stream_winnow_index in-window.
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -4491,6 +4551,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "corpus_drift": 10,
     "value_drift_multi": 11,
     "curate_corpus_bloom": 11,
+    "winnow_index_extended": 11,
     "stream_drift": 10,
     "value_drift": 10,
     "stream_caps": 9,
@@ -4681,7 +4742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cohort_retention": q_cohort_retention,
         "stream_winnow_index": q_stream_winnow_index,
         "excess_stock_suppliers": q_excess_stock_suppliers,
-        "winnow_against": q_winnow_against,
+        "winnow_index_extended": q_winnow_index_extended,
         "video_frames": q_video_frames,
         "order_priority_check": q_order_priority_check,
         "cdc_chunks": q_cdc_chunks,
@@ -4716,6 +4777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
         "bm25_search": q_bm25_search,
         "stream_stateful_stats": q_stream_stateful_stats,
+        "winnow_against": q_winnow_against,
         "vocab_coverage": q_vocab_coverage,
         "lm_nll": q_lm_nll,
         "strip_substrings": q_strip_substrings,
@@ -8178,6 +8240,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "winnow_against": _WINNOW_AGAINST_ORACLE,
+        "winnow_index_extended": _WINNOW_AGAINST_ORACLE,
         # the streaming winnow probe runs the EXACT batch
         # operator per micro-batch — same twin (r9)
         "stream_winnow_index": _WINNOW_AGAINST_ORACLE,

@@ -197,6 +197,7 @@ HEADLINE = [
     "value_drift",
     "value_drift_multi",
     "curate_corpus_bloom",
+    "winnow_index_extended",
 ]
 
 

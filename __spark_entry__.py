@@ -4198,6 +4198,61 @@ def q_value_drift_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NUMERIC feature drift through the REAL engine (r11:
+    streaming/ops.value_drift_stream_monitor): the post-split events
+    arrive as a file stream, each micro-batch's fixed-bin value
+    counts fold into the epoch-partitioned cumulative state (grouped
+    SUM — the merge law; state bounded at 64 bins forever), and each
+    epoch scores the ACCUMULATED distribution against the frozen
+    pre-split reference.  Hash-matches the SAME DuckDB twin as
+    value_drift — one oracle, two engine paths, the exact
+    stream_drift/corpus_drift pattern applied to feature values (the
+    shared _drift_monitor_core makes divergence in epoch discipline
+    impossible by construction)."""
+    import shutil
+    import tempfile
+
+    from xyzpy_spark.pipeline.drift import numeric_distribution
+    from xyzpy_spark.streaming.ops import (
+        read_events_stream,
+        value_drift_stream_monitor,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    split = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    ref = numeric_distribution(
+        ev.where(F.col("ts") < split), "value", lo=0.0, hi=512.0, n_bins=64
+    ).persist()
+    tmp = tempfile.mkdtemp(prefix="xyzpy_gate_vdrift_")
+    try:
+        out = f"{tmp}/out"
+        value_drift_stream_monitor(
+            read_events_stream(spark, sf_dir).where(F.col("ts") >= split),
+            ref,
+            out,
+            f"{tmp}/state",
+            value_col="value",
+            lo=0.0,
+            hi=512.0,
+            n_bins=64,
+            top_k=64,
+            state_partitions=8,
+        )
+        rep = spark.read.parquet(out)
+        last = rep.agg(F.max("epoch_id")).first()[0]
+        return _finish_local(
+            spark,
+            rep.where(F.col("epoch_id") == last).select(
+                "token", "cnt_a", "cnt_b", "p_a", "p_b",
+                "js_contrib_e9", "js_total_e9",
+            ),
+        )
+    finally:
+        ref.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gumbel top-k importance resampling of 50 raw docs ∝ exp(logw)
     — deterministic md5 Gumbel, distributed TakeOrdered rank
@@ -4450,6 +4505,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # consolidation path is a superset (it IS a full-rebuild-equivalent
 # probe, same oracle), and the winnow family keeps
 # winnow_dedup_pairs, cdc_chunks and stream_winnow_index in-window.
+# LATE ROUND 11 also rotated in stream_value_drift (the numeric drift
+# monitor through the REAL streaming engine — cumulative fixed-bin
+# state, grouped-sum merge law, per-epoch scoring vs the frozen
+# pre-split reference; shares value_drift's oracle, one oracle two
+# engine paths; strict-green at sf0.01 AND sf0.001 + type audit
+# before entering), displacing source_caps (r7-r10 green; the
+# sampling/capping family keeps weighted_sample and stream_caps
+# in-window).
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
@@ -4552,6 +4615,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "value_drift_multi": 11,
     "curate_corpus_bloom": 11,
     "winnow_index_extended": 11,
+    "stream_value_drift": 11,
     "stream_drift": 10,
     "value_drift": 10,
     "stream_caps": 9,
@@ -4739,6 +4803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_steps": q_funnel_steps,
         "value_drift": q_value_drift,
         "value_drift_multi": q_value_drift_multi,
+        "stream_value_drift": q_stream_value_drift,
         "cohort_retention": q_cohort_retention,
         "stream_winnow_index": q_stream_winnow_index,
         "excess_stock_suppliers": q_excess_stock_suppliers,
@@ -4770,13 +4835,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": q_weighted_sample,
         "stream_hll": q_stream_hll,
         "harvest_partitioned_2d": q_harvest_partitioned_2d,
-        "source_caps": q_source_caps,
         "multimodal_jpeg_lossless": q_multimodal_jpeg_lossless,
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
         "bm25_search": q_bm25_search,
         "stream_stateful_stats": q_stream_stateful_stats,
+        "source_caps": q_source_caps,
         "winnow_against": q_winnow_against,
         "vocab_coverage": q_vocab_coverage,
         "lm_nll": q_lm_nll,
@@ -6778,6 +6843,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_drift": _CORPUS_DRIFT_ORACLE,
         "value_drift": _VALUE_DRIFT_ORACLE,
         "value_drift_multi": _VALUE_DRIFT_MULTI_ORACLE,
+        "stream_value_drift": _VALUE_DRIFT_ORACLE,
         "stream_drift": _CORPUS_DRIFT_ORACLE,
         "strip_substrings": """
             WITH t AS (

@@ -198,6 +198,7 @@ HEADLINE = [
     "value_drift_multi",
     "curate_corpus_bloom",
     "winnow_index_extended",
+    "stream_value_drift",
 ]
 
 

@@ -1511,3 +1511,117 @@ def test_drift_stream_monitor_rejects_stale_state(spark, tmp_path):
             state,
         )
     ref_counts.unpersist()
+
+
+def test_value_drift_stream_monitor_accumulates_across_epochs(
+    spark, tmp_path
+):
+    """The numeric sibling's cumulative-state semantics (r11, shared
+    _drift_monitor_core): after epoch 1 the report equals the batch
+    numeric_divergence of (reference, first half); after the final
+    epoch it equals the batch answer over EVERYTHING streamed — bin
+    counts merge by grouped sum, state bounded at n_bins forever."""
+    from xyzpy_spark.pipeline.drift import (
+        numeric_distribution,
+        numeric_divergence,
+    )
+    from xyzpy_spark.streaming.ops import value_drift_stream_monitor
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(sf + "/events.parquet").select(
+        "event_id", "value"
+    )
+    ref = ev.where(F.col("event_id") % 3 == 0)
+    streamed = ev.where(F.col("event_id") % 3 != 0)
+    half1 = streamed.where(F.col("event_id") % 2 == 0)
+    half2 = streamed.where(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    half1.coalesce(1).write.parquet(src)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    kw = dict(lo=0.0, hi=512.0, n_bins=16)
+    ref_counts = numeric_distribution(ref, "value", **kw).persist()
+    value_drift_stream_monitor(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        ref_counts,
+        out,
+        state,
+        value_col="value",
+        top_k=16,
+        **kw,
+    )
+    result = spark.read.parquet(out)
+    epochs = sorted(
+        r["epoch_id"]
+        for r in result.select("epoch_id").distinct().collect()
+    )
+    assert len(epochs) == 2, epochs
+    # cumulative state stays bin-bounded
+    st = spark.read.parquet(state)
+    assert st.select("token").distinct().count() <= 16
+
+    def _rows(df):
+        return sorted(
+            (
+                r["token"], r["cnt_a"], r["cnt_b"], r["p_a"], r["p_b"],
+                r["js_contrib_e9"], r["js_total_e9"],
+            )
+            for r in df.collect()
+        )
+
+    got_e1 = _rows(
+        result.where(F.col("epoch_id") == epochs[0]).drop("epoch_id")
+    )
+    want_e1 = _rows(
+        numeric_divergence(ref, half1, "value", top_k=16, **kw)
+    )
+    assert got_e1 == want_e1
+    got_e2 = _rows(
+        result.where(F.col("epoch_id") == epochs[1]).drop("epoch_id")
+    )
+    want_e2 = _rows(
+        numeric_divergence(ref, streamed, "value", top_k=16, **kw)
+    )
+    assert got_e2 == want_e2
+    ref_counts.unpersist()
+
+
+def test_value_drift_stream_monitor_validates_and_rejects_stale(
+    spark, tmp_path
+):
+    """The numeric monitor validates bin params up front and inherits
+    the stale-state fail-fast from the shared core."""
+    import pytest as _pytest
+
+    from xyzpy_spark.pipeline.drift import numeric_distribution
+    from xyzpy_spark.streaming.ops import value_drift_stream_monitor
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(sf + "/events.parquet").select(
+        "event_id", "value"
+    )
+    src = str(tmp_path / "src")
+    ev.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    ref_counts = numeric_distribution(
+        ev, "value", lo=0.0, hi=512.0, n_bins=16
+    ).persist()
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    with _pytest.raises(ValueError, match="lo < hi"):
+        value_drift_stream_monitor(
+            stream, ref_counts, out, state, lo=5.0, hi=5.0
+        )
+    spark.createDataFrame(
+        [(3, 5)], "token long, cnt long"
+    ).write.parquet(state + "/epoch_id=7")
+    with _pytest.raises(
+        Exception, match="stale|value_drift_stream_monitor"
+    ):
+        value_drift_stream_monitor(
+            stream, ref_counts, out, state, lo=0.0, hi=512.0
+        )
+    ref_counts.unpersist()

@@ -1122,9 +1122,95 @@ def drift_stream_monitor(
     report equals the batch ``corpus_divergence(reference, everything
     streamed)`` exactly — one oracle, two engine paths.
     """
-    from ..pipeline.drift import divergence_from_counts, token_distribution
+    from ..pipeline.drift import token_distribution
 
-    spark = doc_stream.sparkSession
+    _drift_monitor_core(
+        doc_stream,
+        reference_counts,
+        out_path,
+        state_path,
+        lambda b: token_distribution(b, text_col),
+        "drift_stream_monitor",
+        top_k=top_k,
+        alpha=alpha,
+        checkpoint=checkpoint,
+        timeout=timeout,
+        state_partitions=state_partitions,
+    )
+
+
+def value_drift_stream_monitor(
+    event_stream: DataFrame,
+    reference_counts: DataFrame,
+    out_path: str,
+    state_path: str,
+    *,
+    value_col: str = "value",
+    lo: float,
+    hi: float,
+    n_bins: int = 64,
+    top_k: int = 64,
+    alpha: float = 0.5,
+    checkpoint: str | None = None,
+    timeout: int = 300,
+    state_partitions: int | None = None,
+) -> None:
+    """Streaming NUMERIC feature-drift monitor (r11): the fixed-bin
+    sibling of :func:`drift_stream_monitor` — each micro-batch's
+    ``[lo, hi)``/``n_bins`` bucket counts
+    (:func:`~xyzpy_spark.pipeline.drift.numeric_distribution`) fold
+    into cumulative state and every epoch scores the ACCUMULATED
+    value distribution against a frozen reference's bin counts.
+    Same epoch discipline, same merge law (bin counts are mergeable
+    by grouped SUM), same shared core — so after the final epoch the
+    report equals the batch ``numeric_divergence(reference,
+    everything streamed)`` exactly: one oracle, two engine paths,
+    the stream_drift/corpus_drift pattern applied to feature values.
+    State is bounded by ``n_bins`` forever, whatever the stream
+    volume."""
+    from ..pipeline.drift import _check_bin_args, numeric_distribution
+
+    _check_bin_args("value_drift_stream_monitor", value_col, lo, hi, n_bins)
+    _drift_monitor_core(
+        event_stream,
+        reference_counts,
+        out_path,
+        state_path,
+        lambda b: numeric_distribution(
+            b, value_col, lo=lo, hi=hi, n_bins=n_bins
+        ),
+        "value_drift_stream_monitor",
+        top_k=top_k,
+        alpha=alpha,
+        checkpoint=checkpoint,
+        timeout=timeout,
+        state_partitions=state_partitions,
+    )
+
+
+def _drift_monitor_core(
+    stream: DataFrame,
+    reference_counts: DataFrame,
+    out_path: str,
+    state_path: str,
+    counts_fn,
+    name: str,
+    *,
+    top_k: int,
+    alpha: float,
+    checkpoint: str | None,
+    timeout: int,
+    state_partitions: int | None,
+) -> None:
+    """Shared epoch engine of the two drift monitors: fold each
+    micro-batch's ``(token, cnt)`` sufficient statistics (from
+    ``counts_fn``) into epoch-partitioned cumulative state, score the
+    written state against the frozen reference.  Factored (r11) so
+    the token and numeric monitors can never drift apart in epoch
+    discipline, merge law, or replay idempotence."""
+    from ..pipeline.drift import divergence_from_counts
+
+    spark = stream.sparkSession
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1132,9 +1218,9 @@ def drift_stream_monitor(
         eid = int(epoch_id)
         # a reused state/out path with a fresh checkpoint would fold a
         # prior run's counts into this stream's state (r8 ADVICE class)
-        _check_no_stale_epochs(state_path, eid, "drift_stream_monitor")
-        _check_no_stale_epochs(out_path, eid, "drift_stream_monitor")
-        fresh = token_distribution(batch_df, text_col)
+        _check_no_stale_epochs(state_path, eid, name)
+        _check_no_stale_epochs(out_path, eid, name)
+        fresh = counts_fn(batch_df)
         # only the READ may fall back to first-epoch semantics — a
         # state dir that exists but is not epoch_id= layout must fail
         # fast below (an except around the merge would silently reset
@@ -1175,6 +1261,6 @@ def drift_stream_monitor(
         )
 
     _run_foreach_batch(
-        doc_stream, _sink, checkpoint, timeout, "drift_stream_monitor",
+        stream, _sink, checkpoint, timeout, name,
         state_partitions=state_partitions,
     )

@@ -4241,3 +4241,78 @@ def test_extend_winnow_index_validates(spark, tmp_path):
     ).write.parquet(p + "/main")
     with pytest.raises(ValueError, match="stamped"):
         extend_winnow_index(docs, p)
+
+
+def test_extend_dedup_index_matches_full_rebuild(spark, tmp_path):
+    """Incremental MinHash-index growth (r11, extend_winnow_index's
+    sibling): appending a delta's signature + band rows into the
+    saved bucket layout is EXACTLY the full rebuild — no global
+    state (no frequency cap) means plain additive append; the loaded
+    pair must probe bit-for-bit like build-over-everything, and the
+    appended files must land inside the existing fp_bucket/bb_bucket
+    partition dirs (DPP keeps working)."""
+    import glob as _glob
+
+    from xyzpy_spark.pipeline.dedup import (
+        band_dedup_index,
+        build_dedup_index,
+        dedup_against_index,
+        extend_dedup_index,
+        load_dedup_index,
+        save_dedup_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus_a = docs.where(F.col("doc_id") % 10 < 5)
+    delta_b = docs.where((F.col("doc_id") % 10).between(5, 8))
+    batch = docs.where(F.col("doc_id") % 10 == 9)
+    kw = dict(n=2, hash_fn="md5")
+
+    p = str(tmp_path / "didx")
+    index = build_dedup_index(corpus_a, **kw)
+    save_dedup_index(
+        index, band_dedup_index(index, **kw), p,
+        fp_buckets=16, bb_buckets=16,
+    )
+    extend_dedup_index(delta_b, p)
+
+    full = corpus_a.unionByName(delta_b)
+    ridx = build_dedup_index(full, **kw)
+    rbands = band_dedup_index(ridx, **kw)
+    lidx, lbands = load_dedup_index(spark, p)
+
+    pkw = dict(threshold=0.3, **kw)
+    want = sorted(
+        map(
+            tuple,
+            dedup_against_index(
+                batch, ridx, index_bands=rbands, **pkw
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            dedup_against_index(
+                batch, lidx, index_bands=lbands, **pkw
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    # delta rows really landed (both sides of the pair grew) and the
+    # layout stayed partitioned (no stray flat files at the roots)
+    assert lidx.count() == ridx.count()
+    assert lbands.count() == rbands.count()
+    assert not _glob.glob(str(tmp_path / "didx" / "main" / "part-*"))
+    assert not _glob.glob(str(tmp_path / "didx" / "bands" / "part-*"))
+
+    # guard: an index saved WITHOUT the n/hash_fn stamps cannot be
+    # extended (the delta would be signed by guesswork)
+    p2 = str(tmp_path / "didx2")
+    save_dedup_index(
+        index, band_dedup_index(index), p2, fp_buckets=16, bb_buckets=16
+    )
+    with pytest.raises(ValueError, match="stamped"):
+        extend_dedup_index(delta_b, p2)

@@ -1745,6 +1745,100 @@ def load_dedup_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     )
 
 
+def extend_dedup_index(
+    delta_df: DataFrame,
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally grow a SAVED MinHash dedup index with a delta
+    corpus (r11, the :func:`extend_winnow_index` sibling) — and here
+    the growth is a PLAIN APPEND: unlike the winnow index there is no
+    global frequency cap, so per-doc signature and band rows are
+    purely additive and appending the delta's rows into the existing
+    ``fp_bucket`` / ``bb_bucket`` partition dirs yields EXACTLY the
+    full-rebuild index (pinned bit-for-bit in pytest).  O(delta) work
+    and writes; historical text never re-read, saved files never
+    rewritten; dynamic partition pruning keeps working because the
+    appended files land in the same bucket layout.
+
+    The delta is signed and banded with the STAMPED parameters
+    (``n`` / ``num_perm`` / ``bands`` / ``hash_fn`` read from the
+    saved banded projection — a delta signed differently would
+    silently match nothing), so the index must have been saved with
+    ``band_dedup_index(..., n=..., hash_fn=...)``.  Delta doc ids
+    must be new (at-least-once redelivery duplicates rows — dedup
+    ingest ids upstream).  Small files accumulate one-per-task per
+    extend; rebuild + :func:`save_dedup_index` (or
+    ``manage.compact_table`` per bucket dir) is the compaction
+    story."""
+    import os as _os
+
+    spark = delta_df.sparkSession
+    bands_tbl = spark.read.parquet(_os.path.join(path, "bands"))
+    need = {"num_perm", "bands", "n", "hash_fn"}
+    missing = need - set(bands_tbl.columns)
+    if missing:
+        raise ValueError(
+            "extend_dedup_index: the saved banded projection lacks "
+            f"stamped columns {sorted(missing)} — re-save with "
+            "band_dedup_index(..., n=..., hash_fn=...) so a delta can "
+            "be signed identically"
+        )
+    main_tbl = spark.read.parquet(_os.path.join(path, "main"))
+    if not {"fp_bucket", "fp_buckets"} <= set(main_tbl.columns):
+        raise ValueError(
+            "extend_dedup_index: the saved index is not the "
+            "bucket-partitioned save_dedup_index layout (empty initial "
+            "saves fall back to a flat file) — rebuild over "
+            "corpus + delta instead"
+        )
+    meta = bands_tbl.select("num_perm", "bands", "n", "hash_fn").first()
+    if meta is None:
+        raise ValueError(
+            "extend_dedup_index: the saved banded projection is empty "
+            "— rebuild over corpus + delta instead"
+        )
+    fp_buckets = int(main_tbl.select("fp_buckets").first()["fp_buckets"])
+    bb_buckets = int(
+        bands_tbl.select("bb_buckets").first()["bb_buckets"]
+    )
+    idx_d = build_dedup_index(
+        delta_df,
+        id_col=id_col,
+        text_col=text_col,
+        n=int(meta["n"]),
+        num_perm=int(meta["num_perm"]),
+        hash_fn=str(meta["hash_fn"]),
+    )
+    # one pass feeds both appends (the prestage discipline): sign once
+    idx_d = idx_d.localCheckpoint(eager=True)
+    bands_d = band_dedup_index(
+        idx_d,
+        id_col=id_col,
+        num_perm=int(meta["num_perm"]),
+        bands=int(meta["bands"]),
+        n=int(meta["n"]),
+        hash_fn=str(meta["hash_fn"]),
+    )
+    idx_d.withColumn(
+        "fp_bucket",
+        F.pmod(F.xxhash64("fingerprint"), F.lit(fp_buckets)),
+    ).withColumn("fp_buckets", F.lit(fp_buckets)).write.mode(
+        "append"
+    ).partitionBy("fp_bucket").parquet(_os.path.join(path, "main"))
+    bands_d.withColumn(
+        "bb_bucket",
+        F.pmod(
+            F.xxhash64(F.col("band"), F.col("bucket")),
+            F.lit(bb_buckets),
+        ),
+    ).withColumn("bb_buckets", F.lit(bb_buckets)).write.mode(
+        "append"
+    ).partitionBy("bb_bucket").parquet(_os.path.join(path, "bands"))
+
+
 def _best_match(scored: DataFrame, threshold: float) -> DataFrame:
     """Per-new-doc best match over ``(_new_id, _old_id, _est)``
     candidate rows: highest score, ties to the SMALLEST old id —

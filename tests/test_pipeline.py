@@ -4316,3 +4316,43 @@ def test_extend_dedup_index_matches_full_rebuild(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="stamped"):
         extend_dedup_index(delta_b, p2)
+
+
+def test_winnow_index_load_skips_uncommitted_segment(spark, tmp_path):
+    """A crashed mid-extend leaves a segment dir without _SUCCESS;
+    consolidation must skip it (folding partial rows in would
+    silently under-count that delta forever) — the committed-segment
+    result is unchanged by the dead dir."""
+    import os as _os
+
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        extend_winnow_index,
+        load_winnow_index,
+        save_winnow_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 < 4)
+    delta = docs.where(F.col("doc_id") % 10 == 4)
+    p = str(tmp_path / "widx")
+    index, dropped = build_winnow_index(
+        corpus, k=6, w=5, max_fp_freq=5, hash_fn="md5"
+    )
+    save_winnow_index(index, dropped, p, fp_buckets=32)
+    extend_winnow_index(delta, p)
+    before = sorted(
+        map(tuple, load_winnow_index(spark, p)[0].collect())
+    )
+    # simulate the crash: a parquet-bearing seg dir with no _SUCCESS
+    ghost = _os.path.join(p, "segments", "seg=9")
+    delta.limit(3).selectExpr(
+        "doc_id", "cast(doc_id as bigint) as fingerprint"
+    ).write.parquet(ghost)
+    _os.remove(_os.path.join(ghost, "_SUCCESS"))
+    after = sorted(
+        map(tuple, load_winnow_index(spark, p)[0].collect())
+    )
+    assert after == before

@@ -2513,8 +2513,15 @@ def load_winnow_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
 
     main = spark.read.parquet(path + "/main")
     dropped = spark.read.parquet(path + "/dropped")
+    # only COMMITTED segments consolidate: a crashed mid-extend leaves
+    # a seg dir without Spark's _SUCCESS marker, and folding its
+    # partial rows in would silently under-count that delta forever
+    # (extend_dedup_index has no such seam — its append is the
+    # standard parquet commit)
     seg_dirs = sorted(
-        _glob.glob(_os.path.join(path, "segments", "seg=*"))
+        d
+        for d in _glob.glob(_os.path.join(path, "segments", "seg=*"))
+        if _os.path.exists(_os.path.join(d, "_SUCCESS"))
     )
     if not seg_dirs:
         return main, dropped
@@ -2585,8 +2592,11 @@ def extend_winnow_index(
     Each delta's doc ids must be new (at-least-once redelivery of a
     delta would double its fingerprint counts — dedup ingest ids
     upstream, the epoch-sink discipline the streaming seams use).
-    Returns the new segment id; run :func:`compact_winnow_index`
-    when segments accumulate.
+    A crashed extend leaves a segment dir without Spark's
+    ``_SUCCESS`` marker; the load skips uncommitted segments, and the
+    retry writes a fresh id (the dead dir is ignored forever —
+    :func:`compact_winnow_index` clears it).  Returns the new segment
+    id; run :func:`compact_winnow_index` when segments accumulate.
     """
     import glob as _glob
     import os as _os

@@ -4356,3 +4356,147 @@ def test_winnow_index_load_skips_uncommitted_segment(spark, tmp_path):
         map(tuple, load_winnow_index(spark, p)[0].collect())
     )
     assert after == before
+
+
+def test_extend_dedup_index_retry_idempotent(spark, tmp_path):
+    """The two per-directory appends of extend_dedup_index are not
+    atomic as a pair (r11 ADVICE): a crash between them leaves main
+    extended without its banded rows, and a naive retry would
+    double-append the delta into main.  The r12 retry detection
+    (bucket-pruned anti-join of the delta's ids against each
+    directory) must make (a) a full re-run of a completed extend a
+    no-op and (b) a retry after the simulated crash complete ONLY
+    the missing bands side — both landing bit-for-bit on the
+    full-rebuild probe."""
+    import glob as _glob
+    import os as _os
+
+    from xyzpy_spark.pipeline.dedup import (
+        band_dedup_index,
+        build_dedup_index,
+        dedup_against_index,
+        extend_dedup_index,
+        load_dedup_index,
+        save_dedup_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus_a = docs.where(F.col("doc_id") % 10 < 5)
+    delta_b = docs.where((F.col("doc_id") % 10).between(5, 8))
+    batch = docs.where(F.col("doc_id") % 10 == 9)
+    kw = dict(n=2, hash_fn="md5")
+
+    p = str(tmp_path / "didx")
+    index = build_dedup_index(corpus_a, **kw)
+    save_dedup_index(
+        index, band_dedup_index(index, **kw), p,
+        fp_buckets=16, bb_buckets=16,
+    )
+
+    def snap(sub):
+        return set(
+            _glob.glob(_os.path.join(p, sub, "*", "part-*"))
+        )
+
+    main_before, bands_before = snap("main"), snap("bands")
+    extend_dedup_index(delta_b, p)
+    main_once, bands_once = snap("main"), snap("bands")
+    assert main_once > main_before and bands_once > bands_before
+
+    # (a) redelivered delta after a COMPLETED extend: both sides no-op
+    extend_dedup_index(delta_b, p)
+    lidx, lbands = load_dedup_index(spark, p)
+    assert lidx.count() == build_dedup_index(
+        corpus_a.unionByName(delta_b), **kw
+    ).count()
+    assert snap("main") == main_once and snap("bands") == bands_once
+
+    # (b) simulated crash between the appends: roll the bands side
+    # back to its pre-extend files, then retry — main must not grow,
+    # bands must be completed, and the probe equals the full rebuild
+    for f in snap("bands") - bands_before:
+        _os.remove(f)
+    extend_dedup_index(delta_b, p)
+    assert snap("main") == main_once
+    lidx, lbands = load_dedup_index(spark, p)
+    full = corpus_a.unionByName(delta_b)
+    ridx = build_dedup_index(full, **kw)
+    rbands = band_dedup_index(ridx, **kw)
+    pkw = dict(threshold=0.3, **kw)
+    want = sorted(
+        map(
+            tuple,
+            dedup_against_index(
+                batch, ridx, index_bands=rbands, **pkw
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            dedup_against_index(
+                batch, lidx, index_bands=lbands, **pkw
+            ).collect(),
+        )
+    )
+    assert got == want and len(got) > 0
+    assert lbands.count() == rbands.count()
+
+
+def test_extend_winnow_index_pinned_seg_idempotent(spark, tmp_path):
+    """extend_winnow_index(seg=N) is the epoch-to-segment mapping the
+    streaming ingest leans on: a replayed epoch's extend (same seg id,
+    already committed) must be a no-op, and a dead uncommitted dir
+    with that id must be cleared and rewritten."""
+    import os as _os
+
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        extend_winnow_index,
+        load_winnow_index,
+        save_winnow_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 < 4)
+    delta = docs.where(F.col("doc_id") % 10 == 4)
+    delta2 = docs.where(F.col("doc_id") % 10 == 5)
+    p = str(tmp_path / "widx")
+    index, dropped = build_winnow_index(
+        corpus, k=6, w=5, max_fp_freq=5, hash_fn="md5"
+    )
+    save_winnow_index(index, dropped, p, fp_buckets=32)
+
+    assert extend_winnow_index(delta, p, seg=7) == 7
+    once = sorted(map(tuple, load_winnow_index(spark, p)[0].collect()))
+    # replay: committed seg=7 exists -> no-op, state unchanged
+    assert extend_winnow_index(delta, p, seg=7) == 7
+    assert (
+        sorted(map(tuple, load_winnow_index(spark, p)[0].collect()))
+        == once
+    )
+    # unpinned extends keep deriving past the pinned id
+    assert extend_winnow_index(delta2, p) == 8
+
+    # a dead (uncommitted) dir under the pinned id is rewritten
+    ghost = _os.path.join(p, "segments", "seg=9")
+    delta.limit(2).selectExpr(
+        "doc_id", "cast(doc_id as bigint) as fingerprint"
+    ).write.parquet(ghost)
+    _os.remove(_os.path.join(ghost, "_SUCCESS"))
+    assert extend_winnow_index(delta2, p, seg=9) == 9
+    assert _os.path.exists(_os.path.join(ghost, "_SUCCESS"))
+
+    # before_seg: the as-of view excludes later segments — state
+    # after (seg<8) equals the single-delta extend exactly
+    asof = sorted(
+        map(
+            tuple,
+            load_winnow_index(spark, p, before_seg=8)[0].collect(),
+        )
+    )
+    assert asof == once

@@ -1672,6 +1672,48 @@ def band_dedup_index(
     return out
 
 
+def _hadoop_fs(spark, path: str):
+    """``(FileSystem, Path)`` for ``path`` via the JVM Hadoop API —
+    the scheme-aware replacement for driver-local ``glob``/
+    ``os.path`` in every index-layout routine (r11 ADVICE): a local
+    glob over an ``hdfs://``/``s3a://`` path matches NOTHING, so
+    committed segments would silently be ignored and every probe
+    would treat extended deltas as never ingested.  The Hadoop
+    ``FileSystem`` resolves whatever scheme the path carries (local
+    included) with the session's Hadoop configuration."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _list_segments(spark, path: str):
+    """Segment inventory of an extended index layout, listed through
+    the Hadoop FileSystem (scheme-aware — see :func:`_hadoop_fs`):
+    returns ``(all_ids, committed)`` where ``all_ids`` is every
+    ``seg=N`` id present (committed or not — the next-id derivation
+    must never reuse a dead dir's id) and ``committed`` is a list of
+    ``(seg_id, uri)`` for dirs carrying Spark's ``_SUCCESS`` marker,
+    sorted by id."""
+    jvm = spark._jvm
+    fs, segroot = _hadoop_fs(spark, path + "/segments")
+    if not fs.exists(segroot):
+        return [], []
+    all_ids, committed = [], []
+    for st in fs.listStatus(segroot):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("seg=")):
+            continue
+        try:
+            sid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        all_ids.append(sid)
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(st.getPath(), "_SUCCESS")):
+            committed.append((sid, str(st.getPath())))
+    committed.sort()
+    return sorted(all_ids), committed
+
+
 def _save_bucket_partitioned(
     df: DataFrame, path: str, bucket_col: str
 ) -> None:
@@ -1680,12 +1722,16 @@ def _save_bucket_partitioned(
     partitioned by the bucket column, then handle the EMPTY-dataset
     corner — a partitionBy write with zero data files cannot infer a
     schema at load time, so rewrite unpartitioned (the probe then
-    returns all-novel, the plain-layout behavior)."""
-    import glob
-    import os
-
+    returns all-novel, the plain-layout behavior).  The emptiness
+    probe goes through the Hadoop FileSystem, not a driver-local
+    glob, so the check works on object-store paths too."""
+    spark = df.sparkSession
     df.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
-    if not glob.glob(os.path.join(path, f"{bucket_col}=*")):
+    fs, _ = _hadoop_fs(spark, path)
+    probe = spark._jvm.org.apache.hadoop.fs.Path(
+        path + f"/{bucket_col}=*"
+    )
+    if not fs.globStatus(probe):
         df.write.mode("overwrite").parquet(path)
 
 
@@ -1767,16 +1813,34 @@ def extend_dedup_index(
     (``n`` / ``num_perm`` / ``bands`` / ``hash_fn`` read from the
     saved banded projection — a delta signed differently would
     silently match nothing), so the index must have been saved with
-    ``band_dedup_index(..., n=..., hash_fn=...)``.  Delta doc ids
-    must be new (at-least-once redelivery duplicates rows — dedup
-    ingest ids upstream).  Small files accumulate one-per-task per
-    extend; rebuild + :func:`save_dedup_index` (or
-    ``manage.compact_table`` per bucket dir) is the compaction
-    story."""
+    ``band_dedup_index(..., n=..., hash_fn=...)``.
+
+    Crash/retry safety (r12, closing the r11 ADVICE seam): the two
+    appends commit per-DIRECTORY, not as a pair — a crash between
+    them leaves main extended without its banded rows.  Each side
+    therefore anti-joins the delta's doc ids against the rows ALREADY
+    in its own directory before appending, so a retried extend (or an
+    at-least-once redelivery of the whole delta) appends exactly the
+    missing side and never double-appends.  The existence check is
+    O(delta's bucket footprint), not O(index): the delta's
+    fingerprints/band keys hash to a bounded set of ``fp_bucket`` /
+    ``bb_bucket`` partitions, the scan is pruned to those, and the
+    delta's ids probe it as a broadcast — the index never shuffles.
+
+    Small files accumulate one-per-task per extend; rebuild +
+    :func:`save_dedup_index` (or ``manage.compact_table`` per bucket
+    dir) is the compaction story."""
     import os as _os
 
     spark = delta_df.sparkSession
     bands_tbl = spark.read.parquet(_os.path.join(path, "bands"))
+    if not {"bb_bucket", "bb_buckets"} <= set(bands_tbl.columns):
+        raise ValueError(
+            "extend_dedup_index: the saved banded projection is not "
+            "the bucket-partitioned save_dedup_index layout (empty "
+            "initial saves fall back to a flat file) — rebuild over "
+            "corpus + delta instead"
+        )
     need = {"num_perm", "bands", "n", "hash_fn"}
     missing = need - set(bands_tbl.columns)
     if missing:
@@ -1814,6 +1878,8 @@ def extend_dedup_index(
     )
     # one pass feeds both appends (the prestage discipline): sign once
     idx_d = idx_d.localCheckpoint(eager=True)
+    idc = idx_d.columns[0]  # the caller's id_col leads the index
+    delta_ids = idx_d.select(idc)
     bands_d = band_dedup_index(
         idx_d,
         id_col=id_col,
@@ -1822,21 +1888,39 @@ def extend_dedup_index(
         n=int(meta["n"]),
         hash_fn=str(meta["hash_fn"]),
     )
-    idx_d.withColumn(
+    main_d = idx_d.withColumn(
         "fp_bucket",
         F.pmod(F.xxhash64("fingerprint"), F.lit(fp_buckets)),
-    ).withColumn("fp_buckets", F.lit(fp_buckets)).write.mode(
-        "append"
-    ).partitionBy("fp_bucket").parquet(_os.path.join(path, "main"))
-    bands_d.withColumn(
+    ).withColumn("fp_buckets", F.lit(fp_buckets))
+    bands_d = bands_d.withColumn(
         "bb_bucket",
         F.pmod(
             F.xxhash64(F.col("band"), F.col("bucket")),
             F.lit(bb_buckets),
         ),
-    ).withColumn("bb_buckets", F.lit(bb_buckets)).write.mode(
-        "append"
-    ).partitionBy("bb_bucket").parquet(_os.path.join(path, "bands"))
+    ).withColumn("bb_buckets", F.lit(bb_buckets))
+    for delta, tbl, sub, bucket_col in (
+        (main_d, main_tbl, "main", "fp_bucket"),
+        (bands_d, bands_tbl, "bands", "bb_bucket"),
+    ):
+        # retry detection, pruned to the delta's own bucket footprint:
+        # a previously-appended copy of a delta doc sits in EXACTLY
+        # the buckets the delta re-derives (same deterministic hash),
+        # so scanning only those partitions is sound and bounded
+        bkts = [
+            r[0]
+            for r in delta.select(bucket_col).distinct().collect()
+        ]
+        appended = (
+            tbl.where(F.col(bucket_col).isin(bkts))
+            .join(F.broadcast(delta_ids), idc, "left_semi")
+            .select(idc)
+            .distinct()
+        )
+        fresh = delta.join(F.broadcast(appended), idc, "left_anti")
+        fresh.write.mode("append").partitionBy(bucket_col).parquet(
+            _os.path.join(path, sub)
+        )
 
 
 def _best_match(scored: DataFrame, threshold: float) -> DataFrame:
@@ -2490,7 +2574,9 @@ def save_winnow_index(
     dropped.write.mode("overwrite").parquet(path + "/dropped")
 
 
-def load_winnow_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
+def load_winnow_index(
+    spark, path: str, *, before_seg: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Load a :func:`save_winnow_index` pair: ``(index, dropped)``.
     The partition column ``fp_bucket`` comes back via discovery and
     re-enables dynamic partition pruning on every probe.
@@ -2507,26 +2593,32 @@ def load_winnow_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
     aggregation over the index at LOAD time — the probes themselves
     are unchanged; a long-lived serve process pays it once, and
     :func:`compact_winnow_index` folds it back into the flat
-    DPP-prunable layout."""
-    import glob as _glob
-    import os as _os
+    DPP-prunable layout.
 
+    ``before_seg`` restricts consolidation to committed segments with
+    id strictly below it — the as-of view the epoch-idempotent
+    streaming ingest needs (a replayed epoch must probe the index
+    state its original attempt saw, not one including its own
+    extend).  Segment listing goes through the Hadoop FileSystem, so
+    segmented layouts work on HDFS/S3 paths too (r11 ADVICE)."""
     main = spark.read.parquet(path + "/main")
     dropped = spark.read.parquet(path + "/dropped")
     # only COMMITTED segments consolidate: a crashed mid-extend leaves
     # a seg dir without Spark's _SUCCESS marker, and folding its
     # partial rows in would silently under-count that delta forever
-    # (extend_dedup_index has no such seam — its append is the
-    # standard parquet commit)
-    seg_dirs = sorted(
-        d
-        for d in _glob.glob(_os.path.join(path, "segments", "seg=*"))
-        if _os.path.exists(_os.path.join(d, "_SUCCESS"))
-    )
+    # (extend_dedup_index's pair of appends has its own retry seam,
+    # closed by per-directory delta-id anti-joins there)
+    _, committed = _list_segments(spark, path)
+    seg_dirs = [
+        uri
+        for sid, uri in committed
+        if before_seg is None or sid < int(before_seg)
+    ]
     if not seg_dirs:
         return main, dropped
+    fs, segroot = _hadoop_fs(spark, path + "/segments")
     segs = spark.read.option(
-        "basePath", _os.path.join(path, "segments")
+        "basePath", str(fs.makeQualified(segroot))
     ).parquet(*seg_dirs)
     meta = main.select("k", "w", "hash_fn", "max_fp_freq").first()
     if meta is None:  # empty unstamped main: nothing to consolidate on
@@ -2572,6 +2664,7 @@ def extend_winnow_index(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    seg: int | None = None,
 ) -> int:
     """Incrementally grow a SAVED winnow index with a delta corpus —
     O(delta) work and O(delta) writes; historical text is never
@@ -2597,8 +2690,16 @@ def extend_winnow_index(
     retry writes a fresh id (the dead dir is ignored forever —
     :func:`compact_winnow_index` clears it).  Returns the new segment
     id; run :func:`compact_winnow_index` when segments accumulate.
+
+    ``seg`` pins the segment id explicitly instead of deriving
+    max+1 — the epoch-to-segment mapping that makes a streaming
+    ingest's extend IDEMPOTENT: if ``seg`` already exists COMMITTED
+    the call is a no-op (the replayed epoch's delta is already in —
+    same ids, same winnowing, same rows), and an uncommitted dead dir
+    with that id is cleared and rewritten.  Segment discovery and the
+    clear go through the Hadoop FileSystem, so segmented layouts
+    work on HDFS/S3 paths too (r11 ADVICE).
     """
-    import glob as _glob
     import os as _os
 
     spark = delta_df.sparkSession
@@ -2615,11 +2716,21 @@ def extend_winnow_index(
             "extend_winnow_index: the saved index is empty — build the "
             "initial index over the first real corpus, then extend"
         )
-    seg_ids = [
-        int(d.rsplit("=", 1)[1])
-        for d in _glob.glob(_os.path.join(path, "segments", "seg=*"))
-    ]
-    seg = max(seg_ids, default=-1) + 1
+    all_ids, committed = _list_segments(spark, path)
+    if seg is None:
+        seg = max(all_ids, default=-1) + 1
+    else:
+        seg = int(seg)
+        if seg in {sid for sid, _ in committed}:
+            return seg  # replayed epoch: its delta is already in
+        if seg in all_ids:  # dead dir from a crashed attempt: rewrite
+            fs, _ = _hadoop_fs(spark, path)
+            fs.delete(
+                spark._jvm.org.apache.hadoop.fs.Path(
+                    path + f"/segments/seg={seg}"
+                ),
+                True,
+            )
     fps = winnow_fingerprints(
         delta_df,
         k=int(meta["k"]),
@@ -2651,18 +2762,17 @@ def compact_winnow_index(spark, path: str, *, fp_buckets: int = 1024) -> None:
     during the write would recompute from the very files being
     replaced and silently truncate the result (caught by the parity
     test).  Compact a 100-TB index to a NEW path and swap atomically
-    instead."""
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
-
+    instead.  Segment discovery and removal go through the Hadoop
+    FileSystem (scheme-aware — r11 ADVICE)."""
     index, dropped = load_winnow_index(spark, path)
-    if not _glob.glob(_os.path.join(path, "segments", "seg=*")):
+    all_ids, _ = _list_segments(spark, path)
+    if not all_ids:
         return  # nothing to fold
     index = index.localCheckpoint(eager=True)
     dropped = dropped.localCheckpoint(eager=True)
     save_winnow_index(index, dropped, path, fp_buckets=fp_buckets)
-    _shutil.rmtree(_os.path.join(path, "segments"), ignore_errors=True)
+    fs, segroot = _hadoop_fs(spark, path + "/segments")
+    fs.delete(segroot, True)
 
 
 def winnow_against_index(

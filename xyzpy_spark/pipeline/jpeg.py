@@ -1179,6 +1179,12 @@ def encode_jpeg_lossless(
             "encode_jpeg_lossless: restart_interval must be in "
             f"[1, 65535] or None, got {restart_interval!r}"
         )
+    if a.size and int(a.min()) < 0:
+        raise ValueError(
+            "encode_jpeg_lossless: negative samples are not "
+            "representable (lossless JPEG samples are unsigned); "
+            "shift the input into [0, 2**precision) first"
+        )
     if a.size and int(a.max()) >> prec:
         raise ValueError(
             f"encode_jpeg_lossless: samples exceed {prec}-bit precision"

@@ -1714,6 +1714,43 @@ def _list_segments(spark, path: str):
     return sorted(all_ids), committed
 
 
+def _read_ingest_base(spark, path: str) -> int | None:
+    """The segment-range base a streaming probe-then-extend ingest
+    claimed on this index (``segments/_base=N`` marker dir), or None.
+    Underscore-prefixed, so Spark's input listing never reads it as
+    data; a directory NAME carries the value, so no stream IO is
+    needed to read it back (r12, the epoch-to-segment mapping)."""
+    fs, segroot = _hadoop_fs(spark, path + "/segments")
+    if not fs.exists(segroot):
+        return None
+    bases = []
+    for st in fs.listStatus(segroot):
+        name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("_base="):
+            try:
+                bases.append(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return max(bases) if bases else None
+
+
+def _write_ingest_base(spark, path: str, base: int) -> None:
+    """Record a streaming ingest run's segment-range base (see
+    :func:`_read_ingest_base`), clearing any prior run's marker."""
+    jvm = spark._jvm
+    fs, segroot = _hadoop_fs(spark, path + "/segments")
+    if fs.exists(segroot):
+        for st in fs.listStatus(segroot):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith("_base="):
+                fs.delete(st.getPath(), True)
+    fs.mkdirs(
+        jvm.org.apache.hadoop.fs.Path(
+            path + f"/segments/_base={int(base)}"
+        )
+    )
+
+
 def _save_bucket_partitioned(
     df: DataFrame, path: str, bucket_col: str
 ) -> None:

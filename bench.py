@@ -199,6 +199,7 @@ HEADLINE = [
     "curate_corpus_bloom",
     "winnow_index_extended",
     "stream_value_drift",
+    "stream_winnow_ingest",
 ]
 
 

@@ -280,6 +280,13 @@ PICKS = {
     "(compare curate_corpus, whose final stage is the broadcast "
     "n-gram join); the anti-join on contaminated doc ids is the "
     "only stage-5 shuffle",
+    "stream_winnow_ingest": "probe-then-extend ingest (r12), shown "
+    "as the per-epoch AS-OF consolidated probe (the part that "
+    "shapes scale): saved main + one committed uncapped segment "
+    "union under the re-applied global cap (one aggregation pair, "
+    "bounded by the capped domain), then the flat probe — batch "
+    "fingerprints broadcast against the index scan, the index never "
+    "shuffles; the extend side is a plain O(delta) segment write",
 }
 
 
@@ -336,9 +343,41 @@ def main() -> None:
             n_bins=64,
         )
 
+    def _plan_stream_winnow_ingest(spark, sf_dir):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        from xyzpy_spark.pipeline.dedup import (
+            build_winnow_index,
+            extend_winnow_index,
+            load_winnow_index,
+            save_winnow_index,
+            winnow_against_index,
+        )
+
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        # tmp lives past the dump (plan analysis reads the files);
+        # mkdtemp under /tmp, reclaimed by the OS
+        p = tempfile.mkdtemp(prefix="xyzpy_plan_wingest_") + "/widx"
+        kw = dict(k=6, w=5, max_fp_freq=50, hash_fn="md5")
+        index, dropped = build_winnow_index(
+            docs.where(F.col("doc_id") % 10 != 0), **kw
+        )
+        save_winnow_index(index, dropped, p, fp_buckets=32)
+        extend_winnow_index(docs.where(F.col("doc_id") % 20 == 0), p)
+        idx, drp = load_winnow_index(spark, p)  # consolidated as-of
+        return winnow_against_index(
+            docs.where(F.col("doc_id") % 20 == 10), idx,
+            dropped=drp, threshold=0.2, **kw,
+        )
+
     queries["corpus_drift"] = _plan_corpus_drift
     queries["value_drift"] = _plan_value_drift
     queries["value_drift_multi"] = _plan_value_drift_multi
+    queries["stream_winnow_ingest"] = _plan_stream_winnow_ingest
     out = [
         "# PLANS — annotated physical plans of key queries",
         "",

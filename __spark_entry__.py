@@ -3535,6 +3535,76 @@ def q_stream_winnow_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_stream_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash probe-then-extend ingest through the REAL engine (r12:
+    streaming/ops.dedup_ingest_stream, winnow_ingest's twin on the
+    save_dedup_index layout): doc_id%10==0 documents arrive as TWO
+    file epochs (%20==0, then %20==10); each micro-batch is annotated
+    against the index as of the prior epochs (initial build over
+    %10!=0; each epoch's novels plain-appended into the bucket layout
+    by extend_dedup_index, doc-idempotent via the r12 retry
+    anti-joins), so epoch 1's exact/near dups can match epoch 0's
+    novels.  The DuckDB twin recomputes both epochs' memberships over
+    the shared signature CTEs — one oracle, the whole
+    probe+extend+replay-exclusion lifecycle under the driver hash."""
+    import glob as _glob
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from xyzpy_spark.pipeline.dedup import (
+        band_dedup_index,
+        build_dedup_index,
+        save_dedup_index,
+    )
+    from xyzpy_spark.streaming.ops import dedup_ingest_stream
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 10 != 0)
+    ep0 = docs.where(F.col("doc_id") % 20 == 0)
+    ep1 = docs.where(F.col("doc_id") % 20 == 10)
+    tmp = tempfile.mkdtemp(prefix="xyzpy_gate_dingest_")
+    try:
+        p = f"{tmp}/didx"
+        index = build_dedup_index(hist, n=2, hash_fn="md5")
+        save_dedup_index(
+            index,
+            band_dedup_index(index, n=2, hash_fn="md5"),
+            p,
+            fp_buckets=16,
+            bb_buckets=16,
+        )
+        src = f"{tmp}/src"
+        ep0.coalesce(1).write.parquet(src)
+        f0 = set(_glob.glob(src + "/*.parquet"))
+        ep1.coalesce(1).write.mode("append").parquet(src)
+        f1 = set(_glob.glob(src + "/*.parquet")) - f0
+        now = _time.time()
+        for fp_ in f0:
+            _os.utime(fp_, (now - 100,) * 2)
+        for fp_ in f1:
+            _os.utime(fp_, (now - 50,) * 2)
+        st = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        out = f"{tmp}/annotated"
+        dedup_ingest_stream(
+            st, p, out, n=2, threshold=0.4, hash_fn="md5",
+            state_partitions=8,
+        )
+        return _finish_local(
+            spark,
+            spark.read.parquet(out).select(
+                "doc_id", "dup_kind", "dup_of", "est_jaccard"
+            ),
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def prestage_winnow_against(
     spark: SparkSession, sf_dir: str, path: str
 ) -> None:
@@ -4608,6 +4678,7 @@ ROTATION_QUEUE: list[str] = []
 
 ROTATION_HISTORY: dict[str, int] = {
     "stream_winnow_ingest": 12,
+    "stream_dedup_ingest": 12,
     "pricing_summary": 1,
     "gopher_rules": 4,
     "strip_html": 4,
@@ -4913,7 +4984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_volume_customers": q_large_volume_customers,
         "stream_drift": q_stream_drift,
         "waiting_suppliers": q_waiting_suppliers,
-        "bloom_contamination": q_bloom_contamination,
+        "stream_dedup_ingest": q_stream_dedup_ingest,
         "market_share": q_market_share,
         "idle_customers": q_idle_customers,
         "lm_stream_score": q_lm_stream_score,
@@ -4931,6 +5002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
+        "bloom_contamination": q_bloom_contamination,
         "cdc_chunks": q_cdc_chunks,
         "bm25_search": q_bm25_search,
         "stream_stateful_stats": q_stream_stateful_stats,
@@ -5298,6 +5370,123 @@ def _minhash_lsh_oracle() -> str:
         FROM agree
         WHERE ROUND(n_agree / 64.0, 6) >= 0.4
     """
+
+
+def _dedup_ingest_oracle() -> str:
+    """Two-epoch probe-then-extend twin of the MinHash ingest (r12):
+    the signature CTEs (canonical fingerprints, 2-word shingles,
+    60-bit md5 base hash, universal-hash permutations, 16x4 band
+    tuples) are membership-independent and shared; epoch 0 (%20==0)
+    probes history (%10!=0), its novels join the index, and epoch 1
+    (%20==10) probes history + epoch-0 novels — the
+    extend_dedup_index plain-append law (no cap, so growth is pure
+    membership)."""
+    from xyzpy_spark.pipeline.dedup import (
+        MINHASH_PRIME,
+        portable_perm_constants,
+    )
+
+    perm_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(portable_perm_constants(64))
+    )
+    hex_sum = " + ".join(
+        f"(strpos('0123456789abcdef', substr(hx, {p}, 1)) - 1) "
+        f"* {16 ** (15 - p)}"
+        for p in range(1, 16)
+    )
+
+    def epoch(tag: str, new_pred: str, old_pred: str) -> str:
+        return f"""exact{tag} AS (
+            SELECT n.doc_id AS new_id, MIN(o.doc_id) AS exact_of
+            FROM fp n JOIN fp o ON n.f = o.f
+            WHERE ({new_pred.replace('X.', 'n.')})
+              AND ({old_pred.replace('X.', 'o.')})
+            GROUP BY 1
+        ), cand{tag} AS (
+            SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+            FROM bandkey n
+            JOIN bandkey o ON n.band = o.band AND n.bkey = o.bkey
+            WHERE ({new_pred.replace('X.', 'n.')})
+              AND ({old_pred.replace('X.', 'o.')})
+        ), agree{tag} AS (
+            SELECT c.new_id, c.old_id,
+                   SUM(CASE WHEN sn.m = so.m THEN 1 ELSE 0 END) AS n_agree
+            FROM cand{tag} c
+            JOIN sig sn ON sn.doc_id = c.new_id
+            JOIN sig so ON so.doc_id = c.old_id AND so.i = sn.i
+            GROUP BY 1, 2
+        ), near{tag} AS (
+            SELECT new_id, old_id, est FROM (
+                SELECT new_id, old_id,
+                       ROUND(n_agree / 64.0, 6) AS est,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY new_id
+                           ORDER BY ROUND(n_agree / 64.0, 6) DESC,
+                                    old_id ASC) AS rk
+                FROM agree{tag}
+                WHERE ROUND(n_agree / 64.0, 6) >= 0.4
+            ) WHERE rk = 1
+        ), ann{tag} AS (
+            SELECT d.doc_id,
+                   CASE WHEN e.exact_of IS NOT NULL THEN 'exact'
+                        WHEN nr.old_id IS NOT NULL THEN 'near'
+                        END AS dup_kind,
+                   COALESCE(e.exact_of, nr.old_id) AS dup_of,
+                   CASE WHEN e.exact_of IS NOT NULL THEN 1.0
+                        ELSE nr.est END AS est_jaccard
+            FROM (SELECT doc_id FROM documents
+                  WHERE {new_pred.replace('X.', '')}) d
+            LEFT JOIN exact{tag} e ON e.new_id = d.doc_id
+            LEFT JOIN near{tag} nr ON nr.new_id = d.doc_id
+        )"""
+
+    e0 = epoch("0", "X.doc_id % 20 = 0", "X.doc_id % 10 <> 0")
+    e1 = epoch(
+        "1",
+        "X.doc_id % 20 = 10",
+        "X.doc_id % 10 <> 0 OR X.doc_id IN "
+        "(SELECT doc_id FROM novel0)",
+    )
+    return f"""
+        WITH fp AS (
+            SELECT doc_id,
+                   md5(regexp_replace(lower(text), '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g')) AS f
+            FROM documents
+        ), toks AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(trim(text), '[ \\t\\n\\x0b\\f\\r]+'),
+                               u -> u <> '') AS w
+            FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(w) - 2, 0) + 2),
+                       i -> w[i] || COALESCE(' ' || w[i + 1], '')))) AS shingle
+            FROM toks
+        ), hx AS (
+            SELECT doc_id, md5(shingle) AS hx FROM sh
+        ), h0 AS (
+            SELECT doc_id, {hex_sum} AS h FROM hx
+        ), perms AS (
+            SELECT c0 AS i, c1 AS a, c2 AS b
+            FROM (VALUES {perm_values}) t(c0, c1, c2)
+        ), sig AS (
+            SELECT doc_id, p.i,
+                   MIN(CAST((CAST(p.a AS HUGEINT) * h0.h + p.b)
+                            % {MINHASH_PRIME} AS BIGINT)) AS m
+            FROM h0, perms p GROUP BY 1, 2
+        ), bandkey AS (
+            SELECT doc_id, CAST(i // 4 AS INTEGER) AS band,
+                   string_agg(CAST(m AS VARCHAR), ',' ORDER BY i) AS bkey
+            FROM sig GROUP BY 1, 2
+        ), {e0}, novel0 AS (
+            SELECT doc_id FROM ann0 WHERE dup_kind IS NULL
+        ), {e1}
+        SELECT * FROM ann0
+        UNION ALL
+        SELECT * FROM ann1
+        """
 
 
 def _dedup_incremental_oracle() -> str:
@@ -8552,6 +8741,7 @@ def oracle_sql() -> dict[str, str]:
         # operator per micro-batch — same twin (r9)
         "stream_winnow_index": _WINNOW_AGAINST_ORACLE,
         "stream_winnow_ingest": _WINNOW_INGEST_ORACLE,
+        "stream_dedup_ingest": _dedup_ingest_oracle(),
 
         "winnow_dedup_pairs": r"""
             WITH src AS (

@@ -200,6 +200,7 @@ HEADLINE = [
     "winnow_index_extended",
     "stream_value_drift",
     "stream_winnow_ingest",
+    "stream_dedup_ingest",
 ]
 
 

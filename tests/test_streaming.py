@@ -1710,3 +1710,98 @@ def test_winnow_ingest_stream_matches_sequential_batch(spark, tmp_path):
     assert extend_winnow_index(ep0, p, seg=base + 0) == base + 0  # no-op
     after = sorted(map(tuple, load_winnow_index(spark, p)[0].collect()))
     assert after == before
+
+
+def test_dedup_ingest_stream_matches_sequential_batch(spark, tmp_path):
+    """MinHash probe-then-extend ingest (r12, winnow_ingest's twin):
+    a two-epoch stream must equal the sequential batch loop (probe
+    the saved index, extend with the epoch's novels) bit-for-bit —
+    including a cross-epoch EXACT duplicate (epoch 1 re-sends an
+    epoch-0 novel verbatim under a new id) that only the grown index
+    can flag — and the as-of view must hold: re-probing epoch 0's
+    batch against the final index minus the batch's own ids (the
+    replay exclusion) reproduces epoch 0's recorded annotations."""
+    from xyzpy_spark.pipeline.dedup import (
+        band_dedup_index,
+        build_dedup_index,
+        dedup_against_index,
+        extend_dedup_index,
+        load_dedup_index,
+        save_dedup_index,
+    )
+    from xyzpy_spark.streaming.ops import dedup_ingest_stream
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 10 < 5)
+    ep0 = docs.where(F.col("doc_id") % 10 == 5)
+    ep1 = docs.where(F.col("doc_id") % 10 == 6).unionByName(
+        # verbatim copies of epoch 0 under shifted ids: exact dups of
+        # docs the index only holds because epoch 0's extend ran
+        ep0.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    kw = dict(n=2, hash_fn="md5")
+    pkw = dict(threshold=0.4, **kw)
+
+    def save_at(path):
+        index = build_dedup_index(hist, **kw)
+        save_dedup_index(
+            index, band_dedup_index(index, **kw), path,
+            fp_buckets=16, bb_buckets=16,
+        )
+
+    p = str(tmp_path / "didx")
+    save_at(p)
+    st = _epoch_stream(spark, tmp_path, [ep0, ep1], "dingest_src")
+    out = str(tmp_path / "ann")
+    dedup_ingest_stream(st, p, out, **pkw)
+
+    # sequential batch twin on a second copy
+    p2 = str(tmp_path / "didx2")
+    save_at(p2)
+    want = {}
+    for batch in (ep0, ep1):
+        idx, bands = load_dedup_index(spark, p2)
+        ann = dedup_against_index(
+            batch, idx, index_bands=bands, cache=False, **pkw
+        )
+        for r in ann.collect():
+            want[r["doc_id"]] = (r["dup_kind"], r["dup_of"], r["est_jaccard"])
+        novel = batch.join(
+            ann.where(F.col("dup_kind").isNull()).select("doc_id"),
+            "doc_id", "left_semi",
+        )
+        extend_dedup_index(novel, p2)
+
+    got = {
+        r["doc_id"]: (r["dup_kind"], r["dup_of"], r["est_jaccard"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+    # cross-epoch exact dups caught against the GROWN index, each
+    # matching its epoch-0 original
+    shifted = {d: v for d, v in got.items() if d >= 1000000}
+    exact = {d: v for d, v in shifted.items() if v[0] == "exact"}
+    assert len(exact) > 0
+    assert all(v[1] == d - 1000000 or v[1] < 1000000 for d, v in exact.items())
+    # final index state matches the sequential twin
+    for sub in ("main", "bands"):
+        a = sorted(map(tuple, spark.read.parquet(p + "/" + sub).collect()))
+        b = sorted(map(tuple, spark.read.parquet(p2 + "/" + sub).collect()))
+        assert a == b
+
+    # the as-of replay view: final index minus epoch-0's ids probes
+    # epoch 0 exactly as its original attempt did
+    idx, bands = load_dedup_index(spark, p)
+    ids = ep0.select("doc_id")
+    idx = idx.join(ids, "doc_id", "left_anti")
+    bands = bands.join(ids, "doc_id", "left_anti")
+    replay = {
+        r["doc_id"]: (r["dup_kind"], r["dup_of"], r["est_jaccard"])
+        for r in dedup_against_index(
+            ep0, idx, index_bands=bands, cache=False, **pkw
+        ).collect()
+    }
+    ep0_ids = {r["doc_id"] for r in ids.collect()}
+    assert replay == {d: v for d, v in got.items() if d in ep0_ids}

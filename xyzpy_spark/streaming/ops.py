@@ -765,6 +765,101 @@ def winnow_ingest_stream(
     )
 
 
+def dedup_ingest_stream(
+    stream_docs: DataFrame,
+    index_path: str,
+    out_path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint: str | None = None,
+    timeout: int = 300,
+    state_partitions: int | None = None,
+    **probe_kwargs,
+) -> None:
+    """Probe-THEN-EXTEND continuous ingest over a saved MINHASH dedup
+    index (r12) — the :func:`winnow_ingest_stream` twin for the
+    :func:`~xyzpy_spark.pipeline.dedup.save_dedup_index` layout: each
+    micro-batch is annotated against the index as of the PRIOR
+    epochs, the report lands in ``out_path/epoch_id=N``, and the
+    batch's novel documents (``dup_kind IS NULL``) are appended via
+    :func:`~xyzpy_spark.pipeline.dedup.extend_dedup_index` — so a
+    duplicate arriving epochs after its original is caught by the
+    grown index.
+
+    Replay idempotence here needs no segment mapping, because this
+    layout's growth is a plain per-doc append: the as-of view is
+    recovered by EXCLUDING the batch's own doc ids from the loaded
+    index before probing (delta ids are new by the extend contract,
+    so on a first attempt the exclusion is a no-op; on a replay it
+    removes exactly the crashed attempt's appends), and the extend
+    itself is doc-idempotent (the r12 bucket-pruned anti-joins append
+    only missing rows — a replayed epoch recomputes the identical
+    novel set and writes nothing).  After the final epoch, report +
+    index equal the sequential batch probe+extend loop bit-for-bit
+    (pinned in pytest).
+
+    Epoch reports are overwrite-idempotent per ``epoch_id=N`` dir and
+    stale-epoch guarded, like every serve seam.  ``probe_kwargs``
+    pass through to
+    :func:`~xyzpy_spark.pipeline.dedup.dedup_against_index`
+    (``n``/``num_perm``/``bands``/``threshold``/``hash_fn`` must
+    match the index build — validated against the stamps); ``cache``
+    is forced off."""
+    from ..pipeline.dedup import (
+        dedup_against_index,
+        extend_dedup_index,
+        load_dedup_index,
+    )
+
+    spark = stream_docs.sparkSession
+    probe_kwargs.pop("cache", None)
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        eid = int(epoch_id)
+        _check_no_stale_epochs(out_path, eid, "dedup_ingest_stream")
+        index, bands = load_dedup_index(spark, index_path)
+        ids = batch_df.select(id_col)
+        # the as-of view (replay safety): a prior attempt of THIS
+        # epoch may have extended the index with this very batch —
+        # probing against that state would self-match every doc.
+        # The epoch's appends carry exactly the batch's ids, so a
+        # broadcast anti-join restores the state the original
+        # attempt saw (no-op on first attempts: delta ids are new)
+        index = index.join(F.broadcast(ids), id_col, "left_anti")
+        bands = bands.join(F.broadcast(ids), id_col, "left_anti")
+        ann = dedup_against_index(
+            batch_df,
+            index,
+            index_bands=bands,
+            cache=False,
+            id_col=id_col,
+            text_col=text_col,
+            **probe_kwargs,
+        )
+        ann.write.mode("overwrite").parquet(
+            os.path.join(out_path, f"epoch_id={eid}")
+        )
+        novel_ids = (
+            spark.read.parquet(os.path.join(out_path, f"epoch_id={eid}"))
+            .where(F.col("dup_kind").isNull())
+            .select(id_col)
+        )
+        novel = batch_df.join(
+            F.broadcast(novel_ids), id_col, "left_semi"
+        ).select(id_col, text_col)
+        extend_dedup_index(
+            novel, index_path, id_col=id_col, text_col=text_col
+        )
+
+    _run_foreach_batch(
+        stream_docs, _sink, checkpoint, timeout, "dedup_ingest_stream",
+        state_partitions=state_partitions,
+    )
+
+
 def read_embeddings_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings table as a file-source stream — the ingest
     shape of continuously-arriving query vectors (schema probed

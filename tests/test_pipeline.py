@@ -4561,3 +4561,34 @@ def test_extend_winnow_index_pinned_seg_idempotent(spark, tmp_path):
         )
     )
     assert asof == once
+
+
+def test_extend_winnow_index_detects_foreign_segment(spark, tmp_path):
+    """A pinned-seg no-op must verify the committed segment is THIS
+    delta's: a concurrent unpinned extend that claimed the id (a
+    single-writer violation) would otherwise silently drop the
+    delta forever (r12 review catch)."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        extend_winnow_index,
+        save_winnow_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 < 4)
+    delta_a = docs.where(F.col("doc_id") % 10 == 4)
+    delta_b = docs.where(F.col("doc_id") % 10 == 5)
+    p = str(tmp_path / "widx")
+    index, dropped = build_winnow_index(
+        corpus, k=6, w=5, max_fp_freq=5, hash_fn="md5"
+    )
+    save_winnow_index(index, dropped, p, fp_buckets=32)
+    # the "concurrent" writer claims seg 0 with delta_a...
+    assert extend_winnow_index(delta_a, p) == 0
+    # ...the pinned replay of delta_b against the stolen id fails fast
+    with pytest.raises(ValueError, match="outside this delta"):
+        extend_winnow_index(delta_b, p, seg=0)
+    # a genuine replay of the SAME delta stays a clean no-op
+    assert extend_winnow_index(delta_a, p, seg=0) == 0

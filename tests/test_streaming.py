@@ -1805,3 +1805,35 @@ def test_dedup_ingest_stream_matches_sequential_batch(spark, tmp_path):
     }
     ep0_ids = {r["doc_id"] for r in ids.collect()}
     assert replay == {d: v for d, v in got.items() if d in ep0_ids}
+
+
+def test_drift_monitor_respects_caller_cache(spark, tmp_path):
+    """_drift_monitor_core persists the frozen reference for the run
+    and releases it on exit — but must NOT release a cache the
+    CALLER created (the pre-r12 documented pattern persists one
+    reference across several monitors)."""
+    from pyspark import StorageLevel
+
+    from xyzpy_spark.pipeline.drift import token_distribution
+    from xyzpy_spark.streaming.ops import drift_stream_monitor
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    ref = token_distribution(docs.where(F.col("lang") == "en")).persist()
+    ref.count()
+    st = _epoch_stream(
+        spark, tmp_path,
+        [docs.where(F.col("doc_id") % 50 == 1).select("doc_id", "text")],
+        "drift_cache_src",
+    )
+    drift_stream_monitor(
+        st,
+        ref,
+        str(tmp_path / "out"),
+        str(tmp_path / "state"),
+        state_partitions=4,
+    )
+    # the caller's cache survives the monitor's exit path
+    assert ref.storageLevel != StorageLevel.NONE
+    ref.unpersist()

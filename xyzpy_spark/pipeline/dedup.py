@@ -1855,10 +1855,15 @@ def extend_dedup_index(
     Crash/retry safety (r12, closing the r11 ADVICE seam): the two
     appends commit per-DIRECTORY, not as a pair — a crash between
     them leaves main extended without its banded rows.  Each side
-    therefore anti-joins the delta's doc ids against the rows ALREADY
-    in its own directory before appending, so a retried extend (or an
-    at-least-once redelivery of the whole delta) appends exactly the
-    missing side and never double-appends.  The existence check is
+    therefore anti-joins the delta's rows against what is ALREADY in
+    its own directory before appending — at ROW granularity ((id) on
+    main, (id, band) on bands), so the safety does not even assume
+    job-atomic directory commits: under a task-commit-visible
+    committer (FileOutputCommitter v2) a crash can leave a doc with a
+    SUBSET of its band rows visible, and the retry appends exactly
+    the missing rows.  A retried extend (or an at-least-once
+    redelivery of the whole delta) therefore never double-appends and
+    never strands a half-banded doc.  The existence check is
     O(delta's bucket footprint), not O(index): the delta's
     fingerprints/band keys hash to a bounded set of ``fp_bucket`` /
     ``bb_bucket`` partitions, the scan is pruned to those, and the
@@ -1936,14 +1941,19 @@ def extend_dedup_index(
             F.lit(bb_buckets),
         ),
     ).withColumn("bb_buckets", F.lit(bb_buckets))
-    for delta, tbl, sub, bucket_col in (
-        (main_d, main_tbl, "main", "fp_bucket"),
-        (bands_d, bands_tbl, "bands", "bb_bucket"),
+    for delta, tbl, sub, bucket_col, keys in (
+        (main_d, main_tbl, "main", "fp_bucket", [idc]),
+        (bands_d, bands_tbl, "bands", "bb_bucket", [idc, "band"]),
     ):
         # retry detection, pruned to the delta's own bucket footprint:
         # a previously-appended copy of a delta doc sits in EXACTLY
         # the buckets the delta re-derives (same deterministic hash),
-        # so scanning only those partitions is sound and bounded
+        # so scanning only those partitions is sound and bounded.
+        # Detection is ROW-granular ((id) on main — one row per doc;
+        # (id, band) on bands), so even a committer that makes task
+        # output visible before job commit (e.g. FileOutputCommitter
+        # v2) cannot strand a doc half-banded: a retry appends
+        # exactly the missing rows
         bkts = [
             r[0]
             for r in delta.select(bucket_col).distinct().collect()
@@ -1951,10 +1961,10 @@ def extend_dedup_index(
         appended = (
             tbl.where(F.col(bucket_col).isin(bkts))
             .join(F.broadcast(delta_ids), idc, "left_semi")
-            .select(idc)
+            .select(*keys)
             .distinct()
         )
-        fresh = delta.join(F.broadcast(appended), idc, "left_anti")
+        fresh = delta.join(F.broadcast(appended), keys, "left_anti")
         fresh.write.mode("append").partitionBy(bucket_col).parquet(
             _os.path.join(path, sub)
         )
@@ -2759,7 +2769,35 @@ def extend_winnow_index(
     else:
         seg = int(seg)
         if seg in {sid for sid, _ in committed}:
-            return seg  # replayed epoch: its delta is already in
+            # replayed epoch: its delta is already in — but verify
+            # the committed segment really is THIS delta's, not a
+            # concurrent unpinned extend that derived the same id (a
+            # single-writer violation): segment ids must be a subset
+            # of the delta's ids; any foreign id means the no-op
+            # would silently drop this delta forever (r12 review
+            # catch).  One bounded read of the small segment.
+            uri = dict(committed)[seg]
+            foreign = (
+                spark.read.parquet(uri)
+                .select(id_col)
+                .join(
+                    F.broadcast(delta_df.select(id_col).distinct()),
+                    id_col,
+                    "left_anti",
+                )
+                .limit(1)
+                .count()
+            )
+            if foreign:
+                raise ValueError(
+                    f"extend_winnow_index: segment seg={seg} is "
+                    "committed but holds documents outside this "
+                    "delta — another writer claimed the id (extends "
+                    "and a live ingest run must not share an index; "
+                    "single-writer per index layout).  Compact and "
+                    "restart the ingest with a fresh out_path"
+                )
+            return seg
         if seg in all_ids:  # dead dir from a crashed attempt: rewrite
             fs, _ = _hadoop_fs(spark, path)
             fs.delete(

@@ -255,6 +255,33 @@ def _divergence_grouped(
             )
             .collect()
         }
+        # the group key drives literal equality conditions: NULL/NaN
+        # keys never match `col == key` and would surface as all-null
+        # scores (then a TypeError in the presentation sort) — fail
+        # fast instead.  And the when-chains are O(groups) deep per
+        # expression: this engine is designed for a bounded set of
+        # MONITORED groups (column names, feature ids), not for
+        # grouping on a data column — guard the cardinality so a
+        # mis-grouped call fails with guidance, not a codegen blowup.
+        bad = [
+            k for k in stats
+            if k is None or (isinstance(k, float) and k != k)
+        ]
+        if bad:
+            raise ValueError(
+                f"divergence_from_counts: {group_col!r} contains "
+                "NULL/NaN group keys — literal group dispatch cannot "
+                "match them; filter or re-key those rows first"
+            )
+        if len(stats) > 1000:
+            raise ValueError(
+                f"divergence_from_counts: {len(stats)} distinct "
+                f"{group_col!r} groups — the grouped engine embeds "
+                "per-group literals and is designed for a bounded "
+                "set of monitored groups (column names, feature "
+                "ids); group on a bounded key, or loop "
+                "divergence_from_counts per group"
+            )
 
         def _by_group(vals: dict) -> F.Column:
             expr = F.lit(None).cast("double")

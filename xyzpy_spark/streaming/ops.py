@@ -500,15 +500,24 @@ def _check_no_stale_epochs(path: str, eid: int, what: str) -> None:
     epoch N can only see dirs ``<= N`` (epoch N+1 never started,
     or N would not replay) — so any ``epoch_id > N`` dir at write
     time is stale by construction and must be an error, never input.
-    """
-    import glob
 
-    stale = [
-        d
-        for d in glob.glob(os.path.join(path, "epoch_id=*"))
-        if d.rsplit("=", 1)[-1].isdigit()
-        and int(d.rsplit("=", 1)[-1]) > eid
-    ]
+    The listing goes through the Hadoop FileSystem (r12, the same
+    ADVICE class as the index layouts): a driver-local glob over an
+    ``hdfs://``/``s3a://`` path matches nothing, which would leave
+    this guard silently inert on exactly the storage the seams
+    advertise.
+    """
+    from ..pipeline.dedup import _hadoop_fs
+
+    spark = SparkSession.getActiveSession()
+    fs, _ = _hadoop_fs(spark, path)
+    probe = spark._jvm.org.apache.hadoop.fs.Path(path + "/epoch_id=*")
+    stale = []
+    for st in fs.globStatus(probe) or []:
+        name = st.getPath().getName()
+        v = name.rsplit("=", 1)[-1]
+        if v.isdigit() and int(v) > eid:
+            stale.append(name)
     if stale:
         raise ValueError(
             f"{what}: {path!r} holds epoch snapshots beyond the "
@@ -1450,7 +1459,16 @@ def _drift_monitor_core(
     from ..pipeline.drift import divergence_from_counts
 
     spark = stream.sparkSession
-    reference_counts = reference_counts.persist()
+    # persist only what WE cache: a caller following the pre-r12
+    # pattern (persist the frozen reference once, run several
+    # monitors against it) must not have its cache dropped by our
+    # exit path — persist-on-persisted is a no-op, but unpersist
+    # would release the caller's block (review catch)
+    from pyspark import StorageLevel
+
+    own_cache = reference_counts.storageLevel == StorageLevel.NONE
+    if own_cache:
+        reference_counts = reference_counts.persist()
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -1506,4 +1524,5 @@ def _drift_monitor_core(
             state_partitions=state_partitions,
         )
     finally:
-        reference_counts.unpersist()
+        if own_cache:
+            reference_counts.unpersist()

@@ -1731,6 +1731,10 @@ def test_dedup_ingest_stream_matches_sequential_batch(spark, tmp_path):
     )
     from xyzpy_spark.streaming.ops import dedup_ingest_stream
 
+    # cache isolation: an earlier test's persisted index fragment
+    # would otherwise substitute into the builds (test_plans prior
+    # art — order-dependent flake class)
+    spark.catalog.clearCache()
     docs = spark.read.parquet(
         "/root/testdata/sf0.001/documents.parquet"
     ).select("doc_id", "text")
@@ -1785,10 +1789,17 @@ def test_dedup_ingest_stream_matches_sequential_batch(spark, tmp_path):
     exact = {d: v for d, v in shifted.items() if v[0] == "exact"}
     assert len(exact) > 0
     assert all(v[1] == d - 1000000 or v[1] < 1000000 for d, v in exact.items())
-    # final index state matches the sequential twin
+    # final index state matches the sequential twin (compare through
+    # a canonical column order: a parquet dir's read schema takes its
+    # COLUMN ORDER from whichever part file gets sampled, so raw
+    # tuple comparison is listing-order flaky under the full suite)
     for sub in ("main", "bands"):
-        a = sorted(map(tuple, spark.read.parquet(p + "/" + sub).collect()))
-        b = sorted(map(tuple, spark.read.parquet(p2 + "/" + sub).collect()))
+        da = spark.read.parquet(p + "/" + sub)
+        db = spark.read.parquet(p2 + "/" + sub)
+        cols = sorted(da.columns)
+        assert sorted(db.columns) == cols
+        a = sorted(map(tuple, da.select(*cols).collect()))
+        b = sorted(map(tuple, db.select(*cols).collect()))
         assert a == b
 
     # the as-of replay view: final index minus epoch-0's ids probes

@@ -32,20 +32,19 @@ from __future__ import annotations
 
 import hashlib
 import json
-import os
-import shutil
 import time
 
 from pyspark import cloudpickle
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from . import fsutil
 from .grid import LOC_COL, case_grid, combo_grid, grid_size
 from .prepare import parse_cases, parse_combos, parse_constants
 from .runner import VarSpec, evaluate_grid, resolve_var_specs
 
 
 def _crop_dir(name: str, parent_dir: str) -> str:
-    return os.path.join(parent_dir, f".xyz-{name}")
+    return fsutil.join(parent_dir, f".xyz-{name}")
 
 
 class Crop:
@@ -67,26 +66,25 @@ class Crop:
 
     @property
     def grid_path(self) -> str:
-        return os.path.join(self.location, "grid")
+        return fsutil.join(self.location, "grid")
 
     @property
     def results_path(self) -> str:
-        return os.path.join(self.location, "results")
+        return fsutil.join(self.location, "results")
 
     @property
     def fn_path(self) -> str:
-        return os.path.join(self.location, "fn.pkl")
+        return fsutil.join(self.location, "fn.pkl")
 
     @property
     def spec_path(self) -> str:
-        return os.path.join(self.location, "spec.json")
+        return fsutil.join(self.location, "spec.json")
 
     def exists(self) -> bool:
-        return os.path.exists(self.spec_path)
+        return fsutil.exists(self.spark, self.spec_path)
 
     def delete(self) -> None:
-        if os.path.exists(self.location):
-            shutil.rmtree(self.location)
+        fsutil.delete(self.spark, self.location)
 
     # -- sow ------------------------------------------------------------
     def sow_combos(
@@ -138,7 +136,7 @@ class Crop:
             "batch",
             F.expr(f"(`{LOC_COL}` * {num_batches}) div {n}"),
         )
-        os.makedirs(self.location, exist_ok=True)
+        fsutil.mkdirs(self.spark, self.location)
         fn_bytes = cloudpickle.dumps(fn)
         # the OUTPUT spec is part of the sown identity too: an
         # identical grid re-sown with different var_names/dims/coords/
@@ -176,7 +174,7 @@ class Crop:
                 default=repr,
             ).encode()
         ).hexdigest()
-        if os.path.exists(self.spec_path):
+        if fsutil.exists(self.spark, self.spec_path):
             try:
                 old_key = self._load_spec().get("sow_key")
             except (OSError, json.JSONDecodeError):
@@ -187,15 +185,13 @@ class Crop:
                 # join, so keep them — destroying results here would
                 # throw away reusable grow work for a no-op
                 return num_batches
-        if os.path.exists(self.results_path):
-            # the sown sweep CHANGED: stale results would otherwise
-            # make the crop look grown and reap the OLD sweep's values
-            shutil.rmtree(self.results_path)
+        # the sown sweep CHANGED: stale results would otherwise make
+        # the crop look grown and reap the OLD sweep's values
+        fsutil.delete(self.spark, self.results_path)
         grid.write.mode("overwrite").partitionBy("batch").parquet(
             self.grid_path
         )
-        with open(self.fn_path, "wb") as f:
-            f.write(fn_bytes)
+        fsutil.write_bytes(self.spark, self.fn_path, fn_bytes)
         spec = {
             "sow_key": sow_key,
             "n": n,
@@ -205,16 +201,17 @@ class Crop:
             "var_specs": canon_specs,
             "coords": canon_coords,
         }
-        with open(self.spec_path, "w") as f:
-            json.dump(spec, f)
-        with open(os.path.join(self.location, "constants.pkl"), "wb") as f:
-            cloudpickle.dump(constants, f)
+        fsutil.write_text(self.spark, self.spec_path, json.dumps(spec))
+        fsutil.write_bytes(
+            self.spark,
+            fsutil.join(self.location, "constants.pkl"),
+            cloudpickle.dumps(constants),
+        )
         return num_batches
 
     # -- introspection --------------------------------------------------
     def _load_spec(self) -> dict:
-        with open(self.spec_path) as f:
-            return json.load(f)
+        return json.loads(fsutil.read_text(self.spark, self.spec_path))
 
     def _load_specs(self) -> tuple[list[VarSpec], dict]:
         from pyspark.sql import types as T
@@ -240,11 +237,9 @@ class Crop:
         return int(self._load_spec()["n"])
 
     def grown_batches(self) -> set[int]:
-        if not os.path.exists(self.results_path):
-            return set()
         return {
             int(d.split("=", 1)[1])
-            for d in os.listdir(self.results_path)
+            for d in fsutil.listdir(self.spark, self.results_path)
             if d.startswith("batch=")
         }
 
@@ -276,10 +271,12 @@ class Crop:
             batch_ids = sorted(self.missing_batches())
         elif isinstance(batch_ids, int):
             batch_ids = [batch_ids]
-        with open(self.fn_path, "rb") as f:
-            fn = cloudpickle.load(f)
-        with open(os.path.join(self.location, "constants.pkl"), "rb") as f:
-            constants = cloudpickle.load(f)
+        fn = cloudpickle.loads(fsutil.read_bytes(self.spark, self.fn_path))
+        constants = cloudpickle.loads(
+            fsutil.read_bytes(
+                self.spark, fsutil.join(self.location, "constants.pkl")
+            )
+        )
         var_specs, coords = self._load_specs()
         explode = bool(self._load_spec()["explode"])
 
@@ -292,12 +289,10 @@ class Crop:
                 part, fn, var_specs, coords,
                 constants=constants, explode=explode, on_error=on_error,
             )
-            tmp = os.path.join(self.results_path, f"_tmp_batch_{b}")
-            final = os.path.join(self.results_path, f"batch={b}")
+            tmp = fsutil.join(self.results_path, f"_tmp_batch_{b}")
+            final = fsutil.join(self.results_path, f"batch={b}")
             out.write.mode("overwrite").parquet(tmp)
-            if os.path.exists(final):
-                shutil.rmtree(final)
-            os.replace(tmp, final)
+            fsutil.replace(self.spark, tmp, final)
 
     # -- audit ----------------------------------------------------------
     def expected_batch_sizes(self) -> dict[int, int]:
@@ -342,8 +337,9 @@ class Crop:
                 if counts.get(b, 0) != expected[b]:
                     bad.append(b)
                     if delete:
-                        shutil.rmtree(
-                            os.path.join(self.results_path, f"batch={b}")
+                        fsutil.delete(
+                            self.spark,
+                            fsutil.join(self.results_path, f"batch={b}"),
                         )
         return sorted(bad)
 
@@ -396,7 +392,7 @@ class Crop:
                 f"missing batches {sorted(missing)[:10]}"
                 f"{'...' if len(missing) > 10 else ''}"
             )
-        if os.path.exists(self.results_path):
+        if fsutil.exists(self.spark, self.results_path):
             results = self.spark.read.parquet(self.results_path).drop(
                 "batch"
             )
@@ -458,9 +454,12 @@ def load_crops(parent_dir: str = ".", spark=None) -> dict[str, Crop]:
     """Discover crops under a directory (reference ``load_crops``,
     ``cropping.py:1236-1261``)."""
     out = {}
-    if not os.path.isdir(parent_dir):
+    sess = spark or SparkSession.getActiveSession()
+    if sess is None:
+        sess = SparkSession.builder.getOrCreate()
+    if not fsutil.is_dir(sess, parent_dir):
         return out
-    for d in sorted(os.listdir(parent_dir)):
+    for d in sorted(fsutil.listdir(sess, parent_dir, dirs_only=True)):
         if d.startswith(".xyz-"):
             name = d[len(".xyz-"):]
             crop = Crop(name, parent_dir, spark=spark)

@@ -25,13 +25,12 @@ from __future__ import annotations
 
 import functools
 import json
-import os
-import shutil
 import uuid
 
 import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from . import fsutil
 from .grid import LOC_COL
 from .merge import merge_datasets
 from .missing import non_null_points
@@ -223,7 +222,7 @@ def _normalize_partition_by(partition_by) -> tuple[str, ...] | None:
     return pby
 
 
-def _write_layout(dirpath: str, partition_by, schema) -> None:
+def _write_layout(spark, dirpath: str, partition_by, schema) -> None:
     """Persist the store's physical layout next to the data: the
     partition dim and the UNIFIED logical schema.  The schema sidecar
     is what lets a partitioned store read as one table at 100 TB —
@@ -234,18 +233,19 @@ def _write_layout(dirpath: str, partition_by, schema) -> None:
     hole semantics).  Underscore-prefixed so partition discovery
     ignores it (the ``_attrs.json`` convention)."""
     pby = _normalize_partition_by(partition_by)
-    with open(os.path.join(dirpath, "_layout.json"), "w") as f:
-        json.dump(
-            {"partition_by": list(pby), "schema": schema.jsonValue()},
-            f,
-        )
+    fsutil.write_text(
+        spark,
+        fsutil.join(dirpath, "_layout.json"),
+        json.dumps(
+            {"partition_by": list(pby), "schema": schema.jsonValue()}
+        ),
+    )
 
 
-def _read_layout(path: str) -> dict | None:
-    p = os.path.join(path, "_layout.json")
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
+def _read_layout(spark, path: str) -> dict | None:
+    p = fsutil.join(path, "_layout.json")
+    if fsutil.exists(spark, p):
+        return json.loads(fsutil.read_text(spark, p))
     return None
 
 
@@ -262,38 +262,50 @@ def _publish_parquet(
     atomic swap is still used here (first write / schema surgery);
     incremental top-ups go through ``Harvester._publish_partitions``
     which rewrites only touched partitions."""
+    spark = df.sparkSession
     tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
     partition_by = _normalize_partition_by(partition_by)
     if partition_by is not None:
         df.write.mode("overwrite").partitionBy(*partition_by).parquet(tmp)
-        _write_layout(tmp, partition_by, df.schema)
+        _write_layout(spark, tmp, partition_by, df.schema)
     else:
         df.write.mode("overwrite").parquet(tmp)
     if attrs:
-        with open(os.path.join(tmp, "_attrs.json"), "w") as f:
-            json.dump(attrs, f, default=repr)
+        fsutil.write_text(
+            spark,
+            fsutil.join(tmp, "_attrs.json"),
+            json.dumps(attrs, default=repr),
+        )
     bak = path + ".bak"
     try:
-        if os.path.exists(path):
-            if os.path.exists(bak):
-                shutil.rmtree(bak)
-            os.rename(path, bak)
-        os.rename(tmp, path)
+        if fsutil.exists(spark, path):
+            fsutil.delete(spark, bak)
+            fsutil.rename(spark, path, bak)
+        fsutil.rename(spark, tmp, path)
     except OSError:
         # restore on failure (reference: farming.py:569-580)
-        if os.path.exists(bak) and not os.path.exists(path):
-            os.rename(bak, path)
+        if fsutil.exists(spark, bak) and not fsutil.exists(spark, path):
+            fsutil.rename(spark, bak, path)
         raise
     finally:
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
+        fsutil.delete(spark, tmp)
 
 
-def load_attrs(path: str) -> dict:
-    p = os.path.join(path, "_attrs.json")
-    if os.path.exists(p):
-        with open(p) as f:
-            return json.load(f)
+def load_attrs(path: str, spark: SparkSession | None = None) -> dict:
+    """The store's ``_attrs.json`` sidecar as a dict (empty if none).
+    ``spark`` may be omitted from driver-side user code (the active
+    session resolves); internal callers pass it explicitly."""
+    if spark is None:
+        spark = SparkSession.getActiveSession()
+        if spark is None:
+            raise RuntimeError(
+                "load_attrs: no active SparkSession — pass spark= "
+                "explicitly (sidecar IO is scheme-aware and needs the "
+                "session's Hadoop configuration)"
+            )
+    p = fsutil.join(path, "_attrs.json")
+    if fsutil.exists(spark, p):
+        return json.loads(fsutil.read_text(spark, p))
     return {}
 
 
@@ -341,15 +353,15 @@ class Harvester:
 
     def load_full_df(self) -> DataFrame | None:
         bak = self.data_name + ".bak"
-        if not os.path.exists(self.data_name):
-            if os.path.exists(bak):
+        if not fsutil.exists(self.spark, self.data_name):
+            if fsutil.exists(self.spark, bak):
                 # a crash between _publish_parquet's two renames leaves
                 # only the .bak — restore it instead of silently
                 # starting an empty store
-                os.rename(bak, self.data_name)
+                fsutil.rename(self.spark, bak, self.data_name)
             else:
                 return None
-        layout = _read_layout(self.data_name)
+        layout = _read_layout(self.spark, self.data_name)
         if layout is not None and layout.get("partition_by"):
             from pyspark.sql.types import StructType
 
@@ -363,8 +375,11 @@ class Harvester:
         return self.spark.read.parquet(self.data_name)
 
     def delete_ds(self) -> None:
-        if os.path.exists(self.data_name):
-            shutil.rmtree(self.data_name)
+        fsutil.delete(self.spark, self.data_name)
+        # the publish swap's safety copy goes too: leaving it would
+        # make load_full_df "crash-restore" the store a caller just
+        # deliberately deleted (surfaced by the r13 scheme contract)
+        fsutil.delete(self.spark, self.data_name + ".bak")
 
     def _store_dims(self, dims=None) -> list[str]:
         """Dim columns of the store: the runner's declared sweep args
@@ -412,7 +427,7 @@ class Harvester:
             # then ds.attrs[k] = constant) — and the same order keeps
             # this consistent with the sidecar add_df writes
             kw["attrs"] = {
-                **load_attrs(self.data_name),
+                **load_attrs(self.data_name, self.spark),
                 **self.runner.attrs,
                 **self.runner.constants,
             }
@@ -501,7 +516,7 @@ class Harvester:
                 merged = merge_datasets(
                     old, new, dims, overwrite=overwrite
                 )
-            attrs = {**load_attrs(self.data_name), **self.runner.attrs,
+            attrs = {**load_attrs(self.data_name, self.spark), **self.runner.attrs,
                      **self.runner.constants}
             if sync:
                 if pby is not None and old is not None:
@@ -551,7 +566,7 @@ class Harvester:
         exactly the outer-merge hole semantics (review catch)."""
         from pyspark.sql.types import StructType
 
-        layout = _read_layout(self.data_name)
+        layout = _read_layout(self.spark, self.data_name)
         schema = merged.schema
         if layout is not None:
             old_schema = StructType.fromJson(layout["schema"])
@@ -560,7 +575,7 @@ class Harvester:
             ]
             for f in extra:
                 schema = schema.add(f)
-        _write_layout(self.data_name, self.partition_by, schema)
+        _write_layout(self.spark, self.data_name, self.partition_by, schema)
         (
             merged.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
@@ -568,10 +583,11 @@ class Harvester:
             .parquet(self.data_name)
         )
         if attrs:
-            with open(
-                os.path.join(self.data_name, "_attrs.json"), "w"
-            ) as f:
-                json.dump(attrs, f, default=repr)
+            fsutil.write_text(
+                self.spark,
+                fsutil.join(self.data_name, "_attrs.json"),
+                json.dumps(attrs, default=repr),
+            )
 
     def compact(self, min_files: int = 8) -> list[str]:
         """Per-partition compaction for the partitioned layout: a
@@ -597,25 +613,30 @@ class Harvester:
             )
         if min_files < 1:
             raise ValueError("compact: min_files must be >= 1")
-        if not os.path.exists(self.data_name):
+        if not fsutil.exists(self.spark, self.data_name):
             return []
         pby = self.partition_by
-        # walk the nested dim1=v1/dim2=v2 tree to the leaf dirs
+        # walk the nested dim1=v1/dim2=v2 tree to the leaf dirs (one
+        # scheme-aware listStatus per dir — names only, so the
+        # relpath-based coordinate rendering below is unchanged)
         leaves = [self.data_name]
         for dim in pby:
             prefix = f"{dim}="
             leaves = [
-                os.path.join(parent, d)
+                fsutil.join(parent, d)
                 for parent in leaves
-                for d in sorted(os.listdir(parent))
+                for d in sorted(
+                    fsutil.listdir(self.spark, parent, dirs_only=True)
+                )
                 if d.startswith(prefix)
-                and os.path.isdir(os.path.join(parent, d))
             ]
         flagged = [
             leaf
             for leaf in leaves
             if sum(
-                1 for f in os.listdir(leaf) if f.endswith(".parquet")
+                1
+                for f in fsutil.listdir(self.spark, leaf)
+                if f.endswith(".parquet")
             ) > min_files
         ]
         if not flagged:
@@ -630,7 +651,7 @@ class Harvester:
         from pyspark.sql.types import StructType
 
         reader = self.spark.read.option("basePath", self.data_name)
-        layout = _read_layout(self.data_name)
+        layout = _read_layout(self.spark, self.data_name)
         if layout is not None:
             reader = reader.schema(StructType.fromJson(layout["schema"]))
         sub = reader.parquet(*flagged)
@@ -644,9 +665,7 @@ class Harvester:
         return [
             "/".join(
                 unquote(part.split("=", 1)[1])
-                for part in os.path.relpath(leaf, self.data_name).split(
-                    os.sep
-                )
+                for part in leaf[len(self.data_name):].strip("/").split("/")
             )
             for leaf in flagged
         ]
@@ -686,7 +705,7 @@ class Harvester:
         # the publish stages a fresh dir and swaps it in whole, so a
         # pre-migration _layout.json cannot survive a flattening
         _publish_parquet(
-            old, self.data_name, load_attrs(self.data_name),
+            old, self.data_name, load_attrs(self.data_name, self.spark),
             partition_by=pby,
         )
         self.partition_by = pby
@@ -727,7 +746,7 @@ class Harvester:
         and merge into the store (reference ``farming.py:710-778``)."""
         combos = parse_combos(combos)
         dims = self.runner._dim_names(combos=combos)
-        if missing_only and os.path.exists(self.data_name):
+        if missing_only and fsutil.exists(self.spark, self.data_name):
             from .grid import combo_grid
 
             grid = combo_grid(self.spark, combos).drop(LOC_COL)
@@ -790,7 +809,7 @@ class Harvester:
             raise ValueError("no stored dataset to expand")
         _publish_parquet(
             old.withColumn(name, F.lit(value)), self.data_name,
-            load_attrs(self.data_name), partition_by=self.partition_by,
+            load_attrs(self.data_name, self.spark), partition_by=self.partition_by,
         )
 
     def drop_sel(self, **dim_values) -> None:
@@ -807,7 +826,7 @@ class Harvester:
                 vals = [vals]
             df = df.where(~F.col(dim).isin(list(vals)))
         _publish_parquet(
-            df, self.data_name, load_attrs(self.data_name),
+            df, self.data_name, load_attrs(self.data_name, self.spark),
             partition_by=self.partition_by,
         )
 
@@ -832,7 +851,7 @@ class Sampler:
 
     @property
     def full_df(self) -> DataFrame | None:
-        if not os.path.exists(self.data_name):
+        if not fsutil.exists(self.spark, self.data_name):
             return None
         return self.spark.read.parquet(self.data_name)
 

@@ -9,13 +9,11 @@ caching, and small coercion helpers.  (``trimna``/``post_fix``/
 from __future__ import annotations
 
 import functools
-import glob as _glob
 import hashlib
-import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from . import fsutil
 from .farming import _publish_parquet, load_attrs
 from .merge import merge_datasets
 
@@ -32,10 +30,11 @@ def save_merge_df(
     Reference: ``save_merge_ds`` (``manage.py:172-208``).
     """
     spark = df.sparkSession
-    if os.path.exists(path):
+    had = fsutil.exists(spark, path)
+    if had:
         old = spark.read.parquet(path)
         df = merge_datasets(old, df, dims, overwrite=overwrite)
-    _publish_parquet(df, path, load_attrs(path) if os.path.exists(path) else None)
+    _publish_parquet(df, path, load_attrs(path, spark) if had else None)
 
 
 def merge_sync_conflict_tables(
@@ -53,7 +52,9 @@ def merge_sync_conflict_tables(
     merge them all, keep the shortest-named path as canonical, delete
     the rest.  Returns the canonical path.
     """
-    paths = sorted(_glob.glob(pattern), key=lambda p: (len(p), p))
+    paths = sorted(
+        fsutil.glob_paths(spark, pattern), key=lambda p: (len(p), p)
+    )
     if not paths:
         return None
     canonical, extras = paths[0], paths[1:]
@@ -62,10 +63,10 @@ def merge_sync_conflict_tables(
         merged = merge_datasets(
             merged, spark.read.parquet(p), dims, overwrite=overwrite
         )
-    _publish_parquet(merged, canonical, load_attrs(canonical))
+    _publish_parquet(merged, canonical, load_attrs(canonical, spark))
     if delete_extras:
         for p in extras:
-            shutil.rmtree(p)
+            fsutil.delete(spark, p)
     return canonical
 
 
@@ -85,11 +86,10 @@ def cache_to_disk(cache_dir: str):
             key = hashlib.sha256(
                 repr((fn.__name__, args, sorted(kwargs.items()))).encode()
             ).hexdigest()[:24]
-            path = os.path.join(cache_dir, f"{fn.__name__}-{key}.parquet")
-            if os.path.exists(path):
+            path = fsutil.join(cache_dir, f"{fn.__name__}-{key}.parquet")
+            if fsutil.exists(spark, path):
                 return spark.read.parquet(path)
             df = fn(spark, *args, **kwargs)
-            os.makedirs(cache_dir, exist_ok=True)
             df.write.mode("overwrite").parquet(path)
             return spark.read.parquet(path)
 
@@ -166,15 +166,10 @@ def compact_table(
 
     Returns the new file count.
     """
-    total = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if f.endswith(".parquet")
-    )
+    total = fsutil.content_size(spark, path, ".parquet")
     n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
-    attrs = load_attrs(path) or None
+    attrs = load_attrs(path, spark) or None
     if sort_by is not None:
         sort_by = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         # one range shuffle gives globally sorted output: min/max row-

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .. import fsutil
 from .text import tokenize
 
 
@@ -1672,18 +1673,12 @@ def band_dedup_index(
     return out
 
 
-def _hadoop_fs(spark, path: str):
-    """``(FileSystem, Path)`` for ``path`` via the JVM Hadoop API —
-    the scheme-aware replacement for driver-local ``glob``/
-    ``os.path`` in every index-layout routine (r11 ADVICE): a local
-    glob over an ``hdfs://``/``s3a://`` path matches NOTHING, so
-    committed segments would silently be ignored and every probe
-    would treat extended deltas as never ingested.  The Hadoop
-    ``FileSystem`` resolves whatever scheme the path carries (local
-    included) with the session's Hadoop configuration."""
-    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return fs, jpath
+# the scheme-aware (FileSystem, Path) resolver every index-layout
+# routine uses (r11 ADVICE) — promoted to the shared fsutil module in
+# r13 so the Harvester/Sampler/Crop persistence layer rides the same
+# fix (r12 verdict finding #1); the local alias keeps this module's
+# call sites and its streaming importers stable
+_hadoop_fs = fsutil.hadoop_fs
 
 
 def _list_segments(spark, path: str):

@@ -18,6 +18,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from .. import fsutil
+
 
 def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
     try:
@@ -76,7 +78,7 @@ def register_tables(
     out = {}
     for n in names:
         p = os.path.join(sf_dir, f"{n}.parquet")
-        if os.path.exists(p):
+        if fsutil.exists(spark, p):
             df = read_table(spark, sf_dir, n)
             df.createOrReplaceTempView(n)
             out[n] = df

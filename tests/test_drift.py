@@ -10,6 +10,7 @@ import re
 from collections import Counter
 
 import pytest
+from pyspark.sql import functions as F
 
 
 def _pytokens(text: str) -> list[str]:
@@ -344,3 +345,27 @@ def test_grouped_divergence_rejects_lazy(spark):
         divergence_from_counts(
             d, d, group_col="col", localize=False
         )
+
+
+def test_grouped_topk_tie_order_matches_ungrouped(spark):
+    """Within-group row ORDER of the grouped path equals a per-group
+    divergence_from_counts call even for ties on non-string tokens
+    (r12 ADVICE: the presentation used to break ties by str(token) —
+    str-sorted, 10 < 2 — while the window and the ungrouped path
+    order by the native token asc)."""
+    from xyzpy_spark.pipeline.drift import divergence_from_counts
+
+    # identical distributions → every contribution ties at 0, so the
+    # whole ordering rests on the token tie-break
+    rows = [
+        ("g", 10, 5), ("g", 2, 5), ("g", 333, 5),
+        ("h", 100, 1), ("h", 3, 1),
+    ]
+    ca = spark.createDataFrame(rows, "col string, token int, cnt long")
+    grouped = divergence_from_counts(ca, ca, group_col="col").collect()
+    for g in ("g", "h"):
+        sub = ca.where(F.col("col") == g).drop("col")
+        single = divergence_from_counts(sub, sub).collect()
+        got = [r["token"] for r in grouped if r["col"] == g]
+        want = [r["token"] for r in single]
+        assert got == want, g

@@ -4252,6 +4252,77 @@ def test_extend_winnow_index_matches_full_rebuild(spark, tmp_path):
     ) == sorted(r[0] for r in rdrp.collect())
 
 
+def test_fold_winnow_segments_matches_consolidation(spark, tmp_path):
+    """The incremental fold (r13, the per-epoch serve path of the
+    streaming ingest) must produce EXACTLY the pair a full
+    load_winnow_index consolidation returns over the same segments —
+    kept rows, adjusted n_fp and the monotone dropped set all agree,
+    including fingerprints that cross the frequency cap only via the
+    folded segments (the cap-crossing adjustment path) — and folding
+    in two bites (B then B+C against the one-bite B+C) agrees too."""
+    from xyzpy_spark.pipeline.dedup import (
+        _hadoop_fs,
+        _list_segments,
+        build_winnow_index,
+        extend_winnow_index,
+        fold_winnow_segments,
+        load_winnow_index,
+        save_winnow_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus_a = docs.where(F.col("doc_id") % 10 < 4)
+    delta_b = docs.where(F.col("doc_id") % 10 == 4)
+    delta_c = docs.where(F.col("doc_id") % 10 == 5)
+    kw = dict(k=6, w=5, max_fp_freq=5, hash_fn="md5")
+
+    p = str(tmp_path / "widx")
+    index, dropped = build_winnow_index(corpus_a, **kw)
+    save_winnow_index(index, dropped, p, fp_buckets=32)
+    base_idx, base_drp = load_winnow_index(spark, p)  # pre-segment
+    assert extend_winnow_index(delta_b, p) == 0
+    assert extend_winnow_index(delta_c, p) == 1
+
+    def _segs(upto):
+        _, committed = _list_segments(spark, p)
+        fs, segroot = _hadoop_fs(spark, p + "/segments")
+        return spark.read.option(
+            "basePath", str(fs.makeQualified(segroot))
+        ).parquet(*[u for sid, u in committed if sid < upto])
+
+    def _pair_key(idx, drp):
+        rows = sorted(
+            map(
+                tuple,
+                idx.select("doc_id", "fingerprint", "n_fp").collect(),
+            )
+        )
+        return rows, sorted(r[0] for r in drp.collect())
+
+    # one-bite fold over both segments == full consolidation
+    fidx, fdrp = fold_winnow_segments(base_idx, base_drp, _segs(2))
+    cidx, cdrp = load_winnow_index(spark, p)
+    assert _pair_key(fidx, fdrp) == _pair_key(cidx, cdrp)
+    # the cap 5 forces crossings that only the deltas trigger — the
+    # fold's adjustment path must actually fire
+    assert fdrp.join(base_drp, "fingerprint", "left_anti").count() > 0
+
+    # as-of view: fold over segment 0 only == load(before_seg=1)
+    fidx1, fdrp1 = fold_winnow_segments(base_idx, base_drp, _segs(1))
+    aidx1, adrp1 = load_winnow_index(spark, p, before_seg=1)
+    assert _pair_key(fidx1, fdrp1) == _pair_key(aidx1, adrp1)
+
+    # the bucketed shape survives a fold from the flat layout (no
+    # pre-run segments): DPP columns stay and agree with fingerprints
+    assert {"fp_bucket", "fp_buckets"} <= set(fidx.columns)
+    bad = fidx.where(
+        F.col("fp_bucket") != F.pmod(F.col("fingerprint"), F.lit(32))
+    ).count()
+    assert bad == 0
+
+
 def test_decode_media_high_precision_lossless(spark):
     """The multimodal plumbing serves 16-bit lossless natively: real
     decoded stats (n_values, exact integer-sum mean over the uint16

@@ -1712,6 +1712,77 @@ def test_winnow_ingest_stream_matches_sequential_batch(spark, tmp_path):
     assert after == before
 
 
+def test_winnow_ingest_lease_and_run_token(spark, tmp_path):
+    """Single-writer enforcement around the ingest marker (r13 verdict
+    ask #4 + r12 ADVICE): compact refuses while the lease is live; a
+    second run cannot steal the marker; a resumed run detects a stolen
+    marker; release_ingest_lease retires the run and compact then
+    folds the segments."""
+    from xyzpy_spark.pipeline.dedup import (
+        _ingest_run_token,
+        _list_segments,
+        _read_ingest_base,
+        _write_ingest_base,
+        build_winnow_index,
+        compact_winnow_index,
+        load_winnow_index,
+        release_ingest_lease,
+        save_winnow_index,
+    )
+    from xyzpy_spark.streaming.ops import winnow_ingest_stream
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 10 < 5)
+    ep0 = docs.where(F.col("doc_id") % 10 == 5)
+    kw = dict(k=6, w=5, max_fp_freq=50, hash_fn="md5")
+
+    p = str(tmp_path / "widx")
+    index, dropped = build_winnow_index(hist, **kw)
+    save_winnow_index(index, dropped, p, fp_buckets=32)
+    out = str(tmp_path / "ann")
+    st = _epoch_stream(spark, tmp_path, [ep0], "lease_src")
+    winnow_ingest_stream(st, p, out, threshold=0.2, **kw)
+
+    # the run's lease is live: compact mid-run must refuse...
+    with pytest.raises(ValueError, match="leased"):
+        compact_winnow_index(spark, p, fp_buckets=32)
+    # ...and a SECOND run (different out_path → different token)
+    # cannot claim the index underneath it
+    with pytest.raises(ValueError, match="leased"):
+        _write_ingest_base(
+            spark, p, 99, run_token=_ingest_run_token(str(tmp_path / "b"))
+        )
+    # a resumed run verifies the marker is its own: a foreign token
+    # (the r12 ADVICE stolen-marker scenario) fails fast
+    assert (
+        _read_ingest_base(
+            spark, p, run_token=_ingest_run_token(out)
+        )
+        is not None
+    )
+    with pytest.raises(ValueError, match="different\\s+run"):
+        _read_ingest_base(
+            spark, p, run_token=_ingest_run_token(str(tmp_path / "b"))
+        )
+
+    # retire the run: release clears the lease, compact then folds
+    # (logical columns only — the compacted layout adds fp_bucket)
+    cols = ["doc_id", "fingerprint", "n_fp"]
+    probe_before = sorted(
+        map(tuple, load_winnow_index(spark, p)[0].select(*cols).collect())
+    )
+    assert release_ingest_lease(spark, p)
+    assert not release_ingest_lease(spark, p)  # idempotent
+    compact_winnow_index(spark, p, fp_buckets=32)
+    assert _list_segments(spark, p) == ([], [])
+    probe_after = sorted(
+        map(tuple, load_winnow_index(spark, p)[0].select(*cols).collect())
+    )
+    assert probe_after == probe_before
+
+
 def test_dedup_ingest_stream_matches_sequential_batch(spark, tmp_path):
     """MinHash probe-then-extend ingest (r12, winnow_ingest's twin):
     a two-epoch stream must equal the sequential batch loop (probe
@@ -1816,6 +1887,45 @@ def test_dedup_ingest_stream_matches_sequential_batch(spark, tmp_path):
     }
     ep0_ids = {r["doc_id"] for r in ids.collect()}
     assert replay == {d: v for d, v in got.items() if d in ep0_ids}
+
+
+def test_dedup_ingest_stream_rejects_id_reuse(spark, tmp_path):
+    """The replay exclusion's guard (r12 ADVICE, winnow's
+    foreign-segment twin): a batch redelivering an id that exists in
+    the index with DIFFERENT text is ID REUSE, not a replay — the
+    sink must fail fast instead of silently hiding the historical
+    rows from the probe and half-merging the extend."""
+    from xyzpy_spark.pipeline.dedup import (
+        band_dedup_index,
+        build_dedup_index,
+        save_dedup_index,
+    )
+    from xyzpy_spark.streaming.ops import dedup_ingest_stream
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 10 < 5)
+    kw = dict(n=3, num_perm=16, hash_fn="xxhash64")
+    idx = build_dedup_index(hist, **kw)
+    bands = band_dedup_index(idx, bands=4, **kw)
+    p = str(tmp_path / "didx")
+    save_dedup_index(idx, bands, p, fp_buckets=8, bb_buckets=8)
+
+    # one historical id comes back carrying entirely different text
+    bad = hist.limit(1).select(
+        "doc_id",
+        F.lit(
+            "an entirely different document body that shares nothing "
+            "with the original text stored under this identifier"
+        ).alias("text"),
+    )
+    st = _epoch_stream(spark, tmp_path, [bad], "reuse_src")
+    with pytest.raises(Exception) as exc:
+        dedup_ingest_stream(
+            st, p, str(tmp_path / "reuse_out"), bands=4, **kw
+        )
+    assert "id reuse" in str(exc.value)
 
 
 def test_drift_monitor_respects_caller_cache(spark, tmp_path):

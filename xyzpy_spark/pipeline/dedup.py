@@ -1709,41 +1709,118 @@ def _list_segments(spark, path: str):
     return sorted(all_ids), committed
 
 
-def _read_ingest_base(spark, path: str) -> int | None:
-    """The segment-range base a streaming probe-then-extend ingest
-    claimed on this index (``segments/_base=N`` marker dir), or None.
-    Underscore-prefixed, so Spark's input listing never reads it as
-    data; a directory NAME carries the value, so no stream IO is
-    needed to read it back (r12, the epoch-to-segment mapping)."""
+def _ingest_run_token(out_path: str) -> str:
+    """The run identity a streaming ingest stamps into its base
+    marker: a run IS its ``out_path`` (epoch dirs + checkpoint pair),
+    so the token is a short stable hash of that path (r13, closing
+    the r12 ADVICE marker-clobber seam)."""
+    import hashlib as _hashlib
+
+    return _hashlib.sha256(str(out_path).encode()).hexdigest()[:10]
+
+
+def _list_ingest_markers(spark, path: str) -> list[tuple[int, str | None, str]]:
+    """Every ``segments/_base=...`` marker as ``(base, token, uri)``
+    (token None for a pre-r13 marker without a run stamp)."""
     fs, segroot = _hadoop_fs(spark, path + "/segments")
     if not fs.exists(segroot):
-        return None
-    bases = []
+        return []
+    out = []
     for st in fs.listStatus(segroot):
         name = st.getPath().getName()
         if st.isDirectory() and name.startswith("_base="):
+            val = name[len("_base="):]
+            num, _, tok = val.partition("@")
             try:
-                bases.append(int(name.split("=", 1)[1]))
+                out.append((int(num), tok or None, str(st.getPath())))
             except ValueError:
                 continue
-    return max(bases) if bases else None
+    return out
 
 
-def _write_ingest_base(spark, path: str, base: int) -> None:
-    """Record a streaming ingest run's segment-range base (see
-    :func:`_read_ingest_base`), clearing any prior run's marker."""
+def _read_ingest_base(
+    spark, path: str, *, run_token: str | None = None
+) -> int | None:
+    """The segment-range base a streaming probe-then-extend ingest
+    claimed on this index (``segments/_base=N@token`` marker dir), or
+    None.  Underscore-prefixed, so Spark's input listing never reads
+    it as data; the directory NAME carries both the value and the
+    claiming run's token, so no stream IO is needed to read it back
+    (r12 epoch-to-segment mapping; r13 run stamp).
+
+    ``run_token`` verifies ownership: a RESUMED ingest run must find
+    ITS OWN marker — if another run's marker sits there, the resumed
+    run's epoch-to-segment mapping would silently shift to the new
+    run's base, half-merging two streams' segments (r12 ADVICE); fail
+    fast instead."""
+    markers = _list_ingest_markers(spark, path)
+    if not markers:
+        return None
+    base, tok, _ = max(markers, key=lambda m: m[0])
+    if run_token is not None and tok != run_token:
+        raise ValueError(
+            f"ingest base marker on {path!r} belongs to a different "
+            f"run (marker token {tok!r}, this run {run_token!r}) — "
+            "another ingest claimed the index while this run was "
+            "suspended; resuming would silently shift this run's "
+            "epoch-to-segment mapping onto the other run's segments. "
+            "Restart with a fresh out_path + checkpoint (and "
+            "release_ingest_lease the index once the other run is "
+            "retired)"
+        )
+    return base
+
+
+def _write_ingest_base(
+    spark, path: str, base: int, *, run_token: str | None = None
+) -> None:
+    """Claim a streaming ingest run's segment-range base (see
+    :func:`_read_ingest_base`).  The marker doubles as the index's
+    single-writer LEASE (r13 verdict ask #4): if a DIFFERENT run's
+    marker is already present this raises — two live ingest runs (or
+    an unreleased retired one) must never interleave segments — while
+    a marker with this run's own token (the same out_path re-sown
+    after its epoch dirs were cleared) is simply reclaimed.  Retire a
+    run with :func:`release_ingest_lease`."""
     jvm = spark._jvm
     fs, segroot = _hadoop_fs(spark, path + "/segments")
-    if fs.exists(segroot):
-        for st in fs.listStatus(segroot):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith("_base="):
-                fs.delete(st.getPath(), True)
+    stale = []
+    for mbase, tok, uri in _list_ingest_markers(spark, path):
+        if run_token is not None and tok == run_token:
+            stale.append(uri)  # our own prior claim: reclaim
+            continue
+        raise ValueError(
+            f"index {path!r} is leased to another ingest run "
+            f"(segments/_base={mbase}"
+            + (f"@{tok}" if tok else "")
+            + ") — a second probe-then-extend stream on the same "
+            "index would interleave segment ids with the live run. "
+            "If that run is retired, release_ingest_lease(spark, "
+            "path) first"
+        )
+    for uri in stale:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(uri), True)
+    suffix = f"@{run_token}" if run_token else ""
     fs.mkdirs(
         jvm.org.apache.hadoop.fs.Path(
-            path + f"/segments/_base={int(base)}"
+            path + f"/segments/_base={int(base)}{suffix}"
         )
     )
+
+
+def release_ingest_lease(spark, path: str) -> bool:
+    """Retire a streaming probe-then-extend ingest run's claim on a
+    winnow index: remove the ``segments/_base`` lease marker so
+    :func:`compact_winnow_index` (and a future ingest run) may
+    proceed.  THE act that declares the run finished — a resumed run
+    needs its marker, so only release once the out_path/checkpoint
+    pair is retired.  Returns whether a marker was removed."""
+    jvm = spark._jvm
+    markers = _list_ingest_markers(spark, path)
+    fs, _ = _hadoop_fs(spark, path + "/segments")
+    for _, _, uri in markers:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(uri), True)
+    return bool(markers)
 
 
 def _save_bucket_partitioned(
@@ -2700,6 +2777,114 @@ def load_winnow_index(
     return index, dropped
 
 
+def fold_winnow_segments(
+    index: DataFrame, dropped: DataFrame, seg_rows: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Fold uncapped segment rows ``(id, fingerprint, ...)`` into an
+    ALREADY-CONSOLIDATED ``(index, dropped)`` pair, producing exactly
+    the pair a full :func:`load_winnow_index` consolidation over
+    main + those segments returns (same kept-row set, same ``n_fp``,
+    same dropped set — pinned in pytest) — WITHOUT re-aggregating the
+    whole index (r13 verdict ask #2, the per-epoch serve cost):
+
+    - the global frequency cap is monotone, so only fingerprints the
+      delta actually carries can newly cross it: their consolidated
+      counts come from one broadcast-semi-join scan of ``index`` (the
+      index never shuffles) plus an O(delta) aggregation;
+    - newly-dropped fingerprints are removed from ``index`` by a
+      broadcast anti-join, and only the AFFECTED documents' ``n_fp``
+      is adjusted (a broadcast join against the bounded removed-row
+      counts) — every other document's row passes through untouched;
+    - the delta's kept rows get their own O(delta) sizes and union in
+      (delta ids are new by the extend contract, so sizes never merge
+      across the boundary).
+
+    Correctness sketch: consolidation counts fingerprints over
+    ``main_kept ∪ segments``; for any fingerprint not already dropped,
+    that equals its count in the consolidated ``index`` (which holds
+    exactly those rows) plus its delta count — so the cap decision,
+    the kept-row set and the per-doc sizes all agree with the
+    from-scratch aggregation.  Already-dropped fingerprints stay
+    dropped via the monotone union, exactly as in
+    :func:`load_winnow_index`.
+
+    The streaming probe-then-extend ingest uses this per micro-batch
+    against a persisted pre-run consolidation, replacing the O(index)
+    consolidation it used to pay every epoch; a long-lived serve
+    process can do the same between compacts."""
+    meta = index.select("k", "w", "hash_fn", "max_fp_freq").first()
+    if meta is None:
+        raise ValueError(
+            "fold_winnow_segments: the consolidated index is empty/"
+            "unstamped — build the initial index first"
+        )
+    idc = index.columns[0]
+    cap = int(meta["max_fp_freq"])
+    delta = seg_rows.select(idc, "fingerprint")
+    dropped = dropped.select("fingerprint")
+    if cap:
+        delta_cnt = delta.groupBy("fingerprint").agg(
+            F.count(F.lit(1)).alias("__d")
+        )
+        # consolidated counts for JUST the delta's fingerprints: one
+        # broadcast-filtered scan of the index, no index shuffle
+        c0 = (
+            index.join(F.broadcast(delta_cnt), "fingerprint", "left_semi")
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("__c0"))
+        )
+        newly = (
+            delta_cnt.join(c0, "fingerprint", "left")
+            .where(
+                F.col("__d") + F.coalesce(F.col("__c0"), F.lit(0))
+                > cap
+            )
+            .select("fingerprint")
+            # the fold is consumed by several downstream joins per
+            # epoch; pin the (tiny, > cap survivors only) set so the
+            # count scan runs once
+            .localCheckpoint(eager=True)
+        )
+        dropped = dropped.unionByName(newly).distinct()
+        # remove newly-dropped rows and adjust ONLY the affected docs
+        removed = index.join(F.broadcast(newly), "fingerprint", "left_semi")
+        adj = removed.groupBy(idc).agg(F.count(F.lit(1)).alias("__adj"))
+        kept0 = (
+            index.join(F.broadcast(newly), "fingerprint", "left_anti")
+            .join(F.broadcast(adj), idc, "left")
+            .withColumn(
+                "n_fp",
+                (
+                    F.col("n_fp") - F.coalesce(F.col("__adj"), F.lit(0))
+                ).cast("long"),
+            )
+            .drop("__adj")
+        )
+    else:
+        kept0 = index
+    kept_delta = delta.join(F.broadcast(dropped), "fingerprint", "left_anti")
+    sizes = kept_delta.groupBy(idc).agg(F.count(F.lit(1)).alias("n_fp"))
+    new_rows = kept_delta.join(sizes, idc).select(
+        idc,
+        "fingerprint",
+        "n_fp",
+        F.lit(int(meta["k"])).alias("k"),
+        F.lit(int(meta["w"])).alias("w"),
+        F.lit(str(meta["hash_fn"])).alias("hash_fn"),
+        F.lit(cap).alias("max_fp_freq"),
+    )
+    if "fp_buckets" in index.columns and "fp_bucket" in index.columns:
+        # a still-flat (bucketed) consolidated side: derive the same
+        # bucket columns for the delta rows so the union keeps the
+        # DPP-prunable shape (fp_bucket is functionally determined by
+        # the fingerprint, so both union branches agree)
+        nb = int(index.select("fp_buckets").first()["fp_buckets"])
+        new_rows = new_rows.withColumn(
+            "fp_bucket", F.pmod(F.col("fingerprint"), F.lit(nb))
+        ).withColumn("fp_buckets", F.lit(nb))
+    return kept0.unionByName(new_rows), dropped
+
+
 def extend_winnow_index(
     delta_df: DataFrame,
     path: str,
@@ -2822,7 +3007,9 @@ def extend_winnow_index(
     return seg
 
 
-def compact_winnow_index(spark, path: str, *, fp_buckets: int = 1024) -> None:
+def compact_winnow_index(
+    spark, path: str, *, fp_buckets: int = 1024, force: bool = False
+) -> None:
     """Fold an extended (segmented) winnow index back into the flat
     :func:`save_winnow_index` layout — consolidation runs once here
     instead of at every load, and the probe's dynamic partition
@@ -2833,7 +3020,29 @@ def compact_winnow_index(spark, path: str, *, fp_buckets: int = 1024) -> None:
     replaced and silently truncate the result (caught by the parity
     test).  Compact a 100-TB index to a NEW path and swap atomically
     instead.  Segment discovery and removal go through the Hadoop
-    FileSystem (scheme-aware — r11 ADVICE)."""
+    FileSystem (scheme-aware — r11 ADVICE).
+
+    Single-writer enforcement (r13 verdict ask #4): a live
+    probe-then-extend ingest run holds the ``segments/_base`` lease —
+    compacting mid-run would fold the run's segments (and its marker)
+    away, so a resumed epoch then probes the wrong as-of state or
+    fails on the missing marker.  This REFUSES while the lease exists;
+    retire the run with
+    :func:`release_ingest_lease` first, or pass ``force=True`` only
+    when you are certain the leasing run is dead."""
+    if not force:
+        markers = _list_ingest_markers(spark, path)
+        if markers:
+            mbase, tok, _ = max(markers, key=lambda m: m[0])
+            raise ValueError(
+                f"compact_winnow_index: index {path!r} is leased to a "
+                f"probe-then-extend ingest run (segments/_base={mbase}"
+                + (f"@{tok}" if tok else "")
+                + ") — compacting mid-run folds the run's segments and "
+                "marker away (a resumed epoch then probes the wrong "
+                "as-of state).  release_ingest_lease(spark, path) once "
+                "the run is retired, or pass force=True if it is dead"
+            )
     index, dropped = load_winnow_index(spark, path)
     all_ids, _ = _list_segments(spark, path)
     if not all_ids:

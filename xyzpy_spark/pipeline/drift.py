@@ -334,16 +334,21 @@ def _divergence_grouped(
                 _by_group(dict(totals)).cast("long"),
             )
         )
-        rows = topk.collect()  # <= k * top_k rows by construction
-        # deterministic presentation: group asc, contribution desc
+        # deterministic presentation: group asc (str-keyed, the
+        # documented contract), contribution desc, token asc.  The
+        # within-group order comes from SPARK (same orderBy domain as
+        # the window above and the ungrouped path — a Python
+        # str(token) tie-break would diverge from a per-group
+        # divergence_from_counts call for non-string tokens, r12
+        # ADVICE), preserved through the bounded collect by a STABLE
+        # group-only sort.
+        rows = topk.orderBy(
+            F.col(g).asc(),
+            F.col("js_contrib_e9").desc(),
+            F.col("token").asc(),
+        ).collect()  # <= k * top_k rows by construction
         order = {key: i for i, key in enumerate(sorted(stats, key=str))}
-        rows.sort(
-            key=lambda r: (
-                order.get(r[g], len(order)),
-                -r["js_contrib_e9"],
-                str(r["token"]),
-            )
-        )
+        rows.sort(key=lambda r: order.get(r[g], len(order)))
         return counts_a.sparkSession.createDataFrame(rows, topk.schema)
     finally:
         joined.unpersist()

@@ -3399,6 +3399,75 @@ def q_winnow_index_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def q_winnow_fold_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL FOLD serve path (r13:
+    pipeline/dedup.fold_winnow_segments — the per-epoch as-of engine
+    of the streaming probe-then-extend ingest): the historical corpus
+    arrives as an initial build (doc_id % 10 in 1-4) plus TWO
+    O(delta) segments (% 10 in 5-6, % 10 in 7-9); the pre-segment
+    state is loaded once (``before_seg=0`` — the flat bucketed main,
+    exactly what a run start persists) and both segments are FOLDED
+    into it (broadcast cap-crossing adjustment + O(delta) sizes — the
+    index is never re-aggregated), then the % 10 == 0 batch probes
+    the folded pair.  Hash-matches the SAME DuckDB twin as
+    winnow_against: the fold law says folding equals a full rebuild
+    over the whole history — one oracle, FOUR engine paths (batch
+    build, incremental consolidation, streaming probe, incremental
+    fold)."""
+    import shutil
+    import tempfile
+
+    from xyzpy_spark.pipeline.dedup import (
+        _hadoop_fs,
+        _list_segments,
+        build_winnow_index,
+        extend_winnow_index,
+        fold_winnow_segments,
+        load_winnow_index,
+        save_winnow_index,
+        winnow_against_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).repartition(32)
+    initial = docs.where((F.col("doc_id") % 10).between(1, 4))
+    delta_a = docs.where((F.col("doc_id") % 10).between(5, 6))
+    delta_b = docs.where(F.col("doc_id") % 10 >= 7)
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    tmp = tempfile.mkdtemp(prefix="xyzpy_gate_wfold_")
+    try:
+        p = f"{tmp}/widx"
+        index, dropped = build_winnow_index(
+            initial, k=6, w=5, max_fp_freq=50, hash_fn="md5"
+        )
+        save_winnow_index(index, dropped, p, fp_buckets=32)
+        extend_winnow_index(delta_a, p, seg=0)
+        extend_winnow_index(delta_b, p, seg=1)
+        # the run-start state (no segments folded), then the fold —
+        # the exact two stages the streaming sink pays
+        idx0, drp0 = load_winnow_index(spark, p, before_seg=0)
+        _, committed = _list_segments(spark, p)
+        fs, segroot = _hadoop_fs(spark, p + "/segments")
+        segs = spark.read.option(
+            "basePath", str(fs.makeQualified(segroot))
+        ).parquet(*[u for _sid, u in committed])
+        idx, drp = fold_winnow_segments(idx0, drp0, segs)
+        idx = idx.persist()
+        try:
+            return _finish_local(
+                spark,
+                winnow_against_index(
+                    batch, idx, dropped=drp, k=6, w=5, max_fp_freq=50,
+                    threshold=0.2, hash_fn="md5",
+                ),
+            )
+        finally:
+            idx.unpersist()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def q_stream_winnow_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-ingest WINNOWED dedup through the REAL engine: the
     doc_id%10==0 split arrives as a document stream and every
@@ -4778,6 +4847,7 @@ ROTATION_HISTORY: dict[str, int] = {
     "value_drift_multi": 11,
     "curate_corpus_bloom": 11,
     "winnow_index_extended": 11,
+    "winnow_fold_asof": 13,
     "stream_value_drift": 11,
     "stream_drift": 10,
     "value_drift": 10,
@@ -4840,7 +4910,7 @@ ROTATION_HISTORY: dict[str, int] = {
 }
 
 # The round whose driver window is currently frozen in queries() order.
-ROTATION_ROUND = 12
+ROTATION_ROUND = 13
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4946,6 +5016,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # end to end: container parse + real per-frame decode, exact
     # closed-form oracle) displaced contamination_pairs (r4+r5 green;
     # decontamination keeps bloom_contamination in-window).
+    # ROUND 13 keeps the two r12 newcomers (stream_winnow_ingest,
+    # stream_dedup_ingest) in-window per the two-round precedent and
+    # rotates ONE newcomer in: winnow_fold_asof (the r13 incremental
+    # fold serve path under the driver hash — same oracle as
+    # winnow_against, fourth engine path) displaced
+    # excess_stock_suppliers (r6 stamp, seven rounds green; TPC-H
+    # coverage keeps 15+ rows in-window and the row stays
+    # strict-checked at 51+).
     # ROTATION_QUEUE is EMPTY: zero rotation debt after this round's
     # gate.
     return {
@@ -4969,7 +5047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_value_drift": q_stream_value_drift,
         "cohort_retention": q_cohort_retention,
         "stream_winnow_index": q_stream_winnow_index,
-        "excess_stock_suppliers": q_excess_stock_suppliers,
+        "winnow_fold_asof": q_winnow_fold_asof,
         "winnow_index_extended": q_winnow_index_extended,
         "video_frames": q_video_frames,
         "order_priority_check": q_order_priority_check,
@@ -5002,6 +5080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- position 51+: rotated-out, still oracle-checked by
         # tools/check_correctness.py and the pytest suite; plus the
         # ROTATION_QUEUE newcomers awaiting a round-9 window slot ----
+        "excess_stock_suppliers": q_excess_stock_suppliers,
         "bloom_contamination": q_bloom_contamination,
         "cdc_chunks": q_cdc_chunks,
         "bm25_search": q_bm25_search,
@@ -8737,6 +8816,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "winnow_against": _WINNOW_AGAINST_ORACLE,
         "winnow_index_extended": _WINNOW_AGAINST_ORACLE,
+        # r13: the incremental fold equals a full rebuild over the
+        # whole history (the fold law) — same twin, fourth engine path
+        "winnow_fold_asof": _WINNOW_AGAINST_ORACLE,
         # the streaming winnow probe runs the EXACT batch
         # operator per micro-batch — same twin (r9)
         "stream_winnow_index": _WINNOW_AGAINST_ORACLE,

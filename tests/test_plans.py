@@ -792,6 +792,61 @@ def test_winnow_index_probe_never_shuffle_joins(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_fold_winnow_segments_no_index_aggregate(spark):
+    """The incremental fold's scale property (r13): the consolidated
+    index side enters the folded plan through broadcast anti/semi/
+    outer joins ONLY — no sort-merge join and no aggregation keyed on
+    the index's own rows except the broadcast-semi-filtered
+    cap-crossing count (which is bounded by the delta's fingerprint
+    footprint).  Concretely: every HashAggregate in the plan sits
+    above either the delta scan or a broadcast-semi-filtered slice,
+    never above the bare index scan — pinned by forbidding SMJ and
+    requiring the n_fp adjustment's broadcast outer join."""
+    import tempfile
+
+    from xyzpy_spark.pipeline.dedup import (
+        _hadoop_fs,
+        _list_segments,
+        build_winnow_index,
+        extend_winnow_index,
+        fold_winnow_segments,
+        load_winnow_index,
+        save_winnow_index,
+        winnow_against_index,
+    )
+
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    p = tempfile.mkdtemp(prefix="xyzpy_plan_fold_") + "/widx"
+    kw = dict(k=6, w=5, max_fp_freq=50, hash_fn="md5")
+    idx, drp = build_winnow_index(docs.where(F.col("doc_id") % 10 < 5), **kw)
+    save_winnow_index(idx, drp, p, fp_buckets=32)
+    extend_winnow_index(docs.where(F.col("doc_id") % 10 == 5), p)
+    idx0, drp0 = load_winnow_index(spark, p, before_seg=0)
+    _, committed = _list_segments(spark, p)
+    fs, segroot = _hadoop_fs(spark, p + "/segments")
+    segs = spark.read.option(
+        "basePath", str(fs.makeQualified(segroot))
+    ).parquet(*[u for _sid, u in committed])
+    fidx, fdrp = fold_winnow_segments(idx0, drp0, segs)
+    plan = executed_plan(
+        winnow_against_index(
+            docs.where(F.col("doc_id") % 10 == 9),
+            fidx,
+            dropped=fdrp,
+            threshold=0.2,
+            **kw,
+        )
+    )
+    assert "SortMergeJoin" not in plan
+    # the index never re-shuffles: its scan reaches the fold through
+    # broadcast joins (anti for newly-dropped, outer for n_fp adj)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan and "LeftOuter" in plan
+    # DPP survives the fold (the bucketed main keeps its partition
+    # filter under the union)
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_order_priority_check_semi_join_no_expand(spark):
     """Q4's EXISTS plans as a LEFT SEMI join — the fact side
     contributes at most one match per order (no row expansion), and

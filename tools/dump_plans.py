@@ -280,13 +280,22 @@ PICKS = {
     "(compare curate_corpus, whose final stage is the broadcast "
     "n-gram join); the anti-join on contaminated doc ids is the "
     "only stage-5 shuffle",
-    "stream_winnow_ingest": "probe-then-extend ingest (r12), shown "
-    "as the per-epoch AS-OF consolidated probe (the part that "
-    "shapes scale): saved main + one committed uncapped segment "
-    "union under the re-applied global cap (one aggregation pair, "
-    "bounded by the capped domain), then the flat probe — batch "
-    "fingerprints broadcast against the index scan, the index never "
-    "shuffles; the extend side is a plain O(delta) segment write",
+    "stream_winnow_ingest": "probe-then-extend ingest (r12; r13 "
+    "amortized), shown as the per-epoch AS-OF probe the sink now "
+    "runs: the pre-run consolidated state (persisted once at run "
+    "start) with this run's committed segment FOLDED in — cap "
+    "crossings via broadcast anti/semi joins against the cached "
+    "index (never re-aggregated), O(delta) sizes, then the flat "
+    "probe with batch fingerprints broadcast; the extend side is a "
+    "plain O(delta) segment write",
+    "winnow_fold_asof": "incremental fold serve path (r13): "
+    "fold_winnow_segments against the flat bucketed main — "
+    "newly-capped fingerprints from one broadcast-filtered index "
+    "scan + O(delta) counts, affected docs' n_fp adjusted via a "
+    "broadcast join, delta rows unioned with their own O(delta) "
+    "sizes; NO full-index groupBy anywhere in the plan (the r12 "
+    "per-epoch consolidation is gone), and the probe side is the "
+    "standard broadcast probe over the folded union",
 }
 
 
@@ -368,7 +377,20 @@ def main() -> None:
         )
         save_winnow_index(index, dropped, p, fp_buckets=32)
         extend_winnow_index(docs.where(F.col("doc_id") % 20 == 0), p)
-        idx, drp = load_winnow_index(spark, p)  # consolidated as-of
+        # the r13 sink path: pre-run state + fold of the run's segment
+        from xyzpy_spark.pipeline.dedup import (
+            _hadoop_fs,
+            _list_segments,
+            fold_winnow_segments,
+        )
+
+        idx0, drp0 = load_winnow_index(spark, p, before_seg=0)
+        _, committed = _list_segments(spark, p)
+        fs, segroot = _hadoop_fs(spark, p + "/segments")
+        segs = spark.read.option(
+            "basePath", str(fs.makeQualified(segroot))
+        ).parquet(*[u for _sid, u in committed])
+        idx, drp = fold_winnow_segments(idx0, drp0, segs)
         return winnow_against_index(
             docs.where(F.col("doc_id") % 20 == 10), idx,
             dropped=drp, threshold=0.2, **kw,
@@ -378,6 +400,7 @@ def main() -> None:
     queries["value_drift"] = _plan_value_drift
     queries["value_drift_multi"] = _plan_value_drift_multi
     queries["stream_winnow_ingest"] = _plan_stream_winnow_ingest
+    queries["winnow_fold_asof"] = _plan_stream_winnow_ingest
     out = [
         "# PLANS — annotated physical plans of key queries",
         "",

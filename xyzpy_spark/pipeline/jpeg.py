@@ -22,7 +22,10 @@ Scope (deliberate):
   coding, predictors 1-7, point transform, restarts, 2-16-bit
   precision (r11 — uint16 pixels above 8 bits; the medical/raw-photo
   lossless shapes decode natively).  Arithmetic coding, 12-bit
-  PROGRESSIVE, and differential/hierarchical SOFs return ``None`` so
+  PROGRESSIVE, and differential/hierarchical SOFs are OUT OF CORPUS
+  by declaration (r13; COVERAGE.md "Known-hard" #8: they do not occur
+  in web crawls or ML image corpora in measurable quantity — route
+  such rows to an upstream transcode stage) and return ``None`` so
   callers fall through to PIL when present — one exotic file must
   yield a null, never a task failure (contract pinned UNGATED in
   test_pipeline.test_jpeg_hierarchical_null_contract and, through

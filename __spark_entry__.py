@@ -3418,12 +3418,11 @@ def q_winnow_fold_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from xyzpy_spark.pipeline.dedup import (
-        _hadoop_fs,
-        _list_segments,
         build_winnow_index,
         extend_winnow_index,
         fold_winnow_segments,
         load_winnow_index,
+        read_committed_segments,
         save_winnow_index,
         winnow_against_index,
     )
@@ -3447,11 +3446,7 @@ def q_winnow_fold_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the run-start state (no segments folded), then the fold —
         # the exact two stages the streaming sink pays
         idx0, drp0 = load_winnow_index(spark, p, before_seg=0)
-        _, committed = _list_segments(spark, p)
-        fs, segroot = _hadoop_fs(spark, p + "/segments")
-        segs = spark.read.option(
-            "basePath", str(fs.makeQualified(segroot))
-        ).parquet(*[u for _sid, u in committed])
+        segs = read_committed_segments(spark, p)
         idx, drp = fold_winnow_segments(idx0, drp0, segs)
         idx = idx.persist()
         try:

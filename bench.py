@@ -582,13 +582,21 @@ def main() -> None:
                 if "stream" in n
                 else (calib_name, calib_pinned_sf01)
             )
-            ds = []
-            for _ in range(runs):
-                spark.catalog.clearCache()
-                t0 = time.time()
-                _sample(cal_nm)
-                ds.append(time.time() - t0)
-            solo_drift = round(statistics.median(ds) / pinned, 3)
+
+            def _cal_samples():
+                ds = []
+                for _ in range(runs):
+                    spark.catalog.clearCache()
+                    t0 = time.time()
+                    _sample(cal_nm)
+                    ds.append(time.time() - t0)
+                return ds
+
+            # the divisor must genuinely BRACKET the solo samples
+            # (review catch): a box-epoch turn that begins DURING
+            # them would otherwise go undetected — sample the
+            # sentinel before and after and take the pooled median
+            ds = _cal_samples()
             ss, lds = [], []
             for _ in range(solo_runs):
                 spark.catalog.clearCache()
@@ -597,6 +605,8 @@ def main() -> None:
                 _sample(n)
                 ss.append(round(time.time() - t0, 4))
                 lds.append(round(ld0, 2) if ld0 is not None else None)
+            ds += _cal_samples()
+            solo_drift = round(statistics.median(ds) / pinned, 3)
             med = round(statistics.median(ss), 4)
             b = base_pre.get(n)
             solo_adjudications[n] = {

@@ -4261,12 +4261,11 @@ def test_fold_winnow_segments_matches_consolidation(spark, tmp_path):
     folded segments (the cap-crossing adjustment path) — and folding
     in two bites (B then B+C against the one-bite B+C) agrees too."""
     from xyzpy_spark.pipeline.dedup import (
-        _hadoop_fs,
-        _list_segments,
         build_winnow_index,
         extend_winnow_index,
         fold_winnow_segments,
         load_winnow_index,
+        read_committed_segments,
         save_winnow_index,
     )
 
@@ -4286,11 +4285,7 @@ def test_fold_winnow_segments_matches_consolidation(spark, tmp_path):
     assert extend_winnow_index(delta_c, p) == 1
 
     def _segs(upto):
-        _, committed = _list_segments(spark, p)
-        fs, segroot = _hadoop_fs(spark, p + "/segments")
-        return spark.read.option(
-            "basePath", str(fs.makeQualified(segroot))
-        ).parquet(*[u for sid, u in committed if sid < upto])
+        return read_committed_segments(spark, p, hi=upto)
 
     def _pair_key(idx, drp):
         rows = sorted(

@@ -805,12 +805,11 @@ def test_fold_winnow_segments_no_index_aggregate(spark):
     import tempfile
 
     from xyzpy_spark.pipeline.dedup import (
-        _hadoop_fs,
-        _list_segments,
         build_winnow_index,
         extend_winnow_index,
         fold_winnow_segments,
         load_winnow_index,
+        read_committed_segments,
         save_winnow_index,
         winnow_against_index,
     )
@@ -822,11 +821,7 @@ def test_fold_winnow_segments_no_index_aggregate(spark):
     save_winnow_index(idx, drp, p, fp_buckets=32)
     extend_winnow_index(docs.where(F.col("doc_id") % 10 == 5), p)
     idx0, drp0 = load_winnow_index(spark, p, before_seg=0)
-    _, committed = _list_segments(spark, p)
-    fs, segroot = _hadoop_fs(spark, p + "/segments")
-    segs = spark.read.option(
-        "basePath", str(fs.makeQualified(segroot))
-    ).parquet(*[u for _sid, u in committed])
+    segs = read_committed_segments(spark, p)
     fidx, fdrp = fold_winnow_segments(idx0, drp0, segs)
     plan = executed_plan(
         winnow_against_index(

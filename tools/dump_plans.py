@@ -379,17 +379,12 @@ def main() -> None:
         extend_winnow_index(docs.where(F.col("doc_id") % 20 == 0), p)
         # the r13 sink path: pre-run state + fold of the run's segment
         from xyzpy_spark.pipeline.dedup import (
-            _hadoop_fs,
-            _list_segments,
             fold_winnow_segments,
+            read_committed_segments,
         )
 
         idx0, drp0 = load_winnow_index(spark, p, before_seg=0)
-        _, committed = _list_segments(spark, p)
-        fs, segroot = _hadoop_fs(spark, p + "/segments")
-        segs = spark.read.option(
-            "basePath", str(fs.makeQualified(segroot))
-        ).parquet(*[u for _sid, u in committed])
+        segs = read_committed_segments(spark, p)
         idx, drp = fold_winnow_segments(idx0, drp0, segs)
         return winnow_against_index(
             docs.where(F.col("doc_id") % 20 == 10), idx,

@@ -115,12 +115,11 @@ def main() -> None:
     }
     try:
         from xyzpy_spark.pipeline.dedup import (
-            _hadoop_fs,
-            _list_segments,
             build_winnow_index,
             extend_winnow_index,
             fold_winnow_segments,
             load_winnow_index,
+            read_committed_segments,
             save_winnow_index,
             winnow_against_index,
         )
@@ -187,14 +186,9 @@ def main() -> None:
         rec["run_start_consolidate_persist_load"] = ld
 
         def _run_segs(upto_seg):
-            _, committed = _list_segments(spark, wp)
-            dirs = [u for sid, u in committed if base <= sid < upto_seg]
-            if not dirs:
-                return None
-            fs, segroot = _hadoop_fs(spark, wp + "/segments")
-            return spark.read.option(
-                "basePath", str(fs.makeQualified(segroot))
-            ).parquet(*dirs)
+            return read_committed_segments(
+                spark, wp, lo=base, hi=upto_seg
+            )
 
         epochs = []
         for e in range(args.epochs):

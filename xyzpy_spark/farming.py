@@ -282,8 +282,13 @@ def _publish_parquet(
             fsutil.delete(spark, bak)
             fsutil.rename(spark, path, bak)
         fsutil.rename(spark, tmp, path)
-    except OSError:
-        # restore on failure (reference: farming.py:569-580)
+    except Exception:
+        # restore on failure (reference: farming.py:569-580).  Broad
+        # catch on purpose (r13 review): JVM filesystem failures
+        # surface as Py4JJavaError, not OSError — on exactly the
+        # hdfs://s3a:// paths this layer exists for, a narrow except
+        # would skip the restore and the finally would then delete
+        # the staged data
         if fsutil.exists(spark, bak) and not fsutil.exists(spark, path):
             fsutil.rename(spark, bak, path)
         raise

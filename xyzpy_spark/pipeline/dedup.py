@@ -1758,6 +1758,15 @@ def _read_ingest_base(
         return None
     base, tok, _ = max(markers, key=lambda m: m[0])
     if run_token is not None and tok != run_token:
+        if tok is None:
+            raise ValueError(
+                f"ingest base marker on {path!r} carries no run stamp "
+                "(a pre-r13 `_base=N` marker, or one written outside "
+                "the streaming sink) — resuming against it cannot "
+                "verify ownership.  If the old run is retired, "
+                "release_ingest_lease(spark, path) and restart with a "
+                "fresh out_path + checkpoint"
+            )
         raise ValueError(
             f"ingest base marker on {path!r} belongs to a different "
             f"run (marker token {tok!r}, this run {run_token!r}) — "
@@ -1792,7 +1801,7 @@ def _write_ingest_base(
         raise ValueError(
             f"index {path!r} is leased to another ingest run "
             f"(segments/_base={mbase}"
-            + (f"@{tok}" if tok else "")
+            + (f"@{tok}" if tok else ", a pre-r13 marker without a run stamp")
             + ") — a second probe-then-extend stream on the same "
             "index would interleave segment ids with the live run. "
             "If that run is retired, release_ingest_lease(spark, "
@@ -2727,18 +2736,9 @@ def load_winnow_index(
     # partial rows in would silently under-count that delta forever
     # (extend_dedup_index's pair of appends has its own retry seam,
     # closed by per-directory delta-id anti-joins there)
-    _, committed = _list_segments(spark, path)
-    seg_dirs = [
-        uri
-        for sid, uri in committed
-        if before_seg is None or sid < int(before_seg)
-    ]
-    if not seg_dirs:
+    segs = read_committed_segments(spark, path, hi=before_seg)
+    if segs is None:
         return main, dropped
-    fs, segroot = _hadoop_fs(spark, path + "/segments")
-    segs = spark.read.option(
-        "basePath", str(fs.makeQualified(segroot))
-    ).parquet(*seg_dirs)
     meta = main.select("k", "w", "hash_fn", "max_fp_freq").first()
     if meta is None:  # empty unstamped main: nothing to consolidate on
         return main, dropped
@@ -2775,6 +2775,31 @@ def load_winnow_index(
         F.lit(cap).alias("max_fp_freq"),
     )
     return index, dropped
+
+
+def read_committed_segments(
+    spark, path: str, *, lo: int | None = None, hi: int | None = None
+) -> DataFrame | None:
+    """One DataFrame over an extended layout's COMMITTED segments with
+    ids in ``[lo, hi)`` (either bound optional), or None when none
+    match — the shared reader of every fold/consolidation consumer
+    (r13 review: the listStatus + basePath-qualification idiom was
+    copy-pasted across the streaming sink, the gate query and the
+    tools).  Only committed (``_SUCCESS``-marked) segments are read;
+    discovery goes through the Hadoop FileSystem (scheme-aware)."""
+    _, committed = _list_segments(spark, path)
+    dirs = [
+        uri
+        for sid, uri in committed
+        if (lo is None or sid >= int(lo))
+        and (hi is None or sid < int(hi))
+    ]
+    if not dirs:
+        return None
+    fs, segroot = _hadoop_fs(spark, path + "/segments")
+    return spark.read.option(
+        "basePath", str(fs.makeQualified(segroot))
+    ).parquet(*dirs)
 
 
 def fold_winnow_segments(

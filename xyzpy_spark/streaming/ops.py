@@ -719,6 +719,7 @@ def winnow_ingest_stream(
         extend_winnow_index,
         fold_winnow_segments,
         load_winnow_index,
+        read_committed_segments,
         winnow_against_index,
     )
 
@@ -785,17 +786,10 @@ def winnow_ingest_stream(
             run["state"] = (idx0, drp0)
         seg = run["base"] + eid
         index, dropped = run["state"]
-        _, committed = _list_segments(spark, index_path)
-        run_dirs = [
-            uri
-            for sid, uri in committed
-            if run["base"] <= sid < seg
-        ]
-        if run_dirs:
-            fs, segroot = _hadoop_fs(spark, index_path + "/segments")
-            segs = spark.read.option(
-                "basePath", str(fs.makeQualified(segroot))
-            ).parquet(*run_dirs)
+        segs = read_committed_segments(
+            spark, index_path, lo=run["base"], hi=seg
+        )
+        if segs is not None:
             index, dropped = fold_winnow_segments(index, dropped, segs)
         ann = winnow_against_index(
             batch_df,
@@ -845,6 +839,7 @@ def dedup_ingest_stream(
     checkpoint: str | None = None,
     timeout: int = 300,
     state_partitions: int | None = None,
+    verify_ids: bool = True,
     **probe_kwargs,
 ) -> None:
     """Probe-THEN-EXTEND continuous ingest over a saved MINHASH dedup
@@ -869,7 +864,13 @@ def dedup_ingest_stream(
     the winnow foreign-segment twin): a batch id that already exists
     in the index with a DIFFERENT canonical fingerprint is ID REUSE,
     not a replay — the sink fails fast instead of silently hiding the
-    historical rows from the probe.  After the final epoch, report +
+    historical rows from the probe.  Cost honesty: the guard is one
+    extra batch-broadcast scan of the main index per epoch (the
+    lookup is by id while the layout is bucketed by fingerprint, so
+    it cannot partition-prune); ``verify_ids=False`` drops it for
+    throughput-critical streams whose upstream already guarantees id
+    uniqueness — with the documented risk that id reuse then silently
+    corrupts annotations.  After the final epoch, report +
     index equal the sequential batch probe+extend loop bit-for-bit
     (pinned in pytest).
 
@@ -910,17 +911,22 @@ def dedup_ingest_stream(
         # the exclusion would silently hide the historical document
         # from the probe and the extend would then half-merge rows.
         # Replays recompute the identical fingerprint, so they pass.
+        # One batch-broadcast index scan per epoch (see docstring);
+        # verify_ids=False opts out.
         from ..pipeline.text import canonical_fingerprint
 
-        batch_fps = batch_df.select(
-            id_col, canonical_fingerprint(F.col(text_col)).alias("__fp")
-        )
-        reused = (
-            index.join(F.broadcast(batch_fps), id_col)
-            .where(F.col("fingerprint") != F.col("__fp"))
-            .limit(1)
-            .count()
-        )
+        reused = 0
+        if verify_ids:
+            batch_fps = batch_df.select(
+                id_col,
+                canonical_fingerprint(F.col(text_col)).alias("__fp"),
+            )
+            reused = (
+                index.join(F.broadcast(batch_fps), id_col)
+                .where(F.col("fingerprint") != F.col("__fp"))
+                .limit(1)
+                .count()
+            )
         if reused:
             raise ValueError(
                 "dedup_ingest_stream: the micro-batch redelivers a "

@@ -263,9 +263,11 @@ class Crop:
         """Evaluate the kernel over selected batches; write results.
 
         Runnable from ANY session that sees the crop directory (the
-        decoupling point).  Each batch's output directory is written
-        atomically (temp + rename), so crashed/duplicate grows are
-        safely re-runnable.
+        decoupling point).  Each batch's output directory is staged to
+        a temp dir and swapped in (delete+rename via the scheme-aware
+        fsutil.replace — atomic on HDFS/local, copy+delete on S3A), so
+        crashed/duplicate grows are safely re-runnable; one grower per
+        batch, the reference's own discipline.
         """
         if batch_ids is None:
             batch_ids = sorted(self.missing_batches())

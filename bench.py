@@ -572,7 +572,11 @@ def main() -> None:
         b, d = base_pre.get(n), _drift_for(n)
         ratio = (t / b / d) if (b and d) else None
         if _esc(n) or (ratio is not None and ratio > 1.5):
-            flagged.append(n)
+            flagged.append((ratio or 99.0, n))
+    # worst rows first, so the bounded budget always adjudicates the
+    # readings a reviewer would question (escalation-only flags sort
+    # to the front — they have no trustworthy in-run ratio at all)
+    flagged = [n for _r, n in sorted(flagged, reverse=True)]
     solo_adjudications: dict[str, dict] = {}
     if flagged and sf == 0.1:
         solo_runs = int(os.environ.get("BENCH_SOLO_RESAMPLES", "3"))

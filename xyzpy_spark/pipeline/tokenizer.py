@@ -450,26 +450,37 @@ def oov_rate(
     )
 
 
-def save_merges(merges: list[tuple[str, str]], path: str) -> None:
+def save_merges(
+    merges: list[tuple[str, str]], path: str, spark=None
+) -> None:
     """Persist a trained BPE merge list as JSON — train once on the
     reference corpus, encode every future snapshot with the SAME
     tokenizer (mixing tokenizers across snapshots silently changes
-    every token count and packed sequence downstream)."""
+    every token count and packed sequence downstream).  Scheme-aware
+    (r13, the fsutil sweep): the artifact can live next to the corpus
+    on hdfs://s3a:// paths; ``spark`` resolves from the active
+    session when omitted."""
     import json
-    import os
 
-    d = os.path.dirname(path)
-    if d:
-        os.makedirs(d, exist_ok=True)
+    from pyspark.sql import SparkSession
+
+    from .. import fsutil
+
+    if spark is None:
+        spark = SparkSession.builder.getOrCreate()
     tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump([[a, b] for a, b in merges], fh)
-    os.replace(tmp, path)
+    fsutil.write_text(spark, tmp, json.dumps([[a, b] for a, b in merges]))
+    fsutil.replace(spark, tmp, path)
 
 
-def load_merges(path: str) -> list[tuple[str, str]]:
+def load_merges(path: str, spark=None) -> list[tuple[str, str]]:
     """Load a :func:`save_merges` merge list (order is the model)."""
     import json
 
-    with open(path) as fh:
-        return [tuple(m) for m in json.load(fh)]
+    from pyspark.sql import SparkSession
+
+    from .. import fsutil
+
+    if spark is None:
+        spark = SparkSession.builder.getOrCreate()
+    return [tuple(m) for m in json.loads(fsutil.read_text(spark, path))]

@@ -12,6 +12,13 @@ are import-gated: they are driver-only dependencies, needed just for
 the ingest step, and the clear ImportError tells the user what to
 install.  The pandas-native formats (pickle/csv/json) work with no
 extra dependencies.
+
+Scope: this adapter is DRIVER-LOCAL-filesystem only, by design — the
+xarray/pandas readers it wraps open plain local paths, exactly where
+a reference user's store lives.  It is the one persistence surface
+deliberately outside the scheme-aware fsutil sweep (r13): migrate
+from a local copy, then the engine's own stores (parquet via
+fsutil/Spark writers) carry the data on hdfs://s3a:// from there.
 """
 
 from __future__ import annotations

@@ -1712,6 +1712,105 @@ def test_winnow_ingest_stream_matches_sequential_batch(spark, tmp_path):
     assert after == before
 
 
+def test_winnow_ingest_stream_resume_same_run(spark, tmp_path):
+    """A SUSPENDED ingest run resumed with the same checkpoint +
+    out_path (more data arrived while it was down) must re-read its
+    own base marker, rebuild the pre-run cache, and fold the earlier
+    epochs' segments — ending bit-for-bit where an uninterrupted run
+    ends (r13: the resumed branch now exercises token verification
+    AND the fold path end to end)."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from xyzpy_spark.pipeline.dedup import (
+        _read_ingest_base,
+        build_winnow_index,
+        extend_winnow_index,
+        load_winnow_index,
+        save_winnow_index,
+        winnow_against_index,
+    )
+    from xyzpy_spark.streaming.ops import winnow_ingest_stream
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    hist = docs.where(F.col("doc_id") % 10 < 5)
+    ep0 = docs.where(F.col("doc_id") % 10 == 5)
+    ep1 = ep0.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    kw = dict(k=6, w=5, max_fp_freq=50, hash_fn="md5")
+    pkw = dict(threshold=0.2, **kw)
+
+    p = str(tmp_path / "widx")
+    index, dropped = build_winnow_index(hist, **kw)
+    save_winnow_index(index, dropped, p, fp_buckets=32)
+
+    # run leg 1: only ep0's file exists; the stream drains it and stops
+    src = str(tmp_path / "resume_src")
+    ep0.coalesce(1).write.parquet(src)
+    now = _time.time()
+    for f in _glob.glob(src + "/*.parquet"):
+        _os.utime(f, (now - 100,) * 2)
+    ckpt = str(tmp_path / "resume_ckpt")
+    out = str(tmp_path / "resume_ann")
+    schema = spark.read.parquet(src).schema
+
+    def _stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+
+    winnow_ingest_stream(_stream(), p, out, checkpoint=ckpt, **pkw)
+    base = _read_ingest_base(spark, p)
+    assert base is not None
+
+    # suspension: ep1 lands while the run is down; leg 2 resumes with
+    # the SAME checkpoint + out_path (epoch dirs exist → resumed branch)
+    before = set(_glob.glob(src + "/*.parquet"))
+    ep1.coalesce(1).write.mode("append").parquet(src)
+    for f in set(_glob.glob(src + "/*.parquet")) - before:
+        _os.utime(f, (now - 50,) * 2)
+    winnow_ingest_stream(_stream(), p, out, checkpoint=ckpt, **pkw)
+    assert _read_ingest_base(spark, p) == base  # mapping kept
+
+    # the sequential batch twin over a second index copy
+    p2 = str(tmp_path / "widx2")
+    save_winnow_index(index, dropped, p2, fp_buckets=32)
+    want = {}
+    for eid, batch in enumerate([ep0, ep1]):
+        idx, drp = load_winnow_index(spark, p2)
+        ann = winnow_against_index(batch, idx, dropped=drp, **pkw)
+        for r in ann.collect():
+            want[r["doc_id"]] = (r["dup_kind"], r["dup_of"], r["fp_jaccard"])
+        novel = batch.join(
+            ann.where(F.col("dup_of").isNull()).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).select("doc_id", "text")
+        extend_winnow_index(novel, p2, seg=eid)
+
+    got = {
+        r["doc_id"]: (r["dup_kind"], r["dup_of"], r["fp_jaccard"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
+    # epoch 1's cross-run duplicates matched through the RESUMED fold
+    assert any(
+        d >= 1000000 and v[0] == "near" and v[1] == d - 1000000
+        for d, v in got.items()
+    )
+    sidx = sorted(
+        map(tuple, load_winnow_index(spark, p)[0].collect())
+    )
+    bidx = sorted(
+        map(tuple, load_winnow_index(spark, p2)[0].collect())
+    )
+    assert sidx == bidx
+
+
 def test_winnow_ingest_lease_and_run_token(spark, tmp_path):
     """Single-writer enforcement around the ingest marker (r13 verdict
     ask #4 + r12 ADVICE): compact refuses while the lease is live; a

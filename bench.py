@@ -247,6 +247,15 @@ def main() -> None:
 
     queries = entrymod.queries()
     names = [n for n in HEADLINE if n in queries]
+    # measurement convenience (r13 optimization round): BENCH_SUBSET
+    # limits the run to a comma-separated row list for solo subset /
+    # adjudication sessions.  The driver does not set it, so the
+    # recorded protocol (full HEADLINE order, same sampling) is
+    # unchanged; subset receipts say so in their row count.
+    subset = os.environ.get("BENCH_SUBSET")
+    if subset:
+        want = {s.strip() for s in subset.split(",") if s.strip()}
+        names = [n for n in names if n in want]
 
     # warm-up: one SQL-path query (JVM/reader) and one UDF query (python
     # worker pool + Arrow serializers) — BASELINE.md protocol is warm-JVM

@@ -915,10 +915,16 @@ def test_ivf_pq_residual_scan_codes_only(spark, tmp_path):
 def test_dedup_saved_index_probe_partition_prunes(spark, tmp_path):
     """The save_dedup_index layout's point (r8 verdict ask #3 — the
     MinHash twin of the winnow layout below): a probe against the
-    fp_bucket/bb_bucket-partitioned index must plan DYNAMIC PARTITION
-    PRUNING on the index scans (the batch's bucket values prune which
-    partitions are read) on top of the no-shuffle-join property, and
-    return EXACTLY what the unbucketed probe returns."""
+    fp_bucket/bb_bucket-partitioned index must PRUNE the index scans
+    to the batch's bucket values, on top of the no-shuffle-join
+    property, and return EXACTLY what the unbucketed probe returns.
+    r13: with cache=False the batch side is materialized (eager
+    localCheckpoint — one signing pass instead of three), which bakes
+    its selective filters into the RDD and stops the DPP rule from
+    firing; the probe now pushes the batch's LITERAL bucket set as a
+    static partition IN-filter instead — same pruning, resolved at
+    planning time with no runtime subquery.  Lazy paths (cache=True)
+    keep classic DPP; both shapes are accepted here."""
     from xyzpy_spark.pipeline.dedup import (
         band_dedup_index,
         build_dedup_index,
@@ -946,7 +952,19 @@ def test_dedup_saved_index_probe_partition_prunes(spark, tmp_path):
     )
     plan = executed_plan(probed)
     # both probe joins carry a partition column -> two pruning seams
-    assert plan.lower().count("dynamicpruning") >= 2, plan[:2000]
+    # (dynamic subqueries on lazy paths, literal INSET partition
+    # filters on the materialized cache=False path)
+    import re as _re
+
+    pruned = len(
+        _re.findall(
+            r"PartitionFilters: \[[^\]]*(?:fp|bb)_bucket[^\]]*"
+            r"(?:INSET|\bIN\b|dynamicpruning)",
+            plan,
+            _re.IGNORECASE,
+        )
+    )
+    assert pruned >= 2, plan[:2000]
     assert "SortMergeJoin" not in plan
     want = sorted(
         map(tuple, dedup_against_index(
@@ -990,6 +1008,57 @@ def test_winnow_saved_index_probe_partition_prunes(spark, tmp_path):
     )
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "SortMergeJoin" not in plan
+
+
+def test_winnow_prebuilt_probe_literal_bucket_prune(spark, tmp_path):
+    """r13: the ingest sinks winnow each epoch's batch ONCE and pass
+    the materialized selection as ``prebuilt_fps`` — which bakes the
+    batch's filters into an RDD and defeats the DPP rule.  The probe
+    must then prune the bucketed index scan with the batch's LITERAL
+    bucket set (a static partition IN-filter), so the 100-TB scan
+    posture survives the sign-once optimization."""
+    from xyzpy_spark.pipeline.dedup import (
+        build_winnow_index,
+        load_winnow_index,
+        save_winnow_index,
+        winnow_against_index,
+        winnow_fingerprints,
+    )
+
+    spark.catalog.clearCache()
+    docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0).limit(5)
+    index, dropped = build_winnow_index(
+        corpus, k=6, w=5, max_fp_freq=50, hash_fn="md5"
+    )
+    p = str(tmp_path / "widx")
+    save_winnow_index(index, dropped, p, fp_buckets=32)
+    idx2, drp2 = load_winnow_index(spark, p)
+    fps = winnow_fingerprints(
+        batch, k=6, w=5, hash_fn="md5"
+    ).localCheckpoint(eager=True)
+    probed = winnow_against_index(
+        batch, idx2, dropped=drp2, k=6, w=5, max_fp_freq=50,
+        threshold=0.2, hash_fn="md5", prebuilt_fps=fps,
+    )
+    plan = executed_plan(probed)
+    import re as _re
+
+    assert _re.search(
+        r"PartitionFilters: \[[^\]]*fp_bucket[^\]]*(?:INSET|\bIN\b)",
+        plan,
+    ), plan[:2000]
+    assert "SortMergeJoin" not in plan
+    # the prebuilt path returns exactly what the self-winnowing
+    # probe returns
+    want = sorted(
+        map(tuple, winnow_against_index(
+            batch, idx2, dropped=drp2, k=6, w=5, max_fp_freq=50,
+            threshold=0.2, hash_fn="md5",
+        ).collect())
+    )
+    assert sorted(map(tuple, probed.collect())) == want
 
 
 def test_lm_pipeline_e2e_no_stage_recomputation(spark):

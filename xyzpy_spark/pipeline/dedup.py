@@ -18,6 +18,8 @@ Beyond-reference extensions (SURVEY §7 Phase 5).  Scale stance:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .. import fsutil
@@ -1836,15 +1838,38 @@ def _save_bucket_partitioned(
     df: DataFrame, path: str, bucket_col: str
 ) -> None:
     """Shared scaffold of the partition-prunable index saves
-    (:func:`save_dedup_index`, :func:`save_winnow_index`): write
-    partitioned by the bucket column, then handle the EMPTY-dataset
-    corner — a partitionBy write with zero data files cannot infer a
-    schema at load time, so rewrite unpartitioned (the probe then
-    returns all-novel, the plain-layout behavior).  The emptiness
-    probe goes through the Hadoop FileSystem, not a driver-local
-    glob, so the check works on object-store paths too."""
+    (:func:`save_dedup_index`, :func:`save_winnow_index`): CLUSTER the
+    rows by the bucket column, then write partitioned by it, then
+    handle the EMPTY-dataset corner — a partitionBy write with zero
+    data files cannot infer a schema at load time, so rewrite
+    unpartitioned (the probe then returns all-novel, the plain-layout
+    behavior).  The emptiness probe goes through the Hadoop
+    FileSystem, not a driver-local glob, so the check works on
+    object-store paths too.
+
+    The clustering repartition is the guide-§6 small-files fix (r13
+    optimization round): without it every upstream task writes one
+    file per bucket value it holds — measured 1018 files for a
+    32-bucket index at sf0.1, and every later load/probe/extend
+    re-paid ~1000 parquet footer opens (save 4.0 s -> 1.8 s, a full
+    read-back 0.74 s -> 0.23 s after the fix).  One shuffle of the
+    index at save time buys every future scan of the layout.
+
+    Scale posture: files-per-bucket defaults to 1 (bucket COUNT is
+    the layout's parallelism knob — ``fp_buckets``/``bb_buckets``
+    default to 1024 in production); when one bucket outgrows a single
+    task/file, set ``XYZPY_INDEX_FILES_PER_BUCKET`` > 1 and rows
+    spread over that many files per bucket via a deterministic salt
+    (xxhash64 of the leading id column — never ``rand()``, which
+    duplicates/loses rows under task retry, SPARK-38388)."""
     spark = df.sparkSession
-    df.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
+    fpb = max(1, int(os.environ.get("XYZPY_INDEX_FILES_PER_BUCKET", "1")))
+    if fpb == 1:
+        staged = df.repartition(F.col(bucket_col))
+    else:
+        salt = F.pmod(F.xxhash64(F.col(df.columns[0])), F.lit(fpb))
+        staged = df.repartition(F.col(bucket_col), salt)
+    staged.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
     fs, _ = _hadoop_fs(spark, path)
     probe = spark._jvm.org.apache.hadoop.fs.Path(
         path + f"/{bucket_col}=*"
@@ -1915,6 +1940,7 @@ def extend_dedup_index(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    prebuilt_index: DataFrame | None = None,
 ) -> None:
     """Incrementally grow a SAVED MinHash dedup index with a delta
     corpus (r11, the :func:`extend_winnow_index` sibling) — and here
@@ -1991,16 +2017,27 @@ def extend_dedup_index(
     bb_buckets = int(
         bands_tbl.select("bb_buckets").first()["bb_buckets"]
     )
-    idx_d = build_dedup_index(
-        delta_df,
-        id_col=id_col,
-        text_col=text_col,
-        n=int(meta["n"]),
-        num_perm=int(meta["num_perm"]),
-        hash_fn=str(meta["hash_fn"]),
-    )
-    # one pass feeds both appends (the prestage discipline): sign once
-    idx_d = idx_d.localCheckpoint(eager=True)
+    if prebuilt_index is not None:
+        # r13 optimization: the probe-then-extend ingest sink already
+        # signed this epoch's batch for the probe — re-signing the
+        # novel subset here was a second full shingle/signature pass
+        # per epoch.  The caller passes build_dedup_index output
+        # restricted to exactly ``delta_df``'s ids, signed with the
+        # index's stamped parameters (the sink's probe validates them
+        # against the same stamps), and owns its materialization.
+        idx_d = prebuilt_index
+    else:
+        idx_d = build_dedup_index(
+            delta_df,
+            id_col=id_col,
+            text_col=text_col,
+            n=int(meta["n"]),
+            num_perm=int(meta["num_perm"]),
+            hash_fn=str(meta["hash_fn"]),
+        )
+        # one pass feeds both appends (the prestage discipline): sign
+        # once
+        idx_d = idx_d.localCheckpoint(eager=True)
     idc = idx_d.columns[0]  # the caller's id_col leads the index
     delta_ids = idx_d.select(idc)
     bands_d = band_dedup_index(
@@ -2046,9 +2083,14 @@ def extend_dedup_index(
             .distinct()
         )
         fresh = delta.join(F.broadcast(appended), keys, "left_anti")
-        fresh.write.mode("append").partitionBy(bucket_col).parquet(
-            _os.path.join(path, sub)
-        )
+        # cluster by bucket before the append (the
+        # _save_bucket_partitioned small-files fix, r13): without it
+        # every delta task appends one file per bucket it holds, and
+        # a long ingest run accumulates task-count x bucket-count
+        # files that every later epoch's probe re-opens
+        fresh.repartition(F.col(bucket_col)).write.mode(
+            "append"
+        ).partitionBy(bucket_col).parquet(_os.path.join(path, sub))
 
 
 def _best_match(scored: DataFrame, threshold: float) -> DataFrame:
@@ -2091,6 +2133,7 @@ def dedup_against_index(
     hash_fn: str = "xxhash64",
     cache: bool = True,
     index_bands: DataFrame | None = None,
+    prebuilt_index: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against a historical corpus index
     (continuous-ingest dedup: the batch is new, the corpus is 100 TB
@@ -2121,35 +2164,78 @@ def dedup_against_index(
     enter the per-new-doc aggregation.  ``bands``/``num_perm``/
     ``hash_fn`` must match the values the index was built with.
     """
-    new_idx = build_dedup_index(
-        new_docs, id_col=id_col, text_col=text_col, n=n,
-        num_perm=num_perm, hash_fn=hash_fn,
-    )
-    if cache:
-        new_idx = new_idx.persist()
+    if prebuilt_index is not None:
+        # r13 optimization: an ingest sink that also EXTENDS the index
+        # signs the batch once per epoch and threads the result into
+        # both the probe and the extend — the caller owns its
+        # materialization/lifetime.  Must be build_dedup_index output
+        # over exactly ``new_docs`` with THIS probe's signature
+        # parameters (the stamped-column validation below still runs,
+        # so a mismatched index fails loudly; a mismatched prebuilt is
+        # the caller's contract).
+        new_idx = prebuilt_index
+    else:
+        new_idx = build_dedup_index(
+            new_docs, id_col=id_col, text_col=text_col, n=n,
+            num_perm=num_perm, hash_fn=hash_fn,
+        )
+        if cache:
+            new_idx = new_idx.persist()
+        else:
+            # r13 optimization: the probe has THREE consumers of the
+            # batch's signatures (exact probe, banded near probe, the
+            # assembly spine), each with a different pruned projection
+            # — so without a pin the 64-perm shingle/signature pass
+            # runs three times per probe (no exchange reuse across
+            # differing projections; measured in the ingest sinks,
+            # which force cache off: probe 8-15 s -> 3.4 s at sf0.1).
+            # An EAGER localCheckpoint materializes the batch-sized
+            # signatures once and frees them with the DataFrame (no
+            # persist leak in long-lived ingest loops — exactly why
+            # callers pass cache=False).
+            new_idx = new_idx.localCheckpoint(eager=True)
 
     # a save_dedup_index layout carries fp_bucket as its parquet
     # partition column: joining on it (derived from the same pmod on
     # the batch side) lets dynamic partition pruning cut the exact-
-    # probe index SCAN to the buckets the batch actually hashes into
+    # probe index SCAN to the buckets the batch actually hashes into.
+    # When the batch side is MATERIALIZED (cache=False localCheckpoint
+    # or a prebuilt index — the ingest-sink paths), its selective
+    # filters are baked into the RDD and the DPP rule no longer fires;
+    # the r13 replacement is LITERAL bucket pruning: collect the
+    # batch's distinct bucket values (bounded by the bucket count —
+    # a tiny driver pull off already-materialized batch rows) and
+    # push them as a static partition IN-filter, which prunes the
+    # scan at planning time with no runtime subquery at all.
+    eager_batch = prebuilt_index is not None or not cache
     fp_buckets_stamp = None
     if {"fp_bucket", "fp_buckets"} <= set(index.columns):
         row = index.select("fp_buckets").first()
         if row is not None:
             fp_buckets_stamp = int(row[0])
     fp_keys = ["fingerprint"]
+    exact_index = index
     old_fp_cols = [F.col(id_col).alias("_old_id"), F.col("fingerprint")]
     new_fp_cols = [F.col(id_col).alias("_new_id"), F.col("fingerprint")]
     if fp_buckets_stamp is not None:
         fp_keys = ["fp_bucket", "fingerprint"]
         old_fp_cols.append(F.col("fp_bucket"))
-        new_fp_cols.append(
-            F.pmod(
-                F.xxhash64("fingerprint"), F.lit(fp_buckets_stamp)
-            ).alias("fp_bucket")
+        fp_bucket_expr = F.pmod(
+            F.xxhash64("fingerprint"), F.lit(fp_buckets_stamp)
         )
+        new_fp_cols.append(fp_bucket_expr.alias("fp_bucket"))
+        if eager_batch:
+            bkts = [
+                r[0]
+                for r in new_idx.select(fp_bucket_expr.alias("__b"))
+                .distinct()
+                .collect()
+                if r[0] is not None
+            ]
+            if bkts:
+                exact_index = index.where(F.col("fp_bucket").isin(bkts))
     exact = (
-        index.select(*old_fp_cols)
+        exact_index.select(*old_fp_cols)
         .join(F.broadcast(new_idx.select(*new_fp_cols)), fp_keys)
         .groupBy("_new_id")
         .agg(F.min("_old_id").alias("_exact_of"))
@@ -2223,6 +2309,16 @@ def dedup_against_index(
                 F.lit(bb_buckets_stamp),
             ),
         )
+        if eager_batch:
+            # literal bucket pruning of the banded index scan — the
+            # materialized-batch twin of the fp_bucket pruning above
+            bbkts = [
+                r[0]
+                for r in new_b.select("bb_bucket").distinct().collect()
+                if r[0] is not None
+            ]
+            if bbkts:
+                old_b = old_b.where(F.col("bb_bucket").isin(bbkts))
 
     agree = F.size(
         F.filter(
@@ -2917,6 +3013,7 @@ def extend_winnow_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     seg: int | None = None,
+    prebuilt_fps: DataFrame | None = None,
 ) -> int:
     """Incrementally grow a SAVED winnow index with a delta corpus —
     O(delta) work and O(delta) writes; historical text is never
@@ -3011,14 +3108,23 @@ def extend_winnow_index(
                 ),
                 True,
             )
-    fps = winnow_fingerprints(
-        delta_df,
-        k=int(meta["k"]),
-        w=int(meta["w"]),
-        text_col=text_col,
-        id_col=id_col,
-        hash_fn=str(meta["hash_fn"]),
-    )
+    if prebuilt_fps is not None:
+        # r13 optimization: the ingest sink already winnowed this
+        # epoch's batch for the probe — passing the (uncapped)
+        # selection restricted to exactly ``delta_df``'s ids skips a
+        # second md5-per-k-gram pass per epoch.  Must be winnowed
+        # with the index's stamped parameters (the sink's probe
+        # validates them against the same stamps).
+        fps = prebuilt_fps
+    else:
+        fps = winnow_fingerprints(
+            delta_df,
+            k=int(meta["k"]),
+            w=int(meta["w"]),
+            text_col=text_col,
+            id_col=id_col,
+            hash_fn=str(meta["hash_fn"]),
+        )
     fps.select(
         id_col,
         "fingerprint",
@@ -3092,6 +3198,7 @@ def winnow_against_index(
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
     cache: bool = False,
+    prebuilt_fps: DataFrame | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against a saved winnowed index
     (:func:`build_winnow_index`) — the winnowing twin of
@@ -3174,10 +3281,19 @@ def winnow_against_index(
             "build_winnow_index returns it) — probing without it "
             "deflates every score"
         )
-    new_fps = winnow_fingerprints(
-        new_docs, k=k, w=w, text_col=text_col, id_col=id_col,
-        hash_fn=hash_fn,
-    )
+    if prebuilt_fps is not None:
+        # r13 optimization: a probe-then-extend ingest sink winnows
+        # the epoch's batch ONCE and threads the (uncapped) selection
+        # into both the probe and the extend — must be
+        # winnow_fingerprints output over exactly ``new_docs`` with
+        # THIS probe's (validated) parameters; the caller owns its
+        # materialization.
+        new_fps = prebuilt_fps
+    else:
+        new_fps = winnow_fingerprints(
+            new_docs, k=k, w=w, text_col=text_col, id_col=id_col,
+            hash_fn=hash_fn,
+        )
     if dropped is not None:
         # subtract the build's boilerplate fingerprints so both
         # Jaccard operands live in the capped domain (sizes too)
@@ -3203,6 +3319,7 @@ def winnow_against_index(
     # pmod on the batch side) lets dynamic partition pruning cut the
     # index SCAN to the buckets the batch actually hashes into
     join_keys = ["fingerprint"]
+    probe_index = index
     idx_cols = [F.col(id_col).alias("_old_id"), "fingerprint", "n_fp"]
     new_cols = [
         F.col(id_col).alias("_new_id"),
@@ -3217,8 +3334,27 @@ def winnow_against_index(
                 F.col("fingerprint"), F.lit(fp_buckets_stamp)
             ).alias("fp_bucket")
         )
+        if prebuilt_fps is not None:
+            # the batch side is MATERIALIZED (ingest sink): its baked
+            # filters defeat the DPP rule, so prune the index scan
+            # with the batch's LITERAL bucket set instead (bounded by
+            # the bucket count; a tiny driver pull off materialized
+            # rows — r13, the dedup_against_index twin)
+            bkts = [
+                r[0]
+                for r in new_fps.select(
+                    F.pmod(
+                        F.col("fingerprint"), F.lit(fp_buckets_stamp)
+                    ).alias("__b")
+                )
+                .distinct()
+                .collect()
+                if r[0] is not None
+            ]
+            if bkts:
+                probe_index = index.where(F.col("fp_bucket").isin(bkts))
     common = (
-        index.select(*idx_cols)
+        probe_index.select(*idx_cols)
         .join(
             F.broadcast(new_fps.select(*new_cols)),
             join_keys,

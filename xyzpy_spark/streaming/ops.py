@@ -721,6 +721,7 @@ def winnow_ingest_stream(
         load_winnow_index,
         read_committed_segments,
         winnow_against_index,
+        winnow_fingerprints,
     )
 
     spark = stream_docs.sparkSession
@@ -791,6 +792,20 @@ def winnow_ingest_stream(
         )
         if segs is not None:
             index, dropped = fold_winnow_segments(index, dropped, segs)
+        # r13 optimization: winnow the epoch's batch ONCE (the
+        # md5-per-k-gram pass) and thread the uncapped selection into
+        # both the probe and the extend — these used to be two
+        # independent winnowing passes of the same batch per epoch.
+        # Eager localCheckpoint: materialized once, batch-sized,
+        # freed with the DataFrame at epoch end.
+        fps_all = winnow_fingerprints(
+            batch_df,
+            k=probe_kwargs.get("k", 5),
+            w=probe_kwargs.get("w", 4),
+            text_col=text_col,
+            id_col=id_col,
+            hash_fn=probe_kwargs.get("hash_fn", "xxhash64"),
+        ).localCheckpoint(eager=True)
         ann = winnow_against_index(
             batch_df,
             index,
@@ -798,6 +813,7 @@ def winnow_ingest_stream(
             cache=False,
             id_col=id_col,
             text_col=text_col,
+            prebuilt_fps=fps_all,
             **probe_kwargs,
         )
         ann.write.mode("overwrite").parquet(
@@ -815,7 +831,16 @@ def winnow_ingest_stream(
             F.broadcast(novel_ids), id_col, "left_semi"
         ).select(id_col, text_col)
         extend_winnow_index(
-            novel, index_path, id_col=id_col, text_col=text_col, seg=seg
+            novel,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            seg=seg,
+            # the extend's rows are the already-winnowed batch
+            # selection restricted to the reported-novel ids (r13)
+            prebuilt_fps=fps_all.join(
+                F.broadcast(novel_ids), id_col, "left_semi"
+            ),
         )
 
     try:
@@ -882,6 +907,7 @@ def dedup_ingest_stream(
     match the index build — validated against the stamps); ``cache``
     is forced off."""
     from ..pipeline.dedup import (
+        build_dedup_index,
         dedup_against_index,
         extend_dedup_index,
         load_dedup_index,
@@ -898,6 +924,20 @@ def dedup_ingest_stream(
             batch_df.sparkSession, out_path, eid, "dedup_ingest_stream"
         )
         index, bands = load_dedup_index(spark, index_path)
+        # r13 optimization: sign the epoch's batch ONCE (canonical
+        # fingerprint + 64-perm signatures) and thread the result
+        # into the id-reuse guard, the probe AND the extend — these
+        # used to be three independent signings of the same batch per
+        # epoch.  Eager localCheckpoint: materialized once,
+        # batch-sized, freed with the DataFrame at epoch end.
+        sig_kw = {
+            k: probe_kwargs[k]
+            for k in ("n", "num_perm", "hash_fn")
+            if k in probe_kwargs
+        }
+        batch_idx = build_dedup_index(
+            batch_df, id_col=id_col, text_col=text_col, **sig_kw
+        ).localCheckpoint(eager=True)
         ids = batch_df.select(id_col)
         # the as-of view (replay safety): a prior attempt of THIS
         # epoch may have extended the index with this very batch —
@@ -913,13 +953,12 @@ def dedup_ingest_stream(
         # Replays recompute the identical fingerprint, so they pass.
         # One batch-broadcast index scan per epoch (see docstring);
         # verify_ids=False opts out.
-        from ..pipeline.text import canonical_fingerprint
-
         reused = 0
         if verify_ids:
-            batch_fps = batch_df.select(
-                id_col,
-                canonical_fingerprint(F.col(text_col)).alias("__fp"),
+            # the canonical fingerprint already sits on the signed
+            # batch index — no separate per-guard text pass (r13)
+            batch_fps = batch_idx.select(
+                id_col, F.col("fingerprint").alias("__fp")
             )
             reused = (
                 index.join(F.broadcast(batch_fps), id_col)
@@ -945,6 +984,7 @@ def dedup_ingest_stream(
             cache=False,
             id_col=id_col,
             text_col=text_col,
+            prebuilt_index=batch_idx,
             **probe_kwargs,
         )
         ann.write.mode("overwrite").parquet(
@@ -959,7 +999,15 @@ def dedup_ingest_stream(
             F.broadcast(novel_ids), id_col, "left_semi"
         ).select(id_col, text_col)
         extend_dedup_index(
-            novel, index_path, id_col=id_col, text_col=text_col
+            novel,
+            index_path,
+            id_col=id_col,
+            text_col=text_col,
+            # the extend ingests exactly the docs reported novel; its
+            # signatures are the already-signed batch rows (r13)
+            prebuilt_index=batch_idx.join(
+                F.broadcast(novel_ids), id_col, "left_semi"
+            ),
         )
 
     _run_foreach_batch(

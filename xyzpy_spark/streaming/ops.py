@@ -915,6 +915,12 @@ def dedup_ingest_stream(
 
     spark = stream_docs.sparkSession
     probe_kwargs.pop("cache", None)
+    # run-scoped stamp caches (r13 optimization): the saved layout's
+    # stamped parameters never change mid-run, so the probe and the
+    # extend each read + validate them at the FIRST epoch and every
+    # later epoch skips those five-or-so per-epoch driver jobs
+    probe_stamps: dict = {}
+    extend_stamps: dict = {}
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -924,6 +930,7 @@ def dedup_ingest_stream(
             batch_df.sparkSession, out_path, eid, "dedup_ingest_stream"
         )
         index, bands = load_dedup_index(spark, index_path)
+        raw_index, raw_bands = index, bands
         # r13 optimization: sign the epoch's batch ONCE (canonical
         # fingerprint + 64-perm signatures) and thread the result
         # into the id-reuse guard, the probe AND the extend — these
@@ -985,6 +992,7 @@ def dedup_ingest_stream(
             id_col=id_col,
             text_col=text_col,
             prebuilt_index=batch_idx,
+            stamps=probe_stamps,
             **probe_kwargs,
         )
         ann.write.mode("overwrite").parquet(
@@ -1008,6 +1016,12 @@ def dedup_ingest_stream(
             prebuilt_index=batch_idx.join(
                 F.broadcast(novel_ids), id_col, "left_semi"
             ),
+            # reuse this epoch's freshly-loaded relations (they see
+            # every prior append, which is exactly what the retry
+            # anti-joins need) instead of re-creating both parquet
+            # relations per epoch
+            layout=(raw_index, raw_bands),
+            stamps=extend_stamps,
         )
 
     _run_foreach_batch(

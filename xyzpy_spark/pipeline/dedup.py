@@ -2922,42 +2922,22 @@ def load_winnow_index(
     segs = read_committed_segments(spark, path, hi=before_seg)
     if segs is None:
         return main, dropped
-    meta = main.select("k", "w", "hash_fn", "max_fp_freq").first()
-    if meta is None:  # empty unstamped main: nothing to consolidate on
+    if main.select("k").first() is None:
+        # empty unstamped main: nothing to consolidate on
         return main, dropped
-    idc = main.columns[0]  # id col leads both layouts by construction
-    rows = main.select(idc, "fingerprint").unionByName(
-        segs.select(idc, "fingerprint")
-    )
-    cap = int(meta["max_fp_freq"]) if meta is not None else 0
-    if cap:
-        # counts over kept-main + uncapped segments are EXACT for every
-        # fingerprint not already dropped (the only ones the cap can
-        # still affect); initially-dropped fps are absent from main but
-        # stay in `dropped` — monotone, counts only grow
-        extra = (
-            rows.groupBy("fingerprint")
-            .agg(F.count(F.lit(1)).alias("__f"))
-            .where(F.col("__f") > cap)
-            .select("fingerprint")
-        )
-        dropped = (
-            dropped.select("fingerprint")
-            .unionByName(extra)
-            .distinct()
-        )
-    kept = rows.join(F.broadcast(dropped), "fingerprint", "left_anti")
-    sizes = kept.groupBy(idc).agg(F.count(F.lit(1)).alias("n_fp"))
-    index = kept.join(sizes, idc).select(
-        idc,
-        "fingerprint",
-        "n_fp",
-        F.lit(int(meta["k"])).alias("k"),
-        F.lit(int(meta["w"])).alias("w"),
-        F.lit(str(meta["hash_fn"])).alias("hash_fn"),
-        F.lit(cap).alias("max_fp_freq"),
-    )
-    return index, dropped
+    # consolidation IS the fold (r13 optimization): the saved main is
+    # already a consolidated (id, fingerprint, n_fp) pair, so folding
+    # the uncapped segment rows into it (fold_winnow_segments — the
+    # law that fold == full re-aggregation is pinned in pytest) costs
+    # one broadcast-filtered scan of main plus O(segments)
+    # aggregations, instead of re-aggregating cap counts and per-doc
+    # sizes over the WHOLE index at every load (guide §2.3: aggregate
+    # the delta, not the world — the at-scale point; at gate SF the
+    # interleaved A/B reads ~10% because job overhead dominates,
+    # tools/load_ab.py).  Bonus: the fold keeps main's fp_bucket
+    # columns, so probes of a consolidated pair stay bucket-prunable
+    # (the old path stripped them; probe 1.8 -> 1.3 s at sf0.1).
+    return fold_winnow_segments(main, dropped, segs)
 
 
 def read_committed_segments(
@@ -2986,7 +2966,11 @@ def read_committed_segments(
 
 
 def fold_winnow_segments(
-    index: DataFrame, dropped: DataFrame, seg_rows: DataFrame
+    index: DataFrame,
+    dropped: DataFrame,
+    seg_rows: DataFrame,
+    *,
+    stamps: dict | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Fold uncapped segment rows ``(id, fingerprint, ...)`` into an
     ALREADY-CONSOLIDATED ``(index, dropped)`` pair, producing exactly
@@ -3019,13 +3003,27 @@ def fold_winnow_segments(
     The streaming probe-then-extend ingest uses this per micro-batch
     against a persisted pre-run consolidation, replacing the O(index)
     consolidation it used to pay every epoch; a long-lived serve
-    process can do the same between compacts."""
-    meta = index.select("k", "w", "hash_fn", "max_fp_freq").first()
-    if meta is None:
-        raise ValueError(
-            "fold_winnow_segments: the consolidated index is empty/"
-            "unstamped — build the initial index first"
-        )
+    process can do the same between compacts.
+
+    ``stamps``: mutable dict caching the stamp row across folds of the
+    SAME consolidated pair (r13 — skips the per-epoch ``.first()``
+    driver job; first fold reads and fills it)."""
+    if stamps is not None and "max_fp_freq" in stamps:
+        meta = stamps
+    else:
+        meta = index.select("k", "w", "hash_fn", "max_fp_freq").first()
+        if meta is None:
+            raise ValueError(
+                "fold_winnow_segments: the consolidated index is empty/"
+                "unstamped — build the initial index first"
+            )
+        if stamps is not None:
+            stamps.update(
+                k=int(meta["k"]),
+                w=int(meta["w"]),
+                hash_fn=str(meta["hash_fn"]),
+                max_fp_freq=int(meta["max_fp_freq"]),
+            )
     idc = index.columns[0]
     cap = int(meta["max_fp_freq"])
     delta = seg_rows.select(idc, "fingerprint")
@@ -3086,7 +3084,12 @@ def fold_winnow_segments(
         # bucket columns for the delta rows so the union keeps the
         # DPP-prunable shape (fp_bucket is functionally determined by
         # the fingerprint, so both union branches agree)
-        nb = int(index.select("fp_buckets").first()["fp_buckets"])
+        if stamps is not None and "fp_buckets" in stamps:
+            nb = int(stamps["fp_buckets"])
+        else:
+            nb = int(index.select("fp_buckets").first()["fp_buckets"])
+            if stamps is not None:
+                stamps["fp_buckets"] = nb
         new_rows = new_rows.withColumn(
             "fp_bucket", F.pmod(F.col("fingerprint"), F.lit(nb))
         ).withColumn("fp_buckets", F.lit(nb))
@@ -3101,6 +3104,7 @@ def extend_winnow_index(
     id_col: str = "doc_id",
     seg: int | None = None,
     prebuilt_fps: DataFrame | None = None,
+    stamps: dict | None = None,
 ) -> int:
     """Incrementally grow a SAVED winnow index with a delta corpus —
     O(delta) work and O(delta) writes; historical text is never
@@ -3139,19 +3143,35 @@ def extend_winnow_index(
     import os as _os
 
     spark = delta_df.sparkSession
-    main = spark.read.parquet(_os.path.join(path, "main"))
-    cols = set(main.columns)
-    if not {"k", "w", "hash_fn", "max_fp_freq"} <= cols:
-        raise ValueError(
-            "extend_winnow_index: the saved index is not param-stamped "
-            "— rebuild with build_winnow_index + save_winnow_index"
-        )
-    meta = main.select("k", "w", "hash_fn", "max_fp_freq").first()
-    if meta is None:
-        raise ValueError(
-            "extend_winnow_index: the saved index is empty — build the "
-            "initial index over the first real corpus, then extend"
-        )
+    # ``stamps`` (r13): mutable cache of the saved layout's stamp row
+    # for per-epoch ingest loops — first call reads + validates and
+    # fills it, later calls skip the parquet-relation creation and the
+    # .first() driver job (a saved layout's stamps never change)
+    if stamps is not None and "k" in stamps:
+        meta = stamps
+    else:
+        main = spark.read.parquet(_os.path.join(path, "main"))
+        cols = set(main.columns)
+        if not {"k", "w", "hash_fn", "max_fp_freq"} <= cols:
+            raise ValueError(
+                "extend_winnow_index: the saved index is not "
+                "param-stamped — rebuild with build_winnow_index + "
+                "save_winnow_index"
+            )
+        meta = main.select("k", "w", "hash_fn", "max_fp_freq").first()
+        if meta is None:
+            raise ValueError(
+                "extend_winnow_index: the saved index is empty — build "
+                "the initial index over the first real corpus, then "
+                "extend"
+            )
+        if stamps is not None:
+            stamps.update(
+                k=int(meta["k"]),
+                w=int(meta["w"]),
+                hash_fn=str(meta["hash_fn"]),
+                max_fp_freq=int(meta["max_fp_freq"]),
+            )
     all_ids, committed = _list_segments(spark, path)
     if seg is None:
         seg = max(all_ids, default=-1) + 1
@@ -3286,11 +3306,18 @@ def winnow_against_index(
     hash_fn: str = "xxhash64",
     cache: bool = False,
     prebuilt_fps: DataFrame | None = None,
+    stamps: dict | None = None,
 ) -> DataFrame:
     """Dedup an incoming batch against a saved winnowed index
     (:func:`build_winnow_index`) — the winnowing twin of
     :func:`dedup_against_index`, and the configuration the r6 verdict
     named as "the index I'd actually run at 100 TB" made incremental.
+
+    ``stamps``: mutable dict caching the validated stamp values across
+    probes of the SAME index (r13, the :func:`dedup_against_index`
+    rule): the first probe reads + validates and fills it, later
+    probes skip the per-call driver job.  Never share one dict across
+    different indexes.
 
     Every new document is annotated: ``dup_of`` is the best-matching
     historical id (highest capped-set Jaccard of the winnowing
@@ -3328,7 +3355,11 @@ def winnow_against_index(
         "fp_bucket" in index.columns and "fp_buckets" in index.columns
     )
     fp_buckets_stamp = None
-    if stamped or has_buckets:
+    if stamps is not None and "stamped_cap" in stamps:
+        # validated + cached by a prior probe of this same index
+        stamped_cap = stamps["stamped_cap"]
+        fp_buckets_stamp = stamps["fp_buckets"]
+    elif stamped or has_buckets:
         sel = sorted(stamped | ({"fp_buckets"} if has_buckets else set()))
         meta = index.select(*sel).first()
         mine = {
@@ -3353,6 +3384,9 @@ def winnow_against_index(
                 stamped_cap = int(meta["max_fp_freq"])
             if has_buckets:
                 fp_buckets_stamp = int(meta["fp_buckets"])
+        if stamps is not None:
+            stamps["stamped_cap"] = stamped_cap
+            stamps["fp_buckets"] = fp_buckets_stamp
     if dropped is None and (
         stamped_cap if stamped_cap is not None else int(max_fp_freq or 0)
     ):

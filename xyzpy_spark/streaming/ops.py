@@ -476,11 +476,12 @@ def dedup_stream_against_index(
     from ..pipeline.dedup import dedup_against_index
 
     probe_kwargs.pop("cache", None)
+    stamps: dict = {}  # r13: stamp reads once per run, not per epoch
     _run_batch_probe_stream(
         stream_docs,
         lambda batch_df: dedup_against_index(
             batch_df, index, cache=False, index_bands=index_bands,
-            **probe_kwargs,
+            stamps=stamps, **probe_kwargs,
         ),
         out_path,
         checkpoint=checkpoint,
@@ -629,11 +630,12 @@ def winnow_stream_against_index(
     from ..pipeline.dedup import winnow_against_index
 
     probe_kwargs.pop("cache", None)
+    stamps: dict = {}  # r13: stamp reads once per run, not per epoch
     _run_batch_probe_stream(
         stream_docs,
         lambda batch_df: winnow_against_index(
             batch_df, index, dropped=dropped, cache=False,
-            **probe_kwargs,
+            stamps=stamps, **probe_kwargs,
         ),
         out_path,
         checkpoint=checkpoint,
@@ -728,6 +730,11 @@ def winnow_ingest_stream(
     probe_kwargs.pop("cache", None)
     token = _ingest_run_token(out_path)
     run = {"base": None, "state": None}
+    # run-scoped stamp caches (r13): first epoch reads + validates the
+    # layout's stamped parameters, later epochs skip those driver jobs
+    probe_stamps: dict = {}
+    fold_stamps: dict = {}
+    extend_stamps: dict = {}
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -791,7 +798,9 @@ def winnow_ingest_stream(
             spark, index_path, lo=run["base"], hi=seg
         )
         if segs is not None:
-            index, dropped = fold_winnow_segments(index, dropped, segs)
+            index, dropped = fold_winnow_segments(
+                index, dropped, segs, stamps=fold_stamps
+            )
         # r13 optimization: winnow the epoch's batch ONCE (the
         # md5-per-k-gram pass) and thread the uncapped selection into
         # both the probe and the extend — these used to be two
@@ -814,6 +823,7 @@ def winnow_ingest_stream(
             id_col=id_col,
             text_col=text_col,
             prebuilt_fps=fps_all,
+            stamps=probe_stamps,
             **probe_kwargs,
         )
         ann.write.mode("overwrite").parquet(
@@ -841,6 +851,7 @@ def winnow_ingest_stream(
             prebuilt_fps=fps_all.join(
                 F.broadcast(novel_ids), id_col, "left_semi"
             ),
+            stamps=extend_stamps,
         )
 
     try:

@@ -26,6 +26,8 @@ _REPO = os.path.dirname(os.path.abspath(__file__))
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from xyzpy_spark.utils import local_df  # noqa: E402  (needs _REPO on path)
+
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -54,7 +56,7 @@ def _finish_local(spark: SparkSession, df: DataFrame) -> DataFrame:
     try/finally unpersist/rmtree immediately.  Only for results bounded
     by construction (top-k, 1-row aggregates) — never fact-sized data."""
     rows = df.collect()
-    return spark.createDataFrame(rows, df.schema)
+    return local_df(spark, rows, df.schema)
 
 
 def _dec_sum(col: str, alias: str) -> F.Column:
@@ -631,7 +633,8 @@ def q_estimate_from_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, noisy, rtol=0.01, batch_size=256, min_samples=256,
         max_samples=4096, seed=7,
     )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(int(stats.count), float(round(stats.mean, 6)))],
         "n_samples bigint, mean_estimate double",
     )
@@ -994,7 +997,8 @@ def q_bm25_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production reads the index as a SAVED table; persist models that
     index = build_bm25_index(docs).persist()
     try:
-        queries = spark.createDataFrame(
+        queries = local_df(
+            spark,
             [
                 (1, ["spark", "shuffle"]),
                 (2, ["join", "hash", "scan"]),
@@ -3914,7 +3918,8 @@ def q_langid_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines.  The %5==0 slice bounds output size."""
     from xyzpy_spark.pipeline.text import score_langid_trained
 
-    weights = spark.createDataFrame(
+    weights = local_df(
+        spark,
         [
             (lang, b, w, 4096, 3, "md5")
             for lang, b, w in _langid_frozen_rows()
@@ -3952,7 +3957,8 @@ def q_langid_rowwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse lattice that never straddles the canon boundary)."""
     from xyzpy_spark.pipeline.text import score_langid_rowwise
 
-    weights = spark.createDataFrame(
+    weights = local_df(
+        spark,
         [
             (lang, b, w, 4096, 3, "md5")
             for lang, b, w in _langid_frozen_rows()
@@ -4010,7 +4016,8 @@ def q_langid_rowwise_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated twin; margins floor-canon at 6dp before the argmax."""
     from xyzpy_spark.pipeline.text import score_langid_rowwise
 
-    weights = spark.createDataFrame(
+    weights = local_df(
+        spark,
         [
             (lang, b, w, 4096, 3, "md5")
             for lang, b, w in _langid_prod_rows()
@@ -4505,7 +4512,8 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from xyzpy_spark.pipeline.tokenizer import oov_rate
 
     docs = _t(spark, sf_dir, "documents")
-    vocab = spark.createDataFrame(
+    vocab = local_df(
+        spark,
         [(c, i) for i, c in enumerate("abcdefghijklmnopqrstuvwxyz")]
         + [("</w>", 26)],
         "token STRING, token_id INT",

@@ -41,6 +41,7 @@ from . import fsutil
 from .grid import LOC_COL, case_grid, combo_grid, grid_size
 from .prepare import parse_cases, parse_combos, parse_constants
 from .runner import VarSpec, evaluate_grid, resolve_var_specs
+from .utils import local_df
 
 
 def _crop_dir(name: str, parent_dir: str) -> str:
@@ -426,9 +427,7 @@ class Crop:
             else:
                 for s in var_specs:
                     fields.append(T.StructField(s.name, s.column_type))
-            results = self.spark.createDataFrame(
-                [], T.StructType(fields)
-            )
+            results = local_df(self.spark, [], T.StructType(fields))
         if missing:
             grid = self.spark.read.parquet(self.grid_path)
             param_cols = [

@@ -27,6 +27,7 @@ Spark-first:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from ..utils import local_df
 
 __all__ = [
     "asof_join",
@@ -345,7 +346,8 @@ def funnel_counts(
         ]
     )
     spark = events.sparkSession
-    names = spark.createDataFrame(
+    names = local_df(
+        spark,
         [(i + 1, s) for i, s in enumerate(steps)],
         "step int, event_type string",
     )
@@ -533,7 +535,8 @@ def funnel_counts_sequential(
             for i in range(k)
         ]
     )
-    names = spark.createDataFrame(
+    names = local_df(
+        spark,
         [(i + 1, s) for i, s in enumerate(steps)],
         "step int, event_type string",
     )

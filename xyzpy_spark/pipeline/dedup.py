@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .. import fsutil
 from .text import tokenize
+from ..utils import local_df
 
 
 def dedup_exact(
@@ -2834,7 +2835,7 @@ def build_winnow_index(
         )
         kept = fps.join(F.broadcast(dropped), "fingerprint", "left_anti")
     else:
-        dropped = spark.createDataFrame([], "fingerprint bigint")
+        dropped = local_df(spark, [], "fingerprint bigint")
         kept = fps
     sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
     index = (

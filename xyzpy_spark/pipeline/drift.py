@@ -27,6 +27,7 @@ driver-sized state (the only collects are 1-row aggregates and the
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..utils import local_df
 
 from .text import _round_det, tokenize
 
@@ -206,7 +207,7 @@ def divergence_from_counts(
         return topk
     rows = topk.collect()  # <= top_k rows, bounded by construction
     joined.unpersist()
-    return counts_a.sparkSession.createDataFrame(rows, topk.schema)
+    return local_df(counts_a.sparkSession, rows, topk.schema)
 
 
 def _divergence_grouped(
@@ -349,7 +350,7 @@ def _divergence_grouped(
         ).collect()  # <= k * top_k rows by construction
         order = {key: i for i, key in enumerate(sorted(stats, key=str))}
         rows.sort(key=lambda r: order.get(r[g], len(order)))
-        return counts_a.sparkSession.createDataFrame(rows, topk.schema)
+        return local_df(counts_a.sparkSession, rows, topk.schema)
     finally:
         joined.unpersist()
 

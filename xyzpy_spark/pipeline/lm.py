@@ -36,6 +36,7 @@ op in this package uses).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from ..utils import local_df
 
 from .text import _doc_ngrams, _round_det, tokenize
 
@@ -288,8 +289,8 @@ def save_lm(
         posixpath.join(path, "contexts")
     )
     ngrams.write.mode("overwrite").parquet(posixpath.join(path, "ngrams"))
-    meta = spark.createDataFrame(
-        [(int(vocab_size), int(n))], "vocab_size LONG, n INT"
+    meta = local_df(
+        spark, [(int(vocab_size), int(n))], "vocab_size LONG, n INT"
     )
     meta.coalesce(1).write.mode("overwrite").json(
         posixpath.join(path, "meta")

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from .artifacts import delete_marker_first
+from ..utils import local_df
 
 
 def _dot(a, b) -> F.Column:
@@ -1553,11 +1554,11 @@ def save_pq(spark: SparkSession, codebooks: list, path: str) -> None:
         for c in range(ksub)
         for p in range(dsub)
     ]
-    spark.createDataFrame(
-        rows, "j int, code int, p int, x double"
+    local_df(
+        spark, rows, "j int, code int, p int, x double"
     ).write.mode("overwrite").parquet(posixpath.join(path, "codebooks"))
-    spark.createDataFrame(
-        [(m, ksub, dsub)], "m int, ksub int, dsub int"
+    local_df(
+        spark, [(m, ksub, dsub)], "m int, ksub int, dsub int"
     ).coalesce(1).write.mode("overwrite").json(
         posixpath.join(path, "meta")
     )
@@ -1598,11 +1599,11 @@ def save_ivf(spark: SparkSession, centroids: list, path: str) -> None:
         for c in range(n_cells)
         for p in range(dim)
     ]
-    spark.createDataFrame(
-        rows, "cell int, p int, x double"
+    local_df(
+        spark, rows, "cell int, p int, x double"
     ).write.mode("overwrite").parquet(posixpath.join(path, "centroids"))
-    spark.createDataFrame(
-        [(n_cells, dim)], "n_cells int, dim int"
+    local_df(
+        spark, [(n_cells, dim)], "n_cells int, dim int"
     ).coalesce(1).write.mode("overwrite").json(
         posixpath.join(path, "meta")
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
+from ..utils import local_df
 
 
 def _round_det(col, places: int = 6) -> F.Column:
@@ -974,7 +975,8 @@ def train_quality_classifier(
     # a different modulus silently maps tokens to wrong buckets and
     # every margin collapses to ~intercept (same guard pattern as
     # band_dedup_index)
-    weights_df = spark.createDataFrame(
+    weights_df = local_df(
+        spark,
         [
             (int(b), float(wt), int(n_buckets))
             for b, wt in zip(used, w)
@@ -1424,7 +1426,8 @@ def train_langid_classifier(
         b0 -= lr * err.mean(axis=0)
     W = np.round(W, weight_decimals)
     spark = labeled.sparkSession
-    weights_df = spark.createDataFrame(
+    weights_df = local_df(
+        spark,
         [
             (classes[kk], int(b), float(W[j, kk]),
              int(n_buckets), int(ngram), hash_fn)
@@ -1705,7 +1708,8 @@ def score_langid_trained(
     ).distinct()
     if intercepts:
         items = sorted(intercepts.items())
-        itab = spark.createDataFrame(
+        itab = local_df(
+            spark,
             [(lang, float(v), 1) for lang, v in items],
             "lang string, b0 double, __pri int",
         )
@@ -1782,7 +1786,8 @@ def save_langid(
     weights.write.mode("overwrite").parquet(
         posixpath.join(path, "weights")
     )
-    itab = spark.createDataFrame(
+    itab = local_df(
+        spark,
         sorted((lang, float(v)) for lang, v in intercepts.items()),
         "lang string, b0 double",
     )

@@ -96,6 +96,55 @@ def autocorrect_kwargs(func=None, *, valid=None):
     return decorate
 
 
+def local_df(spark, rows, schema):
+    """Small local DataFrame as a plan-literal ``LocalTableScan``.
+
+    ``spark.createDataFrame(list, schema)`` ships the rows through a
+    pickled Python RDD (``Scan ExistingRDD`` via
+    ``applySchemaToPythonRDD``): every downstream action pays a Python
+    worker round-trip for a table that is a constant, and the node is
+    opaque to Catalyst (no constant folding, no local-relation
+    shortcuts).  Measured ~1.0-1.3 s per materialization on the gate
+    box vs ~0.1-0.3 s through Arrow (tools/localrel_ab.py, guide §4).
+    Routing the rows through a pandas frame turns them into an Arrow
+    LocalRelation — no job, no Python worker on the executors.
+
+    Only explicit schemas (DDL string / StructType) take the Arrow
+    path: name-list schemas rely on the classic row-level type
+    inference, whose pandas twin infers differently.  The pandas frame
+    is built with ``dtype=object`` so ``None`` stays a NULL (a numeric
+    pandas column would coerce it to NaN — a different value).  Any
+    conversion Arrow cannot express (nested Rows, exotic types) falls
+    back to the classic path — same rows either way.
+    """
+    from pyspark.sql.types import StructType
+
+    try:
+        import pandas as pd
+
+        if isinstance(schema, StructType):
+            names = schema.fieldNames()
+        elif isinstance(schema, str):
+            names = StructType.fromDDL(schema).fieldNames()
+        else:
+            raise TypeError("name-list schema: classic inference")
+        data = [tuple(r) for r in rows]
+        # pandas->Arrow treats a float NaN as a NULL (`from_pandas`
+        # semantics); the classic path keeps it a NaN — a different
+        # value.  Tables carrying real NaNs take the classic path.
+        for t in data:
+            for v in t:
+                if isinstance(v, float) and v != v:
+                    raise TypeError("NaN payload: classic path")
+        if data:
+            pdf = pd.DataFrame(data, columns=names, dtype=object)
+        else:
+            pdf = pd.DataFrame({n: [] for n in names}, dtype=object)
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 class Timer:
     """Context-manager wall timer (reference ``Timer``,
     ``utils.py:155-177``).

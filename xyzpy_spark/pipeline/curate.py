@@ -23,10 +23,15 @@ pipelines run them (C4 → Gopher → CCNet → GPT-3 decontamination):
    now has the scale-safe switch built in).
 
 Scale shape: stages 2-3 are pure column filters fused into the scan;
-stages 1, 4, 5 add one bounded-key shuffle each (8-byte fingerprints,
-(id, lang, nll) triples, n-gram stream) — document text itself moves
-only where a stage's semantics require it.  Every stage is optional;
-the composed plan stays lazy until the caller acts on it.
+stage 1 is a single window over the content fingerprint, stages 4-5
+add one bounded-key shuffle each ((id, lang, nll) triples, n-gram
+stream).  The two stages that consume the surviving corpus twice
+(4's keep side + probe, 5's hit census + anti-join probe) sit behind
+non-eager ``localCheckpoint`` seams so the plan prefix is computed
+ONCE per action instead of once per consumer (the unseamed recipe
+re-embedded the scan + earlier stages up to ~14x).  Every stage is
+optional; the composed plan stays lazy until the caller acts on it
+(the seams materialize with the caller's first action).
 
 The whole recipe is oracle-checkable end-to-end (contract query
 ``curate_corpus`` composes the per-stage DuckDB twins), which is the
@@ -35,9 +40,28 @@ guarantee a 100 TB run wants before spending the cluster time.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["curate_corpus"]
+
+
+def _lineage_seam(frame: DataFrame) -> DataFrame:
+    """Cut plan lineage before a stage that consumes its input twice.
+
+    The self-join stages (``lm_tail``'s keep-side, ``decontaminate``'s
+    hit census) reference the surviving corpus on BOTH sides of a
+    join, so without a seam each one re-embeds the entire plan prefix
+    — the composed recipe re-ran the scan + every earlier stage up to
+    ~14x (29 parquet scans / 31 exchanges in the r13 before-plan).  A
+    non-eager ``localCheckpoint`` keeps the recipe lazy (no job until
+    the caller acts) but truncates the logical plan at call time: both
+    consumers read the one materialized survivor set instead of
+    recomputing the prefix (guide §3.3).  Streams cannot checkpoint
+    this way — callers gate the stages that need a seam off streaming
+    inputs already, but stay safe here too."""
+    if frame.isStreaming:
+        return frame
+    return frame.localCheckpoint(eager=False)
 
 
 def _quality_n_buckets(weights) -> int:
@@ -166,12 +190,22 @@ def curate_corpus(
     _note("input", out)
 
     if dedup == "exact":
-        from .dedup import dedup_exact
-
-        keep = dedup_exact(
-            out, text_col, id_col, hash_fn=hash_fn
-        ).select(F.col("keep_id").alias(id_col))
-        out = out.join(keep, id_col, "left_semi")
+        # ONE-PASS formulation of the dedup_exact stage (r13, guide
+        # §2.4): semi-joining against dedup_exact(out) plants the
+        # corpus subtree in the plan twice (fingerprint side + probe
+        # side) and pays a second shuffle to re-attach the keep set;
+        # the window keeps exactly the same rows — the min-id document
+        # per normalized fingerprint — in one scan and one exchange
+        # (by the 8/16-byte fingerprint, text never re-shuffles by id).
+        norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+        key = F.xxhash64(norm) if hash_fn == "xxhash64" else F.md5(norm)
+        out = (
+            out.withColumn(
+                "__keep_id", F.min(id_col).over(Window.partitionBy(key))
+            )
+            .where(F.col(id_col) == F.col("__keep_id"))
+            .select(*cols)
+        )
         _note("dedup_exact", out)
     elif dedup is not None:
         raise ValueError(f"curate_corpus: unknown dedup mode {dedup!r}")
@@ -255,6 +289,11 @@ def curate_corpus(
                 reference_df, text_col=text_col, id_col=id_col
             )
             lm_n = 2
+        # this stage consumes `out` three ways (ccnet's (id, lang)
+        # projection, its scored n-gram stream, and the probe side of
+        # the semi-join) — seam first so all three read one
+        # materialized survivor set instead of re-running the prefix
+        out = _lineage_seam(out)
         kept = (
             ccnet_buckets(
                 out,
@@ -276,6 +315,9 @@ def curate_corpus(
     if decontaminate_n is not None:
         from .text import decontaminate
 
+        # decontaminate anti-joins `out` against a hit census built
+        # FROM `out` — seam so census and probe share one computation
+        out = _lineage_seam(out)
         out = decontaminate(
             out,
             eval_df,

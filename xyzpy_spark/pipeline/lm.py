@@ -79,15 +79,20 @@ def train_ngram_lm(
         F.explode(tokenize(F.col(text_col))).alias("token")
     )
     if n == 2:
+        # persist BEFORE the vocab count: the count job materializes
+        # the (vocab-sized) table, so the scoring broadcast reads the
+        # cache instead of re-exploding the reference corpus — the
+        # same discipline as dsir_bucket_counts (r13, guide §5)
         contexts = toks.groupBy("token").agg(
             F.count(F.lit(1)).alias("c1")
-        )
+        ).persist()
         vocab_size = contexts.count()
     else:
         contexts = (
             _doc_ngrams(ref_df, id_col, text_col, n - 1)
             .groupBy(F.col("ngram").alias("token"))
             .agg(F.count(F.lit(1)).alias("c1"))
+            .persist()
         )
         vocab_size = toks.distinct().count()
     ngrams = (

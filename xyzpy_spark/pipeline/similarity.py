@@ -16,6 +16,39 @@ from .artifacts import delete_marker_first
 from ..utils import local_df
 
 
+def _render_sql_lit(x) -> str:
+    """Render a (nested) int/float list as a Spark SQL array literal."""
+    if isinstance(x, (list, tuple)):
+        return "array(" + ",".join(_render_sql_lit(v) for v in x) + ")"
+    if isinstance(x, bool):
+        raise TypeError("_render_sql_lit: bool is not a numeric literal")
+    if isinstance(x, int):
+        return f"{x}L"
+    if isinstance(x, float):
+        if x != x or x in (float("inf"), float("-inf")):
+            raise ValueError("_render_sql_lit: non-finite literal")
+        # repr() is the shortest round-tripping decimal form; the SQL
+        # parser's Double.parseDouble re-rounds it to the IDENTICAL
+        # binary64, so the literal value is bit-equal to F.lit(x)
+        return repr(x) + "D"
+    raise TypeError(f"_render_sql_lit: {type(x).__name__}")
+
+
+def _array_lit(data, ddl: str) -> F.Column:
+    """ONE-call plan literal for a nested numeric table.
+
+    ``F.array(*[F.lit(x) ...])`` costs a py4j round trip per element —
+    the portable centroid/codebook/cross tables paid thousands of
+    driver-side calls (measured ~3.5 s of the similarity_ivf_pq gate
+    row before any job ran, tools/ivfpq_stages.py).  Rendering the
+    same values into one SQL ``array(...)`` string and parsing it with
+    ``F.expr`` builds the identical foldable expression in a single
+    call; ConstantFolding collapses both forms to the same Literal
+    before execution.  ``ddl`` pins the element type exactly as the
+    old per-level ``.cast(...)`` did (and keeps empty arrays typed)."""
+    return F.expr(f"CAST({_render_sql_lit(data)} AS {ddl})")
+
+
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -76,11 +109,9 @@ def _nearest_cell(centroids: list, vec_col: str) -> F.Column:
     """0-based argmax-cosine cell id over the (small) centroid list —
     centroids enter the plan as literals, so assignment is pure
     codegen over the corpus scan (no join, no Python)."""
-    cent_arr = F.array(
-        *[
-            F.array(*[F.lit(x) for x in c]).cast("array<double>")
-            for c in centroids
-        ]
+    cent_arr = _array_lit(
+        [[float(x) for x in c] for c in centroids],
+        "array<array<double>>",
     )
     v = F.col(vec_col).cast("array<double>")
     sims = F.transform(
@@ -213,14 +244,9 @@ def ivf_topk_portable(
         .collect()
     )
     cent_q = [[int(x) for x in r["qv"]] for r in cents]
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(x) for x in c]).cast("array<bigint>")
-            for c in cent_q
-        ]
-    )
-    cn2_lit = F.array(
-        *[F.lit(sum(x * x for x in c)).cast("long") for c in cent_q]
+    cent_lit = _array_lit(cent_q, "array<array<bigint>>")
+    cn2_lit = _array_lit(
+        [sum(x * x for x in c) for c in cent_q], "array<bigint>"
     )
 
     def _sims(qv: F.Column) -> F.Column:
@@ -322,11 +348,9 @@ def ivf_topk(
     probe touches only matching partitions.
     """
     query_id_col = query_id_col or id_col
-    cent_arr = F.array(
-        *[
-            F.array(*[F.lit(x) for x in c]).cast("array<double>")
-            for c in centroids
-        ]
+    cent_arr = _array_lit(
+        [[float(x) for x in c] for c in centroids],
+        "array<array<double>>",
     )
     qv = F.col(vec_col).cast("array<double>")
     sims = F.transform(cent_arr, lambda c: _dot(c, qv) / (_norm(c) * _norm(qv)))
@@ -378,13 +402,10 @@ def ivf_topk(
 
 def _pq_codebook_lit(codebook: list) -> F.Column:
     """One subspace's ksub x dsub codeword table as a nested array
-    literal (ksub * dsub doubles — a few hundred plan nodes, the
-    documented safe literal size)."""
-    return F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
-            for c in codebook
-        ]
+    literal (ksub * dsub doubles — one F.expr parse, not one py4j
+    call per element)."""
+    return _array_lit(
+        [[float(x) for x in c] for c in codebook], "array<array<double>>"
     )
 
 
@@ -573,12 +594,12 @@ def _pq_query_lut(codebooks: list, qv: F.Column, dsub: int) -> F.Column:
 def _pq_n2_lit(codebooks: list) -> F.Column:
     """Query-independent codeword squared norms ``n2[j][c]`` as one
     nested literal."""
-    return F.array(
-        *[
-            F.array(*[F.lit(float(sum(x * x for x in c))) for c in cb])
-            .cast("array<double>")
+    return _array_lit(
+        [
+            [float(sum(x * x for x in c)) for c in cb]
             for cb in codebooks
-        ]
+        ],
+        "array<array<double>>",
     )
 
 
@@ -723,11 +744,9 @@ def ivf_pq_build(
         corpus, n_cells=n_cells, kmeans_iters=kmeans_iters,
         id_col=id_col, vec_col=vec_col, sample_seed=sample_seed,
     )
-    cent_arr = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in c]).cast("array<double>")
-            for c in centroids
-        ]
+    cent_arr = _array_lit(
+        [[float(x) for x in c] for c in centroids],
+        "array<array<double>>",
     )
     staged = assigned.withColumn(
         "__resid",
@@ -805,11 +824,9 @@ def ivf_pq_topk(
     qv = F.col(vec_col).cast("array<double>")
 
     # rank cells for each query (same expression as ivf_topk)
-    cent_arr = F.array(
-        *[
-            F.array(*[F.lit(x) for x in c]).cast("array<double>")
-            for c in centroids
-        ]
+    cent_arr = _array_lit(
+        [[float(x) for x in c] for c in centroids],
+        "array<array<double>>",
     )
     sims = F.transform(
         cent_arr, lambda c: _dot(c, qv) / (_norm(c) * _norm(qv))
@@ -854,34 +871,27 @@ def ivf_pq_topk(
                 F.col("qv"),
             ).alias("__q_dot_c"),
         )
-        c_n2_lit = F.array(
-            *[
-                F.lit(float(sum(x * x for x in cvec)))
-                for cvec in centroids
-            ]
+        c_n2_lit = _array_lit(
+            [float(sum(x * x for x in cvec)) for cvec in centroids],
+            "array<double>",
         )
-        cross_lit = F.array(
-            *[
-                F.array(
-                    *[
-                        F.array(
-                            *[
-                                F.lit(
-                                    float(
-                                        sum(
-                                            cvec[j * dsub + p] * cw[p]
-                                            for p in range(dsub)
-                                        )
-                                    )
-                                )
-                                for cw in codebooks[j]
-                            ]
+        cross_lit = _array_lit(
+            [
+                [
+                    [
+                        float(
+                            sum(
+                                cvec[j * dsub + p] * cw[p]
+                                for p in range(dsub)
+                            )
                         )
-                        for j in range(len(codebooks))
+                        for cw in codebooks[j]
                     ]
-                )
+                    for j in range(len(codebooks))
+                ]
                 for cvec in centroids
-            ]
+            ],
+            "array<array<array<double>>>",
         )
     c = corpus_with_cells_codes.select(
         F.col(id_col).alias("nbr_id"),
@@ -1031,15 +1041,10 @@ def pq_topk_portable(
     n2 = [[sum(x * x for x in c) for c in cb_q[j]] for j in range(m)]
 
     def _cb_lit(j: int) -> F.Column:
-        return F.array(
-            *[
-                F.array(*[F.lit(x) for x in c]).cast("array<bigint>")
-                for c in cb_q[j]
-            ]
-        )
+        return _array_lit(cb_q[j], "array<array<bigint>>")
 
     def _n2_lit(j: int) -> F.Column:
-        return F.array(*[F.lit(v) for v in n2[j]]).cast("array<bigint>")
+        return _array_lit(n2[j], "array<bigint>")
 
     def _cost_fn(sub):
         # encode cost |c|^2 - 2 x.c ranks like L2; zip_with pairs each
@@ -1093,7 +1098,7 @@ def pq_topk_portable(
             ),
         )
     )
-    n2_full = F.array(*[_n2_lit(j) for j in range(m)])
+    n2_full = _array_lit(n2, "array<array<bigint>>")
     approx_dot = F.aggregate(
         F.zip_with(
             "codes", F.col("lut"),
@@ -1242,14 +1247,9 @@ def ivf_pq_topk_portable(
             f"ivf_pq_topk_portable: dim {dim} not divisible by m={m}"
         )
     dsub = dim // m
-    cent_lit = F.array(
-        *[
-            F.array(*[F.lit(x) for x in c]).cast("array<bigint>")
-            for c in cent_q
-        ]
-    )
-    cn2_lit = F.array(
-        *[F.lit(sum(x * x for x in c)).cast("long") for c in cent_q]
+    cent_lit = _array_lit(cent_q, "array<array<bigint>>")
+    cn2_lit = _array_lit(
+        [sum(x * x for x in c) for c in cent_q], "array<bigint>"
     )
 
     def _sims(qv: F.Column) -> F.Column:
@@ -1332,30 +1332,13 @@ def ivf_pq_topk_portable(
         ]
         for L in range(len(cent_q))
     ]
-    cross_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(v) for v in cj]).cast(
-                        "array<bigint>"
-                    )
-                    for cj in cl
-                ]
-            )
-            for cl in cross
-        ]
-    )
+    cross_lit = _array_lit(cross, "array<array<array<bigint>>>")
 
     def _cb_lit(j: int) -> F.Column:
-        return F.array(
-            *[
-                F.array(*[F.lit(x) for x in c]).cast("array<bigint>")
-                for c in cb_q[j]
-            ]
-        )
+        return _array_lit(cb_q[j], "array<array<bigint>>")
 
     def _n2_lit(j: int) -> F.Column:
-        return F.array(*[F.lit(v) for v in n2[j]]).cast("array<bigint>")
+        return _array_lit(n2[j], "array<bigint>")
 
     def _cost_fn(sub):
         return lambda c, nn: nn - F.lit(2) * _int_dot(c, sub)
@@ -1442,7 +1425,7 @@ def ivf_pq_topk_portable(
             _int_dot(F.element_at(cent_lit, F.col("cell") + 1), F.col("qv")),
         )
     )
-    n2_full = F.array(*[_n2_lit(j) for j in range(m)])
+    n2_full = _array_lit(n2, "array<array<bigint>>")
     lut_sum = F.aggregate(
         F.zip_with(
             "codes", F.col("lut"),

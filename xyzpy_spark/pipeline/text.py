@@ -1731,6 +1731,14 @@ def score_langid_trained(
         n_buckets=n_buckets,
         hash_fn=hash_fn,
     )
+    if not feats.isStreaming:
+        # the feature table feeds BOTH the margin sum and the
+        # every-language completion cross join below; without a seam
+        # the n-gram explode + aggregation subtree runs twice per
+        # action (r13, guide §3.3).  Non-eager localCheckpoint keeps
+        # scoring lazy; the cached rows are the compact (id, bucket,
+        # cnt) census, never document text.
+        feats = feats.localCheckpoint(eager=False)
     wsums = (
         feats.join(F.broadcast(wtab), "bucket")
         .groupBy(id_col, "lang")

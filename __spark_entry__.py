@@ -922,10 +922,18 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_events_stream,
     )
 
+    from concurrent.futures import ThreadPoolExecutor
+
     tmp = tempfile.mkdtemp(prefix="xyzpy_gate_hll_")
     try:
-        parts = {}
-        for kind, col in (("u", "user_id"), ("e", "event_id")):
+        # the two streams (users, events) are fully independent —
+        # separate sources, checkpoints, state and output dirs — so
+        # run them CONCURRENTLY (guide §2.6: overlap independent jobs;
+        # each stream's tail leaves most executors idle, and the
+        # second stream's micro-batches back-fill them).  Results are
+        # unchanged: each stream reads its own inputs only.
+        def _run(kind_col):
+            kind, col = kind_col
             out = f"{tmp}/{kind}/out"
             hll_stream_distinct(
                 read_events_stream(spark, sf_dir),
@@ -938,7 +946,12 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             est = spark.read.parquet(out)
             last = est.agg(F.max("epoch_id")).first()[0]
-            parts[kind] = est.where(F.col("epoch_id") == last)
+            return kind, est.where(F.col("epoch_id") == last)
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            parts = dict(
+                pool.map(_run, (("u", "user_id"), ("e", "event_id")))
+            )
         users = parts["u"].select(
             "event_type",
             F.col("registers_hit").alias("users_hit"),

@@ -3458,8 +3458,19 @@ def q_winnow_fold_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             initial, k=6, w=5, max_fp_freq=50, hash_fn="md5"
         )
         save_winnow_index(index, dropped, p, fp_buckets=32)
-        extend_winnow_index(delta_a, p, seg=0)
-        extend_winnow_index(delta_b, p, seg=1)
+        # the two deltas land as INDEPENDENT segments (disjoint doc
+        # slices, separate seg dirs, no ordering contract between
+        # them) — overlap the two extend jobs from a 2-thread pool so
+        # the second delta's tasks back-fill executors idled by the
+        # first's tail (guide §2.6; the stream_hll discipline).
+        # Results are unchanged: each extend writes only its own
+        # pinned seg dir and the fold below consumes both committed.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            fa = pool.submit(extend_winnow_index, delta_a, p, seg=0)
+            fb = pool.submit(extend_winnow_index, delta_b, p, seg=1)
+            fa.result(), fb.result()
         # the run-start state (no segments folded), then the fold —
         # the exact two stages the streaming sink pays
         idx0, drp0 = load_winnow_index(spark, p, before_seg=0)

@@ -1931,14 +1931,23 @@ def save_dedup_index(
     index.  The bucket counts ride as stamped columns
     (RLE-compressed to nothing); :func:`dedup_against_index` derives
     the same bucket expression on the batch side and validates via
-    the stamps.  Load the pair back with :func:`load_dedup_index`."""
+    the stamps.  Load the pair back with :func:`load_dedup_index`.
+
+    The two directory writes are INDEPENDENT jobs (disjoint dirs, no
+    ordering contract) and run from a 2-thread pool so the second
+    write's tasks back-fill executors idled by the first's shuffle
+    tail (guide §2.6).  When ``index`` and ``bands`` share an
+    expensive UNMATERIALIZED subtree (``band_dedup_index`` over a lazy
+    build), materialize it first (``localCheckpoint(eager=True)`` —
+    the sign-once discipline both gate callers use); otherwise each
+    write evaluates its own plan exactly as the sequential version
+    did, just overlapped."""
     if fp_buckets < 2 or bb_buckets < 2:
         raise ValueError("save_dedup_index: bucket counts must be >= 2")
     main = index.withColumn(
         "fp_bucket",
         F.pmod(F.xxhash64("fingerprint"), F.lit(int(fp_buckets))),
     ).withColumn("fp_buckets", F.lit(int(fp_buckets)))
-    _save_bucket_partitioned(main, path + "/main", "fp_bucket")
     bb = bands.withColumn(
         "bb_bucket",
         F.pmod(
@@ -1946,7 +1955,16 @@ def save_dedup_index(
             F.lit(int(bb_buckets)),
         ),
     ).withColumn("bb_buckets", F.lit(int(bb_buckets)))
-    _save_bucket_partitioned(bb, path + "/bands", "bb_bucket")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fm = pool.submit(
+            _save_bucket_partitioned, main, path + "/main", "fp_bucket"
+        )
+        fb = pool.submit(
+            _save_bucket_partitioned, bb, path + "/bands", "bb_bucket"
+        )
+        fm.result(), fb.result()
 
 
 def load_dedup_index(spark, path: str) -> tuple[DataFrame, DataFrame]:
@@ -2782,11 +2800,24 @@ def build_winnow_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "xxhash64",
+    cache: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """The persistent WINNOWED dedup index for incremental ingest —
     the saved-fingerprint twin of :func:`build_dedup_index`, storing
     the winnowing selection (:func:`winnow_fingerprints`, ~``2/(w+1)``
     of the k-gram rows) instead of MinHash signatures.
+
+    ``cache`` persists the fingerprint table (the
+    :func:`winnow_dedup_pairs` discipline): the md5-per-k-gram pass is
+    the expensive compute and the returned pair's plan consumes it up
+    to four times per action (the frequency-cap aggregate, BOTH sides
+    of the per-doc-sizes join, and the separate ``dropped`` write of
+    :func:`save_winnow_index`) — plan-audited at 4 Generate subtrees
+    in one build+save before the persist.  The returned plans
+    reference ONE live persisted table, which the caller's
+    ``unpersist``/``spark.catalog.clearCache()`` or session teardown
+    frees; pass ``cache=False`` to stream the fingerprints through
+    uncached (each consumer then re-hashes).
 
     Why this is the index you'd save at 100 TB: MinHash stores a
     fixed ``num_perm``-long signature per document and estimates
@@ -2823,6 +2854,8 @@ def build_winnow_index(
     fps = winnow_fingerprints(
         df, k=k, w=w, text_col=text_col, id_col=id_col, hash_fn=hash_fn
     )
+    if cache:
+        fps = fps.persist()
     spark = df.sparkSession
     if max_fp_freq is not None:
         if max_fp_freq < 1:

@@ -1503,6 +1503,61 @@ def _validated_langid_meta(weights: DataFrame) -> tuple[int, int, str]:
     )
 
 
+def _weight_rows_and_meta(
+    weights: DataFrame,
+) -> tuple[list[tuple[str, int, float]], int, int, str]:
+    """ONE Arrow driver pull of a weight table: the sorted
+    ``(lang, bucket, weight)`` rows plus the validated featurizer
+    config — same contracts and error messages as
+    :func:`_validated_langid_meta`, checked python-side on the pulled
+    frame (r13 optimization: the rowwise scorer paid TWO driver jobs
+    per call — the meta aggregation ``.first()`` and a pickled-row
+    ``collect()`` — ~2 s of the production-size gate row; one Arrow
+    ``toPandas`` transfer carries both.  The table is language-sized
+    by contract, so the pull is broadcast-scale)."""
+    meta_cols = ["n_buckets", "ngram"]
+    has_hash = "hash_fn" in weights.columns
+    if has_hash:
+        meta_cols.append("hash_fn")
+    pdf = weights.select("lang", "bucket", "weight", *meta_cols).toPandas()
+    if len(pdf) == 0:
+        raise ValueError("empty weight table")
+    nullrows = int(pdf[meta_cols].isnull().any(axis=1).sum())
+    if nullrows > 0:
+        raise ValueError(
+            "weight-table metadata contains NULLs: "
+            f"{nullrows} row(s) have a NULL in one of "
+            f"({', '.join(meta_cols)}); every weight row must carry "
+            "the full featurizer config"
+        )
+    configs = {
+        tuple(
+            x.item() if hasattr(x, "item") else x for x in t
+        )
+        for t in pdf[meta_cols].drop_duplicates().itertuples(index=False)
+    }
+    if len(configs) > 1:
+        raise ValueError(
+            "inconsistent weight-table metadata: every row must share "
+            f"one ({', '.join(meta_cols)}) config, found "
+            f"{sorted(configs)}"
+        )
+    rows = sorted(
+        (l, int(b), float(w))
+        for l, b, w in zip(
+            pdf["lang"].tolist(),
+            pdf["bucket"].tolist(),
+            pdf["weight"].tolist(),
+        )
+    )
+    return (
+        rows,
+        int(pdf["n_buckets"].iloc[0]),
+        int(pdf["ngram"].iloc[0]),
+        str(pdf["hash_fn"].iloc[0]) if has_hash else "murmur3",
+    )
+
+
 def _gram_bucket_expr(g, hash_fn: str, n_buckets: int) -> F.Column:
     """The shared gram->bucket hash of the langid featurizer (murmur3
     production / md5 engine-portable), as an expression over a single
@@ -1565,11 +1620,7 @@ def score_langid_rowwise(
         raise ValueError(
             f"encoding must be 'auto', 'map' or 'packed', got {encoding!r}"
         )
-    n_buckets, ngram, hash_fn = _validated_langid_meta(weights)
-    rows = sorted(
-        (r["lang"], int(r["bucket"]), float(r["weight"]))
-        for r in weights.select("lang", "bucket", "weight").collect()
-    )
+    rows, n_buckets, ngram, hash_fn = _weight_rows_and_meta(weights)
     if encoding == "auto":
         encoding = "map" if len(rows) <= max_literal_weights else "packed"
     if encoding == "map" and len(rows) > max_literal_weights:
@@ -1615,46 +1666,67 @@ def score_langid_rowwise(
         ),
     )
 
-    def _margin(lang: str) -> F.Column:
-        base = F.lit(float(b0.get(lang, 0.0)))
+    # the whole per-language margin fold renders as ONE SQL string
+    # parsed by a single F.expr (r13 optimization, the _array_lit
+    # discipline): the python-DSL construction paid a py4j round trip
+    # per expression node — ~9,000 trips for the 28-language packed
+    # model, ~4 s of driver latency per plan build BEFORE any job ran
+    # (profiled: 28 aggregate-lambda constructions each re-shipping an
+    # 8-16 KB blob literal).  Every literal below renders value-exactly
+    # (repr() doubles re-parse to the identical binary64; blobs as
+    # X'..' hex), so the parsed tree folds the same double sequence in
+    # the same order and predicts bit-identically (pinned in pytest
+    # old-vs-new and by the unchanged oracle hash).
+    def _dlit(x: float) -> str:
+        return repr(float(x)) + "D"
+
+    def _margin_sql(lang: str) -> str:
+        base = _dlit(b0.get(lang, 0.0))
         pairs = by_lang.get(lang)
         if not pairs:
-            m = base
+            m = f"CAST({base} AS DOUBLE)"
         elif encoding == "packed":
             blob, scale, width = packed[lang]
-            m = F.aggregate(
-                F.col("__b"),
-                base.cast("double"),
-                lambda acc, bkt: acc
-                + _packed_weight_expr(blob, bkt, scale=scale, width=width),
+            off = f"CAST(CAST(bkt AS BIGINT) * {width} + 1 AS INT)"
+            h = f"hex(substr(X'{blob.hex()}', {off}, {width}))"
+            if width == 8:
+                n = f"CAST(conv({h}, 16, -10) AS BIGINT)"
+            else:
+                u = f"CAST(conv({h}, 16, 10) AS BIGINT)"
+                n = (
+                    f"(CASE WHEN {u} >= 2147483648 THEN {u} - 4294967296 "
+                    f"ELSE {u} END)"
+                )
+            w = f"({n} / {_dlit(10 ** scale)})"
+            m = (
+                f"aggregate(__b, CAST({base} AS DOUBLE), "
+                f"(acc, bkt) -> acc + {w})"
             )
         else:
-            wmap = F.map_from_arrays(
-                F.lit([p[0] for p in pairs]),
-                F.lit([p[1] for p in pairs]),
-            )
-            m = F.aggregate(
-                F.col("__b"),
-                base.cast("double"),
-                lambda acc, bkt: acc
-                + F.coalesce(
-                    F.element_at(wmap, bkt.cast("long")), F.lit(0.0)
-                ),
+            ks = ",".join(f"{int(p[0])}L" for p in pairs)
+            vs = ",".join(_dlit(p[1]) for p in pairs)
+            wmap = f"map_from_arrays(array({ks}), array({vs}))"
+            m = (
+                f"aggregate(__b, CAST({base} AS DOUBLE), "
+                f"(acc, bkt) -> acc + coalesce(element_at({wmap}, "
+                f"CAST(bkt AS BIGINT)), 0.0D))"
             )
         if round_places is not None:
-            m = _round_det(m, round_places)
+            s = _dlit(10 ** int(round_places))
+            m = f"(FLOOR(({m}) * {s} + 0.5D) / {s})"
         return m
 
-    best = F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    (-_margin(lang)).alias("neg_m"),
-                    F.lit(lang).alias("lang"),
-                )
-                for lang in langs
-            ]
+    def _slit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    best = F.expr(
+        "array_min(array("
+        + ",".join(
+            f"named_struct('neg_m', -({_margin_sql(lang)}), "
+            f"'lang', {_slit(lang)})"
+            for lang in langs
         )
+        + "))"
     )
     staged = staged.withColumn("__best", best)
     has_grams = F.size("__b") > 0

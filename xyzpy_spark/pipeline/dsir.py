@@ -73,6 +73,29 @@ def _feature_stream(
     return out
 
 
+def _bucketed_feats(
+    df: DataFrame, id_col: str, text_col: str, n: int, n_buckets: int
+) -> DataFrame:
+    """Compact ``(__doc, bucket)`` rows — one per feature occurrence;
+    the text never leaves this projection."""
+    return _feature_stream(df, id_col, text_col, n).select(
+        "__doc", _bucket(F.col("ngram"), n_buckets).alias("bucket")
+    )
+
+
+def _counts_from_feats(feats_b: DataFrame) -> tuple[DataFrame, int]:
+    counts = (
+        feats_b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # n_buckets rows; the total-count action below materializes
+        # the cache, so the scoring broadcast (and any re-fit) reads
+        # the cached count table instead of re-scanning the corpus
+        .persist()
+    )
+    total = counts.agg(F.sum("cnt")).first()[0] or 0
+    return counts, int(total)
+
+
 def dsir_bucket_counts(
     df: DataFrame,
     *,
@@ -86,18 +109,9 @@ def dsir_bucket_counts(
     bag-of-features model.  Output is ``n_buckets``-bounded however
     large the corpus; the total triggers one count job so downstream
     plans can embed it as a literal."""
-    feats = _feature_stream(df, id_col, text_col, n)
-    counts = (
-        feats.select(_bucket(F.col("ngram"), n_buckets).alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        # n_buckets rows; the total-count action below materializes
-        # the cache, so the scoring broadcast (and any re-fit) reads
-        # the cached count table instead of re-scanning the corpus
-        .persist()
+    return _counts_from_feats(
+        _bucketed_feats(df, id_col, text_col, n, n_buckets)
     )
-    total = counts.agg(F.sum("cnt")).first()[0] or 0
-    return counts, int(total)
 
 
 def dsir_weights(
@@ -130,13 +144,18 @@ def dsir_weights(
         text_col=text_col,
         id_col=id_col,
     )
-    q_counts, q_total = dsir_bucket_counts(
-        raw_df,
-        n_buckets=n_buckets,
-        n=n,
-        text_col=text_col,
-        id_col=id_col,
-    )
+    # The raw pool is both the q-model's fit corpus AND the corpus
+    # being scored — bucket its feature stream ONCE and persist the
+    # compact (doc, bigint) pairs, so the scoring join below reads
+    # the cache instead of re-paying the tokenize + explode + bigram
+    # window shuffle a second time.  (The q-fit count job right after
+    # the persist materializes it; cached pairs are strictly smaller
+    # than the token-window shuffle the recompute would redo, so the
+    # trade holds at any scale.)
+    raw_feats = _bucketed_feats(
+        raw_df, id_col, text_col, n, n_buckets
+    ).persist()
+    q_counts, q_total = _counts_from_feats(raw_feats)
     k = float(add_k)
     kb = k * n_buckets
     ratio = (
@@ -157,11 +176,8 @@ def dsir_weights(
     )
     if broadcast_model:
         ratio = F.broadcast(ratio)
-    feats = _feature_stream(raw_df, id_col, text_col, n).select(
-        "__doc", _bucket(F.col("ngram"), n_buckets).alias("bucket")
-    )
     return (
-        feats.join(ratio, "bucket")
+        raw_feats.join(ratio, "bucket")
         .groupBy("__doc")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_feats"),

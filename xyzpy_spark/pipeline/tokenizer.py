@@ -432,7 +432,16 @@ def oov_rate(
     broadcast left-join + one global aggregate.
     """
     enc = bpe_encode(df, merges, text_col=text_col, lowercase=lowercase)
-    toks = enc.select(F.explode("bpe_tokens").alias("token"))
+    # explode_outer + an explicit NOT NULL on the generate OUTPUT, not
+    # plain explode: Catalyst's InferFiltersFromGenerate plants a
+    # size(bpe_tokens)>0 filter BELOW the generate, which re-evaluates
+    # the encode pandas UDF a second time (two stacked ArrowEvalPython
+    # stages).  The rule skips outer generates; BPE token arrays never
+    # contain NULL elements, so dropping the NULL rows the outer
+    # explode adds for empty/NULL arrays leaves the multiset identical.
+    toks = enc.select(F.explode_outer("bpe_tokens").alias("token")).where(
+        F.col("token").isNotNull()
+    )
     joined = toks.join(
         F.broadcast(vocab.select("token", "token_id")), "token", "left"
     )

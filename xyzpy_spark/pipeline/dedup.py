@@ -2956,9 +2956,24 @@ def load_winnow_index(
     segs = read_committed_segments(spark, path, hi=before_seg)
     if segs is None:
         return main, dropped
-    if main.select("k").first() is None:
+    # ONE stamp read covering the emptiness check, the fold's meta row
+    # AND the bucket-count stamp (was three .first() driver jobs per
+    # consolidated load before the fold call even started)
+    stamp_cols = ["k", "w", "hash_fn", "max_fp_freq"]
+    if "fp_buckets" in main.columns:
+        stamp_cols.append("fp_buckets")
+    meta = main.select(*stamp_cols).first()
+    if meta is None:
         # empty unstamped main: nothing to consolidate on
         return main, dropped
+    stamps = {
+        "k": int(meta["k"]),
+        "w": int(meta["w"]),
+        "hash_fn": str(meta["hash_fn"]),
+        "max_fp_freq": int(meta["max_fp_freq"]),
+    }
+    if "fp_buckets" in main.columns:
+        stamps["fp_buckets"] = int(meta["fp_buckets"])
     # consolidation IS the fold (r13 optimization): the saved main is
     # already a consolidated (id, fingerprint, n_fp) pair, so folding
     # the uncapped segment rows into it (fold_winnow_segments — the
@@ -2971,7 +2986,7 @@ def load_winnow_index(
     # tools/load_ab.py).  Bonus: the fold keeps main's fp_bucket
     # columns, so probes of a consolidated pair stay bucket-prunable
     # (the old path stripped them; probe 1.8 -> 1.3 s at sf0.1).
-    return fold_winnow_segments(main, dropped, segs)
+    return fold_winnow_segments(main, dropped, segs, stamps=stamps)
 
 
 def read_committed_segments(

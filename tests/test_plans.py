@@ -329,10 +329,12 @@ def test_hot_keys_bounded_candidates(spark):
 
 
 def test_substring_spans_no_self_join(spark):
-    """Substring dedup must stay linear: the plan has hash aggregates
-    and window exchanges but NO join of the gram stream with itself
-    on the raw gram text producing pair fan-out (the candidate join
-    is occurrence->gram-stats, 1:1), and no Python evaluators."""
+    """Substring dedup must stay linear: the plan has window exchanges
+    but NO join at all — per-gram count and first-occurrence winner
+    are window aggregates over ONE derivation of the occurrence
+    stream (r13: the former groupBy + join-back planted the tokenize
+    + posexplode + lead-window subtree twice) — and no Python
+    evaluators."""
     from xyzpy_spark.pipeline.dedup import duplicate_substring_spans
 
     docs = read_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -341,9 +343,11 @@ def test_substring_spans_no_self_join(spark):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # one equi-join (occurrence -> duplicated-gram stats), not more
+    # zero joins: gram stats ride a window over the single occ pass
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") \
-        + plan.count("BroadcastHashJoin") == 1, plan
+        + plan.count("BroadcastHashJoin") == 0, plan
+    # and the corpus is scanned once, not once per consumer
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_winnow_dedup_pairs_capped_equi_join_plan(spark):

@@ -822,16 +822,23 @@ def duplicate_substring_spans(
         .where(F.col(last).isNotNull())
         .select("__doc", "__pos", gram_key.alias("__gram"))
     )
-    dup = (
-        occ.groupBy("__gram")
-        .agg(
-            F.count(F.lit(1)).alias("__n"),
-            F.min(F.struct("__doc", "__pos")).alias("__w"),
+    # per-gram count + first-occurrence winner as WINDOW aggregates
+    # over one partition-by-gram pass: the former groupBy + join-back
+    # planted the whole occ subtree (tokenize + posexplode + the
+    # per-doc lead-window shuffle) in the plan TWICE — the r13 plan
+    # audit read 2 corpus scans and 2 token shuffles for this stage.
+    # Window count/min over the full partition equal the group
+    # aggregates row-for-row, so the marked set is unchanged.
+    gw = Window.partitionBy("__gram")
+    marked = (
+        occ.select(
+            "__doc",
+            "__pos",
+            F.count(F.lit(1)).over(gw).alias("__n"),
+            F.min(F.struct("__doc", "__pos")).over(gw).alias("__w"),
         )
         .where(F.col("__n") >= min_repeat)
-        .select("__gram", "__w")
     )
-    marked = occ.join(dup, "__gram")
     if keep_first:
         marked = marked.where(
             (F.col("__doc") != F.col("__w.__doc"))

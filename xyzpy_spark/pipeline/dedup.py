@@ -139,6 +139,13 @@ def ngram_jaccard_pairs(
     sh = _exploded_shingles_fast(df, id_col, text_col, n).dropDuplicates(
         ["_id", "shingle"]
     )
+    if cache:
+        # persist BEFORE the frequency cap (the winnow_dedup_pairs
+        # discipline, swept here r13): the cap's rare-shingle
+        # aggregate and the semi-join probe are two consumers of the
+        # shingle pass — without this the explode + per-doc dedup
+        # shuffle ran twice at materialization
+        sh = sh.persist()
     if max_shingle_freq is not None:
         rare = (
             sh.groupBy("shingle")
@@ -146,9 +153,16 @@ def ngram_jaccard_pairs(
             .where(F.col("f") <= max_shingle_freq)
             .select("shingle")
         )
+        precap = sh
         sh = sh.join(rare, "shingle", "left_semi")
-    if cache:
-        sh = sh.persist()
+        if cache:
+            # materialize the capped table (its build reads the
+            # pre-cap cache twice: freq agg + semi-join probe), then
+            # RELEASE the pre-cap blocks so each call leaves ONE live
+            # persisted table, exactly like the winnow twin
+            sh = sh.persist()
+            sh.count()
+            precap.unpersist()
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
     a = sh.select(F.col("_id").alias("id_a"), "shingle")

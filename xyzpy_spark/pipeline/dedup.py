@@ -3635,6 +3635,7 @@ def dedup_against(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_fn: str = "xxhash64",
+    cache: bool = True,
 ) -> DataFrame:
     """Cross-corpus dedup: drop documents from ``df`` that duplicate
     a REFERENCE corpus (new crawl vs existing training set, corpus B
@@ -3686,6 +3687,15 @@ def dedup_against(
     b = _exploded_shingles_fast(
         reference, id_col, text_col, n
     ).dropDuplicates(["_id", "shingle"])
+    if cache:
+        # each side's shingle pass feeds 2-3 consumers (sizes, the
+        # optional frequency census, the candidate join) — persist so
+        # the explode + per-doc dedup shuffle runs once per side, not
+        # once per consumer (the ngram_jaccard_pairs discipline; lazy,
+        # materialized by the caller's first action, released by
+        # clearCache/session teardown)
+        a = a.persist()
+        b = b.persist()
     # true set sizes BEFORE any frequency filtering (lower-bound
     # guarantee, same rationale as ngram_containment_pairs)
     sa = a.groupBy("_id").agg(F.count(F.lit(1)).alias("n_a"))

@@ -1107,7 +1107,11 @@ def embedding_lsh_pairs(
     buckets = embedding_lsh_buckets(
         df, id_col=id_col, vec_col=vec_col, n_bits=n_bits, bands=bands,
         seed=seed,
-    )
+    # persist the (id, band, bucket) rows: the numpy projection
+    # mapInPandas stage feeds BOTH self-join sides (plus the optional
+    # cap census) and re-ran once per consumer uncached (r13; lazy —
+    # the caller's first action materializes it)
+    ).persist()
     buckets = _cap_buckets(buckets, max_bucket_size)
     a = buckets.select(
         "band", "bucket", F.col("id").alias("id_a")
@@ -1290,7 +1294,10 @@ def embedding_lsh_pairs_portable(
 
     buckets = df.select(id_col, vec_col).mapInPandas(
         buckets_part, "id long, band int, bucket long"
-    )
+    # persist: the integer-projection mapInPandas stage feeds both
+    # self-join sides (plus the optional cap census) — see
+    # embedding_lsh_pairs
+    ).persist()
     # same scale guard as the production path; the oracle twin mirrors
     # it with a HAVING count(*) <= cap on the (band, bucket) group
     buckets = _cap_buckets(buckets, max_bucket_size)

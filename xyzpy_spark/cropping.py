@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import time
 
 from pyspark import cloudpickle
@@ -284,7 +285,8 @@ class Crop:
         explode = bool(self._load_spec()["explode"])
 
         grid = self.spark.read.parquet(self.grid_path)
-        for b in batch_ids:
+
+        def _grow_one(b: int) -> None:
             part = grid.where(F.col("batch") == int(b)).drop("batch")
             if num_workers:
                 part = part.repartition(num_workers)
@@ -296,6 +298,28 @@ class Crop:
             final = fsutil.join(self.results_path, f"batch={b}")
             out.write.mode("overwrite").parquet(tmp)
             fsutil.replace(self.spark, tmp, final)
+
+        # batches are independent (disjoint staged dirs, idempotent
+        # tmp+replace swaps), so overlap a bounded number of grow jobs
+        # (guide §2.6): the next batch's tasks back-fill executors
+        # idled by the current batch's tail.  Results are unchanged —
+        # each batch writes only its own dir; a kernel error still
+        # raises (first failure wins, after in-flight batches settle,
+        # which leaves only valid re-reapable batch dirs behind).
+        pool_size = min(
+            len(batch_ids),
+            max(1, int(os.environ.get("XYZPY_GROW_CONCURRENCY", "2"))),
+        )
+        if pool_size <= 1:
+            for b in batch_ids:
+                _grow_one(b)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=pool_size) as pool:
+                futs = [pool.submit(_grow_one, b) for b in batch_ids]
+                for f in futs:
+                    f.result()
 
     # -- audit ----------------------------------------------------------
     def expected_batch_sizes(self) -> dict[int, int]:

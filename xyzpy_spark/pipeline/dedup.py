@@ -2943,8 +2943,24 @@ def save_winnow_index(
     # empty-index corner (corpus of all-too-short docs) handled by
     # the shared scaffold: rewrite unpartitioned so the load
     # round-trips and the probe returns all-novel (review catch)
-    _save_bucket_partitioned(stamped, path + "/main", "fp_bucket")
-    dropped.write.mode("overwrite").parquet(path + "/dropped")
+    #
+    # the two directory writes are independent (disjoint dirs, no
+    # ordering contract; with cache=True builds both read the same
+    # persisted fingerprint table) — overlap them so the dropped
+    # write's tasks back-fill executors idled by the bucketed main
+    # write's shuffle tail (guide §2.6, the save_dedup_index twin)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fm = pool.submit(
+            _save_bucket_partitioned, stamped, path + "/main", "fp_bucket"
+        )
+        fd = pool.submit(
+            lambda: dropped.write.mode("overwrite").parquet(
+                path + "/dropped"
+            )
+        )
+        fm.result(), fd.result()
 
 
 def load_winnow_index(

@@ -724,9 +724,17 @@ def main() -> None:
         "solo_flagged": flagged or None,
         "solo_adjudications": solo_adjudications or None,
     }
-    line = json.dumps(record)
-    # the driver captures stdout with a bounded window and truncated
-    # BENCH_r05 mid-line; the file copy makes the record self-sufficient
+    # r14 (r13 verdict ask #1): the one-line stdout record outgrew the
+    # driver's bounded capture TWICE (BENCH_r05, then BENCH_r12 — the
+    # truncation cost round 13 the whole driver-side round-over-round
+    # table).  The stdout line is now COMPACT — the driver-contract
+    # fields (metric/value/unit/queries/sf) plus the small scalar
+    # summaries a reader needs to calibrate (drift divisors, load,
+    # flags) — and is printed as the ABSOLUTE LAST line.  The full
+    # detail (raw samples, segment sentinels, per-row ratios,
+    # protocols, solo adjudications) moves to the file copy, which is
+    # committed alongside.  No timing methodology changed: the same
+    # queries, sampling and calibration produce both records.
     out_path = os.environ.get(
         "BENCH_OUT",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -734,10 +742,32 @@ def main() -> None:
     )
     try:
         with open(out_path, "w") as fh:
-            fh.write(line + "\n")
+            fh.write(json.dumps(record) + "\n")
     except OSError:
         pass
-    print(line)
+    compact = {
+        k: record[k]
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "queries",
+            "sf",
+            "load_avg_at_start",
+            "load_avg_at_end",
+            "load_max",
+            "waited_for_load_sec",
+            "measured_under_load",
+            "drift_divisor",
+            "stream_drift_divisor",
+            "solo_flagged",
+        )
+    }
+    # where the full record (samples/sentinels/ratios/adjudications)
+    # landed — the stdout line stays parseable however much detail the
+    # file carries
+    compact["detail_file"] = os.path.basename(out_path)
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

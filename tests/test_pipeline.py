@@ -4572,6 +4572,72 @@ def test_extend_dedup_index_retry_idempotent(spark, tmp_path):
     assert lbands.count() == rbands.count()
 
 
+def test_extend_dedup_index_intent_marker(spark, tmp_path):
+    """The r14 intent-marker protocol (r13 verdict ask #2): a
+    proven-first extend (marker created by this call) skips the retry
+    anti-joins and must land bit-identically to the plain extend; a
+    RETRY under the same token (marker already on disk) after a
+    simulated crash must fall back to the anti-join path and complete
+    only the missing rows — never double-append."""
+    import glob as _glob
+    import os as _os
+
+    from xyzpy_spark.pipeline.dedup import (
+        band_dedup_index,
+        build_dedup_index,
+        extend_dedup_index,
+        load_dedup_index,
+        save_dedup_index,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    corpus_a = docs.where(F.col("doc_id") % 10 < 5)
+    delta_b = docs.where((F.col("doc_id") % 10).between(5, 8))
+    kw = dict(n=2, hash_fn="md5")
+
+    p = str(tmp_path / "didx")
+    index = build_dedup_index(corpus_a, **kw)
+    save_dedup_index(
+        index, band_dedup_index(index, **kw), p,
+        fp_buckets=16, bb_buckets=16,
+    )
+
+    def snap(sub):
+        return set(_glob.glob(_os.path.join(p, sub, "*", "part-*")))
+
+    bands_before = snap("bands")
+    # first attempt with an intent token: marker created, skip path
+    extend_dedup_index(delta_b, p, intent="epoch-0")
+    assert _os.path.exists(_os.path.join(p, "_intents", "epoch-0"))
+    main_once, bands_once = snap("main"), snap("bands")
+    lidx, _ = load_dedup_index(spark, p)
+    want_n = build_dedup_index(
+        corpus_a.unionByName(delta_b), **kw
+    ).count()
+    assert lidx.count() == want_n
+
+    # simulated crash: roll bands back, then REPLAY under the SAME
+    # token — the marker forces the anti-join path, main must not
+    # grow, bands must be completed
+    for f in snap("bands") - bands_before:
+        _os.remove(f)
+    extend_dedup_index(delta_b, p, intent="epoch-0")
+    assert snap("main") == main_once
+    lidx, lbands = load_dedup_index(spark, p)
+    assert lidx.count() == want_n
+    rbands = band_dedup_index(
+        build_dedup_index(corpus_a.unionByName(delta_b), **kw), **kw
+    )
+    assert lbands.count() == rbands.count()
+
+    # a full redelivery under the same token is likewise a no-op
+    extend_dedup_index(delta_b, p, intent="epoch-0")
+    assert snap("main") == main_once and snap("bands") == snap("bands")
+    assert load_dedup_index(spark, p)[0].count() == want_n
+
+
 def test_extend_winnow_index_pinned_seg_idempotent(spark, tmp_path):
     """extend_winnow_index(seg=N) is the epoch-to-segment mapping the
     streaming ingest leans on: a replayed epoch's extend (same seg id,

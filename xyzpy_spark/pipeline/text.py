@@ -1678,7 +1678,19 @@ def score_langid_rowwise(
     # the same order and predicts bit-identically (pinned in pytest
     # old-vs-new and by the unchanged oracle hash).
     def _dlit(x: float) -> str:
-        return repr(float(x)) + "D"
+        # repr(inf/nan) renders 'infD'/'nanD', which the SQL parser
+        # rejects with an opaque ParseException far from the cause
+        # (r13 ADVICE) — fail here with the actual problem instead.
+        # Non-finite weights only arise from a degenerate fit; they
+        # would poison every margin anyway.
+        v = float(x)
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError(
+                "score_langid_rowwise: non-finite weight/intercept "
+                f"({v!r}) cannot be rendered as a SQL literal — "
+                "retrain or clean the model before serving"
+            )
+        return repr(v) + "D"
 
     def _margin_sql(lang: str) -> str:
         base = _dlit(b0.get(lang, 0.0))
@@ -1717,7 +1729,13 @@ def score_langid_rowwise(
         return m
 
     def _slit(s: str) -> str:
-        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        # quotes escape by DOUBLING (valid in both parser modes);
+        # backslash doubling assumes the default parser mode
+        # (spark.sql.parser.escapedStringLiterals=false) — under
+        # Hive-compat escapedStringLiterals=true a label containing a
+        # backslash would mis-render (r13 ADVICE note; lang labels are
+        # short ASCII tags in practice)
+        return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
 
     best = F.expr(
         "array_min(array("

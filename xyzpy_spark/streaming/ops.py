@@ -903,12 +903,17 @@ def dedup_ingest_stream(
     historical rows from the probe.  Cost honesty: the guard is one
     extra batch-broadcast scan of the main index per epoch (the
     lookup is by id while the layout is bucketed by fingerprint, so
-    it cannot partition-prune); ``verify_ids=False`` drops it for
-    throughput-critical streams whose upstream already guarantees id
-    uniqueness — with the documented risk that id reuse then silently
-    corrupts annotations.  After the final epoch, report +
-    index equal the sequential batch probe+extend loop bit-for-bit
-    (pinned in pytest).
+    it cannot partition-prune); since r14 that same pass doubles as
+    the id-presence census that lets the extend skip its retry
+    anti-joins on proven-first attempts (the intent-marker protocol —
+    see :func:`~xyzpy_spark.pipeline.dedup.extend_dedup_index`), so
+    the guard's scan now BUYS back more than it costs.
+    ``verify_ids=False`` drops it for throughput-critical streams
+    whose upstream already guarantees id uniqueness — with the
+    documented risk that id reuse then silently corrupts annotations
+    (and, under the intent-marker skip, appends duplicate index rows).
+    After the final epoch, report + index equal the sequential batch
+    probe+extend loop bit-for-bit (pinned in pytest).
 
     Epoch reports are overwrite-idempotent per ``epoch_id=N`` dir and
     stale-epoch guarded, like every serve seam.  ``probe_kwargs``
@@ -932,6 +937,15 @@ def dedup_ingest_stream(
     # later epoch skips those five-or-so per-epoch driver jobs
     probe_stamps: dict = {}
     extend_stamps: dict = {}
+    # intent-marker namespace (r14): epoch ids restart at 0 for every
+    # fresh checkpoint, so the per-epoch extend token is namespaced by
+    # the run's output dir — stable across replays of THIS run (same
+    # checkpoint, same out_path), distinct across runs.  A collision
+    # is conservative anyway (the extend just takes the full
+    # anti-join path).
+    import hashlib
+
+    _intent_ns = hashlib.md5(out_path.encode()).hexdigest()[:12]
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
@@ -972,18 +986,34 @@ def dedup_ingest_stream(
         # One batch-broadcast index scan per epoch (see docstring);
         # verify_ids=False opts out.
         reused = 0
+        present_ids: list = []
         if verify_ids:
             # the canonical fingerprint already sits on the signed
-            # batch index — no separate per-guard text pass (r13)
+            # batch index — no separate per-guard text pass (r13).
+            # r14: the same one full-index pass the guard always paid
+            # now ALSO returns the id-presence census (batch ids
+            # already in the index with the SAME fingerprint — legal
+            # cross-epoch redeliveries): bounded by batch size, it is
+            # what lets the extend below prove its delta rows are new
+            # and skip the per-directory retry anti-joins via the
+            # intent marker.  Cost is unchanged in the no-reuse case —
+            # the old limit(1) early-exit only fired on the FAILURE
+            # path.
             batch_fps = batch_idx.select(
                 id_col, F.col("fingerprint").alias("__fp")
             )
-            reused = (
+            pres = (
                 index.join(F.broadcast(batch_fps), id_col)
-                .where(F.col("fingerprint") != F.col("__fp"))
-                .limit(1)
-                .count()
+                .select(
+                    id_col,
+                    (F.col("fingerprint") != F.col("__fp")).alias(
+                        "__reused"
+                    ),
+                )
+                .collect()
             )
+            reused = sum(1 for r in pres if r["__reused"])
+            present_ids = [r[id_col] for r in pres if not r["__reused"]]
         if reused:
             raise ValueError(
                 "dedup_ingest_stream: the micro-batch redelivers a "
@@ -1006,34 +1036,70 @@ def dedup_ingest_stream(
             stamps=probe_stamps,
             **probe_kwargs,
         )
-        ann.write.mode("overwrite").parquet(
-            os.path.join(out_path, f"epoch_id={eid}")
-        )
-        novel_ids = (
-            spark.read.parquet(os.path.join(out_path, f"epoch_id={eid}"))
-            .where(F.col("dup_kind").isNull())
-            .select(id_col)
-        )
+        # materialize the annotations ONCE (batch-sized, freed with
+        # the DataFrame at epoch end) so the report write and the
+        # index extend can run CONCURRENTLY from the same blocks
+        # (r14, guide §2.6): the old write-then-read-back serialized
+        # the whole extend behind the report commit.  Crash model is
+        # unchanged — an extend that lands while the report write
+        # fails is healed on replay by the id exclusion above plus
+        # the extend's marker-gated retry anti-joins.
+        ann = ann.localCheckpoint(eager=True)
+        novel_ids = ann.where(F.col("dup_kind").isNull()).select(id_col)
+        if present_ids:
+            # legal redeliveries (same id, same fingerprint, earlier
+            # epoch) annotate as novel under the replay exclusion but
+            # are ALREADY in the index — subtracting them here keeps
+            # the appended rows identical to the old anti-join path
+            # and upholds the intent contract (delta ids are new)
+            novel_ids = novel_ids.where(
+                ~F.col(id_col).isin(present_ids)
+            )
         novel = batch_df.join(
             F.broadcast(novel_ids), id_col, "left_semi"
         ).select(id_col, text_col)
-        extend_dedup_index(
-            novel,
-            index_path,
-            id_col=id_col,
-            text_col=text_col,
-            # the extend ingests exactly the docs reported novel; its
-            # signatures are the already-signed batch rows (r13)
-            prebuilt_index=batch_idx.join(
-                F.broadcast(novel_ids), id_col, "left_semi"
-            ),
-            # reuse this epoch's freshly-loaded relations (they see
-            # every prior append, which is exactly what the retry
-            # anti-joins need) instead of re-creating both parquet
-            # relations per epoch
-            layout=(raw_index, raw_bands),
-            stamps=extend_stamps,
-        )
+
+        def _write_report() -> None:
+            ann.write.mode("overwrite").parquet(
+                os.path.join(out_path, f"epoch_id={eid}")
+            )
+
+        def _extend() -> None:
+            extend_dedup_index(
+                novel,
+                index_path,
+                id_col=id_col,
+                text_col=text_col,
+                # the extend ingests exactly the docs reported novel;
+                # its signatures are the already-signed batch rows
+                # (r13)
+                prebuilt_index=batch_idx.join(
+                    F.broadcast(novel_ids), id_col, "left_semi"
+                ),
+                # reuse this epoch's freshly-loaded relations (they
+                # see every prior append, which is exactly what the
+                # retry anti-joins need) instead of re-creating both
+                # parquet relations per epoch
+                layout=(raw_index, raw_bands),
+                stamps=extend_stamps,
+                # durable per-epoch idempotence token: first attempts
+                # skip the retry anti-joins (delta newness is
+                # guaranteed by the census subtraction above, or by
+                # the caller's verify_ids=False upstream-uniqueness
+                # contract); replays find the marker and take the
+                # full anti-join path
+                intent=f"{_intent_ns}-{eid}",
+            )
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(_write_report),
+                pool.submit(_extend),
+            ]
+            for f in futs:
+                f.result()
 
     _run_foreach_batch(
         stream_docs, _sink, checkpoint, timeout, "dedup_ingest_stream",
@@ -1300,7 +1366,7 @@ def cap_stream_per_group(
 
 def hll_stream_distinct(
     doc_stream: DataFrame,
-    col: str,
+    col: str | dict,
     out_path: str,
     state_path: str,
     *,
@@ -1330,10 +1396,27 @@ def hll_stream_distinct(
     is the bounded-state answer, and the estimate after the final
     epoch equals the batch :func:`hll_distinct` of everything seen
     (same registers -> same estimate, exactly).
+
+    ``col`` may also be a MAPPING of kind label -> column (r14, the
+    r13 verdict ask #5): the stream then sketches every listed column
+    in ONE pass per micro-batch
+    (:func:`~xyzpy_spark.functions.sketch.hll_registers_multi`) and
+    state/estimates carry an extra leading ``kind`` column — one
+    stream, one state dir, one engine startup instead of one per
+    column, with each kind's registers and estimates bit-identical to
+    the single-column run (the fused op's equality contract).
     """
-    from ..functions.sketch import hll_estimate, hll_merge, hll_registers
+    from ..functions.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+        hll_registers_multi,
+    )
 
     by = [by] if isinstance(by, str) else list(by)
+    multi = not isinstance(col, str)
+    # kind rides as an extra grouping column through merge + estimate
+    eff_by = (by + ["kind"]) if multi else by
     spark = doc_stream.sparkSession
 
     def _sink(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1348,7 +1431,10 @@ def hll_stream_distinct(
         _check_no_stale_epochs(
             batch_df.sparkSession, out_path, eid, "hll_stream_distinct"
         )
-        fresh = hll_registers(batch_df, col, by, p=p)
+        if multi:
+            fresh = hll_registers_multi(batch_df, col, by, p=p)
+        else:
+            fresh = hll_registers(batch_df, col, by, p=p)
         # only the READ may fall back to first-epoch semantics — a
         # state dir that exists but is not epoch_id= layout must fail
         # fast below, not silently reset the registers to this batch
@@ -1374,15 +1460,15 @@ def hll_stream_distinct(
                 merged = fresh
             else:
                 prior = st.where(F.col("epoch_id") == last).select(
-                    *by, "idx", "rho"
+                    *eff_by, "idx", "rho"
                 )
-                merged = hll_merge([prior, fresh], by)
+                merged = hll_merge([prior, fresh], eff_by)
         state_dir = os.path.join(state_path, f"epoch_id={eid}")
         merged.write.mode("overwrite").parquet(state_dir)
         # estimate FROM the written state (one source of truth)
         hll_estimate(
-            spark.read.parquet(state_dir).select(*by, "idx", "rho"),
-            by,
+            spark.read.parquet(state_dir).select(*eff_by, "idx", "rho"),
+            eff_by,
             p=p,
             round_places=round_places,
         ).write.mode("overwrite").parquet(

@@ -2104,9 +2104,17 @@ def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     q = quantize_embeddings(emb)
+    # posexplode_outer + NOT NULL on the generate OUTPUT (the r13
+    # tokenizer lesson, r14 here): plain posexplode lets
+    # InferFiltersFromGenerate plant `size(qvec)>0 AND isnotnull(qvec)`
+    # below the Generate, re-evaluating the whole quantize transform
+    # twice more per row.  The outer explode emits one (NULL, NULL)
+    # row for an empty/NULL qvec and the j-filter drops exactly those
+    # — multiset-identical to posexplode, with the quantize expression
+    # evaluated ONCE (plans/r14/quantize_embeddings_{before,after}).
     return q.select(
-        "vec_id", "q_scale", F.posexplode("qvec").alias("j", "q")
-    )
+        "vec_id", "q_scale", F.posexplode_outer("qvec").alias("j", "q")
+    ).where(F.col("j").isNotNull())
 
 
 def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -120,6 +120,7 @@ class Runner:
         num_partitions: int | None = None,
         shuffle: bool | int = False,
         keep_loc: bool = False,
+        sample_point: dict | None = None,
         **kwargs,
     ) -> DataFrame:
         """Evaluate the labelled fn over an ALREADY-BUILT grid DataFrame.
@@ -131,16 +132,23 @@ class Runner:
         kwargs as ``run_combos`` (``num_partitions``/``shuffle``/
         ``keep_loc``) so a kwarg that worked on the first harvest
         does not crash the missing-only top-up.
+
+        ``sample_point`` — one grid row as a dict, used only to
+        resolve var specs (the kernel's output schema).  Callers that
+        already probed the grid (the harvest emptiness check) pass it
+        to skip this method's own ``limit(1)`` sample job (r14: one
+        fewer driver job per missing-only top-up).
         """
         from pyspark.sql import functions as F
 
         from .runner import evaluate_grid, resolve_var_specs
 
         merged_consts = {**self.constants, **parse_constants(constants)}
-        first = grid_df.limit(1).collect()
-        if not first:
-            raise ValueError("empty grid")
-        sample_point = first[0].asDict()
+        if sample_point is None:
+            first = grid_df.limit(1).collect()
+            if not first:
+                raise ValueError("empty grid")
+            sample_point = first[0].asDict()
         cases = (sample_point,)
         specs, coords = resolve_var_specs(
             self.fn, (), cases, merged_consts, self.resources,
@@ -760,13 +768,19 @@ class Harvester:
             # would otherwise rescan the store for the anti-join
             todo = self._missing_filter(grid, dims).persist()
             # the missing set stays a DataFrame end to end — no driver
-            # materialization, so million-point top-ups are fine
+            # materialization, so million-point top-ups are fine.
+            # ONE limit(1) probe serves both the emptiness check and
+            # run_grid_df's var-spec sample row (r14: these were two
+            # separate driver jobs over the anti-join per top-up)
             try:
-                if todo.limit(1).count() == 0:
+                first = todo.limit(1).collect()
+                if not first:
                     df = self.load_full_df()
                     self.last_merged = df
                     return df
-                new = self.runner.run_grid_df(todo, **kwargs)
+                new = self.runner.run_grid_df(
+                    todo, sample_point=first[0].asDict(), **kwargs
+                )
                 return self.add_df(
                     new, self._result_dims(dims), overwrite=overwrite, sync=sync
                 )

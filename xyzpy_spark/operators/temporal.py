@@ -27,7 +27,7 @@ Spark-first:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-from ..utils import local_df
+from ..utils import local_df, seam
 
 __all__ = [
     "asof_join",
@@ -195,9 +195,10 @@ def range_join(
         # mid-job, disable dynamic allocation for this stage or use
         # reliable checkpointing (spark.sparkContext.setCheckpointDir
         # + .checkpoint()) at the cost of a write to shared storage.
-        base = left.withColumn(
-            "__lid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=False)
+        base = seam(
+            left.withColumn("__lid", F.monotonically_increasing_id()),
+            eager=False,
+        )
     l_binned = base.withColumn(
         "__bin_lo", F.floor((F.col(on) + lo).cast("double") / binw).cast("long")
     ).withColumn(

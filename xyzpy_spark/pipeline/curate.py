@@ -42,6 +42,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..utils import seam
+
 __all__ = ["curate_corpus"]
 
 
@@ -58,10 +60,11 @@ def _lineage_seam(frame: DataFrame) -> DataFrame:
     consumers read the one materialized survivor set instead of
     recomputing the prefix (guide §3.3).  Streams cannot checkpoint
     this way — callers gate the stages that need a seam off streaming
-    inputs already, but stay safe here too."""
+    inputs already, but stay safe here too.  Durability is a session
+    option (``spark.xyzpy.seam.mode``, see :func:`~..utils.seam`)."""
     if frame.isStreaming:
         return frame
-    return frame.localCheckpoint(eager=False)
+    return seam(frame, eager=False)
 
 
 def _quality_n_buckets(weights) -> int:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .. import fsutil
 from .text import tokenize
-from ..utils import local_df
+from ..utils import OverlapPool, local_df, seam
 
 
 def dedup_exact(
@@ -689,7 +689,7 @@ def dedup_clusters(
             # build a plan the optimizer re-walks every action.
             # eager=False folds the checkpoint materialization into
             # the convergence-probe job below (one job, not two)
-            new_cached = new_labels.localCheckpoint(eager=False)
+            new_cached = seam(new_labels, eager=False)
         else:
             new_cached = new_labels.persist()
         changed = (
@@ -2030,9 +2030,7 @@ def save_dedup_index(
             F.lit(int(bb_buckets)),
         ),
     ).withColumn("bb_buckets", F.lit(int(bb_buckets)))
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with OverlapPool(index.sparkSession, name="xyzpy-index-save") as pool:
         fm = pool.submit(
             _save_bucket_partitioned, main, path + "/main", "fp_bucket"
         )
@@ -2204,7 +2202,7 @@ def extend_dedup_index(
         )
         # one pass feeds both appends (the prestage discipline): sign
         # once
-        idx_d = idx_d.localCheckpoint(eager=True)
+        idx_d = seam(idx_d, eager=True)
     idc = idx_d.columns[0]  # the caller's id_col leads the index
     delta_ids = idx_d.select(idc)
     bands_d = band_dedup_index(
@@ -2277,9 +2275,9 @@ def extend_dedup_index(
     # tail; crash/retry safety is unchanged because each side already
     # anti-joins its OWN directory's rows).  Two jobs in flight
     # exactly; exceptions propagate.
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with OverlapPool(
+        delta_df.sparkSession, name="xyzpy-index-extend"
+    ) as pool:
         futs = [
             pool.submit(_append_side, *args)
             for args in (
@@ -2399,7 +2397,7 @@ def dedup_against_index(
             # signatures once and frees them with the DataFrame (no
             # persist leak in long-lived ingest loops — exactly why
             # callers pass cache=False).
-            new_idx = new_idx.localCheckpoint(eager=True)
+            new_idx = seam(new_idx, eager=True)
 
     # a save_dedup_index layout carries fp_bucket as its parquet
     # partition column: joining on it (derived from the same pmod on
@@ -3031,9 +3029,7 @@ def save_winnow_index(
     # persisted fingerprint table) — overlap them so the dropped
     # write's tasks back-fill executors idled by the bucketed main
     # write's shuffle tail (guide §2.6, the save_dedup_index twin)
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with OverlapPool(index.sparkSession, name="xyzpy-index-save") as pool:
         fm = pool.submit(
             _save_bucket_partitioned, stamped, path + "/main", "fp_bucket"
         )
@@ -3221,11 +3217,11 @@ def fold_winnow_segments(
                 > cap
             )
             .select("fingerprint")
-            # the fold is consumed by several downstream joins per
-            # epoch; pin the (tiny, > cap survivors only) set so the
-            # count scan runs once
-            .localCheckpoint(eager=True)
         )
+        # the fold is consumed by several downstream joins per
+        # epoch; pin the (tiny, > cap survivors only) set so the
+        # count scan runs once
+        newly = seam(newly, eager=True)
         dropped = dropped.unionByName(newly).distinct()
         # remove newly-dropped rows and adjust ONLY the affected docs
         removed = index.join(F.broadcast(newly), "fingerprint", "left_semi")
@@ -3460,8 +3456,8 @@ def compact_winnow_index(
     all_ids, _ = _list_segments(spark, path)
     if not all_ids:
         return  # nothing to fold
-    index = index.localCheckpoint(eager=True)
-    dropped = dropped.localCheckpoint(eager=True)
+    index = seam(index, eager=True)
+    dropped = seam(dropped, eager=True)
     save_winnow_index(index, dropped, path, fp_buckets=fp_buckets)
     fs, segroot = _hadoop_fs(spark, path + "/segments")
     fs.delete(segroot, True)

@@ -163,24 +163,31 @@ def fake_wav_bytes(seed: int) -> bytes:
     chunks, little-endian int16 frames); closed-form enough for a SQL
     oracle: ``sample[i] = (seed*31 + i*7) % 2003 - 1001``.
     """
+    import numpy as np
+
     seed = int(seed)
     sr = 8000 + (seed % 5) * 1000
     ch = 1 + seed % 2
     n_vals = (32 + seed % 17) * ch
-    data = b"".join(
-        _struct.pack("<h", (seed * 31 + i * 7) % 2003 - 1001)
-        for i in range(n_vals)
-    )
+    # one vectorized little-endian int16 render — byte-identical to
+    # the old per-sample struct.pack loop (r14, guide §4.2)
+    data = (
+        (seed * 31 + 7 * np.arange(n_vals, dtype=np.int64)) % 2003 - 1001
+    ).astype("<i2").tobytes()
     return _wav_pcm16(sr, ch, data)
 
 
 def fake_ppm_bytes(seed: int) -> bytes:
     """A VALID binary PPM (P6) image derived from ``seed``:
     ``pixel[k] = (seed*17 + k*11) % 256``."""
+    import numpy as np
+
     seed = int(seed)
     w = 4 + seed % 9
     h = 3 + seed % 7
-    body = bytes((seed * 17 + k * 11) % 256 for k in range(3 * w * h))
+    body = (
+        (seed * 17 + 11 * np.arange(3 * w * h, dtype=np.int64)) % 256
+    ).astype(np.uint8).tobytes()
     return f"P6\n{w} {h}\n255\n".encode() + body
 
 
@@ -198,16 +205,17 @@ def fake_video_bytes(seed: int) -> bytes:
     The container is deliberately trivial — the point is that the
     video MODALITY is exercised end to end with a REAL per-frame
     decode (the PPM decoder), not a stubbed byte-offset stand-in."""
+    import numpy as np
+
     seed = int(seed)
     n_frames = 3 + seed % 4
     fps = 10 + seed % 20
     w = 4 + seed % 5
     h = 3 + seed % 4
     out = [_VIDEO_MAGIC, _struct.pack(">HH", n_frames, fps)]
+    ks = 3 * np.arange(3 * w * h, dtype=np.int64)
     for f in range(n_frames):
-        body = bytes(
-            (seed * 7 + f * 11 + k * 3) % 256 for k in range(3 * w * h)
-        )
+        body = ((seed * 7 + f * 11 + ks) % 256).astype(np.uint8).tobytes()
         frame = f"P6\n{w} {h}\n255\n".encode() + body
         out.append(_struct.pack(">I", len(frame)))
         out.append(frame)
@@ -358,29 +366,42 @@ _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
 def _png_filter_line(ft, line, prev, ch):
-    """Forward-apply PNG scanline filter ``ft`` (encoder side)."""
+    """Forward-apply PNG scanline filter ``ft`` (encoder side).
+
+    Fully vectorized (r14, guide §4.2): unlike the DECODER, where
+    Sub/Average/Paeth depend on the just-reconstructed left neighbor,
+    the ENCODER's predictors reference only ORIGINAL bytes of the
+    current and previous scanline — a/b/c are plain shifted views, so
+    every filter type (Paeth included) is one numpy expression.  The
+    old per-byte Python loop made the sample-PNG attach stage the
+    Python-bound hot spot of the multimodal_png row."""
     import numpy as np
 
     n = line.size
-    out = np.empty(n, dtype=np.int32)
-    for i in range(n):
-        a = int(line[i - ch]) if i >= ch else 0
-        b = int(prev[i])
-        c = int(prev[i - ch]) if i >= ch else 0
-        if ft == 0:
-            pred = 0
-        elif ft == 1:
-            pred = a
-        elif ft == 2:
-            pred = b
-        elif ft == 3:
-            pred = (a + b) >> 1
-        else:  # Paeth
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-        out[i] = (int(line[i]) - pred) & 0xFF
-    return out.astype(np.uint8)
+    line32 = line.astype(np.int32)
+    if ft == 0:
+        return line32.astype(np.uint8)
+    prev32 = prev.astype(np.int32)
+    a = np.zeros(n, dtype=np.int32)
+    a[ch:] = line32[:-ch] if n > ch else a[ch:]
+    b = prev32
+    if ft == 1:
+        pred = a
+    elif ft == 2:
+        pred = b
+    elif ft == 3:
+        pred = (a + b) >> 1
+    else:  # Paeth
+        c = np.zeros(n, dtype=np.int32)
+        c[ch:] = prev32[:-ch] if n > ch else c[ch:]
+        p = a + b - c
+        pa = np.abs(p - a)
+        pb = np.abs(p - b)
+        pc = np.abs(p - c)
+        pred = np.where(
+            (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+        )
+    return ((line32 - pred) & 0xFF).astype(np.uint8)
 
 
 def fake_png_bytes(seed: int) -> bytes:
@@ -398,9 +419,9 @@ def fake_png_bytes(seed: int) -> bytes:
     seed = int(seed)
     w = 4 + seed % 9
     h = 3 + seed % 7
-    px = np.array(
-        [(seed * 13 + k * 5) % 256 for k in range(3 * w * h)], dtype=np.uint8
-    ).reshape(h, 3 * w)
+    px = (
+        (seed * 13 + 5 * np.arange(3 * w * h, dtype=np.int64)) % 256
+    ).astype(np.uint8).reshape(h, 3 * w)
     raw = bytearray()
     prev = np.zeros(3 * w, dtype=np.uint8)
     for y in range(h):
@@ -606,10 +627,9 @@ def fake_jpeg_bytes(seed: int) -> bytes:
     seed = int(seed)
     w = 4 + seed % 9
     h = 3 + seed % 7
-    px = np.array(
-        [(seed * 13 + k * 5) % 256 for k in range(3 * w * h)],
-        dtype=np.uint8,
-    ).reshape(h, w, 3)
+    px = (
+        (seed * 13 + 5 * np.arange(3 * w * h, dtype=np.int64)) % 256
+    ).astype(np.uint8).reshape(h, w, 3)
     return encode_jpeg(px, quant=1)
 
 
@@ -649,10 +669,9 @@ def fake_jpeg_lossless_bytes(seed: int) -> bytes:
     seed = int(seed)
     w = 4 + seed % 9
     h = 3 + seed % 7
-    px = np.array(
-        [(seed * 13 + k * 5) % 256 for k in range(3 * w * h)],
-        dtype=np.uint8,
-    ).reshape(h, w, 3)
+    px = (
+        (seed * 13 + 5 * np.arange(3 * w * h, dtype=np.int64)) % 256
+    ).astype(np.uint8).reshape(h, w, 3)
     return encode_jpeg_lossless(
         px,
         predictor=(seed % 7) + 1,

@@ -11,7 +11,7 @@ from __future__ import annotations
 import pandas as pd
 
 from pyspark.sql import DataFrame, Window, functions as F
-from ..utils import local_df
+from ..utils import local_df, seam
 
 
 def _round_det(col, places: int = 6) -> F.Column:
@@ -1828,7 +1828,7 @@ def score_langid_trained(
         # action (r13, guide §3.3).  Non-eager localCheckpoint keeps
         # scoring lazy; the cached rows are the compact (id, bucket,
         # cnt) census, never document text.
-        feats = feats.localCheckpoint(eager=False)
+        feats = seam(feats, eager=False)
     wsums = (
         feats.join(F.broadcast(wtab), "bucket")
         .groupBy(id_col, "lang")

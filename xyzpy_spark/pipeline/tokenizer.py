@@ -31,6 +31,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..utils import seam
 from .text import tokenize
 
 __all__ = [
@@ -336,7 +337,7 @@ def tokenized_sequences(
         .alias("shard"),
         "bpe_tokens",
     )
-    enc = enc.localCheckpoint(eager=False)
+    enc = seam(enc, eager=False)
     if vocab is None:
         vocab = bpe_vocab(enc)
     w_doc = (

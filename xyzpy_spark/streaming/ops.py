@@ -29,6 +29,7 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..sources.tables import read_table
+from ..utils import OverlapPool, seam
 
 
 def _stream_parquet(reader, sf_dir: str, table_file: str):
@@ -807,14 +808,17 @@ def winnow_ingest_stream(
         # independent winnowing passes of the same batch per epoch.
         # Eager localCheckpoint: materialized once, batch-sized,
         # freed with the DataFrame at epoch end.
-        fps_all = winnow_fingerprints(
-            batch_df,
-            k=probe_kwargs.get("k", 5),
-            w=probe_kwargs.get("w", 4),
-            text_col=text_col,
-            id_col=id_col,
-            hash_fn=probe_kwargs.get("hash_fn", "xxhash64"),
-        ).localCheckpoint(eager=True)
+        fps_all = seam(
+            winnow_fingerprints(
+                batch_df,
+                k=probe_kwargs.get("k", 5),
+                w=probe_kwargs.get("w", 4),
+                text_col=text_col,
+                id_col=id_col,
+                hash_fn=probe_kwargs.get("hash_fn", "xxhash64"),
+            ),
+            eager=True,
+        )
         ann = winnow_against_index(
             batch_df,
             index,
@@ -967,9 +971,12 @@ def dedup_ingest_stream(
             for k in ("n", "num_perm", "hash_fn")
             if k in probe_kwargs
         }
-        batch_idx = build_dedup_index(
-            batch_df, id_col=id_col, text_col=text_col, **sig_kw
-        ).localCheckpoint(eager=True)
+        batch_idx = seam(
+            build_dedup_index(
+                batch_df, id_col=id_col, text_col=text_col, **sig_kw
+            ),
+            eager=True,
+        )
         ids = batch_df.select(id_col)
         # the as-of view (replay safety): a prior attempt of THIS
         # epoch may have extended the index with this very batch —
@@ -1044,7 +1051,7 @@ def dedup_ingest_stream(
         # unchanged — an extend that lands while the report write
         # fails is healed on replay by the id exclusion above plus
         # the extend's marker-gated retry anti-joins.
-        ann = ann.localCheckpoint(eager=True)
+        ann = seam(ann, eager=True)
         novel_ids = ann.where(F.col("dup_kind").isNull()).select(id_col)
         if present_ids:
             # legal redeliveries (same id, same fingerprint, earlier
@@ -1091,9 +1098,9 @@ def dedup_ingest_stream(
                 intent=f"{_intent_ns}-{eid}",
             )
 
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=2) as pool:
+        with OverlapPool(
+            batch_df.sparkSession, name="xyzpy-ingest"
+        ) as pool:
             futs = [
                 pool.submit(_write_report),
                 pool.submit(_extend),

@@ -171,3 +171,33 @@ def test_manage_helpers_on_nonlocal_scheme(spark, myfs):
     ] == ["data.parquet"]
     assert spark.read.parquet(canon).count() == 3
     assert compact_table(spark, p) == 1
+
+
+def test_read_text_or_none_one_trip_semantics(spark, myfs):
+    """read_text_or_none (r14): present file reads, missing file is
+    None (no exists probe), other failures still raise."""
+    p = f"{myfs}/orn/x.json"
+    assert fsutil.read_text_or_none(spark, p) is None
+    fsutil.write_text(spark, p, '{"k": 2}')
+    assert fsutil.read_text_or_none(spark, p) == '{"k": 2}'
+    # an unreachable scheme is an ERROR, not a silent None — the
+    # distinction load-bearing for the r12 missing_only contract
+    with pytest.raises(Exception, match="(?i)no filesystem|unknown"):
+        fsutil.read_text_or_none(spark, "nosuchscheme://x/y.json")
+
+
+def test_fs_handle_cache_per_scheme(spark, myfs):
+    """hadoop_fs (r14) caches the FileSystem handle per
+    (scheme, authority) on the session: repeat calls skip the
+    hadoopConfiguration + getFileSystem py4j round trips but still
+    resolve the right filesystem per scheme."""
+    fs1, _ = fsutil.hadoop_fs(spark, f"{myfs}/a")
+    fs2, _ = fsutil.hadoop_fs(spark, f"{myfs}/b/c")
+    assert fs1 is fs2  # same (scheme, authority) -> cached handle
+    fs3, _ = fsutil.hadoop_fs(spark, "/plain/local/path")
+    assert fs3 is not fs1  # default-fs slot is distinct
+    assert fsutil._fs_cache_key("s3a://bucket/k") == ("s3a", "bucket")
+    assert fsutil._fs_cache_key("/x/y") == ("", "")
+    assert fsutil._fs_cache_key("file:/x") == ("file", "")
+    cache = spark._xyzpy_fs_cache
+    assert ("viewfs", "test") in cache and ("", "") in cache

@@ -48,7 +48,8 @@ def main():
     names = [
         "exists", "is_dir", "listdir", "glob_paths", "mkdirs",
         "create_new", "delete", "rename", "replace", "read_bytes",
-        "write_bytes", "read_text", "write_text", "content_size",
+        "write_bytes", "read_text", "read_text_or_none", "write_text",
+        "content_size",
     ]
     originals = {n: getattr(fsutil, n) for n in names}
     # patch both the module and farming's imported reference

@@ -43,6 +43,10 @@ from .prepare import (
 )
 from .runner import combo_runner_to_df
 
+# internal "not passed" marker: None is a meaningful value (no store
+# on disk) for the metadata threaded through one top-up (r14)
+_UNSET = object()
+
 
 class Runner:
     """A function labelled with its sweep/output schema.
@@ -251,10 +255,10 @@ def _write_layout(spark, dirpath: str, partition_by, schema) -> None:
 
 
 def _read_layout(spark, path: str) -> dict | None:
-    p = fsutil.join(path, "_layout.json")
-    if fsutil.exists(spark, p):
-        return json.loads(fsutil.read_text(spark, p))
-    return None
+    txt = fsutil.read_text_or_none(
+        spark, fsutil.join(path, "_layout.json")
+    )
+    return None if txt is None else json.loads(txt)
 
 
 def _publish_parquet(
@@ -316,10 +320,8 @@ def load_attrs(path: str, spark: SparkSession | None = None) -> dict:
                 "explicitly (sidecar IO is scheme-aware and needs the "
                 "session's Hadoop configuration)"
             )
-    p = fsutil.join(path, "_attrs.json")
-    if fsutil.exists(spark, p):
-        return json.loads(fsutil.read_text(spark, p))
-    return {}
+    txt = fsutil.read_text_or_none(spark, fsutil.join(path, "_attrs.json"))
+    return {} if txt is None else json.loads(txt)
 
 
 class Harvester:
@@ -365,16 +367,44 @@ class Harvester:
         return self.load_full_df()
 
     def load_full_df(self) -> DataFrame | None:
-        bak = self.data_name + ".bak"
-        if not fsutil.exists(self.spark, self.data_name):
+        return self._load_store()[0]
+
+    def _load_store(
+        self,
+    ) -> tuple[DataFrame | None, dict | None, list[str]]:
+        """(full store DataFrame, layout sidecar, child names) in the
+        minimum driver metadata round trips (r14, guide §5): ONE
+        ``listStatus`` answers both "does the store exist" and "which
+        sidecars are present", so only sidecars that exist are then
+        opened — no exists-probe per sidecar, no exception round trip
+        for missing ones.  Callers that need the layout or the attrs
+        (``add_df``) stop re-reading them; the public
+        ``load_full_df`` keeps its contract.  An empty child list
+        means no store: every publish path materializes files
+        (parquet part files + _SUCCESS) before the store path
+        appears."""
+        children = fsutil.listdir(self.spark, self.data_name)
+        if not children:
+            bak = self.data_name + ".bak"
             if fsutil.exists(self.spark, bak):
                 # a crash between _publish_parquet's two renames leaves
                 # only the .bak — restore it instead of silently
                 # starting an empty store
                 fsutil.rename(self.spark, bak, self.data_name)
-            else:
-                return None
-        layout = _read_layout(self.spark, self.data_name)
+                children = fsutil.listdir(self.spark, self.data_name)
+            if not children:
+                return None, None, []
+        layout = None
+        if "_layout.json" in children:
+            layout = json.loads(
+                fsutil.read_text(
+                    self.spark,
+                    fsutil.join(self.data_name, "_layout.json"),
+                )
+            )
+        return self._store_reader(layout), layout, children
+
+    def _store_reader(self, layout: dict | None) -> DataFrame:
         if layout is not None and layout.get("partition_by"):
             from pyspark.sql.types import StructType
 
@@ -448,7 +478,8 @@ class Harvester:
 
     # -- merging ---------------------------------------------------------
     def add_df(
-        self, new: DataFrame, dims, *, overwrite: bool | None = None, sync: bool = True
+        self, new: DataFrame, dims, *, overwrite: bool | None = None,
+        sync: bool = True, _store=_UNSET,
     ) -> DataFrame:
         """Merge a new result table into the store (reference
         ``add_ds``, ``farming.py:602-670``).
@@ -465,7 +496,14 @@ class Harvester:
         if overwrite is None:
             overwrite = self.overwrite
         pby = self.partition_by
-        old = self.load_full_df()
+        # _store is the internal (df, layout, children) pass-through
+        # from harvest_combos, which has already read the store
+        # metadata this top-up (r14, guide §5: one listStatus + one
+        # sidecar read per top-up, not one per helper)
+        if _store is _UNSET:
+            old, layout, children = self._load_store()
+        else:
+            old, layout, children = _store
         persisted = None
         if pby is not None:
             # validations run for FIRST writes too: a NULL coordinate
@@ -529,16 +567,37 @@ class Harvester:
                 merged = merge_datasets(
                     old, new, dims, overwrite=overwrite
                 )
-            attrs = {**load_attrs(self.data_name, self.spark), **self.runner.attrs,
+            # the children listing already says whether an attrs
+            # sidecar exists — read it only then (no probe, no
+            # exception round trip on first writes / attrs-less runs)
+            sidecar_attrs = {}
+            if "_attrs.json" in children:
+                sidecar_attrs = json.loads(
+                    fsutil.read_text(
+                        self.spark,
+                        fsutil.join(self.data_name, "_attrs.json"),
+                    )
+                )
+            attrs = {**sidecar_attrs, **self.runner.attrs,
                      **self.runner.constants}
             if sync:
                 if pby is not None and old is not None:
-                    self._publish_partitions(merged, attrs)
+                    out_layout = self._publish_partitions(
+                        merged, attrs, layout=layout
+                    )
                 else:
                     _publish_parquet(
                         merged, self.data_name, attrs, partition_by=pby
                     )
-                merged = self.load_full_df()
+                    out_layout = (
+                        None if pby is None else
+                        {"partition_by": list(pby),
+                         "schema": merged.schema.jsonValue()}
+                    )
+                # the publish just wrote the store and its layout
+                # sidecar — rebuild the read view from the layout in
+                # hand instead of a fresh exists + sidecar round trip
+                merged = self._store_reader(out_layout)
             elif pby is not None and old is not None:
                 # sync=False must still return the FULL store view —
                 # the publish-side `merged` holds only touched
@@ -559,7 +618,9 @@ class Harvester:
                 # merge recomputes (the harvest_combos todo discipline)
                 persisted.unpersist()
 
-    def _publish_partitions(self, merged: DataFrame, attrs: dict) -> None:
+    def _publish_partitions(
+        self, merged: DataFrame, attrs: dict, layout=_UNSET
+    ) -> dict:
         """Incremental publish for the partitioned layout: a DYNAMIC
         partition overwrite replaces only the ``dim=value`` dirs
         present in ``merged``, then the attrs sidecar refreshes.
@@ -576,10 +637,17 @@ class Harvester:
         BEFORE the data job so a mid-publish crash can never make
         ``load_full_df`` silently drop a column the new files carry —
         a sidecar column with no data yet reads as all-NULL, which is
-        exactly the outer-merge hole semantics (review catch)."""
+        exactly the outer-merge hole semantics (review catch).
+
+        ``layout`` is the store's current layout sidecar when the
+        caller already read it this top-up (r14 round-trip dedup);
+        left unset, it is read here.  Returns the layout dict as
+        written, so the caller's post-publish read needs no fresh
+        sidecar round trip."""
         from pyspark.sql.types import StructType
 
-        layout = _read_layout(self.spark, self.data_name)
+        if layout is _UNSET:
+            layout = _read_layout(self.spark, self.data_name)
         schema = merged.schema
         if layout is not None:
             old_schema = StructType.fromJson(layout["schema"])
@@ -601,6 +669,10 @@ class Harvester:
                 fsutil.join(self.data_name, "_attrs.json"),
                 json.dumps(attrs, default=repr),
             )
+        return {
+            "partition_by": list(self.partition_by),
+            "schema": schema.jsonValue(),
+        }
 
     def compact(self, min_files: int = 8) -> list[str]:
         """Per-partition compaction for the partitioned layout: a
@@ -696,7 +768,7 @@ class Harvester:
         One full-store rewrite by definition — run it once to adopt
         the layout, then every later top-up is O(touched)."""
         pby = _normalize_partition_by(partition_by)
-        old = self.load_full_df()
+        old, _, children = self._load_store()
         if old is None:
             raise ValueError("no stored dataset to repartition")
         if pby is not None:
@@ -716,15 +788,21 @@ class Harvester:
                     "through the dim=value layout"
                 )
         # the publish stages a fresh dir and swaps it in whole, so a
-        # pre-migration _layout.json cannot survive a flattening
+        # pre-migration _layout.json cannot survive a flattening.
+        # attrs come from the children listing already in hand — no
+        # probe round trip for a store that never wrote the sidecar
+        attrs = (
+            load_attrs(self.data_name, self.spark)
+            if "_attrs.json" in children else {}
+        )
         _publish_parquet(
-            old, self.data_name, load_attrs(self.data_name, self.spark),
-            partition_by=pby,
+            old, self.data_name, attrs, partition_by=pby,
         )
         self.partition_by = pby
 
-    def _missing_filter(self, cases_df: DataFrame, dims) -> DataFrame:
-        old = self.load_full_df()
+    def _missing_filter(self, cases_df: DataFrame, dims, old=_UNSET) -> DataFrame:
+        if old is _UNSET:
+            old = self.load_full_df()
         if old is None:
             return cases_df
         present_dims = [d for d in dims if d in old.columns]
@@ -759,14 +837,20 @@ class Harvester:
         and merge into the store (reference ``farming.py:710-778``)."""
         combos = parse_combos(combos)
         dims = self.runner._dim_names(combos=combos)
-        if missing_only and fsutil.exists(self.spark, self.data_name):
+        # ONE store-metadata read serves the whole top-up: the
+        # missing-filter's anti-join, add_df's merge and the publish
+        # all receive this (df, layout, children) triple instead of
+        # re-reading the sidecars (r14, guide §5 driver round-trips)
+        store = self._load_store() if missing_only else (None, None, [])
+        old, layout = store[0], store[1]
+        if missing_only and old is not None:
             from .grid import combo_grid
 
             grid = combo_grid(self.spark, combos).drop(LOC_COL)
             # persist: the missing set feeds three consumers (emptiness
             # probe, the schema sample row, the evaluation job) — each
             # would otherwise rescan the store for the anti-join
-            todo = self._missing_filter(grid, dims).persist()
+            todo = self._missing_filter(grid, dims, old=old).persist()
             # the missing set stays a DataFrame end to end — no driver
             # materialization, so million-point top-ups are fine.
             # ONE limit(1) probe serves both the emptiness check and
@@ -775,14 +859,14 @@ class Harvester:
             try:
                 first = todo.limit(1).collect()
                 if not first:
-                    df = self.load_full_df()
-                    self.last_merged = df
-                    return df
+                    self.last_merged = old
+                    return old
                 new = self.runner.run_grid_df(
                     todo, sample_point=first[0].asDict(), **kwargs
                 )
                 return self.add_df(
-                    new, self._result_dims(dims), overwrite=overwrite, sync=sync
+                    new, self._result_dims(dims), overwrite=overwrite,
+                    sync=sync, _store=store,
                 )
             finally:
                 # with sync=True (default) add_df's publish is an
@@ -796,6 +880,13 @@ class Harvester:
                 # partitions hostage for an unknowable lifetime
                 todo.unpersist()
         new = self.runner.run_combos(combos, **kwargs)
+        if missing_only:
+            # the store was probed absent above (old is None after a
+            # .bak restore check) — skip add_df's re-probe
+            return self.add_df(
+                new, self._result_dims(dims), overwrite=overwrite,
+                sync=sync, _store=store,
+            )
         return self.add_df(new, self._result_dims(dims), overwrite=overwrite, sync=sync)
 
     def harvest_cases(

@@ -58,6 +58,7 @@ __all__ = [
     "read_bytes",
     "write_bytes",
     "read_text",
+    "read_text_or_none",
     "write_text",
     "content_size",
     "create_new",
@@ -69,14 +70,47 @@ def jpath(spark, path: str):
     return spark._jvm.org.apache.hadoop.fs.Path(path)
 
 
+def _fs_cache_key(path: str) -> tuple[str, str]:
+    """(scheme, authority) parsed PYTHON-side — no JVM round trip.
+    Scheme-less paths all resolve through the session's default
+    filesystem, so they share one cache slot."""
+    if "://" in path:
+        scheme, _, rest = path.partition("://")
+        return scheme, rest.split("/", 1)[0]
+    if path.startswith("file:"):
+        return "file", ""
+    return "", ""
+
+
 def hadoop_fs(spark, path: str):
     """``(FileSystem, Path)`` for ``path`` via the JVM Hadoop API —
     the scheme-aware replacement for driver-local ``glob``/``os.path``
     (see module docstring).  The filesystem is resolved from the
     path's own scheme with the session's Hadoop configuration, so
-    ``file:``, ``hdfs://`` and ``s3a://`` paths all work."""
+    ``file:``, ``hdfs://`` and ``s3a://`` paths all work.
+
+    The resolved ``FileSystem`` handle is cached PER SESSION per
+    (scheme, authority) (r14, guide §5 driver round-trips): Hadoop
+    already caches the object JVM-side, but every helper call paid
+    two extra py4j round trips (``hadoopConfiguration`` +
+    ``getFileSystem``) just to reach that cache.  A driver-side
+    publish makes dozens of metadata calls; at two round trips each
+    the overhead is measurable locally and grows with driver-cluster
+    latency.  The cache lives on the session object so it dies with
+    the session (a restarted JVM cannot leak stale handles)."""
     p = jpath(spark, path)
-    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    key = _fs_cache_key(path)
+    cache = getattr(spark, "_xyzpy_fs_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._xyzpy_fs_cache = cache
+        except Exception:
+            pass
+    fs = cache.get(key)
+    if fs is None:
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        cache[key] = fs
     return fs, p
 
 
@@ -203,6 +237,32 @@ def write_bytes(spark, path: str, data: bytes) -> None:
 
 def read_text(spark, path: str, encoding: str = "utf-8") -> str:
     return read_bytes(spark, path).decode(encoding)
+
+
+def read_text_or_none(spark, path: str, encoding: str = "utf-8"):
+    """``read_text`` that returns ``None`` for a missing file in ONE
+    filesystem operation (r14): the sidecar-read idiom was
+    ``exists(p) and read_text(p)`` — two metadata round trips where
+    opening and handling not-found needs one.  Open races (the file
+    vanishing between exists and open) collapse into the same
+    ``None`` answer instead of an error."""
+    fs, p = hadoop_fs(spark, path)
+    try:
+        stream = fs.open(p)
+    except Exception as exc:  # py4j wraps java.io.FileNotFoundException
+        if "FileNotFoundException" in str(
+            getattr(exc, "java_exception", exc.__class__.__name__)
+        ) or "FileNotFoundException" in str(exc):
+            return None
+        raise
+    try:
+        baos = spark._jvm.java.io.ByteArrayOutputStream()
+        spark._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+            stream, baos, 65536, False
+        )
+        return bytes(baos.toByteArray()).decode(encoding)
+    finally:
+        stream.close()
 
 
 def write_text(spark, path: str, text: str, encoding: str = "utf-8") -> None:

@@ -1141,3 +1141,22 @@ def test_numeric_distribution_multi_one_scan(spark):
     assert "pythonUDF" not in plan and "BatchEvalPython" not in plan, plan
     cols = scan_columns(d)
     assert cols and set(cols) <= {"value", "user_id"}, cols
+
+
+def test_dedup_clusters_plan_stays_bounded(spark):
+    """r14: label propagation seams every round, so the returned
+    labels' plan is constant-size — the old every-5 cadence let the
+    3-reference round body grow the tree ~3^k between seams (831
+    InMemoryRelation nodes in the gate plan at sf0.001)."""
+    from xyzpy_spark.pipeline.dedup import dedup_clusters
+
+    # a 12-link chain needs several shortcut rounds to converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(pairs)
+    rows = {(r["doc_id"], r["cluster_id"]) for r in out.collect()}
+    assert rows == {(i, 0) for i in range(13)}
+    plan = executed_plan(out)
+    assert "InMemoryRelation" not in plan and "InMemoryTableScan" not in plan
+    assert len(plan) < 20_000, len(plan)

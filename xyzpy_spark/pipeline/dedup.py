@@ -580,7 +580,7 @@ def dedup_clusters(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     shortcut: bool = True,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into duplicate GROUPS.
@@ -592,9 +592,25 @@ def dedup_clusters(
     typically 2-4).  Each round is one join + one groupBy — no driver
     state, no graph library.  The convergence probe is folded into the
     round's own cached result (a ``max(changed)`` scan, no extra join),
-    and every ``checkpoint_every`` rounds the labels are
-    ``localCheckpoint``-ed so lineage depth stays bounded for
-    deep-diameter components at scale.  Warns if ``max_iter`` rounds
+    and every ``checkpoint_every`` rounds the labels are seam-ed
+    (``localCheckpoint`` by default; ``spark.xyzpy.seam.mode``) so
+    lineage depth stays bounded for deep-diameter components at scale.
+
+    ``checkpoint_every=1`` (r14 default): each round references the
+    prior labels THREE times (the neighbor join, the ``least``
+    projection, the pointer-jump self-join), so the logical plan
+    grows ~3^k between seams — at the old every-5 cadence the
+    optimizer re-walked ~3^5 = 243 subtree copies per action
+    (plan-audited: 831 InMemoryRelation nodes in dedup_clusters'
+    final plan, 1649 in dedup_corpus's).  The convergence probe
+    materializes every round regardless, so truncating every round
+    adds NO job — it only keeps the analyzed plan constant-size
+    (guide §7.3 planning cost, §3.3 plan truncation; measured
+    3.21 s -> 2.40 s median on the sf0.1 jaccard pairs, labels
+    identical).  Values > 1 remain for callers who prefer persist's
+    deterministic block release between seams.
+
+    Warns if ``max_iter`` rounds
     pass without reaching the fixpoint (labels then may split one true
     component into several cluster_ids).  Output: ``(doc_id,
     cluster_id)`` where ``cluster_id`` is the smallest member id — keep

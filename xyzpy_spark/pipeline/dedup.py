@@ -2994,9 +2994,16 @@ def build_winnow_index(
     else:
         dropped = local_df(spark, [], "fingerprint bigint")
         kept = fps
-    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_fp"))
+    # per-doc sizes as a WINDOW count over the capped rows: the old
+    # groupBy + join-back shuffled the (large) fingerprint table twice
+    # (the sizes aggregate's exchange + the join's exchange of kept);
+    # the window needs ONE exchange on id_col (r14, the substring-span
+    # lesson; A/B 2.24 -> 1.87 s median on the sf0.1 build+save,
+    # identical rows).  Docs are bounded-size, so no skew risk.
     index = (
-        kept.join(sizes, id_col)
+        kept.withColumn(
+            "n_fp", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
         .select(
             id_col,
             "fingerprint",
@@ -3256,8 +3263,12 @@ def fold_winnow_segments(
     else:
         kept0 = index
     kept_delta = delta.join(F.broadcast(dropped), "fingerprint", "left_anti")
-    sizes = kept_delta.groupBy(idc).agg(F.count(F.lit(1)).alias("n_fp"))
-    new_rows = kept_delta.join(sizes, idc).select(
+    # window count instead of groupBy + join-back: one exchange on the
+    # per-epoch delta instead of two, no join (r14, same rewrite as
+    # build_winnow_index — fewer fixed-cost stages per ingest epoch)
+    new_rows = kept_delta.withColumn(
+        "n_fp", F.count(F.lit(1)).over(Window.partitionBy(idc))
+    ).select(
         idc,
         "fingerprint",
         "n_fp",

@@ -337,32 +337,42 @@ def minhash_signatures(
     Output: ``id_col``, ``sig`` (array<long> of length num_perm).
     """
     sh = _exploded_shingles_fast(df, id_col, text_col, n)
+    # the num_perm min-aggregates are rendered as ONE SQL expression
+    # (r14, the langid_rowwise_packed lesson, guide §5 driver
+    # round-trips): the Column-API form cost ~8 py4j calls per
+    # permutation (~500 per signing call) just to BUILD the plan —
+    # measured 0.81 s of pure driver time per call, 0.11 s as one
+    # F.expr parse.  `array(min(..0..), min(..1..), ...)` also folds
+    # the post-aggregation array assembly into the same aggregate
+    # (no 64-column select).  Bit-identical for both hash families:
+    # integer SQL literals type as int, `L`-suffixed as long, exactly
+    # the types the old F.lit forms produced.
     if hash_fn == "xxhash64":
-        mins = [
-            F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
-            for i in range(num_perm)
+        parts = [
+            f"min(xxhash64(`shingle`, {i}))" for i in range(num_perm)
         ]
     elif hash_fn == "md5":
-        p = F.lit(MINHASH_PRIME).cast("long")
-        # project the base hash once per shingle row; the 64 permuted
+        p = int(MINHASH_PRIME)
+        # project the base hash once per shingle row; the permuted
         # mins then reference the column instead of re-deriving
         # conv(md5(...)) inside every aggregate expression
         sh = sh.withColumn(
-            "_h0", F.pmod(_portable_token_hash(F.col("shingle")), p)
+            "_h0",
+            F.pmod(
+                _portable_token_hash(F.col("shingle")),
+                F.lit(p).cast("long"),
+            ),
         )
-        mins = [
-            F.min(
-                F.pmod(F.lit(a).cast("long") * F.col("_h0") + F.lit(b), p)
-            ).alias(f"h{i}")
-            for i, (a, b) in enumerate(portable_perm_constants(num_perm))
+        parts = [
+            f"min(pmod({a}L * `_h0` + {b}L, {p}L))"
+            for a, b in portable_perm_constants(num_perm)
         ]
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
-    sig = sh.groupBy("_id").agg(*mins)
-    return sig.select(
-        F.col("_id").alias(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(num_perm)]).alias("sig"),
+    sig = sh.groupBy("_id").agg(
+        F.expr("array(" + ",".join(parts) + ")").alias("sig")
     )
+    return sig.select(F.col("_id").alias(id_col), "sig")
 
 
 def minhash_lsh_pairs(
@@ -1681,27 +1691,24 @@ def _band_bucket_col(num_perm: int, bands: int) -> F.Column:
             "silently never be banded"
         )
     rows_per_band = num_perm // bands
-    return F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at(
-                                    "sig", b * rows_per_band + r + 1
-                                ).cast("string")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    ).alias("bucket"),
-                )
-                for b in range(bands)
-            ]
+    # one F.expr parse instead of ~12 py4j Column calls per band
+    # (r14, the minhash_signatures rewrite's twin): measured 0.34 s of
+    # pure driver plan-build time per call at 64/16 — and this column
+    # is built twice per ingest probe.  named_struct/cast/concat_ws/
+    # xxhash64 SQL forms type identically to the old F.* forms
+    # (int literals, string casts), so the buckets are bit-identical.
+    structs = []
+    for b in range(bands):
+        elems = ",".join(
+            f"cast(element_at(`sig`, {b * rows_per_band + r + 1})"
+            " as string)"
+            for r in range(rows_per_band)
         )
-    )
+        structs.append(
+            f"named_struct('band', {b}, 'bucket', "
+            f"xxhash64(concat_ws(',', {elems})))"
+        )
+    return F.expr("explode(array(" + ",".join(structs) + "))")
 
 
 def build_dedup_index(

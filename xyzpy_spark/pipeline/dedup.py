@@ -492,22 +492,24 @@ def simhash_64(
         F.col(id_col).alias("_id"),
         F.explode(tokenize(F.col(text_col))).alias("tok"),
     ).withColumn("h", h)
-    bit_sums = [
-        F.sum(
-            F.when(
-                F.col("h").bitwiseAND(F.lit(_s64(1 << i))) != 0, 1
-            ).otherwise(-1)
-        ).alias(f"b{i}")
+    # both expression families render as ONE F.expr parse each (r14,
+    # the minhash_signatures rewrite's twin — the Column-API loops
+    # cost ~750 py4j round trips of pure driver time per call;
+    # measured 1.71 -> 0.55 s per signing at sf0.1/4, bit-identical
+    # for both hash families).  shiftleft(1L, i) reproduces the
+    # signed-long bit masks exactly (bit 63 = Long.MIN_VALUE) without
+    # relying on negative-literal parsing.
+    sums = ",".join(
+        f"sum(case when (`h` & shiftleft(1L, {i})) != 0"
+        " then 1 else -1 end)"
         for i in range(n_bits)
-    ]
-    agg = toks.groupBy("_id").agg(*bit_sums)
-    sig = None
-    for i in range(n_bits):
-        bit = F.when(
-            F.col(f"b{i}") > 0, F.lit(_s64(1 << i))
-        ).otherwise(F.lit(0))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return agg.select(F.col("_id").alias(id_col), sig.alias("simhash"))
+    )
+    agg = toks.groupBy("_id").agg(F.expr(f"array({sums})").alias("bs"))
+    sig = " | ".join(
+        f"(case when `bs`[{i}] > 0 then shiftleft(1L, {i}) else 0L end)"
+        for i in range(n_bits)
+    )
+    return agg.select(F.col("_id").alias(id_col), F.expr(sig).alias("simhash"))
 
 
 def simhash_near_pairs(

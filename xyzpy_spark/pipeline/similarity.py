@@ -49,6 +49,23 @@ def _array_lit(data, ddl: str) -> F.Column:
     return F.expr(f"CAST({_render_sql_lit(data)} AS {ddl})")
 
 
+def _array_lit_sql(data, ddl: str) -> str:
+    """The SQL-fragment form of :func:`_array_lit` — for composing
+    larger single-parse expressions (r14, guide §5 driver round
+    trips)."""
+    return f"CAST({_render_sql_lit(data)} AS {ddl})"
+
+
+def _int_dot_sql(a: str, b: str) -> str:
+    """SQL-fragment twin of ``dedup._int_dot`` (exact int64 dot over
+    quantized vectors): same aggregate/zip_with/lambda tree, parsed in
+    one ``F.expr`` instead of ~25 py4j calls per use (r14)."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
+    )
+
+
 def _dot(a, b) -> F.Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -1040,80 +1057,72 @@ def pq_topk_portable(
     ]
     n2 = [[sum(x * x for x in c) for c in cb_q[j]] for j in range(m)]
 
-    def _cb_lit(j: int) -> F.Column:
-        return _array_lit(cb_q[j], "array<array<bigint>>")
+    # SQL-fragment construction, one F.expr parse per column (r14 —
+    # the ivf_pq_topk_portable rewrite's twin; see the note there).
+    # Encode cost |c|^2 - 2 x.c ranks like L2; zip_with pairs each
+    # codeword with its precomputed |c|^2.
+    def _cb_sql(j: int) -> str:
+        return _array_lit_sql(cb_q[j], "array<array<bigint>>")
 
-    def _n2_lit(j: int) -> F.Column:
-        return _array_lit(n2[j], "array<bigint>")
+    def _n2_sql(j: int) -> str:
+        return _array_lit_sql(n2[j], "array<bigint>")
 
-    def _cost_fn(sub):
-        # encode cost |c|^2 - 2 x.c ranks like L2; zip_with pairs each
-        # codeword with its precomputed |c|^2 (one-arg-lambda rule:
-        # two-param python lambdas become (element, index) HOFs)
-        return lambda c, nn: nn - F.lit(2) * _int_dot(c, sub)
-
-    def _enc(v: F.Column) -> F.Column:
+    def _enc_sql(v: str) -> str:
         parts = []
         for j in range(m):
-            sub = F.slice(v, j * dsub + 1, dsub)
-            costs = F.zip_with(_cb_lit(j), _n2_lit(j), _cost_fn(sub))
-            parts.append(
-                (F.array_position(costs, F.array_min(costs)) - 1).cast(
-                    "int"
-                )
+            sub = f"slice({v}, {j * dsub + 1}, {dsub})"
+            costs = (
+                f"zip_with({_cb_sql(j)}, {_n2_sql(j)}, (c, nn) -> "
+                f"nn - 2 * {_int_dot_sql('c', sub)})"
             )
-        return F.array(*parts)
-
-    def _lut_fn(sub):
-        return lambda c: _int_dot(c, sub)
+            parts.append(
+                f"cast(array_position({costs}, array_min({costs}))"
+                " - 1 as int)"
+            )
+        return "array(" + ",".join(parts) + ")"
 
     c = (
         corpus.select(
             F.col(id_col).alias("nbr_id"),
             _qvec(vec_col, quantize).alias("cv"),
         )
-        .withColumn("codes", _enc(F.col("cv")))
+        .withColumn("codes", F.expr(_enc_sql("`cv`")))
         .withColumn(
-            "cn", F.sqrt(_int_dot(F.col("cv"), F.col("cv")).cast("double"))
+            "cn",
+            F.expr(
+                f"sqrt(cast({_int_dot_sql('`cv`', '`cv`')} as double))"
+            ),
         )
     )
+    lut_sql = "array(" + ",".join(
+        f"transform({_cb_sql(j)}, c -> "
+        + _int_dot_sql("c", f"slice(`qv`, {j * dsub + 1}, {dsub})")
+        + ")"
+        for j in range(m)
+    ) + ")"
     q = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
             _qvec(vec_col, quantize).alias("qv"),
         )
         .withColumn(
-            "qn", F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double"))
-        )
-        .withColumn(
-            "lut",
-            F.array(
-                *[
-                    F.transform(
-                        _cb_lit(j),
-                        _lut_fn(F.slice(F.col("qv"), j * dsub + 1, dsub)),
-                    )
-                    for j in range(m)
-                ]
+            "qn",
+            F.expr(
+                f"sqrt(cast({_int_dot_sql('`qv`', '`qv`')} as double))"
             ),
         )
+        .withColumn("lut", F.expr(lut_sql))
     )
-    n2_full = _array_lit(n2, "array<array<bigint>>")
-    approx_dot = F.aggregate(
-        F.zip_with(
-            "codes", F.col("lut"),
-            lambda code, lj: F.element_at(lj, code + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    n2_full_sql = _array_lit_sql(n2, "array<array<bigint>>")
+    approx_dot = (
+        "aggregate(zip_with(`codes`, `lut`, "
+        "(code, lj) -> element_at(lj, code + 1)), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
     )
-    approx_n2 = F.aggregate(
-        F.zip_with(
-            "codes", n2_full,
-            lambda code, nj: F.element_at(nj, code + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    approx_n2 = (
+        f"aggregate(zip_with(`codes`, {n2_full_sql}, "
+        "(code, nj) -> element_at(nj, code + 1)), "
+        "cast(0 as bigint), (acc, x) -> acc + x)"
     )
     scored = (
         c.select("nbr_id", "codes")
@@ -1122,17 +1131,12 @@ def pq_topk_portable(
         .select(
             "query_id",
             "nbr_id",
-            (
-                approx_dot.cast("double")
-                / (
-                    F.col("qn")
-                    # all-zero codewords would divide by zero; n2 >= 1
-                    # for any nonzero codeword, so the guard is
-                    # value-neutral elsewhere (mirrored in the oracle)
-                    * F.sqrt(
-                        F.greatest(approx_n2, F.lit(1)).cast("double")
-                    )
-                )
+            # all-zero codewords would divide by zero; n2 >= 1 for any
+            # nonzero codeword, so the guard is value-neutral
+            # elsewhere (mirrored in the oracle)
+            F.expr(
+                f"cast({approx_dot} as double) / (`qn` * "
+                f"sqrt(cast(greatest({approx_n2}, 1) as double)))"
             ).alias("__a"),
         )
     )
@@ -1247,41 +1251,46 @@ def ivf_pq_topk_portable(
             f"ivf_pq_topk_portable: dim {dim} not divisible by m={m}"
         )
     dsub = dim // m
-    cent_lit = _array_lit(cent_q, "array<array<bigint>>")
-    cn2_lit = _array_lit(
+    # EVERY big expression below is rendered as a SQL fragment and
+    # parsed with one F.expr (r14, the minhash/simhash rewrite's twin
+    # — guide §5 driver round trips): the Column-API construction of
+    # this function cost ~5800 py4j commands / ~2.3 s of pure driver
+    # time per call (cProfile receipt in OPTIMIZATION_r14.md), more
+    # than the query's own execution at gate SF.  The SQL forms build
+    # the identical expression trees (same implicit casts, same
+    # lambda bodies), so results are bit-identical.
+    cent_sql = _array_lit_sql(cent_q, "array<array<bigint>>")
+    cn2_sql = _array_lit_sql(
         [sum(x * x for x in c) for c in cent_q], "array<bigint>"
     )
+    cent_lit = F.expr(cent_sql)
 
-    def _sims(qv: F.Column) -> F.Column:
-        vn = F.sqrt(_int_dot(qv, qv).cast("double"))
-        return F.zip_with(
-            cent_lit,
-            cn2_lit,
-            lambda c, n2: _int_dot(c, qv)
-            / (F.sqrt(n2.cast("double")) * vn),
+    def _sims_sql(qv: str) -> str:
+        vn = f"sqrt(cast({_int_dot_sql(qv, qv)} as double))"
+        return (
+            f"zip_with({cent_sql}, {cn2_sql}, (c, n2) -> "
+            f"{_int_dot_sql('c', qv)}"
+            f" / (sqrt(cast(n2 as double)) * {vn}))"
         )
 
     def _with_cell_resid(df: DataFrame) -> DataFrame:
         # materialize the sims array once (Catalyst does not CSE
         # higher-order-function trees — the ivf_topk_portable rule)
         return (
-            df.withColumn("__sims", _sims(F.col("cv")))
+            df.withColumn("__sims", F.expr(_sims_sql("`cv`")))
             .withColumn(
                 "cell",
-                (
-                    F.array_position(
-                        F.col("__sims"), F.array_max(F.col("__sims"))
-                    )
-                    - 1
-                ).cast("int"),
+                F.expr(
+                    "cast(array_position(`__sims`, array_max(`__sims`))"
+                    " - 1 as int)"
+                ),
             )
             .drop("__sims")
             .withColumn(
                 "rv",
-                F.zip_with(
-                    F.col("cv"),
-                    F.element_at(cent_lit, F.col("cell") + 1),
-                    lambda x, c: x - c,
+                F.expr(
+                    f"zip_with(`cv`, element_at({cent_sql}, `cell` + 1),"
+                    " (x, c) -> x - c)"
                 ),
             )
         )
@@ -1332,28 +1341,27 @@ def ivf_pq_topk_portable(
         ]
         for L in range(len(cent_q))
     ]
-    cross_lit = _array_lit(cross, "array<array<array<bigint>>>")
+    cross_sql = _array_lit_sql(cross, "array<array<array<bigint>>>")
 
-    def _cb_lit(j: int) -> F.Column:
-        return _array_lit(cb_q[j], "array<array<bigint>>")
+    def _cb_sql(j: int) -> str:
+        return _array_lit_sql(cb_q[j], "array<array<bigint>>")
 
-    def _n2_lit(j: int) -> F.Column:
-        return _array_lit(n2[j], "array<bigint>")
+    def _n2_sql(j: int) -> str:
+        return _array_lit_sql(n2[j], "array<bigint>")
 
-    def _cost_fn(sub):
-        return lambda c, nn: nn - F.lit(2) * _int_dot(c, sub)
-
-    def _enc(v: F.Column) -> F.Column:
+    def _enc_sql(v: str) -> str:
         parts = []
         for j in range(m):
-            sub = F.slice(v, j * dsub + 1, dsub)
-            costs = F.zip_with(_cb_lit(j), _n2_lit(j), _cost_fn(sub))
-            parts.append(
-                (F.array_position(costs, F.array_min(costs)) - 1).cast(
-                    "int"
-                )
+            sub = f"slice({v}, {j * dsub + 1}, {dsub})"
+            costs = (
+                f"zip_with({_cb_sql(j)}, {_n2_sql(j)}, (c, nn) -> "
+                f"nn - 2 * {_int_dot_sql('c', sub)})"
             )
-        return F.array(*parts)
+            parts.append(
+                f"cast(array_position({costs}, array_min({costs}))"
+                " - 1 as int)"
+            )
+        return "array(" + ",".join(parts) + ")"
 
     c = _with_cell_resid(
         corpus.select(
@@ -1363,56 +1371,38 @@ def ivf_pq_topk_portable(
     ).select(
         "nbr_id",
         "cell",
-        _enc(F.col("rv")).alias("codes"),
+        F.expr(_enc_sql("`rv`")).alias("codes"),
         "cv",
-        F.sqrt(_int_dot(F.col("cv"), F.col("cv")).cast("double")).alias(
-            "cn"
-        ),
+        F.expr(
+            f"sqrt(cast({_int_dot_sql('`cv`', '`cv`')} as double))"
+        ).alias("cn"),
     )
 
-    idx = F.sequence(F.lit(0), F.lit(len(cent_q) - 1))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         _qvec(vec_col, quantize).alias("qv"),
     )
-    probe_cells = F.slice(
-        F.transform(
-            F.array_sort(
-                F.zip_with(
-                    _sims(F.col("qv")),
-                    idx,
-                    lambda s, i: F.struct(
-                        (-s).alias("neg"), i.alias("i")
-                    ),
-                )
-            ),
-            lambda st: st["i"],
-        ),
-        1,
-        nprobe,
+    probe_cells = (
+        "slice(transform(array_sort("
+        f"zip_with({_sims_sql('`qv`')}, sequence(0, {len(cent_q) - 1}), "
+        "(s, i) -> named_struct('neg', -s, 'i', i))), "
+        f"st -> st.i), 1, {nprobe})"
     )
-
-    def _lut_fn(sub):
-        return lambda cc: _int_dot(cc, sub)
-
+    lut_sql = "array(" + ",".join(
+        f"transform({_cb_sql(j)}, cc -> "
+        + _int_dot_sql("cc", f"slice(`qv`, {j * dsub + 1}, {dsub})")
+        + ")"
+        for j in range(m)
+    ) + ")"
     q = (
         q.withColumn(
             "qn",
-            F.sqrt(_int_dot(F.col("qv"), F.col("qv")).cast("double")),
-        )
-        .withColumn(
-            "lut",
-            F.array(
-                *[
-                    F.transform(
-                        _cb_lit(j),
-                        _lut_fn(F.slice(F.col("qv"), j * dsub + 1, dsub)),
-                    )
-                    for j in range(m)
-                ]
+            F.expr(
+                f"sqrt(cast({_int_dot_sql('`qv`', '`qv`')} as double))"
             ),
         )
-        .withColumn("cell", F.explode(probe_cells))
+        .withColumn("lut", F.expr(lut_sql))
+        .withColumn("cell", F.expr(f"explode({probe_cells})"))
         .select(
             "query_id",
             "qv",
@@ -1422,40 +1412,36 @@ def ivf_pq_topk_portable(
         )
         .withColumn(
             "qdc",
-            _int_dot(F.element_at(cent_lit, F.col("cell") + 1), F.col("qv")),
+            F.expr(
+                _int_dot_sql(
+                    f"element_at({cent_sql}, `cell` + 1)", "`qv`"
+                )
+            ),
         )
     )
-    n2_full = _array_lit(n2, "array<array<bigint>>")
-    lut_sum = F.aggregate(
-        F.zip_with(
-            "codes", F.col("lut"),
-            lambda code, lj: F.element_at(lj, code + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    n2_full_sql = _array_lit_sql(n2, "array<array<bigint>>")
+
+    def _agg_sum(zipped: str) -> str:
+        return (
+            f"aggregate({zipped}, cast(0 as bigint), "
+            "(acc, x) -> acc + x)"
+        )
+
+    lut_sum = _agg_sum(
+        "zip_with(`codes`, `lut`, (code, lj) -> element_at(lj, code + 1))"
     )
-    r_n2 = F.aggregate(
-        F.zip_with(
-            "codes", n2_full,
-            lambda code, nj: F.element_at(nj, code + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    r_n2 = _agg_sum(
+        f"zip_with(`codes`, {n2_full_sql}, "
+        "(code, nj) -> element_at(nj, code + 1))"
     )
-    cross_sum = F.aggregate(
-        F.zip_with(
-            "codes",
-            F.element_at(cross_lit, F.col("cell") + 1),
-            lambda code, cj: F.element_at(cj, code + 1),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    cross_sum = _agg_sum(
+        f"zip_with(`codes`, element_at({cross_sql}, `cell` + 1), "
+        "(code, cj) -> element_at(cj, code + 1))"
     )
-    approx_dot = F.col("qdc") + lut_sum
+    approx_dot = f"(`qdc` + {lut_sum})"
     approx_n2 = (
-        F.element_at(cn2_lit, F.col("cell") + 1)
-        + F.lit(2).cast("long") * cross_sum
-        + r_n2
+        f"(element_at({cn2_sql}, `cell` + 1)"
+        f" + cast(2 as bigint) * {cross_sum} + {r_n2})"
     )
     scored = (
         c.select("nbr_id", "cell", "codes")
@@ -1467,16 +1453,10 @@ def ivf_pq_topk_portable(
         .select(
             "query_id",
             "nbr_id",
-            (
-                approx_dot.cast("double")
-                / (
-                    F.col("qn")
-                    * F.sqrt(
-                        F.greatest(
-                            approx_n2, F.lit(1).cast("long")
-                        ).cast("double")
-                    )
-                )
+            F.expr(
+                f"cast({approx_dot} as double) / (`qn` * "
+                f"sqrt(cast(greatest({approx_n2}, cast(1 as bigint))"
+                " as double)))"
             ).alias("__a"),
         )
     )
